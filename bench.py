@@ -1,0 +1,73 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Bench uses the engine's NATIVE fast paths (built-in Catalyst aggregates);
+the oracle-matched exact mode exists for correctness checking, not speed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dataprofiler_spark.session import get_spark
+    from dataprofiler_spark.operators import categorical as cat
+    from dataprofiler_spark.operators import numeric as num
+    from dataprofiler_spark.operators import rowstats as rs
+
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
+
+    def tbl(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    lineitem = tbl("lineitem")
+    orders = tbl("orders")
+
+    # warm the JVM + file listing once (not counted)
+    lineitem.count()
+
+    run("numeric_profile_lineitem",
+        lambda: num.numeric_profile_native(lineitem).collect())
+    run("numeric_profile_orders",
+        lambda: num.numeric_profile_native(orders).collect())
+
+    def _categorical():
+        cand = cat.candidate_columns(lineitem)
+        counts = cat.category_counts(lineitem, cand).cache()
+        cat.categorical_stats(counts).collect()
+        cat.top_k_categories(counts, 5).collect()
+        counts.unpersist()
+    run("categorical_profile_lineitem", _categorical)
+
+    run("row_stats_lineitem",
+        lambda: rs.row_stats(lineitem, hashing_method="hll").collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "profile_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Categorical column statistics.
+
+Reference semantics: dataprofiler/profilers/categorical_column_profile.py —
+full value→count dict (via ``_update_categories``), categorical detection
+(unique ≤ 10 or unique_ratio ≤ 0.2, :29-34 / :422-438), gini impurity
+(:197-218), unalikeability (:220-243), top-k report (:376-381), and a
+stop condition that abandons high-cardinality columns (:457-476); optional
+Count-Min-Sketch heavy-hitter mode (:62-133).
+
+Spark design: ONE melted job for every candidate column — the columns are
+exploded into (column, value) pairs and grouped once, instead of one
+groupBy job per column. At 100 TB the melt multiplies scan width by the
+candidate-column count, so candidates are pre-gated with a single
+``approx_count_distinct`` pass (the Spark analog of the reference's
+stop-condition) and the exact counts job only runs on columns that can
+actually be categorical. Count-Min-Sketch mode maps to the built-in
+``count_min_sketch`` aggregate (mergeable state, bounded memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference defaults (categorical_column_profile.py:29-34).
+CATEGORICAL_MAX_UNIQUE = 10
+CATEGORICAL_MAX_UNIQUE_RATIO = 0.2
+# Stop-condition defaults (:457-476): abandon tracking when sample is large
+# and unique ratio is high.
+STOP_CONDITION_UNIQUE_VALUE_RATIO = 0.5
+STOP_CONDITION_SAMPLE_SIZE = 10_000
+
+
+def candidate_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    max_unique_ratio: float = STOP_CONDITION_UNIQUE_VALUE_RATIO,
+    max_unique: int | None = None,
+) -> list[str]:
+    """Cheap approx-distinct gate before the exact counts job.
+
+    Mirrors the reference's stop condition, but as a *pre*-filter: one
+    ``approx_count_distinct`` aggregate over all columns decides which
+    columns are worth exact category tracking, so the expensive melted
+    groupBy never sees unbounded-cardinality columns.
+    """
+    cols = cols or df.columns
+    aggs = [F.approx_count_distinct(c, 0.05).alias(c) for c in cols]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["__n"], 1)
+    out = []
+    for c in cols:
+        approx = row[c]
+        if max_unique is not None and approx > max_unique * 1.2:
+            continue
+        if approx / n <= max_unique_ratio or approx <= CATEGORICAL_MAX_UNIQUE:
+            out.append(c)
+    return out
+
+
+def category_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, value, count) for every candidate column in ONE job.
+
+    Values are stringified (the reference profiles category labels as
+    strings). NULLs are kept out — null accounting lives in the null
+    profile, matching ``clean_data_and_get_base_stats`` splitting nulls
+    before category counting (profile_builder.py:536-676).
+    """
+    pairs = []
+    for c in cols:
+        pairs.extend([F.lit(c), F.col(c).cast("string")])
+    melted = df.select(F.explode(F.create_map(*pairs)).alias("column", "value"))
+    return (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def categorical_stats(counts: DataFrame) -> DataFrame:
+    """Per-column stats derived from the counts DF (second-level agg,
+    input is already tiny).
+
+    gini = Σ p(1-p)  (categorical_column_profile.py:197-218)
+    unalikeability = Σ_{v} c_v (n - c_v) / (n² - n)  (:220-243)
+    """
+    n = F.sum("count")
+    sum_sq = F.sum(F.col("count") * F.col("count"))
+    return counts.groupBy("column").agg(
+        F.count(F.lit(1)).alias("unique_count"),
+        n.alias("sample_count"),
+        (F.count(F.lit(1)) / n).alias("unique_ratio"),
+        (F.lit(1.0) - sum_sq / (n * n)).alias("gini_impurity"),
+        F.when(n > 1, (n * n - sum_sq) / (n * n - n)).otherwise(F.lit(None))
+            .alias("unalikeability"),
+    )
+
+
+def top_k_categories(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic top-k per column: count desc, value asc tie-break
+    (reference reports top_k_categories, categorical_column_profile.py:376-381).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("column", "rank")
+    )
+
+
+def category_counts_cms(df: DataFrame, cols: list[str], eps: float = 0.001,
+                        confidence: float = 0.99, seed: int = 42) -> DataFrame:
+    """Count-Min-Sketch mode for heavy hitters at unbounded cardinality
+    (reference: datasketches CMS, categorical_column_profile.py:62-133).
+    Returns one binary sketch per column; sketches are mergeable state.
+    """
+    aggs = [
+        F.count_min_sketch(F.col(c).cast("string"), F.lit(eps),
+                           F.lit(confidence), F.lit(seed)).alias(c)
+        for c in cols
+    ]
+    return df.agg(*aggs)

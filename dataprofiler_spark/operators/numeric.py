@@ -1,0 +1,259 @@
+"""Numeric column statistics — the core aggregation battery.
+
+Reference semantics: dataprofiler/profilers/numerical_column_stats.py —
+min/max (:1766-1787), sum (:1788-1809), mean (:539-543), bias-corrected
+variance via Chan/Welford parallel merge (:843-897), corrected skewness
+(:899-982) and kurtosis (:984-1080), num_zeros/num_negatives (:1949-1992).
+
+Spark design: ALL columns × ALL stats are computed in one (or two) wide
+``df.agg()`` jobs — never one job per column (the reference's
+multiprocessing-per-column model is an anti-pattern under Catalyst; a
+single wide aggregate is partially aggregated map-side, shuffles one row
+per partition, and whole-stage-codegens the entire expression battery).
+
+Two modes:
+
+* ``native`` — pure built-in Catalyst aggregates (F.min/max/sum/avg/
+  var_samp/skewness/kurtosis + correction factors). Fastest; float results
+  depend on summation order (fine for profiling, not bit-reproducible).
+* ``exact`` — decimal-typed power sums for count/sum/mean/variance (exact,
+  associative, engine-independent) plus mean-centered double sums for
+  skewness/kurtosis (catastrophic-cancellation-free, deterministic to
+  ~1e-13 relative). This is the oracle-matched path: the same formulas in
+  ANSI SQL produce hash-identical results on DuckDB.
+
+Both melt to one row per column:
+(column, sample_size, null_count, match_count, min, max, sum, mean,
+ variance, stddev, skewness, kurtosis, num_zeros, num_negatives)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+STAT_FIELDS = [
+    "sample_size", "null_count", "match_count", "min", "max", "sum", "mean",
+    "variance", "stddev", "skewness", "kurtosis", "num_zeros", "num_negatives",
+]
+
+# Exact mode works on scaled integers (x * 10^EXACT_SCALE rounded to an
+# integer held in scale-0 decimals). Scale-0 decimal → double is a SINGLE
+# correctly-rounded conversion in both Spark (BigDecimal) and DuckDB
+# (int128), whereas scaled decimals double-round in DuckDB (int128 →
+# double, then ÷10^scale) which costs ~1 ulp of cross-engine drift.
+EXACT_SCALE = 3
+_S = 10 ** EXACT_SCALE
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+
+
+def _corrected_skew(n: Column, g1: Column) -> Column:
+    """Bias correction sqrt(n(n-1))/(n-2) (numerical_column_stats.py:899-982)."""
+    return F.when(n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2)).otherwise(F.lit(None))
+
+
+def _corrected_kurt(n: Column, g2: Column) -> Column:
+    """Excess-kurtosis bias correction (numerical_column_stats.py:1055-1080)."""
+    return F.when(
+        n > 3, ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    ).otherwise(F.lit(None))
+
+
+def _melt_stats(stats_row: DataFrame, cols: list[str]) -> DataFrame:
+    """Single 1-row wide aggregate → one row per column, no extra shuffle."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            *[F.col(f"{c}__{f}").alias(f) for f in STAT_FIELDS],
+        )
+        for c in cols
+    ]
+    return stats_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# native mode — built-in Catalyst aggregates
+# ---------------------------------------------------------------------------
+
+def native_stat_exprs(c: str) -> list[Column]:
+    col = F.col(c)
+    n = F.count(col)
+    g1 = F.skewness(col)
+    g2 = F.kurtosis(col)
+    return [
+        F.count(F.lit(1)).alias(f"{c}__sample_size"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__null_count"),
+        n.alias(f"{c}__match_count"),
+        F.min(col).cast("double").alias(f"{c}__min"),
+        F.max(col).cast("double").alias(f"{c}__max"),
+        F.sum(col).cast("double").alias(f"{c}__sum"),
+        F.avg(col).cast("double").alias(f"{c}__mean"),
+        F.var_samp(col).alias(f"{c}__variance"),
+        F.stddev_samp(col).alias(f"{c}__stddev"),
+        _corrected_skew(n, g1).alias(f"{c}__skewness"),
+        _corrected_kurt(n, g2).alias(f"{c}__kurtosis"),
+        F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__num_zeros"),
+        F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__num_negatives"),
+    ]
+
+
+def numeric_profile_native(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    cols = cols or numeric_columns(df)
+    exprs: list[Column] = []
+    for c in cols:
+        exprs.extend(native_stat_exprs(c))
+    return _melt_stats(df.agg(*exprs), cols)
+
+
+# ---------------------------------------------------------------------------
+# exact mode — decimal power sums + centered higher moments (oracle path)
+# ---------------------------------------------------------------------------
+
+def numeric_profile_exact(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic, engine-independent numeric profile.
+
+    Pass 1 (one agg): counts + decimal sum / sum-of-squares + min/max +
+    zeros/negatives. Pass 2 (one agg over a broadcast of the 1-row pass-1
+    result): mean-centered double cubes/quads for skew/kurt. Two scans
+    total regardless of column count.
+    """
+    cols = cols or numeric_columns(df)
+    r = round_digits
+
+    p1_exprs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        # scaled integer: round(x * 10^s) as a scale-0 decimal
+        xi = F.round(col.cast("double") * _S, 0).cast("decimal(19,0)")
+        p1_exprs.extend([
+            F.count(F.lit(1)).alias(f"{c}__ss"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count(col).alias(f"{c}__n"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.sum(xi.cast("decimal(38,0)")).alias(f"{c}__s1"),
+            F.sum((xi * xi).cast("decimal(38,0)")).alias(f"{c}__s2"),
+            F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__zeros"),
+            F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__negs"),
+        ])
+    p1 = df.agg(*p1_exprs)
+
+    # Exact means for the centering pass: integer-decimal → double is one
+    # correctly-rounded conversion, then two double divisions — identical
+    # IEEE sequence in the SQL oracle.
+    mean_cols = [
+        (F.col(f"{c}__s1").cast("double") / F.col(f"{c}__n") / F.lit(float(_S)))
+        .alias(f"{c}__mu")
+        for c in cols
+    ]
+    means = p1.select(*mean_cols)
+
+    p2_exprs: list[Column] = []
+    for c in cols:
+        dev = F.col(c).cast("double") - F.col(f"{c}__mu")
+        p2_exprs.extend([
+            F.sum(dev * dev * dev).alias(f"{c}__m3"),
+            F.sum(dev * dev * dev * dev).alias(f"{c}__m4"),
+        ])
+    p2 = df.crossJoin(F.broadcast(means)).agg(*p2_exprs)
+
+    joined = p1.crossJoin(F.broadcast(p2))
+
+    out_cols: list[Column] = []
+    s2lit = F.lit(float(_S))
+    for c in cols:
+        n = F.col(f"{c}__n")
+        s1 = F.col(f"{c}__s1")   # decimal(38,0) scaled integers
+        s2 = F.col(f"{c}__s2")
+        m3 = F.col(f"{c}__m3")
+        m4 = F.col(f"{c}__m4")
+        mean = s1.cast("double") / n / s2lit
+        # n·s2 − s1² is exact integer arithmetic; ONE decimal→double cast,
+        # then a fixed division sequence mirrored verbatim in the oracle.
+        css = (n * s2 - s1 * s1).cast("double")  # n² · Σ(x−μ)² · S²
+        var = F.when(n > 1, css / n / (n - 1) / (s2lit * s2lit)).otherwise(F.lit(None))
+        b2 = css / n / n / (s2lit * s2lit)  # biased variance for moment ratios
+        g1 = F.when(n > 0, (m3 / n) / F.pow(b2, F.lit(1.5))).otherwise(F.lit(None))
+        g2 = F.when(n > 0, (m4 / n) / (b2 * b2) - 3).otherwise(F.lit(None))
+        out_cols.extend([
+            F.col(f"{c}__ss").alias(f"{c}__sample_size"),
+            F.col(f"{c}__nulls").alias(f"{c}__null_count"),
+            n.alias(f"{c}__match_count"),
+            F.round(F.col(f"{c}__min"), r).alias(f"{c}__min"),
+            F.round(F.col(f"{c}__max"), r).alias(f"{c}__max"),
+            F.round(s1.cast("double") / s2lit, r).alias(f"{c}__sum"),
+            F.round(mean, r).alias(f"{c}__mean"),
+            F.round(var, r).alias(f"{c}__variance"),
+            F.round(F.sqrt(var), r).alias(f"{c}__stddev"),
+            F.round(_corrected_skew(n, g1), r).alias(f"{c}__skewness"),
+            F.round(_corrected_kurt(n, g2), r).alias(f"{c}__kurtosis"),
+            F.col(f"{c}__zeros").alias(f"{c}__num_zeros"),
+            F.col(f"{c}__negs").alias(f"{c}__num_negatives"),
+        ])
+    return _melt_stats(joined.select(*out_cols), cols)
+
+
+def numeric_profile(
+    df: DataFrame, cols: list[str] | None = None, mode: str = "native"
+) -> DataFrame:
+    if mode == "native":
+        return numeric_profile_native(df, cols)
+    if mode == "exact":
+        return numeric_profile_exact(df, cols)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def oracle_numeric_profile_sql(table: str, cols: list[str], round_digits: int = 6) -> str:
+    """ANSI SQL (DuckDB dialect) mirroring ``numeric_profile_exact``.
+
+    The formulas and association order match the Spark expressions exactly
+    so double-precision results are bit-identical.
+    """
+    r = round_digits
+    S = float(_S)
+    xi = "CAST(ROUND(CAST({c} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0))"
+    selects = []
+    for c in cols:
+        x = xi.format(c=c, S=S)
+        css = ("CAST(CAST(p.n AS HUGEINT) * CAST(p.s2 AS HUGEINT)"
+               " - CAST(p.s1 AS HUGEINT) * CAST(p.s1 AS HUGEINT) AS DOUBLE)")
+        var = f"{css} / p.n / (p.n - 1) / ({S} * {S})"
+        b2 = f"{css} / p.n / p.n / ({S} * {S})"
+        selects.append(f"""
+SELECT '{c}' AS "column",
+  p.ss AS sample_size, p.nulls AS null_count, p.n AS match_count,
+  ROUND(p.mn, {r}) AS min, ROUND(p.mx, {r}) AS max,
+  ROUND(CAST(p.s1 AS DOUBLE) / {S}, {r}) AS sum,
+  ROUND(CAST(p.s1 AS DOUBLE) / p.n / {S}, {r}) AS mean,
+  ROUND({var}, {r}) AS variance,
+  ROUND(SQRT({var}), {r}) AS stddev,
+  ROUND(((q.m3 / p.n) / POW({b2}, 1.5)) * SQRT(p.n * (p.n - 1)) / (p.n - 2), {r}) AS skewness,
+  ROUND(((p.n + 1) * ((q.m4 / p.n) / (({b2}) * ({b2})) - 3) + 6)
+        * (p.n - 1) / ((p.n - 2) * (p.n - 3)), {r}) AS kurtosis,
+  p.zeros AS num_zeros, p.negs AS num_negatives
+FROM (
+  SELECT COUNT(*) AS ss,
+         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,
+         COUNT({c}) AS n,
+         CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx,
+         SUM(CAST({x} AS DECIMAL(38,0))) AS s1,
+         SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS s2,
+         SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS zeros,
+         SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS negs
+  FROM {table}
+) p CROSS JOIN (
+  SELECT SUM((CAST({c} AS DOUBLE) - mu.mu) * (CAST({c} AS DOUBLE) - mu.mu) * (CAST({c} AS DOUBLE) - mu.mu)) AS m3,
+         SUM((CAST({c} AS DOUBLE) - mu.mu) * (CAST({c} AS DOUBLE) - mu.mu) * (CAST({c} AS DOUBLE) - mu.mu) * (CAST({c} AS DOUBLE) - mu.mu)) AS m4
+  FROM {table} CROSS JOIN (
+    SELECT CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) / COUNT({c}) / {S} AS mu FROM {table}
+  ) mu
+) q""")
+    return "\nUNION ALL\n".join(selects)

@@ -1,0 +1,90 @@
+"""Dataset-level row statistics.
+
+Reference semantics: dataprofiler/profilers/profile_builder.py —
+row uniqueness via hashing every row (exact dict or HLL sketch,
+:2202-2258, option ``hashing_method full|hll`` profiler_options.py:
+1119-1209), ``unique_row_ratio`` (:2146-2159), ``duplicate_row_count``
+(:2185-2200); row null stats as intersection/union of per-column null
+index sets (:2260-2297).
+
+Spark design: the reference materializes per-column null *index sets* and
+intersects them on the driver — unbounded memory at scale. Here both row
+null stats collapse into one expression pass (``nulls_in_row = Σ
+when(isnull(c),1)``) and uniqueness is a single ``xxhash64`` distinct
+count — exact via distinct-aggregate, or sketched via
+``approx_count_distinct`` / ``hll_sketch_agg`` (mergeable) for the
+streaming/merge path. No driver-side index sets anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _nulls_in_row(cols: list[str]) -> Column:
+    expr = F.lit(0)
+    for c in cols:
+        expr = expr + F.when(F.col(c).isNull(), 1).otherwise(0)
+    return expr
+
+
+def row_stats(df: DataFrame, cols: list[str] | None = None,
+              hashing_method: str = "full") -> DataFrame:
+    """One-row DataFrame:
+    (row_count, unique_row_count, duplicate_row_count, unique_row_ratio,
+     rows_with_null_count, rows_all_null_count).
+
+    ``hashing_method='full'`` → exact count of distinct rows (count
+    distinct over all columns — Catalyst plans this as a two-stage
+    aggregate, partial per partition, no full-row shuffle of raw data).
+    ``'hll'`` → approx_count_distinct over xxhash64 of the row, the
+    bounded-memory path for 100 TB (reference HLL mode,
+    profile_builder.py:1679-1687).
+    """
+    cols = cols or df.columns
+    ncols = len(cols)
+    if hashing_method == "full":
+        uniq = F.count_distinct(*[F.col(c) for c in cols])
+    elif hashing_method == "hll":
+        uniq = F.approx_count_distinct(F.xxhash64(*[F.col(c) for c in cols]), 0.01)
+    else:
+        raise ValueError(f"unknown hashing_method {hashing_method!r}")
+
+    nin = _nulls_in_row(cols)
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        uniq.alias("unique_row_count"),
+        (F.count(F.lit(1)) - uniq).alias("duplicate_row_count"),
+        F.round(uniq / F.count(F.lit(1)), 6).alias("unique_row_ratio"),
+        F.sum(F.when(nin > 0, 1).otherwise(0)).alias("rows_with_null_count"),
+        F.sum(F.when(nin == ncols, 1).otherwise(0)).alias("rows_all_null_count"),
+    )
+
+
+def oracle_row_stats_sql(table: str, cols: list[str]) -> str:
+    """DuckDB SQL mirroring ``row_stats(hashing_method='full')``.
+
+    NOTE: COUNT(DISTINCT (a,b,...)) in DuckDB counts distinct non-null
+    tuples of the row struct; Spark's count_distinct(cols...) skips rows
+    where ANY column is NULL. To keep semantics identical both engines
+    count distinct over a row struct (DuckDB) vs all-columns with
+    coalesce — here the driver tables have non-null keys so we use the
+    struct form and Spark's count_distinct matches when no all-column-null
+    rows exist; for null-bearing tables use the hash form instead.
+    """
+    col_list = ", ".join(cols)
+    null_sum = " + ".join(f"(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)" for c in cols)
+    return f"""
+SELECT row_count, unique_row_count,
+       row_count - unique_row_count AS duplicate_row_count,
+       ROUND(CAST(unique_row_count AS DOUBLE) / row_count, 6) AS unique_row_ratio,
+       rows_with_null_count, rows_all_null_count
+FROM (
+  SELECT COUNT(*) AS row_count,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT {col_list} FROM {table}
+                                WHERE {" AND ".join(f"{c} IS NOT NULL" for c in cols)})) AS unique_row_count,
+         SUM(CASE WHEN ({null_sum}) > 0 THEN 1 ELSE 0 END) AS rows_with_null_count,
+         SUM(CASE WHEN ({null_sum}) = {len(cols)} THEN 1 ELSE 0 END) AS rows_all_null_count
+  FROM {table}
+)"""

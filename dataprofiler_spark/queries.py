@@ -1,0 +1,189 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+(spark_callable, oracle_sql) pair. ``__spark_entry__.py`` re-exports the
+registry. The oracle SQL is DuckDB-dialect ANSI SQL computing the same
+result with the same column names; numeric formulations are chosen so
+double-precision results are bit-identical across engines (see
+operators/numeric.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators import categorical as cat
+from dataprofiler_spark.operators import numeric as num
+from dataprofiler_spark.operators import rowstats as rs
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Numeric profile battery (SURVEY §2.4: min/max/sum/mean/variance/stddev/
+# skewness/kurtosis/num_zeros/num_negatives, exact oracle-matched mode)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "numeric_profile_lineitem",
+    num.oracle_numeric_profile_sql("lineitem", _LINEITEM_NUM),
+)
+def numeric_profile_lineitem(spark, sf_dir):
+    df = T(spark, sf_dir, "lineitem")
+    return num.numeric_profile(df, _LINEITEM_NUM, mode="exact")
+
+
+_ORDERS_NUM = ["o_totalprice"]
+
+
+@register(
+    "numeric_profile_orders",
+    num.oracle_numeric_profile_sql("orders", _ORDERS_NUM),
+)
+def numeric_profile_orders(spark, sf_dir):
+    df = T(spark, sf_dir, "orders")
+    return num.numeric_profile(df, _ORDERS_NUM, mode="exact")
+
+
+# ---------------------------------------------------------------------------
+# Categorical profile (SURVEY §2.4: category counts, gini, unalikeability,
+# unique counts, top-k)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_CAT = ["l_returnflag", "l_linestatus"]
+
+_CAT_COUNTS_ORACLE = """
+SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value,
+       COUNT(*) AS count
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'l_linestatus' AS "column", CAST(l_linestatus AS VARCHAR) AS value,
+       COUNT(*) AS count
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("category_counts_lineitem", _CAT_COUNTS_ORACLE)
+def category_counts_lineitem(spark, sf_dir):
+    df = T(spark, sf_dir, "lineitem")
+    return cat.category_counts(df, _LINEITEM_CAT)
+
+
+_CAT_STATS_ORACLE = """
+WITH counts AS (
+  SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS value,
+         COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'l_linestatus' AS col, CAST(l_linestatus AS VARCHAR) AS value,
+         COUNT(*) AS cnt FROM lineitem GROUP BY l_linestatus
+)
+SELECT col AS "column",
+       COUNT(*) AS unique_count,
+       SUM(cnt) AS sample_count,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS unique_ratio,
+       ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt)), 6) AS gini_impurity,
+       ROUND(CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
+             / (SUM(cnt) * SUM(cnt) - SUM(cnt)), 6) AS unalikeability
+FROM counts GROUP BY col
+"""
+
+
+@register("categorical_stats_lineitem", _CAT_STATS_ORACLE)
+def categorical_stats_lineitem(spark, sf_dir):
+    df = T(spark, sf_dir, "lineitem")
+    counts = cat.category_counts(df, _LINEITEM_CAT)
+    stats = cat.categorical_stats(counts)
+    return stats.select(
+        "column",
+        "unique_count",
+        "sample_count",
+        F.round("unique_ratio", 6).alias("unique_ratio"),
+        F.round("gini_impurity", 6).alias("gini_impurity"),
+        F.round("unalikeability", 6).alias("unalikeability"),
+    )
+
+
+_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS value,
+         COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS value,
+         COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+), ranked AS (
+  SELECT col, value, cnt,
+         ROW_NUMBER() OVER (PARTITION BY col ORDER BY cnt DESC, value ASC) AS rank
+  FROM counts
+)
+SELECT col AS "column", value, cnt AS count, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("top_categories_orders", _TOPK_ORACLE)
+def top_categories_orders(spark, sf_dir):
+    df = T(spark, sf_dir, "orders")
+    counts = cat.category_counts(df, ["o_orderpriority", "o_orderstatus"])
+    return cat.top_k_categories(counts, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Row statistics (SURVEY §2.4: row uniqueness, duplicate rows, row nulls)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_ALL = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+@register("row_stats_lineitem", rs.oracle_row_stats_sql("lineitem", _LINEITEM_ALL))
+def row_stats_lineitem(spark, sf_dir):
+    df = T(spark, sf_dir, "lineitem")
+    return rs.row_stats(df, _LINEITEM_ALL, hashing_method="full")
+
+
+# ---------------------------------------------------------------------------
+# Distinct counts per column (SURVEY §2.4 unique_count; exact mode)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+                  "l_linestatus", "l_shipdate"]
+
+_DISTINCT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS \"column\", COUNT(DISTINCT {c}) AS unique_count FROM lineitem"
+    for c in _DISTINCT_COLS
+)
+
+
+@register("distinct_counts_lineitem", _DISTINCT_ORACLE)
+def distinct_counts_lineitem(spark, sf_dir):
+    df = T(spark, sf_dir, "lineitem")
+    aggs = [F.count_distinct(F.col(c)).alias(c) for c in _DISTINCT_COLS]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).alias("unique_count"))
+        for c in _DISTINCT_COLS
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -1,0 +1,76 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine is designed for a multi-executor cluster reading ~100 TB; the
+settings below are the ones that matter at that scale (AQE, skew-join
+handling, partial aggregation pushdown, Arrow for the few pandas-UDF
+paths). Local testing uses ``local[N]`` but nothing here assumes a single
+JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for correctness at any scale; sizes that are cluster-dependent are
+# left overridable via normal Spark conf mechanisms.
+_SCALE_DEFAULTS: dict[str, str] = {
+    # Adaptive query execution: runtime re-plan, skew-join splitting and
+    # partition coalescing are essential on skewed 100 TB joins/aggs.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the pandas_udf / mapInPandas paths (labeler,
+    # multimodal decode, minhash batch kernels).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Large parquet scans: 128 MiB splits keep task count sane at 100 TB
+    # (Spark default; stated explicitly because it is load-bearing).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Ensure timestamp semantics are stable across engines.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "dataprofiler-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local testing;
+    on a real cluster the caller passes a session built by their own
+    launcher and none of this matters — every public API accepts an
+    existing SparkSession/DataFrame.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in _SCALE_DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+    """Load the driver's parquet tables as a dict of DataFrames."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
