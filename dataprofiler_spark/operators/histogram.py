@@ -1,0 +1,214 @@
+"""Histograms, quantiles, median, MAD, modes.
+
+Reference semantics: dataprofiler/profilers/numerical_column_stats.py —
+equal-width histogram with bin-count chosen by looping numpy bin-width
+estimators capped [1000, 100000] (_get_histogram:1267-1320,
+_select_method_for_histogram:1197-1240, estimators in
+histogram_utils.py:85-315), streaming merge by pseudo-data expansion
+(_merge_histogram:1322-1367, _assimilate_histogram:1399-1484), quantiles
+(1000) interpolated from the histogram CDF (_get_percentile:1553-1590),
+modes = top-5 histogram-bin midpoints (_estimate_mode_from_histogram:
+1082-1114), median absolute deviation via folded histogram
+(_fold_histogram:1592-1649, median_abs_deviation:1650-1721).
+
+Spark design: two-pass — pass 1 is the numeric battery (gives n, min,
+max, std, IQR for bin-count selection, driver-side math only); pass 2
+buckets every numeric column in ONE melted groupBy job. Quantiles/median/
+MAD are offered both reference-style (histogram interpolation, driver-side
+on the bucket counts) and exact (built-in ``percentile`` — a sort-free
+two-stage aggregate). Exact mode mirrors DuckDB ``quantile_cont``
+bit-for-bit (same (n−1)·p linear interpolation on doubles).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference bin-count clamp (numerical_column_stats.py:1267-1320 via
+# profiler_options bin_count_or_method="auto").
+MIN_AUTO_BINS = 1000
+MAX_AUTO_BINS = 100_000
+
+
+# -- bin-count estimators (driver-side math; histogram_utils.py:85-315) ----
+
+def suggest_bin_counts(n: int, std: float, iqr: float, vmin: float, vmax: float
+                       ) -> dict[str, int]:
+    """Numpy-equivalent bin-count estimators from aggregate stats alone.
+
+    sqrt/sturges/rice need n only; scott/fd need std/iqr; doane needs
+    skewness (approximated here by the sturges fallback when unavailable).
+    All derivable from pass-1 aggregates — no extra data scan.
+    """
+    rng = max(vmax - vmin, 0.0)
+    out = {
+        "sqrt": math.ceil(math.sqrt(n)) if n else 1,
+        "sturges": math.ceil(math.log2(n) + 1) if n else 1,
+        "rice": math.ceil(2 * n ** (1 / 3)) if n else 1,
+    }
+    if rng > 0:
+        if std and std > 0:
+            h = 3.5 * std / n ** (1 / 3)
+            out["scott"] = max(1, math.ceil(rng / h))
+        if iqr and iqr > 0:
+            h = 2 * iqr / n ** (1 / 3)
+            out["fd"] = max(1, math.ceil(rng / h))
+    return out
+
+
+def auto_bin_count(n: int, std: float, iqr: float, vmin: float, vmax: float,
+                   clamp: tuple[int, int] = (MIN_AUTO_BINS, MAX_AUTO_BINS)) -> int:
+    """numpy 'auto' = max(sturges, fd), clamped to the reference's bounds."""
+    s = suggest_bin_counts(n, std, iqr, vmin, vmax)
+    best = max(s.get("sturges", 1), s.get("fd", 1))
+    return max(clamp[0], min(clamp[1], best))
+
+
+# -- bucketing --------------------------------------------------------------
+
+def bucket_expr(col: Column, vmin: Column | float, vmax: Column | float,
+                n_bins: int) -> Column:
+    """Equal-width bucket id in [0, n_bins-1]; max value clamps into the
+    last bucket (numpy.histogram edge semantics). Written as explicit
+    floor arithmetic (not width_bucket) so the identical expression is
+    valid ANSI SQL for the DuckDB oracle."""
+    lo = F.lit(vmin) if isinstance(vmin, (int, float)) else vmin
+    hi = F.lit(vmax) if isinstance(vmax, (int, float)) else vmax
+    w = (hi - lo) / F.lit(float(n_bins))
+    raw = F.floor((col.cast("double") - lo) / w).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram(df: DataFrame, col: str, n_bins: int,
+              vmin: float | None = None, vmax: float | None = None) -> DataFrame:
+    """(bucket, bin_lo, bin_hi, count) — one groupBy job; min/max from the
+    numeric battery when provided, else a cheap extra agg."""
+    if vmin is None or vmax is None:
+        row = df.agg(F.min(col).cast("double"), F.max(col).cast("double")).collect()[0]
+        vmin, vmax = float(row[0]), float(row[1])
+    if vmax == vmin:
+        vmax = vmin + 1.0
+    w = (vmax - vmin) / n_bins
+    b = bucket_expr(F.col(col), vmin, vmax, n_bins)
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bucket",
+            (F.lit(vmin) + F.col("bucket") * F.lit(w)).alias("bin_lo"),
+            (F.lit(vmin) + (F.col("bucket") + 1) * F.lit(w)).alias("bin_hi"),
+            "count",
+        )
+    )
+
+
+def oracle_histogram_sql(table: str, col: str, n_bins: int) -> str:
+    """DuckDB mirror of ``histogram`` with min/max from a scalar subquery."""
+    return f"""
+WITH mm AS (
+  SELECT CAST(MIN({col}) AS DOUBLE) AS lo,
+         CASE WHEN MAX({col}) = MIN({col})
+              THEN CAST(MIN({col}) AS DOUBLE) + 1.0
+              ELSE CAST(MAX({col}) AS DOUBLE) END AS hi
+  FROM {table}
+), b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - mm.lo)
+           / ((mm.hi - mm.lo) / {float(n_bins)})) AS INT), 0), {n_bins - 1}) AS bucket
+  FROM {table}, mm
+  WHERE {col} IS NOT NULL
+)
+SELECT b.bucket,
+       mm.lo + b.bucket * ((mm.hi - mm.lo) / {n_bins}) AS bin_lo,
+       mm.lo + (b.bucket + 1) * ((mm.hi - mm.lo) / {n_bins}) AS bin_hi,
+       COUNT(*) AS count
+FROM b, mm
+GROUP BY b.bucket, mm.lo, mm.hi
+"""
+
+
+# -- exact quantiles / median / MAD / mode ---------------------------------
+
+def quantiles(df: DataFrame, col: str, probs: list[float],
+              round_digits: int = 6) -> DataFrame:
+    """Exact interpolated quantiles: (prob, value). Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the (n−1)·p + linear-interpolation
+    definition, so doubles match bit-for-bit."""
+    arr = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
+    row = df.agg(arr.alias("q"))
+    pairs = [
+        F.struct(F.lit(p).alias("prob"),
+                 F.round(F.col("q")[i], round_digits).alias("value"))
+        for i, p in enumerate(probs)
+    ]
+    return row.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+
+
+def oracle_quantiles_sql(table: str, col: str, probs: list[float],
+                         round_digits: int = 6) -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {p} AS prob, ROUND(quantile_cont({col}, {p}), {round_digits})"
+        f" AS value FROM {table}"
+        for p in probs
+    )
+    return sel
+
+
+def median_mad(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame:
+    """(median, mad): exact median + exact median-absolute-deviation.
+    Reference computes MAD by folding the histogram (numerical_column_
+    stats.py:1592-1721); the exact equivalent is percentile(|x−median|, .5)
+    — a second aggregate over a broadcast scalar, still two scans total."""
+    med = df.agg(F.percentile(F.col(col), F.lit(0.5)).alias("m"))
+    j = df.crossJoin(F.broadcast(med))
+    return j.agg(
+        F.round(F.first("m"), round_digits).alias("median"),
+        F.round(
+            F.percentile(F.abs(F.col(col).cast("double") - F.col("m")), F.lit(0.5)),
+            round_digits,
+        ).alias("mad"),
+    )
+
+
+def oracle_median_mad_sql(table: str, col: str, round_digits: int = 6) -> str:
+    return f"""
+SELECT ROUND(m.m, {round_digits}) AS median,
+       ROUND(quantile_cont(ABS(CAST({col} AS DOUBLE) - m.m), 0.5), {round_digits}) AS mad
+FROM {table} CROSS JOIN (
+  SELECT quantile_cont({col}, 0.5) AS m FROM {table}
+) m
+GROUP BY m.m
+"""
+
+
+def modes(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """Top-k exact modes, deterministic tie-break (count desc, value asc)
+    — reference reports up to top_k_modes=5 (numerical_column_stats.py:61,
+    _estimate_mode_from_histogram:1082-1114 uses bin midpoints; exact mode
+    here, histogram-midpoint variant available via ``histogram``)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("double").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "value", "count")
+    )
+
+
+def oracle_modes_sql(table: str, col: str, k: int = 5) -> str:
+    return f"""
+SELECT rank, value, count FROM (
+  SELECT CAST({col} AS DOUBLE) AS value, COUNT(*) AS count,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST({col} AS DOUBLE) ASC) AS rank
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY {col}
+) WHERE rank <= {k}
+"""

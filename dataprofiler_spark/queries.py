@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataprofiler_spark.operators import categorical as cat
+from dataprofiler_spark.operators import datetimes as dt
+from dataprofiler_spark.operators import histogram as hist
 from dataprofiler_spark.operators import numeric as num
+from dataprofiler_spark.operators import order as ordmod
 from dataprofiler_spark.operators import rowstats as rs
+from dataprofiler_spark.operators import textstats as ts
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -34,6 +38,14 @@ def register(name: str, oracle: str | None = None):
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read as long nanos and convert to microsecond timestamps
+        # with integer division (a double division would lose precision at
+        # 1.7e18 ns epochs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -187,3 +199,86 @@ def distinct_counts_lineitem(spark, sf_dir):
         for c in _DISTINCT_COLS
     ]
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Histogram / quantiles / median / MAD / modes (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register("histogram_extendedprice",
+          hist.oracle_histogram_sql("lineitem", "l_extendedprice", 20))
+def histogram_extendedprice(spark, sf_dir):
+    return hist.histogram(T(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
+
+
+_QPROBS = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+@register("quantiles_extendedprice",
+          hist.oracle_quantiles_sql("lineitem", "l_extendedprice", _QPROBS))
+def quantiles_extendedprice(spark, sf_dir):
+    return hist.quantiles(T(spark, sf_dir, "lineitem"), "l_extendedprice", _QPROBS)
+
+
+@register("median_mad_quantity",
+          hist.oracle_median_mad_sql("lineitem", "l_quantity"))
+def median_mad_quantity(spark, sf_dir):
+    return hist.median_mad(T(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@register("modes_quantity", hist.oracle_modes_sql("lineitem", "l_quantity", 5))
+def modes_quantity(spark, sf_dir):
+    return hist.modes(T(spark, sf_dir, "lineitem"), "l_quantity", 5)
+
+
+# ---------------------------------------------------------------------------
+# Datetime profile + time-bucket rollup (SURVEY §2.4; events stream table)
+# ---------------------------------------------------------------------------
+
+@register("datetime_profile_orders",
+          dt.oracle_datetime_profile_sql("orders", ["o_orderdate"]))
+def datetime_profile_orders(spark, sf_dir):
+    return dt.datetime_profile(T(spark, sf_dir, "orders"), ["o_orderdate"])
+
+
+@register("time_bucket_events",
+          dt.oracle_time_bucket_sql("events", "ts", "value", "hour"))
+def time_bucket_events(spark, sf_dir):
+    return dt.time_bucket_rollup(T(spark, sf_dir, "events"), "ts", "value", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Order detection (SURVEY §2.4 / §2.6)
+# ---------------------------------------------------------------------------
+
+@register("order_profile_lineitem",
+          ordmod.oracle_order_profile_sql(
+              "lineitem", "l_orderkey", ["l_orderkey", "l_linenumber"]))
+def order_profile_lineitem(spark, sf_dir):
+    return ordmod.order_profile(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", ["l_orderkey", "l_linenumber"])
+
+
+@register("order_profile_events_value",
+          ordmod.oracle_order_profile_sql("events", "value", ["event_id"]))
+def order_profile_events_value(spark, sf_dir):
+    return ordmod.order_profile(T(spark, sf_dir, "events"), "value", ["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Text column stats + unstructured word counts (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_TEXT_COLS = ["c_name", "c_mktsegment"]
+
+
+@register("text_stats_customer",
+          ts.oracle_text_length_stats_sql("customer", _TEXT_COLS))
+def text_stats_customer(spark, sf_dir):
+    return ts.text_length_stats(T(spark, sf_dir, "customer"), _TEXT_COLS)
+
+
+@register("word_counts_documents",
+          ts.oracle_word_counts_sql("documents", "text", 20))
+def word_counts_documents(spark, sf_dir):
+    return ts.word_counts(T(spark, sf_dir, "documents"), "text", 20)
