@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline: one broadcast of the
+query vector, one scan, one top-k — the right plan at any scale when k is
+small (no shuffle except the final ordered limit). The scale path is
+random-hyperplane LSH: a deterministic set of hyperplanes (generated from
+an md5-seeded PRNG in Python, embedded as literals, so Spark and the SQL
+oracle share them bit-for-bit) maps each vector to a bucket; candidates
+come only from the probe's bucket. An IVF variant would swap the
+hyperplane code for k-means centroids — same plan shape.
+
+Dot products are sequential left-folds over zip_with products in double —
+matching DuckDB's list_sum(list_transform(...)) element order, so
+cosines are bit-identical across engines (verified: see tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
+                k: int = 10, round_digits: int = 6) -> DataFrame:
+    """(rank, vec_id, cosine): top-k neighbours of ``query_id`` by cosine,
+    deterministic tie-break (cosine desc, id asc), self excluded."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col), F.col("qv")), round_digits)
+             .alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def _duck_dot(a: str, b: str, dim: int) -> str:
+    return f"list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i]))"
+
+
+def oracle_cosine_topk_sql(table: str, id_col: str, vec_col: str, query_id: int,
+                           dim: int, k: int = 10, round_digits: int = 6) -> str:
+    dot = _duck_dot("e.v", "q.v", dim)
+    na = _duck_dot("e.v", "e.v", dim)
+    nb = _duck_dot("q.v", "q.v", dim)
+    return f"""
+WITH q AS (SELECT {vec_col}::DOUBLE[] AS v FROM {table} WHERE {id_col} = {query_id}),
+e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+      WHERE {id_col} <> {query_id}),
+scored AS (
+  SELECT e.vec_id,
+         ROUND({dot} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM e, q
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+         vec_id, cosine
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# -- random-hyperplane LSH --------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "dps-lsh-v1"
+                ) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): md5(seed|p|d)
+    drives each weight, so any engine (or language) regenerates the exact
+    same planes."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            row.append(round(u / 2 ** 63 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of plane projections."""
+    bucket = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        proj = _dot(vec_col, lit_plane)
+        bit = F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
+             k: int = 10, n_planes: int = 4, dim: int = 64,
+             round_digits: int = 6) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+    At scale, write the table bucketed/partitioned by this bucket id and
+    the probe touches 1/2^n_planes of the data (partition pruning)."""
+    from pyspark.sql.window import Window
+
+    planes = hyperplanes(dim, n_planes)
+    bucketed = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = bucketed.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+    cand = (
+        bucketed.crossJoin(F.broadcast(q))
+        .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("v"), F.col("qv")), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def oracle_lsh_topk_sql(table: str, id_col: str, vec_col: str, query_id: int,
+                        k: int = 10, n_planes: int = 4, dim: int = 64,
+                        round_digits: int = 6) -> str:
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
+        proj = _duck_dot("t.v", arr, dim)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dot = _duck_dot("c.v", "q.v", dim)
+    na = _duck_dot("c.v", "c.v", dim)
+    nb = _duck_dot("q.v", "q.v", dim)
+    return f"""
+WITH b AS (
+  SELECT t.{id_col} AS vec_id, t.v, CAST({bucket} AS BIGINT) AS bucket
+  FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) t
+),
+q AS (SELECT v AS v, bucket AS qbucket FROM b WHERE vec_id = {query_id}),
+cand AS (
+  SELECT c.vec_id,
+         ROUND({dot} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM b c, (SELECT v, qbucket FROM q) q
+  WHERE c.bucket = q.qbucket AND c.vec_id <> {query_id}
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+         vec_id, cosine
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.95, n_planes: int = 8,
+                            dim: int = 64, round_digits: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
+    sharing a bucket with cosine ≥ threshold. The pair join runs per
+    bucket (shuffle on bucket id), never all-pairs."""
+    planes = hyperplanes(dim, n_planes)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id1"), F.col("y.id").alias("id2"),
+            F.round(cosine_expr(F.col("x.v"), F.col("y.v")), round_digits)
+             .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def oracle_embedding_neardup_sql(table: str, id_col: str, vec_col: str,
+                                 threshold: float = 0.95, n_planes: int = 8,
+                                 dim: int = 64, round_digits: int = 6) -> str:
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
+        proj = _duck_dot("t.v", arr, dim)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dot = _duck_dot("x.v", "y.v", dim)
+    nx = _duck_dot("x.v", "x.v", dim)
+    ny = _duck_dot("y.v", "y.v", dim)
+    cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
+    return f"""
+WITH b AS (
+  SELECT t.{id_col} AS id, t.v, CAST({bucket} AS BIGINT) AS bucket
+  FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) t
+)
+SELECT x.id AS id1, y.id AS id2, ROUND({cos}, {round_digits}) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+WHERE {cos} >= {threshold}
+"""

@@ -1,0 +1,173 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All four are single-scan, expression-only operators (regexp + list
+arithmetic — no UDFs), so at 100 TB they run at parquet-scan speed and
+fuse into one stage with any downstream filter (e.g. "drop docs with
+quality < 0.5" pushes the whole thing into the scan stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.textstats import STOP_WORDS
+
+# Tiny per-language marker vocabularies for the n-gram/stopword-overlap
+# language-ID heuristic. (A production list would be larger; the operator
+# shape — score per language, argmax with deterministic tie-break — is
+# what matters.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "es": ("el", "la", "los", "las", "es", "y", "en", "por"),
+}
+
+
+def tokens_expr(text_col: str) -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+
+
+def token_count_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(n_docs, total_tokens, min_tokens, max_tokens, avg_tokens) —
+    whitespace tokenization; the BPE-ish variant swaps the regex."""
+    tc = F.size(tokens_expr(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.min(tc).alias("min_tokens"),
+        F.max(tc).alias("max_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+    )
+
+
+def oracle_token_count_sql(table: str, id_col: str, text_col: str) -> str:
+    tc = f"len(regexp_extract_all(LOWER({text_col}), '\\S+'))"
+    return f"""
+SELECT COUNT(*) AS n_docs, SUM({tc}) AS total_tokens,
+       MIN({tc}) AS min_tokens, MAX({tc}) AS max_tokens,
+       ROUND(AVG({tc}), 6) AS avg_tokens
+FROM {table}
+"""
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     round_digits: int = 6) -> DataFrame:
+    """Per-document quality features:
+    (id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+     quality_score). quality_score is a transparent deterministic blend —
+    the filterable scalar a corpus pipeline thresholds on."""
+    toks = tokens_expr(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOP_WORDS)))
+    avg_tok = F.when(n_tokens > 0,
+                     (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+                     ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars
+                         ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens
+                        ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, round_digits).alias("avg_token_len"),
+        F.round(punct_ratio, round_digits).alias("punct_ratio"),
+        F.round(stop_ratio, round_digits).alias("stopword_ratio"),
+        F.round(score, round_digits).alias("quality_score"),
+    )
+
+
+def oracle_quality_features_sql(table: str, id_col: str, text_col: str,
+                                round_digits: int = 6) -> str:
+    stop = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    nc = f"LENGTH({text_col})"
+    nt = f"len({toks})"
+    np_ = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"
+    ns = f"len(list_filter({toks}, t -> t IN ({stop})))"
+    avg_tok = f"CASE WHEN {nt} > 0 THEN CAST({nc} - ({nt} - 1) AS DOUBLE) / {nt} ELSE 0.0 END"
+    pr = f"CASE WHEN {nc} > 0 THEN CAST({np_} AS DOUBLE) / {nc} ELSE 0.0 END"
+    sr = f"CASE WHEN {nt} > 0 THEN CAST({ns} AS DOUBLE) / {nt} ELSE 0.0 END"
+    score = (f"LEAST(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
+             f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
+             f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
+    return f"""
+SELECT {id_col} AS id, {nc} AS n_chars, {nt} AS n_tokens,
+       ROUND({avg_tok}, {round_digits}) AS avg_token_len,
+       ROUND({pr}, {round_digits}) AS punct_ratio,
+       ROUND({sr}, {round_digits}) AS stopword_ratio,
+       ROUND({score}, {round_digits}) AS quality_score
+FROM {table}
+"""
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, predicted_lang): argmax of marker-token hit counts with
+    deterministic tie-break (count desc, lang asc); 'und' when no marker
+    hits at all."""
+    toks = tokens_expr(text_col)
+
+    # NB: higher-order-function lambdas must take exactly the lambda's
+    # variables — a `m=markers` default would be parsed as a second lambda
+    # argument by Spark. Bind via closure instead.
+    def _in_markers(markers):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_markers(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = None
+    for lang in sorted(LANG_MARKERS):  # asc lang order ⇒ first max wins ties
+        cond = scores[lang] > 0
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                cond = cond & (scores[lang] > scores[other])
+            elif other > lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.select(F.col(id_col).alias("id"), pred.alias("predicted_lang"))
+
+
+def oracle_language_id_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    score_exprs = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        conds = [f"{score_exprs[lang]} > 0"]
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                conds.append(f"{score_exprs[lang]} > {score_exprs[other]}")
+            elif other > lang:
+                conds.append(f"{score_exprs[lang]} >= {score_exprs[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"SELECT {id_col} AS id, {case_sql} AS predicted_lang FROM {table}"
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint): md5 of whitespace-normalized lowercase text —
+    the exact-dup fingerprint; MinHash/SimHash (operators/dedup.py) are
+    the near-dup fingerprints."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fingerprint"))
+
+
+def oracle_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
+    return (f"SELECT {id_col} AS id, "
+            f"md5(regexp_replace(TRIM(LOWER({text_col})), '\\s+', ' ', 'g'))"
+            f" AS fingerprint FROM {table}")

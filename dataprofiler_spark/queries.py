@@ -282,3 +282,121 @@ def text_stats_customer(spark, sf_dir):
           ts.oracle_word_counts_sql("documents", "text", 20))
 def word_counts_documents(spark, sf_dir):
     return ts.word_counts(T(spark, sf_dir, "documents"), "text", 20)
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (training-data pipeline ops; SURVEY §7.2 step 8)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import dedup as dd
+from dataprofiler_spark.operators import multimodal as mm
+from dataprofiler_spark.operators import similarity as sim
+from dataprofiler_spark.operators import textanalysis as ta
+
+
+@register("exact_dedup_documents", dd.oracle_exact_dedup_sql("documents", "text"))
+def exact_dedup_documents(spark, sf_dir):
+    return dd.exact_dedup_summary(T(spark, sf_dir, "documents"), "text")
+
+
+@register("ngram_jaccard_documents",
+          dd.oracle_ngram_jaccard_adjacent_sql("documents", "doc_id", "text", 3))
+def ngram_jaccard_documents(spark, sf_dir):
+    return dd.ngram_jaccard_adjacent(T(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@register("minhash_signatures_documents",
+          dd.oracle_minhash_signatures_sql("documents", "doc_id", "text", 3, 12))
+def minhash_signatures_documents(spark, sf_dir):
+    return dd.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", 3, 12)
+
+
+@register("minhash_lsh_pairs_documents",
+          dd.oracle_minhash_lsh_pairs_sql("documents", "doc_id", "text",
+                                          k=3, num_hashes=12, bands=6, threshold=0.5))
+def minhash_lsh_pairs_documents(spark, sf_dir):
+    return dd.minhash_lsh_pairs(T(spark, sf_dir, "documents"), "doc_id", "text",
+                                k=3, num_hashes=12, bands=6, threshold=0.5)
+
+
+@register("simhash_documents", dd.oracle_simhash_sql("documents", "doc_id", "text"))
+def simhash_documents(spark, sf_dir):
+    return dd.simhash(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register("cosine_topk_embeddings",
+          sim.oracle_cosine_topk_sql("embeddings", "vec_id", "embedding", 0, 64, 10))
+def cosine_topk_embeddings(spark, sf_dir):
+    return sim.cosine_topk(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0, 10)
+
+
+@register("lsh_topk_embeddings",
+          sim.oracle_lsh_topk_sql("embeddings", "vec_id", "embedding", 0, 10, 4, 64))
+def lsh_topk_embeddings(spark, sf_dir):
+    return sim.lsh_topk(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0,
+                        k=10, n_planes=4, dim=64)
+
+
+@register("embedding_neardup_pairs",
+          sim.oracle_embedding_neardup_sql("embeddings", "vec_id", "embedding",
+                                           threshold=0.5, n_planes=4, dim=64))
+def embedding_neardup_pairs_q(spark, sf_dir):
+    return sim.embedding_neardup_pairs(T(spark, sf_dir, "embeddings"), "vec_id",
+                                       "embedding", threshold=0.5, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (lang-id, quality, token counts, fingerprints)
+# ---------------------------------------------------------------------------
+
+@register("token_summary_documents",
+          ta.oracle_token_count_sql("documents", "doc_id", "text"))
+def token_summary_documents(spark, sf_dir):
+    return ta.token_count_summary(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("quality_features_documents",
+          ta.oracle_quality_features_sql("documents", "doc_id", "text"))
+def quality_features_documents(spark, sf_dir):
+    return ta.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("language_id_documents",
+          ta.oracle_language_id_sql("documents", "doc_id", "text"))
+def language_id_documents(spark, sf_dir):
+    return ta.language_id(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("fingerprints_documents",
+          ta.oracle_fingerprints_sql("documents", "doc_id", "text"))
+def fingerprints_documents(spark, sf_dir):
+    return ta.fingerprints(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column -> mapInPandas feature extraction).
+# The stub decode derives features deterministically from the payload, so
+# the whole pipeline (Arrow batching included) is oracle-checkable in SQL.
+# ---------------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT COUNT(*) AS n_media,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MIN(octet_length(encode(text))) AS min_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes,
+       COUNT(DISTINCT md5(text)) AS distinct_payloads,
+       COUNT(DISTINCT octet_length(encode(text)) % 3) AS n_formats
+FROM documents
+"""
+
+
+@register("media_profile_documents", _MEDIA_ORACLE)
+def media_profile_documents(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    feats = mm.decode_media_features(media, "id", "payload")
+    return mm.media_profile(feats)
