@@ -36,16 +36,24 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.operators import dedup as dd
+    from dataprofiler_spark.operators import similarity as sim
+
     lineitem = tbl("lineitem")
     orders = tbl("orders")
+    documents = tbl("documents")
+    embeddings = tbl("embeddings")
 
     # warm the JVM + file listing once (not counted)
     lineitem.count()
 
+    # headline: the full 3-job profile (reference: StructuredProfiler run)
+    run("full_profile_lineitem", lambda: Profiler(lineitem).report())
+    run("full_profile_orders", lambda: Profiler(orders).report())
+
     run("numeric_profile_lineitem",
         lambda: num.numeric_profile_native(lineitem).collect())
-    run("numeric_profile_orders",
-        lambda: num.numeric_profile_native(orders).collect())
 
     def _categorical():
         cand = cat.candidate_columns(lineitem)
@@ -57,6 +65,18 @@ def main() -> None:
 
     run("row_stats_lineitem",
         lambda: rs.row_stats(lineitem, hashing_method="hll").collect())
+
+    # bands=2 x rows=6: selective operating point — the synthetic corpus
+    # is inherently near-dup (median pairwise jaccard ~0.46), so shallow
+    # bands would make most of the 12.5M pairs true candidates.
+    run("minhash_lsh_documents",
+        lambda: dd.minhash_lsh_pairs(documents, "doc_id", "text",
+                                     num_hashes=12, bands=2,
+                                     threshold=0.8).collect())
+    run("simhash_documents",
+        lambda: dd.simhash(documents, "doc_id", "text").collect())
+    run("cosine_topk_embeddings",
+        lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0, 10).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

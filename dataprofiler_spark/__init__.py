@@ -1,0 +1,25 @@
+"""dataprofiler_spark — a PySpark-native data profiling and training-data
+pipeline engine with the capabilities of capitalone/DataProfiler,
+re-designed Spark-first (see SURVEY.md).
+
+Public API:
+    Profiler(df).report()            — full profile in 3 Spark jobs
+    Profiler(df).update_profile(df2) — batch-incremental
+    state1 + state2                  — mergeable profile algebra
+    diff_profiles(a, b)              — drift report (PSI/chi²/t-test)
+    StreamingProfiler().attach(sdf)  — Structured Streaming foreachBatch
+    get_spark() / load_tables()      — session + testdata helpers
+"""
+
+from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
+from dataprofiler_spark.report import build_report, diff_profiles
+from dataprofiler_spark.session import get_spark, load_tables
+from dataprofiler_spark.state import DatasetState, from_json, to_json
+from dataprofiler_spark.streaming.incremental import StreamingProfiler
+
+__all__ = [
+    "Profiler", "ProfilerOptions", "DatasetState", "StreamingProfiler",
+    "build_report", "diff_profiles", "get_spark", "load_tables",
+    "to_json", "from_json",
+]
+__version__ = "0.1.0"

@@ -50,7 +50,7 @@ def as_string(col: str | Column) -> Column:
 
 def is_float_cell(col: str | Column) -> Column:
     """float(x) parses (numerical_column_stats.py:2004-2022)."""
-    return F.try_cast(as_string(col), "double").isNotNull()
+    return as_string(col).try_cast("double").isNotNull()
 
 
 def is_int_cell(col: str | Column) -> Column:
@@ -58,7 +58,7 @@ def is_int_cell(col: str | Column) -> Column:
 
     Note '1.0' counts as int under reference semantics.
     """
-    d = F.try_cast(as_string(col), "double")
+    d = as_string(col).try_cast("double")
     return d.isNotNull() & (d == F.floor(d))
 
 

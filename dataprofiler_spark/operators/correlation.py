@@ -1,0 +1,144 @@
+"""Correlation matrix + pairwise chi² homogeneity matrix.
+
+Reference: Pearson correlation over numeric columns with null→mean
+imputation, incremental merge via mean/std/count algebra
+(profile_builder.py:2299-2551, default OFF profiler_options.py:1039);
+chi² matrix between categorical column pairs (:2552-2587, kernel
+profiler_utils.py:723-788, default ON).
+
+Spark design: all k(k−1)/2 correlation pairs in ONE wide agg of scaled-
+integer power/cross sums — corr = (n·Sxy − Sx·Sy) /
+√((n·Sxx − Sx²)(n·Syy − Sy²)), exact integer arithmetic until a single
+double conversion, so the matrix is engine-reproducible (same approach as
+operators/numeric.py exact mode). MLlib's Correlation.corr is the
+one-liner alternative; this formulation exists because it is both exact
+and one pass. Chi² contingency tables are one groupBy per pair (tiny
+output); the statistic is closed-form from the counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S = 1000.0
+
+
+def _xi(c: str):
+    return F.round(F.col(c).cast("double") * S, 0).cast("decimal(19,0)")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       round_digits: int = 6) -> DataFrame:
+    """(col1, col2, corr) for all unordered pairs, exact-deterministic.
+
+    NOTE reference semantics impute nulls with the column mean; with no
+    nulls (the common parquet case) plain pairwise sums are identical and
+    one pass. The imputation variant adds a first pass for means and
+    fills — same plan shape as numeric exact mode.
+    """
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        xi = _xi(c)
+        exprs.append(F.sum(xi.cast("decimal(38,0)")).alias(f"s_{c}"))
+        exprs.append(F.sum((xi * xi).cast("decimal(38,0)")).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            exprs.append(F.sum((_xi(a) * _xi(b)).cast("decimal(38,0)"))
+                         .alias(f"sp_{a}__{b}"))
+    row = df.agg(*exprs)
+
+    structs = []
+    n = F.col("n")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = (n * F.col(f"sp_{a}__{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+                   ).cast("double")
+            da = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+                  ).cast("double")
+            db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+                  ).cast("double")
+            structs.append(F.struct(
+                F.lit(a).alias("col1"), F.lit(b).alias("col2"),
+                F.round(num / F.sqrt(da * db), round_digits).alias("corr"),
+            ))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_correlation_sql(table: str, cols: list[str],
+                           round_digits: int = 6) -> str:
+    xi = f"CAST(ROUND(CAST({{c}} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0))"
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            xa, xb = xi.format(c=a), xi.format(c=b)
+            h = "CAST({x} AS HUGEINT)"
+            num = (f"CAST({h.format(x='p.n')} * {h.format(x='p.sp')}"
+                   f" - {h.format(x='p.sa')} * {h.format(x='p.sb')} AS DOUBLE)")
+            da = (f"CAST({h.format(x='p.n')} * {h.format(x='p.ssa')}"
+                  f" - {h.format(x='p.sa')} * {h.format(x='p.sa')} AS DOUBLE)")
+            db = (f"CAST({h.format(x='p.n')} * {h.format(x='p.ssb')}"
+                  f" - {h.format(x='p.sb')} * {h.format(x='p.sb')} AS DOUBLE)")
+            selects.append(f"""
+SELECT '{a}' AS col1, '{b}' AS col2,
+       ROUND({num} / SQRT({da} * {db}), {round_digits}) AS corr
+FROM (
+  SELECT COUNT(*) AS n,
+         SUM(CAST({xa} AS DECIMAL(38,0))) AS sa,
+         SUM(CAST({xb} AS DECIMAL(38,0))) AS sb,
+         SUM(CAST({xa} * {xa} AS DECIMAL(38,0))) AS ssa,
+         SUM(CAST({xb} * {xb} AS DECIMAL(38,0))) AS ssb,
+         SUM(CAST({xa} * {xb} AS DECIMAL(38,0))) AS sp
+  FROM {table}
+) p""")
+    return "\nUNION ALL\n".join(selects)
+
+
+def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
+                     round_digits: int = 6) -> DataFrame:
+    """(col1, col2, chi2, dof) for one categorical pair from its
+    contingency table (one groupBy job; the full matrix loops pairs —
+    outputs are k_a × k_b rows, trivially small)."""
+    from pyspark.sql.window import Window
+
+    ct = df.groupBy(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ct = ct.withColumn("ra", F.sum("o").over(Window.partitionBy("a")))
+    ct = ct.withColumn("cb", F.sum("o").over(Window.partitionBy("b")))
+    ct = ct.crossJoin(F.broadcast(ct.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"))))
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return ct.agg(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        F.round(F.sum(term), round_digits).alias("chi2"),
+        ((F.max("ka") - 1) * (F.max("kb") - 1)).alias("dof"),
+    )
+
+
+def oracle_chi2_pair_sql(table: str, col_a: str, col_b: str,
+                         round_digits: int = 6) -> str:
+    return f"""
+WITH ct AS (
+  SELECT CAST({col_a} AS VARCHAR) AS a, CAST({col_b} AS VARCHAR) AS b,
+         COUNT(*) AS o
+  FROM {table} GROUP BY 1, 2
+), w AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS ra,
+         SUM(o) OVER (PARTITION BY b) AS cb
+  FROM ct
+), tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM ct
+)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2,
+       ROUND(SUM((o - (CAST(ra AS DOUBLE) * cb / n))
+                 * (o - (CAST(ra AS DOUBLE) * cb / n))
+                 / (CAST(ra AS DOUBLE) * cb / n)), {round_digits}) AS chi2,
+       (MAX(ka) - 1) * (MAX(kb) - 1) AS dof
+FROM w, tot
+"""

@@ -114,7 +114,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3, num_hashes: int = 12) -> DataFrame:
     """Long-form signatures (id, perm, minhash). One scan, no shuffle:
     every permutation is an array_min over the shingle array."""
+    from dataprofiler_spark.session import ensure_parallelism
+    df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("sh"))
+
     def _perm_hash(j):
         return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
 
@@ -156,7 +159,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    from dataprofiler_spark.session import ensure_parallelism
+    df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("sh"))
+    # The self-join and the verify join would otherwise recompute the
+    # shingle+signature expressions once per branch (3× the md5 work) —
+    # persist the small intermediate instead.
+    sh = sh.persist()
+
     def _perm_hash(j):
         return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
 
@@ -175,7 +185,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ]
     buckets = wide.select(
         "id", F.explode(F.array(*band_structs)).alias("s")
-    ).select("id", "s.band", "s.bucket")
+    ).select("id", "s.band", "s.bucket").persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
@@ -241,6 +251,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """(id, simhash) — frequency-weighted token votes on md5-derived bit
     hashes. Portable: hash = int(md5(token)[:8], 16); bit b set when the
     vote sum is strictly positive."""
+    from dataprofiler_spark.session import ensure_parallelism
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

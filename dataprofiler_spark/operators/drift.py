@@ -1,0 +1,207 @@
+"""Drift / profile-diff statistics: PSI, chi², Welch t-test.
+
+Reference semantics: profile.diff(other) — numeric t-test (conservative +
+Welch, numerical_column_stats.py:604-665), PSI over re-binned histograms
+(:667-816) and categorical distributions (categorical_column_profile.py:
+245-333), chi² homogeneity between categorical distributions
+(profiler_utils.perform_chi_squared_test_for_homogeneity:723-788).
+
+Spark design: the two "profiles" being diffed are two relations (or two
+predicates over one relation — e.g. time split). Category alignment is
+the reference's add_nested_dictionaries (profiler_utils.py:291-321) →
+here a full_outer join of two (value, count) aggregates with zero-fill.
+Everything is one aggregation per side plus a tiny join; statistics are
+computed in closed form (p-values need scipy — driver-side, see
+``p_value_chi2``/``p_value_welch`` — the distributed part ends at the
+statistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _aligned_counts(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    a = df_a.groupBy(F.col(col).cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt_a"))
+    b = df_b.groupBy(F.col(col).cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt_b"))
+    return (
+        a.join(b, "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+
+
+def categorical_psi(df_a: DataFrame, df_b: DataFrame, col: str,
+                    round_digits: int = 6) -> DataFrame:
+    """One-row (psi, n_categories). Zero counts get the reference's
+    epsilon-free treatment via Laplace-style smoothing: perc = (c + 1) /
+    (n + k) with k = category count (categorical_column_profile.py:
+    245-333 smooths the same way to avoid log(0))."""
+    counts = _aligned_counts(df_a, df_b, col)
+    counts = counts.crossJoin(
+        F.broadcast(
+            counts.agg(
+                F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"),
+                F.count(F.lit(1)).alias("k"))
+        )
+    )
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + F.col("k"))
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + F.col("k"))
+    term = (pb - pa) * F.log(pb / pa)
+    return counts.agg(
+        F.round(F.sum(term), round_digits).alias("psi"),
+        F.max("k").alias("n_categories"),
+    )
+
+
+def oracle_categorical_psi_sql(table_a: str, table_b: str, col: str,
+                               round_digits: int = 6) -> str:
+    return f"""
+WITH a AS (SELECT CAST({col} AS VARCHAR) AS value, COUNT(*) AS cnt_a
+           FROM {table_a} GROUP BY 1),
+b AS (SELECT CAST({col} AS VARCHAR) AS value, COUNT(*) AS cnt_b
+      FROM {table_b} GROUP BY 1),
+j AS (SELECT COALESCE(a.value, b.value) AS value,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.value = b.value),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS k FROM j)
+SELECT ROUND(SUM(
+         ((CAST(cnt_b + 1 AS DOUBLE) / (nb + k)) - (CAST(cnt_a + 1 AS DOUBLE) / (na + k)))
+         * LN((CAST(cnt_b + 1 AS DOUBLE) / (nb + k)) / (CAST(cnt_a + 1 AS DOUBLE) / (na + k)))
+       ), {round_digits}) AS psi,
+       MAX(k) AS n_categories
+FROM j, tot
+"""
+
+
+def chi2_homogeneity(df_a: DataFrame, df_b: DataFrame, col: str,
+                     round_digits: int = 6) -> DataFrame:
+    """One-row (chi2, dof): 2×k homogeneity statistic
+    (profiler_utils.py:723-788); p-value via ``p_value_chi2`` on the
+    driver."""
+    counts = _aligned_counts(df_a, df_b, col)
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(
+            F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"),
+            F.count(F.lit(1)).alias("k")))
+    )
+    total = (F.col("na") + F.col("nb")).cast("double")
+    col_tot = (F.col("cnt_a") + F.col("cnt_b")).cast("double")
+    ea = F.col("na") * col_tot / total
+    eb = F.col("nb") * col_tot / total
+    term = ((F.col("cnt_a") - ea) * (F.col("cnt_a") - ea) / ea
+            + (F.col("cnt_b") - eb) * (F.col("cnt_b") - eb) / eb)
+    return counts.agg(
+        F.round(F.sum(term), round_digits).alias("chi2"),
+        (F.max("k") - 1).alias("dof"),
+    )
+
+
+def oracle_chi2_sql(table_a: str, table_b: str, col: str,
+                    round_digits: int = 6) -> str:
+    return f"""
+WITH a AS (SELECT CAST({col} AS VARCHAR) AS value, COUNT(*) AS cnt_a
+           FROM {table_a} GROUP BY 1),
+b AS (SELECT CAST({col} AS VARCHAR) AS value, COUNT(*) AS cnt_b
+      FROM {table_b} GROUP BY 1),
+j AS (SELECT COALESCE(a.value, b.value) AS value,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.value = b.value),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS k FROM j)
+SELECT ROUND(SUM(
+         (cnt_a - (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
+         * (cnt_a - (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
+         / (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb))
+         + (cnt_b - (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
+         * (cnt_b - (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
+         / (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb))
+       ), {round_digits}) AS chi2,
+       MAX(k) - 1 AS dof
+FROM j, tot
+"""
+
+
+def welch_t(df_a: DataFrame, df_b: DataFrame, col: str,
+            round_digits: int = 6) -> DataFrame:
+    """One-row (t_stat, welch_dof): Welch's t statistic + degrees of
+    freedom (numerical_column_stats.py:604-665). Uses the exact-mode
+    integer power sums so the statistic is engine-reproducible."""
+    S = 1000.0
+
+    def side(df, tag):
+        xi = F.round(F.col(col).cast("double") * S, 0).cast("decimal(19,0)")
+        return df.agg(
+            F.count(F.col(col)).alias(f"n_{tag}"),
+            F.sum(xi.cast("decimal(38,0)")).alias(f"s1_{tag}"),
+            F.sum((xi * xi).cast("decimal(38,0)")).alias(f"s2_{tag}"),
+        )
+
+    j = side(df_a, "a").crossJoin(side(df_b, "b"))
+
+    def stats(tag):
+        n = F.col(f"n_{tag}")
+        s1 = F.col(f"s1_{tag}")
+        s2 = F.col(f"s2_{tag}")
+        mean = s1.cast("double") / n / S
+        var = (n * s2 - s1 * s1).cast("double") / n / (n - 1) / (S * S)
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                         + (vb / nb) * (vb / nb) / (nb - 1))
+    return j.select(
+        F.round(t, round_digits).alias("t_stat"),
+        F.round(dof, round_digits).alias("welch_dof"),
+    )
+
+
+def oracle_welch_t_sql(table_a: str, table_b: str, col: str,
+                       round_digits: int = 6) -> str:
+    S = 1000.0
+    xi = f"CAST(ROUND(CAST({col} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0))"
+
+    def side(table):
+        return (f"SELECT COUNT({col}) AS n,"
+                f" SUM(CAST({xi} AS DECIMAL(38,0))) AS s1,"
+                f" SUM(CAST({xi} * {xi} AS DECIMAL(38,0))) AS s2 FROM {table}")
+
+    mean = "(CAST({p}.s1 AS DOUBLE) / {p}.n / %s)" % S
+    var = ("(CAST(CAST({p}.n AS HUGEINT) * CAST({p}.s2 AS HUGEINT)"
+           " - CAST({p}.s1 AS HUGEINT) * CAST({p}.s1 AS HUGEINT) AS DOUBLE)"
+           " / {p}.n / ({p}.n - 1) / (%s * %s))" % (S, S))
+    ma, va = mean.format(p="a"), var.format(p="a")
+    mb, vb = mean.format(p="b"), var.format(p="b")
+    se2 = f"({va} / a.n + {vb} / b.n)"
+    return f"""
+SELECT ROUND(({ma} - {mb}) / SQRT({se2}), {round_digits}) AS t_stat,
+       ROUND(({se2} * {se2}) / (({va} / a.n) * ({va} / a.n) / (a.n - 1)
+             + ({vb} / b.n) * ({vb} / b.n) / (b.n - 1)), {round_digits}) AS welch_dof
+FROM ({side(table_a)}) a CROSS JOIN ({side(table_b)}) b
+"""
+
+
+# -- driver-side p-values (scipy optional) ----------------------------------
+
+def p_value_chi2(chi2: float, dof: int) -> float | None:
+    try:
+        from scipy import stats
+    except ImportError:
+        return None
+    return float(stats.chi2.sf(chi2, dof))
+
+
+def p_value_welch(t_stat: float, dof: float) -> float | None:
+    try:
+        from scipy import stats
+    except ImportError:
+        return None
+    return float(2 * stats.t.sf(abs(t_stat), dof))

@@ -1,0 +1,156 @@
+"""Graph profile over edge-list DataFrames.
+
+Reference: graph_profiler.py:333-460 — num_nodes, num_edges, average
+degree, max connected component size, categorical/continuous edge-attr
+split, best-fit continuous distribution. Graph data arrives as a CSV edge
+list whose source/destination columns are detected by name substring
+(graph_data.py:84-143).
+
+Spark design: degree stats are one union + groupBy (GraphFrames' degree
+pattern without the dependency). Connected components use iterative
+min-label propagation — each round is one join + groupBy, converging in
+O(diameter) rounds; this is the standard large-graph pattern
+(GraphFrames' connectedComponents does the same with alternating large/
+small-star optimizations). Distribution fitting samples attribute values
+to the driver (bounded) — same as the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC_KEYWORDS = ("source", "src", "from", "node_id_1", "start")
+DST_KEYWORDS = ("target", "destination", "dst", "to", "node_id_2", "end")
+
+
+def detect_edge_columns(columns: list[str]) -> tuple[str, str] | None:
+    """Name-substring detection (graph_data.py:84-143), driver-side."""
+    src = next((c for c in columns
+                if any(k in c.lower() for k in SRC_KEYWORDS)), None)
+    dst = next((c for c in columns
+                if any(k in c.lower() for k in DST_KEYWORDS)), None)
+    return (src, dst) if src and dst else None
+
+
+def degree_stats(edges: DataFrame, src: str, dst: str,
+                 round_digits: int = 6) -> DataFrame:
+    """(num_nodes, num_edges, avg_degree, max_degree) — undirected degree
+    over the union of endpoints; one shuffle."""
+    nodes = edges.select(F.col(src).alias("node")).unionAll(
+        edges.select(F.col(dst).alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("num_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("num_edges"),
+        F.round(F.avg("degree"), round_digits).alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+def oracle_degree_stats_sql(table: str, src: str, dst: str,
+                            round_digits: int = 6) -> str:
+    return f"""
+WITH nodes AS (
+  SELECT {src} AS node FROM {table}
+  UNION ALL
+  SELECT {dst} AS node FROM {table}
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node
+)
+SELECT COUNT(*) AS num_nodes,
+       CAST(SUM(degree) / 2 AS BIGINT) AS num_edges,
+       ROUND(AVG(degree), {round_digits}) AS avg_degree,
+       MAX(degree) AS max_degree
+FROM deg
+"""
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    Iterative min-label propagation: labels flow across edges until no
+    label changes. Each iteration is two joins + one groupBy; the loop
+    runs on the driver but all data stays distributed. localCheckpoint
+    truncates the growing lineage (essential at scale — without it the
+    plan doubles every round)."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+         .distinct().persist())
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        prop = (e.join(labels, e.a == labels.node)
+                .select(F.col("b").alias("node"),
+                        F.col("component").alias("cand")))
+        new_labels = (labels.select("node", F.col("component").alias("cand"))
+                      .unionAll(prop)
+                      .groupBy("node").agg(F.min("cand").alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def component_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(num_components, max_component_size) — the reference's 'max
+    connected component' stat (graph_profiler.py:333-366)."""
+    comps = connected_components(edges, src, dst)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("num_components"),
+        F.max("size").alias("max_component_size"),
+    )
+
+
+def edge_attribute_profile(edges: DataFrame, attr_cols: list[str],
+                           categorical_threshold: float = 0.05) -> dict:
+    """Categorical/continuous split of edge attributes + best-fit
+    continuous distribution by MLE over a driver-side sample
+    (graph_profiler.py:371-460). scipy optional."""
+    n = edges.count()
+    out: dict = {}
+    for c in attr_cols:
+        distinct = edges.agg(F.approx_count_distinct(c)).collect()[0][0]
+        if n and distinct / n <= categorical_threshold:
+            counts = dict(
+                (r[0], r[1]) for r in
+                edges.groupBy(c).agg(F.count(F.lit(1))).collect())
+            out[c] = {"kind": "categorical", "histogram": counts}
+        else:
+            sample = [r[0] for r in
+                      edges.select(c).where(F.col(c).isNotNull())
+                      .limit(10_000).collect()]
+            out[c] = {"kind": "continuous",
+                      "best_fit": _best_fit_distribution(sample)}
+    return out
+
+
+def _best_fit_distribution(values: list[float]) -> str | None:
+    try:
+        from scipy import stats
+    except ImportError:
+        return None
+    import numpy as np
+
+    arr = np.asarray(values, dtype=float)
+    if arr.size < 10:
+        return None
+    best, best_ll = None, -float("inf")
+    for name in ("norm", "uniform", "expon", "logistic", "lognorm", "gamma"):
+        dist = getattr(stats, name)
+        try:
+            params = dist.fit(arr)
+            ll = float(np.sum(dist.logpdf(arr, *params)))
+        except Exception:
+            continue
+        if ll > best_ll:
+            best, best_ll = name, ll
+    return best

@@ -400,3 +400,146 @@ def media_profile_documents(spark, sf_dir):
     media = mm.documents_as_media(docs)
     feats = mm.decode_media_features(media, "id", "payload")
     return mm.media_profile(feats)
+
+
+# ---------------------------------------------------------------------------
+# Drift / diff statistics (SURVEY §2.5: PSI, chi2 homogeneity, Welch t)
+# Split = before/after a date boundary — the canonical drift comparison.
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import drift as dr
+from dataprofiler_spark.operators import typeinfer as ti
+
+_ORD_A = "(SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')"
+_ORD_B = "(SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')"
+
+
+def _orders_split(spark, sf_dir):
+    df = T(spark, sf_dir, "orders")
+    return (df.where(F.col("o_orderdate") < "1998-01-01"),
+            df.where(F.col("o_orderdate") >= "1998-01-01"))
+
+
+@register("psi_orderpriority",
+          dr.oracle_categorical_psi_sql(_ORD_A, _ORD_B, "o_orderpriority"))
+def psi_orderpriority(spark, sf_dir):
+    a, b = _orders_split(spark, sf_dir)
+    return dr.categorical_psi(a, b, "o_orderpriority")
+
+
+@register("chi2_orderpriority",
+          dr.oracle_chi2_sql(_ORD_A, _ORD_B, "o_orderpriority"))
+def chi2_orderpriority(spark, sf_dir):
+    a, b = _orders_split(spark, sf_dir)
+    return dr.chi2_homogeneity(a, b, "o_orderpriority")
+
+
+@register("welch_t_totalprice", dr.oracle_welch_t_sql(_ORD_A, _ORD_B, "o_totalprice"))
+def welch_t_totalprice(spark, sf_dir):
+    a, b = _orders_split(spark, sf_dir)
+    return dr.welch_t(a, b, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Type inference over stringified cells (SURVEY §1.2 / §2.2)
+# ---------------------------------------------------------------------------
+
+_TI_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate"]
+
+
+@register("type_inference_lineitem", ti.oracle_type_inference_sql("lineitem", _TI_COLS))
+def type_inference_lineitem(spark, sf_dir):
+    return ti.type_inference(T(spark, sf_dir, "lineitem"), _TI_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Full profile (flagship; rows-only check — the report is the engine's own
+# semantics: native float aggregation + histogram-interpolated quantiles,
+# deliberately not forced through an external SQL oracle. Cross-engine
+# parity for every underlying statistic is covered by the exact-mode
+# queries above.)
+# ---------------------------------------------------------------------------
+
+def _flat_report_df(spark, df):
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import build_report, flat_dict
+
+    report = build_report(Profiler(df).profile(), output_format="compact")
+    flat = flat_dict(report)
+    rows = [(k, str(v)) for k, v in sorted(flat.items())]
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+@register("full_profile_lineitem")
+def full_profile_lineitem(spark, sf_dir):
+    return _flat_report_df(spark, T(spark, sf_dir, "lineitem"))
+
+
+@register("full_profile_events")
+def full_profile_events(spark, sf_dir):
+    return _flat_report_df(spark, T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Entity labeling (regex labeler, SURVEY §2.7), correlation & chi2 matrix,
+# graph profile (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.labeler import regex_labeler as rl
+from dataprofiler_spark.operators import correlation as corr
+from dataprofiler_spark.operators import graph as gr
+
+_LABEL_COLS = ["c_name", "c_acctbal", "c_mktsegment", "c_custkey"]
+
+
+@register("label_votes_customer", rl.oracle_label_votes_sql("customer", _LABEL_COLS))
+def label_votes_customer(spark, sf_dir):
+    return rl.label_votes(T(spark, sf_dir, "customer"), _LABEL_COLS)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register("correlation_lineitem", corr.oracle_correlation_sql("lineitem", _CORR_COLS))
+def correlation_lineitem(spark, sf_dir):
+    return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+@register("chi2_pair_lineitem",
+          corr.oracle_chi2_pair_sql("lineitem", "l_returnflag", "l_linestatus"))
+def chi2_pair_lineitem(spark, sf_dir):
+    return corr.chi2_matrix_pair(T(spark, sf_dir, "lineitem"),
+                                 "l_returnflag", "l_linestatus")
+
+
+@register("graph_degree_nation",
+          gr.oracle_degree_stats_sql("nation", "n_nationkey", "n_regionkey"))
+def graph_degree_nation(spark, sf_dir):
+    return gr.degree_stats(T(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey")
+
+
+@register("graph_components_nation")
+def graph_components_nation(spark, sf_dir):
+    # iterative label propagation — non-SQL-expressible; rows-only check
+    return gr.component_summary(T(spark, sf_dir, "nation"),
+                                "n_nationkey", "n_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# Validators (SURVEY §2.2: is_in_range / is_in_list predicates)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import validators as vd
+
+_RULES = [
+    vd.Rule("l_quantity", "in_range", low=1, high=50),
+    vd.Rule("l_discount", "in_range", low=0.0, high=0.1),
+    vd.Rule("l_returnflag", "in_list", values=("A", "N", "R")),
+    vd.Rule("l_orderkey", "not_null"),
+]
+
+
+@register("validate_lineitem", vd.oracle_validate_sql("lineitem", _RULES))
+def validate_lineitem(spark, sf_dir):
+    return vd.validate(T(spark, sf_dir, "lineitem"), _RULES)

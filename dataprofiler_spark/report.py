@@ -1,0 +1,253 @@
+"""Profile report assembly + profile diff.
+
+Report shape mirrors the reference's README.md:63-140 schema and
+report_helpers._prepare_report (helpers/report_helpers.py:89-260):
+``{"global_stats": {...}, "data_stats": [{column_name, data_type,
+categorical, order, statistics: {...}}]}`` with output_format variants
+pretty / compact / serializable / flat (flat_dict :40-66). Quantiles are
+interpolated from the stored histogram CDF exactly as
+numerical_column_stats._get_percentile:1553-1590 does, thinned to 999
+reported (report_helpers.calculate_quantiles:9-39).
+
+Diff semantics follow profiler_utils.py:417-667 (find_diff_of_* family):
+numbers → a - b or "unchanged"; strings/lists → [a, b] when different;
+plus the drift statistics (PSI / chi² / t-test) from operators/drift.py
+computed on the stored category dicts and moments.
+"""
+
+from __future__ import annotations
+
+import math
+
+from dataprofiler_spark.state import ColumnState, DatasetState
+
+
+def _quantiles_from_histogram(hist: dict, probs: list[float]) -> list[float] | None:
+    if not hist or not hist.get("bin_counts"):
+        return None
+    edges, counts = hist["bin_edges"], hist["bin_counts"]
+    total = sum(counts)
+    if total == 0:
+        return None
+    out = []
+    cum = [0]
+    for c in counts:
+        cum.append(cum[-1] + c)
+    for p in probs:
+        target = p * total
+        # first bin whose cumulative count reaches the target
+        idx = next((i for i in range(len(counts)) if cum[i + 1] >= target),
+                   len(counts) - 1)
+        span = counts[idx]
+        frac = (target - cum[idx]) / span if span else 0.0
+        out.append(edges[idx] + frac * (edges[idx + 1] - edges[idx]))
+    return out
+
+
+def _column_report(col: ColumnState, num_quantiles: int = 999) -> dict:
+    stats: dict = {
+        "sample_size": col.sample_size,
+        "null_count": col.null_count,
+        "null_types": col.null_types,
+        "unique_count": col.approx_distinct,
+        "unique_ratio": (col.approx_distinct / col.sample_size
+                         if col.sample_size else None),
+        "data_type_representation": {
+            t: (c / max(col.sample_size - col.null_count, 1))
+            for t, c in col.type_counts.items()
+        },
+    }
+    if col.numeric is not None and col.numeric.n:
+        ns = col.numeric
+        stats.update({
+            "min": ns.min, "max": ns.max, "sum": ns.sum, "mean": ns.mean,
+            "variance": ns.variance, "stddev": ns.stddev,
+            "skewness": ns.skewness, "kurtosis": ns.kurtosis,
+            "num_zeros": ns.num_zeros, "num_negatives": ns.num_negatives,
+        })
+        if ns.histogram:
+            stats["histogram"] = ns.histogram
+            probs = [i / (num_quantiles + 1) for i in range(1, num_quantiles + 1)]
+            q = _quantiles_from_histogram(ns.histogram, probs)
+            if q:
+                stats["quantiles"] = q
+                stats["median"] = q[len(q) // 2]
+                stats["mode"] = _modes_from_histogram(ns.histogram)
+    if col.text is not None and col.text.lengths.n:
+        ls = col.text.lengths
+        stats.update({
+            "min_length": ls.min, "max_length": ls.max, "mean_length": ls.mean,
+            "stddev_length": ls.stddev, "vocab": col.text.vocab,
+        })
+    if col.datetime is not None and col.datetime.n:
+        stats.update({"min_datetime": col.datetime.min_ts,
+                      "max_datetime": col.datetime.max_ts,
+                      "datetime_formats": col.datetime.formats})
+    categorical = bool(col.categorical and col.categorical.active
+                       and col.categorical.categories)
+    if categorical:
+        cs = col.categorical
+        stats.update({
+            "categories": [k for k, _ in cs.top_k(len(cs.categories))],
+            "categorical_count": dict(cs.top_k(len(cs.categories))),
+            "gini_impurity": cs.gini_impurity,
+            "unalikeability": cs.unalikeability,
+        })
+    return {
+        "column_name": col.name,
+        "data_type": col.inferred_type,
+        "categorical": categorical,
+        "order": col.order.order if col.order else None,
+        "statistics": stats,
+    }
+
+
+def _modes_from_histogram(hist: dict, k: int = 5) -> list[float]:
+    """Top-k bin midpoints by count (numerical_column_stats.py:1082-1114)."""
+    edges, counts = hist["bin_edges"], hist["bin_counts"]
+    order = sorted(range(len(counts)), key=lambda i: (-counts[i], i))[:k]
+    top = [i for i in order if counts[i] > 0]
+    return [(edges[i] + edges[i + 1]) / 2 for i in top]
+
+
+def build_report(state: DatasetState, output_format: str = "pretty") -> dict:
+    report = {
+        "global_stats": {
+            "samples_used": state.row_count,
+            "column_count": len(state.column_order),
+            "row_count": state.row_count,
+            "unique_row_count": state.unique_row_count,
+            "unique_row_ratio": (state.unique_row_count / state.row_count
+                                 if state.unique_row_count and state.row_count
+                                 else None),
+            "duplicate_row_count": (state.row_count - state.unique_row_count
+                                    if state.unique_row_count is not None
+                                    else None),
+            "rows_with_null_ratio": (state.rows_with_null / state.row_count
+                                     if state.row_count else None),
+            "rows_all_null_ratio": (state.rows_all_null / state.row_count
+                                    if state.row_count else None),
+            "times": state.times,
+        },
+        "data_stats": [
+            _column_report(state.columns[c]) for c in state.column_order
+        ],
+    }
+    if output_format == "compact":
+        for ds in report["data_stats"]:
+            ds["statistics"].pop("quantiles", None)
+            ds["statistics"].pop("histogram", None)
+    elif output_format == "flat":
+        return flat_dict(report)
+    return report
+
+
+def flat_dict(d: dict, prefix: str = "") -> dict:
+    """report_helpers.flat_dict:40-66."""
+    out = {}
+    items = d.items() if isinstance(d, dict) else enumerate(d)
+    for k, v in items:
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, (dict, list)):
+            out.update(flat_dict(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+# -- diff -------------------------------------------------------------------
+
+def _diff_val(a, b):
+    if a == b:
+        return "unchanged"
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        return a - b
+    return [a, b]
+
+
+def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
+    """profile.diff(other): per-stat differences + drift statistics."""
+    out: dict = {
+        "global_stats": {
+            "row_count": _diff_val(a.row_count, b.row_count),
+            "unique_row_count": _diff_val(a.unique_row_count, b.unique_row_count),
+        },
+        "data_stats": [],
+    }
+    for name in a.column_order:
+        if name not in b.columns:
+            continue
+        ca, cb = a.columns[name], b.columns[name]
+        col_diff: dict = {
+            "column_name": name,
+            "data_type": _diff_val(ca.inferred_type, cb.inferred_type),
+            "null_count": _diff_val(ca.null_count, cb.null_count),
+        }
+        if ca.numeric and cb.numeric and ca.numeric.n and cb.numeric.n:
+            na, nb = ca.numeric, cb.numeric
+            col_diff["statistics"] = {
+                "min": _diff_val(na.min, nb.min),
+                "max": _diff_val(na.max, nb.max),
+                "mean": _diff_val(na.mean, nb.mean),
+                "variance": _diff_val(na.variance, nb.variance),
+            }
+            col_diff["t-test"] = _welch_from_states(na, nb)
+        if (ca.categorical and cb.categorical and ca.categorical.active
+                and cb.categorical.active):
+            col_diff["psi"] = _psi_from_dicts(
+                ca.categorical.categories, cb.categorical.categories)
+            col_diff["chi2-test"] = _chi2_from_dicts(
+                ca.categorical.categories, cb.categorical.categories)
+        out["data_stats"].append(col_diff)
+    return out
+
+
+def _psi_from_dicts(da: dict[str, int], db: dict[str, int]) -> float | None:
+    """Categorical PSI with +1 smoothing (categorical_column_profile.py:
+    245-333) — same formula as operators/drift.categorical_psi."""
+    keys = sorted(set(da) | set(db))
+    if not keys:
+        return None
+    na, nb, k = sum(da.values()), sum(db.values()), len(keys)
+    psi = 0.0
+    for key in keys:
+        pa = (da.get(key, 0) + 1) / (na + k)
+        pb = (db.get(key, 0) + 1) / (nb + k)
+        psi += (pb - pa) * math.log(pb / pa)
+    return psi
+
+
+def _chi2_from_dicts(da: dict[str, int], db: dict[str, int]) -> dict | None:
+    keys = sorted(set(da) | set(db))
+    if len(keys) < 2:
+        return None
+    na, nb = sum(da.values()), sum(db.values())
+    total = na + nb
+    chi2 = 0.0
+    for key in keys:
+        ct = da.get(key, 0) + db.get(key, 0)
+        ea, eb = na * ct / total, nb * ct / total
+        if ea:
+            chi2 += (da.get(key, 0) - ea) ** 2 / ea
+        if eb:
+            chi2 += (db.get(key, 0) - eb) ** 2 / eb
+    dof = len(keys) - 1
+    from dataprofiler_spark.operators.drift import p_value_chi2
+    return {"chi2-statistic": chi2, "deg_of_free": dof,
+            "p-value": p_value_chi2(chi2, dof)}
+
+
+def _welch_from_states(a, b) -> dict | None:
+    if a.n < 2 or b.n < 2:
+        return None
+    va, vb = a.variance, b.variance
+    if va is None or vb is None:
+        return None
+    se2 = va / a.n + vb / b.n
+    if se2 <= 0:
+        return None
+    t = (a.mean - b.mean) / math.sqrt(se2)
+    dof = se2 ** 2 / ((va / a.n) ** 2 / (a.n - 1) + (vb / b.n) ** 2 / (b.n - 1))
+    from dataprofiler_spark.operators.drift import p_value_welch
+    return {"t-statistic": t, "deg_of_free": dof, "p-value": p_value_welch(t, dof)}

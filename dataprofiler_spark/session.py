@@ -62,6 +62,23 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition ONLY when the input is under-partitioned relative to the
+    cluster (e.g. one small parquet file on a 32-core local run).
+
+    At real scale the scan already yields thousands of partitions and this
+    is a no-op — the guard exists so compute-heavy per-row operators
+    (minhash, simhash, embedding math) aren't serialized by a single
+    input split. The repartition is round-robin: these operators are
+    embarrassingly parallel per row, so no key locality is lost.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames."""
     names = tables or [

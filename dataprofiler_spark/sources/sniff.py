@@ -1,0 +1,204 @@
+"""Format sniffing → spark.read dispatch.
+
+Reference: the Data() factory probes JSON → Graph → CSV → Parquet → AVRO →
+Text in order (data_readers/data.py:18-87, per-format is_match methods);
+CSV delimiter/quotechar/header guessing at csv_data.py:184-542; encoding
+detection at data_utils.py:590-678.
+
+Spark design: sniffing is driver-side over the file HEAD ONLY (bounded
+bytes — never the whole file; a 100 TB input is dispatched after reading
+a few KiB), then the matching ``spark.read`` builds a lazy scan. Options
+discovered during sniffing (delimiter, header, encoding) are written into
+the reader options, mirroring the reference's write-back behavior
+(csv_data.py:737-739).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from dataclasses import dataclass, field
+
+HEAD_BYTES = 64 * 1024
+CANDIDATE_DELIMS = [",", "\t", ";", "|", " "]
+
+
+@dataclass
+class SniffResult:
+    format: str                      # parquet | avro | json | csv | graph_csv | text
+    options: dict = field(default_factory=dict)
+
+
+def _read_head(path: str, n: int = HEAD_BYTES) -> bytes:
+    with open(path, "rb") as f:
+        return f.read(n)
+
+
+def detect_encoding(head: bytes) -> str:
+    """BOM-based + utf-8 validation fallback (data_utils.py:590-678 uses
+    chardet; BOMs + utf8-else-latin1 covers the deterministic cases)."""
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "UTF-16"
+    if head.startswith(b"\xff\xfe\x00\x00") or head.startswith(b"\x00\x00\xfe\xff"):
+        return "UTF-32"
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"
+    try:
+        head.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        return "ISO-8859-1"
+
+
+def is_parquet(head: bytes) -> bool:
+    return head[:4] == b"PAR1"
+
+
+def is_avro(head: bytes) -> bool:
+    return head[:4] == b"Obj\x01"
+
+
+def is_json(lines: list[str]) -> bool:
+    """≥50% of probe lines parse as JSON, or the head parses whole
+    (json_data.py:368-423)."""
+    if not lines:
+        return False
+    joined = "\n".join(lines)
+    try:
+        json.loads(joined)
+        return True
+    except json.JSONDecodeError:
+        pass
+    ok = 0
+    for ln in lines:
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            json.loads(ln)
+            ok += 1
+        except json.JSONDecodeError:
+            pass
+    nonempty = sum(1 for ln in lines if ln.strip())
+    return nonempty > 0 and ok / nonempty >= 0.5
+
+
+def guess_delimiter(lines: list[str]) -> str | None:
+    """Most consistent per-line count wins (csv_data.py:184-346
+    simplified: consistency beats raw frequency)."""
+    best, best_score = None, 0.0
+    for d in CANDIDATE_DELIMS:
+        counts = [ln.count(d) for ln in lines if ln]
+        if not counts or max(counts) == 0:
+            continue
+        c = Counter(counts)
+        mode_count, freq = c.most_common(1)[0]
+        if mode_count == 0:
+            continue
+        consistency = freq / len(counts)
+        # space splits prose too — only accept it when every line agrees
+        if d == " " and consistency < 1.0:
+            continue
+        if consistency < 0.75:
+            continue
+        score = consistency * (1 + min(mode_count, 5) / 10)
+        if score > best_score:
+            best, best_score = d, score
+    return best
+
+
+def guess_header(lines: list[str], delim: str) -> bool:
+    """First row is a header when its cells are non-numeric but later
+    rows have numeric cells in the same positions (csv_data.py:347-542
+    heuristic core)."""
+    if len(lines) < 2:
+        return False
+
+    def numeric_mask(row: str) -> list[bool]:
+        out = []
+        for cell in row.split(delim):
+            try:
+                float(cell)
+                out.append(True)
+            except ValueError:
+                out.append(False)
+        return out
+
+    first = numeric_mask(lines[0])
+    rest = [numeric_mask(ln) for ln in lines[1:6] if ln]
+    if any(first):
+        return False
+    return any(any(m) for m in rest)
+
+
+def looks_like_graph(header_cells: list[str]) -> bool:
+    """Graph CSV detection by column-name keywords (graph_data.py:84-192)."""
+    from dataprofiler_spark.operators.graph import detect_edge_columns
+    return detect_edge_columns(header_cells) is not None
+
+
+def sniff(path: str) -> SniffResult:
+    head = _read_head(path)
+    if is_parquet(head):
+        return SniffResult("parquet")
+    if is_avro(head):
+        return SniffResult("avro")
+    enc = detect_encoding(head)
+    text = head.decode(enc.lower().replace("-", "_"), errors="replace")
+    lines = text.splitlines()[:100]
+    if lines and not text.endswith("\n"):
+        lines = lines[:-1] or lines  # drop possibly-truncated tail line
+    if is_json(lines):
+        return SniffResult("json", {"encoding": enc})
+    delim = guess_delimiter(lines)
+    if delim is not None:
+        header = guess_header(lines, delim)
+        opts = {"sep": delim, "header": header, "encoding": enc}
+        if header and looks_like_graph(lines[0].split(delim)):
+            return SniffResult("graph_csv", opts)
+        return SniffResult("csv", opts)
+    return SniffResult("text", {"encoding": enc})
+
+
+def read_data(spark, path: str, fmt: str | None = None, **options):
+    """Data() equivalent: sniff (unless format given) and build the lazy
+    scan. Returns (DataFrame, SniffResult)."""
+    res = sniff(path) if fmt is None else SniffResult(fmt, dict(options))
+    o = {**res.options, **options}
+    if res.format == "parquet":
+        return spark.read.parquet(path), res
+    if res.format == "avro":
+        return spark.read.format("avro").load(path), res
+    if res.format == "json":
+        df = spark.read.json(path, encoding=o.get("encoding"))
+        return df, res
+    if res.format in ("csv", "graph_csv"):
+        df = spark.read.csv(
+            path, sep=o.get("sep", ","), header=o.get("header", False),
+            encoding=o.get("encoding", "UTF-8"), inferSchema=False)
+        return df, res
+    if res.format == "text":
+        return spark.read.text(path), res
+    raise ValueError(f"unknown format {res.format!r}")
+
+
+def flatten_struct_columns(df):
+    """JSON nested records → dotted column names (json_data.py:172-238);
+    lazy select, no data movement."""
+    from pyspark.sql.types import StructType
+
+    cols = []
+
+    def walk(prefix: str, schema: StructType):
+        for f in schema.fields:
+            name = f"{prefix}.{f.name}" if prefix else f.name
+            if isinstance(f.dataType, StructType):
+                walk(name, f.dataType)
+            else:
+                cols.append(name)
+
+    walk("", df.schema)
+    from pyspark.sql import functions as F
+    return df.select(*[F.col(f"`{'`.`'.join(c.split('.'))}`").alias(c)
+                       for c in cols])

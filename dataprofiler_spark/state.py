@@ -1,0 +1,387 @@
+"""Mergeable profile state — the engine's algebra for profile + profile.
+
+Reference semantics: profile merging is a first-class API
+(profile_builder.py:768-808, StructuredColProfiler.__add__:193-255);
+moments merge with the Chan/Welford parallel formulas
+(numerical_column_stats.py:843-1080); category dicts add
+(profiler_utils.add_nested_dictionaries:291-321); min/max extremize;
+datetime format sets union; order merges by piecewise envelope rules
+(order_column_profile.py:133-243).
+
+This IS Spark's partial-aggregate combine implemented once in Python: the
+same ``+`` serves (a) the public profile1 + profile2 API, (b) batch-
+incremental ``update_profile``, and (c) Structured Streaming foreachBatch
+state folding (streaming/incremental.py). States are tiny (per-column
+scalars + bounded dicts) — merging is always driver-side.
+
+JSON round-trip mirrors json_encoder.py:19-100 / json_decoder.py:23-250.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class NumericState:
+    """Count + min/max + central moments (M2/M3/M4 about the mean).
+
+    merge: Chan et al. parallel update — the same formulas the reference
+    cites at numerical_column_stats.py:843-881 (variance), :899-982
+    (skewness), :984-1080 (kurtosis).
+    """
+
+    n: int = 0
+    sum: float = 0.0
+    min: float | None = None
+    max: float | None = None
+    m2: float = 0.0
+    m3: float = 0.0
+    m4: float = 0.0
+    num_zeros: int = 0
+    num_negatives: int = 0
+    # {"bin_edges": [...], "bin_counts": [...]} — populated by the
+    # histogram pass; merged by pseudo-data re-binning (see merge below).
+    histogram: dict | None = None
+
+    @property
+    def mean(self) -> float | None:
+        return self.sum / self.n if self.n else None
+
+    @property
+    def variance(self) -> float | None:
+        return self.m2 / (self.n - 1) if self.n > 1 else None
+
+    @property
+    def stddev(self) -> float | None:
+        v = self.variance
+        return math.sqrt(v) if v is not None and v >= 0 else None
+
+    @property
+    def skewness(self) -> float | None:
+        """Bias-corrected, matching the reference's reported skewness."""
+        n = self.n
+        if n < 3 or self.m2 <= 0:
+            return None
+        g1 = (self.m3 / n) / (self.m2 / n) ** 1.5
+        return g1 * math.sqrt(n * (n - 1)) / (n - 2)
+
+    @property
+    def kurtosis(self) -> float | None:
+        n = self.n
+        if n < 4 or self.m2 <= 0:
+            return None
+        g2 = (self.m4 / n) / (self.m2 / n) ** 2 - 3
+        return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    def __add__(self, o: "NumericState") -> "NumericState":
+        if self.n == 0:
+            return NumericState(**asdict(o))
+        if o.n == 0:
+            return NumericState(**asdict(self))
+        na, nb = self.n, o.n
+        n = na + nb
+        da = self.sum / na
+        db = o.sum / nb
+        d = db - da
+        m2 = self.m2 + o.m2 + d * d * na * nb / n
+        m3 = (self.m3 + o.m3
+              + d ** 3 * na * nb * (na - nb) / (n * n)
+              + 3 * d * (na * o.m2 - nb * self.m2) / n)
+        m4 = (self.m4 + o.m4
+              + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / (n ** 3)
+              + 6 * d * d * (na * na * o.m2 + nb * nb * self.m2) / (n * n)
+              + 4 * d * (na * o.m3 - nb * self.m3) / n)
+        return NumericState(
+            n=n, sum=self.sum + o.sum,
+            min=min(x for x in (self.min, o.min) if x is not None),
+            max=max(x for x in (self.max, o.max) if x is not None),
+            m2=m2, m3=m3, m4=m4,
+            num_zeros=self.num_zeros + o.num_zeros,
+            num_negatives=self.num_negatives + o.num_negatives,
+            histogram=_merge_histograms(self.histogram, o.histogram),
+        )
+
+    @classmethod
+    def from_power_sums(cls, n: int, s1: float, s2: float, s3: float, s4: float,
+                        vmin: float | None, vmax: float | None,
+                        num_zeros: int = 0, num_negatives: int = 0
+                        ) -> "NumericState":
+        """Build from raw power sums (what one Spark agg returns)."""
+        if n == 0:
+            return cls()
+        mu = s1 / n
+        m2 = s2 - n * mu * mu
+        m3 = s3 - 3 * mu * s2 + 2 * n * mu ** 3
+        m4 = s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu ** 4
+        return cls(n=n, sum=s1, min=vmin, max=vmax, m2=m2, m3=m3, m4=m4,
+                   num_zeros=num_zeros, num_negatives=num_negatives)
+
+
+def _merge_histograms(a: dict | None, b: dict | None) -> dict | None:
+    """Histogram merge by midpoint re-binning over the combined range —
+    the bounded-memory equivalent of the reference's pseudo-data
+    assimilation (numerical_column_stats.py:1322-1484)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    lo = min(a["bin_edges"][0], b["bin_edges"][0])
+    hi = max(a["bin_edges"][-1], b["bin_edges"][-1])
+    bins = max(len(a["bin_counts"]), len(b["bin_counts"]))
+    if hi <= lo:
+        return {"bin_edges": [lo, hi], "bin_counts":
+                [sum(a["bin_counts"]) + sum(b["bin_counts"])]}
+    w = (hi - lo) / bins
+    counts = [0] * bins
+    for h in (a, b):
+        edges, cs = h["bin_edges"], h["bin_counts"]
+        for i, c in enumerate(cs):
+            mid = (edges[i] + edges[i + 1]) / 2
+            idx = min(max(int((mid - lo) / w), 0), bins - 1)
+            counts[idx] += c
+    return {"bin_edges": [lo + i * w for i in range(bins + 1)],
+            "bin_counts": counts}
+
+
+@dataclass
+class CategoricalState:
+    """value → count dict with a cardinality stop condition
+    (categorical_column_profile.py:36-88, :457-476)."""
+
+    categories: dict[str, int] = field(default_factory=dict)
+    active: bool = True  # False once the stop condition tripped
+
+    def __add__(self, o: "CategoricalState") -> "CategoricalState":
+        if not self.active or not o.active:
+            return CategoricalState(categories={}, active=False)
+        merged = dict(self.categories)
+        for k, v in o.categories.items():
+            merged[k] = merged.get(k, 0) + v
+        return CategoricalState(categories=merged, active=True)
+
+    @property
+    def unique_count(self) -> int:
+        return len(self.categories)
+
+    @property
+    def sample_count(self) -> int:
+        return sum(self.categories.values())
+
+    @property
+    def gini_impurity(self) -> float | None:
+        n = self.sample_count
+        if not n:
+            return None
+        return 1.0 - sum((c / n) ** 2 for c in self.categories.values())
+
+    @property
+    def unalikeability(self) -> float | None:
+        n = self.sample_count
+        if n <= 1:
+            return None
+        ss = sum(c * c for c in self.categories.values())
+        return (n * n - ss) / (n * n - n)
+
+    def top_k(self, k: int = 5) -> list[tuple[str, int]]:
+        return sorted(self.categories.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@dataclass
+class DatetimeState:
+    n: int = 0
+    min_ts: str | None = None
+    max_ts: str | None = None
+    formats: list[str] = field(default_factory=list)
+
+    def __add__(self, o: "DatetimeState") -> "DatetimeState":
+        mins = [x for x in (self.min_ts, o.min_ts) if x is not None]
+        maxs = [x for x in (self.max_ts, o.max_ts) if x is not None]
+        return DatetimeState(
+            n=self.n + o.n,
+            min_ts=min(mins) if mins else None,
+            max_ts=max(maxs) if maxs else None,
+            formats=sorted(set(self.formats) | set(o.formats)),
+        )
+
+
+@dataclass
+class OrderState:
+    """order + first/last values; merge follows order_column_profile.py:
+    133-243: same-direction batches stay sorted only if their value ranges
+    don't interleave against the direction."""
+
+    order: str = "constant value"  # ascending | descending | constant value | random
+    first: float | str | None = None
+    last: float | str | None = None
+    n: int = 0
+
+    def __add__(self, o: "OrderState") -> "OrderState":
+        if self.n == 0:
+            return OrderState(**asdict(o))
+        if o.n == 0:
+            return OrderState(**asdict(self))
+        merged = OrderState(n=self.n + o.n, first=self.first, last=o.last)
+        a, b = self.order, o.order
+        if a == "random" or b == "random":
+            merged.order = "random"
+        elif a == "constant value" and b == "constant value":
+            if self.last == o.first:
+                merged.order = "constant value"
+            else:
+                merged.order = "ascending" if self.last <= o.first else "descending"
+        elif {a, b} <= {"ascending", "constant value"}:
+            merged.order = "ascending" if self.last <= o.first else "random"
+        elif {a, b} <= {"descending", "constant value"}:
+            merged.order = "descending" if self.last >= o.first else "random"
+        else:
+            merged.order = "random"
+        return merged
+
+
+@dataclass
+class TextState:
+    lengths: NumericState = field(default_factory=NumericState)
+    vocab: list[str] = field(default_factory=list)
+
+    def __add__(self, o: "TextState") -> "TextState":
+        return TextState(
+            lengths=self.lengths + o.lengths,
+            vocab=sorted(set(self.vocab) | set(o.vocab)),
+        )
+
+
+@dataclass
+class ColumnState:
+    name: str = ""
+    sample_size: int = 0
+    null_count: int = 0
+    null_types: list[str] = field(default_factory=list)
+    type_counts: dict[str, int] = field(default_factory=dict)  # per-type match counts
+    inferred_type: str = "text"
+    numeric: NumericState | None = None
+    categorical: CategoricalState | None = None
+    datetime: DatetimeState | None = None
+    order: OrderState | None = None
+    text: TextState | None = None
+    approx_distinct: int = 0
+
+    def __add__(self, o: "ColumnState") -> "ColumnState":
+        def m(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a + b
+
+        tc = dict(self.type_counts)
+        for k, v in o.type_counts.items():
+            tc[k] = tc.get(k, 0) + v
+        out = ColumnState(
+            name=self.name or o.name,
+            sample_size=self.sample_size + o.sample_size,
+            null_count=self.null_count + o.null_count,
+            null_types=sorted(set(self.null_types) | set(o.null_types)),
+            type_counts=tc,
+            numeric=m(self.numeric, o.numeric),
+            categorical=m(self.categorical, o.categorical),
+            datetime=m(self.datetime, o.datetime),
+            order=m(self.order, o.order),
+            text=m(self.text, o.text),
+            approx_distinct=max(self.approx_distinct, o.approx_distinct),
+        )
+        out.inferred_type = _infer_type(out)
+        return out
+
+
+def _infer_type(col: ColumnState) -> str:
+    """First of [datetime, int, float, text] whose match ratio is 1.0
+    (column_profile_compilers.py:283-317)."""
+    matched = col.sample_size - col.null_count
+    if matched <= 0:
+        return "text"
+    for t in ("datetime", "int", "float"):
+        if col.type_counts.get(t, 0) >= matched:
+            return t
+    return "text"
+
+
+@dataclass
+class DatasetState:
+    row_count: int = 0
+    column_order: list[str] = field(default_factory=list)
+    columns: dict[str, ColumnState] = field(default_factory=dict)
+    unique_row_count: int | None = None      # exact only when not merged
+    rows_with_null: int = 0
+    rows_all_null: int = 0
+    times: dict[str, float] = field(default_factory=dict)
+
+    def __add__(self, o: "DatasetState") -> "DatasetState":
+        if self.column_order and o.column_order and \
+                self.column_order != o.column_order:
+            # schema mapping validation (profile_builder.py:1972-2045)
+            if sorted(self.column_order) != sorted(o.column_order):
+                raise ValueError(
+                    f"schema mismatch: {self.column_order} vs {o.column_order}")
+        cols = {}
+        for name in self.column_order or o.column_order:
+            a = self.columns.get(name, ColumnState(name=name))
+            b = o.columns.get(name, ColumnState(name=name))
+            cols[name] = a + b
+        times = dict(self.times)
+        for k, v in o.times.items():
+            times[k] = times.get(k, 0.0) + v
+        return DatasetState(
+            row_count=self.row_count + o.row_count,
+            column_order=self.column_order or o.column_order,
+            columns=cols,
+            unique_row_count=None,  # exact uniqueness is not mergeable; HLL path is
+            rows_with_null=self.rows_with_null + o.rows_with_null,
+            rows_all_null=self.rows_all_null + o.rows_all_null,
+            times=times,
+        )
+
+
+# -- JSON round-trip --------------------------------------------------------
+
+_STATE_CLASSES = {
+    "NumericState": NumericState, "CategoricalState": CategoricalState,
+    "DatetimeState": DatetimeState, "OrderState": OrderState,
+    "TextState": TextState, "ColumnState": ColumnState,
+    "DatasetState": DatasetState,
+}
+
+
+def _encode(obj):
+    if isinstance(obj, tuple(_STATE_CLASSES.values())):
+        d = {"__class__": type(obj).__name__}
+        for k, v in vars(obj).items():
+            d[k] = _encode(v)
+        return d
+    if isinstance(obj, dict):
+        return {k: _encode(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_encode(v) for v in obj]
+    return obj
+
+
+def _decode(obj):
+    if isinstance(obj, dict) and "__class__" in obj:
+        cls = _STATE_CLASSES[obj["__class__"]]
+        kwargs = {k: _decode(v) for k, v in obj.items() if k != "__class__"}
+        return cls(**kwargs)
+    if isinstance(obj, dict):
+        return {k: _decode(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_decode(v) for v in obj]
+    return obj
+
+
+def to_json(state: DatasetState) -> str:
+    return json.dumps(_encode(state))
+
+
+def from_json(s: str) -> DatasetState:
+    return _decode(json.loads(s))

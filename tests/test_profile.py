@@ -1,0 +1,111 @@
+"""Profiler plan + state algebra tests: merge invariance (the reference's
+key test pattern — profile(A)+profile(B) vs profile(A∪B), see SURVEY §5),
+report shape, JSON round-trip, diff."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark import (Profiler, ProfilerOptions, build_report,
+                                diff_profiles, from_json, to_json)
+from dataprofiler_spark.streaming.incremental import StreamingProfiler
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_profile_report_shape(spark, lineitem):
+    p = Profiler(lineitem)
+    report = p.report()
+    assert set(report) == {"global_stats", "data_stats"}
+    gs = report["global_stats"]
+    assert gs["row_count"] == lineitem.count()
+    assert gs["column_count"] == len(lineitem.columns)
+    names = [d["column_name"] for d in report["data_stats"]]
+    assert names == lineitem.columns
+    by_name = {d["column_name"]: d for d in report["data_stats"]}
+    q = by_name["l_quantity"]
+    assert q["data_type"] == "float"
+    assert q["statistics"]["min"] == 1.0
+    assert q["statistics"]["null_count"] == 0
+    assert "histogram" in q["statistics"]
+    assert "quantiles" in q["statistics"]
+    rf = by_name["l_returnflag"]
+    assert rf["categorical"] is True
+    assert set(rf["statistics"]["categorical_count"]) == {"A", "N", "R"}
+    sd = by_name["l_shipdate"]
+    assert sd["data_type"] == "datetime"
+    assert sd["statistics"]["min_datetime"] is not None
+
+
+def test_merge_invariance(spark, lineitem):
+    whole = Profiler(lineitem).profile()
+    half1 = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    half2 = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    merged = Profiler(half1).profile() + Profiler(half2).profile()
+
+    assert merged.row_count == whole.row_count
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        a, b = whole.columns[c].numeric, merged.columns[c].numeric
+        assert a.n == b.n
+        assert a.min == b.min and a.max == b.max
+        assert a.mean == pytest.approx(b.mean, rel=1e-12)
+        assert a.variance == pytest.approx(b.variance, rel=1e-9)
+        assert a.skewness == pytest.approx(b.skewness, rel=1e-6)
+        assert a.kurtosis == pytest.approx(b.kurtosis, rel=1e-6)
+    ca = whole.columns["l_returnflag"].categorical.categories
+    cb = merged.columns["l_returnflag"].categorical.categories
+    assert ca == cb
+
+
+def test_incremental_equals_merge(spark, lineitem):
+    half1 = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    half2 = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    p = Profiler(half1)
+    p.profile()
+    state = p.update_profile(half2)
+    assert state.row_count == lineitem.count()
+
+    sp = StreamingProfiler()
+    sp.update(half1, 0)
+    sp.update(half2, 1)
+    assert sp.state.row_count == state.row_count
+    assert sp.batches_seen == 2
+
+
+def test_json_round_trip(spark, lineitem):
+    state = Profiler(lineitem).profile()
+    restored = from_json(to_json(state))
+    assert restored.row_count == state.row_count
+    assert restored.columns["l_quantity"].numeric.mean == \
+        state.columns["l_quantity"].numeric.mean
+    assert restored.columns["l_returnflag"].categorical.categories == \
+        state.columns["l_returnflag"].categorical.categories
+    # report builds identically from a restored state
+    assert build_report(restored)["global_stats"]["row_count"] == \
+        build_report(state)["global_stats"]["row_count"]
+
+
+def test_diff(spark, lineitem):
+    a = Profiler(lineitem.where(F.col("l_shipdate") < "1997-01-01")).profile()
+    b = Profiler(lineitem.where(F.col("l_shipdate") >= "1997-01-01")).profile()
+    d = diff_profiles(a, b)
+    by_name = {x["column_name"]: x for x in d["data_stats"]}
+    q = by_name["l_quantity"]
+    assert "t-test" in q and q["t-test"] is not None
+    assert "t-statistic" in q["t-test"]
+    rf = by_name["l_returnflag"]
+    assert rf["psi"] is not None and rf["psi"] >= 0 or rf["psi"] < 1
+    assert rf["chi2-test"]["deg_of_free"] == 2
+
+
+def test_profile_with_sampling(spark, lineitem):
+    p = Profiler(lineitem, ProfilerOptions(sample_fraction=0.2))
+    state = p.profile()
+    n = lineitem.count()
+    assert 0.1 * n < state.row_count < 0.3 * n

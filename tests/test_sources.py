@@ -1,0 +1,112 @@
+"""Format sniffing + reader dispatch tests (reference test pattern:
+data_readers fixtures incl. mislabeled extensions, SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dataprofiler_spark.sources.sniff import (detect_encoding, read_data,
+                                              sniff, flatten_struct_columns)
+
+
+@pytest.fixture(scope="module")
+def tmpdata(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sniff")
+    (d / "plain.csv").write_text("a,b,c\n1,2,x\n3,4,y\n5,6,z\n")
+    (d / "semi.data").write_text("name;qty;price\nfoo;1;2.5\nbar;2;3.5\n")
+    (d / "noheader.csv").write_text("1,2,3\n4,5,6\n7,8,9\n")
+    (d / "lines.json").write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    (d / "whole.json").write_text(json.dumps(
+        {"data": [{"a": 1, "n": {"x": 2}}, {"a": 3, "n": {"x": 4}}]}))
+    (d / "edges.csv").write_text(
+        "source,target,weight\n1,2,0.5\n2,3,0.7\n3,1,0.2\n")
+    (d / "free.txt").write_text("just some prose\nwith lines of text\n")
+    (d / "latin.csv").write_text("a,b\ncaf\xe9,1\n", encoding="latin-1")
+    return d
+
+
+def test_sniff_csv(tmpdata):
+    r = sniff(str(tmpdata / "plain.csv"))
+    assert r.format == "csv"
+    assert r.options["sep"] == ","
+    assert r.options["header"] is True
+
+
+def test_sniff_csv_semicolon_mislabeled_extension(tmpdata):
+    r = sniff(str(tmpdata / "semi.data"))
+    assert r.format == "csv"
+    assert r.options["sep"] == ";"
+    assert r.options["header"] is True
+
+
+def test_sniff_csv_no_header(tmpdata):
+    r = sniff(str(tmpdata / "noheader.csv"))
+    assert r.format == "csv"
+    assert r.options["header"] is False
+
+
+def test_sniff_json_lines(tmpdata):
+    assert sniff(str(tmpdata / "lines.json")).format == "json"
+
+
+def test_sniff_whole_json(tmpdata):
+    assert sniff(str(tmpdata / "whole.json")).format == "json"
+
+
+def test_sniff_graph_csv(tmpdata):
+    assert sniff(str(tmpdata / "edges.csv")).format == "graph_csv"
+
+
+def test_sniff_text(tmpdata):
+    assert sniff(str(tmpdata / "free.txt")).format == "text"
+
+
+def test_sniff_parquet(sf_dir):
+    assert sniff(os.path.join(sf_dir, "lineitem.parquet")).format == "parquet"
+
+
+def test_encoding_fallback(tmpdata):
+    head = (tmpdata / "latin.csv").read_bytes()
+    assert detect_encoding(head) == "ISO-8859-1"
+
+
+def test_read_dispatch_csv(spark, tmpdata):
+    df, res = read_data(spark, str(tmpdata / "semi.data"))
+    assert res.format == "csv"
+    assert df.columns == ["name", "qty", "price"]
+    assert df.count() == 2
+
+
+def test_read_dispatch_parquet(spark, sf_dir):
+    df, res = read_data(spark, os.path.join(sf_dir, "region.parquet"))
+    assert res.format == "parquet"
+    assert df.count() == 5
+
+
+def test_flatten_nested_json(spark, tmpdata):
+    df, _ = read_data(spark, str(tmpdata / "lines.json"))
+    nested = spark.createDataFrame(
+        [(1, {"x": 2, "y": {"z": 3}})], "a int, n struct<x:int, y:struct<z:int>>")
+    flat = flatten_struct_columns(nested)
+    assert flat.columns == ["a", "n.x", "n.y.z"]
+    assert flat.collect()[0]["n.y.z"] == 3
+
+
+def test_validators(spark, sf_dir, duck):
+    from dataprofiler_spark.operators.validators import (Rule, validate,
+                                                         oracle_validate_sql)
+    from tests.oracle_utils import assert_frames_match
+
+    rules = [
+        Rule("l_quantity", "in_range", low=1, high=50),
+        Rule("l_returnflag", "in_list", values=("A", "N", "R")),
+        Rule("l_orderkey", "not_null"),
+        Rule("l_shipdate", "not_null"),
+    ]
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    got = validate(df, rules).toPandas()
+    want = duck.sql(oracle_validate_sql("lineitem", rules)).df()
+    assert_frames_match(got, want, "validators")
