@@ -180,7 +180,7 @@ class Profiler:
                        else col.isNull())
             nulls_in_row = nulls_in_row + F.when(is_null, 1).otherwise(0)
             exprs.append(F.sum(F.when(is_null, 1).otherwise(0)).alias(f"{c}__nulls"))
-            exprs.append(F.approx_count_distinct(col, 0.05).alias(f"{c}__approx"))
+            exprs.append(F.approx_count_distinct(col, 0.1).alias(f"{c}__approx"))
 
         exprs.append(F.sum(F.when(nulls_in_row > 0, 1).otherwise(0))
                      .alias("__rows_with_null"))
@@ -188,7 +188,7 @@ class Profiler:
                      .alias("__rows_all_null"))
         if opt.unique_row_method == "hll":
             exprs.append(F.approx_count_distinct(
-                F.xxhash64(*[F.col(c) for c in all_cols]), 0.01).alias("__uniq"))
+                F.xxhash64(*[F.col(c) for c in all_cols]), 0.02).alias("__uniq"))
         elif opt.unique_row_method == "full":
             exprs.append(F.count_distinct(*[F.col(c) for c in all_cols])
                          .alias("__uniq"))

@@ -543,3 +543,145 @@ _RULES = [
 @register("validate_lineitem", vd.oracle_validate_sql("lineitem", _RULES))
 def validate_lineitem(spark, sf_dir):
     return vd.validate(T(spark, sf_dir, "lineitem"), _RULES)
+
+
+# ---------------------------------------------------------------------------
+# Float precision stats (SURVEY §2.4, float_column_profile.py:277-396)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import precision as pr
+
+_PREC_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register("precision_stats_lineitem",
+          pr.oracle_precision_stats_sql("lineitem", _PREC_COLS))
+def precision_stats_lineitem(spark, sf_dir):
+    return pr.precision_stats(T(spark, sf_dir, "lineitem"), _PREC_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Null-spec semantics (SURVEY §1.2 null model): regex-defined nulls over a
+# derived string column constructed identically in both engines.
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.functions.nulls import DEFAULT_NULL_SPEC
+
+_NULLISH_CASE_SQL = """CASE
+  WHEN c_custkey % 13 = 0 THEN ''
+  WHEN c_custkey % 13 = 1 THEN 'NaN'
+  WHEN c_custkey % 13 = 2 THEN 'none'
+  WHEN c_custkey % 13 = 3 THEN 'NULL'
+  WHEN c_custkey % 13 = 4 THEN '  '
+  WHEN c_custkey % 13 = 5 THEN '--'
+  ELSE c_mktsegment END"""
+
+
+def _nullish_col():
+    k = F.col("c_custkey") % 13
+    return (F.when(k == 0, "").when(k == 1, "NaN").when(k == 2, "none")
+            .when(k == 3, "NULL").when(k == 4, "  ").when(k == 5, "--")
+            .otherwise(F.col("c_mktsegment")))
+
+
+_NULLSPEC_ORACLE = f"""
+WITH t AS (SELECT {_NULLISH_CASE_SQL} AS val FROM customer)
+SELECT COUNT(*) AS sample_size,
+       SUM(CASE WHEN val IS NULL
+                OR regexp_matches(val, '(?i)^(?:(?:)|(?:nan)|(?:none)|(?:null)|(?:\\s+)|(?:--+)|(?:__+))$')
+           THEN 1 ELSE 0 END) AS null_count,
+       SUM(CASE WHEN val = '' THEN 1 ELSE 0 END) AS empty_count,
+       SUM(CASE WHEN regexp_matches(val, '(?i)^nan$') THEN 1 ELSE 0 END) AS nan_count,
+       SUM(CASE WHEN regexp_matches(val, '^\\s+$') THEN 1 ELSE 0 END) AS ws_count
+FROM t
+"""
+
+
+@register("nullspec_customer", _NULLSPEC_ORACLE)
+def nullspec_customer(spark, sf_dir):
+    df = T(spark, sf_dir, "customer").select(_nullish_col().alias("val"))
+    v = F.col("val")
+    return df.agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.sum(F.when(DEFAULT_NULL_SPEC.is_null(v), 1).otherwise(0))
+         .alias("null_count"),
+        F.sum(F.when(v == "", 1).otherwise(0)).alias("empty_count"),
+        F.sum(F.when(v.rlike("(?i)^nan$"), 1).otherwise(0)).alias("nan_count"),
+        F.sum(F.when(v.rlike(r"^\s+$"), 1).otherwise(0)).alias("ws_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unstructured text summary (SURVEY §2.4 unstructured base stats +
+# word stats; profile_builder.py:1449-1536, unstructured_text_profile.py)
+# ---------------------------------------------------------------------------
+
+_UNSTRUCT_ORACLE = """
+SELECT COUNT(*) AS samples,
+       SUM(CASE WHEN regexp_matches(text, '^\\s*$') OR text IS NULL THEN 1 ELSE 0 END) AS empty_count,
+       ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE) / 1048576, 6) AS memory_mb,
+       SUM(len(regexp_extract_all(LOWER(text), '\\S+'))) AS total_words,
+       (SELECT COUNT(DISTINCT w) FROM (
+          SELECT UNNEST(regexp_extract_all(LOWER(text), '\\S+')) AS w FROM documents
+       )) AS unique_words
+FROM documents
+"""
+
+
+@register("unstructured_summary_documents", _UNSTRUCT_ORACLE)
+def unstructured_summary_documents(spark, sf_dir):
+    df = T(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    uniq = (df.select(F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+            ).alias("w"))
+            .agg(F.count_distinct("w").alias("unique_words")))
+    summary = df.agg(
+        F.count(F.lit(1)).alias("samples"),
+        F.sum(F.when(F.col("text").rlike(r"^\s*$") | F.col("text").isNull(), 1)
+              .otherwise(0)).alias("empty_count"),
+        F.round(F.sum(F.octet_length("text")).cast("double") / 1048576, 6)
+         .alias("memory_mb"),
+        F.sum(F.size(toks)).alias("total_words"),
+    )
+    return summary.crossJoin(F.broadcast(uniq))
+
+
+# ---------------------------------------------------------------------------
+# Null replication metrics (SURVEY §2.4, profile_builder.py:2589-2787) —
+# demonstrated on a derived null-bearing column built identically in both
+# engines (testdata has no native nulls).
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import nullreplication as nr
+
+_NULLREP_DERIVED_SQL = """(SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                                  ELSE o_orderkey END AS tgt,
+                                  o_totalprice
+                           FROM orders)"""
+
+
+@register("null_replication_orders",
+          nr.oracle_null_replication_sql(_NULLREP_DERIVED_SQL, ["tgt"],
+                                         ["tgt", "o_totalprice"]))
+def null_replication_orders(spark, sf_dir):
+    df = T(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+         .otherwise(F.col("o_orderkey")).alias("tgt"),
+        F.col("o_totalprice"),
+    )
+    return nr.null_replication_metrics(df, ["tgt"], ["tgt", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# CNN-labeler adapter (mapInPandas pipeline; stub model — rows-only check
+# exercises the Arrow batching + vote aggregation end-to-end)
+# ---------------------------------------------------------------------------
+
+@register("cnn_labeler_customer")
+def cnn_labeler_customer(spark, sf_dir):
+    from dataprofiler_spark.labeler.cnn_adapter import (column_label_vote,
+                                                        predict_cells)
+    df = T(spark, sf_dir, "customer")
+    preds = predict_cells(df, ["c_custkey", "c_name", "c_acctbal"])
+    return column_label_vote(preds)
