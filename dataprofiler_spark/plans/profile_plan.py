@@ -65,11 +65,13 @@ class ProfilerOptions:
         histogram_bins: int | str = "auto",
         max_histogram_bins: int = 1000,
         sample_fraction: float | None = None,
-        sample_seed: int = 42,
+        sample_seed: int | None = None,
         unique_row_method: str = "hll",   # hll | full | none
         top_k_categories: int = 5,
         datetime_formats: tuple = DATETIME_FORMATS,
         infer_types_on_strings: bool = True,
+        order_by: list[str] | None = None,  # enables order detection
+        detect_datetime_formats: bool = False,
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -77,11 +79,16 @@ class ProfilerOptions:
         self.histogram_bins = histogram_bins
         self.max_histogram_bins = max_histogram_bins
         self.sample_fraction = sample_fraction
+        if sample_seed is None:
+            from dataprofiler_spark.session import get_seed
+            sample_seed = get_seed()
         self.sample_seed = sample_seed
         self.unique_row_method = unique_row_method
         self.top_k_categories = top_k_categories
         self.datetime_formats = datetime_formats
         self.infer_types_on_strings = infer_types_on_strings
+        self.order_by = order_by
+        self.detect_datetime_formats = detect_datetime_formats
 
 
 class Profiler:
@@ -167,7 +174,77 @@ class Profiler:
 
         state.times = {"wide_agg": t_agg, "categorical": t_cat,
                        "histogram": t_hist}
+
+        # opt-in job 4: order detection over an explicit ordering (Spark
+        # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort
+        # classifies every column)
+        if opt.order_by:
+            t0 = time.perf_counter()
+            self._order_pass(df, state, opt.order_by)
+            state.times["order"] = time.perf_counter() - t0
+
+        # opt-in job 5: per-format match counts for string columns that
+        # inferred as datetime (datetime_column_profile.py:245-345)
+        if opt.detect_datetime_formats:
+            dt_strings = [c for c in string_cols
+                          if state.columns[c].inferred_type == "datetime"]
+            if dt_strings:
+                self._format_pass(df, state, dt_strings)
         return state
+
+    def _order_pass(self, df: DataFrame, state: DatasetState,
+                    order_by: list[str]) -> None:
+        from pyspark.sql.window import Window
+
+        from dataprofiler_spark.state import OrderState
+
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        cols = state.column_order
+        sel = [F.col(c) for c in cols] + [
+            F.lag(F.col(c)).over(w).alias(f"{c}__prev") for c in cols]
+        pairs = df.select(*sel)
+        aggs = []
+        for c in cols:
+            v, p = F.col(c), F.col(f"{c}__prev")
+            aggs.extend([
+                F.sum(F.when(p.isNotNull() & (v > p), 1).otherwise(0))
+                 .alias(f"{c}__asc"),
+                F.sum(F.when(p.isNotNull() & (v < p), 1).otherwise(0))
+                 .alias(f"{c}__desc"),
+                F.min(c).alias(f"{c}__first"),
+                F.max(c).alias(f"{c}__last"),
+            ])
+        row = pairs.agg(*aggs).collect()[0]
+        for c in cols:
+            a, d = row[f"{c}__asc"], row[f"{c}__desc"]
+            if a == 0 and d == 0:
+                order = "constant value"
+            elif d == 0:
+                order = "ascending"
+            elif a == 0:
+                order = "descending"
+            else:
+                order = "random"
+            state.columns[c].order = OrderState(
+                order=order, first=row[f"{c}__first"], last=row[f"{c}__last"],
+                n=state.row_count)
+
+    def _format_pass(self, df: DataFrame, state: DatasetState,
+                     cols: list[str]) -> None:
+        exprs = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            for i, (strp, spark_fmt) in enumerate(self.options.datetime_formats):
+                exprs.append(F.sum(
+                    F.when(F.try_to_timestamp(s, F.lit(spark_fmt)).isNotNull(), 1)
+                    .otherwise(0)).alias(f"{c}__{i}"))
+        row = df.agg(*exprs).collect()[0]
+        for c in cols:
+            fmts = [strp for i, (strp, _) in
+                    enumerate(self.options.datetime_formats)
+                    if row[f"{c}__{i}"] > 0]
+            if state.columns[c].datetime is not None:
+                state.columns[c].datetime.formats = fmts
 
     def _wide_agg_exprs(self, all_cols, numeric_cols, string_cols, dt_cols):
         opt = self.options

@@ -62,6 +62,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SEED: int | None = None
+
+
+def set_seed(seed: int | None) -> None:
+    """Global sampling seed (reference: dp.set_seed / DATAPROFILER_SEED,
+    dataprofiler/__init__.py:26-31, rng_utils.py:10-19). Consumed by
+    Profiler sampling and any operator that samples."""
+    global _SEED
+    _SEED = seed
+
+
+def get_seed(default: int = 42) -> int:
+    if _SEED is not None:
+        return _SEED
+    env = os.environ.get("DATAPROFILER_SEED")
+    return int(env) if env and env.isdigit() else default
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Repartition ONLY when the input is under-partitioned relative to the
     cluster (e.g. one small parquet file on a 32-core local run).

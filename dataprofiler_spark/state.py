@@ -344,6 +344,16 @@ class DatasetState:
         )
 
 
+def merge_profile_list(states: list["DatasetState"]) -> "DatasetState":
+    """profiler_utils.merge_profile_list:824-850 — the reference tree-
+    reduces under multiprocessing because Python merges are slow; these
+    states are tiny scalars, a fold is instant."""
+    from functools import reduce
+    if not states:
+        raise ValueError("empty profile list")
+    return reduce(lambda a, b: a + b, states)
+
+
 # -- JSON round-trip --------------------------------------------------------
 
 _STATE_CLASSES = {

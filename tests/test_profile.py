@@ -109,3 +109,37 @@ def test_profile_with_sampling(spark, lineitem):
     state = p.profile()
     n = lineitem.count()
     assert 0.1 * n < state.row_count < 0.3 * n
+
+
+def test_profile_order_and_formats(spark, sf_dir):
+    import os as _os
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+          .withColumn("od_str", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")))
+    p = Profiler(df, ProfilerOptions(order_by=["o_orderkey"],
+                                     detect_datetime_formats=True))
+    state = p.profile()
+    assert state.columns["o_orderkey"].order.order == "ascending"
+    assert state.columns["o_totalprice"].order.order == "random"
+    od = state.columns["od_str"]
+    assert od.inferred_type == "datetime"
+    assert "%Y-%m-%d %H:%M:%S" in od.datetime.formats
+
+
+def test_merge_profile_list_and_seed(spark, sf_dir):
+    import os as _os
+    from pyspark.sql import functions as F
+    from dataprofiler_spark.session import set_seed, get_seed
+    from dataprofiler_spark.state import merge_profile_list
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    parts = [Profiler(li.where(F.col("l_orderkey") % 3 == i)).profile()
+             for i in range(3)]
+    merged = merge_profile_list(parts)
+    assert merged.row_count == li.count()
+
+    set_seed(7)
+    assert get_seed() == 7
+    assert ProfilerOptions().sample_seed == 7
+    set_seed(None)
