@@ -11,15 +11,20 @@ Public API:
     get_spark() / load_tables()      — session + testdata helpers
 """
 
+from dataprofiler_spark.plans.dispatch import (GraphProfiler,
+                                               UnstructuredProfiler,
+                                               profile_path)
 from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
 from dataprofiler_spark.report import build_report, diff_profiles
-from dataprofiler_spark.session import get_spark, load_tables
-from dataprofiler_spark.state import DatasetState, from_json, to_json
+from dataprofiler_spark.session import get_spark, load_tables, set_seed
+from dataprofiler_spark.state import (DatasetState, from_json,
+                                      merge_profile_list, to_json)
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
 
 __all__ = [
-    "Profiler", "ProfilerOptions", "DatasetState", "StreamingProfiler",
-    "build_report", "diff_profiles", "get_spark", "load_tables",
-    "to_json", "from_json",
+    "Profiler", "ProfilerOptions", "UnstructuredProfiler", "GraphProfiler",
+    "DatasetState", "StreamingProfiler", "build_report", "diff_profiles",
+    "get_spark", "load_tables", "merge_profile_list", "profile_path",
+    "set_seed", "to_json", "from_json",
 ]
 __version__ = "0.1.0"

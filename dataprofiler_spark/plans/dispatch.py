@@ -1,0 +1,103 @@
+"""Profiler dispatch — structured / unstructured / graph.
+
+Reference: Profiler.__new__ (profile_builder.py:3075-3146) picks
+StructuredProfiler | UnstructuredProfiler | GraphProfiler from the data's
+type. Here ``profile_path`` sniffs a file and routes; the class wrappers
+expose each profile family over DataFrames directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
+
+
+class UnstructuredProfiler:
+    """Text-blob profile (reference: UnstructuredProfiler,
+    profile_builder.py:1449-1536 + unstructured_text_profile.py): one row
+    per sample in a single string column."""
+
+    def __init__(self, df: DataFrame, text_col: str | None = None,
+                 top_k: int = 20):
+        self.text_col = text_col or df.columns[0]
+        self.df = df
+        self.top_k = top_k
+
+    def report(self) -> dict:
+        from dataprofiler_spark.operators.textstats import word_counts
+        c = F.col(self.text_col)
+        toks = F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("samples"),
+            F.sum(F.when(c.rlike(r"^\s*$") | c.isNull(), 1).otherwise(0))
+             .alias("empty_line_count"),
+            (F.sum(F.octet_length(c)).cast("double") / 1048576)
+             .alias("memory_size_mb"),
+            F.sum(F.size(toks)).alias("word_count"),
+        ).collect()[0]
+        vocab_size = (self.df.select(F.explode(
+            F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)).alias("w"))
+            .agg(F.count_distinct("w")).collect()[0][0])
+        top = [(r["word"], r["count"]) for r in
+               word_counts(self.df, self.text_col, self.top_k).collect()]
+        return {
+            "global_stats": {
+                "samples_used": row["samples"],
+                "empty_line_count": row["empty_line_count"],
+                "memory_size": row["memory_size_mb"],
+            },
+            "data_stats": {
+                "data_label": "text",
+                "statistics": {
+                    "word_count": row["word_count"],
+                    "vocab_size": vocab_size,
+                    "words": top,
+                },
+            },
+        }
+
+
+class GraphProfiler:
+    """Edge-list profile (reference: graph_profiler.py)."""
+
+    def __init__(self, edges: DataFrame, src: str | None = None,
+                 dst: str | None = None):
+        from dataprofiler_spark.operators.graph import detect_edge_columns
+        if src is None or dst is None:
+            found = detect_edge_columns(edges.columns)
+            if not found:
+                raise ValueError("could not detect source/destination columns")
+            src, dst = found
+        self.edges, self.src, self.dst = edges, src, dst
+
+    def report(self) -> dict:
+        from dataprofiler_spark.operators.graph import (component_summary,
+                                                        degree_stats,
+                                                        edge_attribute_profile)
+        deg = degree_stats(self.edges, self.src, self.dst).collect()[0]
+        comp = component_summary(self.edges, self.src, self.dst).collect()[0]
+        attrs = [c for c in self.edges.columns if c not in (self.src, self.dst)]
+        return {
+            "num_nodes": deg["num_nodes"],
+            "num_edges": deg["num_edges"],
+            "avg_degree": deg["avg_degree"],
+            "max_degree": deg["max_degree"],
+            "num_components": comp["num_components"],
+            "max_component_size": comp["max_component_size"],
+            "continuous_distribution": edge_attribute_profile(
+                self.edges, attrs) if attrs else {},
+        }
+
+
+def profile_path(spark, path: str, options: ProfilerOptions | None = None):
+    """Data(path) → Profiler(data) in one call: sniff, read, route."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    df, res = read_data(spark, path)
+    if res.format == "text":
+        return UnstructuredProfiler(df, "value")
+    if res.format == "graph_csv":
+        return GraphProfiler(df)
+    return Profiler(df, options)

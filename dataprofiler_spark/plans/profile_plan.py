@@ -1,4 +1,4 @@
-"""The Profiler — full-dataset profile in THREE Spark jobs.
+"""The Profiler — full-dataset profile in TWO Spark jobs (two scans).
 
 Reference lifecycle (profile_builder.py:2789-3040) runs per-column Python
 with multiprocessing pools; the Spark-first plan instead batches:
@@ -9,12 +9,13 @@ with multiprocessing pools; the Spark-first plan instead batches:
          zeros/negatives, text length stats, datetime min/max, approx
          distinct per column, row-null stats, and approx unique-row count
          (HLL over xxhash64) — all in one pass over the data.
-  job 2  ONE melted groupBy for category counts of all candidate columns
-         (gated by job 1's approx distincts — the reference's stop
-         condition applied *before* spending the shuffle).
-  job 3  ONE melted groupBy for equal-width histogram buckets of all
-         numeric columns (bin edges from job 1's min/max; bin count via
-         the numpy-style estimators in operators/histogram.py).
+  job 2  ONE fused melted groupBy computing BOTH category counts of all
+         candidate columns (gated by job 1's approx distincts — the
+         reference's stop condition applied *before* spending the
+         shuffle) AND equal-width histogram buckets of all numeric
+         columns (bin edges from job 1's min/max; bin count via the
+         numpy-style estimators in operators/histogram.py). One scan,
+         one shuffle, for both operator families.
 
 Per-column work never spawns per-column jobs (SURVEY §4 anti-pattern
 note): expressions fuse into whole-stage codegen; partial aggregation
@@ -143,7 +144,11 @@ class Profiler:
         state = self._assemble(row, all_cols, numeric_cols, string_cols,
                                dt_cols, simple_types)
 
-        # job 2: categorical counts for gated candidates
+        # job 2: ONE fused melted pass for BOTH category counts (gated
+        # candidates) AND histogram buckets (all numeric columns). Each is
+        # a (tag, column, key) → count aggregation; fusing them halves the
+        # number of full-data scans (2 total instead of 3) — at 100 TB the
+        # scan IS the cost, so this is a 33% IO cut for the whole profile.
         t0 = time.perf_counter()
         n = max(state.row_count, 1)
         candidates = []
@@ -154,26 +159,15 @@ class Profiler:
                 continue
             if ad / n <= opt.categorical_stop_ratio or ad <= 10:
                 candidates.append(c)
-        if candidates:
-            from dataprofiler_spark.operators.categorical import category_counts
-            for r in category_counts(df, candidates).collect():
-                col = state.columns[r["column"]]
-                if col.categorical is None:
-                    col.categorical = CategoricalState()
-                col.categorical.categories[r["value"]] = r["count"]
+        hist_specs = self._histogram_specs(state, numeric_cols)
+        self._fused_counts_pass(df, state, candidates, hist_specs)
         for c in all_cols:
             if c not in candidates:
                 state.columns[c].categorical = CategoricalState(
                     categories={}, active=False)
         t_cat = time.perf_counter() - t0
 
-        # job 3: histograms for numeric columns (one melted bucket job)
-        t0 = time.perf_counter()
-        self._histograms(df, state, numeric_cols)
-        t_hist = time.perf_counter() - t0
-
-        state.times = {"wide_agg": t_agg, "categorical": t_cat,
-                       "histogram": t_hist}
+        state.times = {"wide_agg": t_agg, "counts_pass": t_cat}
 
         # opt-in job 4: order detection over an explicit ordering (Spark
         # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort
@@ -333,13 +327,13 @@ class Profiler:
             row_count=n_rows,
             column_order=list(all_cols),
             unique_row_count=r.get("__uniq"),
-            rows_with_null=r["__rows_with_null"],
-            rows_all_null=r["__rows_all_null"],
+            rows_with_null=r["__rows_with_null"] or 0,
+            rows_all_null=r["__rows_all_null"] or 0,
         )
         for c in all_cols:
             col = ColumnState(
-                name=c, sample_size=n_rows, null_count=r[f"{c}__nulls"],
-                approx_distinct=r[f"{c}__approx"],
+                name=c, sample_size=n_rows, null_count=r[f"{c}__nulls"] or 0,
+                approx_distinct=r[f"{c}__approx"] or 0,
             )
             matched = n_rows - col.null_count
             if c in numeric_cols:
@@ -391,8 +385,8 @@ class Profiler:
             state.columns[c] = col
         return state
 
-    def _histograms(self, df: DataFrame, state: DatasetState,
-                    numeric_cols: list[str]) -> None:
+    def _histogram_specs(self, state: DatasetState, numeric_cols: list[str]
+                         ) -> list[tuple[str, float, float, int]]:
         opt = self.options
         specs = []
         for c in numeric_cols:
@@ -407,31 +401,56 @@ class Profiler:
                                    clamp=(1, opt.max_histogram_bins)),
                     opt.max_histogram_bins)
             specs.append((c, ns.min, ns.max, bins))
-        if not specs:
-            return
+        return specs
+
+    def _fused_counts_pass(self, df: DataFrame, state: DatasetState,
+                           cat_cols: list[str],
+                           hist_specs: list[tuple[str, float, float, int]]
+                           ) -> None:
+        """Category values and histogram buckets melt into one
+        (column, key) stream → ONE groupBy shuffle for both operator
+        families. Histogram keys are "#<bucket>" (categorical string
+        values never start with '#<digits>' ambiguity because histogram
+        and categorical column sets are disjoint per key construction —
+        the column name disambiguates)."""
         entries = []
-        for c, lo, hi, bins in specs:
+        for c in cat_cols:
+            entries.append(F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.lit("cat:" + c).alias("column"),
+                         F.col(c).cast("string").alias("key"))))
+        for c, lo, hi, bins in hist_specs:
             w = (hi - lo) / bins
             b = F.least(
                 F.greatest(
                     F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
                     .cast("int"), F.lit(0)),
                 F.lit(bins - 1))
-            entries.append(F.when(F.col(c).isNotNull(),
-                                  F.struct(F.lit(c).alias("column"),
-                                           b.alias("bucket"))))
+            entries.append(F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.lit("hist:" + c).alias("column"),
+                         b.cast("string").alias("key"))))
+        if not entries:
+            return
         melted = df.select(
             F.explode(F.array(*entries)).alias("e")
         ).where(F.col("e").isNotNull()).select("e.*")
-        counts = melted.groupBy("column", "bucket").agg(
+        counts = melted.groupBy("column", "key").agg(
             F.count(F.lit(1)).alias("count")).collect()
-        by_col: dict[str, dict[int, int]] = {}
+
+        hist_acc: dict[str, dict[int, int]] = {}
         for r in counts:
-            by_col.setdefault(r["column"], {})[r["bucket"]] = r["count"]
-        for c, lo, hi, bins in specs:
-            buckets = by_col.get(c, {})
-            ns = state.columns[c].numeric
-            ns.histogram = {
+            tag, c = r["column"].split(":", 1)
+            if tag == "cat":
+                col = state.columns[c]
+                if col.categorical is None:
+                    col.categorical = CategoricalState()
+                col.categorical.categories[r["key"]] = r["count"]
+            else:
+                hist_acc.setdefault(c, {})[int(r["key"])] = r["count"]
+        for c, lo, hi, bins in hist_specs:
+            buckets = hist_acc.get(c, {})
+            state.columns[c].numeric.histogram = {
                 "bin_edges": [lo + i * (hi - lo) / bins for i in range(bins + 1)],
                 "bin_counts": [buckets.get(i, 0) for i in range(bins)],
             }

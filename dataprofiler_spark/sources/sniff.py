@@ -21,7 +21,7 @@ from collections import Counter
 from dataclasses import dataclass, field
 
 HEAD_BYTES = 64 * 1024
-CANDIDATE_DELIMS = [",", "\t", ";", "|", " "]
+CANDIDATE_DELIMS = [",", "\t", ";", "|"]  # space splits prose — not a candidate
 
 
 @dataclass
@@ -97,9 +97,6 @@ def guess_delimiter(lines: list[str]) -> str | None:
         if mode_count == 0:
             continue
         consistency = freq / len(counts)
-        # space splits prose too — only accept it when every line agrees
-        if d == " " and consistency < 1.0:
-            continue
         if consistency < 0.75:
             continue
         score = consistency * (1 + min(mode_count, 5) / 10)

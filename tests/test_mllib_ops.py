@@ -1,0 +1,68 @@
+"""MLlib-variant operators: behavior tests (recall vs exact operators,
+shape/contract), not hash tests — MLlib results are seed-dependent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dataprofiler_spark.operators import mllib_ops as ml
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_minhash_lsh_ml_finds_real_neardups(spark, docs):
+    from dataprofiler_spark.operators.dedup import ngram_jaccard_adjacent
+
+    pairs = ml.minhash_lsh_pairs_ml(docs, "doc_id", "text",
+                                    jaccard_threshold=0.55)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    truth = {(r["id1"], r["id2"])
+             for r in ngram_jaccard_adjacent(docs, "doc_id", "text").collect()
+             if r["jaccard"] >= 0.6}
+    if truth:  # recall on comfortably-above-threshold adjacent pairs
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, (recall, len(truth))
+
+
+def test_ann_topk_ml_contract(spark, emb):
+    nn = ml.ann_topk_ml(emb, "vec_id", "embedding", 0, k=5).collect()
+    assert len(nn) == 5
+    assert all(r["vec_id"] != 0 for r in nn)
+    dists = [r["dist"] for r in nn]
+    assert dists == sorted(dists)
+
+
+def test_ivf_topk_recall(spark, emb):
+    from dataprofiler_spark.operators.similarity import cosine_topk
+
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()]
+    approx = [r["vec_id"] for r in
+              ml.ivf_topk(emb, "vec_id", "embedding", 0, k=10,
+                          n_centroids=8, nprobe=4).collect()]
+    # probing half the centroids should recover most of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_correlation_ml_close_to_exact(spark, sf_dir):
+    from dataprofiler_spark.operators.correlation import correlation_matrix
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = {(r["col1"], r["col2"]): r["corr"]
+             for r in correlation_matrix(df, cols).collect()}
+    m = ml.correlation_matrix_ml(df, cols)
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                assert m[i][j] == pytest.approx(exact[(a, b)], abs=1e-6)

@@ -143,3 +143,59 @@ def test_merge_profile_list_and_seed(spark, sf_dir):
     assert get_seed() == 7
     assert ProfilerOptions().sample_seed == 7
     set_seed(None)
+
+
+def test_profiler_edge_cases(spark):
+    """Empty tables, all-null columns, constant columns (the reference's
+    edge-case test pattern, e.g. test_int_column_profile.py:22-57)."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("x", DoubleType()),
+                         StructField("s", StringType())])
+    empty = spark.createDataFrame([], schema)
+    st = Profiler(empty).profile()
+    assert st.row_count == 0
+    assert st.columns["x"].numeric.n == 0
+    assert build_report(st)["global_stats"]["row_count"] == 0
+
+    allnull = spark.createDataFrame([(None, None)] * 10, schema)
+    st2 = Profiler(allnull).profile()
+    assert st2.columns["x"].null_count == 10
+    assert st2.rows_all_null == 10
+    assert st2.columns["x"].numeric.n == 0
+
+    const = spark.createDataFrame([(5.0, "a")] * 10, schema)
+    st3 = Profiler(const).profile()
+    ns = st3.columns["x"].numeric
+    assert ns.mean == 5.0 and ns.variance == 0.0
+    assert ns.skewness is None  # m2 == 0 → undefined, not NaN
+    rep = build_report(st3)
+    assert rep["data_stats"][0]["statistics"]["stddev"] == 0.0
+
+
+def test_dispatch(spark, tmp_path, sf_dir):
+    from dataprofiler_spark.plans.dispatch import (GraphProfiler,
+                                                   UnstructuredProfiler,
+                                                   profile_path)
+    (tmp_path / "blob.txt").write_text("hello world\n\nthe end\n")
+    p = profile_path(spark, str(tmp_path / "blob.txt"))
+    assert isinstance(p, UnstructuredProfiler)
+    rep = p.report()
+    assert rep["global_stats"]["samples_used"] == 3
+    assert rep["global_stats"]["empty_line_count"] == 1
+    assert rep["data_stats"]["statistics"]["word_count"] == 4
+
+    (tmp_path / "edges.csv").write_text(
+        "source,target,w\n1,2,0.1\n2,3,0.2\n4,5,0.3\n")
+    g = profile_path(spark, str(tmp_path / "edges.csv"))
+    assert isinstance(g, GraphProfiler)
+    grep = g.report()
+    assert grep["num_nodes"] == 5
+    assert grep["num_components"] == 2
+    assert grep["max_component_size"] == 3
+
+    import os as _os
+    sp = profile_path(spark, _os.path.join(sf_dir, "region.parquet"))
+    assert isinstance(sp, Profiler)
+    assert sp.report()["global_stats"]["row_count"] == 5
