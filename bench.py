@@ -26,8 +26,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
 
+    from dataprofiler_spark.queries import T as _T
+
     def tbl(name):
-        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _T(spark, sf_dir, name)
 
     timings: dict[str, float] = {}
 
@@ -77,6 +79,32 @@ def main() -> None:
         lambda: dd.simhash(documents, "doc_id", "text").collect())
     run("cosine_topk_embeddings",
         lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0, 10).collect())
+
+    from dataprofiler_spark.operators import correlation as corr
+    from dataprofiler_spark.operators import drift as dr
+    from dataprofiler_spark.operators import events as ev
+    from dataprofiler_spark.operators import textanalysis as ta
+
+    events = tbl("events")
+
+    run("quality_features_documents",
+        lambda: ta.quality_features(documents, "doc_id", "text").count())
+    run("language_id_documents",
+        lambda: ta.language_id(documents, "doc_id", "text").count())
+
+    def _drift():
+        from pyspark.sql import functions as F
+        a = orders.where(F.col("o_orderdate") < "1998-01-01")
+        b = orders.where(F.col("o_orderdate") >= "1998-01-01")
+        dr.categorical_psi(a, b, "o_orderpriority").collect()
+        dr.welch_t(a, b, "o_totalprice").collect()
+    run("drift_orders", _drift)
+
+    run("correlation_lineitem",
+        lambda: corr.correlation_matrix(
+            lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ).collect())
+    run("sessionize_events", lambda: ev.sessionize(events).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

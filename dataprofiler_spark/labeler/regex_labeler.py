@@ -88,6 +88,52 @@ FROM {table}""")
             + "\n) WHERE votes > 0")
 
 
+def unstructured_entity_counts(df: DataFrame, text_col: str,
+                               round_digits: int = 6) -> DataFrame:
+    """(label, entity_count, percentage) over free text — span-level
+    entity extraction (reference: unstructured_labeler_profile.py:262-330
+    entity_counts + _get_percentages:221-246). Patterns are applied
+    unanchored via regexp_extract_all; one scan, counts aggregate
+    map-side."""
+    exprs = []
+    for lbl, pat in LABEL_PATTERNS.items():
+        span_pat = pat.strip("^$")
+        exprs.append(F.sum(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(span_pat), 0))
+        ).alias(lbl))
+    row = df.where(F.col(text_col).isNotNull()).agg(*exprs)
+    structs = [
+        F.struct(F.lit(lbl).alias("label"),
+                 F.col(lbl).alias("entity_count"))
+        for lbl in LABEL_PATTERNS
+    ]
+    melted = row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    total = melted.agg(F.sum("entity_count").alias("t"))
+    return (melted.crossJoin(F.broadcast(total))
+            .where(F.col("entity_count") > 0)
+            .select("label", "entity_count",
+                    F.round(F.col("entity_count") / F.col("t"), round_digits)
+                    .alias("percentage")))
+
+
+def oracle_unstructured_entity_counts_sql(table: str, text_col: str,
+                                          round_digits: int = 6) -> str:
+    sub = []
+    for lbl, pat in LABEL_PATTERNS.items():
+        span_pat = pat.strip("^$").replace("'", "''")
+        sub.append(
+            f"SELECT '{lbl}' AS label, "
+            f"SUM(len(regexp_extract_all({text_col}, '{span_pat}'))) AS entity_count "
+            f"FROM {table} WHERE {text_col} IS NOT NULL")
+    return f"""
+WITH melted AS ({" UNION ALL ".join(sub)}),
+tot AS (SELECT SUM(entity_count) AS t FROM melted)
+SELECT label, entity_count,
+       ROUND(CAST(entity_count AS DOUBLE) / t, {round_digits}) AS percentage
+FROM melted, tot WHERE entity_count > 0
+"""
+
+
 def column_labels(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column, label): reference vote semantics — top-ratio label; labels
     within 0.2 of the top joined by '|'; 'could not determine' when the

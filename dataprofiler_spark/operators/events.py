@@ -1,0 +1,133 @@
+"""Event-stream analytics operators over the events table.
+
+These extend the engine beyond the reference's batch profiling into the
+stream-shaped workloads a 100 TB event pipeline needs (the reference's
+"streaming" is batch-incremental merge only — SURVEY §2.6):
+
+* gap-based sessionization — the batch formulation of a session window
+  (the same semantics Structured Streaming's ``session_window`` gives on
+  a live stream); one window sort per user partition, no driver state.
+* JSON property extraction — ``get_json_object`` stays JVM-side and
+  columnar; at scale prefer materializing hot keys once over re-parsing.
+* rolling aggregates — frame-bounded window sums; scaled-integer sums
+  keep them engine-exact.
+
+All shuffles key on user_id (sessionization) or nothing (global window
+ordered by event_id — at scale use partitionBy on a time bucket to avoid
+the single-partition global sort; noted inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """(user_id, session_id, n_events, start_us, end_us): a new session
+    starts when the gap since the user's previous event exceeds
+    ``gap_minutes``. session_id = running count of session starts per
+    user (1-based) — deterministic, engine-portable integers."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us)
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    with_sid = df.select(
+        F.col(user_col).alias("user_id"), us.alias("us"),
+        F.sum(new_session).over(
+            Window.partitionBy(user_col).orderBy(us)
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (with_sid.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("us").alias("start_us"),
+                 F.max("us").alias("end_us")))
+
+
+def oracle_sessionize_sql(table: str, user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS user_id, epoch_us({ts_col}) AS us FROM {table}
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sid AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us
+FROM sid GROUP BY user_id, session_id
+"""
+
+
+def json_props_summary(df: DataFrame, props_col: str = "props",
+                       key: str = "k") -> DataFrame:
+    """(n, n_with_key, sum_k, min_k, max_k): typed extraction from a JSON
+    string column — integer sums, engine-exact."""
+    v = F.get_json_object(F.col(props_col), f"$.{key}").cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(v).alias("n_with_key"),
+        F.sum(v).alias("sum_k"),
+        F.min(v).alias("min_k"),
+        F.max(v).alias("max_k"),
+    )
+
+
+def oracle_json_props_sql(table: str, props_col: str = "props",
+                          key: str = "k") -> str:
+    v = f"CAST(json_extract_string({props_col}, '$.{key}') AS BIGINT)"
+    return f"""
+SELECT COUNT(*) AS n, COUNT({v}) AS n_with_key,
+       SUM({v}) AS sum_k, MIN({v}) AS min_k, MAX({v}) AS max_k
+FROM {table}
+"""
+
+
+def rolling_avg(df: DataFrame, order_col: str = "event_id",
+                value_col: str = "value", frame: int = 100,
+                round_digits: int = 6) -> DataFrame:
+    """(event_id, roll_sum, roll_avg) over the trailing ``frame`` rows
+    ordered by ``order_col``. Scaled-integer frame sums → exact.
+
+    NOTE the global orderBy window is a single-partition sort — fine for
+    correctness checks; at 100 TB partition the window by a coarse time
+    bucket and handle the seam rows, or use the streaming rollup."""
+    xi = F.round(F.col(value_col).cast("double") * 1000, 0) \
+          .cast("decimal(19,0)").cast("decimal(38,0)")
+    w = Window.orderBy(order_col).rowsBetween(-(frame - 1), 0)
+    s = F.sum(xi).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return df.select(
+        F.col(order_col).alias("event_id"),
+        F.round(s.cast("double") / 1000, round_digits).alias("roll_sum"),
+        F.round(s.cast("double") / n / 1000, round_digits).alias("roll_avg"),
+    )
+
+
+def oracle_rolling_avg_sql(table: str, order_col: str = "event_id",
+                           value_col: str = "value", frame: int = 100,
+                           round_digits: int = 6) -> str:
+    xi = (f"CAST(CAST(ROUND(CAST({value_col} AS DOUBLE) * 1000, 0)"
+          f" AS DECIMAL(19,0)) AS DECIMAL(38,0))")
+    win = f"OVER (ORDER BY {order_col} ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+SELECT {order_col} AS event_id,
+       ROUND(CAST(SUM({xi}) {win} AS DOUBLE) / 1000, {round_digits}) AS roll_sum,
+       ROUND(CAST(SUM({xi}) {win} AS DOUBLE) / COUNT(*) {win} / 1000, {round_digits}) AS roll_avg
+FROM {table}
+"""

@@ -685,3 +685,35 @@ def cnn_labeler_customer(spark, sf_dir):
     df = T(spark, sf_dir, "customer")
     preds = predict_cells(df, ["c_custkey", "c_name", "c_acctbal"])
     return column_label_vote(preds)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics: sessionization, JSON props, rolling windows
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import events as ev
+
+
+@register("sessionize_events", ev.oracle_sessionize_sql("events"))
+def sessionize_events(spark, sf_dir):
+    return ev.sessionize(T(spark, sf_dir, "events"))
+
+
+@register("json_props_events", ev.oracle_json_props_sql("events"))
+def json_props_events(spark, sf_dir):
+    return ev.json_props_summary(T(spark, sf_dir, "events"))
+
+
+@register("rolling_avg_events", ev.oracle_rolling_avg_sql("events"))
+def rolling_avg_events(spark, sf_dir):
+    return ev.rolling_avg(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Unstructured entity extraction (SURVEY §2.7 entity_counts/percentages)
+# ---------------------------------------------------------------------------
+
+@register("entity_counts_events_props",
+          rl.oracle_unstructured_entity_counts_sql("events", "props"))
+def entity_counts_events_props(spark, sf_dir):
+    return rl.unstructured_entity_counts(T(spark, sf_dir, "events"), "props")

@@ -193,6 +193,9 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
                 "variance": _diff_val(na.variance, nb.variance),
             }
             col_diff["t-test"] = _welch_from_states(na, nb)
+            if na.histogram and nb.histogram:
+                col_diff["psi"] = _psi_from_histograms(na.histogram,
+                                                       nb.histogram)
         if (ca.categorical and cb.categorical and ca.categorical.active
                 and cb.categorical.active):
             col_diff["psi"] = _psi_from_dicts(
@@ -201,6 +204,38 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
                 ca.categorical.categories, cb.categorical.categories)
         out["data_stats"].append(col_diff)
     return out
+
+
+def _psi_from_histograms(ha: dict, hb: dict, bins: int = 10) -> float | None:
+    """Numeric PSI over histograms re-binned to common edges
+    (numerical_column_stats.py:667-816 _preprocess_for_calculate_psi:
+    both histograms are projected onto shared equal-width bins over the
+    combined range, then the categorical PSI formula applies)."""
+    from dataprofiler_spark.state import _merge_histograms
+
+    lo = min(ha["bin_edges"][0], hb["bin_edges"][0])
+    hi = max(ha["bin_edges"][-1], hb["bin_edges"][-1])
+    if hi <= lo:
+        return None
+
+    def project(h):
+        w = (hi - lo) / bins
+        counts = [0] * bins
+        for i, c in enumerate(h["bin_counts"]):
+            mid = (h["bin_edges"][i] + h["bin_edges"][i + 1]) / 2
+            counts[min(max(int((mid - lo) / w), 0), bins - 1)] += c
+        return counts
+
+    ca, cb = project(ha), project(hb)
+    na, nb = sum(ca), sum(cb)
+    if not na or not nb:
+        return None
+    psi = 0.0
+    for a, b in zip(ca, cb):
+        pa = (a + 1) / (na + bins)
+        pb = (b + 1) / (nb + bins)
+        psi += (pb - pa) * math.log(pb / pa)
+    return psi
 
 
 def _psi_from_dicts(da: dict[str, int], db: dict[str, int]) -> float | None:

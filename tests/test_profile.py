@@ -199,3 +199,19 @@ def test_dispatch(spark, tmp_path, sf_dir):
     sp = profile_path(spark, _os.path.join(sf_dir, "region.parquet"))
     assert isinstance(sp, Profiler)
     assert sp.report()["global_stats"]["row_count"] == 5
+
+
+def test_salted_agg_equivalence(spark, sf_dir):
+    import os as _os
+    from dataprofiler_spark.operators.skew import salted_agg
+
+    df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    plain = {(r["l_returnflag"],): (r["n"], r["mx"]) for r in
+             df.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.max("l_quantity").alias("mx")).collect()}
+    salted = {(r["l_returnflag"],): (r["n"], r["mx"]) for r in
+              salted_agg(df, ["l_returnflag"],
+                         {"n": ("*", "count"),
+                          "mx": ("l_quantity", "max")}).collect()}
+    assert plain == salted
