@@ -37,6 +37,12 @@ LABEL_PATTERNS: dict[str, str] = {
     "DATETIME": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?$",
     "DATE": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
     "TIME": r"^[0-9]{2}:[0-9]{2}(:[0-9]{2})?$",
+    "US_STATE": (r"^(AL|AK|AZ|AR|CA|CO|CT|DE|FL|GA|HI|ID|IL|IN|IA|KS|KY|LA"
+                 r"|ME|MD|MA|MI|MN|MS|MO|MT|NE|NV|NH|NJ|NM|NY|NC|ND|OH|OK"
+                 r"|OR|PA|RI|SC|SD|TN|TX|UT|VT|VA|WA|WV|WI|WY)$"),
+    "ORDINAL": r"^[0-9]*(1st|2nd|3rd|[04-9]th|11th|12th|13th)$",
+    "QUANTITY": (r"^[+-]?[0-9]+(\.[0-9]+)? ?(kg|g|mg|lb|lbs|oz|km|m|cm|mm"
+                 r"|mi|ft|in|l|ml|gal|%)$"),
     "INTEGER": r"^[+-]?[0-9]+$",
     "FLOAT": r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+)$",
 }
@@ -80,7 +86,7 @@ def oracle_label_votes_sql(table: str, cols: list[str],
             esc = pat.replace("'", "''")
             selects.append(f"""
 SELECT '{c}' AS "column", '{lbl}' AS label,
-       SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR), '{esc}') THEN 1 ELSE 0 END) AS votes,
+       CAST(SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR), '{esc}') THEN 1 ELSE 0 END) AS BIGINT) AS votes,
        ROUND(CAST(SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR), '{esc}') THEN 1 ELSE 0 END) AS DOUBLE)
              / GREATEST(COUNT({c}), 1), {round_digits}) AS ratio
 FROM {table}""")
@@ -123,12 +129,12 @@ def oracle_unstructured_entity_counts_sql(table: str, text_col: str,
         span_pat = pat.strip("^$").replace("'", "''")
         sub.append(
             f"SELECT '{lbl}' AS label, "
-            f"SUM(len(regexp_extract_all({text_col}, '{span_pat}'))) AS entity_count "
+            f"CAST(SUM(len(regexp_extract_all({text_col}, '{span_pat}'))) AS BIGINT) AS entity_count "
             f"FROM {table} WHERE {text_col} IS NOT NULL")
     return f"""
 WITH melted AS ({" UNION ALL ".join(sub)}),
 tot AS (SELECT SUM(entity_count) AS t FROM melted)
-SELECT label, entity_count,
+SELECT label, CAST(entity_count AS BIGINT) AS entity_count,
        ROUND(CAST(entity_count AS DOUBLE) / t, {round_digits}) AS percentage
 FROM melted, tot WHERE entity_count > 0
 """

@@ -50,7 +50,7 @@ def oracle_datetime_profile_sql(table: str, cols: list[str]) -> str:
     selects = [
         f"""
 SELECT '{c}' AS "column", COUNT(*) AS sample_size,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
        COUNT({c}) AS match_count,
        strftime(MIN({c}), '%Y-%m-%d %H:%M:%S') AS min_ts,
        strftime(MAX({c}), '%Y-%m-%d %H:%M:%S') AS max_ts,

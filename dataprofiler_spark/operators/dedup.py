@@ -46,9 +46,9 @@ def exact_dedup_summary(df: DataFrame, text_col: str) -> DataFrame:
 
 def oracle_exact_dedup_sql(table: str, text_col: str) -> str:
     return f"""
-SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_distinct,
-       SUM(cnt) - COUNT(*) AS dup_rows,
-       SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_groups
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_rows,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
 FROM (SELECT md5({text_col}) AS h, COUNT(*) AS cnt FROM {table} GROUP BY 1)
 """
 

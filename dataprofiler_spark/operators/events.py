@@ -68,7 +68,7 @@ WITH e AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(us) AS start_us, MAX(us) AS end_us
 FROM sid GROUP BY user_id, session_id
 """
@@ -93,7 +93,7 @@ def oracle_json_props_sql(table: str, props_col: str = "props",
     v = f"CAST(json_extract_string({props_col}, '$.{key}') AS BIGINT)"
     return f"""
 SELECT COUNT(*) AS n, COUNT({v}) AS n_with_key,
-       SUM({v}) AS sum_k, MIN({v}) AS min_k, MAX({v}) AS max_k
+       CAST(SUM({v}) AS BIGINT) AS sum_k, MIN({v}) AS min_k, MAX({v}) AS max_k
 FROM {table}
 """
 

@@ -74,8 +74,8 @@ def oracle_null_replication_sql(table: str, target_cols: list[str],
             xi = f"CAST(CAST(ROUND(CAST({o} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0)) AS DECIMAL(38,0))"
             selects.append(f"""
 SELECT '{t}' AS target_column, '{o}' AS other_column,
-  SUM(CASE WHEN {t} IS NULL THEN 1 ELSE 0 END) AS null_count,
-  SUM(CASE WHEN {t} IS NOT NULL THEN 1 ELSE 0 END) AS not_null_count,
+  CAST(SUM(CASE WHEN {t} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+  CAST(SUM(CASE WHEN {t} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_count,
   ROUND(CAST(SUM(CASE WHEN {t} IS NULL THEN {xi} END) AS DOUBLE) / {S}, {round_digits}) AS sum_when_null,
   ROUND(CAST(SUM(CASE WHEN {t} IS NULL THEN {xi} END) AS DOUBLE) / {S}
         / SUM(CASE WHEN {t} IS NULL THEN 1 ELSE 0 END), {round_digits}) AS mean_when_null,

@@ -181,8 +181,11 @@ def numeric_profile_exact(
         css = (n * s2 - s1 * s1).cast("double")  # n² · Σ(x−μ)² · S²
         var = F.when(n > 1, css / n / (n - 1) / (s2lit * s2lit)).otherwise(F.lit(None))
         b2 = css / n / n / (s2lit * s2lit)  # biased variance for moment ratios
-        g1 = F.when(n > 0, (m3 / n) / F.pow(b2, F.lit(1.5))).otherwise(F.lit(None))
-        g2 = F.when(n > 0, (m4 / n) / (b2 * b2) - 3).otherwise(F.lit(None))
+        # b2 == 0 (constant column) → moments undefined, not NaN/Inf
+        g1 = F.when((n > 0) & (b2 > 0),
+                    (m3 / n) / F.pow(b2, F.lit(1.5))).otherwise(F.lit(None))
+        g2 = F.when((n > 0) & (b2 > 0),
+                    (m4 / n) / (b2 * b2) - 3).otherwise(F.lit(None))
         out_cols.extend([
             F.col(f"{c}__ss").alias(f"{c}__sample_size"),
             F.col(f"{c}__nulls").alias(f"{c}__null_count"),
@@ -229,16 +232,20 @@ def oracle_numeric_profile_sql(table: str, cols: list[str], round_digits: int = 
         b2 = f"{css} / p.n / p.n / ({S} * {S})"
         selects.append(f"""
 SELECT '{c}' AS "column",
-  p.ss AS sample_size, p.nulls AS null_count, p.n AS match_count,
+  p.ss AS sample_size, CAST(p.nulls AS BIGINT) AS null_count, p.n AS match_count,
   ROUND(p.mn, {r}) AS min, ROUND(p.mx, {r}) AS max,
   ROUND(CAST(p.s1 AS DOUBLE) / {S}, {r}) AS sum,
   ROUND(CAST(p.s1 AS DOUBLE) / p.n / {S}, {r}) AS mean,
   ROUND({var}, {r}) AS variance,
   ROUND(SQRT({var}), {r}) AS stddev,
-  ROUND(((q.m3 / p.n) / POW({b2}, 1.5)) * SQRT(p.n * (p.n - 1)) / (p.n - 2), {r}) AS skewness,
-  ROUND(((p.n + 1) * ((q.m4 / p.n) / (({b2}) * ({b2})) - 3) + 6)
-        * (p.n - 1) / ((p.n - 2) * (p.n - 3)), {r}) AS kurtosis,
-  p.zeros AS num_zeros, p.negs AS num_negatives
+  ROUND(CASE WHEN p.n > 2 AND {b2} > 0
+             THEN ((q.m3 / p.n) / POW({b2}, 1.5)) * SQRT(p.n * (p.n - 1)) / (p.n - 2)
+        END, {r}) AS skewness,
+  ROUND(CASE WHEN p.n > 3 AND {b2} > 0
+             THEN ((p.n + 1) * ((q.m4 / p.n) / (({b2}) * ({b2})) - 3) + 6)
+                  * (p.n - 1) / ((p.n - 2) * (p.n - 3))
+        END, {r}) AS kurtosis,
+  CAST(p.zeros AS BIGINT) AS num_zeros, CAST(p.negs AS BIGINT) AS num_negatives
 FROM (
   SELECT COUNT(*) AS ss,
          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,

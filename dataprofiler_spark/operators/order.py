@@ -61,7 +61,10 @@ WITH pairs AS (
          SUM(CASE WHEN v = p THEN 1 ELSE 0 END) AS eq_pairs
   FROM pairs WHERE p IS NOT NULL
 )
-SELECT '{col}' AS "column", n_pairs, asc_pairs, desc_pairs, eq_pairs,
+SELECT '{col}' AS "column", n_pairs,
+       CAST(asc_pairs AS BIGINT) AS asc_pairs,
+       CAST(desc_pairs AS BIGINT) AS desc_pairs,
+       CAST(eq_pairs AS BIGINT) AS eq_pairs,
        CASE WHEN asc_pairs = 0 AND desc_pairs = 0 THEN 'constant value'
             WHEN desc_pairs = 0 THEN 'ascending'
             WHEN asc_pairs = 0 THEN 'descending'

@@ -79,7 +79,8 @@ def oracle_row_stats_sql(table: str, cols: list[str]) -> str:
 SELECT row_count, unique_row_count,
        row_count - unique_row_count AS duplicate_row_count,
        ROUND(CAST(unique_row_count AS DOUBLE) / row_count, 6) AS unique_row_ratio,
-       rows_with_null_count, rows_all_null_count
+       CAST(rows_with_null_count AS BIGINT) AS rows_with_null_count,
+       CAST(rows_all_null_count AS BIGINT) AS rows_all_null_count
 FROM (
   SELECT COUNT(*) AS row_count,
          (SELECT COUNT(*) FROM (SELECT DISTINCT {col_list} FROM {table}

@@ -46,7 +46,7 @@ def token_count_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def oracle_token_count_sql(table: str, id_col: str, text_col: str) -> str:
     tc = f"len(regexp_extract_all(LOWER({text_col}), '\\S+'))"
     return f"""
-SELECT COUNT(*) AS n_docs, SUM({tc}) AS total_tokens,
+SELECT COUNT(*) AS n_docs, CAST(SUM({tc}) AS BIGINT) AS total_tokens,
        MIN({tc}) AS min_tokens, MAX({tc}) AS max_tokens,
        ROUND(AVG({tc}), 6) AS avg_tokens
 FROM {table}

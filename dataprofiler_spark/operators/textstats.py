@@ -78,7 +78,7 @@ def text_length_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 def oracle_text_length_stats_sql(table: str, cols: list[str]) -> str:
     selects = [
         f"""
-SELECT '{c}' AS "column", s.sample_size, s.null_count, s.min_len, s.max_len,
+SELECT '{c}' AS "column", s.sample_size, CAST(s.null_count AS BIGINT) AS null_count, s.min_len, s.max_len,
        s.avg_len, v.vocab_size, s.max_len > {STRING_MAX_LEN} AS is_text
 FROM (
   SELECT COUNT(*) AS sample_size,

@@ -86,7 +86,7 @@ def oracle_type_inference_sql(table: str, cols: list[str],
                  f" AND TRY_CAST({s} AS DOUBLE) = FLOOR(TRY_CAST({s} AS DOUBLE)))")
         isflt = f"TRY_CAST({s} AS DOUBLE) IS NOT NULL"
         selects.append(f"""
-SELECT '{c}' AS "column", n,
+SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n,
   ROUND(dt / n, {round_digits}) AS datetime_ratio,
   ROUND(i / n, {round_digits}) AS int_ratio,
   ROUND(f / n, {round_digits}) AS float_ratio,

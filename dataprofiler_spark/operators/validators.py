@@ -81,8 +81,8 @@ def oracle_validate_sql(table: str, rules: list[Rule]) -> str:
             raise ValueError(r.kind)
         selects.append(f"""
 SELECT '{r.name}' AS rule,
-       SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS passed,
-       COUNT(*) - SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS failed,
+       CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+       CAST(COUNT(*) - SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
        ROUND(CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_ratio
 FROM {table}""")
     return "\nUNION ALL\n".join(selects)

@@ -38,6 +38,10 @@ def register(name: str, oracle: str | None = None):
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs these queries in ITS session — pin the timezone so
+    # timestamp formatting/epoch math matches the DuckDB oracle (naive
+    # timestamps) regardless of the host default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; read as long nanos and convert to microsecond timestamps
@@ -112,7 +116,7 @@ WITH counts AS (
 )
 SELECT col AS "column",
        COUNT(*) AS unique_count,
-       SUM(cnt) AS sample_count,
+       CAST(SUM(cnt) AS BIGINT) AS sample_count,
        ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS unique_ratio,
        ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt)), 6) AS gini_impurity,
        ROUND(CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
@@ -385,7 +389,7 @@ def fingerprints_documents(spark, sf_dir):
 
 _MEDIA_ORACLE = """
 SELECT COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MIN(octet_length(encode(text))) AS min_bytes,
        MAX(octet_length(encode(text))) AS max_bytes,
        COUNT(DISTINCT md5(text)) AS distinct_payloads,
@@ -587,12 +591,12 @@ def _nullish_col():
 _NULLSPEC_ORACLE = f"""
 WITH t AS (SELECT {_NULLISH_CASE_SQL} AS val FROM customer)
 SELECT COUNT(*) AS sample_size,
-       SUM(CASE WHEN val IS NULL
+       CAST(SUM(CASE WHEN val IS NULL
                 OR regexp_matches(val, '(?i)^(?:(?:)|(?:nan)|(?:none)|(?:null)|(?:\\s+)|(?:--+)|(?:__+))$')
-           THEN 1 ELSE 0 END) AS null_count,
-       SUM(CASE WHEN val = '' THEN 1 ELSE 0 END) AS empty_count,
-       SUM(CASE WHEN regexp_matches(val, '(?i)^nan$') THEN 1 ELSE 0 END) AS nan_count,
-       SUM(CASE WHEN regexp_matches(val, '^\\s+$') THEN 1 ELSE 0 END) AS ws_count
+           THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(SUM(CASE WHEN val = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
+       CAST(SUM(CASE WHEN regexp_matches(val, '(?i)^nan$') THEN 1 ELSE 0 END) AS BIGINT) AS nan_count,
+       CAST(SUM(CASE WHEN regexp_matches(val, '^\\s+$') THEN 1 ELSE 0 END) AS BIGINT) AS ws_count
 FROM t
 """
 
@@ -618,9 +622,9 @@ def nullspec_customer(spark, sf_dir):
 
 _UNSTRUCT_ORACLE = """
 SELECT COUNT(*) AS samples,
-       SUM(CASE WHEN regexp_matches(text, '^\\s*$') OR text IS NULL THEN 1 ELSE 0 END) AS empty_count,
+       CAST(SUM(CASE WHEN regexp_matches(text, '^\\s*$') OR text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
        ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE) / 1048576, 6) AS memory_mb,
-       SUM(len(regexp_extract_all(LOWER(text), '\\S+'))) AS total_words,
+       CAST(SUM(len(regexp_extract_all(LOWER(text), '\\S+'))) AS BIGINT) AS total_words,
        (SELECT COUNT(DISTINCT w) FROM (
           SELECT UNNEST(regexp_extract_all(LOWER(text), '\\S+')) AS w FROM documents
        )) AS unique_words

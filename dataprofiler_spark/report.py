@@ -83,8 +83,15 @@ def _column_report(col: ColumnState, num_quantiles: int = 999) -> dict:
         stats.update({"min_datetime": col.datetime.min_ts,
                       "max_datetime": col.datetime.max_ts,
                       "datetime_formats": col.datetime.formats})
-    categorical = bool(col.categorical and col.categorical.active
-                       and col.categorical.categories)
+    # Reference categorical detection: unique ≤ 10 or unique_ratio ≤ 0.2
+    # (categorical_column_profile.py:29-34 / is_match:422-438). Tracked
+    # counts exist for a wider candidate set; the FLAG follows the
+    # reference thresholds.
+    categorical = False
+    if col.categorical and col.categorical.active and col.categorical.categories:
+        uc = col.categorical.unique_count
+        sc = max(col.categorical.sample_count, 1)
+        categorical = uc <= 10 or uc / sc <= 0.2
     if categorical:
         cs = col.categorical
         stats.update({
