@@ -26,8 +26,43 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# GPT-2-style pre-tokenizer approximation, RE2-safe (no lookarounds):
+# letter runs | single digits | punctuation runs. Splits "abc123!?" into
+# ["abc", "1", "2", "3", "!?"] — the shape BPE vocabularies expect.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
 def tokens_expr(text_col: str) -> Column:
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+
+
+def bpe_tokens_expr(text_col: str) -> Column:
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
+
+
+def bpe_token_count_summary(df: DataFrame, id_col: str, text_col: str
+                            ) -> DataFrame:
+    """(n_docs, total_tokens, min_tokens, max_tokens, avg_tokens) under
+    the BPE-ish tokenizer — the token-budget estimator for LLM training
+    pipelines (whitespace counts undercount punctuation-heavy text)."""
+    tc = F.size(bpe_tokens_expr(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.min(tc).alias("min_tokens"),
+        F.max(tc).alias("max_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+    )
+
+
+def oracle_bpe_token_count_sql(table: str, id_col: str, text_col: str) -> str:
+    tc = f"len(regexp_extract_all({text_col}, '{BPE_ISH_REGEX}'))"
+    return f"""
+SELECT COUNT(*) AS n_docs, CAST(SUM({tc}) AS BIGINT) AS total_tokens,
+       MIN({tc}) AS min_tokens, MAX({tc}) AS max_tokens,
+       ROUND(AVG({tc}), 6) AS avg_tokens
+FROM {table}
+"""
 
 
 def token_count_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -21,13 +21,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Compact subset of the reference's stop-word list
-# (unstructured_text_profile.py:52-458) — enough for ranking parity tests;
-# the full list is a drop-in replacement.
+# Standard English stop-word list in the spirit of the reference's
+# (unstructured_text_profile.py:52-458 ships ~400 entries; this covers the
+# high-frequency core — the list is data, swap freely).
 STOP_WORDS: tuple[str, ...] = (
-    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
-    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
-    "were", "will", "with", "this", "these", "those", "or", "not", "but",
+    "a", "about", "above", "after", "again", "against", "all", "am", "an",
+    "and", "any", "are", "as", "at", "be", "because", "been", "before",
+    "being", "below", "between", "both", "but", "by", "can", "could",
+    "did", "do", "does", "doing", "down", "during", "each", "few", "for",
+    "from", "further", "had", "has", "have", "having", "he", "her", "here",
+    "hers", "him", "his", "how", "i", "if", "in", "into", "is", "it",
+    "its", "itself", "just", "me", "more", "most", "my", "myself", "no",
+    "nor", "not", "now", "of", "off", "on", "once", "only", "or", "other",
+    "our", "ours", "out", "over", "own", "same", "she", "should", "so",
+    "some", "such", "than", "that", "the", "their", "theirs", "them",
+    "then", "there", "these", "they", "this", "those", "through", "to",
+    "too", "under", "until", "up", "very", "was", "we", "were", "what",
+    "when", "where", "which", "while", "who", "whom", "why", "will",
+    "with", "you", "your", "yours",
 )
 
 STRING_MAX_LEN = 255  # text_column_profile.py:170-171 string/text split

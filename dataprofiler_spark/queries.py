@@ -721,3 +721,14 @@ def rolling_avg_events(spark, sf_dir):
           rl.oracle_unstructured_entity_counts_sql("events", "props"))
 def entity_counts_events_props(spark, sf_dir):
     return rl.unstructured_entity_counts(T(spark, sf_dir, "events"), "props")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (SURVEY north-star: token budget estimation)
+# ---------------------------------------------------------------------------
+
+@register("bpe_token_summary_documents",
+          ta.oracle_bpe_token_count_sql("documents", "doc_id", "text"))
+def bpe_token_summary_documents(spark, sf_dir):
+    return ta.bpe_token_count_summary(T(spark, sf_dir, "documents"),
+                                      "doc_id", "text")

@@ -84,12 +84,19 @@ def is_json(lines: list[str]) -> bool:
     return nonempty > 0 and ok / nonempty >= 0.5
 
 
+def _strip_quoted(ln: str) -> str:
+    """Remove quoted spans so embedded delimiters don't skew counts
+    (the reference counts delimiters outside quotes, csv_data.py:184-346)."""
+    import re
+    return re.sub(r"'[^']*'", "", re.sub(r'"[^"]*"', "", ln))
+
+
 def guess_delimiter(lines: list[str]) -> str | None:
     """Most consistent per-line count wins (csv_data.py:184-346
     simplified: consistency beats raw frequency)."""
     best, best_score = None, 0.0
     for d in CANDIDATE_DELIMS:
-        counts = [ln.count(d) for ln in lines if ln]
+        counts = [_strip_quoted(ln).count(d) for ln in lines if ln]
         if not counts or max(counts) == 0:
             continue
         c = Counter(counts)
@@ -103,6 +110,22 @@ def guess_delimiter(lines: list[str]) -> str | None:
         if score > best_score:
             best, best_score = d, score
     return best
+
+
+def guess_quotechar(lines: list[str], delim: str) -> str:
+    """Quote character guess (csv_data.py:184-346 guesses quotechar with
+    the delimiter): the candidate that actually wraps cells wins;
+    double-quote is the default."""
+    for q in ('"', "'"):
+        wrapped = 0
+        for ln in lines[:20]:
+            for cell in ln.split(delim):
+                cell = cell.strip()
+                if len(cell) >= 2 and cell.startswith(q) and cell.endswith(q):
+                    wrapped += 1
+        if wrapped >= 2:
+            return q
+    return '"'
 
 
 def guess_header(lines: list[str], delim: str) -> bool:
@@ -126,7 +149,16 @@ def guess_header(lines: list[str], delim: str) -> bool:
     rest = [numeric_mask(ln) for ln in lines[1:6] if ln]
     if any(first):
         return False
-    return any(any(m) for m in rest)
+    if any(any(m) for m in rest):
+        return True
+    # all-string table: header when the first row's cells are distinct
+    # identifier-shaped names (csv_data.py:347-542 uses similar shape
+    # heuristics when no numeric signal exists)
+    import re
+    cells = [c.strip().strip("\"'") for c in lines[0].split(delim)]
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_ .-]*$")
+    return (len(cells) > 1 and len(set(cells)) == len(cells)
+            and all(c and ident.match(c) for c in cells))
 
 
 def looks_like_graph(header_cells: list[str]) -> bool:
@@ -151,7 +183,9 @@ def sniff(path: str) -> SniffResult:
     delim = guess_delimiter(lines)
     if delim is not None:
         header = guess_header(lines, delim)
-        opts = {"sep": delim, "header": header, "encoding": enc}
+        quote = guess_quotechar(lines, delim)
+        opts = {"sep": delim, "header": header, "quote": quote,
+                "encoding": enc}
         if header and looks_like_graph(lines[0].split(delim)):
             return SniffResult("graph_csv", opts)
         return SniffResult("csv", opts)
@@ -173,7 +207,8 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
     if res.format in ("csv", "graph_csv"):
         df = spark.read.csv(
             path, sep=o.get("sep", ","), header=o.get("header", False),
-            encoding=o.get("encoding", "UTF-8"), inferSchema=False)
+            quote=o.get("quote", '"'), encoding=o.get("encoding", "UTF-8"),
+            inferSchema=False)
         return df, res
     if res.format == "text":
         return spark.read.text(path), res

@@ -110,3 +110,18 @@ def test_validators(spark, sf_dir, duck):
     got = validate(df, rules).toPandas()
     want = duck.sql(oracle_validate_sql("lineitem", rules)).df()
     assert_frames_match(got, want, "validators")
+
+
+def test_quotechar_guessing(tmp_path):
+    from dataprofiler_spark.sources.sniff import sniff
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('name,desc\n"alice","likes, commas"\n"bob","plain"\n')
+    r = sniff(str(p))
+    assert r.format == "csv"
+    assert r.options["quote"] == '"'
+
+    p2 = tmp_path / "single.csv"
+    p2.write_text("name,desc\n'alice','likes, commas'\n'bob','plain'\n")
+    r2 = sniff(str(p2))
+    assert r2.options["quote"] == "'"
