@@ -1,0 +1,102 @@
+"""Corpus curation pipeline — the composed training-data use case.
+
+Chains the engine's operators the way a real 100 TB pretraining-data
+job does:
+
+    raw docs ─ quality filter ─ exact dedup (keep lowest id per
+    fingerprint) ─ near-dup drop (SimHash bucket, keep lowest id) ─
+    token budget report
+
+Every stage is expression-only, so Catalyst pipelines the quality filter
+INTO the scan (predicate pushdown on a derived column's inputs), the
+dedup is one shuffle on the fingerprint, and the near-dup stage one
+shuffle on the simhash — three shuffles end-to-end regardless of corpus
+size, each keyed on a uniform hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def curate_corpus(df: DataFrame, id_col: str, text_col: str,
+                  min_quality: float = 0.45) -> DataFrame:
+    """Returns the curated corpus (id, n_tokens) after quality filtering,
+    exact dedup, and simhash near-dup collapse (deterministic keeper:
+    lowest id)."""
+    from dataprofiler_spark.operators.dedup import simhash
+    from dataprofiler_spark.operators.textanalysis import quality_features
+
+    q = quality_features(df, id_col, text_col)
+    kept = q.where(F.col("quality_score") >= min_quality).select("id", "n_tokens")
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+         .alias("fp"))
+    w_fp = Window.partitionBy("fp").orderBy("id")
+    exact_keep = (fp.withColumn("rn", F.row_number().over(w_fp))
+                  .where(F.col("rn") == 1).select("id"))
+
+    sh = simhash(df, id_col, text_col)
+    w_sh = Window.partitionBy("simhash").orderBy("id")
+    near_keep = (sh.withColumn("rn", F.row_number().over(w_sh))
+                 .where(F.col("rn") == 1).select("id"))
+
+    return kept.join(exact_keep, "id").join(near_keep, "id")
+
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str,
+                  min_quality: float = 0.45) -> DataFrame:
+    """(n_docs_in, n_docs_out, total_tokens_out, avg_tokens_out) — the
+    one-row summary a pipeline run logs."""
+    curated = curate_corpus(df, id_col, text_col, min_quality)
+    n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
+    out = curated.agg(
+        F.count(F.lit(1)).alias("n_docs_out"),
+        F.sum("n_tokens").alias("total_tokens_out"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens_out"),
+    )
+    return n_in.crossJoin(out)
+
+
+def oracle_corpus_report_sql(table: str, id_col: str, text_col: str,
+                             min_quality: float = 0.45) -> str:
+    from dataprofiler_spark.operators.dedup import oracle_simhash_sql
+    from dataprofiler_spark.operators.textanalysis import \
+        oracle_quality_features_sql
+
+    quality = oracle_quality_features_sql(table, id_col, text_col)
+    sim = oracle_simhash_sql(table, id_col, text_col)
+    return f"""
+WITH q AS ({quality}),
+kept AS (SELECT id, n_tokens FROM q WHERE quality_score >= {min_quality}),
+fp AS (
+  SELECT {id_col} AS id,
+         md5(regexp_replace(TRIM(LOWER({text_col})), '\\s+', ' ', 'g')) AS fp
+  FROM {table}
+),
+exact_keep AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY id) AS rn FROM fp
+  ) WHERE rn = 1
+),
+sh AS ({sim}),
+near_keep AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY id) AS rn
+    FROM sh
+  ) WHERE rn = 1
+),
+curated AS (
+  SELECT kept.id, kept.n_tokens FROM kept
+  JOIN exact_keep USING (id) JOIN near_keep USING (id)
+)
+SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
+       COUNT(*) AS n_docs_out,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_out,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens_out
+FROM curated
+"""

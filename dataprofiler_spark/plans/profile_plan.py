@@ -169,6 +169,15 @@ class Profiler:
 
         state.times = {"wide_agg": t_agg, "counts_pass": t_cat}
 
+        # sample values for the report (reference keeps 5 random samples
+        # per column, profile_builder.py:667-671) — one cheap limit job
+        for row_s in df.limit(5).collect():
+            d = row_s.asDict()
+            for c in all_cols:
+                v = d.get(c)
+                if v is not None and len(state.columns[c].samples) < 5:
+                    state.columns[c].samples.append(str(v))
+
         # opt-in job 4: order detection over an explicit ordering (Spark
         # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort
         # classifies every column)

@@ -732,3 +732,17 @@ def entity_counts_events_props(spark, sf_dir):
 def bpe_token_summary_documents(spark, sf_dir):
     return ta.bpe_token_count_summary(T(spark, sf_dir, "documents"),
                                       "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation pipeline (composed: quality filter -> exact dedup ->
+# simhash near-dup collapse -> token budget)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import pipeline as pl
+
+
+@register("corpus_curation_documents",
+          pl.oracle_corpus_report_sql("documents", "doc_id", "text"))
+def corpus_curation_documents(spark, sf_dir):
+    return pl.corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text")

@@ -45,12 +45,18 @@ def _quantiles_from_histogram(hist: dict, probs: list[float]) -> list[float] | N
 
 
 def _column_report(col: ColumnState, num_quantiles: int = 999) -> dict:
+    # exact unique count when category tracking completed, else the HLL
+    # estimate from the wide agg
+    uniq = (col.categorical.unique_count
+            if col.categorical and col.categorical.active
+            and col.categorical.categories else col.approx_distinct)
     stats: dict = {
         "sample_size": col.sample_size,
         "null_count": col.null_count,
         "null_types": col.null_types,
-        "unique_count": col.approx_distinct,
-        "unique_ratio": (col.approx_distinct / col.sample_size
+        "samples": col.samples,
+        "unique_count": uniq,
+        "unique_ratio": (uniq / col.sample_size
                          if col.sample_size else None),
         "data_type_representation": {
             t: (c / max(col.sample_size - col.null_count, 1))

@@ -267,6 +267,7 @@ class ColumnState:
     order: OrderState | None = None
     text: TextState | None = None
     approx_distinct: int = 0
+    samples: list = field(default_factory=list)  # ≤5 example values (report)
 
     def __add__(self, o: "ColumnState") -> "ColumnState":
         def m(a, b):
@@ -291,6 +292,7 @@ class ColumnState:
             order=m(self.order, o.order),
             text=m(self.text, o.text),
             approx_distinct=max(self.approx_distinct, o.approx_distinct),
+            samples=(self.samples + o.samples)[:5],
         )
         out.inferred_type = _infer_type(out)
         return out
