@@ -189,6 +189,67 @@ FROM ({side(table_a)}) a CROSS JOIN ({side(table_b)}) b
 """
 
 
+def numeric_psi(df_a: DataFrame, df_b: DataFrame, col: str, bins: int = 10,
+                round_digits: int = 6) -> DataFrame:
+    """One-row (psi, bins): numeric PSI over equal-width bins spanning the
+    combined range (numerical_column_stats.py:667-816 re-bins both
+    histograms onto common edges; here both sides bucket directly onto
+    the shared edges — same math, one aggregation per side)."""
+    mm = df_a.select(F.col(col).alias("x")).unionAll(
+        df_b.select(F.col(col).alias("x"))).agg(
+        F.min("x").cast("double").alias("lo"),
+        F.max("x").cast("double").alias("hi"))
+
+    def bucket_counts(df, tag):
+        j = df.crossJoin(F.broadcast(mm))
+        w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+        b = F.least(F.greatest(
+            F.floor((F.col(col).cast("double") - F.col("lo")) / w).cast("int"),
+            F.lit(0)), F.lit(bins - 1))
+        return (j.where(F.col(col).isNotNull())
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(f"cnt_{tag}")))
+
+    a = bucket_counts(df_a, "a")
+    b = bucket_counts(df_b, "b")
+    joined = (a.join(b, "bucket", "full_outer")
+              .select(F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = joined.agg(F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"))
+    j2 = joined.crossJoin(F.broadcast(tot))
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + bins)
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + bins)
+    return j2.agg(
+        F.round(F.sum((pb - pa) * F.log(pb / pa)), round_digits).alias("psi"),
+        F.lit(bins).alias("bins"),
+    )
+
+
+def oracle_numeric_psi_sql(table_a: str, table_b: str, col: str,
+                           bins: int = 10, round_digits: int = 6) -> str:
+    bucket = (f"LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - mm.lo)"
+              f" / ((mm.hi - mm.lo) / {float(bins)})) AS INT), 0), {bins - 1})")
+    return f"""
+WITH mm AS (
+  SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+  FROM (SELECT {col} AS x FROM {table_a} UNION ALL SELECT {col} FROM {table_b})
+),
+a AS (SELECT {bucket} AS bucket, COUNT(*) AS cnt_a
+      FROM {table_a}, mm WHERE {col} IS NOT NULL GROUP BY 1),
+b AS (SELECT {bucket} AS bucket, COUNT(*) AS cnt_b
+      FROM {table_b}, mm WHERE {col} IS NOT NULL GROUP BY 1),
+j AS (SELECT COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b USING (bucket)),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM j)
+SELECT ROUND(SUM(
+         ((CAST(cnt_b + 1 AS DOUBLE) / (nb + {bins})) - (CAST(cnt_a + 1 AS DOUBLE) / (na + {bins})))
+         * LN((CAST(cnt_b + 1 AS DOUBLE) / (nb + {bins})) / (CAST(cnt_a + 1 AS DOUBLE) / (na + {bins})))
+       ), {round_digits}) AS psi,
+       {bins} AS bins
+FROM j, tot
+"""
+
+
 # -- driver-side p-values (scipy optional) ----------------------------------
 
 def p_value_chi2(chi2: float, dof: int) -> float | None:

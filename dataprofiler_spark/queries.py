@@ -746,3 +746,55 @@ from dataprofiler_spark.operators import pipeline as pl
           pl.oracle_corpus_report_sql("documents", "doc_id", "text"))
 def corpus_curation_documents(spark, sf_dir):
     return pl.corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator Spark lacks; union-sort formulation vs
+# DuckDB's native ASOF JOIN as oracle)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import asof as ao
+
+
+@register("asof_last_purchase_events", ao.oracle_last_purchase_gap_sql("events"))
+def asof_last_purchase_events(spark, sf_dir):
+    return ao.last_purchase_gap(T(spark, sf_dir, "events"))
+
+
+@register("psi_numeric_totalprice",
+          dr.oracle_numeric_psi_sql(_ORD_A, _ORD_B, "o_totalprice"))
+def psi_numeric_totalprice(spark, sf_dir):
+    a, b = _orders_split(spark, sf_dir)
+    return dr.numeric_psi(a, b, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Vector-column profiling (per-dimension stats + norm profile)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import vectorstats as vs
+
+
+@register("embedding_dim_stats",
+          vs.oracle_embedding_dim_stats_sql("embeddings", "embedding"))
+def embedding_dim_stats_q(spark, sf_dir):
+    return vs.embedding_dim_stats(T(spark, sf_dir, "embeddings"), "embedding")
+
+
+_NORM_ORACLE = """
+WITH norms AS (
+  SELECT SQRT(list_sum(list_transform(generate_series(1, 64),
+              i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vectors,
+       ROUND(AVG(nrm), 6) AS mean_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms
+"""
+
+
+@register("embedding_norm_stats", _NORM_ORACLE)
+def embedding_norm_stats_q(spark, sf_dir):
+    return vs.norm_stats(T(spark, sf_dir, "embeddings"), "embedding")

@@ -215,3 +215,24 @@ def test_salted_agg_equivalence(spark, sf_dir):
                          {"n": ("*", "count"),
                           "mx": ("l_quantity", "max")}).collect()}
     assert plain == salted
+
+
+def test_wide_table_stays_two_jobs(spark, sf_dir):
+    """Column count must widen expressions, not add jobs/scans: a 40+
+    column table still profiles with exactly the wide-agg pass and the
+    fused counts pass."""
+    import os as _os
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    wide = li
+    for i in range(5):
+        wide = (wide
+                .withColumn(f"q{i}", F.col("l_quantity") * (i + 1))
+                .withColumn(f"p{i}", F.col("l_extendedprice") + i)
+                .withColumn(f"s{i}", F.concat(F.col("l_returnflag"), F.lit(str(i))))
+                .withColumn(f"d{i}", F.col("l_discount") / (i + 1)))
+    assert len(wide.columns) >= 30
+    state = Profiler(wide).profile()
+    assert set(state.times) == {"wide_agg", "counts_pass"}
+    assert state.columns["q4"].numeric.n == state.row_count
+    assert state.columns["s4"].categorical.categories  # tracked
