@@ -6,10 +6,10 @@ needs: exact dedup, char-shingle Jaccard, MinHash+LSH banding, and
 SimHash. Design notes per operator:
 
 * Exact dedup — hash-groupBy on content; one shuffle on the md5 key.
-* MinHash — signatures are ``min(md5(perm_tag || shingle))`` per
-  permutation. md5 hex strings are fixed-width lowercase hex, so string
-  MIN == numeric MIN; md5 exists identically in every engine, which makes
-  signatures deterministic and oracle-checkable (no engine-private hash).
+* MinHash — ONE md5 per shingle → 32-bit base hash; permutations are the
+  universal-hash family (a·h + b) mod P in exact BIGINT arithmetic (see
+  the constants below). Deterministic and oracle-checkable on any engine,
+  and 12× cheaper than hashing per permutation.
 * LSH banding — signature rows are grouped into bands; band-key md5 is
   the bucket. Candidate pairs come from a self-join on (band, bucket) —
   the classic shuffle-on-bucket plan. Skew note: a degenerate bucket
@@ -109,39 +109,78 @@ FROM sh a JOIN sh b ON a.id + 1 = b.id
 
 
 # -- minhash + LSH ----------------------------------------------------------
+#
+# Permutation scheme: ONE md5 per shingle yields a 32-bit base hash h =
+# int(md5(s)[:8], 16); permutation j is the universal-hash family
+# (a_j·h + b_j) mod P with P prime > 2^32. a_j < 2^31 so a·h < 2^63 —
+# exact in BIGINT on every engine. This is 12× less hashing than
+# md5-per-permutation and still fully engine-portable.
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _perm_coeffs(num_hashes: int, seed: str = "dps-minhash-v2"
+                 ) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs derived from md5 — regenerable in
+    any language, a_j odd and < 2^31."""
+    import hashlib
+    out = []
+    for j in range(num_hashes):
+        d = hashlib.md5(f"{seed}|{j}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
+        b = int.from_bytes(d[4:8], "big")
+        out.append((a, b))
+    return out
+
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3, num_hashes: int = 12) -> DataFrame:
-    """Long-form signatures (id, perm, minhash). One scan, no shuffle:
-    every permutation is an array_min over the shingle array."""
+    """Long-form signatures (id, perm, minhash). Plan: explode shingles →
+    ONE md5 per (doc, shingle) → groupBy(id) with num_hashes MIN
+    aggregates (map-side partial mins ⇒ the shuffle carries one row per
+    doc per partition)."""
     from dataprofiler_spark.session import ensure_parallelism
     df = ensure_parallelism(df)
-    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("sh"))
-
-    def _perm_hash(j):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    wide = sh.select("id", *sig_cols)
+    coeffs = _perm_coeffs(num_hashes)
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles_expr(text_col, k)).alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    rows = sh.select("id", h.alias("h"))
+    mins = rows.groupBy("id").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+         .alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ])
     structs = [
         F.struct(F.lit(j).alias("perm"), F.col(f"mh{j}").alias("minhash"))
         for j in range(num_hashes)
     ]
-    return wide.select(
+    return mins.select(
         "id", F.explode(F.array(*structs)).alias("s")
     ).select("id", "s.perm", "s.minhash")
 
 
 def oracle_minhash_signatures_sql(table: str, id_col: str, text_col: str,
                                   k: int = 3, num_hashes: int = 12) -> str:
+    coeffs = _perm_coeffs(num_hashes)
+    mins = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT id, {j} AS perm, mh{j} AS minhash FROM mins"
+        for j in range(num_hashes))
     return f"""
-WITH sh AS ({_duck_shingles(table, id_col, text_col, k)})
-SELECT sh.id, t.j AS perm, MIN(md5(t.j::VARCHAR || '|' || u.s)) AS minhash
-FROM sh, range({num_hashes}) t(j), UNNEST(sh.sh) u(s)
-GROUP BY sh.id, t.j
+WITH sh AS ({_duck_shingles(table, id_col, text_col, k)}),
+hashes AS (
+  SELECT sh.id, ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h
+  FROM sh, UNNEST(sh.sh) u(s)
+),
+mins AS (
+  SELECT id,
+       {mins}
+  FROM hashes GROUP BY id
+)
+{unions}
 """
 
 
@@ -163,22 +202,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("sh"))
     # The self-join and the verify join would otherwise recompute the
-    # shingle+signature expressions once per branch (3× the md5 work) —
-    # persist the small intermediate instead.
+    # shingle expressions once per branch — persist the small intermediate.
     sh = sh.persist()
 
-    def _perm_hash(j):
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    wide = sh.select("id", "sh", *sig_cols)
+    coeffs = _perm_coeffs(num_hashes)
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    hashes = sh.select("id", F.explode("sh").alias("s")).select("id", h.alias("h"))
+    wide = hashes.groupBy("id").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+         .alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ])
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+            F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
+                                     for r in range(rows)]))
              .alias("bucket"),
         )
         for b in range(bands)
@@ -216,17 +255,29 @@ def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
                                  k: int = 3, num_hashes: int = 12, bands: int = 6,
                                  threshold: float = 0.5, round_digits: int = 6) -> str:
     rows = num_hashes // bands
+    coeffs = _perm_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, md5("
+        + " || ',' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)"
+                             for r in range(rows))
+        + ") AS bucket FROM mins"
+        for b in range(bands))
     return f"""
 WITH sh AS ({_duck_shingles(table, id_col, text_col, k)}),
-sig AS (
-  SELECT sh.id, t.j AS perm, MIN(md5(t.j::VARCHAR || '|' || u.s)) AS mh
-  FROM sh, range({num_hashes}) t(j), UNNEST(sh.sh) u(s)
-  GROUP BY sh.id, t.j
+hashes AS (
+  SELECT sh.id, ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h
+  FROM sh, UNNEST(sh.sh) u(s)
+),
+mins AS (
+  SELECT id,
+         {mins}
+  FROM hashes GROUP BY id
 ),
 buckets AS (
-  SELECT id, perm // {rows} AS band,
-         md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
-  FROM sig GROUP BY id, perm // {rows}
+{band_selects}
 ),
 pairs AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
