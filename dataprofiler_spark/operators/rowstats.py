@@ -89,3 +89,45 @@ FROM (
          SUM(CASE WHEN ({null_sum}) = {len(cols)} THEN 1 ELSE 0 END) AS rows_all_null_count
   FROM {table}
 )"""
+
+
+def referential_integrity(child: "DataFrame", parent: "DataFrame",
+                          fk: str, pk: str, round_digits: int = 6) -> "DataFrame":
+    """(n_child, n_orphans, orphan_ratio, n_parent, n_referenced,
+    coverage_ratio): FK → PK integrity profile across two tables — the
+    cross-table data-quality check the reference lacks (it profiles one
+    table at a time). Plan: left-anti join for orphans + one distinct-join
+    for coverage; both shuffle on the key, broadcast when the parent PK
+    set is small."""
+    n_child = child.count()
+    n_parent = parent.count()
+    orphans = child.join(parent, child[fk] == parent[pk], "left_anti").count()
+    referenced = (parent.join(child.select(F.col(fk).alias(pk)).distinct(),
+                              pk, "left_semi").count())
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(n_child, orphans,
+          round(orphans / n_child, round_digits) if n_child else None,
+          n_parent, referenced,
+          round(referenced / n_parent, round_digits) if n_parent else None)],
+        "n_child long, n_orphans long, orphan_ratio double, "
+        "n_parent long, n_referenced long, coverage_ratio double")
+
+
+def oracle_referential_integrity_sql(child: str, parent: str,
+                                     fk: str, pk: str,
+                                     round_digits: int = 6) -> str:
+    return f"""
+SELECT (SELECT COUNT(*) FROM {child}) AS n_child,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans,
+       ROUND(CAST((SELECT COUNT(*) FROM {child} c
+              WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+             AS DOUBLE) / (SELECT COUNT(*) FROM {child}), {round_digits}) AS orphan_ratio,
+       (SELECT COUNT(*) FROM {parent}) AS n_parent,
+       (SELECT COUNT(*) FROM {parent} p
+        WHERE EXISTS (SELECT 1 FROM {child} c WHERE c.{fk} = p.{pk})) AS n_referenced,
+       ROUND(CAST((SELECT COUNT(*) FROM {parent} p
+              WHERE EXISTS (SELECT 1 FROM {child} c WHERE c.{fk} = p.{pk}))
+             AS DOUBLE) / (SELECT COUNT(*) FROM {parent}), {round_digits}) AS coverage_ratio
+"""

@@ -73,6 +73,7 @@ class ProfilerOptions:
         infer_types_on_strings: bool = True,
         order_by: list[str] | None = None,  # enables order detection
         detect_datetime_formats: bool = False,
+        min_true_samples: int | None = None,
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -90,6 +91,7 @@ class ProfilerOptions:
         self.infer_types_on_strings = infer_types_on_strings
         self.order_by = order_by
         self.detect_datetime_formats = detect_datetime_formats
+        self.min_true_samples = min_true_samples
 
 
 class Profiler:
@@ -104,6 +106,25 @@ class Profiler:
 
     def profile(self) -> DatasetState:
         self.state = self._profile_chunk(self.df)
+        # min_true_samples (profile_builder.py:636-645): when sampling,
+        # keep escalating the fraction until every column has at least
+        # min_true_samples non-null cells (or we reach the full data).
+        opt = self.options
+        if opt.sample_fraction is not None and opt.min_true_samples:
+            frac = opt.sample_fraction
+            while frac < 1.0:
+                worst = min(
+                    c.sample_size - c.null_count
+                    for c in self.state.columns.values())
+                if worst >= opt.min_true_samples:
+                    break
+                frac = min(frac * 2, 1.0)
+                retry = ProfilerOptions(**{**self.options.__dict__,
+                                           "sample_fraction": frac,
+                                           "sample_seed": opt.sample_seed,
+                                           "min_true_samples": None})
+                retry.null_spec = opt.null_spec
+                self.state = Profiler(self.df, retry).profile()
         return self.state
 
     def update_profile(self, df: DataFrame) -> DatasetState:

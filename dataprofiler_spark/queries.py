@@ -798,3 +798,36 @@ FROM norms
 @register("embedding_norm_stats", _NORM_ORACLE)
 def embedding_norm_stats_q(spark, sf_dir):
     return vs.norm_stats(T(spark, sf_dir, "embeddings"), "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity + grouped top-k (SURVEY §2.6 extension)
+# ---------------------------------------------------------------------------
+
+@register("referential_integrity_lineitem_orders",
+          rs.oracle_referential_integrity_sql("lineitem", "orders",
+                                              "l_orderkey", "o_orderkey"))
+def referential_integrity_lineitem_orders(spark, sf_dir):
+    return rs.referential_integrity(
+        T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey")
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+@register("topk_events_per_user", _TOPK_PER_GROUP_ORACLE)
+def topk_events_per_user(spark, sf_dir):
+    from pyspark.sql.window import Window
+    df = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("user_id", "event_id", "value", "rank"))

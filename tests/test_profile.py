@@ -236,3 +236,16 @@ def test_wide_table_stays_two_jobs(spark, sf_dir):
     assert set(state.times) == {"wide_agg", "counts_pass"}
     assert state.columns["q4"].numeric.n == state.row_count
     assert state.columns["s4"].categorical.categories  # tracked
+
+
+def test_min_true_samples_escalates(spark):
+    """A tiny sample of a mostly-null column must escalate until the
+    non-null floor is met (profile_builder.py:636-645 semantics)."""
+    df = spark.range(20000).selectExpr(
+        "id", "CASE WHEN id % 100 = 0 THEN CAST(id AS DOUBLE) END AS sparse")
+    p = Profiler(df, ProfilerOptions(sample_fraction=0.01,
+                                     min_true_samples=150))
+    state = p.profile()
+    non_null = state.columns["sparse"].sample_size - \
+        state.columns["sparse"].null_count
+    assert non_null >= 150  # 0.01 sample has ~2 non-nulls; must escalate
