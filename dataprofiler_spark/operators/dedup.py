@@ -186,7 +186,8 @@ mins AS (
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
-                      threshold: float = 0.5, round_digits: int = 6) -> DataFrame:
+                      threshold: float = 0.5, round_digits: int = 6,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard ≥ threshold) via banded LSH.
 
     rows_per_band = num_hashes / bands; candidate recall follows the
@@ -195,7 +196,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     → distinct pairs → exact jaccard verify on candidates only. The
     verify join broadcasts nothing — at scale both sides shuffle on id,
     but the candidate set is LSH-pruned, which is the whole point.
-    """
+
+    ``max_bucket_size`` is the skew guard for 100 TB runs: one degenerate
+    bucket of m members (empty docs, shared boilerplate) yields m²/2
+    candidate pairs on a single join task. Capping drops buckets larger
+    than the cap *before* the self-join (both sizing and self-join hash
+    on the same (band, bucket) key, so the extra aggregation reuses the
+    shuffle). Members of a dropped bucket can still pair through their
+    other bands — recall loss is bounded to pairs whose *every* agreeing
+    band is oversized, which at a sane cap means boilerplate clusters a
+    curation pipeline handles with exact dedup anyway. Default None =
+    no cap (oracle-matched semantics)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     from dataprofiler_spark.session import ensure_parallelism
@@ -224,7 +235,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ]
     buckets = wide.select(
         "id", F.explode(F.array(*band_structs)).alias("s")
-    ).select("id", "s.band", "s.bucket").persist()
+    ).select("id", "s.band", "s.bucket")
+    if max_bucket_size is not None:
+        small = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .where(F.col("__bsz") <= max_bucket_size)
+                 .select("band", "bucket"))
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+    buckets = buckets.persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (

@@ -124,7 +124,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
 
 def oracle_quality_features_sql(table: str, id_col: str, text_col: str,
                                 round_digits: int = 6) -> str:
-    stop = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
     toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
     nc = f"LENGTH({text_col})"
     nt = f"len({toks})"

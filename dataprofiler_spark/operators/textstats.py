@@ -21,24 +21,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Standard English stop-word list in the spirit of the reference's
-# (unstructured_text_profile.py:52-458 ships ~400 entries; this covers the
-# high-frequency core — the list is data, swap freely).
+# Standard extended English stop-word list in the spirit of the
+# reference's (unstructured_text_profile.py:52-458 ships ~400 entries):
+# the classic core set plus contractions (the tokenizer keeps interior
+# apostrophes), auxiliaries, and high-frequency function words. The list
+# is data — swap freely per corpus.
 STOP_WORDS: tuple[str, ...] = (
-    "a", "about", "above", "after", "again", "against", "all", "am", "an",
-    "and", "any", "are", "as", "at", "be", "because", "been", "before",
-    "being", "below", "between", "both", "but", "by", "can", "could",
-    "did", "do", "does", "doing", "down", "during", "each", "few", "for",
-    "from", "further", "had", "has", "have", "having", "he", "her", "here",
-    "hers", "him", "his", "how", "i", "if", "in", "into", "is", "it",
-    "its", "itself", "just", "me", "more", "most", "my", "myself", "no",
-    "nor", "not", "now", "of", "off", "on", "once", "only", "or", "other",
-    "our", "ours", "out", "over", "own", "same", "she", "should", "so",
-    "some", "such", "than", "that", "the", "their", "theirs", "them",
-    "then", "there", "these", "they", "this", "those", "through", "to",
-    "too", "under", "until", "up", "very", "was", "we", "were", "what",
-    "when", "where", "which", "while", "who", "whom", "why", "will",
-    "with", "you", "your", "yours",
+    "a", "about", "above", "across", "after", "afterwards", "again",
+    "against", "all", "almost", "alone", "along", "already", "also",
+    "although", "always", "am", "among", "amongst", "an", "and",
+    "another", "any", "anyhow", "anyone", "anything", "anyway",
+    "anywhere", "are", "aren't", "around", "as", "at", "back", "be",
+    "became", "because", "become", "becomes", "becoming", "been",
+    "before", "beforehand", "behind", "being", "below", "beside",
+    "besides", "between", "beyond", "both", "bottom", "but", "by",
+    "can", "can't", "cannot", "could", "couldn't", "did", "didn't",
+    "do", "does", "doesn't", "doing", "don't", "done", "down", "due",
+    "during", "each", "eight", "either", "eleven", "else", "elsewhere",
+    "empty", "enough", "even", "ever", "every", "everyone",
+    "everything", "everywhere", "except", "few", "fifteen", "fifty",
+    "first", "five", "for", "former", "formerly", "forty", "four",
+    "from", "front", "full", "further", "get", "give", "go", "had",
+    "hadn't", "has", "hasn't", "have", "haven't", "having", "he",
+    "hence", "her", "here", "hereafter", "hereby", "herein",
+    "hereupon", "hers", "herself", "him", "himself", "his", "how",
+    "however", "hundred", "i", "i'd", "i'll", "i'm", "i've", "if",
+    "in", "indeed", "into", "is", "isn't", "it", "it's", "its",
+    "itself", "just", "keep", "last", "latter", "latterly", "least",
+    "less", "made", "many", "may", "me", "meanwhile", "might",
+    "mightn't", "mine", "more", "moreover", "most", "mostly", "move",
+    "much", "must", "mustn't", "my", "myself", "name", "namely",
+    "neither", "never", "nevertheless", "next", "nine", "no", "nobody",
+    "none", "noone", "nor", "not", "nothing", "now", "nowhere", "of",
+    "off", "often", "on", "once", "one", "only", "onto", "or", "other",
+    "others", "otherwise", "our", "ours", "ourselves", "out", "over",
+    "own", "part", "per", "perhaps", "please", "put", "quite",
+    "rather", "re", "really", "regarding", "same", "say", "see",
+    "seem", "seemed", "seeming", "seems", "serious", "several",
+    "shan't", "she", "she'd", "she'll", "she's", "should", "shouldn't",
+    "show", "side", "since", "six", "sixty", "so", "some", "somehow",
+    "someone", "something", "sometime", "sometimes", "somewhere",
+    "still", "such", "take", "ten", "than", "that", "that's", "the",
+    "their", "theirs", "them", "themselves", "then", "thence", "there",
+    "thereafter", "thereby", "therefore", "therein", "thereupon",
+    "these", "they", "they'd", "they'll", "they're", "they've",
+    "third", "this", "those", "though", "three", "through",
+    "throughout", "thus", "to", "together", "too", "top", "toward",
+    "towards", "twelve", "twenty", "two", "under", "unless", "until",
+    "up", "upon", "us", "used", "using", "various", "very", "via",
+    "was", "wasn't", "we", "we'd", "we'll", "we're", "we've", "well",
+    "were", "weren't", "what", "whatever", "when", "whence",
+    "whenever", "where", "whereafter", "whereas", "whereby", "wherein",
+    "whereupon", "wherever", "whether", "which", "while", "whither",
+    "who", "who's", "whoever", "whole", "whom", "whose", "why", "will",
+    "with", "within", "without", "won't", "would", "wouldn't", "yet",
+    "you", "you'd", "you'll", "you're", "you've", "your", "yours",
+    "yourself", "yourselves",
 )
 
 STRING_MAX_LEN = 255  # text_column_profile.py:170-171 string/text split
@@ -136,7 +174,7 @@ def word_counts(df: DataFrame, text_col: str, top_k: int = 20,
 
 def oracle_word_counts_sql(table: str, text_col: str, top_k: int = 20,
                            strip_stop_words: bool = True) -> str:
-    stop = ", ".join(f"'{wd}'" for wd in STOP_WORDS)
+    stop = ", ".join("'" + wd.replace("'", "''") + "'" for wd in STOP_WORDS)
     stop_filter = f"AND word NOT IN ({stop})" if strip_stop_words else ""
     return f"""
 WITH toks AS (

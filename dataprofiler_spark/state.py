@@ -209,36 +209,79 @@ class DatetimeState:
 
 @dataclass
 class OrderState:
-    """order + first/last values; merge follows order_column_profile.py:
-    133-243: same-direction batches stay sorted only if their value ranges
-    don't interleave against the direction."""
+    """order + first/last values + piecewise flag; merge is the
+    reference's *range algebra* (order_column_profile.py:133-262,
+    _is_intersecting:62-99, _is_enveloping:101-130): profiles are merged
+    as unordered value ranges, not as consecutive chunks, so ``+`` is
+    commutative. Same-direction profiles stay sorted when their ranges
+    don't intersect (disjoint runs can always be concatenated in range
+    order); an intersecting pair stays sorted only under the reference's
+    piecewise/envelope exceptions, otherwise degrades to random. A merged
+    ascending/descending result is marked ``piecewise`` (it is a union of
+    sorted runs, not one run)."""
 
     order: str = "constant value"  # ascending | descending | constant value | random
     first: float | str | None = None
     last: float | str | None = None
     n: int = 0
+    piecewise: bool = False
+
+    @staticmethod
+    def _ranges(a: "OrderState", b: "OrderState"):
+        f1, l1, f2, l2 = a.first, a.last, b.first, b.last
+        if any(isinstance(v, str) for v in (f1, l1, f2, l2)):
+            f1, l1, f2, l2 = str(f1), str(l1), str(f2), str(l2)
+        return (min(f1, l1), max(f1, l1), min(f2, l2), max(f2, l2),
+                f1, l1, f2, l2)
 
     def __add__(self, o: "OrderState") -> "OrderState":
         if self.n == 0:
             return OrderState(**asdict(o))
         if o.n == 0:
             return OrderState(**asdict(self))
-        merged = OrderState(n=self.n + o.n, first=self.first, last=o.last)
+        lo1, hi1, lo2, hi2, f1, l1, f2, l2 = self._ranges(self, o)
+        intersecting = (lo2 < lo1 < hi2 or lo2 < hi1 < hi2 or
+                        lo1 < lo2 < hi1 or lo1 < hi2 < hi1 or
+                        (lo1 == lo2 and hi1 == hi2))
+        env12 = lo1 < lo2 and hi1 > hi2   # self envelopes other
+        env21 = lo2 < lo1 and hi2 > hi1
         a, b = self.order, o.order
+
         if a == "random" or b == "random":
-            merged.order = "random"
-        elif a == "constant value" and b == "constant value":
-            if self.last == o.first:
-                merged.order = "constant value"
+            order = "random"
+        elif a == b:
+            if not intersecting or (self.piecewise and o.piecewise):
+                order = a
+            elif self.piecewise and env12:
+                order = a
+            elif o.piecewise and env21:
+                order = a
+            elif a == "constant value":
+                order = a
             else:
-                merged.order = "ascending" if self.last <= o.first else "descending"
-        elif {a, b} <= {"ascending", "constant value"}:
-            merged.order = "ascending" if self.last <= o.first else "random"
-        elif {a, b} <= {"descending", "constant value"}:
-            merged.order = "descending" if self.last >= o.first else "random"
+                order = "random"
+        elif {a, b} == {"ascending", "descending"}:
+            order = "random"
+        elif not intersecting:
+            order = "ascending" if "ascending" in (a, b) else "descending"
+        else:  # constant intersecting an ascending/descending run
+            if a == "constant value" and o.piecewise:
+                order = b
+            elif b == "constant value" and self.piecewise:
+                order = a
+            else:
+                order = "random"
+
+        if order == "ascending":
+            first, last = min(f1, f2), max(l1, l2)
+        elif order == "descending":
+            first, last = max(f1, f2), min(l1, l2)
         else:
-            merged.order = "random"
-        return merged
+            first, last = min(lo1, lo2), max(hi1, hi2)
+        piecewise = not ((order == "constant value" and first == last)
+                        or order == "random")
+        return OrderState(order=order, first=first, last=last,
+                          n=self.n + o.n, piecewise=piecewise)
 
 
 @dataclass

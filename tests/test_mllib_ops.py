@@ -66,3 +66,26 @@ def test_correlation_ml_close_to_exact(spark, sf_dir):
         for j, b in enumerate(cols):
             if i < j:
                 assert m[i][j] == pytest.approx(exact[(a, b)], abs=1e-6)
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    """max_bucket_size prunes the O(m^2) pair blowup from one giant
+    bucket (e.g. identical boilerplate docs) while keeping normal
+    near-dup pairs that bucket together elsewhere."""
+    from dataprofiler_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(40)]
+    near = [(100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "the quick brown fox jumps over the lazy dog tonite")]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                               max_bucket_size=10)
+    unc = {(r["id1"], r["id2"]) for r in uncapped.collect()}
+    cap = {(r["id1"], r["id2"]) for r in capped.collect()}
+    # boilerplate pairs (40*39/2) present uncapped, pruned by the cap
+    assert sum(1 for a, b in unc if a < 100) == 40 * 39 // 2
+    assert not any(a < 100 and b < 100 for a, b in cap)
+    # the genuine small-bucket near-dup pair survives the cap
+    assert (100, 101) in unc and (100, 101) in cap

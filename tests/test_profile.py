@@ -249,3 +249,53 @@ def test_min_true_samples_escalates(spark):
     non_null = state.columns["sparse"].sample_size - \
         state.columns["sparse"].null_count
     assert non_null >= 150  # 0.01 sample has ~2 non-nulls; must escalate
+
+
+def test_order_merge_range_algebra():
+    """Reference range-algebra merge (order_column_profile.py:133-262):
+    commutative, intersect/envelope/piecewise aware."""
+    from dataprofiler_spark.state import OrderState
+
+    asc = lambda f, l, pw=False: OrderState("ascending", f, l, 10, pw)
+    desc = lambda f, l, pw=False: OrderState("descending", f, l, 10, pw)
+    const = lambda v: OrderState("constant value", v, v, 10)
+
+    # disjoint same-direction runs stay sorted, in either operand order
+    m = asc(0, 5) + asc(10, 20)
+    assert (m.order, m.first, m.last, m.piecewise) == ("ascending", 0, 20, True)
+    m = asc(10, 20) + asc(0, 5)
+    assert (m.order, m.first, m.last) == ("ascending", 0, 20)
+
+    # intersecting non-piecewise sorted runs degrade to random
+    m = asc(0, 10) + asc(5, 20)
+    assert m.order == "random" and not m.piecewise
+    assert (m.first, m.last) == (0, 20)  # random reports the envelope
+
+    # piecewise+piecewise intersecting keeps direction
+    assert (asc(0, 10, pw=True) + asc(5, 20, pw=True)).order == "ascending"
+    # piecewise enveloping a non-piecewise keeps direction
+    assert (asc(0, 100, pw=True) + asc(5, 20)).order == "ascending"
+
+    # opposite directions always random
+    assert (asc(0, 5) + desc(20, 10)).order == "random"
+
+    # constant + ascending, disjoint → ascending
+    m = const(7) + asc(10, 20)
+    assert m.order == "ascending"
+    # identical constants stay constant, non-piecewise
+    m = const(7) + const(7)
+    assert m.order == "constant value" and not m.piecewise
+    # differing constants: intersecting=False → takes a direction? no —
+    # neither is asc/desc, same-order branch: disjoint constants keep
+    # "constant value" but become piecewise (first != last)
+    m = const(3) + const(9)
+    assert m.order == "constant value" and m.piecewise
+    assert (m.first, m.last) == (3, 9)
+
+    # descending merge reports first=max, last=min
+    m = desc(20, 15) + desc(9, 2)
+    assert (m.order, m.first, m.last) == ("descending", 20, 2)
+
+    # string/float mixed ranges compare as strings (reference casts)
+    m = OrderState("ascending", "a", "c", 5) + OrderState("ascending", "x", "z", 5)
+    assert (m.order, m.first, m.last) == ("ascending", "a", "z")
