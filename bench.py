@@ -54,6 +54,15 @@ def main() -> None:
     run("full_profile_lineitem", lambda: Profiler(lineitem).report())
     run("full_profile_orders", lambda: Profiler(orders).report())
 
+    # merge time (reference harness records it separately —
+    # structured_space_time_analysis.py): profile two disjoint halves,
+    # time only the state `+`. Driver-side algebra; at scale this is the
+    # per-partition combine AND the public multi-batch API.
+    from pyspark.sql import functions as F
+    half1 = Profiler(lineitem.where(F.col("l_orderkey") % 2 == 0)).profile()
+    half2 = Profiler(lineitem.where(F.col("l_orderkey") % 2 == 1)).profile()
+    run("profile_merge_lineitem", lambda: half1 + half2)
+
     run("numeric_profile_lineitem",
         lambda: num.numeric_profile_native(lineitem).collect())
 
