@@ -1,0 +1,136 @@
+"""Physical-plan assertions: the 100 TB story is only real if Catalyst
+actually prunes columns, pushes filters into the parquet scan, broadcasts
+small dimensions, and keeps profile expressions inside whole-stage
+codegen. These tests pin that down so a refactor can't silently regress
+the plan (SURVEY §4: anti-patterns; SCALE.md per-operator arguments).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403  (spark, sf_dir fixtures)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _simple(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_prunes_to_two_columns(spark, sf_dir):
+    """Top-k similarity must read only (id, vector) from parquet — a scan
+    that drags every column along is wrong at any scale."""
+    from dataprofiler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    extra = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    plan = _formatted(sim.cosine_topk(emb, "vec_id", "embedding", 0, 10))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, plan
+    for rs in schemas:
+        assert "vec_id" in rs and "embedding" in rs
+        for other in extra:  # any extra columns must be pruned
+            assert other not in rs
+    # the query-vector probe filter reaches the scan
+    assert any("PushedFilters" in ln and "EqualTo(vec_id,0)" in ln
+               for ln in plan.splitlines()), plan
+
+
+def test_numeric_profile_prunes_string_columns(spark, sf_dir):
+    from dataprofiler_spark.operators import numeric as num
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    plan = _formatted(num.numeric_profile_native(li))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in rs and "l_shipinstruct" not in rs
+
+
+def test_validator_filter_pushed_to_scan(spark, sf_dir):
+    """Range/list predicates must reach the parquet reader as
+    PushedFilters, not run post-scan only."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.where(F.col("l_quantity").between(10, 20)).select("l_quantity")
+    plan = _formatted(q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(l_quantity" in pushed
+    assert "LessThanOrEqual(l_quantity" in pushed
+
+
+def test_referential_integrity_broadcasts_small_parent(spark, sf_dir):
+    """FK→PK orphan check against a small parent must be a broadcast
+    join (no shuffle of the big child)."""
+    from dataprofiler_spark.operators import rowstats as rs
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orphans = customer.join(nation,
+                            customer["c_nationkey"] == nation["n_nationkey"],
+                            "left_anti")
+    assert "BroadcastHashJoin" in _simple(orphans) or \
+        "BroadcastNestedLoopJoin" in _simple(orphans)
+    # and the operator's end-to-end result agrees with plain counts
+    out = rs.referential_integrity(customer, nation,
+                                   "c_nationkey", "n_nationkey").collect()[0]
+    assert out["n_orphans"] == orphans.count()
+
+
+def test_profile_wide_agg_plan_shape(spark, sf_dir):
+    """The wide profile aggregation's load-bearing plan properties:
+    map-side partial aggregation (one row per partition crosses the
+    single Exchange), vectorized parquet scan, and zero Python-eval
+    nodes. (At profile width the agg exceeds spark.sql.codegen.maxFields
+    so Spark correctly falls back from whole-stage codegen — the 64KB
+    method limit — which is why we assert shape, not codegen.)"""
+    from dataprofiler_spark.plans.profile_plan import Profiler
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = Profiler(li)
+    fields = li.schema.fields
+    from pyspark.sql.types import (DateType, NumericType, StringType,
+                                   TimestampNTZType, TimestampType)
+    numeric = [f.name for f in fields if isinstance(f.dataType, NumericType)]
+    strings = [f.name for f in fields if isinstance(f.dataType, StringType)]
+    dts = [f.name for f in fields if isinstance(
+        f.dataType, (TimestampType, TimestampNTZType, DateType))]
+    agg = li.agg(*p._wide_agg_exprs([f.name for f in fields],
+                                    numeric, strings, dts))
+    plan = _simple(agg)
+    assert "partial_" in plan                       # map-side combine
+    assert plan.count("Exchange") == 1              # one row/partition shuffle
+    assert "Batched: true" in plan                  # vectorized scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_narrow_numeric_agg_uses_codegen(spark, sf_dir):
+    """A moderate-width numeric aggregation DOES stay inside whole-stage
+    codegen — the fallback above is strictly a width effect."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.agg(F.min("l_quantity"), F.max("l_quantity"),
+                 F.avg("l_extendedprice"), F.var_samp("l_discount"))
+    # AQE wraps the plan pre-execution; the codegen explain mode shows
+    # the compiled subtrees regardless.
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in plan, plan
+
+
+def test_word_count_single_shuffle(spark, sf_dir):
+    """explode → groupBy word is ONE shuffle (map-side partial agg), plus
+    the final top-k single-partition rank."""
+    from dataprofiler_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = (docs.where(F.col("text").isNotNull())
+              .select(F.explode(F.regexp_extract_all(
+                  F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("word"))
+              .groupBy("word").count())
+    plan = _simple(counts)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
