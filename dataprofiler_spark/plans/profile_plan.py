@@ -162,8 +162,10 @@ class Profiler:
             all_cols, numeric_cols, string_cols, dt_cols)).collect()[0]
         t_agg = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         state = self._assemble(row, all_cols, numeric_cols, string_cols,
                                dt_cols, simple_types)
+        t_assemble = time.perf_counter() - t0
 
         # job 2: ONE fused melted pass for BOTH category counts (gated
         # candidates) AND histogram buckets (all numeric columns). Each is
@@ -180,7 +182,9 @@ class Profiler:
                 continue
             if ad / n <= opt.categorical_stop_ratio or ad <= 10:
                 candidates.append(c)
+        t_b0 = time.perf_counter()
         hist_specs = self._histogram_specs(state, numeric_cols)
+        t_bins = time.perf_counter() - t_b0
         self._fused_counts_pass(df, state, candidates, hist_specs)
         for c in all_cols:
             if c not in candidates:
@@ -188,16 +192,24 @@ class Profiler:
                     categories={}, active=False)
         t_cat = time.perf_counter() - t0
 
-        state.times = {"wide_agg": t_agg, "counts_pass": t_cat}
+        # Per-phase telemetry (reference wraps each calc in _timeit,
+        # base_column_profilers.py:68-81; one wide agg fuses the per-stat
+        # work, so the honest granularity here is per phase, with the
+        # driver-side finalize steps broken out separately).
+        state.times = {"wide_agg": t_agg, "assemble": t_assemble,
+                       "bin_selection": t_bins,
+                       "counts_pass": t_cat - t_bins}
 
         # sample values for the report (reference keeps 5 random samples
         # per column, profile_builder.py:667-671) — one cheap limit job
+        t0 = time.perf_counter()
         for row_s in df.limit(5).collect():
             d = row_s.asDict()
             for c in all_cols:
                 v = d.get(c)
                 if v is not None and len(state.columns[c].samples) < 5:
                     state.columns[c].samples.append(str(v))
+        state.times["samples"] = time.perf_counter() - t0
 
         # opt-in job 4: order detection over an explicit ordering (Spark
         # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort
@@ -213,7 +225,9 @@ class Profiler:
             dt_strings = [c for c in string_cols
                           if state.columns[c].inferred_type == "datetime"]
             if dt_strings:
+                t0 = time.perf_counter()
                 self._format_pass(df, state, dt_strings)
+                state.times["formats"] = time.perf_counter() - t0
         return state
 
     def _order_pass(self, df: DataFrame, state: DatasetState,

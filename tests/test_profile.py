@@ -233,7 +233,11 @@ def test_wide_table_stays_two_jobs(spark, sf_dir):
                 .withColumn(f"d{i}", F.col("l_discount") / (i + 1)))
     assert len(wide.columns) >= 30
     state = Profiler(wide).profile()
-    assert set(state.times) == {"wide_agg", "counts_pass"}
+    # exactly two data scans; the rest of the telemetry is driver-side
+    scans = {k for k in state.times if k in ("wide_agg", "counts_pass")}
+    assert scans == {"wide_agg", "counts_pass"}
+    assert set(state.times) == {"wide_agg", "assemble", "bin_selection",
+                                "counts_pass", "samples"}
     assert state.columns["q4"].numeric.n == state.row_count
     assert state.columns["s4"].categorical.categories  # tracked
 
