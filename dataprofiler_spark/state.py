@@ -142,8 +142,11 @@ def _merge_histograms(a: dict | None, b: dict | None) -> dict | None:
             mid = (edges[i] + edges[i + 1]) / 2
             idx = min(max(int((mid - lo) / w), 0), bins - 1)
             counts[idx] += c
-    return {"bin_edges": [lo + i * w for i in range(bins + 1)],
-            "bin_counts": counts}
+    # interpolate edges from both ends and pin the final edge to hi —
+    # cumulative lo + i*w drifts below hi in float, leaving max-values
+    # outside the merged histogram
+    edges = [lo + (hi - lo) * i / bins for i in range(bins)] + [hi]
+    return {"bin_edges": edges, "bin_counts": counts}
 
 
 @dataclass

@@ -167,3 +167,35 @@ def test_datetime_formats_union(f1, f2):
     assert set(m.formats) == set(f1) | set(f2)
     assert m.min_ts == "2019-06-01" and m.max_ts == "2021-01-01"
     assert m.n == 3
+
+
+@st.composite
+def histograms(draw):
+    lo = draw(st.floats(min_value=-1e4, max_value=1e4,
+                        allow_nan=False, allow_infinity=False))
+    width = draw(st.floats(min_value=1e-3, max_value=1e3,
+                           allow_nan=False, allow_infinity=False))
+    nbins = draw(st.integers(min_value=1, max_value=12))
+    counts = draw(st.lists(st.integers(min_value=0, max_value=500),
+                           min_size=nbins, max_size=nbins))
+    return {"bin_edges": [lo + i * width for i in range(nbins + 1)],
+            "bin_counts": counts}
+
+
+@settings(max_examples=300, deadline=None)
+@given(histograms(), histograms())
+def test_histogram_merge_preserves_mass_and_range(h1, h2):
+    """Re-binned merge (the bounded-memory analog of the reference's
+    pseudo-data assimilation) must conserve total count exactly and
+    cover the union of both ranges."""
+    from dataprofiler_spark.state import _merge_histograms
+
+    m = _merge_histograms(h1, h2)
+    assert sum(m["bin_counts"]) == sum(h1["bin_counts"]) + sum(h2["bin_counts"])
+    assert m["bin_edges"][0] <= min(h1["bin_edges"][0], h2["bin_edges"][0])
+    assert m["bin_edges"][-1] >= max(h1["bin_edges"][-1], h2["bin_edges"][-1])
+    # edges strictly ordered
+    assert all(e2 > e1 for e1, e2 in zip(m["bin_edges"], m["bin_edges"][1:]))
+    # identity on one side
+    assert _merge_histograms(h1, None) == h1
+    assert _merge_histograms(None, h2) == h2
