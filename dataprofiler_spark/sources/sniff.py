@@ -26,7 +26,7 @@ CANDIDATE_DELIMS = [",", "\t", ";", "|"]  # space splits prose — not a candida
 
 @dataclass
 class SniffResult:
-    format: str                      # parquet | avro | json | csv | graph_csv | text
+    format: str          # parquet | orc | avro | json | csv | graph_csv | text
     options: dict = field(default_factory=dict)
 
 
@@ -53,6 +53,13 @@ def detect_encoding(head: bytes) -> str:
 
 def is_parquet(head: bytes) -> bool:
     return head[:4] == b"PAR1"
+
+
+def is_orc(head: bytes) -> bool:
+    # ORC files open with the 3-byte magic "ORC" (ORC spec, postscript
+    # magic mirrored at file start). Beyond the reference's format set —
+    # native in Spark, so the engine reads it for free.
+    return head[:3] == b"ORC"
 
 
 def is_avro(head: bytes) -> bool:
@@ -171,6 +178,8 @@ def sniff(path: str) -> SniffResult:
     head = _read_head(path)
     if is_parquet(head):
         return SniffResult("parquet")
+    if is_orc(head):
+        return SniffResult("orc")
     if is_avro(head):
         return SniffResult("avro")
     enc = detect_encoding(head)
@@ -199,6 +208,8 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
     o = {**res.options, **options}
     if res.format == "parquet":
         return spark.read.parquet(path), res
+    if res.format == "orc":
+        return spark.read.orc(path), res
     if res.format == "avro":
         return spark.read.format("avro").load(path), res
     if res.format == "json":

@@ -125,3 +125,29 @@ def test_quotechar_guessing(tmp_path):
     p2.write_text("name,desc\n'alice','likes, commas'\n'bob','plain'\n")
     r2 = sniff(str(p2))
     assert r2.options["quote"] == "'"
+
+
+def test_sniff_and_read_orc(spark, tmp_path):
+    """ORC round-trip: magic-byte sniff (even with a lying extension) and
+    native read — the full profile runs on it unchanged."""
+    import glob
+
+    out = str(tmp_path / "orc_out")
+    spark.range(100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity"
+    ).coalesce(1).write.mode("overwrite").orc(out)
+    part = glob.glob(out + "/*.orc")[0]
+    mislabeled = str(tmp_path / "data.csv")
+    import shutil
+    shutil.copy(part, mislabeled)
+
+    assert sniff(part).format == "orc"
+    assert sniff(mislabeled).format == "orc"
+    df, res = read_data(spark, mislabeled)
+    assert res.format == "orc" and df.count() == 100
+
+    from dataprofiler_spark import Profiler
+    state = Profiler(df).profile()
+    assert state.columns["v"].numeric.n == 100
+    assert state.columns["parity"].categorical.categories["even"] == 50
