@@ -831,3 +831,35 @@ def topk_events_per_user(spark, sf_dir):
     return (df.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("user_id", "event_id", "value", "rank"))
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(value) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE) * 1000, 0)
+                 AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 1000, 6)
+         AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
+@register("rollup_events_type_day", _ROLLUP_ORACLE)
+def rollup_events_type_day(spark, sf_dir):
+    """Hierarchical subtotal aggregation (type, day) → type → grand
+    total via native ROLLUP — one shuffle, partial aggregation per
+    grouping set; the OLAP rollup surface the reference lacks. Sum via
+    scaled-integer decimals for cross-engine bit-identity (NOTES_r1
+    playbook)."""
+    df = T(spark, sf_dir, "events")
+    xi = (F.round(F.col("value").cast("double") * 1000, 0)
+          .cast("decimal(19,0)").cast("decimal(38,0)"))
+    return (df.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
+                                               "yyyy-MM-dd"))
+            .withColumn("__xi", xi)
+            .rollup("event_type", "day")
+            .agg(F.count("value").alias("n_events"),
+                 F.round(F.sum("__xi").cast("double") / 1000, 6)
+                  .alias("sum_value"))
+            .select("event_type", "day", "n_events", "sum_value"))
