@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 # (first match wins when ratios tie).
 LABEL_PATTERNS: dict[str, str] = {
     "UUID": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    # common digest widths: md5/sha1/sha256/sha512
+    "HASH_OR_KEY": r"^([0-9a-fA-F]{32}|[0-9a-fA-F]{40}|[0-9a-fA-F]{64}|[0-9a-fA-F]{128})$",
     "EMAIL_ADDRESS": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+$",
     "URL": r"^(https?|ftp)://[^\s/$.?#].[^\s]*$",
     "IPV4": r"^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$",
@@ -40,7 +42,15 @@ LABEL_PATTERNS: dict[str, str] = {
     "US_STATE": (r"^(AL|AK|AZ|AR|CA|CO|CT|DE|FL|GA|HI|ID|IL|IN|IA|KS|KY|LA"
                  r"|ME|MD|MA|MI|MN|MS|MO|MT|NE|NV|NH|NJ|NM|NY|NC|ND|OH|OK"
                  r"|OR|PA|RI|SC|SD|TN|TX|UT|VT|VA|WA|WV|WI|WY)$"),
+    "ADDRESS": (r"^[0-9]{1,6} [A-Za-z0-9 .']{2,40} "
+                r"(St|Street|Ave|Avenue|Rd|Road|Blvd|Boulevard|Dr|Drive"
+                r"|Ln|Lane|Ct|Court|Way|Pl|Place|Ter|Terrace)\.?$"),
+    # common US state formats: 1-2 letters + 5-8 digits
+    "DRIVERS_LICENSE": r"^[A-Z]{1,2}[0-9]{5,8}$",
     "ORDINAL": r"^[0-9]*(1st|2nd|3rd|[04-9]th|11th|12th|13th)$",
+    # bank account number heuristic: 8-17 digits (overlaps INTEGER by
+    # design — the rank-vote reports both, reference regex model ditto)
+    "BAN": r"^[0-9]{8,17}$",
     "QUANTITY": (r"^[+-]?[0-9]+(\.[0-9]+)? ?(kg|g|mg|lb|lbs|oz|km|m|cm|mm"
                  r"|mi|ft|in|l|ml|gal|%)$"),
     "INTEGER": r"^[+-]?[0-9]+$",

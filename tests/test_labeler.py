@@ -72,3 +72,21 @@ def test_report_graphs(spark, sf_dir, tmp_path):
     plot_col_histogram(state, "l_quantity", save_path=p)
     assert os.path.getsize(p) > 0
     plot_missing_values_matrix(state, save_path=str(tmp_path / "m.png"))
+
+
+def test_new_regex_labels(spark):
+    """ADDRESS / DRIVERS_LICENSE / BAN / HASH_OR_KEY coverage (the
+    reference's remaining regex-able labels, label_mapping.json)."""
+    from dataprofiler_spark.labeler.regex_labeler import label_votes
+
+    df = spark.createDataFrame(
+        [("123 Main Street", "D1234567", "12345678901", "d41d8cd98f00b204e9800998ecf8427e"),
+         ("9 Elm Ave", "AB123456", "987654321", "da39a3ee5e6b4b0d3255bfef95601890afd80709")],
+        "addr string, dl string, acct string, hashes string")
+    votes = {(r["column"], r["label"]): r["votes"]
+             for r in label_votes(df, df.columns).collect()}
+    assert votes[("addr", "ADDRESS")] == 2
+    assert votes[("dl", "DRIVERS_LICENSE")] == 2
+    assert votes[("acct", "BAN")] == 2
+    assert votes[("acct", "INTEGER")] == 2  # deliberate overlap, both voted
+    assert votes[("hashes", "HASH_OR_KEY")] == 2
