@@ -523,9 +523,41 @@ def graph_degree_nation(spark, sf_dir):
     return gr.degree_stats(T(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey")
 
 
-@register("graph_components_nation")
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE
+nodes AS (
+  SELECT n_nationkey AS node FROM nation
+  UNION
+  SELECT n_regionkey FROM nation
+),
+bi AS (
+  SELECT n_nationkey AS src, n_regionkey AS dst FROM nation
+  UNION
+  SELECT n_regionkey, n_nationkey FROM nation
+),
+reach AS (
+  SELECT node, node AS peer FROM nodes
+  UNION
+  SELECT r.node, b.dst FROM reach r JOIN bi b ON r.peer = b.src
+),
+comp AS (
+  SELECT node, MIN(peer) AS component FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS num_components,
+       CAST(MAX(size) AS BIGINT) AS max_component_size
+FROM sizes
+"""
+
+
+@register("graph_components_nation", _COMPONENTS_ORACLE)
 def graph_components_nation(spark, sf_dir):
-    # iterative label propagation — non-SQL-expressible; rows-only check
+    # Spark side: iterative min-label propagation (operators/graph.py);
+    # oracle: recursive-CTE transitive closure (fine on a small graph —
+    # the closure is quadratic, which is exactly why the distributed
+    # side iterates instead).
     return gr.component_summary(T(spark, sf_dir, "nation"),
                                 "n_nationkey", "n_regionkey")
 
