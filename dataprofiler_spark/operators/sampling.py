@@ -1,0 +1,74 @@
+"""Deterministic hash-based sampling — reproducible corpus splits.
+
+The reference samples with RNG state (profiler_utils.shuffle_in_chunks:
+94-141, seeded via rng_utils.py:10-19); that reproduces only within one
+process. A training-data pipeline needs sampling that is *stable across
+engines, partitionings, and reruns*: hash the key, keep a row iff the
+hash falls under the fraction. Properties that matter at 100 TB:
+
+- pure filter — no shuffle, no RNG state, pushes down past column
+  pruning, trivially parallel at any partition count;
+- consistent — the same key always lands in the same split (join-safe:
+  sampling two tables by the same key keeps them aligned);
+- mergeable — sample(f1) ⊆ sample(f2) for f1 < f2 (nested holdouts).
+
+md5 is used (not xxhash64) so DuckDB oracles reproduce the decision
+bit-for-bit (NOTES_r1 playbook: md5 is the only portable hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars → 32-bit space; uniform in [0, 1) after division
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_fraction_expr(key: Column, seed: str = "dps-sample-v1") -> Column:
+    """Uniform [0,1) decision value from md5(seed || key)."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float,
+                seed: str = "dps-sample-v1") -> DataFrame:
+    """Keep ~fraction of rows, decided by the key's hash. Same key ⇒
+    same decision, on any engine, at any scale."""
+    return df.where(hash_fraction_expr(F.col(key), seed) < fraction)
+
+
+def stratified_hash_sample(df: DataFrame, key: str, strata_col: str,
+                           fractions: dict[str, float],
+                           default_fraction: float = 0.0,
+                           seed: str = "dps-sample-v1") -> DataFrame:
+    """Per-stratum deterministic sampling (df.stat.sampleBy semantics,
+    but reproducible): each stratum gets its own keep-fraction. One
+    CASE expression — still a pure filter, no shuffle."""
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    return df.where(hash_fraction_expr(F.col(key), seed) < frac)
+
+
+def _duck_hash_fraction(key: str, seed: str = "dps-sample-v1") -> str:
+    return (f"CAST(('0x' || substr(md5('{seed}' || '|' || "
+            f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / {_HASH_SPACE}")
+
+
+def oracle_hash_sample_sql(table: str, key: str, fraction: float,
+                           seed: str = "dps-sample-v1") -> str:
+    return (f"SELECT * FROM {table} "
+            f"WHERE {_duck_hash_fraction(key, seed)} < {fraction}")
+
+
+def oracle_stratified_sql(table: str, key: str, strata_col: str,
+                          fractions: dict[str, float],
+                          default_fraction: float = 0.0,
+                          seed: str = "dps-sample-v1") -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {f}"
+        for v, f in sorted(fractions.items()))
+    return (f"SELECT * FROM {table} "
+            f"WHERE {_duck_hash_fraction(key, seed)} < "
+            f"(CASE {cases} ELSE {default_fraction} END)")

@@ -895,3 +895,39 @@ def rollup_events_type_day(spark, sf_dir):
                  F.round(F.sum("__xi").cast("double") / 1000, 6)
                   .alias("sum_value"))
             .select("event_type", "day", "n_events", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (training-pipeline operator; pure filter)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import sampling as smp
+
+_HS_ORACLE = ("SELECT o_orderkey FROM ("
+              + smp.oracle_hash_sample_sql("orders", "o_orderkey", 0.1)
+              + ")")
+
+
+@register("hash_sample_orders", _HS_ORACLE)
+def hash_sample_orders(spark, sf_dir):
+    """Reproducible 10% sample: same keys survive on any engine /
+    partitioning / rerun — the join-safe corpus-holdout primitive."""
+    return smp.hash_sample(T(spark, sf_dir, "orders"),
+                           "o_orderkey", 0.1).select("o_orderkey")
+
+
+_STRATA = {"1-URGENT": 0.5, "5-LOW": 0.05}
+
+_SHS_ORACLE = ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+               + smp.oracle_stratified_sql("orders", "o_orderkey",
+                                           "o_orderpriority", _STRATA)
+               + ") GROUP BY o_orderpriority")
+
+
+@register("stratified_sample_orders", _SHS_ORACLE)
+def stratified_sample_orders(spark, sf_dir):
+    """Per-stratum deterministic fractions (sampleBy semantics without
+    RNG state): urgent orders kept at 50%, low-priority at 5%."""
+    s = smp.stratified_hash_sample(T(spark, sf_dir, "orders"),
+                                   "o_orderkey", "o_orderpriority", _STRATA)
+    return s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

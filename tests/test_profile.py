@@ -303,3 +303,29 @@ def test_order_merge_range_algebra():
     # string/float mixed ranges compare as strings (reference casts)
     m = OrderState("ascending", "a", "c", 5) + OrderState("ascending", "x", "z", 5)
     assert (m.order, m.first, m.last) == ("ascending", "a", "z")
+
+
+def test_hash_sample_deterministic_and_nested(spark, sf_dir):
+    """Hash sampling: rerun-stable, partitioning-independent, and nested
+    (sample(5%) ⊆ sample(20%)) — the reproducible-holdout contract."""
+    import os as _os
+
+    from dataprofiler_spark.operators import sampling as smp
+
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    k5 = {r[0] for r in smp.hash_sample(orders, "o_orderkey", 0.05)
+          .select("o_orderkey").collect()}
+    k20 = {r[0] for r in smp.hash_sample(orders, "o_orderkey", 0.20)
+           .select("o_orderkey").collect()}
+    assert k5 and k5 < k20                      # nested holdouts
+    n = orders.count()
+    assert abs(len(k20) / n - 0.20) < 0.02      # ~fraction kept
+    # repartitioning must not change the decision for any row
+    k20b = {r[0] for r in smp.hash_sample(orders.repartition(13),
+                                          "o_orderkey", 0.20)
+            .select("o_orderkey").collect()}
+    assert k20 == k20b
+    # a different seed draws a different (overlapping-by-chance) subset
+    k20c = {r[0] for r in smp.hash_sample(orders, "o_orderkey", 0.20,
+                                          seed="other").collect()}
+    assert k20c != k20
