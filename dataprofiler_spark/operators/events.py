@@ -12,9 +12,10 @@ stream-shaped workloads a 100 TB event pipeline needs (the reference's
 * rolling aggregates — frame-bounded window sums; scaled-integer sums
   keep them engine-exact.
 
-All shuffles key on user_id (sessionization) or nothing (global window
-ordered by event_id — at scale use partitionBy on a time bucket to avoid
-the single-partition global sort; noted inline).
+All shuffles key on user_id (sessionization) or a range bucket of the
+ordering column (rolling aggregates — the trailing frame crosses bucket
+seams via replicated halo rows, so no single-partition global sort ever
+runs; see ``rolling_avg``).
 """
 
 from __future__ import annotations
@@ -100,23 +101,61 @@ FROM {table}
 
 def rolling_avg(df: DataFrame, order_col: str = "event_id",
                 value_col: str = "value", frame: int = 100,
-                round_digits: int = 6) -> DataFrame:
+                round_digits: int = 6, num_buckets: int = 32) -> DataFrame:
     """(event_id, roll_sum, roll_avg) over the trailing ``frame`` rows
     ordered by ``order_col``. Scaled-integer frame sums → exact.
 
-    NOTE the global orderBy window is a single-partition sort — fine for
-    correctness checks; at 100 TB partition the window by a coarse time
-    bucket and handle the seam rows, or use the streaming rollup."""
+    Distributed plan (no global single-partition window): rows are
+    range-bucketed on ``order_col`` (monotone ``width_bucket``), the
+    trailing frame-1 rows of each bucket are *replicated* into the next
+    non-empty bucket as a halo, and the frame window runs partitioned by
+    bucket — each own row sees exactly its global trailing frame. Halo
+    rows are dropped from the output. Precondition: every non-final
+    bucket holds ≥ frame-1 rows; a cheap per-bucket count (B rows to the
+    driver) verifies it and falls back to fewer buckets (ultimately the
+    single-bucket global window) when the data is too small — correctness
+    never depends on the bucket layout."""
     xi = F.round(F.col(value_col).cast("double") * 1000, 0) \
           .cast("decimal(19,0)").cast("decimal(38,0)")
-    w = Window.orderBy(order_col).rowsBetween(-(frame - 1), 0)
-    s = F.sum(xi).over(w)
+    base = df.select(F.col(order_col).alias("oid"), xi.alias("xi"))
+
+    db = F.lit(0)  # dense bucket id; lit(0) = single bucket fallback
+    max_db = 0
+    row = base.agg(F.min(F.col("oid").cast("double")).alias("lo"),
+                   F.max(F.col("oid").cast("double")).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is not None and lo != hi and num_buckets > 1:
+        cand = F.width_bucket(F.col("oid").cast("double"), F.lit(lo),
+                              F.lit(hi), F.lit(num_buckets))
+        counts = sorted(
+            (r["b"], r["n"]) for r in
+            base.groupBy(cand.alias("b")).agg(
+                F.count(F.lit(1)).alias("n")).collect())
+        # every non-empty bucket except the last must fill the next halo
+        if counts and all(n >= frame - 1 for _, n in counts[:-1]):
+            # dense-rank buckets so the halo target is the next non-empty
+            dense = {b: i for i, (b, _) in enumerate(counts)}
+            db = F.create_map(
+                *[F.lit(x) for kv in dense.items() for x in kv])[cand]
+            max_db = len(dense) - 1
+
+    own = base.select("oid", "xi", db.alias("db"),
+                      F.lit(False).alias("is_halo"))
+    w_tail = Window.partitionBy("db").orderBy(F.desc("oid"))
+    halo = (own.withColumn("rn", F.row_number().over(w_tail))
+            .where((F.col("rn") <= frame - 1) & (F.col("db") < max_db))
+            .select("oid", "xi", (F.col("db") + 1).alias("db"),
+                    F.lit(True).alias("is_halo")))
+    w = Window.partitionBy("db").orderBy("oid").rowsBetween(-(frame - 1), 0)
+    s = F.sum("xi").over(w)
     n = F.count(F.lit(1)).over(w)
-    return df.select(
-        F.col(order_col).alias("event_id"),
-        F.round(s.cast("double") / 1000, round_digits).alias("roll_sum"),
-        F.round(s.cast("double") / n / 1000, round_digits).alias("roll_avg"),
-    )
+    return (own.unionByName(halo)
+            .withColumn("roll_sum", F.round(s.cast("double") / 1000,
+                                            round_digits))
+            .withColumn("roll_avg", F.round(s.cast("double") / n / 1000,
+                                            round_digits))
+            .where(~F.col("is_halo"))
+            .select(F.col("oid").alias("event_id"), "roll_sum", "roll_avg"))
 
 
 def oracle_rolling_avg_sql(table: str, order_col: str = "event_id",

@@ -188,20 +188,18 @@ def modes(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     """Top-k exact modes, deterministic tie-break (count desc, value asc)
     — reference reports up to top_k_modes=5 (numerical_column_stats.py:61,
     _estimate_mode_from_histogram:1082-1114 uses bin midpoints; exact mode
-    here, histogram-midpoint variant available via ``histogram``)."""
-    from pyspark.sql.window import Window
+    here, histogram-midpoint variant available via ``histogram``). Top-k
+    via distributed TakeOrderedAndProject (operators/topk.ranked_topk)."""
+    from dataprofiler_spark.operators.topk import ranked_topk
 
     counts = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).cast("double").alias("value"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    w = Window.orderBy(F.desc("count"), F.asc("value"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "value", "count")
-    )
+    return ranked_topk(
+        counts, [F.desc("count"), F.asc("value")], k
+    ).select("rank", "value", "count")
 
 
 def oracle_modes_sql(table: str, col: str, k: int = 5) -> str:

@@ -121,10 +121,9 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
               .select(F.col(id_col).alias("vec_id"),
                       F.round(cosine_expr(F.col(vec_col), F.col("qv")), 6)
                       .alias("cosine")))
-    from pyspark.sql.window import Window
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k).select("rank", "vec_id", "cosine"))
+    from dataprofiler_spark.operators.topk import ranked_topk
+    return ranked_topk(scored, [F.desc("cosine"), F.asc("vec_id")], k) \
+        .select("rank", "vec_id", "cosine")
 
 
 def correlation_matrix_ml(df: DataFrame, cols: list[str]) -> list[list[float]]:

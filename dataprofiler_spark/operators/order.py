@@ -1,4 +1,4 @@
-"""Order (sortedness) detection.
+"""Order (sortedness) detection — distributed, no global window.
 
 Reference semantics: dataprofiler/profilers/order_column_profile.py —
 single scan classifying a column as ascending / descending / constant
@@ -6,38 +6,134 @@ value / random (:372-413), with piecewise merge rules across batches
 (_merge_order:133-243, _is_intersecting:62-99, _is_enveloping:101-130).
 
 Spark design: DataFrames are unordered, so "input order" must be pinned
-explicitly (SURVEY §7.4 risk 2). The operator takes an ordering key; the
-scan-order variant uses ``monotonically_increasing_id`` right after read
-(valid per-file/partition order for parquet). Classification needs only
-two counts — adjacent ascending pairs and adjacent descending pairs —
-from one ``lag`` window. At scale the window over a global ordering is a
-single range-partitioned sort; for per-partition order semantics swap the
-global window for ``Window.partitionBy(spark_partition_id())``, which
-needs no shuffle at all.
+explicitly (SURVEY §7.4 risk 2); the operator takes an ordering key.
+Classification needs only adjacent-pair direction counts, which round 1
+computed with a **global** lag window — a single-partition sort of the
+whole table at scale. This version distributes it:
+
+1. one cheap agg gets min/max of the leading order key;
+2. every row gets a **range bucket** = ``width_bucket(key, min, max, B)``
+   — monotone in the key, so equal keys always share a bucket and the
+   concatenation of sorted buckets is the global order;
+3. adjacent pairs *within* a bucket come from a ``lag`` window partitioned
+   by bucket (distributed sort, B-way parallel, no single partition);
+4. the B-1 *seam* pairs (last row of bucket b, first row of bucket b+1)
+   come from a per-bucket ``min_by``/``max_by`` aggregate — B tiny rows —
+   lagged over bucket order (a window over B rows, not the data).
+
+Empty buckets simply don't appear in step 4, so the seam lag naturally
+bridges them. Non-numeric leading keys fall back to a single bucket
+(the round-1 global window — documented, and never hit by the shipped
+queries, whose keys are numeric).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql.types import (DateType, NumericType, TimestampType,
+                               TimestampNTZType)
 
-def order_profile(df: DataFrame, col: str, order_by: list[str]) -> DataFrame:
+DEFAULT_ORDER_BUCKETS = 64
+
+
+def _bucket_expr(df: DataFrame, key: str, num_buckets: int) -> Column:
+    """Monotone range-bucket of the leading order key, or lit(1) when the
+    key has no usable numeric range (single bucket = round-1 behavior)."""
+    dtype = df.schema[key].dataType
+    if isinstance(dtype, NumericType):
+        kv = F.col(key).cast("double")
+    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+        kv = F.unix_micros(F.col(key)).cast("double")
+    elif isinstance(dtype, DateType):
+        kv = F.datediff(F.col(key), F.lit("1970-01-01")).cast("double")
+    else:
+        return F.lit(1)
+    row = df.agg(F.min(kv).alias("lo"), F.max(kv).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or lo == hi or num_buckets <= 1:
+        return F.lit(1)
+    # nulls sort first in Spark ascending order → bucket 0 keeps them ahead
+    return F.coalesce(
+        F.width_bucket(kv, F.lit(float(lo)), F.lit(float(hi)),
+                       F.lit(num_buckets)),
+        F.lit(0),
+    )
+
+
+def ordered_pairs(df: DataFrame, order_by: list[str], value_cols: list[str],
+                  num_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
+    """Adjacent-pair rows in the global order defined by ``order_by``:
+    for every value column ``c`` the output has ``c`` and ``c__prev``.
+
+    Rows that begin a bucket carry NULL prevs (their true pair is emitted
+    once as a seam row), so consumers must guard pair predicates with
+    ``c__prev IS NOT NULL`` — exactly the guard a global-lag formulation
+    needs for the first row. Seam rows duplicate first-row values in the
+    value columns; min/max/min_by/max_by over the output are unaffected
+    (duplicates of existing (value, key) pairs), counts other than pair
+    counts would not be (don't compute them here). ``__k`` — the order-by
+    struct — is passed through for first/last-observed aggregation
+    (``min_by(c, __k)``).
+    """
+    bucket = _bucket_expr(df, order_by[0], num_buckets)
+    okey = F.struct(*[F.col(c) for c in order_by])
+    b = df.select(*[F.col(c) for c in set(order_by) | set(value_cols)],
+                  bucket.alias("__b"), okey.alias("__k"))
+
+    w_in = Window.partitionBy("__b").orderBy(*[F.col(c) for c in order_by])
+    within = b.select(
+        F.col("__k"),
+        *[F.col(c) for c in value_cols],
+        *[F.lag(F.col(c)).over(w_in).alias(f"{c}__prev") for c in value_cols],
+    )
+
+    per_bucket = b.groupBy("__b").agg(
+        F.min(F.col("__k")).alias("__k"),
+        *[F.min_by(F.col(c), F.col("__k")).alias(f"{c}__first")
+          for c in value_cols],
+        *[F.max_by(F.col(c), F.col("__k")).alias(f"{c}__last")
+          for c in value_cols],
+    )
+    w_b = Window.partitionBy(F.lit(0)).orderBy("__b")  # B rows, not data
+    seams = per_bucket.select(
+        F.col("__k"),
+        *[F.col(f"{c}__first").alias(c) for c in value_cols],
+        *[F.lag(F.col(f"{c}__last")).over(w_b).alias(f"{c}__prev")
+          for c in value_cols],
+    ).where(F.lit(True))
+    # drop the first bucket's seam row (no predecessor): all prevs NULL there
+    first_seam_guard = None
+    for c in value_cols:
+        g = F.col(f"{c}__prev").isNotNull()
+        first_seam_guard = g if first_seam_guard is None else (first_seam_guard | g)
+    # a seam row where every prev is NULL is either the first bucket or a
+    # bucket following an all-NULL tail; keeping it is harmless (guarded
+    # consumers ignore NULL prevs) — we drop only to avoid an extra row.
+    seams = seams.where(first_seam_guard if first_seam_guard is not None
+                        else F.lit(False))
+    return within.unionByName(seams)
+
+
+def order_profile(df: DataFrame, col: str, order_by: list[str],
+                  num_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
     """(column, n_pairs, asc_pairs, desc_pairs, eq_pairs, order) where
     order ∈ {ascending, descending, constant value, random} following
     order_column_profile.py:372-413: constant if all equal; ascending if
-    no descending violation; descending if no ascending violation."""
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    prev = F.lag(F.col(col)).over(w)
-    pairs = df.select(
-        F.col(col).alias("v"), prev.alias("p")
-    ).where(F.col("p").isNotNull())
-    agg = pairs.agg(
+    no descending violation; descending if no ascending violation.
+
+    n_pairs counts true adjacent pairs (prev NOT NULL), identical to the
+    global-lag formulation; plan is distributed (see module docstring).
+    """
+    pairs = ordered_pairs(df, order_by, [col], num_buckets)
+    v, p = F.col(col), F.col(f"{col}__prev")
+    agg = pairs.where(p.isNotNull()).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("v") > F.col("p"), 1).otherwise(0)).alias("asc_pairs"),
-        F.sum(F.when(F.col("v") < F.col("p"), 1).otherwise(0)).alias("desc_pairs"),
-        F.sum(F.when(F.col("v") == F.col("p"), 1).otherwise(0)).alias("eq_pairs"),
+        F.sum(F.when(v > p, 1).otherwise(0)).alias("asc_pairs"),
+        F.sum(F.when(v < p, 1).otherwise(0)).alias("desc_pairs"),
+        F.sum(F.when(v == p, 1).otherwise(0)).alias("eq_pairs"),
     )
     order = (
         F.when((F.col("asc_pairs") == 0) & (F.col("desc_pairs") == 0), "constant value")

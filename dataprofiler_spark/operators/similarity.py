@@ -38,8 +38,12 @@ def cosine_expr(a: Column, b: Column) -> Column:
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
                 k: int = 10, round_digits: int = 6) -> DataFrame:
     """(rank, vec_id, cosine): top-k neighbours of ``query_id`` by cosine,
-    deterministic tie-break (cosine desc, id asc), self excluded."""
-    from pyspark.sql.window import Window
+    deterministic tie-break (cosine desc, id asc), self excluded.
+
+    Plan: broadcast the query vector, score in one scan, finalize with the
+    distributed TakeOrderedAndProject top-k (operators/topk.ranked_topk) —
+    never a global single-partition window."""
+    from dataprofiler_spark.operators.topk import ranked_topk
 
     q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     scored = (
@@ -51,12 +55,9 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
              .alias("cosine"),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "cosine")
 
 
 def _duck_dot(a: str, b: str, dim: int) -> str:
@@ -120,7 +121,7 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
     """Approximate top-k: candidates restricted to the probe's LSH bucket.
     At scale, write the table bucketed/partitioned by this bucket id and
     the probe touches 1/2^n_planes of the data (partition pruning)."""
-    from pyspark.sql.window import Window
+    from dataprofiler_spark.operators.topk import ranked_topk
 
     planes = hyperplanes(dim, n_planes)
     bucketed = df.select(
@@ -137,12 +138,9 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
             F.round(cosine_expr(F.col("v"), F.col("qv")), round_digits).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    return ranked_topk(
+        cand, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("rank", "vec_id", "cosine")
 
 
 def oracle_lsh_topk_sql(table: str, id_col: str, vec_col: str, query_id: int,

@@ -149,8 +149,9 @@ def word_counts(df: DataFrame, text_col: str, top_k: int = 20,
                 strip_stop_words: bool = True) -> DataFrame:
     """Top-k words: lower → tokenize on non-space runs → strip edge
     punctuation → drop stop words → count. Deterministic tie-break
-    (count desc, word asc). Classic one-shuffle word count."""
-    from pyspark.sql.window import Window
+    (count desc, word asc). Classic one-shuffle word count; top-k via
+    distributed TakeOrderedAndProject (operators/topk.ranked_topk)."""
+    from dataprofiler_spark.operators.topk import ranked_topk
 
     toks = F.explode(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
@@ -164,12 +165,9 @@ def word_counts(df: DataFrame, text_col: str, top_k: int = 20,
     if strip_stop_words:
         words = words.where(~F.col("word").isin(*STOP_WORDS))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
-    w = Window.orderBy(F.desc("count"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select("rank", "word", "count")
-    )
+    return ranked_topk(
+        counts, [F.desc("count"), F.asc("word")], top_k
+    ).select("rank", "word", "count")
 
 
 def oracle_word_counts_sql(table: str, text_col: str, top_k: int = 20,

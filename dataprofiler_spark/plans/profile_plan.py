@@ -232,15 +232,17 @@ class Profiler:
 
     def _order_pass(self, df: DataFrame, state: DatasetState,
                     order_by: list[str]) -> None:
-        from pyspark.sql.window import Window
-
+        """Distributed order pass: adjacent pairs via the range-bucketed
+        ``ordered_pairs`` operator (no global window — operators/order.py),
+        first/last as first/last *observed* in order (``min_by/max_by`` on
+        the order key), matching the reference's first_value semantics so
+        OrderState merge algebra gets direction-consistent endpoints
+        (order_column_profile.py:372-413)."""
+        from dataprofiler_spark.operators.order import ordered_pairs
         from dataprofiler_spark.state import OrderState
 
-        w = Window.orderBy(*[F.col(c) for c in order_by])
         cols = state.column_order
-        sel = [F.col(c) for c in cols] + [
-            F.lag(F.col(c)).over(w).alias(f"{c}__prev") for c in cols]
-        pairs = df.select(*sel)
+        pairs = ordered_pairs(df, order_by, cols)
         aggs = []
         for c in cols:
             v, p = F.col(c), F.col(f"{c}__prev")
@@ -249,8 +251,8 @@ class Profiler:
                  .alias(f"{c}__asc"),
                 F.sum(F.when(p.isNotNull() & (v < p), 1).otherwise(0))
                  .alias(f"{c}__desc"),
-                F.min(c).alias(f"{c}__first"),
-                F.max(c).alias(f"{c}__last"),
+                F.min_by(v, F.col("__k")).alias(f"{c}__first"),
+                F.max_by(v, F.col("__k")).alias(f"{c}__last"),
             ])
         row = pairs.agg(*aggs).collect()[0]
         for c in cols:

