@@ -36,28 +36,70 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     nulls (the common parquet case) plain pairwise sums are identical and
     one pass. The imputation variant adds a first pass for means and
     fills — same plan shape as numeric exact mode.
+
+    Overflow safety: Pearson sums are shift-invariant, so every scaled
+    integer is pivoted by its column's min (one tiny pre-agg, embedded
+    as literals). That drops the decimal(38,0) products from mean²·S²·n²
+    (overflows ~1e38 near 1e12 rows) to range²·S²·n² — the exact-integer
+    path survives any realistic scale, and the integer results (hence the
+    oracle SQL, which needs no pivot) are bit-identical. A double-
+    arithmetic fallback of the *shifted* sums backstops pathological
+    ranges; shifting keeps it well-conditioned (cancellation scales with
+    (mean−min)²/var, not mean²/var).
     """
+    pre = df.agg(
+        F.count(F.lit(1)).alias("nn"),
+        *[F.min(_xi(c)).alias(f"mn_{c}") for c in cols],
+        *[F.count(F.col(c)).alias(f"cnt_{c}") for c in cols],
+    ).first()
+    # Shift-invariance needs every row to carry the pivot; with nulls the
+    # sum row-set ≠ count(*), so null-bearing columns stay on the legacy
+    # unshifted sums (still exact to ~1e38, then the double fallback).
+    no_nulls = all(pre[f"cnt_{c}"] == pre["nn"] for c in cols)
+
+    def yi(c):  # shifted scaled integer: xi − min(xi) ≥ 0, range-bounded
+        if no_nulls and pre[f"mn_{c}"] is not None:
+            return _xi(c) - F.lit(int(pre[f"mn_{c}"])).cast("decimal(19,0)")
+        return _xi(c)
+
+    def yd(c):  # the same shifted value in double, for the backstop sums
+        return yi(c).cast("double")
+
     exprs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
-        xi = _xi(c)
-        exprs.append(F.sum(xi.cast("decimal(38,0)")).alias(f"s_{c}"))
-        exprs.append(F.sum((xi * xi).cast("decimal(38,0)")).alias(f"ss_{c}"))
+        # try_sum: NULL past 1e38 (instead of an ANSI abort) so the
+        # double backstop can take over; per-row products of two
+        # decimal(19,0) always fit in decimal(38,0).
+        exprs.append(F.try_sum(yi(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        exprs.append(F.try_sum((yi(c) * yi(c)).cast("decimal(38,0)"))
+                     .alias(f"ss_{c}"))
+        exprs.append(F.sum(yd(c)).alias(f"sd_{c}"))
+        exprs.append(F.sum(yd(c) * yd(c)).alias(f"ssd_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            exprs.append(F.sum((_xi(a) * _xi(b)).cast("decimal(38,0)"))
+            exprs.append(F.try_sum((yi(a) * yi(b)).cast("decimal(38,0)"))
                          .alias(f"sp_{a}__{b}"))
+            exprs.append(F.sum(yd(a) * yd(b)).alias(f"spd_{a}__{b}"))
     row = df.agg(*exprs)
 
     structs = []
     n = F.col("n")
+
+    def css(sab, sa, sb, sabd, sad, sbd):
+        return F.coalesce(
+            F.try_subtract(F.try_multiply(n.cast("decimal(38,0)"), sab),
+                           F.try_multiply(sa, sb)).cast("double"),
+            n.cast("double") * sabd - sad * sbd,
+        )
+
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            num = (n * F.col(f"sp_{a}__{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-                   ).cast("double")
-            da = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
-                  ).cast("double")
-            db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-                  ).cast("double")
+            sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+            sad, sbd = F.col(f"sd_{a}"), F.col(f"sd_{b}")
+            num = css(F.col(f"sp_{a}__{b}"), sa, sb,
+                      F.col(f"spd_{a}__{b}"), sad, sbd)
+            da = css(F.col(f"ss_{a}"), sa, sa, F.col(f"ssd_{a}"), sad, sad)
+            db = css(F.col(f"ss_{b}"), sb, sb, F.col(f"ssd_{b}"), sbd, sbd)
             structs.append(F.struct(
                 F.lit(a).alias("col1"), F.lit(b).alias("col2"),
                 F.round(num / F.sqrt(da * db), round_digits).alias("corr"),

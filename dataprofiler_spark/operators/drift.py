@@ -136,10 +136,25 @@ def welch_t(df_a: DataFrame, df_b: DataFrame, col: str,
 
     def side(df, tag):
         xi = F.round(F.col(col).cast("double") * S, 0).cast("decimal(19,0)")
+        # min-pivot the squared sums (css is shift-invariant in exact
+        # integer arithmetic → bit-identical to the unshifted oracle, but
+        # products bounded by range²·S²·n² instead of mean²·S²·n², so the
+        # decimal(38,0) path survives any realistic scale; see
+        # correlation_matrix). Nulls are skipped by both the sum and the
+        # pivoted sum over the same row-set (count(col)), so the shift
+        # cancels exactly even on null-bearing columns. s1 stays unshifted
+        # (a plain sum, safe to 1e38) so the mean's IEEE division sequence
+        # matches the oracle verbatim.
+        mn = df.agg(F.min(xi).alias("mn")).first()["mn"]
+        y = xi - F.lit(int(mn) if mn is not None else 0).cast("decimal(19,0)")
+        yd = y.cast("double")
         return df.agg(
             F.count(F.col(col)).alias(f"n_{tag}"),
             F.sum(xi.cast("decimal(38,0)")).alias(f"s1_{tag}"),
-            F.sum((xi * xi).cast("decimal(38,0)")).alias(f"s2_{tag}"),
+            F.try_sum(y.cast("decimal(38,0)")).alias(f"sy_{tag}"),
+            F.try_sum((y * y).cast("decimal(38,0)")).alias(f"syy_{tag}"),
+            F.sum(yd).alias(f"syd_{tag}"),
+            F.sum(yd * yd).alias(f"syyd_{tag}"),
         )
 
     j = side(df_a, "a").crossJoin(side(df_b, "b"))
@@ -147,9 +162,16 @@ def welch_t(df_a: DataFrame, df_b: DataFrame, col: str,
     def stats(tag):
         n = F.col(f"n_{tag}")
         s1 = F.col(f"s1_{tag}")
-        s2 = F.col(f"s2_{tag}")
+        sy = F.col(f"sy_{tag}")
+        syy = F.col(f"syy_{tag}")
         mean = s1.cast("double") / n / S
-        var = (n * s2 - s1 * s1).cast("double") / n / (n - 1) / (S * S)
+        css = F.coalesce(
+            F.try_subtract(F.try_multiply(n.cast("decimal(38,0)"), syy),
+                           F.try_multiply(sy, sy)).cast("double"),
+            n.cast("double") * F.col(f"syyd_{tag}")
+            - F.col(f"syd_{tag}") * F.col(f"syd_{tag}"),
+        )
+        var = css / n / (n - 1) / (S * S)
         return n, mean, var
 
     na, ma, va = stats("a")

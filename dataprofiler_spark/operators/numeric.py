@@ -140,7 +140,10 @@ def numeric_profile_exact(
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
             F.sum(xi.cast("decimal(38,0)")).alias(f"{c}__s1"),
-            F.sum((xi * xi).cast("decimal(38,0)")).alias(f"{c}__s2"),
+            # try_sum: NULL (not an ANSI error) past 1e38, so the centered
+            # fallback below can take over. Per-row xi² always fits:
+            # |xi| < 1e19 ⇒ xi² < 1e38.
+            F.try_sum((xi * xi).cast("decimal(38,0)")).alias(f"{c}__s2"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__zeros"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__negs"),
         ])
@@ -160,6 +163,7 @@ def numeric_profile_exact(
     for c in cols:
         dev = F.col(c).cast("double") - F.col(f"{c}__mu")
         p2_exprs.extend([
+            F.sum(dev * dev).alias(f"{c}__m2"),
             F.sum(dev * dev * dev).alias(f"{c}__m3"),
             F.sum(dev * dev * dev * dev).alias(f"{c}__m4"),
         ])
@@ -178,7 +182,21 @@ def numeric_profile_exact(
         mean = s1.cast("double") / n / s2lit
         # n·s2 − s1² is exact integer arithmetic; ONE decimal→double cast,
         # then a fixed division sequence mirrored verbatim in the oracle.
-        css = (n * s2 - s1 * s1).cast("double")  # n² · Σ(x−μ)² · S²
+        # Decimal(38,0) products overflow past ~1e38 — reachable at
+        # ~1e12 rows × |x|~1e7. Under ANSI (Spark 4 default) that would
+        # abort the job, so the product chain uses try_* (NULL on
+        # overflow) and falls back to the centered second moment from
+        # pass 2 (n·m2·S² == css, cancellation-free; double summation
+        # order costs ≤1e-15 relative, below the 6-digit rounding). The
+        # decimal path wins whenever it fits, keeping small-scale results
+        # bit-identical to the oracle. s1 (plain sum, safe while
+        # |mean|·S·n < 1e38) is the remaining hard domain limit: past it
+        # the mean — and the centering pass with it — fails loudly.
+        css = F.coalesce(
+            F.try_subtract(F.try_multiply(n.cast("decimal(38,0)"), s2),
+                           F.try_multiply(s1, s1)).cast("double"),
+            F.col(f"{c}__m2") * n.cast("double") * (s2lit * s2lit),
+        )
         var = F.when(n > 1, css / n / (n - 1) / (s2lit * s2lit)).otherwise(F.lit(None))
         b2 = css / n / n / (s2lit * s2lit)  # biased variance for moment ratios
         # b2 == 0 (constant column) → moments undefined, not NaN/Inf

@@ -10,6 +10,12 @@ RE2 (and thus a portable oracle) lacks — re-expressed as a 4-step strip
 pipeline with identical semantics on every engine. Stats ride the exact
 integer-sum battery (precision is a small integer), so results are
 engine-reproducible with no rounding risk.
+
+Overflow: precision values are ≤ ~40 (digits of a stringified double), so
+the decimal(38,0) products n·s2 ≤ 1600·n² only overflow past n ≈ 2.5e17
+rows — 5 orders beyond a 100 TB table. No fallback needed (cf. the
+min-pivot + coalesce treatment in operators/numeric.py / correlation.py,
+where cell magnitudes are unbounded).
 """
 
 from __future__ import annotations
