@@ -45,7 +45,12 @@ def row_stats(df: DataFrame, cols: list[str] | None = None,
     cols = cols or df.columns
     ncols = len(cols)
     if hashing_method == "full":
-        uniq = F.count_distinct(*[F.col(c) for c in cols])
+        # distinct over the row STRUCT, not the column list:
+        # count_distinct(a, b, ...) skips any row where one column is
+        # NULL (SQL semantics), undercounting uniqueness on null-bearing
+        # tables; the struct is never NULL and groups its null fields as
+        # equal — matching the reference's whole-row hashing (ADVICE r1).
+        uniq = F.count_distinct(F.struct(*[F.col(c) for c in cols]))
     elif hashing_method == "hll":
         uniq = F.approx_count_distinct(F.xxhash64(*[F.col(c) for c in cols]), 0.01)
     else:
@@ -65,13 +70,11 @@ def row_stats(df: DataFrame, cols: list[str] | None = None,
 def oracle_row_stats_sql(table: str, cols: list[str]) -> str:
     """DuckDB SQL mirroring ``row_stats(hashing_method='full')``.
 
-    NOTE: COUNT(DISTINCT (a,b,...)) in DuckDB counts distinct non-null
-    tuples of the row struct; Spark's count_distinct(cols...) skips rows
-    where ANY column is NULL. To keep semantics identical both engines
-    count distinct over a row struct (DuckDB) vs all-columns with
-    coalesce — here the driver tables have non-null keys so we use the
-    struct form and Spark's count_distinct matches when no all-column-null
-    rows exist; for null-bearing tables use the hash form instead.
+    Both engines count distinct whole rows with NULL fields grouping as
+    equal: Spark via count_distinct over a row struct (never NULL itself),
+    DuckDB via SELECT DISTINCT over all columns (DISTINCT treats NULLs as
+    equal) — so null-bearing rows participate in uniqueness on both
+    engines, matching the reference's whole-row hashing.
     """
     col_list = ", ".join(cols)
     null_sum = " + ".join(f"(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)" for c in cols)
@@ -83,8 +86,7 @@ SELECT row_count, unique_row_count,
        CAST(rows_all_null_count AS BIGINT) AS rows_all_null_count
 FROM (
   SELECT COUNT(*) AS row_count,
-         (SELECT COUNT(*) FROM (SELECT DISTINCT {col_list} FROM {table}
-                                WHERE {" AND ".join(f"{c} IS NOT NULL" for c in cols)})) AS unique_row_count,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT {col_list} FROM {table})) AS unique_row_count,
          SUM(CASE WHEN ({null_sum}) > 0 THEN 1 ELSE 0 END) AS rows_with_null_count,
          SUM(CASE WHEN ({null_sum}) = {len(cols)} THEN 1 ELSE 0 END) AS rows_all_null_count
   FROM {table}

@@ -25,9 +25,18 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(1 << 32)
 
 
+# NULL keys hash the sentinel (not just the seed): every engine makes the
+# same keep/drop decision for NULL-key rows, and they don't collapse onto
+# the seed-only hash. A literal key equal to the sentinel collides with
+# NULL — documented, vanishingly unlikely, and identical on both engines.
+_NULL_SENTINEL = "\x00<null>"
+
+
 def hash_fraction_expr(key: Column, seed: str = "dps-sample-v1") -> Column:
-    """Uniform [0,1) decision value from md5(seed || key)."""
-    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    """Uniform [0,1) decision value from md5(seed || key); NULL keys take
+    the sentinel path (same decision on every engine)."""
+    k = F.coalesce(key.cast("string"), F.lit(_NULL_SENTINEL))
+    h = F.md5(F.concat_ws("|", F.lit(seed), k))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
 
 
@@ -52,8 +61,10 @@ def stratified_hash_sample(df: DataFrame, key: str, strata_col: str,
 
 
 def _duck_hash_fraction(key: str, seed: str = "dps-sample-v1") -> str:
+    sent = "chr(0) || '<null>'"
     return (f"CAST(('0x' || substr(md5('{seed}' || '|' || "
-            f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / {_HASH_SPACE}")
+            f"COALESCE(CAST({key} AS VARCHAR), {sent})), 1, 8))"
+            f"::BIGINT AS DOUBLE) / {_HASH_SPACE}")
 
 
 def oracle_hash_sample_sql(table: str, key: str, fraction: float,

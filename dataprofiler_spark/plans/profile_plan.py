@@ -61,8 +61,15 @@ class ProfilerOptions:
     def __init__(
         self,
         null_spec: NullSpec = DEFAULT_NULL_SPEC,
-        categorical_stop_ratio: float = 0.5,
+        # Reference stop condition: categorical while unique ≤ 10 OR
+        # unique/sample ≤ 0.2 (categorical_column_profile.py:29-34).
+        categorical_stop_ratio: float = 0.2,
         categorical_max_unique: int | None = None,
+        # Driver-memory guard: at most this many category rows per column
+        # are collected; the remainder folds into exact overflow totals
+        # (CategoricalState.overflow_*). A 0.2-unique-ratio column at
+        # 100 TB would otherwise ship O(0.2·n) rows to the driver.
+        categorical_max_collected: int = 10000,
         histogram_bins: int | str = "auto",
         max_histogram_bins: int = 1000,
         sample_fraction: float | None = None,
@@ -78,6 +85,7 @@ class ProfilerOptions:
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
         self.categorical_max_unique = categorical_max_unique
+        self.categorical_max_collected = categorical_max_collected
         self.histogram_bins = histogram_bins
         self.max_histogram_bins = max_histogram_bins
         self.sample_fraction = sample_fraction
@@ -481,9 +489,48 @@ class Profiler:
         melted = df.select(
             F.explode(F.array(*entries)).alias("e")
         ).where(F.col("e").isNotNull()).select("e.*")
-        counts = melted.groupBy("column", "key").agg(
-            F.count(F.lit(1)).alias("count")).collect()
+        counts_df = melted.groupBy("column", "key").agg(
+            F.count(F.lit(1)).alias("count"))
 
+        # Bounded driver collect: per cat-column only the top-K categories
+        # (count desc, key asc) ship to the driver; per-column totals (one
+        # tiny row each) make the remainder exact. The top-K is a salted
+        # two-stage rank — local rank within (column, salt) keeps ≤ P·K
+        # candidates (any true top-K element beats <K rows globally, so
+        # <K within its salt group), then the final rank runs over that
+        # bounded survivor set — no single-partition window over a high-
+        # cardinality column's full distinct set. Histogram rows are never
+        # capped (bins ≤ max_histogram_bins by construction).
+        from pyspark.sql.window import Window
+
+        K = self.options.categorical_max_collected
+        P = 32
+        counts_df = counts_df.persist()
+        try:
+            totals = {
+                r["column"]: (r["total"], r["uniq"])
+                for r in counts_df.groupBy("column").agg(
+                    F.sum("count").alias("total"),
+                    F.count(F.lit(1)).alias("uniq")).collect()
+            }
+            is_hist = F.col("column").startswith("hist:")
+            w_local = Window.partitionBy(
+                "column", F.pmod(F.xxhash64("key"), F.lit(P))
+            ).orderBy(F.desc("count"), F.asc("key"))
+            w_final = Window.partitionBy("column").orderBy(
+                F.desc("count"), F.asc("key"))
+            counts = (
+                counts_df
+                .withColumn("rl", F.row_number().over(w_local))
+                .where(is_hist | (F.col("rl") <= K))
+                .withColumn("rn", F.row_number().over(w_final))
+                .where(is_hist | (F.col("rn") <= K))
+                .select("column", "key", "count")
+                .collect())
+        finally:
+            counts_df.unpersist()
+
+        kept_per_col: dict[str, tuple[int, int]] = {}
         hist_acc: dict[str, dict[int, int]] = {}
         for r in counts:
             tag, c = r["column"].split(":", 1)
@@ -492,8 +539,20 @@ class Profiler:
                 if col.categorical is None:
                     col.categorical = CategoricalState()
                 col.categorical.categories[r["key"]] = r["count"]
+                kc, ku = kept_per_col.get(r["column"], (0, 0))
+                kept_per_col[r["column"]] = (kc + r["count"], ku + 1)
             else:
                 hist_acc.setdefault(c, {})[int(r["key"])] = r["count"]
+        for full, (total, uniq) in totals.items():
+            if not full.startswith("cat:"):
+                continue
+            c = full.split(":", 1)[1]
+            kc, ku = kept_per_col.get(full, (0, 0))
+            col = state.columns[c]
+            if col.categorical is None:
+                col.categorical = CategoricalState()
+            col.categorical.overflow_count = total - kc
+            col.categorical.overflow_unique = uniq - ku
         for c, lo, hi, bins in hist_specs:
             buckets = hist_acc.get(c, {})
             state.columns[c].numeric.histogram = {

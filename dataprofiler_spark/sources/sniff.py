@@ -38,10 +38,12 @@ def _read_head(path: str, n: int = HEAD_BYTES) -> bytes:
 def detect_encoding(head: bytes) -> str:
     """BOM-based + utf-8 validation fallback (data_utils.py:590-678 uses
     chardet; BOMs + utf8-else-latin1 covers the deterministic cases)."""
-    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
-        return "UTF-16"
+    # UTF-32 BOMs first: the UTF-32 LE BOM ff fe 00 00 starts with the
+    # UTF-16 LE BOM ff fe, so the longer prefix must win (ADVICE r1).
     if head.startswith(b"\xff\xfe\x00\x00") or head.startswith(b"\x00\x00\xfe\xff"):
         return "UTF-32"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "UTF-16"
     if head.startswith(b"\xef\xbb\xbf"):
         return "UTF-8"
     try:

@@ -156,6 +156,14 @@ class CategoricalState:
 
     categories: dict[str, int] = field(default_factory=dict)
     active: bool = True  # False once the stop condition tripped
+    # Driver-memory guard (profile_plan.ProfilerOptions
+    # .categorical_max_collected): when a gated column still has more
+    # distinct values than the cap, only the top-K reach the driver and
+    # the rest are folded into these exact remainder totals. unique_count
+    # and sample_count stay exact; per-category stats (gini,
+    # unalikeability) are undefined over a truncated dict and report None.
+    overflow_count: int = 0   # total rows in dropped categories
+    overflow_unique: int = 0  # number of dropped categories
 
     def __add__(self, o: "CategoricalState") -> "CategoricalState":
         if not self.active or not o.active:
@@ -163,27 +171,38 @@ class CategoricalState:
         merged = dict(self.categories)
         for k, v in o.categories.items():
             merged[k] = merged.get(k, 0) + v
-        return CategoricalState(categories=merged, active=True)
+        # NOTE merging truncated states is exact for the totals but the
+        # merged dict may undercount a category that overflowed on one
+        # side; overflow_unique is then an upper bound on *extra* uniques.
+        return CategoricalState(
+            categories=merged, active=True,
+            overflow_count=self.overflow_count + o.overflow_count,
+            overflow_unique=max(self.overflow_unique, o.overflow_unique),
+        )
+
+    @property
+    def truncated(self) -> bool:
+        return self.overflow_unique > 0
 
     @property
     def unique_count(self) -> int:
-        return len(self.categories)
+        return len(self.categories) + self.overflow_unique
 
     @property
     def sample_count(self) -> int:
-        return sum(self.categories.values())
+        return sum(self.categories.values()) + self.overflow_count
 
     @property
     def gini_impurity(self) -> float | None:
         n = self.sample_count
-        if not n:
+        if not n or self.truncated:
             return None
         return 1.0 - sum((c / n) ** 2 for c in self.categories.values())
 
     @property
     def unalikeability(self) -> float | None:
         n = self.sample_count
-        if n <= 1:
+        if n <= 1 or self.truncated:
             return None
         ss = sum(c * c for c in self.categories.values())
         return (n * n - ss) / (n * n - n)

@@ -329,3 +329,86 @@ def test_hash_sample_deterministic_and_nested(spark, sf_dir):
     k20c = {r[0] for r in smp.hash_sample(orders, "o_orderkey", 0.20,
                                           seed="other").collect()}
     assert k20c != k20
+
+
+def test_categorical_collect_cap(spark):
+    """Driver-memory guard (VERDICT r1 #3): a gated high-cardinality
+    column ships at most categorical_max_collected category rows to the
+    driver; the remainder folds into exact overflow totals, keeping
+    unique_count/sample_count exact and per-category stats honest."""
+    # value i (0..99) appears i+1 times -> 5050 rows, ratio 100/5050 < 0.2
+    df = spark.range(100).selectExpr(
+        "explode(sequence(1, id + 1)) AS rep",
+        "concat('v', lpad(cast(id AS string), 3, '0')) AS cat",
+    ).select("cat")
+    p = Profiler(df, ProfilerOptions(categorical_max_collected=10))
+    state = p.profile()
+    cs = state.columns["cat"].categorical
+    assert cs.active and cs.truncated
+    assert len(cs.categories) == 10
+    # top-10 by count desc: v090..v099 with counts 91..100
+    assert cs.categories["v099"] == 100 and cs.categories["v090"] == 91
+    assert cs.overflow_unique == 90
+    assert cs.overflow_count == 5050 - sum(range(91, 101))
+    assert cs.unique_count == 100
+    assert cs.sample_count == 5050
+    assert cs.gini_impurity is None and cs.unalikeability is None
+    # uncapped run on the same data stays exact and untruncated
+    full = Profiler(df).profile().columns["cat"].categorical
+    assert not full.truncated and len(full.categories) == 100
+    assert full.sample_count == 5050
+
+
+def test_categorical_stop_ratio_reference_default(spark):
+    """Default gate matches the reference (unique<=10 OR ratio<=0.2,
+    categorical_column_profile.py:29-34): a 0.4-unique-ratio column is NOT
+    categorical by default."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 400).cast("string").alias("c"))
+    state = Profiler(df).profile()
+    assert state.columns["c"].categorical.active is False
+    # but unique<=10 columns always are
+    df2 = spark.range(1000).select((F.col("id") % 5).cast("string").alias("c"))
+    assert Profiler(df2).profile().columns["c"].categorical.active is True
+
+
+def test_hash_sample_null_keys_engine_consistent(spark, duck):
+    """NULL keys hash a sentinel so Spark and DuckDB make the identical
+    keep/drop decision (ADVICE r1: concat_ws silently skipped NULL args
+    while the oracle's || yielded NULL)."""
+    from dataprofiler_spark.operators import sampling as smp
+
+    rows = [(i, f"k{i}" if i % 3 else None) for i in range(300)]
+    sdf = spark.createDataFrame(rows, "id int, k string")
+    duck.sql("CREATE OR REPLACE TABLE nullkeys AS SELECT * FROM (VALUES "
+             + ",".join(f"({i}, {repr(k) if k else 'NULL'})" for i, k in rows)
+             + ") t(id, k)")
+    got = {r["id"] for r in smp.hash_sample(sdf, "k", 0.4).collect()}
+    want = {r[0] for r in duck.sql(
+        smp.oracle_hash_sample_sql("nullkeys", "k", 0.4)).fetchall()}
+    assert got == want
+    # all NULL-key rows share one decision (documented block behavior)
+    null_ids = {i for i, k in rows if k is None}
+    assert null_ids <= got or not (null_ids & got)
+
+
+def test_row_stats_null_bearing_rows_count(spark, duck):
+    """Whole-row uniqueness includes null-bearing rows (ADVICE r1:
+    count_distinct(cols...) skipped any row with a NULL column)."""
+    from dataprofiler_spark.operators.rowstats import (
+        oracle_row_stats_sql, row_stats)
+
+    rows = [(1, "a"), (1, "a"), (1, None), (1, None), (None, None), (2, "b")]
+    sdf = spark.createDataFrame(rows, "x int, y string")
+    got = row_stats(sdf, ["x", "y"], hashing_method="full").first()
+    # distinct rows: (1,a), (1,null), (null,null), (2,b) = 4
+    assert got["unique_row_count"] == 4
+    assert got["duplicate_row_count"] == 2
+    duck.sql("CREATE OR REPLACE TABLE nullrows AS SELECT * FROM (VALUES "
+             "(1,'a'),(1,'a'),(1,NULL),(1,NULL),(NULL,NULL),(2,'b')) t(x,y)")
+    want = duck.sql(oracle_row_stats_sql("nullrows", ["x", "y"])).df().iloc[0]
+    assert got["unique_row_count"] == want["unique_row_count"]
+    assert got["rows_with_null_count"] == want["rows_with_null_count"]
+    assert got["rows_all_null_count"] == want["rows_all_null_count"]

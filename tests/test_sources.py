@@ -151,3 +151,12 @@ def test_sniff_and_read_orc(spark, tmp_path):
     state = Profiler(df).profile()
     assert state.columns["v"].numeric.n == 100
     assert state.columns["parity"].categorical.categories["even"] == 50
+
+
+def test_utf32_boms_detected_before_utf16():
+    """UTF-32 LE BOM starts with the UTF-16 LE BOM bytes — the longer
+    prefix must win (ADVICE r1)."""
+    assert detect_encoding(b"\xff\xfe\x00\x00rest") == "UTF-32"
+    assert detect_encoding(b"\x00\x00\xfe\xffrest") == "UTF-32"
+    assert detect_encoding(b"\xff\xfeab") == "UTF-16"
+    assert detect_encoding(b"\xfe\xffab") == "UTF-16"
