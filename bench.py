@@ -116,12 +116,44 @@ def main() -> None:
     run("sessionize_events", lambda: ev.sessionize(events).count())
 
     total = round(sum(timings.values()), 3)
+
+    # Reference comparison (BASELINE.md "Measured on this machine"):
+    # constants recorded by `python baseline_harness.py <sf_dir> lineitem`
+    # on this container; SPARK_GRAFT_MEASURE_REF=1 re-measures live.
+    ref = {"profile_default_sampling_sec": 23.1,
+           "profile_full_data_sec": 87.8, "sf": 0.1, "source": "recorded"}
+    if os.environ.get("SPARK_GRAFT_MEASURE_REF") == "1":
+        import subprocess
+        out = subprocess.run(
+            ["python", os.path.join(os.path.dirname(__file__) or ".",
+                                    "baseline_harness.py"), sf_dir],
+            capture_output=True, text=True, timeout=900)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                meas = json.loads(line)
+                ref = {"profile_default_sampling_sec":
+                       meas["profile_default_sampling_sec"],
+                       "profile_full_data_sec": meas["profile_full_data_sec"],
+                       "sf": float(sf), "source": "measured"}
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+    ours = timings.get("full_profile_lineitem")
+    baseline_ref = dict(ref)
+    if ours and ref.get("profile_full_data_sec"):
+        baseline_ref["ours_full_profile_lineitem_sec"] = ours
+        baseline_ref["ratio_vs_ref_full_data"] = round(
+            ours / ref["profile_full_data_sec"], 3)
+        baseline_ref["ratio_vs_ref_default_sampling"] = round(
+            ours / ref["profile_default_sampling_sec"], 3)
+
     print(json.dumps({
         "metric": "profile_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "baseline_ref": baseline_ref,
     }))
     spark.stop()
 

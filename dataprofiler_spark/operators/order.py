@@ -97,7 +97,10 @@ def ordered_pairs(df: DataFrame, order_by: list[str], value_cols: list[str],
         *[F.max_by(F.col(c), F.col("__k")).alias(f"{c}__last")
           for c in value_cols],
     )
-    w_b = Window.partitionBy(F.lit(0)).orderBy("__b")  # B rows, not data
+    # B rows, not data; floor(rand·0) ≡ 0 is a constant partition key that
+    # Catalyst can't fold away (see operators/topk.py) — keeps WindowExec
+    # from reporting an empty partition spec.
+    w_b = Window.partitionBy(F.floor(F.rand(42) * F.lit(0.0))).orderBy("__b")
     seams = per_bucket.select(
         F.col("__k"),
         *[F.col(f"{c}__first").alias(c) for c in value_cols],

@@ -35,5 +35,11 @@ def ranked_topk(df: DataFrame, order: list[Column], k: int,
     from pyspark.sql.window import Window
 
     top = df.orderBy(*order).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    # Constant-but-non-foldable partition key: floor(rand(42)·0) ≡ 0 for
+    # every row, but rand() is nondeterministic so Catalyst cannot fold
+    # it away (partitionBy(lit(0)) folds to an EMPTY partition spec,
+    # which makes WindowExec emit its single-partition warning even
+    # though the input here is k rows by construction). The value is
+    # deterministic — only the foldability is defeated.
+    w = Window.partitionBy(F.floor(F.rand(42) * F.lit(0.0))).orderBy(*order)
     return top.withColumn(rank_col, F.row_number().over(w))
