@@ -1,19 +1,24 @@
-"""CNN entity-labeler adapter (mapInPandas).
+"""CNN entity-labeler adapter (mapInPandas) — REAL inference, no TF.
 
 Reference: labelers/character_level_cnn_model.py — char-level CNN
-(45-dim char embedding, Conv1D stack, softmax over 24 labels,
-thresholded argmax; :204-920) driven through preprocessor/postprocessor
-(data_processing.py). TensorFlow is NOT available in this environment, so
-the model call is STUBBED; everything Spark-side is real:
+(64-dim char embedding, 4×Conv1D(48,k=13)+BN, 2×Dense(96), softmax over
+24 labels, thresholded argmax; :204-920) driven through preprocessor/
+postprocessor (data_processing.py). TensorFlow is absent here, so the
+forward pass runs in pure NumPy (labeler/np_cnn.py) on the reference's
+OWN trained weights (resources/labelers/structured_model/model.keras,
+read via the in-repo mini HDF5 parser) — detecting PERSON / ADDRESS /
+US_STATE and the other learned labels the regexes cannot express.
 
+Spark side:
 * the sample bound (≤1000 rows/column, data_labeler_column_profile.py:33)
-* Arrow-batched ``mapInPandas`` with the exact UDF signature a TF model
-  needs (iterator of pandas DataFrames → per-cell label + confidence)
+* Arrow-batched ``mapInPandas``: each python worker loads the ~700 KB
+  weights once per process (lru_cache) and scores its batches; at scale
+  the weight file must be visible to executors (ship it or point
+  DATAPROFILER_SPARK_CNN_WEIGHTS at a shared path)
 * the rank-vote column aggregation shared with the regex labeler
 
-Swapping ``_stub_model_predict`` for a broadcast TF SavedModel changes no
-Spark code — the weights broadcast once per executor, batches arrive as
-pandas Series, predictions return per cell.
+When the weight file is unreadable the adapter degrades to the regex
+stand-in (``_stub_model_predict``) with the same output contract.
 """
 
 from __future__ import annotations
@@ -32,10 +37,23 @@ from dataprofiler_spark.labeler.regex_labeler import (LABEL_PATTERNS,
 PRED_SCHEMA = "column string, cell string, label string, confidence double"
 
 
-def _stub_model_predict(cells: pd.Series) -> pd.DataFrame:
-    """STUB for the TF CharacterLevelCnnModel forward pass.
+def _model_predict(cells: pd.Series) -> pd.DataFrame:
+    """CharacterLevelCnnModel forward pass in NumPy on the reference's
+    trained weights; falls back to the regex stand-in when the weight
+    file is unavailable on this worker."""
+    from dataprofiler_spark.labeler.np_cnn import load_default_model
 
-    Deterministic stand-in: regex label with confidence 1.0, UNKNOWN with
+    model = load_default_model()
+    if model is None:
+        return _stub_model_predict(cells)
+    preds = model.predict_cells(list(cells.astype(str)))
+    return pd.DataFrame({"label": [p[0] for p in preds],
+                         "confidence": [round(p[1], 6) for p in preds]})
+
+
+def _stub_model_predict(cells: pd.Series) -> pd.DataFrame:
+    """Regex stand-in for the CNN forward pass (used only when the weight
+    file is unreadable): regex label with confidence 1.0, UNKNOWN with
     0.0 otherwise — same output contract (label + confidence per cell) the
     CNN produces after its ThreshArgMax layer.
     """
@@ -68,7 +86,7 @@ def predict_cells(df: DataFrame, cols: list[str],
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            preds = _stub_model_predict(pdf["cell"])
+            preds = _model_predict(pdf["cell"])
             yield pd.DataFrame({
                 "column": pdf["column"].values,
                 "cell": pdf["cell"].values,

@@ -1,0 +1,185 @@
+"""Pure-NumPy forward pass of the reference's character-level CNN labeler.
+
+The reference ships its trained structured model as a ``model.keras`` zip
+(`resources/labelers/structured_model/`); TensorFlow is absent here, so
+this module re-implements ONLY inference for that exact architecture
+(character_level_cnn_model.py:478-596, layer list confirmed against the
+model's own config.json):
+
+    string → EncodingLayer (codepoint+1, clip at 128, pad 0)
+           → Embedding(129×64)
+           → 4 × [Conv1D(48, k=13, relu, 'same') → BatchNorm(eps=1e-3)]
+           → Dense(96, relu) → Dense(96, relu) → Dense(24, softmax)
+           → per-character argmax (ThreshArgMax with threshold 0.0)
+
+Dropout layers are inference no-ops. Weights load through the in-repo
+mini HDF5 reader (labeler/minihdf5.py) — no h5py/TF needed. Per-cell
+labels follow StructCharPostprocessor.convert_to_structured_analysis
+(data_processing.py:1740-1806): mode of the cell's char labels with PAD
+excluded, ties prefer non-default; the reference breaks remaining ties
+randomly — here deterministically (lowest label index) so results are
+reproducible (documented deviation; requires an exact vote tie).
+
+Padding parity note: the reference pads every sample to max_length=3400
+with the PAD token, whose *trained* embedding feeds the conv halo after
+a cell's last character. We pad each batch to (longest cell + kernel//2)
+PAD tokens, which yields identical predictions for every real character
+position (positions beyond the text are discarded by the postprocessor).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from functools import lru_cache
+
+import numpy as np
+
+DEFAULT_MODEL_PATHS = (
+    os.environ.get("DATAPROFILER_SPARK_CNN_WEIGHTS", ""),
+    "/root/reference/resources/labelers/structured_model/model.keras",
+)
+
+_CONV = [("conv1d", "batch_normalization"),
+         ("conv1d_1", "batch_normalization_1"),
+         ("conv1d_2", "batch_normalization_2"),
+         ("conv1d_3", "batch_normalization_3")]
+_DENSE = ["dense", "dense_1", "dense_2"]
+
+
+class NumpyCharCNN:
+    """Inference-only char CNN with weights from a .keras zip."""
+
+    def __init__(self, weights: dict[str, np.ndarray],
+                 label_mapping: dict[str, int],
+                 max_char_encoding_id: int = 127, max_length: int = 3400,
+                 default_label: str = "UNKNOWN", pad_label: str = "PAD",
+                 bn_eps: float = 1e-3):
+        w = weights
+        self.embedding = w["/layers/embedding/vars/0"]          # (129, 64)
+        self.convs = []
+        for conv, bn in _CONV:
+            self.convs.append((
+                w[f"/layers/{conv}/vars/0"],   # (k, in, out)
+                w[f"/layers/{conv}/vars/1"],   # (out,)
+                w[f"/layers/{bn}/vars/0"],     # gamma
+                w[f"/layers/{bn}/vars/1"],     # beta
+                w[f"/layers/{bn}/vars/2"],     # moving mean
+                w[f"/layers/{bn}/vars/3"],     # moving variance
+            ))
+        self.dense = [(w[f"/layers/{d}/vars/0"], w[f"/layers/{d}/vars/1"])
+                      for d in _DENSE]
+        self.kernel = self.convs[0][0].shape[0]
+        self.max_code = max_char_encoding_id + 1   # OOV bucket
+        self.max_length = max_length
+        self.bn_eps = bn_eps
+        self.label_mapping = dict(label_mapping)
+        self.inv_labels = {v: k for k, v in label_mapping.items()}
+        self.pad_ind = label_mapping[pad_label]
+        self.default_ind = label_mapping[default_label]
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_keras_zip(cls, path: str) -> "NumpyCharCNN":
+        from dataprofiler_spark.labeler.minihdf5 import load_weights
+
+        with zipfile.ZipFile(path) as z:
+            weights = load_weights(z.read("model.weights.h5"))
+        base = os.path.dirname(path)
+        with open(os.path.join(base, "label_mapping.json")) as f:
+            label_mapping = json.load(f)
+        params = {}
+        mp = os.path.join(base, "model_parameters.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                params = json.load(f)
+        return cls(
+            weights, label_mapping,
+            max_char_encoding_id=params.get("max_char_encoding_id", 127),
+            max_length=params.get("max_length", 3400),
+            default_label=params.get("default_label", "UNKNOWN"),
+            pad_label=params.get("pad_label", "PAD"),
+        )
+
+    # -- forward ------------------------------------------------------------
+
+    def _encode(self, cells: list[str]) -> tuple[np.ndarray, list[int]]:
+        """(batch, L) int codes + true lengths. code = min(cp+1, 128)."""
+        lens = [min(len(c), self.max_length) for c in cells]
+        halo = self.kernel // 2
+        L = max(lens, default=1) + halo  # PAD halo feeds the conv window
+        out = np.zeros((len(cells), max(L, 1)), dtype=np.int64)
+        for i, cell in enumerate(cells):
+            codes = [min(ord(ch) + 1, self.max_code)
+                     for ch in cell[: self.max_length]]
+            out[i, : len(codes)] = codes
+        return out, lens
+
+    def _forward(self, codes: np.ndarray) -> np.ndarray:
+        """(batch, L) codes → (batch, L, num_labels) softmax probs."""
+        x = self.embedding[codes]                     # (B, L, 64)
+        halo = self.kernel // 2
+        for kern, bias, gamma, beta, mean, var in self.convs:
+            xp = np.pad(x, ((0, 0), (halo, halo), (0, 0)))  # TF 'same' zeros
+            win = np.lib.stride_tricks.sliding_window_view(
+                xp, self.kernel, axis=1)              # (B, L, C_in, k)
+            y = np.einsum("blck,kcf->blf", win, kern) + bias
+            y = np.maximum(y, 0.0)                    # relu
+            x = gamma * (y - mean) / np.sqrt(var + self.bn_eps) + beta
+        for i, (wt, bias) in enumerate(self.dense):
+            x = x @ wt + bias
+            if i < len(self.dense) - 1:
+                x = np.maximum(x, 0.0)
+        x -= x.max(axis=-1, keepdims=True)            # stable softmax
+        np.exp(x, out=x)
+        x /= x.sum(axis=-1, keepdims=True)
+        return x
+
+    # -- prediction ---------------------------------------------------------
+
+    def predict_cells(self, cells: list[str],
+                      batch_size: int = 256) -> list[tuple[str, float]]:
+        """[(label, confidence)] per cell — StructCharPostprocessor vote:
+        mode of char labels excluding PAD; tie prefers non-default, then
+        lowest index; confidence = winning label's char fraction."""
+        results: list[tuple[str, float]] = []
+        for s in range(0, len(cells), batch_size):
+            chunk = [str(c) for c in cells[s:s + batch_size]]
+            codes, lens = self._encode(chunk)
+            probs = self._forward(codes)
+            char_labels = probs.argmax(axis=-1)       # (B, L)
+            for i, n in enumerate(lens):
+                if n == 0:
+                    results.append((self.inv_labels[self.default_ind], 0.0))
+                    continue
+                counts = np.bincount(char_labels[i, :n],
+                                     minlength=len(self.inv_labels))
+                counts[self.pad_ind] = 0
+                total = counts.sum()
+                if total == 0:
+                    results.append((self.inv_labels[self.default_ind], 0.0))
+                    continue
+                best = counts.max()
+                modes = np.flatnonzero(counts == best)
+                if len(modes) > 1 and self.default_ind in modes:
+                    modes = modes[modes != self.default_ind]
+                win = int(modes[0])
+                results.append((self.inv_labels[win], float(best / total)))
+        return results
+
+
+@lru_cache(maxsize=2)
+def load_default_model() -> NumpyCharCNN | None:
+    """The reference's trained structured model, if its resources are
+    readable on this machine; None → callers fall back to the regex
+    stand-in. Cached: the ~700 KB weight load happens once per process."""
+    for path in DEFAULT_MODEL_PATHS:
+        if path and os.path.exists(path):
+            try:
+                return NumpyCharCNN.from_keras_zip(path)
+            except Exception:
+                continue
+    return None

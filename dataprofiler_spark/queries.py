@@ -710,8 +710,10 @@ def null_replication_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# CNN-labeler adapter (mapInPandas pipeline; stub model — rows-only check
-# exercises the Arrow batching + vote aggregation end-to-end)
+# CNN-labeler adapter: REAL NumPy forward pass of the reference's trained
+# char CNN (labeler/np_cnn.py; regex fallback if weights unreadable).
+# Rows-only driver check (no SQL oracle for a neural model); deterministic
+# golden-label tests live in tests/test_np_cnn.py.
 # ---------------------------------------------------------------------------
 
 @register("cnn_labeler_customer")
