@@ -73,6 +73,15 @@ class ProfilerOptions:
         histogram_bins: int | str = "auto",
         max_histogram_bins: int = 1000,
         sample_fraction: float | None = None,
+        # Reference default-sampling semantics (_get_sample_size,
+        # profile_builder.py:519-531): profile all rows when
+        # n <= min_sample_size, else max(sampling_ratio*n,
+        # min_sample_size) rows — realized here as a Bernoulli fraction
+        # from a cheap count (exact-k sampling does not scale; the target
+        # and realized sizes are recorded in DatasetState.sampling).
+        reference_sampling: bool = False,
+        sampling_ratio: float = 0.2,
+        min_sample_size: int = 5000,
         sample_seed: int | None = None,
         unique_row_method: str = "hll",   # hll | full | none
         top_k_categories: int = 5,
@@ -89,6 +98,9 @@ class ProfilerOptions:
         self.histogram_bins = histogram_bins
         self.max_histogram_bins = max_histogram_bins
         self.sample_fraction = sample_fraction
+        self.reference_sampling = reference_sampling
+        self.sampling_ratio = sampling_ratio
+        self.min_sample_size = min_sample_size
         if sample_seed is None:
             from dataprofiler_spark.session import get_seed
             sample_seed = get_seed()
@@ -152,8 +164,23 @@ class Profiler:
 
     def _profile_chunk(self, df: DataFrame) -> DatasetState:
         opt = self.options
+        sampling_meta: dict = {}
         if opt.sample_fraction is not None:
             df = df.sample(opt.sample_fraction, seed=opt.sample_seed)
+        elif opt.reference_sampling:
+            # reference _get_sample_size: all rows at n <= min_sample_size,
+            # else max(ratio*n, min_sample_size) rows. One cheap count
+            # (scan-free on parquet row-group metadata), then a Bernoulli
+            # sample at target/n — the scalable realization of the bound.
+            n = df.count()
+            target = n if n <= opt.min_sample_size else max(
+                int(opt.sampling_ratio * n), opt.min_sample_size)
+            sampling_meta = {"method": "reference", "source_rows": n,
+                             "target": target,
+                             "fraction": min(target / n, 1.0) if n else 1.0}
+            if target < n:
+                df = df.sample(sampling_meta["fraction"],
+                               seed=opt.sample_seed)
         from dataprofiler_spark.session import ensure_parallelism
         df = ensure_parallelism(df)
 
@@ -173,6 +200,7 @@ class Profiler:
         t0 = time.perf_counter()
         state = self._assemble(row, all_cols, numeric_cols, string_cols,
                                dt_cols, simple_types)
+        state.sampling = sampling_meta
         t_assemble = time.perf_counter() - t0
 
         # job 2: ONE fused melted pass for BOTH category counts (gated

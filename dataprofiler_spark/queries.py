@@ -633,6 +633,23 @@ FROM t
 """
 
 
+from dataprofiler_spark.operators.nullindex import (
+    null_type_indices, oracle_null_type_indices_sql)
+
+_NTI_SUBQ = f"(SELECT c_custkey, {_NULLISH_CASE_SQL} AS val FROM customer)"
+
+
+@register("null_type_indices_customer",
+          oracle_null_type_indices_sql(_NTI_SUBQ, ["val"], "c_custkey",
+                                       cap=20))
+def null_type_indices_customer(spark, sf_dir):
+    """Capped null_types_index (profile_builder.py:536-676): per null
+    type the exact count + the 20 smallest row ids, one row per kept id."""
+    df = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _nullish_col().alias("val"))
+    return null_type_indices(df, ["val"], "c_custkey", cap=20)
+
+
 @register("nullspec_customer", _NULLSPEC_ORACLE)
 def nullspec_customer(spark, sf_dir):
     df = T(spark, sf_dir, "customer").select(_nullish_col().alias("val"))

@@ -384,6 +384,10 @@ class DatasetState:
     rows_with_null: int = 0
     rows_all_null: int = 0
     times: dict[str, float] = field(default_factory=dict)
+    # sampling provenance (reference _get_sample_size semantics when
+    # reference_sampling=True): {"method", "source_rows", "target",
+    # "fraction"}; empty dict = exact full-data profile
+    sampling: dict = field(default_factory=dict)
 
     def __add__(self, o: "DatasetState") -> "DatasetState":
         if self.column_order and o.column_order and \
@@ -408,6 +412,9 @@ class DatasetState:
             rows_with_null=self.rows_with_null + o.rows_with_null,
             rows_all_null=self.rows_all_null + o.rows_all_null,
             times=times,
+            # chunk merges keep sampling provenance only when identical
+            # (merging differently-sampled chunks has no single fraction)
+            sampling=self.sampling if self.sampling == o.sampling else {},
         )
 
 

@@ -412,3 +412,57 @@ def test_row_stats_null_bearing_rows_count(spark, duck):
     assert got["unique_row_count"] == want["unique_row_count"]
     assert got["rows_with_null_count"] == want["rows_with_null_count"]
     assert got["rows_all_null_count"] == want["rows_all_null_count"]
+
+
+def test_reference_sampling_mode(spark, sf_dir):
+    """reference_sampling follows _get_sample_size
+    (profile_builder.py:519-531): all rows at n<=min_sample_size, else
+    max(ratio*n, min_sample_size) realized as a Bernoulli fraction; the
+    target math is exact, the realized size is binomial around it."""
+    import os as _os
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    n = li.count()
+    state = Profiler(li, ProfilerOptions(reference_sampling=True)).profile()
+    target = n if n <= 5000 else max(int(0.2 * n), 5000)
+    assert state.sampling["method"] == "reference"
+    assert state.sampling["source_rows"] == n
+    assert state.sampling["target"] == target
+    if target < n:
+        assert 0.5 * target < state.row_count < 1.5 * target
+    else:
+        assert state.row_count == n
+    # tiny input: no sampling at all
+    small = li.limit(100)
+    st2 = Profiler(small, ProfilerOptions(reference_sampling=True)).profile()
+    assert st2.sampling["target"] == 100 and st2.row_count == 100
+    # custom bounds follow the same formula
+    st3 = Profiler(li, ProfilerOptions(reference_sampling=True,
+                                       sampling_ratio=0.5,
+                                       min_sample_size=10)).profile()
+    assert st3.sampling["target"] == max(int(0.5 * n), 10)
+
+
+def test_null_type_indices_cap_and_exact_counts(spark):
+    """Capped null_types_index: exact per-type totals, at most `cap` row
+    ids per type, smallest ids win (reference profile_builder.py:536-676
+    keyed by literal cell value; report cap report_helpers.py:260-330)."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.nullindex import null_type_indices
+
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 == 0, "NaN")
+         .when(F.col("id") % 10 == 1, "")
+         .when(F.col("id") % 10 == 2, F.lit(None).cast("string"))
+         .otherwise("real").alias("v"))
+    out = null_type_indices(df, ["v"], "rid", cap=7).toPandas()
+    by_type = out.groupby("null_type")
+    assert set(out["null_type"]) == {"NaN", "", "<sql_null>"}
+    for t, grp in by_type:
+        assert grp["null_count"].iloc[0] == 100     # exact total
+        assert len(grp) == 7                        # capped ids
+    # smallest ids win: NaN rows are ids 0,10,...,90 -> first 7
+    nan_ids = sorted(out[out["null_type"] == "NaN"]["row_id"])
+    assert nan_ids == [0, 10, 20, 30, 40, 50, 60]
