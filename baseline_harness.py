@@ -11,10 +11,9 @@ WITHOUT changing its behavior on the measured path:
 - psutil: real fakes for cpu_count / virtual_memory so the reference's
   multiprocessing pool sizing (profiler_utils.py:226-233) sees the real
   machine shape (32 cpus, 128 GiB).
-- scipy.stats: chi2 / t distribution objects implemented on
-  math.lgamma-based regularized incomplete gamma/beta (standard
-  Numerical-Recipes-style series + continued fractions, ~1e-13 accurate)
-  because chi2 p-values run inside the profile loop
+- scipy.stats: chi2 / t distribution objects backed by the engine's own
+  special functions (dataprofiler_spark/functions/special.py, ~1e-13
+  accurate) because chi2 p-values run inside the profile loop
   (profiler_utils.py:784). Everything else resolves to MagicMock.
 - data labeler: disabled via options — TensorFlow is absent, and the
   Spark engine's default profile also runs without the CNN labeler, so
@@ -36,93 +35,17 @@ import types
 
 
 # ---------------------------------------------------------------------------
-# special-function fakes (public textbook algorithms)
+# special-function fakes — reuse the engine's implementations
 # ---------------------------------------------------------------------------
 
-def _gammainc_P(a: float, x: float) -> float:
-    """Regularized lower incomplete gamma P(a, x)."""
-    if x <= 0:
-        return 0.0
-    if x < a + 1:
-        term = 1.0 / a
-        s = term
-        n = a
-        for _ in range(1000):
-            n += 1
-            term *= x / n
-            s += term
-            if abs(term) < abs(s) * 1e-15:
-                break
-        return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
-    tiny = 1e-300
-    b = x + 1 - a
-    c = 1 / tiny
-    d = 1 / b
-    h = d
-    for i in range(1, 1000):
-        an = -i * (i - a)
-        b += 2
-        d = an * d + b
-        if abs(d) < tiny:
-            d = tiny
-        c = b + an / c
-        if abs(c) < tiny:
-            c = tiny
-        d = 1 / d
-        delta = d * c
-        h *= delta
-        if abs(delta - 1) < 1e-15:
-            break
-    return 1 - math.exp(-x + a * math.log(x) - math.lgamma(a)) * h
+import os as _os
+import sys as _sys
 
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
-def _betacf(a: float, b: float, x: float) -> float:
-    tiny = 1e-300
-    qab, qap, qam = a + b, a + 1, a - 1
-    c = 1.0
-    d = 1 - qab * x / qap
-    if abs(d) < tiny:
-        d = tiny
-    d = 1 / d
-    h = d
-    for m in range(1, 500):
-        m2 = 2 * m
-        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
-        d = 1 + aa * d
-        if abs(d) < tiny:
-            d = tiny
-        c = 1 + aa / c
-        if abs(c) < tiny:
-            c = tiny
-        d = 1 / d
-        h *= d * c
-        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
-        d = 1 + aa * d
-        if abs(d) < tiny:
-            d = tiny
-        c = 1 + aa / c
-        if abs(c) < tiny:
-            c = tiny
-        d = 1 / d
-        delta = d * c
-        h *= delta
-        if abs(delta - 1) < 1e-14:
-            break
-    return h
-
-
-def _betainc(a: float, b: float, x: float) -> float:
-    """Regularized incomplete beta I_x(a, b)."""
-    if x <= 0:
-        return 0.0
-    if x >= 1:
-        return 1.0
-    ln = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
-          + a * math.log(x) + b * math.log(1 - x))
-    front = math.exp(ln)
-    if x < (a + 1) / (a + b + 2):
-        return front * _betacf(a, b, x) / a
-    return 1 - front * _betacf(b, a, 1 - x) / b
+from dataprofiler_spark.functions.special import (betainc as _betainc,
+                                                  gammainc_lower as
+                                                  _gammainc_P)
 
 
 class _Chi2Dist:

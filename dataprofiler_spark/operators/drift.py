@@ -275,16 +275,20 @@ FROM j, tot
 # -- driver-side p-values (scipy optional) ----------------------------------
 
 def p_value_chi2(chi2: float, dof: int) -> float | None:
+    """scipy when present, else the in-repo incomplete-gamma
+    implementation (functions/special.py) — p-values never go missing."""
     try:
         from scipy import stats
+        return float(stats.chi2.sf(chi2, dof))
     except ImportError:
-        return None
-    return float(stats.chi2.sf(chi2, dof))
+        from dataprofiler_spark.functions.special import chi2_sf
+        return float(chi2_sf(chi2, dof))
 
 
 def p_value_welch(t_stat: float, dof: float) -> float | None:
     try:
         from scipy import stats
+        return float(2 * stats.t.sf(abs(t_stat), dof))
     except ImportError:
-        return None
-    return float(2 * stats.t.sf(abs(t_stat), dof))
+        from dataprofiler_spark.functions.special import t_sf
+        return float(2 * t_sf(abs(t_stat), dof))

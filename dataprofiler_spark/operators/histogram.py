@@ -67,6 +67,99 @@ def auto_bin_count(n: int, std: float, iqr: float, vmin: float, vmax: float,
     return max(clamp[0], min(clamp[1], best))
 
 
+# -- "follow the best expert" method selection ------------------------------
+# Reference: _select_method_for_histogram / _histogram_loss
+# (numerical_column_stats.py:1176-1240): per update, every estimator's
+# histogram is scored (|exact var − histogram var| and the histogram var
+# itself, each normalized against the across-method average; plus a
+# runtime penalty) and the losses ACCUMULATE across merges — the method
+# with the lowest total loss wins, ties going to the higher bin count.
+#
+# Spark adaptation: the fused counts pass materializes ONE fine histogram
+# per column (≥1000 bins); each method's coarser histogram is derived by
+# proportional re-binning of that one — no extra scan per method. The
+# runtime term is omitted (all methods re-bin from the same pass, so
+# their cost is identical by construction — documented deviation,
+# COVERAGE §2.4).
+
+def hist_variance(bin_counts: list[int], bin_edges: list[float]) -> float:
+    """Population variance of midpoint pseudo-data (the reference scores
+    estimators against _histogram_to_array's variance)."""
+    n = sum(bin_counts)
+    if n == 0:
+        return 0.0
+    mids = [(bin_edges[i] + bin_edges[i + 1]) / 2
+            for i in range(len(bin_counts))]
+    mu = sum(c * m for c, m in zip(bin_counts, mids)) / n
+    return sum(c * (m - mu) ** 2 for c, m in zip(bin_counts, mids)) / n
+
+
+def rebin_counts(bin_counts: list[int], bin_edges: list[float],
+                 k: int) -> tuple[list[int], list[float]]:
+    """Proportionally re-bin an equal-width histogram to k equal-width
+    bins over the same range (exact when k divides the source count)."""
+    src = len(bin_counts)
+    lo, hi = bin_edges[0], bin_edges[-1]
+    if k >= src or hi <= lo:
+        return list(bin_counts), list(bin_edges)
+    out = [0.0] * k
+    for i, c in enumerate(bin_counts):
+        if not c:
+            continue
+        a = i * k / src          # fractional target span [a, b)
+        b = (i + 1) * k / src
+        j0, j1 = int(a), min(int(b), k - 1)
+        if j0 == j1 or b - a <= 0:
+            out[j0] += c
+        else:
+            for j in range(j0, j1 + 1):
+                overlap = min(b, j + 1) - max(a, j)
+                if overlap > 0:
+                    out[j] += c * overlap / (b - a)
+    edges = [lo + (hi - lo) * i / k for i in range(k)] + [hi]
+    return [x for x in out], edges
+
+
+def method_losses(suggestions: dict[str, int], bin_counts: list[int],
+                  bin_edges: list[float], exact_var: float) -> dict[str, float]:
+    """One update's per-method loss (diff-var + total-var terms of
+    _histogram_loss, each normalized against the across-method mean)."""
+    if not suggestions:
+        return {}
+    est = {}
+    for m, k in suggestions.items():
+        cs, es = rebin_counts(bin_counts, bin_edges, max(1, k))
+        est[m] = hist_variance(cs, es)
+    diff = {m: abs(exact_var - v) for m, v in est.items()}
+    avg_diff = sum(diff.values()) / len(diff)
+    avg_tot = sum(est.values()) / len(est)
+    out = {}
+    for m in suggestions:
+        loss = 0.0
+        if avg_diff > 0:
+            loss += (diff[m] - avg_diff) / avg_diff
+        if avg_tot > 0:
+            loss += (est[m] - avg_tot) / avg_tot
+        out[m] = loss
+    return out
+
+
+def select_histogram_method(total_losses: dict[str, float],
+                            suggestions: dict[str, int]) -> str | None:
+    """Lowest accumulated loss; ties prefer the higher suggested bin
+    count (reference tie rule: keep the higher resolution)."""
+    best = None
+    for m in total_losses:
+        if best is None:
+            best = m
+            continue
+        lm, lb = total_losses[m], total_losses[best]
+        if lm < lb or (lm == lb and
+                       suggestions.get(m, 0) > suggestions.get(best, 0)):
+            best = m
+    return best
+
+
 # -- bucketing --------------------------------------------------------------
 
 def bucket_expr(col: Column, vmin: Column | float, vmax: Column | float,

@@ -53,6 +53,26 @@ from dataprofiler_spark.state import (CategoricalState, ColumnState,
 ISO = "yyyy-MM-dd HH:mm:ss"
 
 
+def _hist_iqr(counts: list[int], edges: list[float]) -> float:
+    """IQR interpolated from histogram cumulative counts (driver-side,
+    feeds the fd/scott estimators in suggest_bin_counts)."""
+    n = sum(counts)
+    if n == 0 or len(edges) < 2:
+        return 0.0
+
+    def q(p: float) -> float:
+        target = p * n
+        acc = 0.0
+        for i, c in enumerate(counts):
+            if acc + c >= target and c > 0:
+                frac = (target - acc) / c
+                return edges[i] + (edges[i + 1] - edges[i]) * frac
+            acc += c
+        return edges[-1]
+
+    return max(q(0.75) - q(0.25), 0.0)
+
+
 class ProfilerOptions:
     """Mirror of the reference's options tree (profiler_options.py) —
     only the knobs that change the plan; per-stat toggles simply drop
@@ -581,9 +601,24 @@ class Profiler:
                 col.categorical = CategoricalState()
             col.categorical.overflow_count = total - kc
             col.categorical.overflow_unique = uniq - ku
+        from dataprofiler_spark.operators.histogram import (
+            method_losses, suggest_bin_counts)
+
         for c, lo, hi, bins in hist_specs:
             buckets = hist_acc.get(c, {})
-            state.columns[c].numeric.histogram = {
-                "bin_edges": [lo + i * (hi - lo) / bins for i in range(bins + 1)],
-                "bin_counts": [buckets.get(i, 0) for i in range(bins)],
-            }
+            edges = [lo + i * (hi - lo) / bins for i in range(bins + 1)]
+            counts = [buckets.get(i, 0) for i in range(bins)]
+            hist = {"bin_edges": edges, "bin_counts": counts}
+            # "follow the best expert" (numerical_column_stats.py:
+            # 1176-1240): score every estimator's re-binned histogram
+            # against the exact variance; losses accumulate across merges
+            # (state._merge_histograms sums them).
+            ns = state.columns[c].numeric
+            if ns is not None and ns.n > 0:
+                var = ns.m2 / ns.n
+                std = math.sqrt(var) if var > 0 else 0.0
+                iqr = _hist_iqr(counts, edges)
+                sugg = suggest_bin_counts(ns.n, std, iqr, lo, hi)
+                hist["suggested_bin_counts"] = sugg
+                hist["method_losses"] = method_losses(sugg, counts, edges, var)
+            state.columns[c].numeric.histogram = hist

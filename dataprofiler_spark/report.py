@@ -73,6 +73,12 @@ def _column_report(col: ColumnState, num_quantiles: int = 999) -> dict:
         })
         if ns.histogram:
             stats["histogram"] = ns.histogram
+            if ns.histogram.get("method_losses"):
+                from dataprofiler_spark.operators.histogram import \
+                    select_histogram_method
+                stats["histogram_bin_method"] = select_histogram_method(
+                    ns.histogram["method_losses"],
+                    ns.histogram.get("suggested_bin_counts", {}))
             probs = [i / (num_quantiles + 1) for i in range(1, num_quantiles + 1)]
             q = _quantiles_from_histogram(ns.histogram, probs)
             if q:

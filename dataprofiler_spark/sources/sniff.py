@@ -213,7 +213,16 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
     if res.format == "orc":
         return spark.read.orc(path), res
     if res.format == "avro":
-        return spark.read.format("avro").load(path), res
+        # native spark-avro connector when its jar is on the classpath
+        # (vectorized, block-splittable); else the in-repo pure-Python
+        # container decoder (sources/avro_reader.py, per-file parallel)
+        try:
+            df = spark.read.format("avro").load(path)
+            df.schema  # force datasource resolution
+            return df, res
+        except Exception:
+            from dataprofiler_spark.sources.avro_reader import read_avro
+            return read_avro(spark, path), res
     if res.format == "json":
         df = spark.read.json(path, encoding=o.get("encoding"))
         return df, res

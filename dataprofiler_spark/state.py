@@ -146,7 +146,21 @@ def _merge_histograms(a: dict | None, b: dict | None) -> dict | None:
     # cumulative lo + i*w drifts below hi in float, leaving max-values
     # outside the merged histogram
     edges = [lo + (hi - lo) * i / bins for i in range(bins)] + [hi]
-    return {"bin_edges": edges, "bin_counts": counts}
+    merged = {"bin_edges": edges, "bin_counts": counts}
+    # "follow the best expert": per-method losses ACCUMULATE across
+    # merges (numerical_column_stats.py:1219-1230 total_loss +=); the
+    # suggested counts keep the higher resolution per method.
+    la, lb = a.get("method_losses"), b.get("method_losses")
+    if la or lb:
+        la, lb = la or {}, lb or {}
+        merged["method_losses"] = {
+            m: la.get(m, 0.0) + lb.get(m, 0.0) for m in {*la, *lb}}
+    sa, sb = a.get("suggested_bin_counts"), b.get("suggested_bin_counts")
+    if sa or sb:
+        sa, sb = sa or {}, sb or {}
+        merged["suggested_bin_counts"] = {
+            m: max(sa.get(m, 0), sb.get(m, 0)) for m in {*sa, *sb}}
+    return merged
 
 
 @dataclass

@@ -160,3 +160,85 @@ def test_utf32_boms_detected_before_utf16():
     assert detect_encoding(b"\x00\x00\xfe\xffrest") == "UTF-32"
     assert detect_encoding(b"\xff\xfeab") == "UTF-16"
     assert detect_encoding(b"\xfe\xffab") == "UTF-16"
+
+
+def test_avro_round_trip(spark, tmp_path):
+    """AVRO read without the spark-avro jar or fastavro: the pure-Python
+    container decoder (sources/avro_reader.py) handles magic-byte sniff,
+    nullable unions, deflate blocks, and feeds the normal profile path
+    (reference read surface: avro_data.py:14-160)."""
+    from dataprofiler_spark.sources.avro_reader import (decode_container,
+                                                        read_avro,
+                                                        write_avro_fixture)
+
+    schema = {
+        "type": "record", "name": "Rec", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ]}
+    rows = [
+        {"id": i, "name": f"row{i}", "score": i * 1.5,
+         "note": None if i % 3 == 0 else f"n{i}",
+         "tags": [f"t{i % 2}"]}
+        for i in range(50)
+    ]
+    path = str(tmp_path / "data.avro")
+    write_avro_fixture(path, schema, rows)
+
+    # magic-byte sniff, even with a lying extension
+    assert sniff(path).format == "avro"
+    lying = str(tmp_path / "data.json")
+    import shutil
+    shutil.copy(path, lying)
+    assert sniff(lying).format == "avro"
+
+    _schema, decoded = decode_container(open(path, "rb").read())
+    assert decoded[0]["name"] == "row0" and decoded[0]["note"] is None
+    assert decoded[1]["note"] == "n1"
+
+    df, res = read_data(spark, path)
+    assert res.format == "avro"
+    got = {r["id"]: r for r in df.collect()}
+    assert len(got) == 50
+    assert got[4]["name"] == "row4" and got[4]["score"] == 6.0
+    assert got[3]["note"] is None and got[5]["note"] == "n5"
+    assert got[7]["tags"] == ["t1"]
+
+    from dataprofiler_spark import Profiler
+    state = Profiler(df.drop("tags")).profile()
+    assert state.row_count == 50
+    assert state.columns["score"].numeric.mean == pytest.approx(36.75)
+
+
+def test_avro_deflate_codec(tmp_path):
+    """Deflate-codec blocks decode through raw zlib."""
+    import io as _io
+    import json as _json
+    import zlib as _zlib
+
+    from dataprofiler_spark.sources import avro_reader as ar
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "x", "type": "long"}]}
+    block = _io.BytesIO()
+    for i in range(10):
+        ar._encode(schema, {"x": i}, block)
+    comp = _zlib.compress(block.getvalue())[2:-4]  # raw deflate
+    out = _io.BytesIO()
+    out.write(ar.MAGIC)
+    ar._write_long(out, 2)
+    ar._write_bytes(out, b"avro.schema")
+    ar._write_bytes(out, _json.dumps(schema).encode())
+    ar._write_bytes(out, b"avro.codec")
+    ar._write_bytes(out, b"deflate")
+    ar._write_long(out, 0)
+    sync = b"fedcba9876543210"
+    out.write(sync)
+    ar._write_long(out, 10)
+    ar._write_bytes(out, comp)
+    out.write(sync)
+    _schema, rows = ar.decode_container(out.getvalue())
+    assert [r["x"] for r in rows] == list(range(10))

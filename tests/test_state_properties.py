@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -199,3 +201,56 @@ def test_histogram_merge_preserves_mass_and_range(h1, h2):
     # identity on one side
     assert _merge_histograms(h1, None) == h1
     assert _merge_histograms(None, h2) == h2
+
+
+def test_histogram_method_loss_accumulates_across_merges(spark, sf_dir):
+    """'Follow the best expert' (numerical_column_stats.py:1176-1240):
+    per-method losses sum across merges, the selection is the argmin of
+    the accumulated loss, and merge order does not change it."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.operators.histogram import \
+        select_histogram_method
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    parts = [Profiler(li.where(F.col("l_orderkey") % 3 == i)).profile()
+             for i in range(3)]
+    h = [p.columns["l_extendedprice"].numeric.histogram for p in parts]
+    assert all(x.get("method_losses") for x in h)
+
+    m_ab = (parts[0] + parts[1]) + parts[2]
+    m_ba = parts[2] + (parts[1] + parts[0])
+    ha = m_ab.columns["l_extendedprice"].numeric.histogram
+    hb = m_ba.columns["l_extendedprice"].numeric.histogram
+    for m, v in ha["method_losses"].items():
+        # accumulated = sum of the three chunks' losses, any merge order
+        expect = sum(x["method_losses"].get(m, 0.0) for x in h)
+        assert v == pytest.approx(expect, rel=1e-9)
+        assert hb["method_losses"][m] == pytest.approx(v, rel=1e-9)
+    sel_a = select_histogram_method(ha["method_losses"],
+                                    ha["suggested_bin_counts"])
+    sel_b = select_histogram_method(hb["method_losses"],
+                                    hb["suggested_bin_counts"])
+    assert sel_a == sel_b
+    assert sel_a == min(ha["method_losses"], key=lambda m: (
+        ha["method_losses"][m], -ha["suggested_bin_counts"].get(m, 0)))
+
+
+def test_rebin_preserves_mass_and_variance_sanity():
+    from dataprofiler_spark.operators.histogram import (hist_variance,
+                                                        rebin_counts)
+
+    counts = [10, 20, 30, 40, 50, 40, 30, 20, 10, 5]
+    edges = [float(i) for i in range(11)]
+    for k in (1, 2, 3, 5, 10):
+        cs, es = rebin_counts(counts, edges, k)
+        assert sum(cs) == pytest.approx(sum(counts))
+        assert es[0] == edges[0] and es[-1] == edges[-1]
+        assert len(cs) == min(k, len(counts))
+    # coarser bins can only lose resolution, not invent variance wildly
+    v10 = hist_variance(counts, edges)
+    cs5, es5 = rebin_counts(counts, edges, 5)
+    assert hist_variance(cs5, es5) == pytest.approx(v10, rel=0.2)
