@@ -101,6 +101,13 @@ def main() -> None:
     run("language_id_documents",
         lambda: ta.language_id(documents, "doc_id", "text").count())
 
+    from dataprofiler_spark.operators import curation as cu
+    run("repetition_signals_documents",
+        lambda: cu.repetition_signals(documents, "doc_id", "text").count())
+    run("crossdoc_ngram_dup_documents",
+        lambda: cu.crossdoc_ngram_dup_summary(documents, "doc_id", "text"
+                                              ).collect())
+
     def _drift():
         from pyspark.sql import functions as F
         a = orders.where(F.col("o_orderdate") < "1998-01-01")
@@ -140,7 +147,14 @@ def main() -> None:
                 continue
     ours = timings.get("full_profile_lineitem")
     baseline_ref = dict(ref)
-    if ours and ref.get("profile_full_data_sec"):
+    same_sf = str(ref.get("sf")) == sf or ref.get("sf") == (
+        float(sf) if sf.replace(".", "").isdigit() else None)
+    if not same_sf:
+        # recorded reference numbers are for a different scale factor —
+        # a cross-sf ratio would be meaningless, so omit it.
+        baseline_ref["ratio_note"] = (
+            f"bench sf={sf} != reference sf={ref.get('sf')}; no ratio")
+    if ours and ref.get("profile_full_data_sec") and same_sf:
         baseline_ref["ours_full_profile_lineitem_sec"] = ours
         baseline_ref["ratio_vs_ref_full_data"] = round(
             ours / ref["profile_full_data_sec"], 3)

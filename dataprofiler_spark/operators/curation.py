@@ -1,0 +1,228 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+Gopher-style repetition signals, corpus-wide cross-document n-gram
+duplication, and PII redaction.
+
+These extend the reference's profiling surface (capitalone/DataProfiler
+has no corpus-curation layer) with the filters a 100 TB web-corpus
+pipeline applies before training — the repetition thresholds follow the
+published Gopher/MassiveText rules (Rae et al. 2021, table A1 shape:
+duplicate-word fraction, top-2-gram fraction) re-expressed as Spark
+aggregations.
+
+Scale notes
+-----------
+- ``repetition_signals``: per-document map-side expressions plus ONE
+  explode→groupBy keyed by (doc, bigram) then (doc). The shuffle key is
+  the document id — cardinality n_docs, uniformly distributed, no skew;
+  at 100 TB this is a standard two-stage partial→final aggregate.
+- ``crossdoc_ngram_dup_summary``: per-doc DISTINCT n-grams (map-side
+  dedup shrinks the shuffle), one groupBy on the n-gram itself —
+  exactly the shape of the MinHash shingle pass in operators/dedup.py,
+  and like it the hot key risk is bounded because n-grams are hashed
+  64-bit before the shuffle (fixed-width rows, no giant strings).
+- ``pii_redact``: pure per-row regexp expressions — zero shuffle,
+  whole-stage codegen, filter-pushdown friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.textanalysis import tokens_expr
+
+
+def _bigrams_expr(toks: Column) -> Column:
+    # sequence(1, 0) would count DOWN in Spark — guard short docs first.
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_expr(toks: Column, n: int) -> Column:
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       round_digits: int = 6) -> DataFrame:
+    """Per-document repetition features (Gopher/MassiveText shape):
+
+    (id, n_tokens, dup_word_fraction, top_bigram_count,
+    top_bigram_fraction)
+
+    - dup_word_fraction: 1 − distinct_tokens / tokens (map-side array
+      expression, no shuffle).
+    - top_bigram_fraction: occurrences of the most frequent word bigram
+      over all bigram slots — high values flag boilerplate/spam docs.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _bigrams_expr(toks).alias("bigrams"),
+    )
+    big = (
+        base.select("id", F.explode("bigrams").alias("bigram"))
+        .groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id").agg(F.max("c").alias("top_bigram_count"),
+                           F.sum("c").alias("n_bigrams"))
+    )
+    out = base.drop("bigrams").join(big, "id", "left")
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id", "n_tokens",
+        F.round(dup_frac, round_digits).alias("dup_word_fraction"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long")
+         .alias("top_bigram_count"),
+        F.round(top_frac, round_digits).alias("top_bigram_fraction"),
+    )
+
+
+def oracle_repetition_signals_sql(table: str, id_col: str, text_col: str,
+                                  round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+), big AS (
+  SELECT id, unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base
+), bagg AS (
+  SELECT id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM (SELECT id, bigram, COUNT(*) AS c FROM big GROUP BY id, bigram)
+  GROUP BY id
+)
+SELECT b.id,
+       len(toks) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END, {round_digits}) AS dup_word_fraction,
+       COALESCE(top_bigram_count, 0) AS top_bigram_count,
+       ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
+             THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
+             ELSE 0.0 END, {round_digits}) AS top_bigram_fraction
+FROM base b LEFT JOIN bagg USING (id)
+"""
+
+
+def crossdoc_ngram_dup_summary(df: DataFrame, id_col: str, text_col: str,
+                               n: int = 5, round_digits: int = 6
+                               ) -> DataFrame:
+    """Corpus-wide n-gram duplication: how much n-gram mass is shared
+    across documents (the signal behind suffix-array / exact-substring
+    dedup decisions).
+
+    One row: (ngram_n, n_distinct_ngrams, n_shared_ngrams,
+    shared_ngram_fraction, max_docs_per_ngram).
+
+    Per-doc DISTINCT n-grams are hashed 64-bit map-side, so the single
+    shuffle moves fixed-width (hash, doc) rows, not strings.
+    """
+    toks = tokens_expr(text_col)
+    grams = (
+        df.select(F.col(id_col).alias("id"),
+                  F.array_distinct(_ngrams_expr(toks, n)).alias("grams"))
+        .select("id", F.explode("grams").alias("gram"))
+        .select("id", F.xxhash64("gram").alias("gram_h"))
+    )
+    per_gram = grams.groupBy("gram_h").agg(
+        F.count(F.lit(1)).alias("n_docs_with"))
+    return per_gram.agg(
+        F.lit(n).cast("int").alias("ngram_n"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
+         .alias("n_shared_ngrams"),
+        F.round(
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
+             .cast("double") / F.count(F.lit(1)),
+            round_digits).alias("shared_ngram_fraction"),
+        F.max("n_docs_with").alias("max_docs_per_ngram"),
+    )
+
+
+def oracle_crossdoc_ngram_dup_sql(table: str, id_col: str, text_col: str,
+                                  n: int = 5, round_digits: int = 6) -> str:
+    # DuckDB list slices are 1-based inclusive: t[i:i+n-1] is n tokens.
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT {id_col} AS id,
+         unnest(list_transform(range(1, len(toks) - {n} + 2),
+                i -> array_to_string(toks[i:i + {n} - 1], ' '))) AS gram
+  FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+), per_gram AS (
+  SELECT gram, COUNT(*) AS n_docs_with FROM grams GROUP BY gram
+)
+SELECT CAST({n} AS INTEGER) AS ngram_n,
+       COUNT(*) AS n_distinct_ngrams,
+       CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_ngrams,
+       ROUND(CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), {round_digits})
+         AS shared_ngram_fraction,
+       MAX(n_docs_with) AS max_docs_per_ngram
+FROM per_gram
+"""
+
+
+# RE2-safe and Java-regex-safe patterns (no lookarounds), identical
+# semantics across Spark and DuckDB. Order matters: phone before generic
+# digit runs would, so keep patterns non-overlapping by construction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+)
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row PII redaction: (id, redacted, n_email, n_phone, n_ssn).
+
+    Counts are measured BEFORE replacement; replacement is applied in
+    PII_PATTERNS order so e.g. a phone inside an already-redacted email
+    span cannot double-fire. Pure regexp expressions — scan-speed."""
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )
+
+
+def oracle_pii_redact_sql(table: str, id_col: str, text_col: str) -> str:
+    red = text_col
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    count_cols = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return (f"SELECT {id_col} AS id, {red} AS redacted, {count_cols} "
+            f"FROM {table}")

@@ -950,3 +950,69 @@ def stratified_sample_orders(spark, sf_dir):
     s = smp.stratified_hash_sample(T(spark, sf_dir, "orders"),
                                    "o_orderkey", "o_orderpriority", _STRATA)
     return s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition signals, cross-doc n-gram duplication,
+# PII redaction (training-pipeline operators; see operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import curation as cu
+
+
+@register("repetition_signals_documents",
+          cu.oracle_repetition_signals_sql("documents", "doc_id", "text"))
+def repetition_signals_documents(spark, sf_dir):
+    """Gopher-style per-doc repetition features (dup-word fraction,
+    top-bigram fraction) — the boilerplate/spam filter signals."""
+    return cu.repetition_signals(T(spark, sf_dir, "documents"),
+                                 "doc_id", "text")
+
+
+@register("crossdoc_ngram_dup_documents",
+          cu.oracle_crossdoc_ngram_dup_sql("documents", "doc_id", "text", n=5))
+def crossdoc_ngram_dup_documents(spark, sf_dir):
+    """Corpus-wide 5-gram sharing summary — the exact-substring dedup
+    decision signal."""
+    return cu.crossdoc_ngram_dup_summary(T(spark, sf_dir, "documents"),
+                                         "doc_id", "text", n=5)
+
+
+# The synthetic customer table has no PII columns, so the query
+# synthesizes a deterministic contact string (phone digits from the
+# keys, an email from the name) — identically in both engines — and
+# the operator redacts it. Every third row gets an SSN-shaped token.
+_PII_ORACLE = cu.oracle_pii_redact_sql(
+    "(SELECT c_custkey, c_name || ' ph:' ||"
+    " printf('%02d-%03d-%03d-%04d', c_nationkey,"
+    "        c_custkey % 1000, (c_custkey // 1000) % 1000,"
+    "        c_custkey % 10000) ||"
+    " ' ' || LOWER(c_mktsegment) || '.user@example.com' ||"
+    " CASE WHEN c_custkey % 3 = 0 THEN"
+    "   ' ssn ' || printf('%03d-%02d-%04d', c_custkey % 1000,"
+    "                     c_custkey % 100, c_custkey % 10000)"
+    " ELSE '' END AS contact FROM customer)",
+    "c_custkey", "contact")
+
+
+@register("pii_redact_customer", _PII_ORACLE)
+def pii_redact_customer(spark, sf_dir):
+    """Scan-speed PII redaction over a synthesized contact string:
+    phone/SSN/email patterns replaced, per-pattern counts kept."""
+    k = F.col("c_custkey")
+    contact = F.concat(
+        F.col("c_name"), F.lit(" ph:"),
+        F.format_string("%02d-%03d-%03d-%04d", F.col("c_nationkey"),
+                        k % 1000, (k / F.lit(1000)).cast("long") % 1000,
+                        k % 10000),
+        F.lit(" "), F.lower(F.col("c_mktsegment")),
+        F.lit(".user@example.com"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" ssn "),
+                        F.format_string("%03d-%02d-%04d", k % 1000,
+                                        k % 100, k % 10000))
+         ).otherwise(F.lit("")),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey",
+                                            contact.alias("contact"))
+    return cu.pii_redact(c, "c_custkey", "contact")
