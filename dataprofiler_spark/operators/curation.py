@@ -66,8 +66,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     - top_bigram_fraction: occurrences of the most frequent word bigram
       over all bigram slots — high values flag boilerplate/spam docs.
     """
+    from dataprofiler_spark.session import ensure_parallelism
     toks = tokens_expr(text_col)
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -138,10 +139,12 @@ def crossdoc_ngram_dup_summary(df: DataFrame, id_col: str, text_col: str,
     Per-doc DISTINCT n-grams are hashed 64-bit map-side, so the single
     shuffle moves fixed-width (hash, doc) rows, not strings.
     """
+    from dataprofiler_spark.session import ensure_parallelism
     toks = tokens_expr(text_col)
     grams = (
-        df.select(F.col(id_col).alias("id"),
-                  F.array_distinct(_ngrams_expr(toks, n)).alias("grams"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"),
+                F.array_distinct(_ngrams_expr(toks, n)).alias("grams"))
         .select("id", F.explode("grams").alias("gram"))
         .select("id", F.xxhash64("gram").alias("gram_h"))
     )

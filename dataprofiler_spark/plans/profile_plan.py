@@ -213,8 +213,25 @@ class Profiler:
         simple_types = {f.name: f.dataType.simpleString() for f in fields}
 
         t0 = time.perf_counter()
-        row = df.agg(*self._wide_agg_exprs(
-            all_cols, numeric_cols, string_cols, dt_cols)).collect()[0]
+        groups = self._wide_agg_expr_groups(
+            all_cols, numeric_cols, string_cols, dt_cols)
+        if len(groups) == 1:
+            row = df.agg(*groups[0]).collect()[0]
+        else:
+            # Bounded-width aggregates collected concurrently: compile
+            # cost stays small per group (see _wide_agg_expr_groups) and
+            # the scheduler overlaps the column-pruned scans. Row-level
+            # semantics are unchanged — each group is a plain global agg
+            # over the SAME (possibly sampled) DataFrame lineage, so all
+            # groups see identical rows.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(len(groups), 8)) as ex:
+                rows = list(ex.map(
+                    lambda g: df.agg(*g).collect()[0], groups))
+            merged: dict = {}
+            for r in rows:
+                merged.update(r.asDict())
+            row = merged
         t_agg = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -342,7 +359,18 @@ class Profiler:
             if state.columns[c].datetime is not None:
                 state.columns[c].datetime.formats = fmts
 
-    def _wide_agg_exprs(self, all_cols, numeric_cols, string_cols, dt_cols):
+    def _wide_agg_expr_groups(self, all_cols, numeric_cols, string_cols,
+                              dt_cols):
+        """The wide-agg expressions, split into independently-aggregable
+        groups of bounded width.
+
+        Catalyst codegen compile time is superlinear in aggregate count
+        (~5 s for ~100 functions vs ~0.7 s for ~40 on this machine), so
+        the profile collects each group as its own 1-row aggregate —
+        column-pruned scans read the same total bytes, the independent
+        stages overlap, and compile cost drops ~6×. Group 0 carries the
+        row-level stats (they need every column); per-type groups chunk
+        by column."""
         opt = self.options
         exprs = [F.count(F.lit(1)).alias("__row_count")]
 
@@ -366,64 +394,96 @@ class Profiler:
             exprs.append(F.count_distinct(*[F.col(c) for c in all_cols])
                          .alias("__uniq"))
 
+        groups = [exprs]
+        _MAX_AGGS = 40
+        cur: list = []
+
+        def flush():
+            nonlocal cur
+            if cur:
+                groups.append(cur)
+                cur = []
+
+        def add(col_exprs: list):
+            nonlocal cur
+            if cur and len(cur) + len(col_exprs) > _MAX_AGGS:
+                flush()
+            cur.extend(col_exprs)
+
         for c in numeric_cols:
-            d = F.col(c).cast("double")
-            n = F.count(d)
-            exprs.extend([
-                n.alias(f"{c}__n"),
-                F.min(d).alias(f"{c}__min"), F.max(d).alias(f"{c}__max"),
-                F.sum(d).alias(f"{c}__sum"),
-                F.var_pop(d).alias(f"{c}__varp"),
-                F.skewness(d).alias(f"{c}__skew"),
-                F.kurtosis(d).alias(f"{c}__kurt"),
-                F.sum(F.when(d == 0, 1).otherwise(0)).alias(f"{c}__zeros"),
-                F.sum(F.when(d < 0, 1).otherwise(0)).alias(f"{c}__negs"),
-            ])
-
+            add(self._numeric_col_exprs(c))
         for c in string_cols:
-            s = F.col(c)
-            ln = F.length(s).cast("double")
-            exprs.extend([
-                F.count(s).alias(f"{c}__n"),
-                F.min(ln).alias(f"{c}__lmin"), F.max(ln).alias(f"{c}__lmax"),
-                F.sum(ln).alias(f"{c}__lsum"),
-                F.var_pop(ln).alias(f"{c}__lvarp"),
-            ])
-            if opt.infer_types_on_strings:
-                d = s.try_cast("double")
-                is_f = d.isNotNull()
-                is_i = is_f & (d == F.floor(d))
-                # Regex pre-gate before the strptime battery: a failing
-                # try_to_timestamp throws (and swallows) a JVM exception —
-                # ~µs each, ruinous across rows × formats. Only strings
-                # that LOOK like dates (start with digits or a month name)
-                # enter the parse attempts.
-                could_be_dt = s.rlike(r"^(\d|[A-Za-z]{3,9} \d)")
-                parsed = F.when(could_be_dt, F.coalesce(*[
-                    F.try_to_timestamp(s, F.lit(fmt))
-                    for _, fmt in opt.datetime_formats
-                ]))
-                exprs.extend([
-                    F.sum(F.when(is_i, 1).otherwise(0)).alias(f"{c}__tint"),
-                    F.sum(F.when(is_f, 1).otherwise(0)).alias(f"{c}__tflt"),
-                    F.sum(F.when(parsed.isNotNull(), 1).otherwise(0))
-                     .alias(f"{c}__tdt"),
-                    F.date_format(F.min(parsed), ISO).alias(f"{c}__dtmin"),
-                    F.date_format(F.max(parsed), ISO).alias(f"{c}__dtmax"),
-                ])
-
+            add(self._string_col_exprs(c))
         for c in dt_cols:
-            col = F.col(c)
+            add(self._dt_col_exprs(c))
+        flush()
+        return groups
+
+    def _wide_agg_exprs(self, all_cols, numeric_cols, string_cols, dt_cols):
+        """Flat variant of the grouped expressions (plan-shape tests and
+        callers that want the monolithic single-scan aggregate)."""
+        return [e for g in self._wide_agg_expr_groups(
+            all_cols, numeric_cols, string_cols, dt_cols) for e in g]
+
+    def _numeric_col_exprs(self, c):
+        d = F.col(c).cast("double")
+        n = F.count(d)
+        return [
+            n.alias(f"{c}__n"),
+            F.min(d).alias(f"{c}__min"), F.max(d).alias(f"{c}__max"),
+            F.sum(d).alias(f"{c}__sum"),
+            F.var_pop(d).alias(f"{c}__varp"),
+            F.skewness(d).alias(f"{c}__skew"),
+            F.kurtosis(d).alias(f"{c}__kurt"),
+            F.sum(F.when(d == 0, 1).otherwise(0)).alias(f"{c}__zeros"),
+            F.sum(F.when(d < 0, 1).otherwise(0)).alias(f"{c}__negs"),
+        ]
+
+    def _string_col_exprs(self, c):
+        opt = self.options
+        s = F.col(c)
+        ln = F.length(s).cast("double")
+        exprs = [
+            F.count(s).alias(f"{c}__n"),
+            F.min(ln).alias(f"{c}__lmin"), F.max(ln).alias(f"{c}__lmax"),
+            F.sum(ln).alias(f"{c}__lsum"),
+            F.var_pop(ln).alias(f"{c}__lvarp"),
+        ]
+        if opt.infer_types_on_strings:
+            d = s.try_cast("double")
+            is_f = d.isNotNull()
+            is_i = is_f & (d == F.floor(d))
+            # Regex pre-gate before the strptime battery: a failing
+            # try_to_timestamp throws (and swallows) a JVM exception —
+            # ~µs each, ruinous across rows × formats. Only strings
+            # that LOOK like dates (start with digits or a month name)
+            # enter the parse attempts.
+            could_be_dt = s.rlike(r"^(\d|[A-Za-z]{3,9} \d)")
+            parsed = F.when(could_be_dt, F.coalesce(*[
+                F.try_to_timestamp(s, F.lit(fmt))
+                for _, fmt in opt.datetime_formats
+            ]))
             exprs.extend([
-                F.count(col).alias(f"{c}__n"),
-                F.date_format(F.min(col), ISO).alias(f"{c}__dtmin"),
-                F.date_format(F.max(col), ISO).alias(f"{c}__dtmax"),
+                F.sum(F.when(is_i, 1).otherwise(0)).alias(f"{c}__tint"),
+                F.sum(F.when(is_f, 1).otherwise(0)).alias(f"{c}__tflt"),
+                F.sum(F.when(parsed.isNotNull(), 1).otherwise(0))
+                 .alias(f"{c}__tdt"),
+                F.date_format(F.min(parsed), ISO).alias(f"{c}__dtmin"),
+                F.date_format(F.max(parsed), ISO).alias(f"{c}__dtmax"),
             ])
         return exprs
 
+    def _dt_col_exprs(self, c):
+        col = F.col(c)
+        return [
+            F.count(col).alias(f"{c}__n"),
+            F.date_format(F.min(col), ISO).alias(f"{c}__dtmin"),
+            F.date_format(F.max(col), ISO).alias(f"{c}__dtmax"),
+        ]
+
     def _assemble(self, row, all_cols, numeric_cols, string_cols, dt_cols,
                   simple_types) -> DatasetState:
-        r = row.asDict()
+        r = row if isinstance(row, dict) else row.asDict()
         n_rows = r["__row_count"]
         state = DatasetState(
             row_count=n_rows,
