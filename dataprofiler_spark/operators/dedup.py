@@ -364,3 +364,90 @@ votes AS (
 )
 SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 """
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          bits: int = SIMHASH_BITS, bands: int = 4,
+                          max_hamming: int = 3,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate pairs (id1, id2, hamming ≤ max_hamming) via SimHash
+    multi-index banding (Manku et al., WWW'07 shape).
+
+    The ``bits``-bit signature splits into ``bands`` equal slices; by
+    pigeonhole, any pair within Hamming distance ``bands − 1`` agrees on
+    at least one full slice, so candidate generation (self-join on
+    (band, slice-value)) is COMPLETE for max_hamming ≤ bands − 1 — no
+    all-pairs scan. Verification is one xor + bit_count per candidate.
+
+    Plan shape mirrors minhash_lsh_pairs: signatures (one groupBy on id)
+    → explode bands → self-join on (band, bucket) → distinct → verify.
+    ``max_bucket_size`` is the same pre-join skew guard."""
+    assert bits % bands == 0
+    assert max_hamming <= bands - 1, "banding incomplete past bands-1"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    sig = simhash(df, id_col, text_col, bits).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+             .bitwiseAND(mask).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("id", "s.band", "s.bucket")
+    if max_bucket_size is not None:
+        small = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .where(F.col("__bsz") <= max_bucket_size)
+                 .select("band", "bucket"))
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    h1 = sig.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    h2 = sig.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        pairs.join(h1, "id1").join(h2, "id2")
+        .select("id1", "id2",
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+                 .cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def oracle_simhash_neardup_pairs_sql(table: str, id_col: str, text_col: str,
+                                     bits: int = SIMHASH_BITS,
+                                     bands: int = 4,
+                                     max_hamming: int = 3) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig_sql = oracle_simhash_sql(table, id_col, text_col, bits)
+    return f"""
+WITH sig AS ({sig_sql}),
+buckets AS (
+  SELECT id, b.band, (simhash // (1 << (b.band * {band_bits}))) & {mask}
+           AS bucket
+  FROM sig, (SELECT UNNEST(range({bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig s1 ON s1.id = c.id1
+JOIN sig s2 ON s2.id = c.id2
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {max_hamming}
+"""

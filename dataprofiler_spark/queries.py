@@ -1016,3 +1016,12 @@ def pii_redact_customer(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select("c_custkey",
                                             contact.alias("contact"))
     return cu.pii_redact(c, "c_custkey", "contact")
+
+
+@register("simhash_neardup_documents",
+          dd.oracle_simhash_neardup_pairs_sql("documents", "doc_id", "text"))
+def simhash_neardup_documents(spark, sf_dir):
+    """SimHash multi-index near-dup pairs (Manku et al. shape): banding
+    is pigeonhole-complete for hamming <= bands-1, never all-pairs."""
+    return dd.simhash_neardup_pairs(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")

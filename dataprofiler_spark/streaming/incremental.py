@@ -43,3 +43,26 @@ class StreamingProfiler:
         ``StreamingProfiler().attach(spark.readStream...).start()``."""
         return stream_df.writeStream.foreachBatch(
             lambda df, bid: self.update(df, bid))
+
+
+def streaming_exact_dedup(stream_df: DataFrame, id_col: str, text_col: str,
+                          watermark_col: str, delay: str = "10 minutes"):
+    """Streaming exact dedup: keep the first occurrence of each
+    normalized-text fingerprint, with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps fingerprint state only for
+    the watermark horizon — the 100 TB-stream-safe variant of
+    ``dropDuplicates`` (whose state grows without bound). Near-dup
+    (MinHash/SimHash) streaming variants compose the same way: compute
+    the signature map-side, dedup on (band, bucket) within the horizon.
+    """
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        stream_df
+        .withColumn("__fp", F.md5(norm))
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

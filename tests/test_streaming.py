@@ -83,3 +83,35 @@ def test_count_min_sketch_mode(spark, sf_dir):
     row = category_counts_cms(df, ["l_returnflag", "l_linestatus"]).collect()[0]
     assert isinstance(row["l_returnflag"], (bytes, bytearray))
     assert len(row["l_returnflag"]) > 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first occurrence of each
+    text fingerprint; duplicate arriving within the horizon is dropped.
+    Whitespace/case normalization makes 'A  B' a duplicate of 'a b'."""
+    from dataprofiler_spark.streaming.incremental import streaming_exact_dedup
+
+    rows = [
+        (1, "hello world", "2024-01-01 00:00:00"),
+        (2, "HELLO   world", "2024-01-01 00:01:00"),   # near-identical dup
+        (3, "different doc", "2024-01-01 00:02:00"),
+        (4, "hello world", "2024-01-01 00:03:00"),     # exact dup
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = []
+    q = (streaming_exact_dedup(stream, "id", "text", "ts", "10 minutes")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda d, bid: out.extend(d.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # One survivor per fingerprint class; which member survives is
+    # processing-order-dependent within a micro-batch.
+    kept = sorted(r["id"] for r in out)
+    assert len(kept) == 2
+    assert kept[1] == 3 or kept[0] == 3
+    assert any(k in (1, 2, 4) for k in kept)
