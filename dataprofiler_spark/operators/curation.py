@@ -150,16 +150,19 @@ def crossdoc_ngram_dup_summary(df: DataFrame, id_col: str, text_col: str,
     )
     per_gram = grams.groupBy("gram_h").agg(
         F.count(F.lit(1)).alias("n_docs_with"))
+    n_distinct = F.count(F.lit(1))
+    n_shared = F.coalesce(
+        F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)), F.lit(0))
     return per_gram.agg(
         F.lit(n).cast("int").alias("ngram_n"),
-        F.count(F.lit(1)).alias("n_distinct_ngrams"),
-        F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
-         .alias("n_shared_ngrams"),
-        F.round(
-            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
-             .cast("double") / F.count(F.lit(1)),
-            round_digits).alias("shared_ngram_fraction"),
-        F.max("n_docs_with").alias("max_docs_per_ngram"),
+        n_distinct.alias("n_distinct_ngrams"),
+        n_shared.alias("n_shared_ngrams"),
+        F.round(F.when(n_distinct > 0,
+                       n_shared.cast("double") / n_distinct)
+                 .otherwise(F.lit(0.0)),
+                round_digits).alias("shared_ngram_fraction"),
+        F.coalesce(F.max("n_docs_with"), F.lit(0).cast("long"))
+         .alias("max_docs_per_ngram"),
     )
 
 
@@ -178,12 +181,13 @@ WITH grams AS (
 )
 SELECT CAST({n} AS INTEGER) AS ngram_n,
        COUNT(*) AS n_distinct_ngrams,
-       CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_shared_ngrams,
-       ROUND(CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), {round_digits})
-         AS shared_ngram_fraction,
-       MAX(n_docs_with) AS max_docs_per_ngram
+       CAST(COALESCE(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_shared_ngrams,
+       ROUND(CASE WHEN COUNT(*) > 0 THEN
+               CAST(COALESCE(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0
+                             END), 0) AS DOUBLE) / COUNT(*)
+             ELSE 0.0 END, {round_digits}) AS shared_ngram_fraction,
+       CAST(COALESCE(MAX(n_docs_with), 0) AS BIGINT) AS max_docs_per_ngram
 FROM per_gram
 """
 

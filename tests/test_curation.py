@@ -78,3 +78,42 @@ def test_repetition_no_unpartitioned_window(spark, sf_dir):
     plan = cu.repetition_signals(docs, "doc_id", "text")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Window" not in plan  # pure groupBy aggregation, no windows
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): invariants that must hold for ANY corpus
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                  min_size=0, max_size=12)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=1, max_size=6))
+def test_repetition_signal_bounds(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"])
+    for r in cu.repetition_signals(df, "id", "text").collect():
+        assert 0.0 <= r["dup_word_fraction"] <= 1.0
+        assert 0.0 <= r["top_bigram_fraction"] <= 1.0
+        assert r["top_bigram_count"] >= 0
+        ws = docs[r["id"]]
+        assert r["n_tokens"] == len(ws)
+        if len(ws) >= 2:
+            assert r["top_bigram_count"] >= 1
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=1, max_size=5))
+def test_crossdoc_shared_never_exceeds_distinct(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"])
+    row = cu.crossdoc_ngram_dup_summary(df, "id", "text", n=2).collect()[0]
+    assert 0 <= row["n_shared_ngrams"] <= row["n_distinct_ngrams"]
+    assert row["max_docs_per_ngram"] is None or \
+        row["max_docs_per_ngram"] <= len(docs)

@@ -183,3 +183,29 @@ def test_no_unpartitioned_window_over_data(spark, sf_dir):
             # TakeOrderedAndProject reduction
             assert ("TakeOrderedAndProject" in plan
                     or "HashAggregate" in plan), plan
+
+
+def test_wide_agg_groups_bounded(spark, sf_dir):
+    """Codegen-compile guard: every wide-agg group stays under the
+    bounded width (superlinear Janino cost past ~40 aggregates), and the
+    groups together cover exactly the monolithic expression list."""
+    import os
+    from dataprofiler_spark.plans.profile_plan import Profiler
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = Profiler(li)
+    from pyspark.sql.types import (DateType, NumericType, StringType,
+                                   TimestampNTZType, TimestampType)
+    fields = li.schema.fields
+    num = [f.name for f in fields if isinstance(f.dataType, NumericType)]
+    st = [f.name for f in fields if isinstance(f.dataType, StringType)]
+    dt = [f.name for f in fields if isinstance(
+        f.dataType, (TimestampType, TimestampNTZType, DateType))]
+    allc = [f.name for f in fields]
+    groups = p._wide_agg_expr_groups(allc, num, st, dt)
+    assert len(groups) >= 2
+    # group 0 (row-level) width scales with column count; per-type groups
+    # are hard-bounded
+    for g in groups[1:]:
+        assert len(g) <= 40
+    flat = p._wide_agg_exprs(allc, num, st, dt)
+    assert sum(len(g) for g in groups) == len(flat)
