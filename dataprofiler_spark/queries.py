@@ -43,13 +43,21 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps) regardless of the host default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read as long nanos and convert to microsecond timestamps
-        # with integer division (a double division would lose precision at
-        # 1.7e18 ns epochs).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # generations (Spark rejects nanos by default → read as long and
+        # integer-divide to micros; a double division would lose precision
+        # at 1.7e18 ns epochs) and as plain TIMESTAMP in others. Branch on
+        # the actual read dtype so both generations load identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session tz is pinned to UTC above, so ntz→ltz is instant-
+            # preserving; downstream ops (unix_micros, windowing) expect LTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
