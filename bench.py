@@ -117,7 +117,7 @@ def main() -> None:
     run("drift_orders", _drift)
 
     run("correlation_lineitem",
-        lambda: corr.correlation_matrix(
+        lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ).collect())
     run("sessionize_events", lambda: ev.sessionize(events).count())

@@ -28,6 +28,26 @@ def _xi(c: str):
     return F.round(F.col(c).cast("double") * S, 0).cast("decimal(19,0)")
 
 
+def correlation_matrix_native(df: DataFrame, cols: list[str],
+                              round_digits: int = 6) -> DataFrame:
+    """(col1, col2, corr) for all unordered pairs via the built-in
+    ``F.corr`` — one whole-stage-codegen pass over doubles. This is the
+    cluster fast path (matches exact mode to ~1e-12 but not bit-exactly,
+    so the DuckDB-oracled query uses :func:`correlation_matrix`)."""
+    exprs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            exprs.append(F.corr(F.col(a).cast("double"),
+                                F.col(b).cast("double")).alias(f"c_{a}__{b}"))
+    row = df.agg(*exprs)
+    structs = [
+        F.struct(F.lit(a).alias("col1"), F.lit(b).alias("col2"),
+                 F.round(F.col(f"c_{a}__{b}"), round_digits).alias("corr"))
+        for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def correlation_matrix(df: DataFrame, cols: list[str],
                        round_digits: int = 6) -> DataFrame:
     """(col1, col2, corr) for all unordered pairs, exact-deterministic.

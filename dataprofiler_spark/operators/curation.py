@@ -33,6 +33,10 @@ from dataprofiler_spark.operators.textanalysis import tokens_expr
 
 
 def _bigrams_expr(toks: Column) -> Column:
+    """``toks`` MUST be a materialized column attribute, not an inline
+    expression: higher-order-function lambdas are interpreted with no
+    common-subexpression reuse, so an inline ``regexp_extract_all`` here
+    would re-tokenize the document once per element — O(tokens²)."""
     # sequence(1, 0) would count DOWN in Spark — guard short docs first.
     return F.when(
         F.size(toks) >= 2,
@@ -45,6 +49,8 @@ def _bigrams_expr(toks: Column) -> Column:
 
 
 def _ngrams_expr(toks: Column, n: int) -> Column:
+    """Word n-grams; same materialized-column requirement as
+    :func:`_bigrams_expr`."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -66,16 +72,23 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     - top_bigram_fraction: occurrences of the most frequent word bigram
       over all bigram slots — high values flag boilerplate/spam docs.
     """
-    from dataprofiler_spark.session import ensure_parallelism
-    toks = tokens_expr(text_col)
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        _bigrams_expr(toks).alias("bigrams"),
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+    # Tokenize ONCE into a column *after* the exchange; the follow-up
+    # projection references the column attribute, which Catalyst keeps as
+    # a separate Project (multi-referenced non-cheap aliases don't
+    # collapse), so the regexp runs once per row — not once per bigram.
+    tokd = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("toks"))
+    tcol = F.col("toks")
+    base = tokd.select(
+        "id",
+        F.size(tcol).alias("n_tokens"),
+        F.size(F.array_distinct(tcol)).alias("n_distinct"),
+        _bigrams_expr(tcol).alias("bigrams"),
     )
     big = (
-        base.select("id", F.explode("bigrams").alias("bigram"))
+        explode_no_prefilter(base, "bigrams", "bigram", "id")
         .groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id").agg(F.max("c").alias("top_bigram_count"),
                            F.sum("c").alias("n_bigrams"))
@@ -139,13 +152,16 @@ def crossdoc_ngram_dup_summary(df: DataFrame, id_col: str, text_col: str,
     Per-doc DISTINCT n-grams are hashed 64-bit map-side, so the single
     shuffle moves fixed-width (hash, doc) rows, not strings.
     """
-    from dataprofiler_spark.session import ensure_parallelism
-    toks = tokens_expr(text_col)
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+    # Same two-step tokenize-to-column structure as repetition_signals —
+    # see _bigrams_expr docstring for why inline tokens would be O(T²).
+    tokd = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("toks"))
+    gramd = tokd.select(
+        "id", F.array_distinct(_ngrams_expr(F.col("toks"), n)).alias("grams"))
     grams = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"),
-                F.array_distinct(_ngrams_expr(toks, n)).alias("grams"))
-        .select("id", F.explode("grams").alias("gram"))
+        explode_no_prefilter(gramd, "grams", "gram", "id")
         .select("id", F.xxhash64("gram").alias("gram_h"))
     )
     per_gram = grams.groupBy("gram_h").agg(

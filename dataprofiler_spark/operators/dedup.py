@@ -139,11 +139,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ONE md5 per (doc, shingle) → groupBy(id) with num_hashes MIN
     aggregates (map-side partial mins ⇒ the shuffle carries one row per
     doc per partition)."""
-    from dataprofiler_spark.session import ensure_parallelism
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
     df = ensure_parallelism(df)
     coeffs = _perm_coeffs(num_hashes)
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(shingles_expr(text_col, k)).alias("s"))
+    sh = explode_no_prefilter(
+        df.select(F.col(id_col).alias("id"),
+                  shingles_expr(text_col, k).alias("sh")),
+        "sh", "s", "id")
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
     rows = sh.select("id", h.alias("h"))
     mins = rows.groupBy("id").agg(*[
@@ -206,24 +209,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     other bands — recall loss is bounded to pairs whose *every* agreeing
     band is oversized, which at a sane cap means boilerplate clusters a
     curation pipeline handles with exact dedup anyway. Default None =
-    no cap (oracle-matched semantics)."""
+    no cap (oracle-matched semantics).
+
+    Verify-stage representation: shingles are md5-hashed to 60-bit ints
+    ONCE (map-side), and both the minhash base hash and the exact-jaccard
+    set intersection run on those ints — the verify join then moves and
+    intersects fixed-width ints instead of strings (~3× faster, narrower
+    shuffle). The first 8 hex chars of md5 are a prefix of the first 15,
+    so the 32-bit base hash is recovered as ``h60 >> 28`` and signature
+    values are unchanged. The oracle derives the identical ints, so even
+    the (negligible) hash-collision cases agree across engines."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    from dataprofiler_spark.session import ensure_parallelism
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
     df = ensure_parallelism(df)
-    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("sh"))
-    # The self-join and the verify join would otherwise recompute the
-    # shingle expressions once per branch — persist the small intermediate.
-    sh = sh.persist()
-
+    # One explode → one codegen'd md5 per (doc, shingle) → ONE groupBy(id)
+    # producing BOTH the minhash signature columns and the doc's hashed
+    # shingle set (collect_set = distinct). 60 bits (15 hex chars) keeps
+    # the hash exact in a signed BIGINT on both engines; the 32-bit
+    # minhash base hash is the prefix h60 >> 28.
+    shingle_rows = explode_no_prefilter(
+        df.select(F.col(id_col).alias("id"),
+                  shingles_expr(text_col, k).alias("sh")),
+        "sh", "s", "id")
+    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    hashed = shingle_rows.select("id", h60.alias("h60"))
     coeffs = _perm_coeffs(num_hashes)
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
-    hashes = sh.select("id", F.explode("sh").alias("s")).select("id", h.alias("h"))
-    wide = hashes.groupBy("id").agg(*[
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
-         .alias(f"mh{j}")
-        for j, (a, b) in enumerate(coeffs)
-    ])
+    h32 = F.shiftright(F.col("h60"), 28)
+    wide = hashed.groupBy("id").agg(
+        F.collect_set("h60").alias("hs"),
+        *[F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME))
+           .alias(f"mh{j}")
+          for j, (a, b) in enumerate(coeffs)
+        ])
+    # The band explode and the two verify joins all read from this one
+    # aggregate — persist the small intermediate.
+    wide = wide.persist()
+    sh = wide.select("id", "hs")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -252,15 +275,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    s1 = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    s1 = sh.select(F.col("id").alias("id1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("hs").alias("hs2"))
+    # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct) — one set op per pair,
+    # over ints, instead of intersect+union over strings.
+    inter = F.size(F.array_intersect("hs1", "hs2"))
     verified = (
         pairs.join(s1, "id1").join(s2, "id2")
         .select(
             "id1", "id2",
             F.round(
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2")),
+                inter.cast("double")
+                / (F.size("hs1") + F.size("hs2") - inter),
                 round_digits,
             ).alias("jaccard"),
         )
@@ -284,10 +310,15 @@ def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
         + ") AS bucket FROM mins"
         for b in range(bands))
     return f"""
-WITH sh AS ({_duck_shingles(table, id_col, text_col, k)}),
+WITH sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
+sh AS (
+  SELECT id, list_distinct(list_transform(sh,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+  FROM sh0
+),
 hashes AS (
-  SELECT sh.id, ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h
-  FROM sh, UNNEST(sh.sh) u(s)
+  SELECT sh.id, u.h60 // 268435456 AS h
+  FROM sh, UNNEST(sh.hs) u(h60)
 ),
 mins AS (
   SELECT id,
@@ -303,13 +334,15 @@ pairs AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 )
 SELECT p.id1, p.id2,
-       ROUND(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(s1.sh, s2.sh))), {round_digits}) AS jaccard
+       ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+             / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))),
+             {round_digits}) AS jaccard
 FROM pairs p
 JOIN sh s1 ON s1.id = p.id1
 JOIN sh s2 ON s2.id = p.id2
-WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(s1.sh, s2.sh))) >= {threshold}
+WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+      / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))
+      >= {threshold}
 """
 
 
@@ -320,14 +353,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """(id, simhash) — frequency-weighted token votes on md5-derived bit
     hashes. Portable: hash = int(md5(token)[:8], 16); bit b set when the
     vote sum is strictly positive."""
-    from dataprofiler_spark.session import ensure_parallelism
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
     df = ensure_parallelism(df)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-        ).alias("tok"),
-    )
+    toks = explode_no_prefilter(
+        df.select(F.col(id_col).alias("id"),
+                  F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(r"\S+"), 0).alias("toks")),
+        "toks", "tok", "id")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     votes = toks.select("id", h.alias("h")).groupBy("id").agg(*[
         F.sum(

@@ -103,10 +103,14 @@ def text_length_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = []
     for c in cols:
         pairs.extend([F.lit(c), F.col(c).cast("string")])
+    from dataprofiler_spark.session import explode_no_prefilter
     vocab = (
-        df.select(F.explode(F.create_map(*pairs)).alias("column", "value"))
-        .where(F.col("value").isNotNull())
-        .select("column", F.explode(F.regexp_extract_all(F.col("value"), F.lit("."), 0)).alias("ch"))
+        explode_no_prefilter(
+            df.select(F.explode(F.create_map(*pairs)).alias("column", "value"))
+            .where(F.col("value").isNotNull())
+            .select("column", F.regexp_extract_all(
+                F.col("value"), F.lit("."), 0).alias("chars")),
+            "chars", "ch", "column")
         .groupBy("column")
         .agg(F.count_distinct("ch").alias("vocab_size"))
     )
@@ -152,13 +156,14 @@ def word_counts(df: DataFrame, text_col: str, top_k: int = 20,
     (count desc, word asc). Classic one-shuffle word count; top-k via
     distributed TakeOrderedAndProject (operators/topk.ranked_topk)."""
     from dataprofiler_spark.operators.topk import ranked_topk
+    from dataprofiler_spark.session import explode_no_prefilter
 
-    toks = F.explode(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-    ).alias("word")
     words = (
-        df.where(F.col(text_col).isNotNull())
-        .select(toks)
+        explode_no_prefilter(
+            df.where(F.col(text_col).isNotNull())
+            .select(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                         F.lit(r"\S+"), 0).alias("toks")),
+            "toks", "word")
         .select(F.regexp_replace(F.col("word"), r"^[^0-9a-z]+|[^0-9a-z]+$", "").alias("word"))
         .where(F.col("word") != "")
     )

@@ -37,8 +37,11 @@ class UnstructuredProfiler:
              .alias("memory_size_mb"),
             F.sum(F.size(toks)).alias("word_count"),
         ).collect()[0]
-        vocab_size = (self.df.select(F.explode(
-            F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)).alias("w"))
+        from dataprofiler_spark.session import explode_no_prefilter
+        vocab_size = (explode_no_prefilter(
+            self.df.select(F.regexp_extract_all(
+                F.lower(c), F.lit(r"\S+"), 0).alias("toks")),
+            "toks", "w")
             .agg(F.count_distinct("w")).collect()[0][0])
         top = [(r["word"], r["count"]) for r in
                word_counts(self.df, self.text_col, self.top_k).collect()]

@@ -692,10 +692,9 @@ FROM documents
 @register("unstructured_summary_documents", _UNSTRUCT_ORACLE)
 def unstructured_summary_documents(spark, sf_dir):
     df = T(spark, sf_dir, "documents")
+    from dataprofiler_spark.session import explode_no_prefilter
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    uniq = (df.select(F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-            ).alias("w"))
+    uniq = (explode_no_prefilter(df.select(toks.alias("toks")), "toks", "w")
             .agg(F.count_distinct("w").alias("unique_words")))
     summary = df.agg(
         F.count(F.lit(1)).alias("samples"),

@@ -97,6 +97,28 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def explode_no_prefilter(df, array_col, alias: str, *keep: str):
+    """``explode()`` without the optimizer's inferred pre-filter.
+
+    Plain ``explode(arr)`` makes InferFiltersFromGenerate add
+    ``size(arr) > 0 AND arr IS NOT NULL`` *below* the Generate; predicate
+    pushdown then moves that filter under the nearest Exchange, where the
+    (often expensive) array expression is re-evaluated twice per row on
+    the narrow pre-shuffle side — for a single-file local scan that means
+    double work on ONE core, and for higher-order-function arrays the
+    expression is interpreted with no common-subexpression reuse.
+
+    ``explode_outer`` infers nothing; the cheap ``IS NOT NULL`` filter on
+    the *exploded output* runs post-Generate. Semantics match explode()
+    exactly as long as the array cannot contain NULL elements — true for
+    every regexp/substring/array_join-derived array in this engine.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.select(*keep, F.explode_outer(array_col).alias(alias))
+    return out.where(F.col(alias).isNotNull())
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames."""
     names = tables or [

@@ -68,6 +68,21 @@ def test_correlation_ml_close_to_exact(spark, sf_dir):
                 assert m[i][j] == pytest.approx(exact[(a, b)], abs=1e-6)
 
 
+def test_correlation_native_close_to_exact(spark, sf_dir):
+    from dataprofiler_spark.operators.correlation import (
+        correlation_matrix, correlation_matrix_native)
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = {(r["col1"], r["col2"]): r["corr"]
+             for r in correlation_matrix(df, cols).collect()}
+    native = {(r["col1"], r["col2"]): r["corr"]
+              for r in correlation_matrix_native(df, cols).collect()}
+    assert set(native) == set(exact)
+    for key, v in exact.items():
+        assert native[key] == pytest.approx(v, abs=1e-9)
+
+
 def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
     """max_bucket_size prunes the O(m^2) pair blowup from one giant
     bucket (e.g. identical boilerplate docs) while keeping normal
