@@ -208,6 +208,144 @@ FROM per_gram
 """
 
 
+def substring_dup_signals(df: DataFrame, id_col: str, text_col: str,
+                          window: int = 10, round_digits: int = 6
+                          ) -> DataFrame:
+    """Per-document exact-substring duplication (the signal behind
+    suffix-array dedup à la "Deduplicating Training Data Makes Language
+    Models Better", re-expressed as fixed-width token windows):
+
+    (id, n_windows, n_dup_windows, dup_window_fraction)
+
+    A window = ``window`` consecutive tokens, stride 1. A window slot is
+    *duplicated* when its content occurs ≥2 times corpus-wide (counting
+    multiplicity — a within-doc repeat also counts, exactly like a
+    suffix-array match would). Docs shorter than ``window`` tokens have 0
+    windows and fraction 0.
+
+    Scale shape: windows are xxhash64'd map-side, so the two shuffles
+    (groupBy hash for corpus counts; groupBy id for the per-doc rollup)
+    move fixed-width rows. The corpus-count join is hash-to-hash —
+    uniform key, no skew. Identical shape to the MinHash shingle pass.
+    """
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+    tokd = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("toks"))
+    # NOT array_distinct: multiplicity matters for within-doc repeats.
+    wind = tokd.select("id", _ngrams_expr(F.col("toks"), window).alias("ws"))
+    occ = (explode_no_prefilter(wind, "ws", "w", "id")
+           .select("id", F.xxhash64("w").alias("h")))
+    counts = occ.groupBy("h").agg(F.count(F.lit(1)).alias("corpus_c"))
+    per_doc = (occ.join(counts, "h")
+               .groupBy("id").agg(
+                   F.count(F.lit(1)).alias("n_windows"),
+                   F.sum(F.when(F.col("corpus_c") >= 2, 1).otherwise(0))
+                    .alias("n_dup_windows")))
+    all_docs = df.select(F.col(id_col).alias("id"))
+    out = all_docs.join(per_doc, "id", "left")
+    nw = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    return out.select(
+        "id", nw.alias("n_windows"), nd.alias("n_dup_windows"),
+        F.round(F.when(nw > 0, nd.cast("double") / nw).otherwise(F.lit(0.0)),
+                round_digits).alias("dup_window_fraction"))
+
+
+def oracle_substring_dup_sql(table: str, id_col: str, text_col: str,
+                             window: int = 10, round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+), occ AS (
+  SELECT id, unnest(list_transform(range(1, len(toks) - {window} + 2),
+                    i -> array_to_string(toks[i:i + {window} - 1], ' '))) AS w
+  FROM base
+), counts AS (
+  SELECT w, COUNT(*) AS corpus_c FROM occ GROUP BY w
+), per_doc AS (
+  SELECT id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN corpus_c >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM occ JOIN counts USING (w) GROUP BY id
+)
+SELECT b.id,
+       CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN COALESCE(n_windows, 0) > 0
+             THEN CAST(n_dup_windows AS DOUBLE) / n_windows
+             ELSE 0.0 END, {round_digits}) AS dup_window_fraction
+FROM base b LEFT JOIN per_doc p USING (id)
+"""
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  benchmark: DataFrame, bench_id_col: str,
+                  bench_text_col: str, n: int = 8,
+                  min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with an evaluation set
+    (the standard GPT-3/PaLM-style contamination check).
+
+    Output: (id, n_overlap_ngrams, contaminated) for every df doc.
+
+    Scale shape: the benchmark's distinct n-gram hash set is tiny
+    relative to a 100 TB corpus — the overlap join broadcasts it
+    (explicit ``F.broadcast``), so the corpus side never shuffles: scan →
+    explode → broadcast-hash-join → per-doc groupBy (one shuffle keyed
+    by doc id)."""
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    def gram_hashes(frame, idc, txtc):
+        tokd = frame.select(F.col(idc).alias("id"),
+                            tokens_expr(txtc).alias("toks"))
+        gram = tokd.select(
+            "id", F.array_distinct(_ngrams_expr(F.col("toks"), n)).alias("gs"))
+        return (explode_no_prefilter(gram, "gs", "g", "id")
+                .select("id", F.xxhash64("g").alias("h")))
+
+    bench_set = (gram_hashes(benchmark, bench_id_col, bench_text_col)
+                 .select("h").distinct())
+    doc_grams = gram_hashes(ensure_parallelism(df), id_col, text_col)
+    overlap = (doc_grams.join(F.broadcast(bench_set), "h", "left_semi")
+               .groupBy("id").agg(
+                   F.count(F.lit(1)).alias("n_overlap_ngrams")))
+    out = df.select(F.col(id_col).alias("id")).join(overlap, "id", "left")
+    n_over = F.coalesce(F.col("n_overlap_ngrams"), F.lit(0)).cast("long")
+    return out.select(
+        "id", n_over.alias("n_overlap_ngrams"),
+        (n_over >= min_overlap).alias("contaminated"))
+
+
+def oracle_decontaminate_sql(table: str, id_col: str, text_col: str,
+                             bench_filter: str, n: int = 8,
+                             min_overlap: int = 1) -> str:
+    """Oracle with the benchmark defined as ``table WHERE bench_filter``
+    (the query-side fixture uses a deterministic id-hash subset)."""
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    grams = (f"SELECT {id_col} AS id, unnest(list_distinct(list_transform("
+             f"range(1, len(toks) - {n} + 2), "
+             f"i -> array_to_string(toks[i:i + {n} - 1], ' ')))) AS g "
+             f"FROM (SELECT {id_col}, {toks} AS toks FROM {table})")
+    return f"""
+WITH grams AS ({grams}),
+bench AS (
+  SELECT DISTINCT g FROM grams
+  WHERE id IN (SELECT {id_col} FROM {table} WHERE {bench_filter})
+),
+overlap AS (
+  SELECT id, COUNT(*) AS n_overlap_ngrams
+  FROM grams WHERE g IN (SELECT g FROM bench)
+  GROUP BY id
+)
+SELECT t.{id_col} AS id,
+       CAST(COALESCE(o.n_overlap_ngrams, 0) AS BIGINT) AS n_overlap_ngrams,
+       COALESCE(o.n_overlap_ngrams, 0) >= {min_overlap} AS contaminated
+FROM {table} t LEFT JOIN overlap o ON o.id = t.{id_col}
+"""
+
+
 # RE2-safe and Java-regex-safe patterns (no lookarounds), identical
 # semantics across Spark and DuckDB. Order matters: phone before generic
 # digit runs would, so keep patterns non-overlapping by construction.

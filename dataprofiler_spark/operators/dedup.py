@@ -295,9 +295,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return verified
 
 
-def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
-                                 k: int = 3, num_hashes: int = 12, bands: int = 6,
-                                 threshold: float = 0.5, round_digits: int = 6) -> str:
+def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
+                     num_hashes: int, bands: int, threshold: float,
+                     round_digits: int) -> str:
+    """Shared CTE chain: shingles → 60-bit hashes → minhash → bands →
+    candidate pairs → threshold-verified pairs (``vpairs``)."""
     rows = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
     mins = ",\n         ".join(
@@ -309,8 +311,7 @@ def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
                              for r in range(rows))
         + ") AS bucket FROM mins"
         for b in range(bands))
-    return f"""
-WITH sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
+    return f"""sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
 sh AS (
   SELECT id, list_distinct(list_transform(sh,
            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
@@ -332,17 +333,101 @@ pairs AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+vpairs AS (
+  SELECT p.id1, p.id2,
+         ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+               / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))),
+               {round_digits}) AS jaccard
+  FROM pairs p
+  JOIN sh s1 ON s1.id = p.id1
+  JOIN sh s2 ON s2.id = p.id2
+  WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+        / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))
+        >= {threshold}
+)"""
+
+
+def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
+                                 k: int = 3, num_hashes: int = 12, bands: int = 6,
+                                 threshold: float = 0.5, round_digits: int = 6) -> str:
+    ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
+                            threshold, round_digits)
+    return f"WITH {ctes}\nSELECT id1, id2, jaccard FROM vpairs"
+
+
+def neardup_clusters(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 3, num_hashes: int = 12, bands: int = 6,
+                     threshold: float = 0.5, round_digits: int = 6,
+                     max_bucket_size: int | None = None,
+                     max_iter: int = 20) -> DataFrame:
+    """Near-duplicate clusters: (id, cluster_id, cluster_size,
+    is_canonical) for EVERY document — the keep/drop decision step a
+    dedup pipeline runs after pair generation (MinHash → LSH pairs →
+    connected components → keep one canonical doc per cluster).
+
+    cluster_id = min reachable doc id (deterministic); singletons are
+    their own cluster; canonical = the min-id member, the row a
+    ``WHERE is_canonical`` filter keeps.
+
+    Scale shape: pair generation is the banded-LSH plan of
+    :func:`minhash_lsh_pairs`; components are iterative min-label
+    propagation (operators/graph.py) — O(component diameter) rounds of
+    two joins + a groupBy, lineage truncated per round via
+    localCheckpoint. Near-dup graphs have tiny diameters (clusters are
+    cliques-ish by construction), so rounds ≈ 3-5 in practice; the
+    size/canonical assembly is one groupBy + one shuffle join on
+    cluster_id."""
+    from dataprofiler_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold, round_digits=round_digits,
+                              max_bucket_size=max_bucket_size)
+    comps = (connected_components(pairs, "id1", "id2", max_iter=max_iter)
+             .withColumnRenamed("node", "id"))
+    docs = df.select(F.col(id_col).alias("id"))
+    lab = (docs.join(comps, "id", "left")
+           .select("id",
+                   F.coalesce("component", F.col("id")).alias("cluster_id")))
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (lab.join(sizes, "cluster_id")
+            .select("id", "cluster_id", "cluster_size",
+                    (F.col("id") == F.col("cluster_id")).alias("is_canonical")))
+
+
+def oracle_neardup_clusters_sql(table: str, id_col: str, text_col: str,
+                                k: int = 3, num_hashes: int = 12,
+                                bands: int = 6, threshold: float = 0.5,
+                                round_digits: int = 6) -> str:
+    """Recursive-CTE transitive closure over the verified LSH pairs —
+    quadratic, fine at oracle scale; the distributed side iterates
+    instead (see neardup_clusters)."""
+    ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
+                            threshold, round_digits)
+    return f"""
+WITH RECURSIVE {ctes},
+nodes AS (SELECT {id_col} AS id FROM {table}),
+bi AS (
+  SELECT id1 AS src, id2 AS dst FROM vpairs
+  UNION
+  SELECT id2, id1 FROM vpairs
+),
+reach AS (
+  SELECT id AS node, id AS peer FROM nodes
+  UNION
+  SELECT r.node, b.dst FROM reach r JOIN bi b ON r.peer = b.src
+),
+comp AS (
+  SELECT node AS id, MIN(peer) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
 )
-SELECT p.id1, p.id2,
-       ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-             / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))),
-             {round_digits}) AS jaccard
-FROM pairs p
-JOIN sh s1 ON s1.id = p.id1
-JOIN sh s2 ON s2.id = p.id2
-WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-      / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))
-      >= {threshold}
+SELECT c.id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       c.id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 

@@ -336,6 +336,19 @@ def simhash_documents(spark, sf_dir):
     return dd.simhash(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("neardup_clusters_documents",
+          dd.oracle_neardup_clusters_sql("documents", "doc_id", "text",
+                                         k=3, num_hashes=12, bands=2,
+                                         threshold=0.8))
+def neardup_clusters_documents(spark, sf_dir):
+    # Selective operating point (bands=2, threshold=0.8): dedup clusters
+    # mean "near-identical", and the sparse pair graph keeps the
+    # recursive-CTE oracle closure cheap. Pipeline: LSH pairs →
+    # connected components → canonical per cluster.
+    return dd.neardup_clusters(T(spark, sf_dir, "documents"), "doc_id", "text",
+                               k=3, num_hashes=12, bands=2, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -983,6 +996,29 @@ def crossdoc_ngram_dup_documents(spark, sf_dir):
     decision signal."""
     return cu.crossdoc_ngram_dup_summary(T(spark, sf_dir, "documents"),
                                          "doc_id", "text", n=5)
+
+
+@register("substring_dup_documents",
+          cu.oracle_substring_dup_sql("documents", "doc_id", "text",
+                                      window=10))
+def substring_dup_documents(spark, sf_dir):
+    """Per-doc exact-substring duplication fraction via 10-token rolling
+    windows — the suffix-array-style dedup decision input."""
+    return cu.substring_dup_signals(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text", window=10)
+
+
+@register("decontaminate_documents",
+          cu.oracle_decontaminate_sql("documents", "doc_id", "text",
+                                      bench_filter="doc_id % 29 = 0",
+                                      n=8, min_overlap=1))
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark-contamination check: overlap of 8-grams with a held-out
+    eval set (deterministic id-subset stand-in for a real benchmark)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return cu.decontaminate(docs, "doc_id", "text", bench, "doc_id", "text",
+                            n=8, min_overlap=1)
 
 
 # The synthetic customer table has no PII columns, so the query

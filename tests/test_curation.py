@@ -80,6 +80,64 @@ def test_repetition_no_unpartitioned_window(spark, sf_dir):
     assert "Window" not in plan  # pure groupBy aggregation, no windows
 
 
+def test_substring_dup_semantics(spark):
+    # doc1/doc2 share the window "a b c"; doc3 repeats its own window
+    # ("r s r s r s" → windows "r s r", "s r s", "r s r" — within-doc
+    # multiplicity counts); doc4 too short → 0 windows.
+    df = spark.createDataFrame(
+        [(1, "a b c x"), (2, "z a b c"), (3, "r s r s r"), (4, "p q")],
+        ["id", "text"])
+    rows = {r["id"]: r for r in
+            cu.substring_dup_signals(df, "id", "text", window=3).collect()}
+    assert rows[1]["n_windows"] == 2 and rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_windows"] == 2 and rows[2]["n_dup_windows"] == 1
+    # doc3 windows: "r s r", "s r s", "r s r" → "r s r" occurs twice
+    assert rows[3]["n_windows"] == 3 and rows[3]["n_dup_windows"] == 2
+    assert rows[4]["n_windows"] == 0
+    assert rows[4]["dup_window_fraction"] == 0.0
+
+
+def test_decontaminate_overlap_and_flag(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # contains bench 3-gram
+         (2, "totally unrelated words here"),
+         (3, "short")],
+        ["id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox leaps high")], ["bid", "btext"])
+    rows = {r["id"]: r for r in
+            cu.decontaminate(docs, "id", "text", bench, "bid", "btext",
+                             n=3, min_overlap=1).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_overlap_ngrams"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap_ngrams"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["id", "text"])
+    bench = spark.createDataFrame([(2, "c d e f g h i j")], ["id", "text"])
+    plan = cu.decontaminate(docs, "id", "text", bench, "id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_neardup_clusters_partition_and_canonical(spark):
+    from dataprofiler_spark.operators import dedup as dd
+    # two identical docs + one distinct → one 2-cluster + singletons
+    df = spark.createDataFrame(
+        [(10, "aaaa bbbb cccc dddd"), (20, "aaaa bbbb cccc dddd"),
+         (30, "zzzz yyyy xxxx wwww")],
+        ["id", "text"])
+    rows = {r["id"]: r for r in
+            dd.neardup_clusters(df, "id", "text", num_hashes=12, bands=2,
+                                threshold=0.9).collect()}
+    assert rows[10]["cluster_id"] == rows[20]["cluster_id"] == 10
+    assert rows[10]["cluster_size"] == 2
+    assert rows[10]["is_canonical"] and not rows[20]["is_canonical"]
+    assert rows[30]["cluster_id"] == 30 and rows[30]["cluster_size"] == 1
+    assert rows[30]["is_canonical"]
+
+
 # ---------------------------------------------------------------------------
 # Property tests (hypothesis): invariants that must hold for ANY corpus
 # ---------------------------------------------------------------------------
