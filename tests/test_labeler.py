@@ -76,6 +76,48 @@ def test_report_graphs(spark, sf_dir, tmp_path):
     plot_missing_values_matrix(state, save_path=str(tmp_path / "m.png"))
 
 
+def test_report_graphs_svg_backend(spark, sf_dir, tmp_path):
+    """The dependency-free SVG backend renders all three figures with
+    the expected structure (works whether or not matplotlib exists)."""
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.reports_graphs import (plot_col_histogram,
+                                                   plot_histograms,
+                                                   plot_missing_values_matrix)
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    state = Profiler(df).profile()
+
+    p = str(tmp_path / "h.svg")
+    svg = plot_col_histogram(state, "l_quantity", save_path=p, backend="svg")
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "histogram: l_quantity" in svg
+    ns = state.columns["l_quantity"].numeric
+    n_nonzero = sum(1 for c in ns.histogram["bin_counts"] if c > 0)
+    assert svg.count('fill="#2a78d6"') == n_nonzero  # one bar per bin
+    assert os.path.getsize(p) > 0
+    with open(p, encoding="utf-8") as f:
+        assert f.read() == svg
+
+    multi = plot_histograms(state, backend="svg")
+    n_hist_cols = sum(1 for c in state.column_order
+                      if state.columns[c].numeric
+                      and state.columns[c].numeric.histogram)
+    assert multi.count("<g transform=") == n_hist_cols
+
+    matrix = plot_missing_values_matrix(state, backend="svg")
+    assert "null ratio by column" in matrix
+    for c in state.column_order:
+        assert str(c) in matrix
+
+
+def test_report_graphs_svg_escapes_column_names(spark):
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.reports_graphs import plot_missing_values_matrix
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["a<b&c"])
+    state = Profiler(df).profile()
+    svg = plot_missing_values_matrix(state, backend="svg")
+    assert "a&lt;b&amp;c" in svg and "a<b&c" not in svg
+
+
 def test_new_regex_labels(spark):
     """ADDRESS / DRIVERS_LICENSE / BAN / HASH_OR_KEY coverage (the
     reference's remaining regex-able labels, label_mapping.json)."""
