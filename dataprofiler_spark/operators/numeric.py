@@ -249,6 +249,89 @@ def numeric_profile(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def numeric_profile_by_group(df: DataFrame, group_col: str, value_col: str,
+                             round_digits: int = 6) -> DataFrame:
+    """Segmented numeric battery: the exact-mode stats per group value —
+    (group, sample_size, null_count, match_count, min, max, sum, mean,
+    variance, stddev, num_zeros, num_negatives).
+
+    ONE groupBy (map-side partial aggregation; shuffle = one row per
+    group per partition). Skew/kurt are omitted: their cancellation-free
+    formulation needs a per-group centering pass — for segment-level
+    drill-downs the second-moment battery is the standard ask, and the
+    full battery remains available per segment via a filter +
+    :func:`numeric_profile_exact`. Decimal power sums keep results
+    engine-exact (same formulation as exact mode)."""
+    r = round_digits
+    col = F.col(value_col)
+    xi = F.round(col.cast("double") * _S, 0).cast("decimal(19,0)")
+    s2lit = F.lit(float(_S))
+    g = df.groupBy(F.col(group_col).cast("string").alias("grp")).agg(
+        F.count(F.lit(1)).alias("ss"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("nulls"),
+        F.count(col).alias("n"),
+        F.min(col).cast("double").alias("mn"),
+        F.max(col).cast("double").alias("mx"),
+        F.sum(xi.cast("decimal(38,0)")).alias("s1"),
+        F.try_sum((xi * xi).cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.when(col == 0, 1).otherwise(0)).alias("zeros"),
+        F.sum(F.when(col < 0, 1).otherwise(0)).alias("negs"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    css = F.try_subtract(F.try_multiply(n.cast("decimal(38,0)"), s2),
+                         F.try_multiply(s1, s1)).cast("double")
+    var = F.when(n > 1, css / n / (n - 1) / (s2lit * s2lit)).otherwise(
+        F.lit(None))
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("ss").alias("sample_size"),
+        F.col("nulls").cast("long").alias("null_count"),
+        n.alias("match_count"),
+        F.round(F.col("mn"), r).alias("min"),
+        F.round(F.col("mx"), r).alias("max"),
+        F.round(s1.cast("double") / s2lit, r).alias("sum"),
+        F.round(s1.cast("double") / n / s2lit, r).alias("mean"),
+        F.round(var, r).alias("variance"),
+        F.round(F.sqrt(var), r).alias("stddev"),
+        F.col("zeros").cast("long").alias("num_zeros"),
+        F.col("negs").cast("long").alias("num_negatives"),
+    )
+
+
+def oracle_numeric_profile_by_group_sql(table: str, group_col: str,
+                                        value_col: str,
+                                        round_digits: int = 6) -> str:
+    r = round_digits
+    S = float(_S)
+    c = value_col
+    x = f"CAST(ROUND(CAST({c} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0))"
+    css = ("CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)"
+           " - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)")
+    var = f"CASE WHEN n > 1 THEN {css} / n / (n - 1) / ({S} * {S}) END"
+    return f"""
+SELECT grp AS {group_col}, ss AS sample_size,
+  CAST(nulls AS BIGINT) AS null_count, n AS match_count,
+  ROUND(mn, {r}) AS min, ROUND(mx, {r}) AS max,
+  ROUND(CAST(s1 AS DOUBLE) / {S}, {r}) AS sum,
+  ROUND(CAST(s1 AS DOUBLE) / n / {S}, {r}) AS mean,
+  ROUND({var}, {r}) AS variance,
+  ROUND(SQRT({var}), {r}) AS stddev,
+  CAST(zeros AS BIGINT) AS num_zeros, CAST(negs AS BIGINT) AS num_negatives
+FROM (
+  SELECT CAST({group_col} AS VARCHAR) AS grp,
+         COUNT(*) AS ss,
+         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,
+         COUNT({c}) AS n,
+         CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx,
+         SUM(CAST({x} AS DECIMAL(38,0))) AS s1,
+         SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS s2,
+         SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS zeros,
+         SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS negs
+  FROM {table} GROUP BY 1
+)
+"""
+
+
 def oracle_numeric_profile_sql(table: str, cols: list[str], round_digits: int = 6) -> str:
     """ANSI SQL (DuckDB dialect) mirroring ``numeric_profile_exact``.
 

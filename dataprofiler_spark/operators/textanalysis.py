@@ -88,12 +88,9 @@ FROM {table}
 """
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str,
-                     round_digits: int = 6) -> DataFrame:
-    """Per-document quality features:
-    (id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-     quality_score). quality_score is a transparent deterministic blend —
-    the filterable scalar a corpus pipeline thresholds on."""
+def _quality_raw_exprs(text_col: str) -> dict[str, Column]:
+    """Unrounded per-row quality expressions (shared by the per-doc view
+    and the grouped rollup; both engines compute bit-identical doubles)."""
     toks = tokens_expr(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
@@ -111,6 +108,21 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
         + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
     )
+    return {"n_chars": n_chars, "n_tokens": n_tokens, "avg_tok": avg_tok,
+            "punct_ratio": punct_ratio, "stop_ratio": stop_ratio,
+            "score": score}
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     round_digits: int = 6) -> DataFrame:
+    """Per-document quality features:
+    (id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+     quality_score). quality_score is a transparent deterministic blend —
+    the filterable scalar a corpus pipeline thresholds on."""
+    e = _quality_raw_exprs(text_col)
+    n_chars, n_tokens = e["n_chars"], e["n_tokens"]
+    avg_tok, punct_ratio = e["avg_tok"], e["punct_ratio"]
+    stop_ratio, score = e["stop_ratio"], e["score"]
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
@@ -143,6 +155,68 @@ SELECT {id_col} AS id, {nc} AS n_chars, {nt} AS n_tokens,
        ROUND({sr}, {round_digits}) AS stopword_ratio,
        ROUND({score}, {round_digits}) AS quality_score
 FROM {table}
+"""
+
+
+def quality_rollup(df: DataFrame, text_col: str, group_col: str,
+                   low_quality_threshold: float = 0.5,
+                   round_digits: int = 6) -> DataFrame:
+    """Per-source corpus health rollup with a grand-total row:
+    (group, n_docs, total_tokens, avg_quality, n_low_quality).
+
+    ``rollup(group)`` emits each group plus the all-corpus total in ONE
+    aggregation (Spark expands grouping sets before the shuffle — still
+    a single pass over the data). The per-doc score is summed as
+    DECIMAL(28,12) so the average is independent of partition/summation
+    order — bit-identical across engines (plain double sums would drift
+    in the last ulp under reordering).
+
+    The grand-total row reports group = '(all)'."""
+    e = _quality_raw_exprs(text_col)
+    sdec = F.sum(e["score"].cast("decimal(28,12)"))
+    n = F.count(F.lit(1))
+    agg = df.rollup(F.col(group_col).cast("string").alias("grp")).agg(
+        n.alias("n_docs"),
+        F.sum(e["n_tokens"]).alias("total_tokens"),
+        F.round(sdec.cast("double") / n, round_digits).alias("avg_quality"),
+        F.sum(F.when(e["score"] < low_quality_threshold, 1).otherwise(0))
+         .alias("n_low_quality"),
+    )
+    return agg.select(
+        F.coalesce(F.col("grp"), F.lit("(all)")).alias(group_col),
+        "n_docs", "total_tokens", "avg_quality", "n_low_quality")
+
+
+def oracle_quality_rollup_sql(table: str, text_col: str, group_col: str,
+                              low_quality_threshold: float = 0.5,
+                              round_digits: int = 6) -> str:
+    stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    nc = f"LENGTH({text_col})"
+    nt = f"len({toks})"
+    np_ = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"
+    ns = f"len(list_filter({toks}, t -> t IN ({stop})))"
+    pr = f"CASE WHEN {nc} > 0 THEN CAST({np_} AS DOUBLE) / {nc} ELSE 0.0 END"
+    sr = f"CASE WHEN {nt} > 0 THEN CAST({ns} AS DOUBLE) / {nt} ELSE 0.0 END"
+    score = (f"LEAST(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
+             f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
+             f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
+    return f"""
+SELECT COALESCE(grp, '(all)') AS {group_col},
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND(CAST(sdec AS DOUBLE) / n_docs, {round_digits}) AS avg_quality,
+       CAST(n_low_quality AS BIGINT) AS n_low_quality
+FROM (
+  SELECT CAST({group_col} AS VARCHAR) AS grp,
+         COUNT(*) AS n_docs,
+         SUM({nt}) AS total_tokens,
+         SUM(CAST(({score}) AS DECIMAL(28,12))) AS sdec,
+         SUM(CASE WHEN ({score}) < {low_quality_threshold} THEN 1 ELSE 0 END)
+           AS n_low_quality
+  FROM {table}
+  GROUP BY ROLLUP (grp)
+)
 """
 
 

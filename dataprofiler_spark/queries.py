@@ -390,6 +390,24 @@ def quality_features_documents(spark, sf_dir):
     return ta.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("quality_rollup_documents",
+          ta.oracle_quality_rollup_sql("documents", "text", "source"))
+def quality_rollup_documents(spark, sf_dir):
+    """Per-source corpus health (n_docs, tokens, order-independent avg
+    quality, low-quality count) + grand total via ROLLUP."""
+    return ta.quality_rollup(T(spark, sf_dir, "documents"), "text", "source")
+
+
+@register("numeric_profile_by_returnflag",
+          num.oracle_numeric_profile_by_group_sql("lineitem", "l_returnflag",
+                                                  "l_extendedprice"))
+def numeric_profile_by_returnflag(spark, sf_dir):
+    """Segmented exact-mode numeric battery: one groupBy, decimal power
+    sums — per-segment drill-down of the profile."""
+    return num.numeric_profile_by_group(T(spark, sf_dir, "lineitem"),
+                                        "l_returnflag", "l_extendedprice")
+
+
 @register("language_id_documents",
           ta.oracle_language_id_sql("documents", "doc_id", "text"))
 def language_id_documents(spark, sf_dir):
