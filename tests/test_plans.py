@@ -209,3 +209,52 @@ def test_wide_agg_groups_bounded(spark, sf_dir):
         assert len(g) <= 40
     flat = p._wide_agg_exprs(allc, num, st, dt)
     assert sum(len(g) for g in groups) == len(flat)
+
+
+def test_text_fanout_tokenizes_once(spark, sf_dir):
+    """The regexp tokenizer must appear exactly once in each text-fan-out
+    plan: explode_no_prefilter prevents InferFiltersFromGenerate from
+    duplicating the array expression below the Exchange, and tokens are
+    materialized as a column so HOF lambdas never re-tokenize per
+    element (O(tokens^2))."""
+    from dataprofiler_spark.operators import curation as cu
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _simple(cu.crossdoc_ngram_dup_summary(docs, "doc_id", "text"))
+    assert plan.count("regexp_extract_all") == 1, plan
+    # substring_dup reuses the occurrence stream on both sides of the
+    # corpus-count join (recompute beats caching the window stream at
+    # scale) — once per branch, never a third inferred-filter copy.
+    plan = _simple(cu.substring_dup_signals(docs, "doc_id", "text"))
+    assert plan.count("regexp_extract_all") == 2, plan
+
+
+def test_repetition_tokenizes_once_per_branch(spark, sf_dir):
+    # repetition_signals self-joins (base + bigram agg), so the tokenize
+    # projection appears once per branch — but never more (the inferred
+    # generate filter would add a third).
+    from dataprofiler_spark.operators import curation as cu
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _simple(cu.repetition_signals(docs, "doc_id", "text"))
+    assert plan.count("regexp_extract_all") <= 2, plan
+
+
+def test_grouped_numeric_profile_single_partial_agg(spark, sf_dir):
+    """Segmented battery: one partial->final HashAggregate pair (map-side
+    combine), no extra shuffles beyond the group exchange."""
+    from dataprofiler_spark.operators.numeric import numeric_profile_by_group
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    plan = _simple(numeric_profile_by_group(li, "l_returnflag",
+                                            "l_extendedprice"))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial -> final
+
+
+def test_quality_rollup_single_pass(spark, sf_dir):
+    """ROLLUP expands grouping sets before the shuffle: one scan, one
+    Exchange (plus AQE final), no join between group and total rows."""
+    from dataprofiler_spark.operators.textanalysis import quality_rollup
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _simple(quality_rollup(docs, "text", "source"))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan  # grouping-sets expansion, not a union
