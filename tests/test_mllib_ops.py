@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataprofiler_spark.operators import mllib_ops as ml
 
@@ -104,3 +105,46 @@ def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
     assert not any(a < 100 and b < 100 for a, b in cap)
     # the genuine small-bucket near-dup pair survives the cap
     assert (100, 101) in unc and (100, 101) in cap
+
+
+def test_ivf_persisted_index_recall_and_pruning(spark, sf_dir, tmp_path):
+    """Build the on-disk IVF index, query it, and check (a) recall vs
+    brute-force cosine, (b) the query scan partition-prunes to the
+    probed centroid directories."""
+    from dataprofiler_spark.operators import ann_index as ai
+    from dataprofiler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "ivf")
+    meta = ai.ivf_build(emb, "vec_id", "embedding", path, n_centroids=8)
+    assert meta["dim"] == 64 and ai.ivf_meta(path)["metric"] == "cosine"
+
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    exact = [r["vec_id"] for r in
+             sim.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()]
+    out = ai.ivf_query(spark, path, q, k=10, nprobe=4, exclude_id=0)
+    approx = [r["vec_id"] for r in out.collect()]
+    assert len(approx) == 10
+    # probing half the centroids should recover most of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "centroid" in plan, plan
+    # and the top-k is the distributed form
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_query_deterministic_across_builds(spark, sf_dir, tmp_path):
+    from dataprofiler_spark.operators import ann_index as ai
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    outs = []
+    for sub in ("a", "b"):
+        path = str(tmp_path / sub)
+        ai.ivf_build(emb, "vec_id", "embedding", path, n_centroids=8)
+        outs.append([tuple(r) for r in
+                     ai.ivf_query(spark, path, q, k=5, nprobe=3).collect()])
+    assert outs[0] == outs[1]
