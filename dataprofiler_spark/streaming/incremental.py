@@ -17,6 +17,7 @@ streaming-safe (append-mode windowed agg).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
 from dataprofiler_spark.state import DatasetState
@@ -43,6 +44,98 @@ class StreamingProfiler:
         ``StreamingProfiler().attach(spark.readStream...).start()``."""
         return stream_df.writeStream.foreachBatch(
             lambda df, bid: self.update(df, bid))
+
+
+def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         gap: str = "30 minutes",
+                         watermark_delay: str = "10 minutes"):
+    """Streaming sessionization via ``applyInPandasWithState`` — the
+    custom stateful operator shape (batch counterpart:
+    operators/events.sessionize).
+
+    Emits CLOSED sessions (user_id, session_start, session_end,
+    n_events, total_value): a session closes when a later event for the
+    same user arrives more than ``gap`` after it (emitted immediately),
+    or when the event-time watermark passes its timeout (emitted by the
+    state timeout — so trailing sessions flush without waiting for more
+    events from that user).
+
+    Scale: state is ONE small tuple per active user (start, last, n,
+    sum) — bounded by active-user cardinality, not stream length; the
+    watermark timeout reaps idle users. Arrow-batched, grouped by
+    user_id (the natural partition key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_us(gap)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n], "total_value": [total]})
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_us = rows[ts_col].astype("int64") // 1000
+        vals = rows[value_col].astype("float64")
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+        out = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if start is None:
+                start, last, n, total = t, t, 1, float(v)
+            elif t - last > gap_us:
+                out.append((key[0], start, last, n, total))
+                start, last, n, total = t, t, 1, float(v)
+            else:
+                last, n, total = t, n + 1, total + float(v)
+        # If the open session is already past the watermark, close it now
+        # (a timeout in the past cannot be registered).
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if start is not None and wm_us > 0 and last + gap_us <= wm_us:
+            out.append((key[0], start, last, n, total))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                {"user_id": [o[0] for o in out],
+                 "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                 "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                 "n_events": [o[3] for o in out],
+                 "total_value": [o[4] for o in out]})
+
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=("user_id long, session_start timestamp, "
+                              "session_end timestamp, n_events long, "
+                              "total_value double"),
+            stateStructType="start long, last long, n long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_us(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"second": 1_000_000, "seconds": 1_000_000,
+            "minute": 60_000_000, "minutes": 60_000_000,
+            "hour": 3_600_000_000, "hours": 3_600_000_000}[unit]
+    return int(qty) * mult
 
 
 def streaming_exact_dedup(stream_df: DataFrame, id_col: str, text_col: str,

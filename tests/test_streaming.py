@@ -115,3 +115,56 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(kept) == 2
     assert kept[1] == 3 or kept[0] == 3
     assert any(k in (1, 2, 4) for k in kept)
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emit
+    immediately; the trailing session emits via event-time timeout once
+    the watermark passes it."""
+    from dataprofiler_spark.streaming.incremental import streaming_sessionize
+
+    def ev(uid, minute, value):
+        return (uid, f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00",
+                float(value))
+
+    batch1 = [ev(1, 0, 1), ev(1, 10, 2),          # user1 session A
+              ev(2, 5, 5)]                        # user2 session A
+    # user1's 0:50 event is >30m after 0:10 → closes session A
+    batch2 = [ev(1, 50, 3),
+              ev(2, 300, 7)]                      # 5h later: closes u2-A,
+                                                  # and advances watermark
+                                                  # far past u1's 0:50
+    src = str(tmp_path / "sess")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2]):
+        (spark.createDataFrame(rows, "user_id long, ts_s string, value double")
+         .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src}/b{i}/{f}", f"{flat}/part{n}.parquet")
+                n += 1
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    out = []
+    q = (streaming_sessionize(stream, gap="30 minutes",
+                              watermark_delay="1 minute")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda d, bid: out.extend(d.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    sessions = {(r["user_id"], r["session_start"].minute,
+                 r["n_events"], r["total_value"]) for r in out}
+    # user1 session A: 2 events (0:00-0:10), value 3.0 — closed by gap
+    assert (1, 0, 2, 3.0) in sessions
+    # user2 session A: 1 event at 0:05, value 5.0 — closed by gap/watermark
+    assert (2, 5, 1, 5.0) in sessions
+    # user1's 0:50 single-event session: watermark (5:00 - 1m) passed its
+    # 30m timeout → emitted by the state timeout path
+    assert any(u == 1 and s == 50 for u, s, _, _ in sessions)
