@@ -102,11 +102,21 @@ def main() -> None:
         lambda: ta.language_id(documents, "doc_id", "text").count())
 
     from dataprofiler_spark.operators import curation as cu
+    from dataprofiler_spark.operators import textanalysis as ta2
     run("repetition_signals_documents",
         lambda: cu.repetition_signals(documents, "doc_id", "text").count())
     run("crossdoc_ngram_dup_documents",
         lambda: cu.crossdoc_ngram_dup_summary(documents, "doc_id", "text"
                                               ).collect())
+    run("substring_dup_documents",
+        lambda: cu.substring_dup_signals(documents, "doc_id", "text").count())
+    run("decontaminate_documents",
+        lambda: cu.decontaminate(
+            documents, "doc_id", "text",
+            documents.where(F.col("doc_id") % 29 == 0), "doc_id", "text"
+        ).count())
+    run("quality_rollup_documents",
+        lambda: ta2.quality_rollup(documents, "text", "source").collect())
 
     def _drift():
         from pyspark.sql import functions as F

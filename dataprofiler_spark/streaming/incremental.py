@@ -83,24 +83,33 @@ def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         ts_us = rows[ts_col].astype("int64") // 1000
         vals = rows[value_col].astype("float64")
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # Interval merge: each event is a degenerate interval; the held
+        # open session is one more. Sorting + folding makes the result
+        # independent of batch arrival order (only below-watermark events
+        # are dropped — the standard late-data policy).
+        items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)
+                 if not (wm_us > 0 and t < wm_us)]
         if state.exists:
-            start, last, n, total = state.get
-        else:
-            start = last = None
-        out = []
-        for t, v in zip(ts_us, vals):
-            t = int(t)
-            if start is None:
-                start, last, n, total = t, t, 1, float(v)
-            elif t - last > gap_us:
-                out.append((key[0], start, last, n, total))
-                start, last, n, total = t, t, 1, float(v)
+            items.append(tuple(state.get))
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged: list[tuple] = []
+        for it in items:
+            if merged and it[0] <= merged[-1][1] + gap_us:
+                s, l, n, tot = merged[-1]
+                merged[-1] = (min(s, it[0]), max(l, it[1]),
+                              n + it[2], tot + it[3])
             else:
-                last, n, total = t, n + 1, total + float(v)
+                merged.append(it)
+        if not merged:
+            if state.exists:
+                state.remove()
+            return
+        out = [(key[0], *sess) for sess in merged[:-1]]
+        start, last, n, total = merged[-1]
         # If the open session is already past the watermark, close it now
         # (a timeout in the past cannot be registered).
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        if start is not None and wm_us > 0 and last + gap_us <= wm_us:
+        if wm_us > 0 and last + gap_us <= wm_us:
             out.append((key[0], start, last, n, total))
             if state.exists:
                 state.remove()
@@ -127,6 +136,31 @@ def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def streaming_sessionize_native(stream_df: DataFrame,
+                                user_col: str = "user_id",
+                                ts_col: str = "ts",
+                                value_col: str = "value",
+                                gap: str = "30 minutes",
+                                watermark_delay: str = "10 minutes"):
+    """Built-in ``session_window`` sessionization — the strict variant:
+    late/out-of-order events above the watermark always merge correctly
+    because sessions only emit once the watermark closes them (append
+    mode). Use :func:`streaming_sessionize` when per-session custom
+    state/logic is needed; use this when standard session aggregates
+    suffice. Note session_window's end = last event + gap (Spark
+    semantics), not the last event time."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(value_col).alias("total_value"))
+        .select(F.col(user_col), F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "total_value")
     )
 
 

@@ -146,7 +146,12 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     for i in range(2):
         for f in sorted(os.listdir(f"{src}/b{i}")):
             if f.endswith(".parquet"):
-                shutil.copy(f"{src}/b{i}/{f}", f"{flat}/part{n}.parquet")
+                dst = f"{flat}/part{n}.parquet"
+                shutil.copy(f"{src}/b{i}/{f}", dst)
+                # distinct mtimes pin the file-source batch order (the
+                # interval-merge state logic tolerates disorder, but the
+                # assertions below are written for in-order batches)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
                 n += 1
     schema = spark.read.parquet(f"{src}/b0").schema
     stream = (spark.readStream.schema(schema)
@@ -168,3 +173,33 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # user1's 0:50 single-event session: watermark (5:00 - 1m) passed its
     # 30m timeout → emitted by the state timeout path
     assert any(u == 1 and s == 50 for u, s, _, _ in sessions)
+
+
+def test_streaming_sessionize_native(spark, tmp_path):
+    """Built-in session_window variant: strict watermark-closed sessions
+    with the same grouping semantics."""
+    from dataprofiler_spark.streaming.incremental import (
+        streaming_sessionize_native)
+
+    rows = [(1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 02:00:00", 4.0),   # new session, advances wm
+            (2, "2024-01-01 00:05:00", 5.0)]
+    df = (spark.createDataFrame(rows, "user_id long, ts_s string, value double")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    src = str(tmp_path / "nat")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = []
+    q = (streaming_sessionize_native(stream, gap="30 minutes",
+                                     watermark_delay="1 minute")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda d, bid: out.extend(d.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"].strftime("%H:%M"),
+            r["n_events"], r["total_value"]) for r in out}
+    # sessions fully below the final watermark (01:59) are emitted
+    assert (1, "00:00", 2, 3.0) in got
+    assert (2, "00:05", 1, 5.0) in got
