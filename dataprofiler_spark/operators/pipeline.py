@@ -48,6 +48,50 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     return kept.join(exact_keep, "id").join(near_keep, "id")
 
 
+def materialize_corpus(df: DataFrame, id_col: str, text_col: str,
+                       path: str, partition_by: str | None = None,
+                       min_quality: float = 0.45,
+                       max_records_per_file: int = 100_000,
+                       compression: str = "zstd") -> dict:
+    """Run the curation pipeline and WRITE the surviving documents — the
+    sink step of a pretraining-data job.
+
+    Output: parquet at ``path``, optionally partitioned by a column
+    (e.g. source), with ``maxRecordsPerFile`` bounding file sizes so
+    downstream trainers get uniform shards (a 100 TB write otherwise
+    produces files sized by upstream partition skew). Returns a manifest
+    dict: rows in/out and per-partition row counts.
+
+    The keep-set join is a left-semi (curated ids never widen the row),
+    and the write preserves the INPUT schema — curation decides
+    membership, not shape."""
+    curated = curate_corpus(df, id_col, text_col, min_quality)
+    keep = curated.select(F.col("id").alias(id_col))
+    out = df.join(keep, id_col, "left_semi")
+    writer = (out.write.mode("overwrite")
+              .option("maxRecordsPerFile", max_records_per_file)
+              .option("compression", compression))
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = {
+        "path": path,
+        "rows_in": df.count(),
+        "rows_out": written.count(),
+        "partition_by": partition_by,
+    }
+    if partition_by:
+        manifest["partitions"] = {
+            str(r[partition_by]): r["n"]
+            for r in written.groupBy(partition_by)
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    return manifest
+
+
 def corpus_report(df: DataFrame, id_col: str, text_col: str,
                   min_quality: float = 0.45) -> DataFrame:
     """(n_docs_in, n_docs_out, total_tokens_out, avg_tokens_out) — the

@@ -175,3 +175,26 @@ def test_crossdoc_shared_never_exceeds_distinct(spark, docs):
     assert 0 <= row["n_shared_ngrams"] <= row["n_distinct_ngrams"]
     assert row["max_docs_per_ngram"] is None or \
         row["max_docs_per_ngram"] <= len(docs)
+
+
+def test_materialize_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """The curation sink writes exactly the curated keep-set with the
+    input schema, partitioned by source, and the manifest matches."""
+    import os
+    from dataprofiler_spark.operators.pipeline import (curate_corpus,
+                                                       materialize_corpus)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = str(tmp_path / "curated")
+    manifest = materialize_corpus(docs, "doc_id", "text", path,
+                                  partition_by="source")
+    expected = curate_corpus(docs, "doc_id", "text").count()
+    assert manifest["rows_out"] == expected
+    assert manifest["rows_in"] == docs.count()
+    assert sum(manifest["partitions"].values()) == expected
+
+    back = spark.read.parquet(path)
+    assert set(back.columns) == set(docs.columns)
+    kept_ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    truth = {r["id"] for r in
+             curate_corpus(docs, "doc_id", "text").select("id").collect()}
+    assert kept_ids == truth
