@@ -170,3 +170,142 @@ SELECT {order_col} AS event_id,
        ROUND(CAST(SUM({xi}) {win} AS DOUBLE) / COUNT(*) {win} / 1000, {round_digits}) AS roll_avg
 FROM {table}
 """
+
+
+def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           round_digits: int = 6) -> DataFrame:
+    """Ordered-sequence funnel: a user converts at step i when their
+    FIRST qualifying step-i event is strictly after their first
+    qualifying step-(i-1) event.
+
+    Output per step: (step, event_type, n_users, pct_of_first,
+    pct_of_prev).
+
+    Scale shape: every step's first-qualifying time is a windowed
+    conditional MIN partitioned by user — all windows share the
+    partitioning, so Catalyst plans ONE Exchange on user_id and
+    evaluates the whole step chain in a single stage, then one global
+    aggregate. No joins, no per-step passes."""
+    w = Window.partitionBy("u")
+    out = df.select(F.col(user_col).alias("u"),
+                    F.col(type_col).alias("et"), F.col(ts_col).alias("t"))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col("et") == s
+        if prev is not None:
+            cond = cond & (F.col("t") > F.col(prev))
+        out = out.withColumn(f"t{i}",
+                             F.min(F.when(cond, F.col("t"))).over(w))
+        prev = f"t{i}"
+    aggs = [F.count_distinct(F.when(F.col(f"t{i}").isNotNull(), F.col("u")))
+            .alias(f"n{i}") for i in range(len(steps))]
+    row = out.agg(*aggs)
+    structs = []
+    for i, s in enumerate(steps):
+        n_i = F.col(f"n{i}").cast("long")
+        n_0 = F.col("n0")
+        n_prev = F.col(f"n{max(i - 1, 0)}")
+        structs.append(F.struct(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            n_i.alias("n_users"),
+            F.round(F.when(n_0 > 0, n_i.cast("double") / n_0)
+                     .otherwise(F.lit(0.0)), round_digits)
+             .alias("pct_of_first"),
+            F.round(F.when(n_prev > 0, n_i.cast("double") / n_prev)
+                     .otherwise(F.lit(0.0)), round_digits)
+             .alias("pct_of_prev"),
+        ))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_funnel_sql(table: str, steps: list[str],
+                      user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      round_digits: int = 6) -> str:
+    win = f"OVER (PARTITION BY {user_col})"
+    t_cols = []
+    for i, s in enumerate(steps):
+        cond = f"{type_col} = '{s}'"
+        if i > 0:
+            cond += f" AND {ts_col} > t{i - 1}"
+        t_cols.append(f"MIN(CASE WHEN {cond} THEN {ts_col} END) {win} AS t{i}")
+    # nested selects: each step's window may reference the previous one
+    inner = f"SELECT {user_col}, {type_col}, {ts_col} FROM {table}"
+    for i, t in enumerate(t_cols):
+        inner = f"SELECT *, {t} FROM ({inner})"
+    counts = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN t{i} IS NOT NULL THEN {user_col} END) AS n{i}"
+        for i in range(len(steps)))
+    selects = []
+    for i, s in enumerate(steps):
+        prev = f"n{max(i - 1, 0)}"
+        selects.append(f"""
+SELECT {i + 1} AS step, '{s}' AS event_type, CAST(n{i} AS BIGINT) AS n_users,
+       ROUND(CASE WHEN n0 > 0 THEN CAST(n{i} AS DOUBLE) / n0 ELSE 0.0 END,
+             {round_digits}) AS pct_of_first,
+       ROUND(CASE WHEN {prev} > 0 THEN CAST(n{i} AS DOUBLE) / {prev}
+             ELSE 0.0 END, {round_digits}) AS pct_of_prev
+FROM counts""")
+    return (f"WITH counts AS (SELECT {counts} FROM ({inner}))"
+            + "\nUNION ALL".join(selects))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", period_days: int = 7,
+                      max_offset: int = 8) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period; for
+    each later period offset, how many were active.
+
+    Output: (cohort_start date, period_offset, n_users).
+
+    Scale shape: first-activity per user is a windowed MIN partitioned
+    by user (one Exchange); (cohort, offset, user) distinct + count is
+    one more shuffle. Period arithmetic is integer day math — identical
+    across engines."""
+    w = Window.partitionBy("u")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    out = (df.select(F.col(user_col).alias("u"), day.alias("d"))
+           .withColumn("d0", F.min("d").over(w))
+           .withColumn("cohort_day",
+                       (F.floor(F.col("d0") / period_days) * period_days))
+           .withColumn("period_offset",
+                       F.floor((F.col("d") - F.col("cohort_day"))
+                               / period_days).cast("int"))
+           .where(F.col("period_offset") < max_offset)
+           .select(F.date_format(
+                       F.date_from_unix_date((F.col("cohort_day"))
+                                             .cast("int")),
+                       "yyyy-MM-dd").alias("cohort_start"),
+                   "period_offset", "u")
+           .distinct())
+    return (out.groupBy("cohort_start", "period_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def oracle_retention_sql(table: str, user_col: str = "user_id",
+                         ts_col: str = "ts", period_days: int = 7,
+                         max_offset: int = 8) -> str:
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u,
+         CAST(FLOOR(epoch({ts_col}) / 86400) AS BIGINT) AS d,
+         MIN(CAST(FLOOR(epoch({ts_col}) / 86400) AS BIGINT))
+           OVER (PARTITION BY {user_col}) AS d0
+  FROM {table}
+), marked AS (
+  SELECT DISTINCT
+         strftime(DATE '1970-01-01'
+           + CAST(FLOOR(d0 / {period_days}) * {period_days} AS INTEGER),
+           '%Y-%m-%d') AS cohort_start,
+         CAST(FLOOR((d - FLOOR(d0 / {period_days}) * {period_days})
+                    / {period_days}) AS INTEGER) AS period_offset,
+         u
+  FROM base
+)
+SELECT cohort_start, period_offset, COUNT(*) AS n_users
+FROM marked
+WHERE period_offset < {max_offset}
+GROUP BY 1, 2
+"""

@@ -802,6 +802,22 @@ def rolling_avg_events(spark, sf_dir):
     return ev.rolling_avg(T(spark, sf_dir, "events"))
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register("funnel_events", ev.oracle_funnel_sql("events", _FUNNEL_STEPS))
+def funnel_events(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-user first-qualifying
+    times via shared-partition windows (one Exchange total)."""
+    return ev.funnel(T(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+@register("retention_cohorts_events", ev.oracle_retention_sql("events"))
+def retention_cohorts_events(spark, sf_dir):
+    """Weekly cohort retention matrix from first-activity periods."""
+    return ev.retention_cohorts(T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Unstructured entity extraction (SURVEY §2.7 entity_counts/percentages)
 # ---------------------------------------------------------------------------

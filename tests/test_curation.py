@@ -198,3 +198,31 @@ def test_materialize_corpus_roundtrip(spark, sf_dir, tmp_path):
     truth = {r["id"] for r in
              curate_corpus(docs, "doc_id", "text").select("id").collect()}
     assert kept_ids == truth
+
+
+def test_funnel_ordering_and_dropoff(spark):
+    """Funnel steps must occur in order: a user who clicked BEFORE their
+    first view does not convert at step 2."""
+    from dataprofiler_spark.operators.events import funnel
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:05:00"),
+        (1, "purchase", "2024-01-01 00:10:00"),
+        # u2: click before view → stops at step 1
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 00:05:00"),
+        # u3: view only
+        (3, "view", "2024-01-01 00:00:00"),
+        # u4: never viewed → not even step 1
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    got = {r["step"]: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1]["n_users"] == 3
+    assert got[2]["n_users"] == 1          # only u1 clicked after viewing
+    assert got[3]["n_users"] == 1
+    assert got[2]["pct_of_prev"] == round(1 / 3, 6)
+    assert got[3]["pct_of_prev"] == 1.0

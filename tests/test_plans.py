@@ -258,3 +258,16 @@ def test_quality_rollup_single_pass(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Expand" in plan, plan  # grouping-sets expansion, not a union
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """All funnel step windows share the user partitioning: one Exchange
+    for the window chain + the final 1-row aggregate's Exchange."""
+    from dataprofiler_spark.operators.events import funnel
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    plan = _simple(funnel(ev, ["view", "click", "purchase"]))
+    # exactly ONE data shuffle keyed on the user column for the whole
+    # window chain (the remaining Exchanges belong to the 1-row-output
+    # multi-count_distinct Expand aggregation)
+    assert plan.count("hashpartitioning(u#") == 1, plan
+    assert plan.count("Window") == 3  # one window op per step, same stage
