@@ -556,6 +556,29 @@ def chi2_pair_lineitem(spark, sf_dir):
                                  "l_returnflag", "l_linestatus")
 
 
+_CROSSTAB_ORACLE = """
+SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS "F",
+       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS "O"
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("crosstab_lineitem", _CROSSTAB_ORACLE)
+def crosstab_lineitem(spark, sf_dir):
+    """Contingency crosstab via pivot with explicit value list (explicit
+    values keep the plan a single pass — no value-discovery job — and
+    make the output schema deterministic)."""
+    return (T(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_returnflag").cast("string")
+                     .alias("l_returnflag"))
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+            .select("l_returnflag",
+                    F.coalesce("F", F.lit(0)).alias("F"),
+                    F.coalesce("O", F.lit(0)).alias("O")))
+
+
 @register("graph_degree_nation",
           gr.oracle_degree_stats_sql("nation", "n_nationkey", "n_regionkey"))
 def graph_degree_nation(spark, sf_dir):
