@@ -2,11 +2,15 @@
 
 Media are opaque ``binary`` columns with typed metadata. The Spark-side
 plumbing — schema contract, Arrow batch shape, ``mapInPandas`` UDF
-signature, partition sizing — is real and tested; the actual codec calls
-(PIL/librosa/ffmpeg) are STUBBED behind ``decode_image_stub`` with a
-deterministic fake, clearly marked, because media libraries are not
-available in this environment. Swapping the stub for a real decoder
-changes no Spark code: same iterator-of-DataFrames contract.
+signature, partition sizing — is real and tested, and so is the default
+feature extractor: :func:`parse_media_header` reads format + dimensions
+straight from PNG/GIF/BMP/JPEG container headers in pure Python (no
+codec library needed — dimension metadata lives in the first bytes).
+Full pixel/audio decode (PIL/librosa/ffmpeg) remains environment-gated:
+``decoder="fake"`` keeps the deterministic stand-in for pipelines that
+need to exercise a full-decode-shaped stage without those libraries.
+Swapping in a real pixel decoder changes no Spark code: same
+iterator-of-DataFrames contract.
 
 Scale notes: media rows are large, so ``spark.sql.files.maxPartitionBytes``
 and ``maxRecordsPerBatch`` bound executor memory per Arrow batch;
@@ -27,14 +31,51 @@ MEDIA_SCHEMA = (
     "id long, byte_len long, format string, width int, height int, checksum string"
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None]:
+    """(format, width, height) from container header bytes — REAL parsing,
+    no codec library: every major image container stores dimensions in
+    its first bytes (PNG IHDR, GIF logical screen descriptor, BMP
+    BITMAPINFOHEADER, JPEG SOFn marker)."""
+    try:
+        if payload[:8] == PNG_SIG and payload[12:16] == b"IHDR":
+            return ("png", int.from_bytes(payload[16:20], "big"),
+                    int.from_bytes(payload[20:24], "big"))
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return ("gif", int.from_bytes(payload[6:8], "little"),
+                    int.from_bytes(payload[8:10], "little"))
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            return ("bmp", int.from_bytes(payload[18:22], "little"),
+                    int.from_bytes(payload[22:26], "little"))
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 9 < len(payload) and payload[pos] == 0xFF:
+                marker = payload[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return ("jpeg",
+                            int.from_bytes(payload[pos + 7:pos + 9], "big"),
+                            int.from_bytes(payload[pos + 5:pos + 7], "big"))
+                pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+            return ("jpeg", None, None)
+    except (IndexError, ValueError):  # truncated/corrupt header
+        pass
+    return ("unknown", None, None)
+
+
+def _header_decode(payload: bytes) -> dict:
+    import hashlib
+
+    fmt, w, h = parse_media_header(payload)
+    return {"byte_len": len(payload), "format": fmt, "width": w,
+            "height": h, "checksum": hashlib.md5(payload).hexdigest()}
+
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real image decode.
-
-    STUB: replace with e.g. PIL.Image.open(io.BytesIO(payload)) in a real
-    deployment (NotImplementedError-free so the plumbing is testable).
-    Derives pseudo width/height/format from the bytes deterministically.
-    """
+    """Deterministic stand-in for a FULL pixel decode (PIL/ffmpeg not in
+    this environment). Derives pseudo width/height/format from the bytes
+    deterministically so full-decode-shaped stages stay testable."""
     import hashlib
 
     n = len(payload)
@@ -48,17 +89,21 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-def decode_media_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def decode_media_features(df: DataFrame, id_col: str, bin_col: str,
+                          decoder: str = "headers") -> DataFrame:
     """mapInPandas feature extraction over a binary column.
 
+    ``decoder="headers"`` (default) parses real container headers;
+    ``decoder="fake"`` is the documented full-decode stand-in.
     Arrow-batched: each pandas DataFrame chunk holds ``maxRecordsPerBatch``
     rows; the UDF is a generator so memory stays bounded per batch.
     """
     id_name, bin_name = id_col, bin_col
+    decode = _header_decode if decoder == "headers" else _fake_decode
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[bin_name].map(_fake_decode)
+            feats = pdf[bin_name].map(decode)
             out = pd.DataFrame({
                 "id": pdf[id_name].astype("int64"),
                 "byte_len": [f["byte_len"] for f in feats],
@@ -82,6 +127,10 @@ def media_profile(features: DataFrame) -> DataFrame:
         F.max("byte_len").alias("max_bytes"),
         F.count_distinct("checksum").alias("distinct_payloads"),
         F.count_distinct("format").alias("n_formats"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.max("width").cast("long").alias("max_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        F.max("height").cast("long").alias("max_height"),
     )
 
 
@@ -93,3 +142,27 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
+
+
+def documents_as_png_media(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Testdata adapter that synthesizes a VALID PNG header (signature +
+    full 13-byte IHDR + CRC placeholder) ahead of the text payload —
+    expression-only (concat of binary columns), with dimensions derived
+    from (text length, id) so an independent oracle can recompute the
+    dimension statistics the real header parser extracts."""
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))
+
+    w = F.length(F.col(text_col)) % 512 + 16
+    h = F.col(id_col) % 512 + 16
+    payload = F.concat(
+        F.lit(PNG_SIG),
+        F.unhex(F.lit("0000000D")),            # IHDR chunk length (13)
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be4(w), be4(h),
+        F.unhex(F.lit("0806000000")),          # bit depth/color/etc
+        F.unhex(F.lit("00000000")),            # CRC placeholder
+        F.encode(F.col(text_col), "UTF-8"),
+    )
+    return df.select(F.col(id_col).alias("id"), payload.alias("payload"))

@@ -426,13 +426,24 @@ def fingerprints_documents(spark, sf_dir):
 # the whole pipeline (Arrow batching included) is oracle-checkable in SQL.
 # ---------------------------------------------------------------------------
 
+# The synthesized payload is PNG sig(8) + IHDR len(4) + "IHDR"(4) +
+# w(4) + h(4) + depth/color/etc(5) + CRC(4) = 33 bytes + the text; the
+# REAL header parser in the engine extracts (png, w, h), and this oracle
+# recomputes the same dimension statistics independently from the
+# (text length, id) derivation — so a parser regression breaks the hash.
 _MEDIA_ORACLE = """
 SELECT COUNT(*) AS n_media,
-       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       MIN(octet_length(encode(text))) AS min_bytes,
-       MAX(octet_length(encode(text))) AS max_bytes,
-       COUNT(DISTINCT md5(text)) AS distinct_payloads,
-       COUNT(DISTINCT octet_length(encode(text)) % 3) AS n_formats
+       CAST(SUM(33 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(33 + octet_length(encode(text))) AS min_bytes,
+       MAX(33 + octet_length(encode(text))) AS max_bytes,
+       COUNT(DISTINCT md5(CAST(LENGTH(text) % 512 + 16 AS VARCHAR)
+                          || '|' || CAST(doc_id % 512 + 16 AS VARCHAR)
+                          || '|' || text)) AS distinct_payloads,
+       CAST(1 AS BIGINT) AS n_formats,
+       ROUND(AVG(LENGTH(text) % 512 + 16), 6) AS avg_width,
+       CAST(MAX(LENGTH(text) % 512 + 16) AS BIGINT) AS max_width,
+       ROUND(AVG(doc_id % 512 + 16), 6) AS avg_height,
+       CAST(MAX(doc_id % 512 + 16) AS BIGINT) AS max_height
 FROM documents
 """
 
@@ -440,7 +451,7 @@ FROM documents
 @register("media_profile_documents", _MEDIA_ORACLE)
 def media_profile_documents(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    media = mm.documents_as_media(docs)
+    media = mm.documents_as_png_media(docs)
     feats = mm.decode_media_features(media, "id", "payload")
     return mm.media_profile(feats)
 
