@@ -187,6 +187,55 @@ mins AS (
 """
 
 
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
+                  k: int, num_hashes: int) -> DataFrame:
+    """(id, hs, mh0..mhN): hashed shingle set + minhash signature from
+    ONE explode + ONE groupBy (see minhash_lsh_pairs docstring)."""
+    from dataprofiler_spark.session import explode_no_prefilter
+
+    shingle_rows = explode_no_prefilter(
+        df.select(F.col(id_col).alias("id"),
+                  shingles_expr(text_col, k).alias("sh")),
+        "sh", "s", "id")
+    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    hashed = shingle_rows.select("id", h60.alias("h60"))
+    coeffs = _perm_coeffs(num_hashes)
+    h32 = F.shiftright(F.col("h60"), 28)
+    return hashed.groupBy("id").agg(
+        F.collect_set("h60").alias("hs"),
+        *[F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME))
+           .alias(f"mh{j}")
+          for j, (a, b) in enumerate(coeffs)
+        ])
+
+
+def _band_buckets(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a _minhash_wide frame."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
+                                     for r in range(rows)]))
+             .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("id", "s.band", "s.bucket")
+
+
+def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, num_hashes: int = 12,
+                         bands: int = 6) -> DataFrame:
+    """Public (id, band, bucket) LSH keys for a document set — the unit
+    of state an incremental/streaming dedup pipeline stores and probes
+    (streaming/neardup.py)."""
+    return _band_buckets(_minhash_wide(df, id_col, text_col, k, num_hashes),
+                         num_hashes, bands)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
                       threshold: float = 0.5, round_digits: int = 6,
@@ -220,45 +269,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     values are unchanged. The oracle derives the identical ints, so even
     the (negligible) hash-collision cases agree across engines."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    from dataprofiler_spark.session import (ensure_parallelism,
-                                            explode_no_prefilter)
+    from dataprofiler_spark.session import ensure_parallelism
     df = ensure_parallelism(df)
     # One explode → one codegen'd md5 per (doc, shingle) → ONE groupBy(id)
     # producing BOTH the minhash signature columns and the doc's hashed
     # shingle set (collect_set = distinct). 60 bits (15 hex chars) keeps
     # the hash exact in a signed BIGINT on both engines; the 32-bit
     # minhash base hash is the prefix h60 >> 28.
-    shingle_rows = explode_no_prefilter(
-        df.select(F.col(id_col).alias("id"),
-                  shingles_expr(text_col, k).alias("sh")),
-        "sh", "s", "id")
-    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-    hashed = shingle_rows.select("id", h60.alias("h60"))
-    coeffs = _perm_coeffs(num_hashes)
-    h32 = F.shiftright(F.col("h60"), 28)
-    wide = hashed.groupBy("id").agg(
-        F.collect_set("h60").alias("hs"),
-        *[F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME))
-           .alias(f"mh{j}")
-          for j, (a, b) in enumerate(coeffs)
-        ])
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
     # The band explode and the two verify joins all read from this one
     # aggregate — persist the small intermediate.
     wide = wide.persist()
     sh = wide.select("id", "hs")
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
-                                     for r in range(rows)]))
-             .alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    buckets = wide.select(
-        "id", F.explode(F.array(*band_structs)).alias("s")
-    ).select("id", "s.band", "s.bucket")
+    buckets = _band_buckets(wide, num_hashes, bands)
     if max_bucket_size is not None:
         small = (buckets.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__bsz"))

@@ -203,3 +203,45 @@ def test_streaming_sessionize_native(spark, tmp_path):
     # sessions fully below the final watermark (01:59) are emitted
     assert (1, "00:00", 2, 3.0) in got
     assert (2, "00:05", 1, 5.0) in got
+
+
+def test_streaming_neardup_store(spark, tmp_path):
+    """Incremental LSH dedup: batch-2 docs near-identical to batch-1 docs
+    are flagged against the persistent signature store; novel docs pass
+    and their signatures are appended."""
+    from dataprofiler_spark.streaming.neardup import StreamingNearDup
+
+    b1 = [(1, "the quick brown fox jumps over the lazy dog tonight"),
+          (2, "completely different content about spark aggregation")]
+    b2 = [(3, "the quick brown fox jumps over the lazy dog tonite"),  # ~dup of 1
+          (4, "a genuinely novel document with fresh wording here")]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        (spark.createDataFrame(rows, "id long, text string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/part{n}.parquet"
+                shutil.copy(f"{src}/b{i}/{f}", dst)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
+                n += 1
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    nd = StreamingNearDup(str(tmp_path / "store"), bands=2)
+    q = nd.attach(stream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert nd.batches_seen == 2
+    flagged_ids = {i for _, i in nd.flagged}
+    assert 3 in flagged_ids          # near-dup of doc 1 from batch 1
+    assert 4 not in flagged_ids      # novel doc passes
+    # survivors' signatures are in the store; flagged doc 3's are not
+    store = spark.read.parquet(str(tmp_path / "store"))
+    ids = {r["id"] for r in store.select("id").distinct().collect()}
+    assert ids == {1, 2, 4}
