@@ -174,10 +174,13 @@ FROM {table}
 
 def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
            type_col: str = "event_type", ts_col: str = "ts",
+           within_seconds: int | None = None,
            round_digits: int = 6) -> DataFrame:
     """Ordered-sequence funnel: a user converts at step i when their
     FIRST qualifying step-i event is strictly after their first
-    qualifying step-(i-1) event.
+    qualifying step-(i-1) event — and, when ``within_seconds`` is set,
+    no more than that long after it (the product-analytics "conversion
+    window").
 
     Output per step: (step, event_type, n_users, pct_of_first,
     pct_of_prev).
@@ -188,13 +191,19 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
     evaluates the whole step chain in a single stage, then one global
     aggregate. No joins, no per-step passes."""
     w = Window.partitionBy("u")
+    # cast handles TIMESTAMP_NTZ sources; epoch micros is monotone, so
+    # ordering/gap semantics are unchanged
     out = df.select(F.col(user_col).alias("u"),
-                    F.col(type_col).alias("et"), F.col(ts_col).alias("t"))
+                    F.col(type_col).alias("et"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"))
     prev = None
     for i, s in enumerate(steps):
         cond = F.col("et") == s
         if prev is not None:
             cond = cond & (F.col("t") > F.col(prev))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col("t") <= F.col(prev) + within_seconds * 1_000_000)
         out = out.withColumn(f"t{i}",
                              F.min(F.when(cond, F.col("t"))).over(w))
         prev = f"t{i}"
@@ -223,16 +232,20 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
 def oracle_funnel_sql(table: str, steps: list[str],
                       user_col: str = "user_id",
                       type_col: str = "event_type", ts_col: str = "ts",
+                      within_seconds: int | None = None,
                       round_digits: int = 6) -> str:
     win = f"OVER (PARTITION BY {user_col})"
     t_cols = []
     for i, s in enumerate(steps):
         cond = f"{type_col} = '{s}'"
         if i > 0:
-            cond += f" AND {ts_col} > t{i - 1}"
-        t_cols.append(f"MIN(CASE WHEN {cond} THEN {ts_col} END) {win} AS t{i}")
+            cond += f" AND us > t{i - 1}"
+            if within_seconds is not None:
+                cond += f" AND us <= t{i - 1} + {within_seconds * 1_000_000}"
+        t_cols.append(f"MIN(CASE WHEN {cond} THEN us END) {win} AS t{i}")
     # nested selects: each step's window may reference the previous one
-    inner = f"SELECT {user_col}, {type_col}, {ts_col} FROM {table}"
+    inner = (f"SELECT {user_col}, {type_col}, "
+             f"epoch_us({ts_col}) AS us FROM {table}")
     for i, t in enumerate(t_cols):
         inner = f"SELECT *, {t} FROM ({inner})"
     counts = ", ".join(

@@ -226,3 +226,23 @@ def test_funnel_ordering_and_dropoff(spark):
     assert got[3]["n_users"] == 1
     assert got[2]["pct_of_prev"] == round(1 / 3, 6)
     assert got[3]["pct_of_prev"] == 1.0
+
+
+def test_funnel_conversion_window(spark):
+    """within_seconds bounds step gaps: a click 2h after the first view
+    falls outside a 1h conversion window."""
+    from dataprofiler_spark.operators.events import funnel
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:30:00"),   # inside 1h window
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-01 02:00:00"),   # outside 1h window
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    unbounded = {r["step"]: r["n_users"] for r in
+                 funnel(df, ["view", "click"]).collect()}
+    bounded = {r["step"]: r["n_users"] for r in
+               funnel(df, ["view", "click"], within_seconds=3600).collect()}
+    assert unbounded[2] == 2
+    assert bounded[2] == 1
