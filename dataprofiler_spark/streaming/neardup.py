@@ -88,3 +88,24 @@ class StreamingNearDup:
 
     def attach(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.update)
+
+
+def compact_store(spark: SparkSession, store_path: str,
+                  target_files_per_band: int = 1) -> int:
+    """Rewrite the append-heavy signature store with large files
+    (``target_files_per_band`` per band partition) — run between
+    streaming sessions, not concurrently with one. Returns the row
+    count. The rewrite goes to a sibling temp dir and swaps in whole so
+    a crash mid-compaction leaves the original store intact."""
+    import shutil
+
+    df = spark.read.schema(STORE_SCHEMA).parquet(store_path)
+    tmp = store_path.rstrip("/") + ".compact-tmp"
+    (df.repartition(target_files_per_band, "band")
+     .write.mode("overwrite").partitionBy("band").parquet(tmp))
+    n = spark.read.schema(STORE_SCHEMA).parquet(tmp).count()
+    old = store_path.rstrip("/") + ".compact-old"
+    shutil.move(store_path, old)
+    shutil.move(tmp, store_path)
+    shutil.rmtree(old)
+    return n

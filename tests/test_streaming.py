@@ -245,3 +245,32 @@ def test_streaming_neardup_store(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "store"))
     ids = {r["id"] for r in store.select("id").distinct().collect()}
     assert ids == {1, 2, 4}
+
+
+def test_neardup_store_compaction(spark, tmp_path):
+    """Compaction preserves the exact key set while shrinking the file
+    count of the append-heavy store."""
+    import glob
+    from dataprofiler_spark.streaming.neardup import compact_store
+    from dataprofiler_spark.operators.dedup import minhash_band_buckets
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(20)],
+        "id long, text string")
+    # simulate many small appends
+    for lo in range(0, 20, 5):
+        part = docs.where((F.col("id") >= lo) & (F.col("id") < lo + 5))
+        (minhash_band_buckets(part, "id", "text", bands=2)
+         .write.mode("append").partitionBy("band").parquet(store))
+    before = spark.read.parquet(store)
+    before_rows = {tuple(r) for r in before.collect()}
+    files_before = len(glob.glob(f"{store}/*/*.parquet"))
+
+    n = compact_store(spark, store)
+    after = spark.read.parquet(store)
+    assert n == len(before_rows)
+    assert {tuple(r) for r in after.collect()} == before_rows
+    files_after = len(glob.glob(f"{store}/*/*.parquet"))
+    assert files_after < files_before
+    assert files_after <= 2  # one file per band
