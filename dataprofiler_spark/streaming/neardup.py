@@ -17,13 +17,16 @@ Semantics: a doc is flagged when it LSH-matches any PRIOR-batch doc;
 within-batch duplicates are intentionally not flagged here (run the
 batch pair/cluster operators on the batch when that matters). Candidate
 precision is governed by the band/row operating point exactly as in
-``minhash_lsh_pairs``; a verify join against stored shingle sets can be
-layered on when exact-jaccard confirmation is worth storing ``hs``.
+``minhash_lsh_pairs``; setting ``verify_threshold`` layers an
+exact-jaccard verify join over stored shingle-hash sets (the store then
+also keeps ``sets/``), making the flag semantically equal to a
+``minhash_lsh_pairs`` hit against all prior batches.
 
-Scale: the store holds bands × docs fixed-width rows, partitioned by
-``band`` so the probe join prunes to matching band partitions; append
-writes are small per batch. Compact the store periodically (rewrite with
-larger files) as with any append-heavy parquet table.
+Scale: ``keys/`` holds bands × docs fixed-width rows, partitioned by
+``band`` so the probe join prunes to matching band partitions; ``sets/``
+(verify mode) holds one hashed-shingle array per doc, joined only for
+candidate ids. Append writes are small per batch. Compact the store
+periodically (compact_store) as with any append-heavy parquet table.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STORE_SCHEMA = "id long, band int, bucket string"
+SETS_SCHEMA = "id long, hs array<bigint>"
 
 
 class StreamingNearDup:
@@ -42,70 +46,117 @@ class StreamingNearDup:
 
     ``flagged`` accumulates (batch_id, id) pairs driver-side for
     inspection/tests; production pipelines route the flagged DataFrame
-    to a sink instead (override ``on_flagged``)."""
+    to a sink instead."""
 
     def __init__(self, store_path: str, id_col: str = "id",
                  text_col: str = "text", k: int = 3, num_hashes: int = 12,
-                 bands: int = 2):
+                 bands: int = 2, verify_threshold: float | None = None):
         self.store_path = store_path
         self.id_col, self.text_col = id_col, text_col
         self.k, self.num_hashes, self.bands = k, num_hashes, bands
+        self.verify_threshold = verify_threshold
         self.flagged: list[tuple[int, int]] = []
         self.batches_seen = 0
 
-    def _store(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.store_path):
+    @property
+    def _keys_path(self) -> str:
+        return os.path.join(self.store_path, "keys")
+
+    @property
+    def _sets_path(self) -> str:
+        return os.path.join(self.store_path, "sets")
+
+    def _read(self, spark: SparkSession, path: str, schema: str
+              ) -> DataFrame | None:
+        if not os.path.isdir(path):
             return None
         try:
-            return spark.read.schema(STORE_SCHEMA).parquet(self.store_path)
+            return spark.read.schema(schema).parquet(path)
         except Exception:
             return None
 
+    def _flag_candidates(self, keys: DataFrame, wide: DataFrame,
+                         store_keys: DataFrame, spark: SparkSession
+                         ) -> set[int]:
+        """Candidate batch ids whose any band bucket was seen before,
+        optionally confirmed by exact jaccard vs stored shingle sets."""
+        cand_pairs = (
+            keys.alias("b")
+            .join(store_keys.alias("s"),
+                  (F.col("b.band") == F.col("s.band"))
+                  & (F.col("b.bucket") == F.col("s.bucket")))
+            .select(F.col("b.id").alias("bid"), F.col("s.id").alias("sid"))
+            .distinct())
+        if self.verify_threshold is None:
+            return {r["bid"] for r in
+                    cand_pairs.select("bid").distinct().collect()}
+        store_sets = self._read(spark, self._sets_path, SETS_SCHEMA)
+        if store_sets is None:
+            return set()
+        batch_sets = wide.select("id", "hs")
+        inter = F.size(F.array_intersect("bhs", "shs"))
+        verified = (
+            cand_pairs
+            .join(batch_sets.select(F.col("id").alias("bid"),
+                                    F.col("hs").alias("bhs")), "bid")
+            .join(store_sets.select(F.col("id").alias("sid"),
+                                    F.col("hs").alias("shs")), "sid")
+            .where(inter.cast("double")
+                   / (F.size("bhs") + F.size("shs") - inter)
+                   >= self.verify_threshold))
+        return {r["bid"] for r in verified.select("bid").distinct().collect()}
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        from dataprofiler_spark.operators.dedup import minhash_band_buckets
+        from dataprofiler_spark.operators.dedup import (_band_buckets,
+                                                        _minhash_wide)
 
         spark = batch_df.sparkSession
-        keys = minhash_band_buckets(batch_df, self.id_col, self.text_col,
-                                    self.k, self.num_hashes,
-                                    self.bands).persist()
+        wide = _minhash_wide(batch_df, self.id_col, self.text_col,
+                             self.k, self.num_hashes).persist()
         try:
-            store = self._store(spark)
+            keys = _band_buckets(wide, self.num_hashes, self.bands)
+            store_keys = self._read(spark, self._keys_path, STORE_SCHEMA)
             flagged: set[int] = set()
-            if store is not None:
-                hit_ids = (keys.join(store, ["band", "bucket"], "left_semi")
-                           .select("id").distinct())
-                # tiny per batch (flagged ids only); a production pipeline
-                # would route this DataFrame to a sink instead
-                flagged = {r["id"] for r in hit_ids.collect()}
+            if store_keys is not None:
+                # flagged sets are tiny per batch; a production pipeline
+                # would route a flagged DataFrame to a sink instead
+                flagged = self._flag_candidates(keys, wide, store_keys, spark)
             self.flagged.extend((batch_id, i) for i in sorted(flagged))
-            survivors = keys if not flagged else keys.where(
+            surviving = keys if not flagged else keys.where(
                 ~F.col("id").isin(*flagged))
-            (survivors.write.mode("append").partitionBy("band")
-             .parquet(self.store_path))
+            (surviving.write.mode("append").partitionBy("band")
+             .parquet(self._keys_path))
+            if self.verify_threshold is not None:
+                sets = wide.select("id", "hs")
+                if flagged:
+                    sets = sets.where(~F.col("id").isin(*flagged))
+                sets.write.mode("append").parquet(self._sets_path)
         finally:
-            keys.unpersist()
+            wide.unpersist()
         self.batches_seen += 1
 
     def attach(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.update)
 
 
-def compact_store(spark: SparkSession, store_path: str,
+def compact_store(spark: SparkSession, keys_path: str,
                   target_files_per_band: int = 1) -> int:
-    """Rewrite the append-heavy signature store with large files
-    (``target_files_per_band`` per band partition) — run between
+    """Rewrite an append-heavy band-partitioned keys table with large
+    files (``target_files_per_band`` per band partition) — run between
     streaming sessions, not concurrently with one. Returns the row
     count. The rewrite goes to a sibling temp dir and swaps in whole so
-    a crash mid-compaction leaves the original store intact."""
+    a crash mid-compaction leaves the original store intact. (For a
+    verify-mode store, pass ``<store>/keys``; the ``sets/`` table can be
+    coalesced the same way without the band partitioning.)"""
     import shutil
 
-    df = spark.read.schema(STORE_SCHEMA).parquet(store_path)
-    tmp = store_path.rstrip("/") + ".compact-tmp"
+    df = spark.read.schema(STORE_SCHEMA).parquet(keys_path)
+    tmp = keys_path.rstrip("/") + ".compact-tmp"
     (df.repartition(target_files_per_band, "band")
      .write.mode("overwrite").partitionBy("band").parquet(tmp))
     n = spark.read.schema(STORE_SCHEMA).parquet(tmp).count()
-    old = store_path.rstrip("/") + ".compact-old"
-    shutil.move(store_path, old)
-    shutil.move(tmp, store_path)
+    old = keys_path.rstrip("/") + ".compact-old"
+    shutil.move(keys_path, old)
+    shutil.move(tmp, keys_path)
     shutil.rmtree(old)
     return n

@@ -242,9 +242,30 @@ def test_streaming_neardup_store(spark, tmp_path):
     assert 3 in flagged_ids          # near-dup of doc 1 from batch 1
     assert 4 not in flagged_ids      # novel doc passes
     # survivors' signatures are in the store; flagged doc 3's are not
-    store = spark.read.parquet(str(tmp_path / "store"))
+    store = spark.read.parquet(str(tmp_path / "store" / "keys"))
     ids = {r["id"] for r in store.select("id").distinct().collect()}
     assert ids == {1, 2, 4}
+
+
+def test_streaming_neardup_verify_threshold(spark, tmp_path):
+    """verify_threshold layers exact jaccard over the bucket probe: the
+    tonight/tonite pair LSH-buckets together, but a 0.99 threshold
+    rejects it while 0.5 confirms it."""
+    from dataprofiler_spark.streaming.neardup import StreamingNearDup
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "id long, text string")
+    b2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog tonite")],
+        "id long, text string")
+    for thr, expect_flag in ((0.99, False), (0.5, True)):
+        nd = StreamingNearDup(str(tmp_path / f"s{thr}"), bands=2,
+                              verify_threshold=thr)
+        nd.update(b1, 0)
+        nd.update(b2, 1)
+        flagged = {i for _, i in nd.flagged}
+        assert (3 in flagged) == expect_flag, (thr, flagged)
 
 
 def test_neardup_store_compaction(spark, tmp_path):
