@@ -92,6 +92,23 @@ def materialize_corpus(df: DataFrame, id_col: str, text_col: str,
     return manifest
 
 
+def curate_and_profile(df: DataFrame, id_col: str, text_col: str,
+                       min_quality: float = 0.45) -> dict:
+    """Curate, then run the full profiler over the SURVIVING corpus —
+    the QA report a pipeline run ships alongside its output shards
+    (catches curation bugs like a filter that empties a source or skews
+    a length distribution before training starts).
+
+    Returns the standard Profiler report; the curated row set is the
+    same left-semi keep-set materialize_corpus writes."""
+    from dataprofiler_spark.plans.profile_plan import Profiler
+
+    keep = (curate_corpus(df, id_col, text_col, min_quality)
+            .select(F.col("id").alias(id_col)))
+    out = df.join(keep, id_col, "left_semi")
+    return Profiler(out).report()
+
+
 def corpus_report(df: DataFrame, id_col: str, text_col: str,
                   min_quality: float = 0.45) -> DataFrame:
     """(n_docs_in, n_docs_out, total_tokens_out, avg_tokens_out) — the

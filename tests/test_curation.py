@@ -246,3 +246,15 @@ def test_funnel_conversion_window(spark):
                funnel(df, ["view", "click"], within_seconds=3600).collect()}
     assert unbounded[2] == 2
     assert bounded[2] == 1
+
+
+def test_curate_and_profile_matches_keepset(spark, sf_dir):
+    import os
+    from dataprofiler_spark.operators.pipeline import (curate_and_profile,
+                                                       curate_corpus)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    report = curate_and_profile(docs, "doc_id", "text")
+    expected = curate_corpus(docs, "doc_id", "text").count()
+    assert report["global_stats"]["samples_used"] == expected
+    cols = {d["column_name"] for d in report["data_stats"]}
+    assert "text" in cols and "doc_id" in cols
