@@ -258,3 +258,37 @@ def test_curate_and_profile_matches_keepset(spark, sf_dir):
     assert report["global_stats"]["samples_used"] == expected
     cols = {d["column_name"] for d in report["data_stats"]}
     assert "text" in cols and "doc_id" in cols
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=1, max_size=5))
+def test_substring_dup_bounds_and_totals(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"])
+    rows = cu.substring_dup_signals(df, "id", "text", window=2).collect()
+    assert len(rows) == len(docs)  # every doc present, even zero-window
+    for r in rows:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_window_fraction"] <= 1.0
+        expected_windows = max(len(docs[r["id"]]) - 1, 0)
+        assert r["n_windows"] == expected_windows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=2, max_size=5))
+def test_decontaminate_self_benchmark_flags_all(spark, docs):
+    """Using the corpus itself as the benchmark: every doc with >= n
+    tokens must be flagged (it shares its own n-grams); shorter docs
+    have no n-grams and never flag."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"])
+    rows = {r["id"]: r for r in
+            cu.decontaminate(df, "id", "text", df, "id", "text",
+                             n=2).collect()}
+    for i, ws in enumerate(docs):
+        if len(ws) >= 2:
+            assert rows[i]["contaminated"], (i, ws)
+        else:
+            assert rows[i]["n_overlap_ngrams"] == 0
