@@ -846,6 +846,17 @@ def funnel_events(spark, sf_dir):
     return ev.funnel(T(spark, sf_dir, "events"), _FUNNEL_STEPS)
 
 
+@register("funnel_within_events",
+          ev.oracle_funnel_sql("events", _FUNNEL_STEPS,
+                               within_seconds=14400))
+def funnel_within_events(spark, sf_dir):
+    """Funnel with a 4-hour conversion window — the bounded variant
+    (discriminating on this corpus: most users don't chain view→click
+    within 4h)."""
+    return ev.funnel(T(spark, sf_dir, "events"), _FUNNEL_STEPS,
+                     within_seconds=14400)
+
+
 @register("retention_cohorts_events", ev.oracle_retention_sql("events"))
 def retention_cohorts_events(spark, sf_dir):
     """Weekly cohort retention matrix from first-activity periods."""
