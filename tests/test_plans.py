@@ -271,3 +271,18 @@ def test_funnel_single_user_exchange(spark, sf_dir):
     # multi-count_distinct Expand aggregation)
     assert plan.count("hashpartitioning(u#") == 1, plan
     assert plan.count("Window") == 3  # one window op per step, same stage
+
+
+def test_explode_no_prefilter_matches_explode(spark):
+    """The helper must be row-for-row equivalent to plain explode() for
+    null-free-element arrays (its documented domain): empty arrays and
+    NULL arrays drop, elements pass through."""
+    from dataprofiler_spark.session import explode_no_prefilter
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
+        "id long, arr array<string>")
+    plain = sorted((r["id"], r["x"]) for r in
+                   df.select("id", F.explode("arr").alias("x")).collect())
+    helper = sorted((r["id"], r["x"]) for r in
+                    explode_no_prefilter(df, "arr", "x", "id").collect())
+    assert plain == helper == [(1, "a"), (1, "b"), (4, "c")]
