@@ -32,11 +32,20 @@ def main() -> None:
         return _T(spark, sf_dir, name)
 
     timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     def run(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # n runs; headline = min (steady-state, JIT/codegen-cache warm —
+        # the number comparable to the reference's steady state), mean
+        # kept alongside so run-to-run noise is visible in the artifact.
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(min(ts), 3)
+        timings_mean[name] = round(sum(ts) / len(ts), 3)
 
     from dataprofiler_spark import Profiler
     from dataprofiler_spark.operators import dedup as dd
@@ -176,6 +185,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_mean": timings_mean,
+        "n_runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_ref": baseline_ref,
     }))

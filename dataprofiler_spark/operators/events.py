@@ -175,12 +175,15 @@ FROM {table}
 def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
            type_col: str = "event_type", ts_col: str = "ts",
            within_seconds: int | None = None,
+           max_gap_seconds: list[int | None] | None = None,
            round_digits: int = 6) -> DataFrame:
     """Ordered-sequence funnel: a user converts at step i when their
     FIRST qualifying step-i event is strictly after their first
     qualifying step-(i-1) event — and, when ``within_seconds`` is set,
     no more than that long after it (the product-analytics "conversion
-    window").
+    window"). ``max_gap_seconds`` generalizes that to per-transition
+    bounds: entry j bounds the gap between step j and step j+1 (None =
+    unbounded); it overrides ``within_seconds`` where given.
 
     Output per step: (step, event_type, n_users, pct_of_first,
     pct_of_prev).
@@ -201,9 +204,13 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
         cond = F.col("et") == s
         if prev is not None:
             cond = cond & (F.col("t") > F.col(prev))
-            if within_seconds is not None:
+            gap = within_seconds
+            if max_gap_seconds is not None:
+                gap = max_gap_seconds[i - 1] \
+                    if i - 1 < len(max_gap_seconds) else None
+            if gap is not None:
                 cond = cond & (
-                    F.col("t") <= F.col(prev) + within_seconds * 1_000_000)
+                    F.col("t") <= F.col(prev) + gap * 1_000_000)
         out = out.withColumn(f"t{i}",
                              F.min(F.when(cond, F.col("t"))).over(w))
         prev = f"t{i}"
@@ -233,6 +240,7 @@ def oracle_funnel_sql(table: str, steps: list[str],
                       user_col: str = "user_id",
                       type_col: str = "event_type", ts_col: str = "ts",
                       within_seconds: int | None = None,
+                      max_gap_seconds: list[int | None] | None = None,
                       round_digits: int = 6) -> str:
     win = f"OVER (PARTITION BY {user_col})"
     t_cols = []
@@ -240,8 +248,12 @@ def oracle_funnel_sql(table: str, steps: list[str],
         cond = f"{type_col} = '{s}'"
         if i > 0:
             cond += f" AND us > t{i - 1}"
-            if within_seconds is not None:
-                cond += f" AND us <= t{i - 1} + {within_seconds * 1_000_000}"
+            gap = within_seconds
+            if max_gap_seconds is not None:
+                gap = max_gap_seconds[i - 1] \
+                    if i - 1 < len(max_gap_seconds) else None
+            if gap is not None:
+                cond += f" AND us <= t{i - 1} + {gap * 1_000_000}"
         t_cols.append(f"MIN(CASE WHEN {cond} THEN us END) {win} AS t{i}")
     # nested selects: each step's window may reference the previous one
     inner = (f"SELECT {user_col}, {type_col}, "

@@ -161,6 +161,131 @@ def build_report(state: DatasetState, output_format: str = "pretty") -> dict:
     return report
 
 
+def deterministic_report_rows(state: DatasetState) -> list[tuple]:
+    """The order-independent, engine-portable slice of a full profile.
+
+    The full report contains values whose bit pattern depends on float
+    accumulation order (native double sum / var_pop / skew / kurt) or on
+    HLL sketches (approx_distinct, hll row uniqueness) — those cannot be
+    hash-compared against an external engine and are each covered by
+    their own *exact-mode* oracled query (numeric_profile_*,
+    distinct_counts_*, row_stats_*). This slice keeps every stat whose
+    value is independent of partitioning and aggregation order: row /
+    null counts, min/max, integer-valued sums (exact in doubles below
+    2^53), and datetime bounds — assembled from the REAL end-to-end
+    ``Profiler().profile()`` state, so the driver's hash check exercises
+    the whole flagship path (wide-agg → assemble → state), not a side
+    computation.
+
+    Returns (column, stat, value_num, value_str) tuples;
+    :func:`oracle_full_profile_sql` emits the matching SQL.
+    """
+    rows: list[tuple] = [
+        ("__dataset", "row_count", float(state.row_count), None),
+        ("__dataset", "rows_with_null", float(state.rows_with_null), None),
+        ("__dataset", "rows_all_null", float(state.rows_all_null), None),
+    ]
+    for c in state.column_order:
+        col = state.columns[c]
+        rows.append((c, "null_count", float(col.null_count), None))
+        if col.numeric is not None:
+            ns = col.numeric
+            rows.extend([
+                (c, "match_count", float(ns.n), None),
+                (c, "min", None if ns.min is None else float(ns.min), None),
+                (c, "max", None if ns.max is None else float(ns.max), None),
+                (c, "num_zeros", float(ns.num_zeros), None),
+                (c, "num_negatives", float(ns.num_negatives), None),
+            ])
+        elif col.text is not None:
+            ls = col.text.lengths
+            rows.extend([
+                (c, "match_count", float(ls.n), None),
+                (c, "len_min", None if ls.min is None else float(ls.min), None),
+                (c, "len_max", None if ls.max is None else float(ls.max), None),
+                (c, "len_sum", float(ls.sum), None),
+            ])
+        if col.datetime is not None and col.text is None \
+                and col.numeric is None:
+            # native timestamp/date column (string-inferred datetimes keep
+            # their text stats above; their parse counts are covered by
+            # the type_inference oracle)
+            dt = col.datetime
+            rows.extend([
+                (c, "match_count", float(dt.n), None),
+                (c, "min_ts", None, dt.min_ts),
+                (c, "max_ts", None, dt.max_ts),
+            ])
+    return rows
+
+
+def oracle_full_profile_sql(table: str, numeric_cols: list[str],
+                            string_cols: list[str],
+                            dt_cols: list[str]) -> str:
+    """DuckDB SQL computing :func:`deterministic_report_rows` for a
+    table of the given column layout. Each stat is its own aggregate
+    SELECT (DuckDB folds them; sub-ms each at oracle scale) — clarity
+    over cleverness, since this SQL is the correctness gate."""
+    from dataprofiler_spark.functions.nulls import DEFAULT_NULL_SPEC
+
+    rx = DEFAULT_NULL_SPEC.regex()
+
+    def null_expr(c: str) -> str:
+        if c in string_cols:
+            return (f"({c} IS NULL OR "
+                    f"regexp_matches(CAST({c} AS VARCHAR), '{rx}'))")
+        return f"{c} IS NULL"
+
+    def row(col: str, stat: str, num_sql: str | None,
+            str_sql: str | None) -> str:
+        num = num_sql if num_sql is not None else "CAST(NULL AS DOUBLE)"
+        s = str_sql if str_sql is not None else "CAST(NULL AS VARCHAR)"
+        return (f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
+                f"CAST({num} AS DOUBLE) AS value_num, {s} AS value_str "
+                f"FROM {table}")
+
+    all_cols = numeric_cols + string_cols + dt_cols
+    any_null = " OR ".join(null_expr(c) for c in all_cols)
+    all_null = " AND ".join(null_expr(c) for c in all_cols)
+    selects = [
+        row("__dataset", "row_count", "COUNT(*)", None),
+        row("__dataset", "rows_with_null",
+            f"SUM(CASE WHEN {any_null} THEN 1 ELSE 0 END)", None),
+        row("__dataset", "rows_all_null",
+            f"SUM(CASE WHEN {all_null} THEN 1 ELSE 0 END)", None),
+    ]
+    for c in all_cols:
+        selects.append(row(c, "null_count",
+                           f"SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END)",
+                           None))
+    for c in numeric_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "min", f"MIN({c})", None),
+            row(c, "max", f"MAX({c})", None),
+            row(c, "num_zeros",
+                f"SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)", None),
+            row(c, "num_negatives",
+                f"SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)", None),
+        ]
+    for c in string_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "len_min", f"MIN(LENGTH({c}))", None),
+            row(c, "len_max", f"MAX(LENGTH({c}))", None),
+            row(c, "len_sum", f"SUM(LENGTH({c}))", None),
+        ]
+    for c in dt_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "min_ts", None,
+                f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"),
+            row(c, "max_ts", None,
+                f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"),
+        ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def flat_dict(d: dict, prefix: str = "") -> dict:
     """report_helpers.flat_dict:40-66."""
     out = {}

@@ -110,3 +110,24 @@ def test_cnn_adapter_fallback_without_weights(spark, monkeypatch):
     preds = cnn_adapter._model_predict(
         __import__("pandas").Series(["42", "zzz"]))
     assert list(preds["label"]) == ["INTEGER", "UNKNOWN"]
+
+
+@needs_weights
+def test_cnn_vote_counts_golden(spark):
+    """The driver-checked cnn_labeler_customer golden: vote counts over
+    the key-defined sf0.01 sample must match the committed fixture
+    (fixtures/cnn_votes_sf001.json). To regenerate after a testdata
+    change: delete the fixture and re-save the sorted collect() below."""
+    import json
+
+    from dataprofiler_spark.queries import _cnn_vote_counts
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("sf0.01 testdata absent")
+    fix = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "fixtures", "cnn_votes_sf001.json")
+    got = sorted((r["column"], r["label"], r["votes"])
+                 for r in _cnn_vote_counts(spark, sf001).collect())
+    want = sorted(map(tuple, json.load(open(fix))))
+    assert got == want
