@@ -111,19 +111,37 @@ def component_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def edge_attribute_profile(edges: DataFrame, attr_cols: list[str],
-                           categorical_threshold: float = 0.05) -> dict:
+                           categorical_threshold: float = 0.05,
+                           max_categories: int = 10_000) -> dict:
     """Categorical/continuous split of edge attributes + best-fit
     continuous distribution by MLE over a driver-side sample
-    (graph_profiler.py:371-460). scipy optional."""
+    (graph_profiler.py:371-460). scipy optional.
+
+    The categorical histogram collect is bounded in ABSOLUTE terms: at
+    most ``max_categories`` rows ship to the driver, selected as the
+    top-K by count via ``ranked_topk`` (TakeOrderedAndProject — per-
+    partition heaps, no full sort). A ratio gate alone is no cap: 5% of
+    10^12 edges is 5·10^10 rows. When truncated, the profile records
+    ``truncated=True`` and the exact overflow count so downstream totals
+    stay exact."""
+    from dataprofiler_spark.operators.topk import ranked_topk
+
     n = edges.count()
     out: dict = {}
     for c in attr_cols:
         distinct = edges.agg(F.approx_count_distinct(c)).collect()[0][0]
         if n and distinct / n <= categorical_threshold:
-            counts = dict(
-                (r[0], r[1]) for r in
-                edges.groupBy(c).agg(F.count(F.lit(1))).collect())
-            out[c] = {"kind": "categorical", "histogram": counts}
+            grouped = edges.groupBy(c).agg(F.count(F.lit(1)).alias("count"))
+            top = ranked_topk(
+                grouped, [F.desc("count"), F.asc(c)], max_categories)
+            counts = dict((r[0], r["count"]) for r in top.collect())
+            kept = sum(counts.values())
+            prof = {"kind": "categorical", "histogram": counts}
+            if distinct > max_categories * 0.8 and n > kept:
+                # n counts every edge incl. the null group row above
+                prof["truncated"] = True
+                prof["overflow_count"] = n - kept
+            out[c] = prof
         else:
             sample = [r[0] for r in
                       edges.select(c).where(F.col(c).isNotNull())

@@ -47,12 +47,29 @@ def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None]:
             return ("gif", int.from_bytes(payload[6:8], "little"),
                     int.from_bytes(payload[8:10], "little"))
         if payload[:2] == b"BM" and len(payload) >= 26:
-            return ("bmp", int.from_bytes(payload[18:22], "little"),
-                    int.from_bytes(payload[22:26], "little"))
+            # BITMAPINFOHEADER dimensions are SIGNED; negative height is
+            # a top-down DIB (common) — the image is abs(height) tall
+            return ("bmp",
+                    abs(int.from_bytes(payload[18:22], "little",
+                                       signed=True)),
+                    abs(int.from_bytes(payload[22:26], "little",
+                                       signed=True)))
         if payload[:2] == b"\xff\xd8":
             pos = 2
-            while pos + 9 < len(payload) and payload[pos] == 0xFF:
+            while pos + 1 < len(payload):
+                if payload[pos] != 0xFF:
+                    break  # desynced: not at a marker
+                # 0xFF fill bytes may pad between segments
+                while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                    pos += 1
                 marker = payload[pos + 1]
+                # standalone markers carry no length field: TEM (0x01),
+                # RST0-7 (0xD0-D7), SOI (0xD8), EOI (0xD9)
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    pos += 2
+                    continue
+                if pos + 9 >= len(payload):
+                    break
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     return ("jpeg",
                             int.from_bytes(payload[pos + 7:pos + 9], "big"),

@@ -171,11 +171,18 @@ def quality_rollup(df: DataFrame, text_col: str, group_col: str,
     order — bit-identical across engines (plain double sums would drift
     in the last ulp under reordering).
 
-    The grand-total row reports group = '(all)'."""
+    The grand-total row reports group = '(all)'; a real NULL group value
+    reports '(null)' — distinguished via GROUPING(), not COALESCE, so the
+    two can never collide."""
     e = _quality_raw_exprs(text_col)
     sdec = F.sum(e["score"].cast("decimal(28,12)"))
     n = F.count(F.lit(1))
-    agg = df.rollup(F.col(group_col).cast("string").alias("grp")).agg(
+    # grouping() must reference a real grouping column, not a lateral
+    # alias — pre-project the cast before the rollup
+    base = df.select(F.col(group_col).cast("string").alias("grp"),
+                     F.col(text_col))
+    agg = base.rollup("grp").agg(
+        F.grouping("grp").alias("__is_total"),
         n.alias("n_docs"),
         F.sum(e["n_tokens"]).alias("total_tokens"),
         F.round(sdec.cast("double") / n, round_digits).alias("avg_quality"),
@@ -183,7 +190,9 @@ def quality_rollup(df: DataFrame, text_col: str, group_col: str,
          .alias("n_low_quality"),
     )
     return agg.select(
-        F.coalesce(F.col("grp"), F.lit("(all)")).alias(group_col),
+        F.when(F.col("__is_total") == 1, F.lit("(all)"))
+         .otherwise(F.coalesce(F.col("grp"), F.lit("(null)")))
+         .alias(group_col),
         "n_docs", "total_tokens", "avg_quality", "n_low_quality")
 
 
@@ -202,13 +211,15 @@ def oracle_quality_rollup_sql(table: str, text_col: str, group_col: str,
              f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
              f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
     return f"""
-SELECT COALESCE(grp, '(all)') AS {group_col},
+SELECT CASE WHEN is_total = 1 THEN '(all)'
+            ELSE COALESCE(grp, '(null)') END AS {group_col},
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(total_tokens AS BIGINT) AS total_tokens,
        ROUND(CAST(sdec AS DOUBLE) / n_docs, {round_digits}) AS avg_quality,
        CAST(n_low_quality AS BIGINT) AS n_low_quality
 FROM (
   SELECT CAST({group_col} AS VARCHAR) AS grp,
+         GROUPING(grp) AS is_total,
          COUNT(*) AS n_docs,
          SUM({nt}) AS total_tokens,
          SUM(CAST(({score}) AS DECIMAL(28,12))) AS sdec,

@@ -68,12 +68,14 @@ class StreamingNearDup:
 
     def _read(self, spark: SparkSession, path: str, schema: str
               ) -> DataFrame | None:
+        # Path-missing is the only "empty store" signal. A corrupt or
+        # unreadable store must RAISE, not read as empty — silently
+        # treating it as empty would pass every subsequent batch
+        # unflagged and append its signatures, permanently polluting the
+        # dedup history (false negatives with no error anywhere).
         if not os.path.isdir(path):
             return None
-        try:
-            return spark.read.schema(schema).parquet(path)
-        except Exception:
-            return None
+        return spark.read.schema(schema).parquet(path)
 
     def _flag_candidates(self, keys: DataFrame, wide: DataFrame,
                          store_keys: DataFrame, spark: SparkSession
@@ -144,18 +146,36 @@ def compact_store(spark: SparkSession, keys_path: str,
     """Rewrite an append-heavy band-partitioned keys table with large
     files (``target_files_per_band`` per band partition) — run between
     streaming sessions, not concurrently with one. Returns the row
-    count. The rewrite goes to a sibling temp dir and swaps in whole so
-    a crash mid-compaction leaves the original store intact. (For a
-    verify-mode store, pass ``<store>/keys``; the ``sets/`` table can be
-    coalesced the same way without the band partitioning.)"""
+    count.
+
+    Crash safety: the rewrite goes to a sibling ``.compact-tmp`` dir, the
+    original is parked at ``.compact-old``, the tmp is moved into place,
+    then the parked copy is removed. The two moves are NOT one atomic
+    step — instead, leftover state from a crashed prior run is recovered
+    up front: a parked ``.compact-old`` with no live ``keys`` (crash
+    between the moves) is restored as the store; a parked copy alongside
+    a live store (crash before cleanup) is stale and removed; a leftover
+    ``.compact-tmp`` is always a stale partial rewrite and removed. So a
+    rerun of compact_store (or the next streaming session calling it)
+    self-heals; never delete the ``.compact-*`` dirs by hand after a
+    crash without checking which case applies. (For a verify-mode store,
+    pass ``<store>/keys``; the ``sets/`` table can be coalesced the same
+    way without the band partitioning.)"""
     import shutil
 
-    df = spark.read.schema(STORE_SCHEMA).parquet(keys_path)
     tmp = keys_path.rstrip("/") + ".compact-tmp"
+    old = keys_path.rstrip("/") + ".compact-old"
+    if os.path.isdir(old):
+        if not os.path.isdir(keys_path):
+            shutil.move(old, keys_path)   # crash between the two moves
+        else:
+            shutil.rmtree(old)            # crash before cleanup: stale park
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)                # stale partial rewrite
+    df = spark.read.schema(STORE_SCHEMA).parquet(keys_path)
     (df.repartition(target_files_per_band, "band")
      .write.mode("overwrite").partitionBy("band").parquet(tmp))
     n = spark.read.schema(STORE_SCHEMA).parquet(tmp).count()
-    old = keys_path.rstrip("/") + ".compact-old"
     shutil.move(keys_path, old)
     shutil.move(tmp, keys_path)
     shutil.rmtree(old)

@@ -292,3 +292,29 @@ def test_decontaminate_self_benchmark_flags_all(spark, docs):
             assert rows[i]["contaminated"], (i, ws)
         else:
             assert rows[i]["n_overlap_ngrams"] == 0
+
+
+def test_quality_rollup_null_group_distinct_from_total(spark, duck):
+    """A NULL group value must surface as '(null)', never colliding with
+    the rollup grand-total '(all)' row — in the Spark plan AND the
+    DuckDB oracle (GROUPING(), not COALESCE)."""
+    from dataprofiler_spark.operators.textanalysis import (
+        oracle_quality_rollup_sql, quality_rollup)
+    from tests.oracle_utils import assert_frames_match
+
+    rows = [(1, "some reasonable document text here", "web"),
+            (2, "another document with plenty of words", None),
+            (3, "third document text for the null group", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_rollup(df, "text", "source").toPandas()
+    groups = set(out["source"])
+    assert groups == {"web", "(null)", "(all)"}
+    n = dict(zip(out["source"], out["n_docs"]))
+    assert n["(null)"] == 2 and n["(all)"] == 3
+    duck.sql("CREATE OR REPLACE VIEW qr_null_t AS SELECT * FROM (VALUES "
+             "(1, 'some reasonable document text here', 'web'),"
+             "(2, 'another document with plenty of words', NULL),"
+             "(3, 'third document text for the null group', NULL))"
+             " AS t(doc_id, text, source)")
+    ddf = duck.sql(oracle_quality_rollup_sql("qr_null_t", "text", "source")).df()
+    assert_frames_match(out, ddf, "quality_rollup_null_group")

@@ -69,3 +69,24 @@ def test_png_adapter_roundtrips_through_real_parser(spark):
         ("png", 11 % 512 + 16, 7 + 16)
     assert (got[300]["width"], got[300]["height"]) == (600 % 512 + 16, 300 + 16)
     assert got[7]["byte_len"] == 33 + 11
+
+
+def test_parse_bmp_topdown_negative_height():
+    """Top-down DIBs store a NEGATIVE signed height; the parser must
+    report abs(height), not a ~4.29e9 unsigned misread."""
+    hdr = (b"BM" + b"\0" * 16
+           + struct.pack("<i", 640) + struct.pack("<i", -480))
+    assert parse_media_header(hdr) == ("bmp", 640, 480)
+
+
+def test_parse_jpeg_fill_bytes_and_standalone_markers():
+    """0xFF fill padding between segments and standalone markers (TEM,
+    RST0-7) carry no length field — the walker must skip them instead of
+    misreading payload bytes as a segment length."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 600, 800) + b"\x03")
+    # SOI, fill bytes, APP0, TEM, RST3, more fill, SOF0, EOI
+    data = (b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\x01"
+            + b"\xff\xd3" + b"\xff\xff" + sof0 + b"\xff\xd9")
+    assert parse_media_header(data) == ("jpeg", 800, 600)

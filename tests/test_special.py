@@ -41,3 +41,36 @@ def test_p_values_wired_into_drift():
                                                     p_value_welch)
     assert p_value_chi2(3.841458820694124, 1) == pytest.approx(0.05, rel=1e-6)
     assert p_value_welch(2.2281388519649385, 10) == pytest.approx(0.05, rel=1e-6)
+
+
+def test_edge_attribute_profile_bounded_collect(spark):
+    """A high-cardinality categorical edge attribute ships at most
+    max_categories rows to the driver (salted top-K, not a full
+    groupBy collect), with exact overflow accounting."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.graph import edge_attribute_profile
+
+    # 5000 edges, 250 distinct attr values (ratio 0.05 -> categorical),
+    # skewed so the top-K selection is meaningful
+    edges = (spark.range(5000)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst"),
+                     F.when(F.col("id") < 2500, F.lit("hot"))
+                      .otherwise(F.concat(F.lit("v"),
+                                          (F.col("id") % 250).cast("string")))
+                      .alias("attr")))
+    prof = edge_attribute_profile(edges, ["attr"],
+                                  categorical_threshold=0.06,
+                                  max_categories=50)
+    p = prof["attr"]
+    assert p["kind"] == "categorical"
+    assert len(p["histogram"]) <= 50
+    assert p["histogram"]["hot"] == 2500        # top category survives
+    assert p["truncated"] is True
+    assert p["overflow_count"] == 5000 - sum(p["histogram"].values())
+    # and the uncapped path is unchanged for small cardinality
+    small = edge_attribute_profile(edges.where(F.col("attr") == "hot"),
+                                   ["attr"], categorical_threshold=1.0)
+    assert small["attr"]["histogram"] == {"hot": 2500}
+    assert "truncated" not in small["attr"]

@@ -295,3 +295,59 @@ def test_neardup_store_compaction(spark, tmp_path):
     files_after = len(glob.glob(f"{store}/*/*.parquet"))
     assert files_after < files_before
     assert files_after <= 2  # one file per band
+
+
+def test_neardup_compaction_crash_recovery(spark, tmp_path):
+    """compact_store self-heals every leftover state a crash can leave:
+    (a) parked .compact-old with no live store -> restored; (b) stale
+    .compact-old next to a live store -> removed; (c) stale .compact-tmp
+    -> removed. After recovery the key set is exactly preserved."""
+    import shutil as sh
+    from dataprofiler_spark.operators.dedup import minhash_band_buckets
+    from dataprofiler_spark.streaming.neardup import compact_store
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(10)],
+        "id long, text string")
+    (minhash_band_buckets(docs, "id", "text", bands=2)
+     .write.mode("append").partitionBy("band").parquet(store))
+    want = {tuple(r) for r in spark.read.parquet(store).collect()}
+
+    # (a) crash between the two moves: store parked, nothing live
+    sh.move(store, store + ".compact-old")
+    assert not os.path.isdir(store)
+    compact_store(spark, store)
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == want
+    assert not os.path.isdir(store + ".compact-old")
+    assert not os.path.isdir(store + ".compact-tmp")
+
+    # (b)+(c) crash before cleanup: stale park + stale partial tmp
+    sh.copytree(store, store + ".compact-old")
+    os.makedirs(store + ".compact-tmp")
+    compact_store(spark, store)
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == want
+    assert not os.path.isdir(store + ".compact-old")
+    assert not os.path.isdir(store + ".compact-tmp")
+
+
+def test_neardup_corrupt_store_raises(spark, tmp_path):
+    """A corrupt signature store must fail the batch loudly, not read as
+    empty (silently unflagged batches would pollute the dedup history)."""
+    import pytest
+    from dataprofiler_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(str(tmp_path / "store"), bands=2)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "id long, text string")
+    nd.update(b1, 0)
+    # corrupt every parquet footer in the keys table
+    keys = str(tmp_path / "store" / "keys")
+    for root, _, files in os.walk(keys):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        nd.update(b1, 1)
