@@ -177,6 +177,9 @@ def looks_like_graph(header_cells: list[str]) -> bool:
 
 
 def sniff(path: str) -> SniffResult:
+    from dataprofiler_spark.sources.url import is_url, url_to_local
+    if is_url(path):
+        path = url_to_local(path)  # cached: read_data re-resolves free
     head = _read_head(path)
     if is_parquet(head):
         return SniffResult("parquet")
@@ -205,7 +208,12 @@ def sniff(path: str) -> SniffResult:
 
 def read_data(spark, path: str, fmt: str | None = None, **options):
     """Data() equivalent: sniff (unless format given) and build the lazy
-    scan. Returns (DataFrame, SniffResult)."""
+    scan. Returns (DataFrame, SniffResult). http(s)/file/s3 URLs are
+    fetched to a cached local temp file first (sources/url.py) — the
+    reference's url_to_bytes path (data_utils.py:863-1050)."""
+    from dataprofiler_spark.sources.url import is_url, url_to_local
+    if is_url(path):
+        path = url_to_local(path)
     res = sniff(path) if fmt is None else SniffResult(fmt, dict(options))
     o = {**res.options, **options}
     if res.format == "parquet":

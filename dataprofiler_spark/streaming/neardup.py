@@ -36,8 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STORE_SCHEMA = "id long, band int, bucket string"
-SETS_SCHEMA = "id long, hs array<bigint>"
+STORE_SCHEMA = "id long, band int, bucket string, batch long"
+SETS_SCHEMA = "id long, hs array<bigint>, batch long"
 
 
 class StreamingNearDup:
@@ -126,13 +126,16 @@ class StreamingNearDup:
             self.flagged.extend((batch_id, i) for i in sorted(flagged))
             surviving = keys if not flagged else keys.where(
                 ~F.col("id").isin(*flagged))
-            (surviving.write.mode("append").partitionBy("band")
+            # batch tag enables TTL retention at compaction time
+            (surviving.withColumn("batch", F.lit(batch_id).cast("long"))
+             .write.mode("append").partitionBy("band")
              .parquet(self._keys_path))
             if self.verify_threshold is not None:
                 sets = wide.select("id", "hs")
                 if flagged:
                     sets = sets.where(~F.col("id").isin(*flagged))
-                sets.write.mode("append").parquet(self._sets_path)
+                (sets.withColumn("batch", F.lit(batch_id).cast("long"))
+                 .write.mode("append").parquet(self._sets_path))
         finally:
             wide.unpersist()
         self.batches_seen += 1
@@ -142,11 +145,18 @@ class StreamingNearDup:
 
 
 def compact_store(spark: SparkSession, keys_path: str,
-                  target_files_per_band: int = 1) -> int:
+                  target_files_per_band: int = 1,
+                  min_batch: int | None = None) -> int:
     """Rewrite an append-heavy band-partitioned keys table with large
     files (``target_files_per_band`` per band partition) — run between
     streaming sessions, not concurrently with one. Returns the row
     count.
+
+    ``min_batch`` is the retention watermark: signatures from batches
+    older than it are dropped at rewrite time, bounding store growth for
+    unbounded streams (dedup then means "near-dup of anything within the
+    retention horizon" — the standard TTL semantics of a streaming dedup
+    store). Rows from pre-batch-tag stores (NULL batch) are kept.
 
     Crash safety: the rewrite goes to a sibling ``.compact-tmp`` dir, the
     original is parked at ``.compact-old``, the tmp is moved into place,
@@ -173,10 +183,42 @@ def compact_store(spark: SparkSession, keys_path: str,
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)                # stale partial rewrite
     df = spark.read.schema(STORE_SCHEMA).parquet(keys_path)
+    if min_batch is not None:
+        df = df.where(F.col("batch").isNull()
+                      | (F.col("batch") >= min_batch))
     (df.repartition(target_files_per_band, "band")
      .write.mode("overwrite").partitionBy("band").parquet(tmp))
     n = spark.read.schema(STORE_SCHEMA).parquet(tmp).count()
     shutil.move(keys_path, old)
     shutil.move(tmp, keys_path)
+    shutil.rmtree(old)
+    return n
+
+
+def compact_sets(spark: SparkSession, sets_path: str,
+                 target_files: int = 1,
+                 min_batch: int | None = None) -> int:
+    """Coalesce + retention-prune the verify-mode ``sets/`` table (one
+    hashed-shingle array per surviving doc). Same crash-safety protocol
+    as :func:`compact_store`; no band partitioning."""
+    import shutil
+
+    tmp = sets_path.rstrip("/") + ".compact-tmp"
+    old = sets_path.rstrip("/") + ".compact-old"
+    if os.path.isdir(old):
+        if not os.path.isdir(sets_path):
+            shutil.move(old, sets_path)
+        else:
+            shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df = spark.read.schema(SETS_SCHEMA).parquet(sets_path)
+    if min_batch is not None:
+        df = df.where(F.col("batch").isNull()
+                      | (F.col("batch") >= min_batch))
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    n = spark.read.schema(SETS_SCHEMA).parquet(tmp).count()
+    shutil.move(sets_path, old)
+    shutil.move(tmp, sets_path)
     shutil.rmtree(old)
     return n

@@ -285,13 +285,14 @@ def test_neardup_store_compaction(spark, tmp_path):
         (minhash_band_buckets(part, "id", "text", bands=2)
          .write.mode("append").partitionBy("band").parquet(store))
     before = spark.read.parquet(store)
-    before_rows = {tuple(r) for r in before.collect()}
+    before_rows = {tuple(r) for r in before.select("id", "band", "bucket").collect()}
     files_before = len(glob.glob(f"{store}/*/*.parquet"))
 
     n = compact_store(spark, store)
     after = spark.read.parquet(store)
     assert n == len(before_rows)
-    assert {tuple(r) for r in after.collect()} == before_rows
+    assert {tuple(r) for r in
+            after.select("id", "band", "bucket").collect()} == before_rows
     files_after = len(glob.glob(f"{store}/*/*.parquet"))
     assert files_after < files_before
     assert files_after <= 2  # one file per band
@@ -312,13 +313,15 @@ def test_neardup_compaction_crash_recovery(spark, tmp_path):
         "id long, text string")
     (minhash_band_buckets(docs, "id", "text", bands=2)
      .write.mode("append").partitionBy("band").parquet(store))
-    want = {tuple(r) for r in spark.read.parquet(store).collect()}
+    want = {tuple(r) for r in spark.read.parquet(store)
+            .select("id", "band", "bucket").collect()}
 
     # (a) crash between the two moves: store parked, nothing live
     sh.move(store, store + ".compact-old")
     assert not os.path.isdir(store)
     compact_store(spark, store)
-    assert {tuple(r) for r in spark.read.parquet(store).collect()} == want
+    assert {tuple(r) for r in spark.read.parquet(store)
+            .select("id", "band", "bucket").collect()} == want
     assert not os.path.isdir(store + ".compact-old")
     assert not os.path.isdir(store + ".compact-tmp")
 
@@ -326,7 +329,8 @@ def test_neardup_compaction_crash_recovery(spark, tmp_path):
     sh.copytree(store, store + ".compact-old")
     os.makedirs(store + ".compact-tmp")
     compact_store(spark, store)
-    assert {tuple(r) for r in spark.read.parquet(store).collect()} == want
+    assert {tuple(r) for r in spark.read.parquet(store)
+            .select("id", "band", "bucket").collect()} == want
     assert not os.path.isdir(store + ".compact-old")
     assert not os.path.isdir(store + ".compact-tmp")
 
@@ -351,3 +355,59 @@ def test_neardup_corrupt_store_raises(spark, tmp_path):
                     fh.write(b"not a parquet file")
     with pytest.raises(Exception):
         nd.update(b1, 1)
+
+
+def test_neardup_store_ttl_retention_plateaus(spark, tmp_path):
+    """Under periodic compaction with a retention watermark the store
+    size plateaus instead of growing without bound, while recall within
+    the horizon holds: a near-dup of a recent doc is still flagged, a
+    near-dup of a pruned (ancient) doc is not — the documented TTL
+    semantics."""
+    from dataprofiler_spark.streaming.neardup import (StreamingNearDup,
+                                                      compact_store)
+
+    nd = StreamingNearDup(str(tmp_path / "store"), bands=2)
+    base = ("alpha{0} bravo{0}x charlie{0}y delta{0}z echo{0}w "
+            "foxtrot{0}v golf{0}u hotel{0}t india{0}s juliet{0}r")
+    sizes = []
+    retention = 3
+    for b in range(8):
+        rows = [(b * 10 + j, base.format(b * 10 + j))
+                for j in range(5)]
+        nd.update(spark.createDataFrame(rows, "id long, text string"), b)
+        if b >= retention:
+            compact_store(spark, nd._keys_path,
+                          min_batch=b - retention + 1)
+        sizes.append(spark.read.parquet(nd._keys_path).count())
+    # growth plateaus: the last compacted sizes stay at the horizon size
+    assert sizes[-1] == sizes[-2] == sizes[-3]
+    assert sizes[-1] < sizes[2] * 3  # nowhere near 8-batch linear growth
+
+    # recall within horizon: near-dup of a batch-7 doc flagged
+    recent_dup = spark.createDataFrame(
+        [(900, base.format(71) + " tail")], "id long, text string")
+    nd.update(recent_dup, 8)
+    assert any(i == 900 for _, i in nd.flagged)
+    # a pruned batch-0 doc is outside the horizon: its near-dup passes
+    ancient_dup = spark.createDataFrame(
+        [(901, base.format(1) + " tail")], "id long, text string")
+    nd.update(ancient_dup, 9)
+    assert not any(i == 901 for _, i in nd.flagged)
+
+
+def test_neardup_sets_compaction(spark, tmp_path):
+    """Verify-mode sets table coalesces + prunes with the same protocol."""
+    from dataprofiler_spark.streaming.neardup import (StreamingNearDup,
+                                                      compact_sets)
+
+    nd = StreamingNearDup(str(tmp_path / "store"), bands=2,
+                          verify_threshold=0.5)
+    for b in range(4):
+        rows = [(b * 10 + j, f"document {b}-{j} body text {j * 7}")
+                for j in range(3)]
+        nd.update(spark.createDataFrame(rows, "id long, text string"), b)
+    before = spark.read.parquet(nd._sets_path).count()
+    n = compact_sets(spark, nd._sets_path, min_batch=2)
+    after = spark.read.parquet(nd._sets_path)
+    assert n == after.count() == before - 6  # two batches pruned
+    assert set(after.select("batch").distinct().toPandas()["batch"]) == {2, 3}
