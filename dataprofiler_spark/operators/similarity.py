@@ -223,3 +223,85 @@ SELECT x.id AS id1, y.id AS id2, ROUND({cos}, {round_digits}) AS cosine
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
 WHERE {cos} >= {threshold}
 """
+
+
+def embedding_neardup_clusters(df: DataFrame, id_col: str, vec_col: str,
+                               threshold: float = 0.95, n_planes: int = 8,
+                               dim: int = 64, round_digits: int = 6,
+                               max_iter: int = 20) -> DataFrame:
+    """Embedding-cosine near-duplicate clusters: (id, cluster_id,
+    cluster_size, is_canonical) for every vector — the embedding-space
+    twin of ``dedup.neardup_clusters`` (pair generation is the
+    LSH-bucketed cosine join; components are iterative min-label
+    propagation; canonical = min-id member).
+
+    Scale shape: per-bucket pair joins (never all-pairs) + O(cluster
+    diameter) label-propagation rounds — near-dup graphs are cliques-ish
+    so rounds stay small."""
+    from dataprofiler_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(df, id_col, vec_col,
+                                    threshold=threshold, n_planes=n_planes,
+                                    dim=dim, round_digits=round_digits)
+    comps = (connected_components(pairs, "id1", "id2", max_iter=max_iter)
+             .withColumnRenamed("node", "id"))
+    ids = df.select(F.col(id_col).alias("id"))
+    lab = (ids.join(comps, "id", "left")
+           .select("id",
+                   F.coalesce("component", F.col("id")).alias("cluster_id")))
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (lab.join(sizes, "cluster_id")
+            .select("id", "cluster_id", "cluster_size",
+                    (F.col("id") == F.col("cluster_id")).alias("is_canonical")))
+
+
+def oracle_embedding_neardup_clusters_sql(table: str, id_col: str,
+                                          vec_col: str,
+                                          threshold: float = 0.95,
+                                          n_planes: int = 8, dim: int = 64,
+                                          round_digits: int = 6) -> str:
+    """Recursive-CTE transitive closure over the bucketed cosine pairs
+    (mirrors dedup.oracle_neardup_clusters_sql)."""
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
+        proj = _duck_dot("t.v", arr, dim)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dot = _duck_dot("x.v", "y.v", dim)
+    nx = _duck_dot("x.v", "x.v", dim)
+    ny = _duck_dot("y.v", "y.v", dim)
+    cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT t.{id_col} AS id, t.v, CAST({bucket} AS BIGINT) AS bucket
+  FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) t
+),
+vpairs AS (
+  SELECT x.id AS id1, y.id AS id2
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+  WHERE {cos} >= {threshold}
+),
+nodes AS (SELECT {id_col} AS id FROM {table}),
+bi AS (
+  SELECT id1 AS src, id2 AS dst FROM vpairs
+  UNION
+  SELECT id2, id1 FROM vpairs
+),
+reach AS (
+  SELECT id AS node, id AS peer FROM nodes
+  UNION
+  SELECT r.node, bb.dst FROM reach r JOIN bi bb ON r.peer = bb.src
+),
+comp AS (
+  SELECT node AS id, MIN(peer) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       c.id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""

@@ -1221,6 +1221,31 @@ def simhash_neardup_documents(spark, sf_dir):
                                     "doc_id", "text")
 
 
+@register("embedding_neardup_clusters",
+          sim.oracle_embedding_neardup_clusters_sql(
+              "embeddings", "vec_id", "embedding",
+              threshold=0.3, n_planes=4))
+def embedding_neardup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup clusters (threshold tuned so the
+    synthetic corpus yields non-trivial components; the 0.95 production
+    default gives all-singletons on random vectors)."""
+    return sim.embedding_neardup_clusters(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, n_planes=4)
+
+
+from dataprofiler_spark.operators import intervals as iv
+
+
+@register("interval_join_events",
+          iv.oracle_interval_join_count_sql("events", "user_id", "ts"))
+def interval_join_events(spark, sf_dir):
+    """Bucketized interval join (§2.6 range-join shape): each user's
+    events counted inside their first-active-day window. Equi-join on
+    (key, time bucket) + exact bound filter — no nested-loop plan."""
+    return iv.interval_join_first_day_counts(T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Untruncated flat report (rows-only: string-formatted floats are not
 # hash-comparable across engines; the deterministic slice above carries

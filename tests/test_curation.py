@@ -318,3 +318,28 @@ def test_quality_rollup_null_group_distinct_from_total(spark, duck):
              " AS t(doc_id, text, source)")
     ddf = duck.sql(oracle_quality_rollup_sql("qr_null_t", "text", "source")).df()
     assert_frames_match(out, ddf, "quality_rollup_null_group")
+
+
+def test_interval_join_semantics(spark):
+    """Half-open [start, end) bounds; intervals spanning many buckets
+    match events in every covered bucket exactly once."""
+    from dataprofiler_spark.operators.intervals import interval_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 11:59:59"),
+         (1, "2024-01-01 12:00:00"),   # == end: excluded (half-open)
+         (1, "2023-12-31 23:59:59"),   # before start
+         (2, "2024-01-01 05:00:00")],  # other key, no interval
+        "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 12:00:00")],
+        "user_id long, w_start string, w_end string") \
+        .withColumn("w_start", F.to_timestamp("w_start")) \
+        .withColumn("w_end", F.to_timestamp("w_end"))
+    # granularity 1h: the 12h interval explodes into 12 buckets
+    out = interval_join(events, intervals, "user_id", "ts",
+                        "w_start", "w_end", granularity_seconds=3600)
+    matched = sorted(str(r["ts"]) for r in out.collect())
+    assert matched == ["2024-01-01 00:00:00", "2024-01-01 11:59:59"]
+    # each match appears exactly once despite the multi-bucket explode
+    assert out.count() == out.distinct().count() == 2

@@ -286,3 +286,17 @@ def test_explode_no_prefilter_matches_explode(spark):
     helper = sorted((r["id"], r["x"]) for r in
                     explode_no_prefilter(df, "arr", "x", "id").collect())
     assert plain == helper == [(1, "a"), (1, "b"), (4, "c")]
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The bucketized interval join must plan as an EQUI-join on
+    (key, bucket) — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what a naive inequality range join degrades to."""
+    from dataprofiler_spark.operators.intervals import (
+        interval_join_first_day_counts)
+    from dataprofiler_spark.queries import T
+
+    plan = _simple(interval_join_first_day_counts(T(spark, sf_dir, "events")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, just an equi-join
