@@ -1,0 +1,171 @@
+"""Document chunking + TF-IDF — training-data prep operators.
+
+Chunking splits long documents into fixed-size token windows with
+overlap (the standard context-window prep for LLM training/retrieval
+corpora). Pure Catalyst expressions: tokenize once to a column,
+generate chunk start offsets with ``sequence``, slice with
+``F.slice`` — map-side only, zero shuffle, so at 100 TB the cost is
+the scan plus the (bounded) output fan-out. Token positions — not
+character offsets — define the windows, matching how a tokenizer-based
+pipeline consumes them.
+
+TF-IDF scores each (doc, term): ``tf = count in doc``,
+``idf = ln((N + 1) / (df + 1)) + 1`` (the smoothed convention).
+Shape: one explode + one (doc, term) groupBy for tf, one term groupBy
+for df, a broadcast of the single-row corpus size, and a top-k window
+per doc bounded to k rows. Nothing is all-pairs and the df table is
+vocabulary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.textanalysis import tokens_expr
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 128,
+                    overlap_tokens: int = 16) -> DataFrame:
+    """(id, chunk_index, n_tokens, chunk_text): token-window chunks with
+    overlap. Windows start every ``chunk_tokens - overlap_tokens``
+    tokens; the final partial window is kept (min length 1 token).
+    Documents shorter than one window yield exactly one chunk."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_expr(text_col).alias("toks"))
+    n = F.size("toks")
+    # last window start: the largest multiple of stride < n (so a doc of
+    # exactly chunk_tokens yields one chunk, not one + an empty tail)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1)
+    out = (toks.where(n > 0)
+           .withColumn("chunk_index",
+                       F.explode(F.sequence(F.lit(0),
+                                            n_chunks.cast("int") - 1)))
+           .withColumn("start", F.col("chunk_index") * stride)
+           .withColumn("chunk_toks",
+                       F.slice("toks", F.col("start") + 1, chunk_tokens)))
+    return out.select(
+        "id", "chunk_index",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"))
+
+
+def chunk_summary(df: DataFrame, id_col: str, text_col: str,
+                  chunk_tokens: int = 128,
+                  overlap_tokens: int = 16) -> DataFrame:
+    """Corpus-level chunking stats (1 row): total chunks, docs, max
+    chunks per doc, total chunk tokens — the sizing numbers a training
+    pipeline needs before materializing the chunked corpus."""
+    ch = chunk_documents(df, id_col, text_col, chunk_tokens,
+                         overlap_tokens)
+    return ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("id").alias("n_docs"),
+        F.max("chunk_index").alias("max_chunk_index"),
+        F.sum("n_tokens").alias("total_chunk_tokens"),
+        F.min("n_tokens").alias("min_chunk_tokens"),
+        F.max("n_tokens").alias("max_chunk_tokens"))
+
+
+def oracle_chunk_summary_sql(table: str, id_col: str, text_col: str,
+                             chunk_tokens: int = 128,
+                             overlap_tokens: int = 16) -> str:
+    stride = chunk_tokens - overlap_tokens
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS n
+  FROM {table} WHERE len({toks}) > 0
+),
+c AS (
+  SELECT id,
+         UNNEST(generate_series(0,
+           CASE WHEN n <= {chunk_tokens} THEN 0
+                ELSE CAST(CEIL(CAST(n - {chunk_tokens} AS DOUBLE)
+                               / {stride}) AS BIGINT) END)) AS chunk_index,
+         toks, n
+  FROM t
+),
+s AS (
+  SELECT id, chunk_index,
+         len(toks[chunk_index * {stride} + 1 :
+                  LEAST(chunk_index * {stride} + {chunk_tokens}, n)])
+           AS n_tokens
+  FROM c
+)
+SELECT COUNT(*) AS n_chunks,
+       COUNT(DISTINCT id) AS n_docs,
+       CAST(MAX(chunk_index) AS INT) AS max_chunk_index,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens,
+       CAST(MIN(n_tokens) AS INT) AS min_chunk_tokens,
+       CAST(MAX(n_tokens) AS INT) AS max_chunk_tokens
+FROM s
+"""
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5, min_df: int = 1,
+                    round_digits: int = 6) -> DataFrame:
+    """(id, term, tf, tfidf, rank): top-k characteristic terms per doc
+    by smoothed TF-IDF. Ties break on term asc for determinism."""
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  tokens_expr(text_col).alias("toks")))
+    terms = explode_no_prefilter(base, "toks", "term", "id")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                               / (F.col("df") + 1)) + 1),
+                          round_digits)))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "term", "tf", "tfidf", "rank"))
+
+
+def oracle_tfidf_top_sql(table: str, id_col: str, text_col: str,
+                         k: int = 5, min_df: int = 1,
+                         round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS id, UNNEST({toks}) AS term FROM {table}
+),
+tf AS (
+  SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY id, term
+),
+dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= {min_df}
+),
+total AS (SELECT COUNT(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+         ROUND(tf.tf * (LN(CAST(total.n_docs + 1 AS DOUBLE)
+                           / (dfq.df + 1)) + 1), {round_digits}) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN total
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id, term, tf, CAST(tfidf AS DOUBLE) AS tfidf, rank
+FROM ranked WHERE rank <= {k}
+"""

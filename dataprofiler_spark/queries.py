@@ -1234,6 +1234,27 @@ def embedding_neardup_clusters(spark, sf_dir):
         threshold=0.3, n_planes=4)
 
 
+from dataprofiler_spark.operators import chunking as ck
+
+
+@register("chunk_summary_documents",
+          ck.oracle_chunk_summary_sql("documents", "doc_id", "text",
+                                      chunk_tokens=64, overlap_tokens=8))
+def chunk_summary_documents(spark, sf_dir):
+    """Token-window chunking sizing stats (64-token windows, 8 overlap —
+    small enough to multi-chunk the synthetic docs)."""
+    return ck.chunk_summary(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", chunk_tokens=64, overlap_tokens=8)
+
+
+@register("tfidf_top_terms_documents",
+          ck.oracle_tfidf_top_sql("documents", "doc_id", "text", k=3))
+def tfidf_top_terms_documents(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    return ck.tfidf_top_terms(T(spark, sf_dir, "documents"), "doc_id",
+                              "text", k=3)
+
+
 from dataprofiler_spark.operators import intervals as iv
 
 

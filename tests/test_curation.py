@@ -343,3 +343,86 @@ def test_interval_join_semantics(spark):
     assert matched == ["2024-01-01 00:00:00", "2024-01-01 11:59:59"]
     # each match appears exactly once despite the multi-bucket explode
     assert out.count() == out.distinct().count() == 2
+
+
+def test_chunk_documents_semantics(spark):
+    """Window/overlap arithmetic: exact-size docs yield one chunk; the
+    final partial window is kept; consecutive chunks overlap by exactly
+    overlap_tokens; de-overlapped concatenation rebuilds the doc."""
+    from dataprofiler_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # == chunk size
+         (2, " ".join(f"u{i}" for i in range(17))),   # chunk + partial
+         (3, "single"),
+         (4, "")],                                    # empty: dropped
+        "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=10, overlap_tokens=3)
+    rows = {(r["id"], r["chunk_index"]): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert sum(1 for k in rows if k[0] == 1) == 1
+    assert rows[(1, 0)]["n_tokens"] == 10
+    # doc 2 (n=17): stride 7 -> starts 0, 7; window at 7 reaches token
+    # 17 so coverage is complete with TWO chunks (no redundant tail)
+    two = sorted((k[1], rows[k]["n_tokens"]) for k in rows if k[0] == 2)
+    assert two == [(0, 10), (1, 10)]
+    # overlap check: last 3 tokens of chunk 0 == first 3 of chunk 1
+    c0 = rows[(2, 0)]["chunk_text"].split()
+    c1 = rows[(2, 1)]["chunk_text"].split()
+    assert c0[-3:] == c1[:3]
+    # reconstruction: chunk0 + de-overlapped tail rebuilds the stream
+    rebuilt = c0 + c1[3:]
+    assert rebuilt == [f"u{i}" for i in range(17)]
+    assert rows[(3, 0)]["n_tokens"] == 1
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from dataprofiler_spark.operators.chunking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "the the the zebra zebra quark"),
+         (2, "the the common words here"),
+         (3, "the common words again here")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    top1 = {r["rank"]: r["term"] for r in out.where("id = 1").collect()}
+    # 'zebra' (tf=2, df=1) outscores 'the' (tf=3, df=3)
+    assert top1[1] == "zebra"
+
+
+def test_interval_join_equals_naive_inequality_join(spark):
+    """Randomized equivalence: the bucketized interval join returns
+    exactly the rows of the naive (nested-loop) inequality join, across
+    bucket-boundary-straddling intervals and several granularities."""
+    import random
+
+    from dataprofiler_spark.operators.intervals import interval_join
+
+    rnd = random.Random(1234)
+    base = 1_700_000_000
+    events = [(rnd.randrange(1, 6), base + rnd.randrange(0, 200_000))
+              for _ in range(300)]
+    ivs = []
+    for _ in range(40):
+        s = base + rnd.randrange(0, 200_000)
+        ivs.append((rnd.randrange(1, 6), s, s + rnd.randrange(1, 30_000)))
+    edf = (spark.createDataFrame(events, "k long, t long")
+           .withColumn("ts", F.timestamp_seconds("t")).drop("t"))
+    idf = (spark.createDataFrame(ivs, "k long, s long, e long")
+           .withColumn("w_start", F.timestamp_seconds("s"))
+           .withColumn("w_end", F.timestamp_seconds("e"))
+           .drop("s", "e"))
+    naive = (edf.alias("e").join(
+        idf.alias("i"),
+        (F.col("e.k") == F.col("i.k"))
+        & (F.col("e.ts") >= F.col("i.w_start"))
+        & (F.col("e.ts") < F.col("i.w_end")))
+        .select(F.col("e.k"), F.col("e.ts"),
+                F.col("i.w_start"), F.col("i.w_end")))
+    want = sorted(map(tuple, naive.collect()))
+    for g in (60, 3600, 100_000):
+        got = sorted(map(tuple, interval_join(
+            edf, idf, "k", "ts", "w_start", "w_end",
+            granularity_seconds=g).collect()))
+        assert got == want, f"granularity={g}"
