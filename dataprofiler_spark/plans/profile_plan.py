@@ -258,7 +258,16 @@ class Profiler:
         t_b0 = time.perf_counter()
         hist_specs = self._histogram_specs(state, numeric_cols)
         t_bins = time.perf_counter() - t_b0
-        self._fused_counts_pass(df, state, candidates, hist_specs)
+        # the 5-row sample job overlaps the counts shuffle (independent
+        # jobs; Spark's scheduler runs them concurrently) — it otherwise
+        # serializes ~1 job-launch latency onto the critical path
+        from concurrent.futures import ThreadPoolExecutor
+        t_s0 = time.perf_counter()
+        with ThreadPoolExecutor(1) as sample_ex:
+            sample_rows = sample_ex.submit(lambda: df.limit(5).collect())
+            self._fused_counts_pass(df, state, candidates, hist_specs)
+            sample_rows = sample_rows.result()
+        t_samples_wall = time.perf_counter() - t_s0
         for c in all_cols:
             if c not in candidates:
                 state.columns[c].categorical = CategoricalState(
@@ -274,15 +283,17 @@ class Profiler:
                        "counts_pass": t_cat - t_bins}
 
         # sample values for the report (reference keeps 5 random samples
-        # per column, profile_builder.py:667-671) — one cheap limit job
-        t0 = time.perf_counter()
-        for row_s in df.limit(5).collect():
+        # per column, profile_builder.py:667-671) — collected above,
+        # overlapped with the counts pass
+        for row_s in sample_rows:
             d = row_s.asDict()
             for c in all_cols:
                 v = d.get(c)
                 if v is not None and len(state.columns[c].samples) < 5:
                     state.columns[c].samples.append(str(v))
-        state.times["samples"] = time.perf_counter() - t0
+        # wall time the sample job added BEYOND the counts pass it
+        # overlaps with (~0 when fully hidden)
+        state.times["samples"] = max(0.0, t_samples_wall - (t_cat - t_bins))
 
         # opt-in job 4: order detection over an explicit ordering (Spark
         # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort
