@@ -592,3 +592,44 @@ JOIN sig s1 ON s1.id = c.id1
 JOIN sig s2 ON s2.id = c.id2
 WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {max_hamming}
 """
+
+
+def canonical_sample(df: DataFrame, id_col: str, text_col: str,
+                     fraction: float, k: int = 3, num_hashes: int = 12,
+                     bands: int = 6, threshold: float = 0.5,
+                     seed: str = "dps-sample-v1") -> DataFrame:
+    """Dedup-aware corpus sampling: keep one canonical doc per near-dup
+    cluster, then a deterministic hash-sample of the canonicals — the
+    composed "dedup then subsample" step a training-data pipeline runs
+    before materialization. Returns (id, cluster_id, cluster_size) of
+    the kept docs.
+
+    Scale shape: the cluster pipeline of :func:`neardup_clusters` plus a
+    pure hash filter (operators/sampling.py) — no extra shuffle beyond
+    clustering, and the sample decision is reproducible on any engine,
+    at any scale, under any partitioning."""
+    from dataprofiler_spark.operators.sampling import hash_fraction_expr
+
+    clusters = neardup_clusters(df, id_col, text_col, k=k,
+                                num_hashes=num_hashes, bands=bands,
+                                threshold=threshold)
+    return (clusters.where(F.col("is_canonical"))
+            .where(hash_fraction_expr(F.col("id"), seed) < fraction)
+            .select("id", "cluster_id", "cluster_size"))
+
+
+def oracle_canonical_sample_sql(table: str, id_col: str, text_col: str,
+                                fraction: float, k: int = 3,
+                                num_hashes: int = 12, bands: int = 6,
+                                threshold: float = 0.5,
+                                seed: str = "dps-sample-v1") -> str:
+    from dataprofiler_spark.operators.sampling import _duck_hash_fraction
+
+    inner = oracle_neardup_clusters_sql(table, id_col, text_col, k=k,
+                                        num_hashes=num_hashes, bands=bands,
+                                        threshold=threshold)
+    return f"""
+SELECT id, cluster_id, cluster_size
+FROM ({inner}) c
+WHERE is_canonical AND {_duck_hash_fraction('id', seed)} < {fraction}
+"""

@@ -86,3 +86,114 @@ SELECT '{r.name}' AS rule,
        ROUND(CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_ratio
 FROM {table}""")
     return "\nUNION ALL\n".join(selects)
+
+
+# -- dataset-level expectations ---------------------------------------------
+# Beyond the reference's per-row validators: aggregate contracts a data
+# pipeline asserts before shipping a table (uniqueness, volume, null
+# ratios, mean bounds) — the expectation-suite shape, evaluated in ONE
+# aggregation pass like `validate`.
+
+@dataclass(frozen=True)
+class Expectation:
+    """kind: unique | row_count_between | nonnull_ratio_at_least |
+    mean_between. ``column`` unused for row_count_between."""
+
+    kind: str
+    column: str | None = None
+    low: float | None = None
+    high: float | None = None
+
+    @property
+    def name(self) -> str:
+        return f"{self.column or '*'}:{self.kind}"
+
+
+# scaled-integer decimal sum: engine-exact mean (same trick as
+# operators/numeric.py exact mode — a plain double sum is summation-
+# order-dependent and would make pass/fail nondeterministic at the
+# boundary)
+_MEAN_SCALE = 1000
+
+
+def expectation_report(df: DataFrame, expectations: list["Expectation"],
+                       round_digits: int = 6) -> DataFrame:
+    """(check, observed, passed) — all expectations in one agg pass.
+
+    observed: duplicates count (unique), row count (row_count_between),
+    non-null ratio (nonnull_ratio_at_least), exact mean (mean_between).
+    """
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for i, e in enumerate(expectations):
+        c = F.col(e.column) if e.column else None
+        if e.kind == "unique":
+            exprs.append((F.count(c) - F.count_distinct(c))
+                         .alias(f"__o{i}"))
+        elif e.kind == "row_count_between":
+            exprs.append(F.count(F.lit(1)).cast("double").alias(f"__o{i}"))
+        elif e.kind == "nonnull_ratio_at_least":
+            exprs.append(F.round(F.count(c) / F.count(F.lit(1)),
+                                 round_digits).alias(f"__o{i}"))
+        elif e.kind == "mean_between":
+            s1 = F.sum(F.round(c.cast("double") * _MEAN_SCALE, 0)
+                       .cast("decimal(38,0)"))
+            exprs.append(F.round(
+                (s1.cast("double") / _MEAN_SCALE) / F.count(c),
+                round_digits).alias(f"__o{i}"))
+        else:
+            raise ValueError(e.kind)
+    row = df.agg(*exprs)
+    structs = []
+    for i, e in enumerate(expectations):
+        o = F.col(f"__o{i}").cast("double")
+        if e.kind == "unique":
+            passed = o == 0
+        elif e.kind == "nonnull_ratio_at_least":
+            passed = o >= F.lit(float(e.low))
+        else:
+            passed = F.lit(True)
+            if e.low is not None:
+                passed = passed & (o >= F.lit(float(e.low)))
+            if e.high is not None:
+                passed = passed & (o <= F.lit(float(e.high)))
+        structs.append(F.struct(
+            F.lit(e.name).alias("check"), o.alias("observed"),
+            passed.alias("passed")))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_expectation_sql(table: str, expectations: list["Expectation"],
+                           round_digits: int = 6) -> str:
+    selects = []
+    for e in expectations:
+        if e.kind == "unique":
+            obs = f"CAST(COUNT({e.column}) - COUNT(DISTINCT {e.column}) AS DOUBLE)"
+            passed = f"({obs}) = 0"
+        elif e.kind == "row_count_between":
+            obs = "CAST(COUNT(*) AS DOUBLE)"
+            passed = _bounds(obs, e)
+        elif e.kind == "nonnull_ratio_at_least":
+            obs = (f"ROUND(CAST(COUNT({e.column}) AS DOUBLE) / COUNT(*), "
+                   f"{round_digits})")
+            passed = f"({obs}) >= {float(e.low)}"
+        elif e.kind == "mean_between":
+            s1 = (f"SUM(CAST(ROUND({e.column} * {_MEAN_SCALE}, 0) "
+                  f"AS DECIMAL(38,0)))")
+            obs = (f"ROUND((CAST({s1} AS DOUBLE) / {_MEAN_SCALE}) "
+                   f"/ COUNT({e.column}), {round_digits})")
+            passed = _bounds(obs, e)
+        else:
+            raise ValueError(e.kind)
+        selects.append(
+            f"SELECT '{e.name}' AS \"check\", {obs} AS observed, "
+            f"{passed} AS passed FROM {table}")
+    return "\nUNION ALL\n".join(selects)
+
+
+def _bounds(obs: str, e: "Expectation") -> str:
+    parts = []
+    if e.low is not None:
+        parts.append(f"({obs}) >= {float(e.low)}")
+    if e.high is not None:
+        parts.append(f"({obs}) <= {float(e.high)}")
+    return " AND ".join(parts) if parts else "TRUE"

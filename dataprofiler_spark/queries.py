@@ -1234,6 +1234,33 @@ def embedding_neardup_clusters(spark, sf_dir):
         threshold=0.3, n_planes=4)
 
 
+@register("canonical_sample_documents",
+          dd.oracle_canonical_sample_sql("documents", "doc_id", "text",
+                                         fraction=0.5))
+def canonical_sample_documents(spark, sf_dir):
+    """Dedup-aware sampling: one canonical doc per near-dup cluster,
+    then a deterministic 50% hash-sample of the canonicals."""
+    return dd.canonical_sample(T(spark, sf_dir, "documents"), "doc_id",
+                               "text", fraction=0.5)
+
+
+_EXPECTATIONS = [
+    vd.Expectation("unique", "o_orderkey"),
+    vd.Expectation("row_count_between", low=1000),
+    vd.Expectation("nonnull_ratio_at_least", "o_custkey", low=0.99),
+    vd.Expectation("mean_between", "o_totalprice", low=1000.0,
+                   high=1_000_000.0),
+]
+
+
+@register("expectations_orders",
+          vd.oracle_expectation_sql("orders", _EXPECTATIONS))
+def expectations_orders(spark, sf_dir):
+    """Dataset-level expectation suite (uniqueness / volume / null-ratio
+    / exact-mean contracts) evaluated in one aggregation pass."""
+    return vd.expectation_report(T(spark, sf_dir, "orders"), _EXPECTATIONS)
+
+
 from dataprofiler_spark.operators import chunking as ck
 
 

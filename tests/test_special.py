@@ -74,3 +74,35 @@ def test_edge_attribute_profile_bounded_collect(spark):
                                    ["attr"], categorical_threshold=1.0)
     assert small["attr"]["histogram"] == {"hot": 2500}
     assert "truncated" not in small["attr"]
+
+
+def test_expectation_report_pass_fail(spark, duck):
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.validators import (
+        Expectation, expectation_report, oracle_expectation_sql)
+    from tests.oracle_utils import assert_frames_match
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, None), (4, 30.0)],  # dup key + null
+        "k long, v double")
+    exps = [
+        Expectation("unique", "k"),                       # FAIL: dup 2
+        Expectation("row_count_between", low=3, high=10),  # pass
+        Expectation("nonnull_ratio_at_least", "v", low=0.9),  # FAIL: 0.75
+        Expectation("mean_between", "v", low=15.0, high=25.0),  # pass: 20
+    ]
+    rows = {r["check"]: r for r in expectation_report(df, exps).collect()}
+    assert rows["k:unique"]["observed"] == 1.0
+    assert rows["k:unique"]["passed"] is False
+    assert rows["*:row_count_between"]["passed"] is True
+    assert rows["v:nonnull_ratio_at_least"]["observed"] == 0.75
+    assert rows["v:nonnull_ratio_at_least"]["passed"] is False
+    assert rows["v:mean_between"]["observed"] == 20.0
+    assert rows["v:mean_between"]["passed"] is True
+    # oracle agreement on the same handcrafted table
+    duck.sql("CREATE OR REPLACE VIEW exp_t AS SELECT * FROM (VALUES "
+             "(1, 10.0), (2, 20.0), (2, NULL), (4, 30.0)) AS t(k, v)")
+    ddf = duck.sql(oracle_expectation_sql("exp_t", exps)).df()
+    assert_frames_match(expectation_report(df, exps).toPandas(), ddf,
+                        "expectation_report")
