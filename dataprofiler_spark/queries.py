@@ -1381,13 +1381,15 @@ _DRIVER_WINDOW = [
 
 
 def _apply_driver_window() -> None:
-    missing = [n for n in _DRIVER_WINDOW if n not in SPARK_QUERIES]
-    assert not missing, f"driver window references unknown queries: {missing}"
-    unoracled = [n for n in _DRIVER_WINDOW if n not in ORACLE_SQL]
-    assert not unoracled, (
-        f"driver window entries without an oracle: {unoracled}")
-    ordered = _DRIVER_WINDOW + [
-        n for n in SPARK_QUERIES if n not in set(_DRIVER_WINDOW)]
+    # Self-healing, never fatal: an ImportError here would turn EVERY
+    # driver row red. Unknown names are ignored; a window entry that
+    # lost its oracle (e.g. a missing golden fixture) is demoted past
+    # the window instead of occupying a slot it would fail in.
+    # tests/test_oracle_parity.py::test_driver_window_all_oracled keeps
+    # the strict check where failure is cheap.
+    window = [n for n in _DRIVER_WINDOW
+              if n in SPARK_QUERIES and n in ORACLE_SQL]
+    ordered = window + [n for n in SPARK_QUERIES if n not in set(window)]
     for d in (SPARK_QUERIES,):
         items = [(n, d[n]) for n in ordered if n in d]
         d.clear()

@@ -426,3 +426,36 @@ def test_interval_join_equals_naive_inequality_join(spark):
             edf, idf, "k", "ts", "w_start", "w_end",
             granularity_seconds=g).collect()))
         assert got == want, f"granularity={g}"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=6),
+       st.integers(min_value=0, max_value=3))
+def test_chunking_invariants(spark, docs, chunk_tokens, overlap):
+    """For ANY corpus and window config: every token is covered, chunk
+    lengths never exceed the window, de-overlapped concatenation
+    rebuilds each doc exactly."""
+    from dataprofiler_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"])
+    out = chunk_documents(df, "id", "text", chunk_tokens, overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        assert 1 <= r["n_tokens"] <= chunk_tokens
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_index"], r["chunk_text"].split()))
+    for i, ws in enumerate(docs):
+        if not ws:
+            assert i not in by_doc  # empty docs yield no chunks
+            continue
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert rebuilt[-overlap:] == c[:overlap] if overlap else True
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == ws

@@ -25,3 +25,18 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         return
     ddf = duck.sql(ORACLE_SQL[name]).df()
     assert_frames_match(sdf, ddf, name)
+
+
+def test_driver_window_all_oracled():
+    """The 50 driver-checked slots must all resolve and carry oracles —
+    enforced here (cheap failure) rather than at import (an ImportError
+    would red-line every driver row)."""
+    from dataprofiler_spark.queries import (_DRIVER_WINDOW, ORACLE_SQL,
+                                            SPARK_QUERIES)
+
+    missing = [n for n in _DRIVER_WINDOW if n not in SPARK_QUERIES]
+    unoracled = [n for n in _DRIVER_WINDOW if n not in ORACLE_SQL]
+    assert not missing and not unoracled, (missing, unoracled)
+    first50 = list(SPARK_QUERIES)[:50]
+    assert first50 == _DRIVER_WINDOW
+    assert all(n in ORACLE_SQL for n in first50)
