@@ -127,6 +127,30 @@ def main() -> None:
     run("quality_rollup_documents",
         lambda: ta2.quality_rollup(documents, "text", "source").collect())
 
+    from dataprofiler_spark.operators import chunking as ck
+    from dataprofiler_spark.operators import intervals as iv
+    from dataprofiler_spark.operators import validators as vd
+
+    run("chunk_summary_documents",
+        lambda: ck.chunk_summary(documents, "doc_id", "text",
+                                 chunk_tokens=64, overlap_tokens=8
+                                 ).collect())
+    run("tfidf_top_terms_documents",
+        lambda: ck.tfidf_top_terms(documents, "doc_id", "text", k=3
+                                   ).count())
+    run("interval_join_events",
+        lambda: iv.interval_join_first_day_counts(events).count())
+    run("funnel_events",
+        lambda: ev.funnel(events, ["view", "click", "purchase"]).collect())
+    run("expectations_orders",
+        lambda: vd.expectation_report(orders, [
+            vd.Expectation("unique", "o_orderkey"),
+            vd.Expectation("row_count_between", low=1000),
+            vd.Expectation("nonnull_ratio_at_least", "o_custkey", low=0.99),
+            vd.Expectation("mean_between", "o_totalprice", low=1000.0,
+                           high=1_000_000.0),
+        ]).collect())
+
     def _drift():
         from pyspark.sql import functions as F
         a = orders.where(F.col("o_orderdate") < "1998-01-01")
