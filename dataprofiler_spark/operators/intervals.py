@@ -30,13 +30,21 @@ from pyspark.sql import functions as F
 def interval_join(events: DataFrame, intervals: DataFrame, key: str,
                   ts_col: str, start_col: str, end_col: str,
                   granularity_seconds: int = 3600,
-                  broadcast_intervals: bool = False) -> DataFrame:
+                  broadcast_intervals: bool = False,
+                  max_buckets_per_interval: int = 10_000) -> DataFrame:
     """Rows of ``events`` matched to every interval of the same key with
     ``start <= ts < end`` (half-open, the standard window convention).
 
     Returns events columns + the matched interval's start/end. Events
     matching no interval are dropped (inner join); left-join semantics
     compose as ``events.join(result, ..., "left")`` when needed.
+
+    ``max_buckets_per_interval`` bounds the interval-side explode: a
+    degenerate interval (years long at minute granularity) would
+    otherwise fan out without limit. Exceeding intervals raise at
+    runtime (ANSI error from the guard expression) rather than silently
+    flooding the shuffle — pick a granularity near the median interval
+    length instead.
     """
     g = int(granularity_seconds)
     ev = events.withColumn(
@@ -46,12 +54,19 @@ def interval_join(events: DataFrame, intervals: DataFrame, key: str,
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
     # half-open [start, end): the bucket of (end - 1µs) is the last that
     # can contain a matching event
+    b1_guarded = F.when(
+        F.col("__b1") - F.col("__b0") < max_buckets_per_interval,
+        F.col("__b1")
+    ).otherwise(F.raise_error(F.lit(
+        f"interval spans more than {max_buckets_per_interval} buckets at "
+        f"granularity_seconds={g}; raise the granularity (or the cap) — "
+        "a silent cap would drop matches")).cast("long"))
     iv = (intervals
           .withColumn("__b0", F.floor(s_us / (g * 1_000_000)))
           .withColumn("__b1", F.floor((e_us - 1) / (g * 1_000_000)))
           .where(e_us > s_us)
           .withColumn("__bucket",
-                      F.explode(F.sequence("__b0", "__b1")))
+                      F.explode(F.sequence("__b0", b1_guarded)))
           .drop("__b0", "__b1"))
     if broadcast_intervals:
         iv = F.broadcast(iv)

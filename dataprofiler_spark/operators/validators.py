@@ -122,6 +122,13 @@ def expectation_report(df: DataFrame, expectations: list["Expectation"],
 
     observed: duplicates count (unique), row count (row_count_between),
     non-null ratio (nonnull_ratio_at_least), exact mean (mean_between).
+
+    Scale note: each ``unique`` expectation adds an exact
+    count_distinct — Spark plans mixed distinct/non-distinct aggregates
+    with an Expand (input ×(1 + #distinct columns)). Exactness is the
+    point of an assertion, so that cost is deliberate; for advisory
+    checks on very wide fact tables, assert uniqueness on key columns
+    only.
     """
     exprs = [F.count(F.lit(1)).alias("__n")]
     for i, e in enumerate(expectations):

@@ -459,3 +459,26 @@ def test_chunking_invariants(spark, docs, chunk_tokens, overlap):
             assert rebuilt[-overlap:] == c[:overlap] if overlap else True
             rebuilt.extend(c[overlap:])
         assert rebuilt == ws
+
+
+def test_interval_join_explode_guard(spark):
+    """A degenerate interval spanning more buckets than the cap fails
+    loudly (a silent cap would drop matches)."""
+    import pytest
+
+    from dataprofiler_spark.operators.intervals import interval_join
+
+    events = (spark.createDataFrame([(1, 1_700_000_000)], "k long, t long")
+              .withColumn("ts", F.timestamp_seconds("t")).drop("t"))
+    wide = (spark.createDataFrame(
+        [(1, 1_700_000_000, 1_700_000_000 + 86400 * 365)],
+        "k long, s long, e long")
+        .withColumn("w_start", F.timestamp_seconds("s"))
+        .withColumn("w_end", F.timestamp_seconds("e")).drop("s", "e"))
+    with pytest.raises(Exception, match="buckets"):
+        interval_join(events, wide, "k", "ts", "w_start", "w_end",
+                      granularity_seconds=60,
+                      max_buckets_per_interval=1000).collect()
+    # under the cap: fine
+    assert interval_join(events, wide, "k", "ts", "w_start", "w_end",
+                         granularity_seconds=86400).count() == 1
