@@ -11,6 +11,7 @@ Public API:
     get_spark() / load_tables()      — session + testdata helpers
 """
 
+from dataprofiler_spark.data import Data
 from dataprofiler_spark.plans.dispatch import (GraphProfiler,
                                                UnstructuredProfiler,
                                                profile_path)
@@ -22,7 +23,8 @@ from dataprofiler_spark.state import (DatasetState, from_json,
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
 
 __all__ = [
-    "Profiler", "ProfilerOptions", "UnstructuredProfiler", "GraphProfiler",
+    "Data", "Profiler", "ProfilerOptions", "UnstructuredProfiler",
+    "GraphProfiler",
     "DatasetState", "StreamingProfiler", "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",
     "set_seed", "to_json", "from_json",

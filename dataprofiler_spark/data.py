@@ -1,0 +1,64 @@
+"""``Data(path)`` — the reference's load entry point.
+
+Reference flow (README.md:70-90, data_readers/data.py): ``data =
+dp.Data(path); profile = dp.Profiler(data); profile.report()``. Here
+``Data`` wraps the sniff-and-read pipeline (sources/sniff.py) around a
+lazy Spark scan: nothing is materialized at construction beyond the
+header bytes the sniffer reads, so ``Data("s3a://bucket/100tb/")``
+costs nothing until a profile runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Data:
+    """Sniffed, lazily-read dataset handle.
+
+    Attributes mirror the reference's surface: ``data_type`` (csv /
+    json / parquet / avro / text / graph_csv / orc), ``df`` (the lazy
+    DataFrame — the reference's ``.data`` pandas frame equivalent).
+    """
+
+    def __init__(self, path: str, spark: SparkSession | None = None,
+                 data_type: str | None = None, **options):
+        from dataprofiler_spark.session import get_spark
+        from dataprofiler_spark.sources.sniff import read_data
+
+        self.path = path
+        self._spark = spark or get_spark()
+        self.df, self._sniff = read_data(self._spark, path,
+                                         fmt=data_type, **options)
+
+    @property
+    def data_type(self) -> str:
+        return self._sniff.format
+
+    @property
+    def options(self) -> dict:
+        return dict(self._sniff.options)
+
+    @property
+    def data(self) -> DataFrame:
+        """Reference's ``.data``; here the lazy DataFrame itself."""
+        return self.df
+
+    def head(self, n: int = 5):
+        return self.df.limit(n).toPandas()
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    def profile(self, options=None):
+        """Route to the right profiler family (reference
+        Profiler.__new__, profile_builder.py:3075-3146)."""
+        from dataprofiler_spark.plans.dispatch import (GraphProfiler,
+                                                       UnstructuredProfiler)
+        from dataprofiler_spark.plans.profile_plan import Profiler
+
+        if self.data_type == "text":
+            return UnstructuredProfiler(self.df, "value")
+        if self.data_type == "graph_csv":
+            return GraphProfiler(self.df)
+        return Profiler(self.df, options)

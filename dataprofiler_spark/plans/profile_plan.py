@@ -138,6 +138,8 @@ class Profiler:
     """StructuredProfiler equivalent (profile_builder.py:1632+), Spark-first."""
 
     def __init__(self, df: DataFrame, options: ProfilerOptions | None = None):
+        if not isinstance(df, DataFrame) and hasattr(df, "df"):
+            df = df.df  # accept a Data(path) handle (reference call shape)
         self.df = df
         self.options = options or ProfilerOptions()
         self.state: DatasetState | None = None
@@ -174,11 +176,14 @@ class Profiler:
         self.state = chunk if self.state is None else self.state + chunk
         return self.state
 
-    def report(self) -> dict:
+    def report(self, report_options: dict | None = None) -> dict:
+        """Reference call shape: ``profile.report(report_options=
+        {"output_format": "compact"})`` (report_helpers.py:89-120)."""
         if self.state is None:
             self.profile()
         from dataprofiler_spark.report import build_report
-        return build_report(self.state)
+        fmt = (report_options or {}).get("output_format", "pretty")
+        return build_report(self.state, output_format=fmt)
 
     # -- plan ---------------------------------------------------------------
 

@@ -158,7 +158,29 @@ def build_report(state: DatasetState, output_format: str = "pretty") -> dict:
             ds["statistics"].pop("histogram", None)
     elif output_format == "flat":
         return flat_dict(report)
+    elif output_format == "serializable":
+        return _json_safe(report)
+    elif output_format != "pretty":
+        raise ValueError(
+            f"unknown output_format {output_format!r}: expected "
+            "pretty | compact | serializable | flat")
     return report
+
+
+def _json_safe(v):
+    """Reference 'serializable' format (report_helpers.py:89-260): every
+    value JSON-encodable — non-finite floats become strings, exotic
+    scalars stringify, containers recurse. json.dumps(result) succeeds
+    by construction."""
+    if isinstance(v, dict):
+        return {str(k): _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, float):
+        return v if math.isfinite(v) else str(v)
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    return str(v)
 
 
 def deterministic_report_rows(state: DatasetState) -> list[tuple]:

@@ -466,3 +466,40 @@ def test_null_type_indices_cap_and_exact_counts(spark):
     # smallest ids win: NaN rows are ids 0,10,...,90 -> first 7
     nan_ids = sorted(out[out["null_type"] == "NaN"]["row_id"])
     assert nan_ids == [0, 10, 20, 30, 40, 50, 60]
+
+
+def test_report_serializable_format(spark, sf_dir):
+    """'serializable' must produce a json.dumps-able report even with
+    non-finite floats in the state; unknown formats raise."""
+    import json
+    import os
+
+    import pytest
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import build_report
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    st = Profiler(df).profile()
+    # inject a non-finite value to prove the conversion path
+    next(iter(st.columns.values())).samples.append(float("inf"))
+    rep = build_report(st, output_format="serializable")
+    json.dumps(rep)  # must not raise
+    with pytest.raises(ValueError, match="output_format"):
+        build_report(st, output_format="nope")
+
+
+def test_report_options_call_shape(spark, sf_dir):
+    """profile.report(report_options={"output_format": ...}) — the
+    reference's public call shape — routes to the format variants."""
+    import os
+
+    from dataprofiler_spark import Profiler
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    p = Profiler(df)
+    flat = p.report(report_options={"output_format": "flat"})
+    assert all(not isinstance(v, (dict, list)) for v in flat.values())
+    compact = p.report(report_options={"output_format": "compact"})
+    assert all("histogram" not in ds["statistics"]
+               for ds in compact["data_stats"])

@@ -327,3 +327,23 @@ def test_url_s3_requires_connector():
         pass
     with _pytest.raises(ImportError, match="s3a connector|boto3"):
         url_to_local("s3://bucket/key.parquet")
+
+
+def test_data_entrypoint_reference_flow(spark, tmp_path):
+    """The reference's headline flow: Data(path) -> Profiler(data) ->
+    report(), with data_type sniffed and the scan staying lazy."""
+    from dataprofiler_spark import Data, Profiler
+
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nalice,31\nbob,28\n")
+    data = Data(str(p), spark=spark)
+    assert data.data_type == "csv"
+    assert len(data) == 2
+    assert list(data.head().columns) == ["name", "age"]
+    rep = Profiler(data).report(report_options={"output_format": "compact"})
+    assert rep["global_stats"]["row_count"] == 2
+    # dispatching profile(): text routes to the unstructured profiler
+    t = tmp_path / "blob.txt"
+    t.write_text("some plain text\nwith two lines of words\n")
+    prof = Data(str(t), spark=spark).profile()
+    assert prof.report()["data_stats"]["data_label"] == "text"
