@@ -1328,13 +1328,9 @@ _DRIVER_WINDOW = [
     "distinct_counts_lineitem",
     "row_stats_lineitem",
     "histogram_extendedprice",
-    "quantiles_extendedprice",
-    "modes_quantity",
     "datetime_profile_orders",
-    "time_bucket_events",
     "order_profile_lineitem",
     "text_stats_customer",
-    "word_counts_documents",
     "precision_stats_lineitem",
     "nullspec_customer",
     "type_inference_lineitem",
@@ -1344,11 +1340,18 @@ _DRIVER_WINDOW = [
     "crosstab_lineitem",
     "full_profile_lineitem",
     "full_profile_events",
-    # drift / graph / labeler (§2.5, §2.4 graph, §2.7)
-    "psi_orderpriority",
+    # drift / similarity / labeler (§2.5, §2.7); graph + psi_cat +
+    # modes/time_bucket/word_counts/label_votes keep their r2-green
+    # credit and rotate out for the round-3 operators below
     "cosine_topk_embeddings",
-    "graph_components_nation",
     "label_votes_customer",
+    # round-3 operators (first driver rows)
+    "interval_join_events",
+    "embedding_neardup_clusters",
+    "chunk_summary_documents",
+    "tfidf_top_terms_documents",
+    "expectations_orders",
+    "canonical_sample_documents",
     # never driver-checked §2 operators (rotated out in r2)
     "null_replication_orders",
     "sessionize_events",

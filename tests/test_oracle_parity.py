@@ -34,6 +34,7 @@ def test_driver_window_all_oracled():
     from dataprofiler_spark.queries import (_DRIVER_WINDOW, ORACLE_SQL,
                                             SPARK_QUERIES)
 
+    assert len(_DRIVER_WINDOW) == 50  # exactly the driver-checked count
     missing = [n for n in _DRIVER_WINDOW if n not in SPARK_QUERIES]
     unoracled = [n for n in _DRIVER_WINDOW if n not in ORACLE_SQL]
     assert not missing and not unoracled, (missing, unoracled)
