@@ -3,15 +3,18 @@ pipeline engine with the capabilities of capitalone/DataProfiler,
 re-designed Spark-first (see SURVEY.md).
 
 Public API:
-    Profiler(df).report()            — full profile in 3 Spark jobs
+    Data(path)                       — sniffed, lazy load handle
+    Profiler(data_or_df).report()    — full profile in 3 Spark jobs
     Profiler(df).update_profile(df2) — batch-incremental
     state1 + state2                  — mergeable profile algebra
     diff_profiles(a, b)              — drift report (PSI/chi²/t-test)
+    DataLabeler(...).predict(df)     — entity labeling (regex/CNN/name)
     StreamingProfiler().attach(sdf)  — Structured Streaming foreachBatch
     get_spark() / load_tables()      — session + testdata helpers
 """
 
 from dataprofiler_spark.data import Data
+from dataprofiler_spark.labeler import DataLabeler
 from dataprofiler_spark.plans.dispatch import (GraphProfiler,
                                                UnstructuredProfiler,
                                                profile_path)
@@ -23,7 +26,7 @@ from dataprofiler_spark.state import (DatasetState, from_json,
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
 
 __all__ = [
-    "Data", "Profiler", "ProfilerOptions", "UnstructuredProfiler",
+    "Data", "DataLabeler", "Profiler", "ProfilerOptions", "UnstructuredProfiler",
     "GraphProfiler",
     "DatasetState", "StreamingProfiler", "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",

@@ -110,6 +110,12 @@ class ProfilerOptions:
         order_by: list[str] | None = None,  # enables order detection
         detect_datetime_formats: bool = False,
         min_true_samples: int | None = None,
+        # Reference options-tree is_enabled toggles (profiler_options.py):
+        # recognized keys: "histogram" (with it "quantiles"/"modes"/"mad"
+        # derived stats), "categorical", "samples". Disabling BOTH
+        # histogram and categorical removes the entire fused counts scan
+        # — at 100 TB that is half the profile's IO.
+        disabled_stats: frozenset[str] | set[str] = frozenset(),
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -132,6 +138,11 @@ class ProfilerOptions:
         self.order_by = order_by
         self.detect_datetime_formats = detect_datetime_formats
         self.min_true_samples = min_true_samples
+        unknown = set(disabled_stats) - {"histogram", "categorical",
+                                         "samples"}
+        if unknown:
+            raise ValueError(f"unknown disabled_stats: {sorted(unknown)}")
+        self.disabled_stats = frozenset(disabled_stats)
 
 
 class Profiler:
@@ -253,25 +264,30 @@ class Profiler:
         t0 = time.perf_counter()
         n = max(state.row_count, 1)
         candidates = []
-        for c in all_cols:
-            ad = state.columns[c].approx_distinct
-            if opt.categorical_max_unique is not None and \
-                    ad > opt.categorical_max_unique * 1.2:
-                continue
-            if ad / n <= opt.categorical_stop_ratio or ad <= 10:
-                candidates.append(c)
+        if "categorical" not in opt.disabled_stats:
+            for c in all_cols:
+                ad = state.columns[c].approx_distinct
+                if opt.categorical_max_unique is not None and \
+                        ad > opt.categorical_max_unique * 1.2:
+                    continue
+                if ad / n <= opt.categorical_stop_ratio or ad <= 10:
+                    candidates.append(c)
         t_b0 = time.perf_counter()
-        hist_specs = self._histogram_specs(state, numeric_cols)
+        hist_specs = [] if "histogram" in opt.disabled_stats \
+            else self._histogram_specs(state, numeric_cols)
         t_bins = time.perf_counter() - t_b0
         # the 5-row sample job overlaps the counts shuffle (independent
         # jobs; Spark's scheduler runs them concurrently) — it otherwise
         # serializes ~1 job-launch latency onto the critical path
         from concurrent.futures import ThreadPoolExecutor
         t_s0 = time.perf_counter()
+        want_samples = "samples" not in opt.disabled_stats
         with ThreadPoolExecutor(1) as sample_ex:
-            sample_rows = sample_ex.submit(lambda: df.limit(5).collect())
-            self._fused_counts_pass(df, state, candidates, hist_specs)
-            sample_rows = sample_rows.result()
+            sample_rows = sample_ex.submit(
+                lambda: df.limit(5).collect()) if want_samples else None
+            if candidates or hist_specs:
+                self._fused_counts_pass(df, state, candidates, hist_specs)
+            sample_rows = sample_rows.result() if want_samples else []
         t_samples_wall = time.perf_counter() - t_s0
         for c in all_cols:
             if c not in candidates:

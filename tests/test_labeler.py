@@ -134,3 +134,36 @@ def test_new_regex_labels(spark):
     assert votes[("acct", "BAN")] == 2
     assert votes[("acct", "INTEGER")] == 2  # deliberate overlap, both voted
     assert votes[("hashes", "HASH_OR_KEY")] == 2
+
+
+def test_datalabeler_facade(spark):
+    """The reference's DataLabeler(labeler_type=...).predict(data) call
+    shape over all three backends + the unstructured mode."""
+    import pytest
+
+    from dataprofiler_spark.labeler import DataLabeler
+
+    df = spark.createDataFrame(
+        [("a.b@example.com", 42), ("c.d@example.org", 7)],
+        "email string, count int")
+
+    lab = DataLabeler(labeler_type="structured", model="regex")
+    out = {r["column"]: r["label"] for r in lab.predict(df).collect()}
+    assert out["email"] == "EMAIL_ADDRESS"
+    assert "EMAIL_ADDRESS" in lab.labels
+
+    byname = DataLabeler(model="column_name").predict(df)
+    got = {r["column"]: r["label"] for r in byname.collect()}
+    assert got["email"] == "EMAIL_ADDRESS"
+
+    un = DataLabeler(labeler_type="unstructured")
+    ents = {r["label"]: r for r in un.predict(
+        spark.createDataFrame(
+            [("mail a@b.co or call 12-345-678-9012",)], "text string")
+    ).collect()}
+    assert "EMAIL_ADDRESS" in ents
+
+    with pytest.raises(ValueError, match="labeler_type"):
+        DataLabeler(labeler_type="nope")
+    with pytest.raises(ValueError, match="model"):
+        DataLabeler(model="nope")

@@ -503,3 +503,31 @@ def test_report_options_call_shape(spark, sf_dir):
     compact = p.report(report_options={"output_format": "compact"})
     assert all("histogram" not in ds["statistics"]
                for ds in compact["data_stats"])
+
+
+def test_disabled_stats_toggles(spark, sf_dir):
+    """Reference-style is_enabled toggles: disabling histogram +
+    categorical removes the whole fused counts scan (half the profile
+    IO); disabling samples skips the sample job; unknown keys raise."""
+    import os
+
+    import pytest
+
+    from dataprofiler_spark import Profiler, ProfilerOptions
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    opts = ProfilerOptions(
+        disabled_stats={"histogram", "categorical", "samples"})
+    st = Profiler(df, opts).profile()
+    for col in st.columns.values():
+        if col.numeric is not None:
+            assert col.numeric.histogram is None
+            assert col.numeric.min is not None  # base stats still run
+        assert not col.samples
+        assert col.categorical is None or not col.categorical.active
+    # the report still assembles without those sections
+    from dataprofiler_spark.report import build_report
+    rep = build_report(st)
+    assert rep["global_stats"]["row_count"] == df.count()
+    with pytest.raises(ValueError, match="disabled_stats"):
+        ProfilerOptions(disabled_stats={"nope"})
