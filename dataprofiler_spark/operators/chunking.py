@@ -123,12 +123,17 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                   tokens_expr(text_col).alias("toks")))
     terms = explode_no_prefilter(base, "toks", "term", "id")
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window over the tf table — NOT a second
+    # aggregation of the raw terms: re-deriving tf twice would re-scan
+    # and re-explode the corpus (Spark doesn't reuse shuffle files
+    # across re-derived DataFrame lineages). Same shuffle count, one
+    # scan.
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     if min_df > 1:
-        dfreq = dfreq.where(F.col("df") >= min_df)
+        scored = scored.where(F.col("df") >= min_df)
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (tf.join(dfreq, "term")
-              .crossJoin(F.broadcast(total))
+    scored = (scored.crossJoin(F.broadcast(total))
               .withColumn(
                   "tfidf",
                   F.round(F.col("tf") * (F.log((F.col("n_docs") + 1)

@@ -300,3 +300,25 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # it IS a join, just an equi-join
+
+
+def test_chunking_and_tfidf_prune_scan(spark, sf_dir):
+    """Chunking/TF-IDF must read only (id, text) from the documents
+    parquet — dragging the embedding/source columns through a token
+    explode would multiply scan bytes for nothing."""
+    from dataprofiler_spark.operators.chunking import (chunk_summary,
+                                                       tfidf_top_terms)
+    from dataprofiler_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents")
+    for df in (chunk_summary(docs, "doc_id", "text"),
+               tfidf_top_terms(docs, "doc_id", "text")):
+        plan = _simple(df)
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans, plan
+        data_scans = [ln for ln in scans if "struct<>" not in ln]
+        # exactly ONE data scan (tfidf's doc-count scan is metadata-only
+        # struct<> — free); df-frequency must NOT re-scan the corpus
+        assert len(data_scans) == 1, plan
+        assert "doc_id" in data_scans[0] and "text" in data_scans[0]
+        assert "embedding" not in data_scans[0]
