@@ -130,6 +130,8 @@ def expectation_report(df: DataFrame, expectations: list["Expectation"],
     checks on very wide fact tables, assert uniqueness on key columns
     only.
     """
+    if not expectations:
+        raise ValueError("expectation_report needs at least one Expectation")
     exprs = [F.count(F.lit(1)).alias("__n")]
     for i, e in enumerate(expectations):
         c = F.col(e.column) if e.column else None

@@ -37,7 +37,8 @@ def is_url(path: str) -> bool:
     return scheme in ("http", "https", "file", "s3", "s3a")
 
 
-def url_to_local(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
+def url_to_local(path: str, max_bytes: int = MAX_FETCH_BYTES,
+                 timeout_seconds: float = 60.0) -> str:
     """Resolve a URL to a local filesystem path (fetching if remote).
 
     Non-URL paths pass through unchanged. Fetches are cached per-URL for
@@ -57,7 +58,9 @@ def url_to_local(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
         return _fetch_cache[path]
     local = None
     try:
-        with urllib.request.urlopen(path) as resp:
+        # socket timeout: a hung server must fail the read, not stall
+        # the profile forever
+        with urllib.request.urlopen(path, timeout=timeout_seconds) as resp:
             length = resp.headers.get("Content-Length")
             if length is not None and int(length) > max_bytes:
                 raise ValueError(

@@ -124,16 +124,23 @@ class StreamingNearDup:
                 # would route a flagged DataFrame to a sink instead
                 flagged = self._flag_candidates(keys, wide, store_keys, spark)
             self.flagged.extend((batch_id, i) for i in sorted(flagged))
-            surviving = keys if not flagged else keys.where(
-                ~F.col("id").isin(*flagged))
+            # survivor filter as a broadcast anti-join, not isin(): a
+            # heavily-duplicated batch could flag thousands of ids, and
+            # a literal IN-list that long is a degenerate expression tree
+            flagged_df = None
+            if flagged:
+                flagged_df = F.broadcast(spark.createDataFrame(
+                    [(i,) for i in flagged], "id long"))
+            surviving = keys if flagged_df is None else keys.join(
+                flagged_df, "id", "left_anti")
             # batch tag enables TTL retention at compaction time
             (surviving.withColumn("batch", F.lit(batch_id).cast("long"))
              .write.mode("append").partitionBy("band")
              .parquet(self._keys_path))
             if self.verify_threshold is not None:
                 sets = wide.select("id", "hs")
-                if flagged:
-                    sets = sets.where(~F.col("id").isin(*flagged))
+                if flagged_df is not None:
+                    sets = sets.join(flagged_df, "id", "left_anti")
                 (sets.withColumn("batch", F.lit(batch_id).cast("long"))
                  .write.mode("append").parquet(self._sets_path))
         finally:
