@@ -3,9 +3,13 @@
 Reference flow (README.md:70-90, data_readers/data.py): ``data =
 dp.Data(path); profile = dp.Profiler(data); profile.report()``. Here
 ``Data`` wraps the sniff-and-read pipeline (sources/sniff.py) around a
-lazy Spark scan: nothing is materialized at construction beyond the
-header bytes the sniffer reads, so ``Data("s3a://bucket/100tb/")``
-costs nothing until a profile runs.
+lazy Spark scan: for local/cluster filesystem paths, nothing is
+materialized at construction beyond the header bytes the sniffer
+reads, so ``Data("s3a://bucket/100tb/")`` costs nothing until a
+profile runs. http(s) URLs are the exception: the body is fetched to a
+local temp file AT CONSTRUCTION (sniffing and Spark both need local
+bytes; sources/url.py enforces a size guard) — at scale, point Spark
+at a distributed-filesystem URI instead.
 """
 
 from __future__ import annotations
@@ -57,8 +61,13 @@ class Data:
                                                        UnstructuredProfiler)
         from dataprofiler_spark.plans.profile_plan import Profiler
 
-        if self.data_type == "text":
-            return UnstructuredProfiler(self.df, "value")
-        if self.data_type == "graph_csv":
+        if self.data_type in ("text", "graph_csv"):
+            if options is not None:
+                raise ValueError(
+                    f"options are not supported for {self.data_type} "
+                    "profiles (ProfilerOptions configures the structured "
+                    "profiler only)")
+            if self.data_type == "text":
+                return UnstructuredProfiler(self.df, "value")
             return GraphProfiler(self.df)
         return Profiler(self.df, options)

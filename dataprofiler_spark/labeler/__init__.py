@@ -62,7 +62,12 @@ class DataLabeler:
             from dataprofiler_spark.labeler.regex_labeler import (
                 unstructured_entity_counts)
             tc = text_col or next(
-                c for c, t in df.dtypes if t == "string")
+                (c for c, t in df.dtypes if t == "string"), None)
+            if tc is None:
+                raise ValueError(
+                    "unstructured predict needs a text column: none of "
+                    f"{df.columns} is a string column and text_col was "
+                    "not given")
             return unstructured_entity_counts(df, tc)
         cols = cols or df.columns
         if self.model == "column_name":

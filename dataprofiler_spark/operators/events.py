@@ -182,8 +182,10 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
     qualifying step-(i-1) event — and, when ``within_seconds`` is set,
     no more than that long after it (the product-analytics "conversion
     window"). ``max_gap_seconds`` generalizes that to per-transition
-    bounds: entry j bounds the gap between step j and step j+1 (None =
-    unbounded); it overrides ``within_seconds`` where given.
+    bounds: entry j bounds the gap between step j and step j+1, with an
+    explicit None meaning unbounded. Transitions BEYOND the list's
+    length fall back to ``within_seconds`` — a short list tightens the
+    early transitions without silently unbounding the rest.
 
     Output per step: (step, event_type, n_users, pct_of_first,
     pct_of_prev).
@@ -205,9 +207,8 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
         if prev is not None:
             cond = cond & (F.col("t") > F.col(prev))
             gap = within_seconds
-            if max_gap_seconds is not None:
-                gap = max_gap_seconds[i - 1] \
-                    if i - 1 < len(max_gap_seconds) else None
+            if max_gap_seconds is not None and i - 1 < len(max_gap_seconds):
+                gap = max_gap_seconds[i - 1]
             if gap is not None:
                 cond = cond & (
                     F.col("t") <= F.col(prev) + gap * 1_000_000)
@@ -249,9 +250,8 @@ def oracle_funnel_sql(table: str, steps: list[str],
         if i > 0:
             cond += f" AND us > t{i - 1}"
             gap = within_seconds
-            if max_gap_seconds is not None:
-                gap = max_gap_seconds[i - 1] \
-                    if i - 1 < len(max_gap_seconds) else None
+            if max_gap_seconds is not None and i - 1 < len(max_gap_seconds):
+                gap = max_gap_seconds[i - 1]
             if gap is not None:
                 cond += f" AND us <= t{i - 1} + {gap * 1_000_000}"
         t_cols.append(f"MIN(CASE WHEN {cond} THEN us END) {win} AS t{i}")

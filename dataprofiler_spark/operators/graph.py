@@ -137,8 +137,10 @@ def edge_attribute_profile(edges: DataFrame, attr_cols: list[str],
             counts = dict((r[0], r["count"]) for r in top.collect())
             kept = sum(counts.values())
             prof = {"kind": "categorical", "histogram": counts}
-            if distinct > max_categories * 0.8 and n > kept:
-                # n counts every edge incl. the null group row above
+            # exact truncation signal: the collect hit the cap AND rows
+            # are missing (an approx-distinct heuristic could undershoot
+            # and silently omit the flag)
+            if len(counts) == max_categories and n > kept:
                 prof["truncated"] = True
                 prof["overflow_count"] = n - kept
             out[c] = prof

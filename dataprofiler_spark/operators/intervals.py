@@ -61,7 +61,10 @@ def interval_join(events: DataFrame, intervals: DataFrame, key: str,
         f"interval spans more than {max_buckets_per_interval} buckets at "
         f"granularity_seconds={g}; raise the granularity (or the cap) — "
         "a silent cap would drop matches")).cast("long"))
+    # project the interval side down BEFORE the bucket explode: every
+    # extra column would be duplicated per covered bucket and shuffled
     iv = (intervals
+          .select(key, start_col, end_col)
           .withColumn("__b0", F.floor(s_us / (g * 1_000_000)))
           .withColumn("__b1", F.floor((e_us - 1) / (g * 1_000_000)))
           .where(e_us > s_us)
@@ -74,8 +77,11 @@ def interval_join(events: DataFrame, intervals: DataFrame, key: str,
         iv,
         on=[ev[key] == iv[key], ev["__bucket"] == iv["__bucket"]],
         how="inner")
-    cond = (F.col(ts_col).cast("timestamp") >= F.col(start_col).cast("timestamp")) & \
-           (F.col(ts_col).cast("timestamp") < F.col(end_col).cast("timestamp"))
+    # qualified references: events may itself carry start/end-named
+    # columns (and intervals a ts-named one) — unqualified F.col would
+    # be AMBIGUOUS_REFERENCE
+    cond = (ev[ts_col].cast("timestamp") >= iv[start_col].cast("timestamp")) & \
+           (ev[ts_col].cast("timestamp") < iv[end_col].cast("timestamp"))
     out_cols = ([ev[c] for c in events.columns]
                 + [iv[start_col], iv[end_col]])
     return joined.where(cond).select(*out_cols)

@@ -141,13 +141,16 @@ def expectation_report(df: DataFrame, expectations: list["Expectation"],
         elif e.kind == "row_count_between":
             exprs.append(F.count(F.lit(1)).cast("double").alias(f"__o{i}"))
         elif e.kind == "nonnull_ratio_at_least":
-            exprs.append(F.round(F.count(c) / F.count(F.lit(1)),
+            # try_divide: an EMPTY table must yield NULL -> fail-closed
+            # False below, not an ANSI divide-by-zero crash
+            exprs.append(F.round(F.try_divide(F.count(c),
+                                              F.count(F.lit(1))),
                                  round_digits).alias(f"__o{i}"))
         elif e.kind == "mean_between":
             s1 = F.sum(F.round(c.cast("double") * _MEAN_SCALE, 0)
                        .cast("decimal(38,0)"))
             exprs.append(F.round(
-                (s1.cast("double") / _MEAN_SCALE) / F.count(c),
+                F.try_divide(s1.cast("double") / _MEAN_SCALE, F.count(c)),
                 round_digits).alias(f"__o{i}"))
         else:
             raise ValueError(e.kind)
@@ -165,9 +168,12 @@ def expectation_report(df: DataFrame, expectations: list["Expectation"],
                 passed = passed & (o >= F.lit(float(e.low)))
             if e.high is not None:
                 passed = passed & (o <= F.lit(float(e.high)))
+        # fail closed: a NULL observed value (empty table, all-null
+        # column) must report passed=False, not NULL — a gate counting
+        # failures would otherwise ship the empty dataset
         structs.append(F.struct(
             F.lit(e.name).alias("check"), o.alias("observed"),
-            passed.alias("passed")))
+            F.coalesce(passed, F.lit(False)).alias("passed")))
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
@@ -195,7 +201,7 @@ def oracle_expectation_sql(table: str, expectations: list["Expectation"],
             raise ValueError(e.kind)
         selects.append(
             f"SELECT '{e.name}' AS \"check\", {obs} AS observed, "
-            f"{passed} AS passed FROM {table}")
+            f"COALESCE({passed}, FALSE) AS passed FROM {table}")
     return "\nUNION ALL\n".join(selects)
 
 

@@ -282,18 +282,20 @@ class Profiler:
         from concurrent.futures import ThreadPoolExecutor
         t_s0 = time.perf_counter()
         want_samples = "samples" not in opt.disabled_stats
+        t_counts = 0.0
         with ThreadPoolExecutor(1) as sample_ex:
             sample_rows = sample_ex.submit(
                 lambda: df.limit(5).collect()) if want_samples else None
             if candidates or hist_specs:
+                t_c0 = time.perf_counter()
                 self._fused_counts_pass(df, state, candidates, hist_specs)
+                t_counts = time.perf_counter() - t_c0
             sample_rows = sample_rows.result() if want_samples else []
         t_samples_wall = time.perf_counter() - t_s0
         for c in all_cols:
             if c not in candidates:
                 state.columns[c].categorical = CategoricalState(
                     categories={}, active=False)
-        t_cat = time.perf_counter() - t0
 
         # Per-phase telemetry (reference wraps each calc in _timeit,
         # base_column_profilers.py:68-81; one wide agg fuses the per-stat
@@ -301,7 +303,7 @@ class Profiler:
         # driver-side finalize steps broken out separately).
         state.times = {"wide_agg": t_agg, "assemble": t_assemble,
                        "bin_selection": t_bins,
-                       "counts_pass": t_cat - t_bins}
+                       "counts_pass": t_counts}
 
         # sample values for the report (reference keeps 5 random samples
         # per column, profile_builder.py:667-671) — collected above,
@@ -313,8 +315,9 @@ class Profiler:
                 if v is not None and len(state.columns[c].samples) < 5:
                     state.columns[c].samples.append(str(v))
         # wall time the sample job added BEYOND the counts pass it
-        # overlaps with (~0 when fully hidden)
-        state.times["samples"] = max(0.0, t_samples_wall - (t_cat - t_bins))
+        # overlaps with (~0 when fully hidden; the full job latency when
+        # the counts pass was disabled)
+        state.times["samples"] = max(0.0, t_samples_wall - t_counts)
 
         # opt-in job 4: order detection over an explicit ordering (Spark
         # DataFrames are unordered — SURVEY §7.4 risk 2; ONE window sort

@@ -1393,13 +1393,10 @@ def _apply_driver_window() -> None:
     window = [n for n in _DRIVER_WINDOW
               if n in SPARK_QUERIES and n in ORACLE_SQL]
     ordered = window + [n for n in SPARK_QUERIES if n not in set(window)]
-    for d in (SPARK_QUERIES,):
+    for d in (SPARK_QUERIES, ORACLE_SQL):
         items = [(n, d[n]) for n in ordered if n in d]
         d.clear()
         d.update(items)
-    items = [(n, ORACLE_SQL[n]) for n in ordered if n in ORACLE_SQL]
-    ORACLE_SQL.clear()
-    ORACLE_SQL.update(items)
 
 
 _apply_driver_window()

@@ -68,11 +68,20 @@ class StreamingNearDup:
 
     def _read(self, spark: SparkSession, path: str, schema: str
               ) -> DataFrame | None:
-        # Path-missing is the only "empty store" signal. A corrupt or
-        # unreadable store must RAISE, not read as empty — silently
-        # treating it as empty would pass every subsequent batch
-        # unflagged and append its signatures, permanently polluting the
-        # dedup history (false negatives with no error anywhere).
+        # A compact_store crash between its two moves leaves the history
+        # parked at .compact-old with no live dir — restore it BEFORE
+        # interpreting path-missing, otherwise this session reads
+        # "empty store", appends fresh signatures, and the next
+        # compaction discards the park as stale: permanent silent loss.
+        old = path.rstrip("/") + ".compact-old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            import shutil
+            shutil.move(old, path)
+        # After recovery, path-missing is the only "empty store" signal.
+        # A corrupt or unreadable store must RAISE, not read as empty —
+        # silently treating it as empty would pass every subsequent
+        # batch unflagged and append its signatures, permanently
+        # polluting the dedup history (false negatives, no error).
         if not os.path.isdir(path):
             return None
         return spark.read.schema(schema).parquet(path)

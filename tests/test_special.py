@@ -106,3 +106,51 @@ def test_expectation_report_pass_fail(spark, duck):
     ddf = duck.sql(oracle_expectation_sql("exp_t", exps)).df()
     assert_frames_match(expectation_report(df, exps).toPandas(), ddf,
                         "expectation_report")
+
+
+def test_funnel_short_gap_list_falls_back_to_within(spark):
+    """max_gap_seconds shorter than the transition count: later
+    transitions fall back to within_seconds instead of silently
+    unbounding."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.events import funnel
+
+    rows = [(1, "view", 0), (1, "click", 30),       # gap 30s
+            (1, "purchase", 10_000)]                # gap ~2.8h
+    df = (spark.createDataFrame(rows, "user_id long, event_type string, t long")
+          .withColumn("ts", F.timestamp_seconds("t")))
+    steps = ["view", "click", "purchase"]
+    # within=3600 bounds click->purchase (10k s > 3600) even though the
+    # gap list only covers view->click
+    out = {r["event_type"]: r["n_users"] for r in
+           funnel(df, steps, within_seconds=3600,
+                  max_gap_seconds=[60]).collect()}
+    assert out["click"] == 1 and out["purchase"] == 0
+    # explicit None in the list DOES unbound that transition
+    out2 = {r["event_type"]: r["n_users"] for r in
+            funnel(df, steps, within_seconds=3600,
+                   max_gap_seconds=[60, None]).collect()}
+    assert out2["purchase"] == 1
+
+
+def test_expectation_fails_closed_on_empty(spark, duck):
+    """Empty/all-null inputs report passed=False (never NULL) for
+    ratio/mean expectations — in Spark AND the DuckDB oracle."""
+    from dataprofiler_spark.operators.validators import (
+        Expectation, expectation_report, oracle_expectation_sql)
+    from tests.oracle_utils import assert_frames_match
+
+    empty = spark.createDataFrame([], "k long, v double")
+    exps = [Expectation("nonnull_ratio_at_least", "v", low=0.5),
+            Expectation("mean_between", "v", low=0.0, high=1.0),
+            Expectation("unique", "k")]
+    rows = {r["check"]: r for r in expectation_report(empty, exps).collect()}
+    assert rows["v:nonnull_ratio_at_least"]["passed"] is False
+    assert rows["v:mean_between"]["passed"] is False
+    assert rows["k:unique"]["passed"] is True  # zero rows: no duplicates
+    duck.sql("CREATE OR REPLACE VIEW empty_t AS "
+             "SELECT * FROM (VALUES (1::BIGINT, 1.0)) t(k, v) WHERE FALSE")
+    ddf = duck.sql(oracle_expectation_sql("empty_t", exps)).df()
+    assert_frames_match(expectation_report(empty, exps).toPandas(), ddf,
+                        "expectation_empty")

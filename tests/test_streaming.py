@@ -411,3 +411,26 @@ def test_neardup_sets_compaction(spark, tmp_path):
     after = spark.read.parquet(nd._sets_path)
     assert n == after.count() == before - 6  # two batches pruned
     assert set(after.select("batch").distinct().toPandas()["batch"]) == {2, 3}
+
+
+def test_neardup_streaming_session_recovers_parked_store(spark, tmp_path):
+    """A compact_store crash between its two moves must NOT cost the
+    dedup history when the next access is a streaming session rather
+    than a compaction: _read restores the parked store first."""
+    import shutil as sh
+
+    from dataprofiler_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(str(tmp_path / "store"), bands=2)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "id long, text string")
+    nd.update(b1, 0)
+    # simulate the crash: history parked, live dir gone
+    sh.move(nd._keys_path, nd._keys_path + ".compact-old")
+    dup = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog tonite")],
+        "id long, text string")
+    nd.update(dup, 1)
+    assert any(i == 9 for _, i in nd.flagged)  # history survived
+    assert not os.path.isdir(nd._keys_path + ".compact-old")
