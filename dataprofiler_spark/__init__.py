@@ -14,6 +14,7 @@ Public API:
 """
 
 from dataprofiler_spark.data import Data
+from dataprofiler_spark.dp_logging import get_logger, set_verbosity
 from dataprofiler_spark.labeler import DataLabeler
 from dataprofiler_spark.plans.dispatch import (GraphProfiler,
                                                UnstructuredProfiler,
@@ -30,6 +31,6 @@ __all__ = [
     "GraphProfiler",
     "DatasetState", "StreamingProfiler", "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",
-    "set_seed", "to_json", "from_json",
+    "set_seed", "set_verbosity", "get_logger", "to_json", "from_json",
 ]
 __version__ = "0.1.0"

@@ -154,3 +154,19 @@ def test_expectation_fails_closed_on_empty(spark, duck):
     ddf = duck.sql(oracle_expectation_sql("empty_t", exps)).df()
     assert_frames_match(expectation_report(empty, exps).toPandas(), ddf,
                         "expectation_empty")
+
+
+def test_dp_logging_surface():
+    import logging
+
+    from dataprofiler_spark import get_logger, set_verbosity
+    from dataprofiler_spark.dp_logging import get_child_logger
+
+    lg = get_logger()
+    assert lg.name == "dataprofiler_spark"
+    assert any(isinstance(h, logging.NullHandler) for h in lg.handlers)
+    set_verbosity(logging.INFO)
+    assert lg.level == logging.INFO
+    assert any(isinstance(h, logging.StreamHandler) for h in lg.handlers)
+    child = get_child_logger("dataprofiler_spark.operators.numeric")
+    assert child.name == "dataprofiler_spark.operators.numeric"
