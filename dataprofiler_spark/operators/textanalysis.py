@@ -291,3 +291,71 @@ def oracle_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
     return (f"SELECT {id_col} AS id, "
             f"md5(regexp_replace(TRIM(LOWER({text_col})), '\\s+', ' ', 'g'))"
             f" AS fingerprint FROM {table}")
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
+                           round_digits: int = 6) -> DataFrame:
+    """(id, n_tokens, avg_logprob): per-doc mean natural-log probability
+    of its tokens under the corpus unigram distribution — the classic
+    LM-based quality signal (gibberish / boilerplate scores low, typical
+    prose high). Rare-token smoothing is unnecessary: every scored token
+    exists in the corpus by construction.
+
+    Shape: one corpus scan -> (doc, term) tf aggregation; per-term
+    corpus counts ride a term-partitioned window over the SAME tf table
+    (no second scan — the tfidf lesson); the corpus token total comes
+    from a window-free broadcast aggregate of the vocabulary-sized term
+    table. Per-doc sums go through scaled-decimal accumulation so the
+    mean is independent of summation order.
+    """
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  tokens_expr(text_col).alias("toks")))
+    terms = explode_no_prefilter(base, "toks", "term", "id")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    with_ct = tf.withColumn(
+        "ct", F.sum("tf").over(Window.partitionBy("term")))
+    # vocabulary-sized distinct term table -> corpus token total
+    # (cheap re-aggregation of the same shuffled tf output)
+    totals = (with_ct.select("term", "ct").distinct()
+              .agg(F.sum("ct").alias("n_total")))
+    scored = (with_ct.crossJoin(F.broadcast(totals))
+              .withColumn("lp", F.round(
+                  F.col("tf") * F.log(F.col("ct")
+                                      / F.col("n_total")), 9)))
+    return (scored.groupBy("id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("lp").cast("decimal(28,12)")).alias("__s"))
+            .select("id", "n_tokens",
+                    F.round(F.col("__s").cast("double") / F.col("n_tokens"),
+                            round_digits).alias("avg_logprob")))
+
+
+def oracle_unigram_logprob_sql(table: str, id_col: str, text_col: str,
+                               round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS id, UNNEST({toks}) AS term FROM {table}
+),
+tf AS (
+  SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY id, term
+),
+ct AS (
+  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+),
+totals AS (SELECT SUM(ct) AS n_total FROM ct)
+SELECT tf.id AS id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(tf.tf * LN(CAST(ct.ct AS DOUBLE)
+                                             / totals.n_total), 9)
+                           AS DECIMAL(28,12))) AS DOUBLE)
+             / SUM(tf.tf), {round_digits}) AS avg_logprob
+FROM tf JOIN ct USING (term) CROSS JOIN totals
+GROUP BY tf.id
+"""

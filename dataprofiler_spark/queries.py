@@ -1234,6 +1234,15 @@ def embedding_neardup_clusters(spark, sf_dir):
         threshold=0.3, n_planes=4)
 
 
+@register("unigram_logprob_documents",
+          ta.oracle_unigram_logprob_sql("documents", "doc_id", "text"))
+def unigram_logprob_documents(spark, sf_dir):
+    """Per-doc mean unigram log-probability — the LM-based quality
+    signal (low = gibberish/rare-token soup, high = typical prose)."""
+    return ta.unigram_logprob_scores(T(spark, sf_dir, "documents"),
+                                     "doc_id", "text")
+
+
 @register("canonical_sample_documents",
           dd.oracle_canonical_sample_sql("documents", "doc_id", "text",
                                          fraction=0.5))

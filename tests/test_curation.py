@@ -482,3 +482,20 @@ def test_interval_join_explode_guard(spark):
     # under the cap: fine
     assert interval_join(events, wide, "k", "ts", "w_start", "w_end",
                          granularity_seconds=86400).count() == 1
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """Docs made of corpus-common tokens score higher (less negative)
+    than docs of one-off rare tokens; n_tokens is exact."""
+    from dataprofiler_spark.operators.textanalysis import (
+        unigram_logprob_scores)
+
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows += [(100, "the cat sat on the mat"),      # all-common doc
+             (101, "zqx wvu ptk jhg bnm lkj")]     # all-unique doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert out[100]["n_tokens"] == 6 and out[101]["n_tokens"] == 6
+    assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
+    assert out[101]["avg_logprob"] < -3.0  # ~ln(1/42)
