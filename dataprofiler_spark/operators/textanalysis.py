@@ -303,10 +303,15 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
 
     Shape: one corpus scan -> (doc, term) tf aggregation; per-term
     corpus counts ride a term-partitioned window over the SAME tf table
-    (no second scan — the tfidf lesson); the corpus token total comes
-    from a window-free broadcast aggregate of the vocabulary-sized term
-    table. Per-doc sums go through scaled-decimal accumulation so the
-    mean is independent of summation order.
+    (no second scan — the tfidf lesson). The identity
+    ``mean ln(ct/N) = mean ln(ct) − ln(N)`` defers the corpus total to
+    AFTER the per-doc reduction, so N comes from a broadcast aggregate
+    of the doc-sized partial table — which is persisted (doc-count
+    rows, MEMORY_AND_DISK) precisely so that aggregate does not
+    re-derive the corpus lineage. Per-doc sums go through scaled-
+    decimal accumulation so the mean is independent of summation order.
+    The persisted partial stays cached until the session drops it;
+    callers running many corpora can spark.catalog.clearCache().
     """
     from pyspark.sql.window import Window
 
@@ -320,19 +325,20 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     with_ct = tf.withColumn(
         "ct", F.sum("tf").over(Window.partitionBy("term")))
-    # vocabulary-sized distinct term table -> corpus token total
-    # (cheap re-aggregation of the same shuffled tf output)
-    totals = (with_ct.select("term", "ct").distinct()
-              .agg(F.sum("ct").alias("n_total")))
-    scored = (with_ct.crossJoin(F.broadcast(totals))
-              .withColumn("lp", F.round(
-                  F.col("tf") * F.log(F.col("ct")
-                                      / F.col("n_total")), 9)))
-    return (scored.groupBy("id")
-            .agg(F.sum("tf").alias("n_tokens"),
-                 F.sum(F.col("lp").cast("decimal(28,12)")).alias("__s"))
+    per_doc = (with_ct
+               .withColumn("lp", F.round(
+                   F.col("tf") * F.log("ct"), 9))
+               .groupBy("id")
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.sum(F.col("lp").cast("decimal(28,12)"))
+                     .alias("__s"))
+               .persist())
+    totals = per_doc.agg(F.sum("n_tokens").alias("n_total"))
+    return (per_doc.crossJoin(F.broadcast(totals))
             .select("id", "n_tokens",
-                    F.round(F.col("__s").cast("double") / F.col("n_tokens"),
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n_tokens")
+                            - F.log("n_total"),
                             round_digits).alias("avg_logprob")))
 
 
@@ -352,10 +358,11 @@ ct AS (
 totals AS (SELECT SUM(ct) AS n_total FROM ct)
 SELECT tf.id AS id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(ROUND(tf.tf * LN(CAST(ct.ct AS DOUBLE)
-                                             / totals.n_total), 9)
+       ROUND(CAST(SUM(CAST(ROUND(tf.tf * LN(CAST(ct.ct AS DOUBLE)), 9)
                            AS DECIMAL(28,12))) AS DOUBLE)
-             / SUM(tf.tf), {round_digits}) AS avg_logprob
+             / SUM(tf.tf)
+             - LN(CAST(ANY_VALUE(totals.n_total) AS DOUBLE)),
+             {round_digits}) AS avg_logprob
 FROM tf JOIN ct USING (term) CROSS JOIN totals
 GROUP BY tf.id
 """

@@ -322,3 +322,24 @@ def test_chunking_and_tfidf_prune_scan(spark, sf_dir):
         assert len(data_scans) == 1, plan
         assert "doc_id" in data_scans[0] and "text" in data_scans[0]
         assert "embedding" not in data_scans[0]
+
+
+def test_unigram_logprob_single_scan(spark, sf_dir):
+    """unigram_logprob_scores materializes the corpus lineage ONCE: the
+    doc-sized partial is persisted, and both consumers (the corpus-total
+    aggregate and the final projection) read it as InMemoryTableScan —
+    so the parquet scan + explode run a single time at execution."""
+    from dataprofiler_spark.operators.textanalysis import (
+        unigram_logprob_scores)
+    from dataprofiler_spark.queries import T
+
+    df = unigram_logprob_scores(T(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+    plan = _simple(df)
+    # both branches hit the cache (the FileScan text under the
+    # InMemoryRelation is the cache-population recipe, executed once)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    df.count()  # materialize, then confirm the cache is actually used
+    storage = [r for r in
+               spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    assert storage, "per-doc partial was not cached"
