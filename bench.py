@@ -151,6 +151,18 @@ def main() -> None:
                            high=1_000_000.0),
         ]).collect())
 
+    from dataprofiler_spark.operators import mixture as mx
+    run("data_mixture_documents",
+        lambda: mx.data_mixture_summary(
+            documents, "source", "doc_id", "text",
+            {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1},
+            5_000).collect())
+    run("split_manifest_documents",
+        lambda: mx.split_manifest(documents, "doc_id", "text").collect())
+    run("quality_weighted_sample_documents",
+        lambda: mx.quality_weighted_sample_summary(
+            documents, "doc_id", "text", strength=1.2).collect())
+
     def _drift():
         from pyspark.sql import functions as F
         a = orders.where(F.col("o_orderdate") < "1998-01-01")

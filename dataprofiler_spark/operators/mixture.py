@@ -1,0 +1,250 @@
+"""Training-data mixture construction: per-source token budgets and
+deterministic train/val/test splits.
+
+LLM pretraining corpora are *mixtures*: each source (web, code, books,
+wiki, ...) contributes a target share of the token budget (GPT-3 /
+The Pile / LLaMA-style sampling weights). The reference profiler has no
+mixture surface; this module supplies the two operations every mixture
+build needs, designed 100-TB-first:
+
+- ``data_mixture``: given per-source weights and a total token budget,
+  compute each source's keep-rate and sample it down with the
+  deterministic md5 filter from :mod:`.sampling`. Pass 1 is one
+  map-side-combined ``groupBy(source)`` whose result is O(#sources)
+  (collected with an explicit cap — a mixture spec with 10^6 sources is
+  a spec bug, not a scale case); pass 2 is a pure filter + one more
+  ``groupBy``. No joins, no windows; the filter pushes down past column
+  pruning, so the 100-TB scan reads only (group, id, text).
+
+- ``split_manifest``: hash the document id into [0,1) and carve
+  train/val/test by cumulative fraction boundaries. A pure projection +
+  one ``groupBy(split)``; the same id lands in the same split on every
+  engine, partitioning, and rerun (``sampling.hash_fraction_expr``
+  is md5-based so DuckDB oracles reproduce the decision bit-for-bit),
+  and shrinking a fraction yields a nested subset (stable holdouts as
+  the corpus version advances).
+
+Outputs are integer-only summaries (counts / floored token targets):
+no float columns, so oracle value-hashes cannot drift on rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _duck_hash_fraction, hash_fraction_expr
+from .textanalysis import tokens_expr
+
+# Pass-1 collect guard: the per-group totals row count is the number of
+# distinct mixture groups. Real corpora have O(10-1000) sources; beyond
+# this cap the weights dict could not have been authored by hand either.
+MAX_GROUPS = 10_000
+
+_TOKENS_SQL = "len(regexp_extract_all(LOWER({col}), '\\S+'))"
+
+
+def mixture_rates(df: DataFrame, group_col: str, text_col: str,
+                  weights: dict[str, float], token_budget: int,
+                  ) -> dict[str, tuple[int, float]]:
+    """Pass 1: per-group total tokens -> {group: (total_tokens, keep_rate)}.
+
+    keep_rate = min(1, budget * weight / total_tokens): the fraction of
+    the group's documents (hence, in expectation, of its tokens) that
+    hits the group's token target. Groups absent from ``weights`` get
+    rate 0 (dropped from the mixture but still reported).
+    """
+    tc = F.size(tokens_expr(text_col))
+    rows = (df.groupBy(group_col).agg(F.sum(tc).alias("t"))
+              .limit(MAX_GROUPS + 1).collect())
+    if len(rows) > MAX_GROUPS:
+        raise ValueError(
+            f"data_mixture: more than {MAX_GROUPS} distinct values in "
+            f"{group_col!r}; a mixture over that many groups is a spec "
+            f"error (pre-bucket the group column first)")
+    out: dict[str, tuple[int, float]] = {}
+    for r in rows:
+        total = int(r["t"] or 0)
+        w = float(weights.get(r[group_col], 0.0))
+        # literal (token_budget * w) / total — the DuckDB oracle spells
+        # the same double ops in the same order, so the keep/drop
+        # comparison below reproduces bit-for-bit.
+        rate = min(1.0, (token_budget * w) / total) if total > 0 else 0.0
+        out[r[group_col]] = (total, rate)
+    return out
+
+
+def data_mixture(df: DataFrame, group_col: str, id_col: str, text_col: str,
+                 weights: dict[str, float], token_budget: int,
+                 seed: str = "dps-mixture-v1") -> DataFrame:
+    """Sampled mixture rows: documents kept by the per-group keep-rate.
+
+    The returned DataFrame is the *corpus* (all columns preserved) —
+    feed it to ``pipeline.write_curated`` or a profiler. Use
+    ``data_mixture_summary`` for the audit table.
+    """
+    rates = mixture_rates(df, group_col, text_col, weights, token_budget)
+    rate = F.lit(0.0)
+    for g, (_, r) in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    return df.where(hash_fraction_expr(F.col(id_col), seed) < rate)
+
+
+def data_mixture_summary(df: DataFrame, group_col: str, id_col: str,
+                         text_col: str, weights: dict[str, float],
+                         token_budget: int,
+                         seed: str = "dps-mixture-v1") -> DataFrame:
+    """Per-group audit: (grp, total_tokens, target_tokens, kept_docs,
+    kept_tokens). One conditional aggregation over the corpus — every
+    group appears even when its keep-rate is 0, so budget shortfalls
+    (weight > 0 but source too small: rate capped at 1) are visible.
+    """
+    rates = mixture_rates(df, group_col, text_col, weights, token_budget)
+    rate = F.lit(0.0)
+    for g, (_, r) in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    tc = F.size(tokens_expr(text_col))
+    keep = hash_fraction_expr(F.col(id_col), seed) < rate
+    target = F.lit(0).cast("bigint")
+    for g, w in sorted(weights.items()):
+        target = (F.when(F.col(group_col) == g,
+                         F.floor(F.lit(float(token_budget) * float(w))))
+                   .otherwise(target))
+    return (df.groupBy(F.col(group_col).alias("grp"))
+              .agg(F.sum(tc).alias("total_tokens"),
+                   F.first(target).alias("target_tokens"),
+                   F.sum(F.when(keep, 1).otherwise(0)).alias("kept_docs"),
+                   F.sum(F.when(keep, tc).otherwise(0)).alias("kept_tokens"))
+              .orderBy("grp"))
+
+
+def oracle_data_mixture_sql(table: str, group_col: str, id_col: str,
+                            text_col: str, weights: dict[str, float],
+                            token_budget: int,
+                            seed: str = "dps-mixture-v1") -> str:
+    tc = _TOKENS_SQL.format(col=f"d.{text_col}")
+    wcase = ("CASE d.{g} " + " ".join(
+        f"WHEN '{g_}' THEN {float(w)!r}" for g_, w in sorted(weights.items()))
+        + " ELSE 0.0 END").format(g=group_col)
+    h = _duck_hash_fraction(f"d.{id_col}", seed)
+    # LEAST(1.0, (budget * w) / total) mirrors mixture_rates() literally:
+    # same double ops, same order -> identical keep/drop decisions.
+    rate = (f"LEAST(1.0, ({token_budget} * {wcase}) / "
+            f"CAST(t.total_toks AS DOUBLE))")
+    keep = f"{h} < {rate}"
+    return f"""
+WITH tot AS (
+  SELECT {group_col} AS grp, SUM({_TOKENS_SQL.format(col=text_col)}) AS total_toks
+  FROM {table} GROUP BY {group_col}
+)
+SELECT d.{group_col} AS grp,
+       CAST(SUM({tc}) AS BIGINT) AS total_tokens,
+       CAST(FLOOR({token_budget} * ({wcase})) AS BIGINT) AS target_tokens,
+       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN {keep} THEN {tc} ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM {table} d JOIN tot t ON d.{group_col} = t.grp
+GROUP BY d.{group_col}
+ORDER BY grp
+"""
+
+
+def quality_weighted_sample(df: DataFrame, id_col: str, text_col: str,
+                            strength: float = 1.0,
+                            seed: str = "dps-qsample-v1") -> DataFrame:
+    """Soft quality filter: keep a document with probability
+    min(1, quality_score * strength) — the FineWeb/DCLM-style
+    alternative to a hard score threshold (keeps a graded tail instead
+    of a cliff). Deterministic: the md5(id) uniform is compared to the
+    score, so reruns and engines agree row-for-row. Pure projection +
+    filter — no shuffle, pushes down.
+    """
+    from .textanalysis import _quality_raw_exprs
+
+    score = _quality_raw_exprs(text_col)["score"]
+    rate = F.least(score * F.lit(float(strength)), F.lit(1.0))
+    return df.where(hash_fraction_expr(F.col(id_col), seed) < rate)
+
+
+def quality_weighted_sample_summary(df: DataFrame, id_col: str,
+                                    text_col: str, strength: float = 1.0,
+                                    seed: str = "dps-qsample-v1"
+                                    ) -> DataFrame:
+    """Audit: (total_docs, kept_docs, kept_tokens) under the soft
+    filter. Integer-only output; one conditional aggregation."""
+    from .textanalysis import _quality_raw_exprs
+
+    e = _quality_raw_exprs(text_col)
+    rate = F.least(e["score"] * F.lit(float(strength)), F.lit(1.0))
+    keep = hash_fraction_expr(F.col(id_col), seed) < rate
+    return df.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("kept_docs"),
+        F.sum(F.when(keep, e["n_tokens"]).otherwise(0)).alias("kept_tokens"))
+
+
+def oracle_quality_weighted_sample_sql(table: str, id_col: str,
+                                       text_col: str,
+                                       strength: float = 1.0,
+                                       seed: str = "dps-qsample-v1") -> str:
+    from .textanalysis import _quality_raw_sql
+
+    e = _quality_raw_sql(text_col)
+    rate = f"LEAST(({e['score']}) * {float(strength)!r}, 1.0)"
+    keep = f"{_duck_hash_fraction(id_col, seed)} < {rate}"
+    return f"""
+SELECT COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN {keep} THEN {e['n_tokens']} ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM {table}
+"""
+
+
+def split_manifest(df: DataFrame, id_col: str, text_col: str,
+                   fractions: dict[str, float] | None = None,
+                   seed: str = "dps-split-v1") -> DataFrame:
+    """Deterministic train/val/test carve: (split, n_docs, n_tokens).
+
+    ``fractions`` maps split name -> share, in insertion order; shares
+    must sum to <= 1 and any remainder is labeled '_rest'. The decision
+    is a pure projection of md5(id): no shuffle until the 3-row rollup,
+    and re-running on a grown corpus never moves an old id between
+    splits.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if sum(fractions.values()) > 1.0 + 1e-12:
+        raise ValueError("split fractions sum to > 1")
+    h = hash_fraction_expr(F.col(id_col), seed)
+    split = F.lit("_rest")
+    hi = 0.0
+    branches = []
+    for name, frac in fractions.items():
+        hi += frac
+        branches.append((name, hi))
+    for name, bound in reversed(branches):
+        split = F.when(h < F.lit(bound), F.lit(name)).otherwise(split)
+    tc = F.size(tokens_expr(text_col))
+    return (df.select(split.alias("split"), tc.alias("tc"))
+              .groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("tc").alias("n_tokens"))
+              .orderBy("split"))
+
+
+def oracle_split_manifest_sql(table: str, id_col: str, text_col: str,
+                              fractions: dict[str, float] | None = None,
+                              seed: str = "dps-split-v1") -> str:
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = _duck_hash_fraction(id_col, seed)
+    cases, hi = [], 0.0
+    for name, frac in fractions.items():
+        hi += frac
+        cases.append(f"WHEN {h} < {hi!r} THEN '{name}'")
+    split = "CASE " + " ".join(cases) + " ELSE '_rest' END"
+    tc = _TOKENS_SQL.format(col=text_col)
+    return f"""
+SELECT {split} AS split, COUNT(*) AS n_docs,
+       CAST(SUM({tc}) AS BIGINT) AS n_tokens
+FROM {table}
+GROUP BY 1 ORDER BY split
+"""

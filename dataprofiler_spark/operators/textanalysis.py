@@ -134,8 +134,10 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def oracle_quality_features_sql(table: str, id_col: str, text_col: str,
-                                round_digits: int = 6) -> str:
+def _quality_raw_sql(text_col: str) -> dict[str, str]:
+    """DuckDB mirror of ``_quality_raw_exprs`` — same ops, same order,
+    so the doubles agree bit-for-bit (shared by the features oracle and
+    mixture.quality_weighted_sample's oracle)."""
     stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
     toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
     nc = f"LENGTH({text_col})"
@@ -148,6 +150,16 @@ def oracle_quality_features_sql(table: str, id_col: str, text_col: str,
     score = (f"LEAST(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
              f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
              f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
+    return {"n_chars": nc, "n_tokens": nt, "avg_tok": avg_tok,
+            "punct_ratio": pr, "stop_ratio": sr, "score": score}
+
+
+def oracle_quality_features_sql(table: str, id_col: str, text_col: str,
+                                round_digits: int = 6) -> str:
+    e = _quality_raw_sql(text_col)
+    nc, nt = e["n_chars"], e["n_tokens"]
+    avg_tok, pr = e["avg_tok"], e["punct_ratio"]
+    sr, score = e["stop_ratio"], e["score"]
     return f"""
 SELECT {id_col} AS id, {nc} AS n_chars, {nt} AS n_tokens,
        ROUND({avg_tok}, {round_digits}) AS avg_token_len,

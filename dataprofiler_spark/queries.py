@@ -1303,6 +1303,48 @@ def interval_join_events(spark, sf_dir):
     return iv.interval_join_first_day_counts(T(spark, sf_dir, "events"))
 
 
+from dataprofiler_spark.operators import mixture as mx
+
+# Down-select 4 of the 20 sources with skewed shares: src0's target
+# exceeds its supply (rate caps at 1 — the shortfall case), the others
+# sample fractionally; the 16 unweighted sources report rate-0 rows.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 5_000
+
+
+@register("data_mixture_documents",
+          mx.oracle_data_mixture_sql("documents", "source", "doc_id",
+                                     "text", _MIX_WEIGHTS, _MIX_BUDGET))
+def data_mixture_documents(spark, sf_dir):
+    """Per-source token-budget mixture audit: deterministic md5 keep-rate
+    per source (min(1, budget*w/total_tokens)); one bounded collect
+    (O(#sources)) + one conditional aggregation."""
+    return mx.data_mixture_summary(T(spark, sf_dir, "documents"), "source",
+                                   "doc_id", "text", _MIX_WEIGHTS,
+                                   _MIX_BUDGET)
+
+
+@register("quality_weighted_sample_documents",
+          mx.oracle_quality_weighted_sample_sql("documents", "doc_id",
+                                                "text", strength=1.2))
+def quality_weighted_sample_documents(spark, sf_dir):
+    """Soft quality filter (keep-prob = min(1, 1.2*score)): md5(id)
+    uniform vs the deterministic quality score; pure filter, audited
+    as integer counts."""
+    return mx.quality_weighted_sample_summary(
+        T(spark, sf_dir, "documents"), "doc_id", "text", strength=1.2)
+
+
+@register("split_manifest_documents",
+          mx.oracle_split_manifest_sql("documents", "doc_id", "text"))
+def split_manifest_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test carve by md5(doc_id):
+    pure projection + 3-row rollup; ids never migrate between splits
+    as the corpus grows."""
+    return mx.split_manifest(T(spark, sf_dir, "documents"), "doc_id",
+                             "text")
+
+
 # ---------------------------------------------------------------------------
 # Untruncated flat report (rows-only: string-formatted floats are not
 # hash-comparable across engines; the deterministic slice above carries
@@ -1349,11 +1391,12 @@ _DRIVER_WINDOW = [
     "crosstab_lineitem",
     "full_profile_lineitem",
     "full_profile_events",
-    # drift / similarity / labeler (§2.5, §2.7); graph + psi_cat +
-    # modes/time_bucket/word_counts/label_votes keep their r2-green
-    # credit and rotate out for the round-3 operators below
-    "cosine_topk_embeddings",
-    "label_votes_customer",
+    # drift / similarity / labeler (§2.5, §2.7): graph + psi_cat +
+    # modes/time_bucket/word_counts/label_votes/cosine_topk keep their
+    # r2-green credit and rotate out for the round-3 operators below
+    # (labeler family is repped by cnn_labeler + entity_counts)
+    "data_mixture_documents",
+    "split_manifest_documents",
     # round-3 operators (first driver rows)
     "interval_join_events",
     "embedding_neardup_clusters",
