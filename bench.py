@@ -162,6 +162,9 @@ def main() -> None:
     run("quality_weighted_sample_documents",
         lambda: mx.quality_weighted_sample_summary(
             documents, "doc_id", "text", strength=1.2).collect())
+    run("packing_stats_documents",
+        lambda: ck.packing_stats(documents, "doc_id", "text",
+                                 context_len=256).collect())
 
     def _drift():
         from pyspark.sql import functions as F

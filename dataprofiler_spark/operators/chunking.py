@@ -174,3 +174,75 @@ ranked AS (
 SELECT id, term, tf, CAST(tfidf AS DOUBLE) AS tfidf, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def packing_stats(df: DataFrame, id_col: str, text_col: str,
+                  context_len: int = 512,
+                  round_digits: int = 6) -> DataFrame:
+    """Context-window packing audit for a training corpus: one row of
+    (n_docs, total_tokens, docs_over_context, truncated_tokens,
+    padding_waste_1doc, packed_windows_lb, packing_efficiency).
+
+    - ``truncated_tokens``: tokens lost if each doc is clipped to the
+      context length (the truncate-don't-split policy's cost);
+    - ``padding_waste_1doc``: pad tokens burned by naive
+      one-document-per-window batching;
+    - ``packed_windows_lb``: ceil(usable/context) — the lower bound any
+      concat-and-split packer achieves, so ``packing_efficiency`` =
+      usable / (windows * context) is the best-case window fill.
+
+    Pure single-pass aggregation over a (id, text) projection — the
+    decision whether to pack, truncate, or chunk a 100-TB corpus is one
+    scan. Floats are confined to the final rounded efficiency ratio.
+    """
+    tc = F.size(tokens_expr(text_col))
+    usable = F.least(tc, F.lit(context_len))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.sum((tc > context_len).cast("bigint")).alias("docs_over_context"),
+        F.sum(F.greatest(tc - context_len, F.lit(0)).cast("bigint"))
+         .alias("truncated_tokens"),
+        F.sum((F.lit(context_len) - usable).cast("bigint"))
+         .alias("padding_waste_1doc"),
+        F.sum(usable.cast("bigint")).alias("usable_tokens"),
+    )
+    windows = F.ceil(F.col("usable_tokens").cast("double")
+                     / F.lit(float(context_len)))
+    return agg.select(
+        "n_docs", "total_tokens", "docs_over_context", "truncated_tokens",
+        "padding_waste_1doc",
+        windows.alias("packed_windows_lb"),
+        F.round(F.col("usable_tokens").cast("double")
+                / (windows * F.lit(context_len)).cast("double"),
+                round_digits).alias("packing_efficiency"),
+    )
+
+
+def oracle_packing_stats_sql(table: str, id_col: str, text_col: str,
+                             context_len: int = 512,
+                             round_digits: int = 6) -> str:
+    tc = f"len(regexp_extract_all(LOWER({text_col}), '\\S+'))"
+    usable = f"LEAST({tc}, {context_len})"
+    return f"""
+WITH a AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM({tc}) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN {tc} > {context_len} THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_over_context,
+         CAST(SUM(GREATEST({tc} - {context_len}, 0)) AS BIGINT)
+           AS truncated_tokens,
+         CAST(SUM({context_len} - {usable}) AS BIGINT) AS padding_waste_1doc,
+         CAST(SUM({usable}) AS BIGINT) AS usable_tokens
+  FROM {table}
+)
+SELECT n_docs, total_tokens, docs_over_context, truncated_tokens,
+       padding_waste_1doc,
+       CAST(CEIL(CAST(usable_tokens AS DOUBLE) / {float(context_len)!r})
+            AS BIGINT) AS packed_windows_lb,
+       ROUND(CAST(usable_tokens AS DOUBLE)
+             / CAST(CEIL(CAST(usable_tokens AS DOUBLE)
+                         / {float(context_len)!r}) * {context_len}
+                    AS DOUBLE), {round_digits}) AS packing_efficiency
+FROM a
+"""

@@ -499,3 +499,22 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[100]["n_tokens"] == 6 and out[101]["n_tokens"] == 6
     assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
     assert out[101]["avg_logprob"] < -3.0  # ~ln(1/42)
+
+
+def test_packing_stats_identities(spark, sf_dir):
+    """The packing audit's columns satisfy exact accounting identities:
+    usable + truncated = total, padding = n_docs*context - usable, and
+    the window lower bound is tight (ceil of usable/context)."""
+    import math
+
+    from dataprofiler_spark.operators.chunking import packing_stats
+    from dataprofiler_spark.queries import T
+
+    ctx = 256
+    r = packing_stats(T(spark, sf_dir, "documents"), "doc_id", "text",
+                      context_len=ctx).collect()[0]
+    usable = r["total_tokens"] - r["truncated_tokens"]
+    assert r["padding_waste_1doc"] == r["n_docs"] * ctx - usable
+    assert r["packed_windows_lb"] == math.ceil(usable / ctx)
+    assert 0.0 < r["packing_efficiency"] <= 1.0
+    assert 0 <= r["docs_over_context"] <= r["n_docs"]

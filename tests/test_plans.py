@@ -343,3 +343,27 @@ def test_unigram_logprob_single_scan(spark, sf_dir):
     storage = [r for r in
                spark.sparkContext._jsc.sc().getRDDStorageInfo()]
     assert storage, "per-doc partial was not cached"
+
+
+def test_mixture_prunes_scan_columns(spark, sf_dir):
+    """Mixture sampling must read only (group, id, text) from parquet —
+    at 100 TB the keep/drop decision cannot justify dragging the other
+    columns through the scan; split_manifest needs only (id, text)."""
+    from dataprofiler_spark.operators import mixture as mx
+    from dataprofiler_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents")
+    summ = mx.data_mixture_summary(docs, "source", "doc_id", "text",
+                                   {"src0": 0.5, "src1": 0.5}, 1000)
+    plan = _simple(summ)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for rs in scans:
+        assert "n_chars" not in rs and "lang" not in rs, plan
+
+    manifest = mx.split_manifest(docs, "doc_id", "text")
+    plan = _simple(manifest)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for rs in scans:
+        assert "source" not in rs and "lang" not in rs, plan
