@@ -195,7 +195,9 @@ def packing_stats(df: DataFrame, id_col: str, text_col: str,
     decision whether to pack, truncate, or chunk a 100-TB corpus is one
     scan. Floats are confined to the final rounded efficiency ratio.
     """
-    tc = F.size(tokens_expr(text_col))
+    from dataprofiler_spark.operators.textanalysis import token_count_expr
+
+    tc = token_count_expr(text_col)  # NULL text = 0 tokens, not size()=-1
     usable = F.least(tc, F.lit(context_len))
     agg = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -222,7 +224,7 @@ def packing_stats(df: DataFrame, id_col: str, text_col: str,
 def oracle_packing_stats_sql(table: str, id_col: str, text_col: str,
                              context_len: int = 512,
                              round_digits: int = 6) -> str:
-    tc = f"len(regexp_extract_all(LOWER({text_col}), '\\S+'))"
+    tc = f"COALESCE(len(regexp_extract_all(LOWER({text_col}), '\\S+')), 0)"
     usable = f"LEAST({tc}, {context_len})"
     return f"""
 WITH a AS (

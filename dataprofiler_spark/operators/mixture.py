@@ -33,15 +33,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _duck_hash_fraction, hash_fraction_expr
-from .textanalysis import tokens_expr
+from ..dp_logging import get_logger
+from .sampling import (_duck_hash_fraction, hash_fraction_expr,
+                       stratified_hash_sample)
+from .textanalysis import TOKEN_COUNT_SQL as _TOKENS_SQL
+from .textanalysis import token_count_expr
 
 # Pass-1 collect guard: the per-group totals row count is the number of
 # distinct mixture groups. Real corpora have O(10-1000) sources; beyond
 # this cap the weights dict could not have been authored by hand either.
 MAX_GROUPS = 10_000
-
-_TOKENS_SQL = "len(regexp_extract_all(LOWER({col}), '\\S+'))"
 
 
 def mixture_rates(df: DataFrame, group_col: str, text_col: str,
@@ -54,7 +55,7 @@ def mixture_rates(df: DataFrame, group_col: str, text_col: str,
     hits the group's token target. Groups absent from ``weights`` get
     rate 0 (dropped from the mixture but still reported).
     """
-    tc = F.size(tokens_expr(text_col))
+    tc = token_count_expr(text_col)
     rows = (df.groupBy(group_col).agg(F.sum(tc).alias("t"))
               .limit(MAX_GROUPS + 1).collect())
     if len(rows) > MAX_GROUPS:
@@ -71,7 +72,26 @@ def mixture_rates(df: DataFrame, group_col: str, text_col: str,
         # comparison below reproduces bit-for-bit.
         rate = min(1.0, (token_budget * w) / total) if total > 0 else 0.0
         out[r[group_col]] = (total, rate)
+    absent = sorted(set(weights) - set(out))
+    if absent:
+        # a misspelled/missing weighted source silently forfeits its
+        # budget share — no corpus row exists to carry an audit line,
+        # so surface it loudly here instead.
+        get_logger().warning(
+            "data_mixture: weighted sources absent from the corpus "
+            "(their budget share is unfilled): %s", absent)
     return out
+
+
+def _rate_fractions(rates: dict[str, tuple[int, float]]
+                    ) -> dict[str, float]:
+    """Nonzero keep-fractions only: the CASE chain stays O(#weighted
+    sources) (rate-0 groups are the default branch), never O(#distinct
+    groups) — a 10k-branch nested CASE would blow the Catalyst stack.
+    Also keeps a NULL group key (unsortable, unmatchable by CASE
+    equality anyway) out of the expression entirely."""
+    return {g: r for g, (_, r) in rates.items()
+            if r > 0.0 and g is not None}
 
 
 def data_mixture(df: DataFrame, group_col: str, id_col: str, text_col: str,
@@ -84,10 +104,9 @@ def data_mixture(df: DataFrame, group_col: str, id_col: str, text_col: str,
     ``data_mixture_summary`` for the audit table.
     """
     rates = mixture_rates(df, group_col, text_col, weights, token_budget)
-    rate = F.lit(0.0)
-    for g, (_, r) in sorted(rates.items()):
-        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
-    return df.where(hash_fraction_expr(F.col(id_col), seed) < rate)
+    return stratified_hash_sample(df, id_col, group_col,
+                                  _rate_fractions(rates),
+                                  default_fraction=0.0, seed=seed)
 
 
 def data_mixture_summary(df: DataFrame, group_col: str, id_col: str,
@@ -96,14 +115,16 @@ def data_mixture_summary(df: DataFrame, group_col: str, id_col: str,
                          seed: str = "dps-mixture-v1") -> DataFrame:
     """Per-group audit: (grp, total_tokens, target_tokens, kept_docs,
     kept_tokens). One conditional aggregation over the corpus — every
-    group appears even when its keep-rate is 0, so budget shortfalls
-    (weight > 0 but source too small: rate capped at 1) are visible.
+    group PRESENT IN THE CORPUS appears even when its keep-rate is 0,
+    so budget shortfalls (weight > 0 but source too small: rate capped
+    at 1) are visible. A weighted source with zero corpus rows cannot
+    carry a row; ``mixture_rates`` logs a warning for those.
     """
     rates = mixture_rates(df, group_col, text_col, weights, token_budget)
     rate = F.lit(0.0)
-    for g, (_, r) in sorted(rates.items()):
+    for g, r in sorted(_rate_fractions(rates).items()):
         rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
-    tc = F.size(tokens_expr(text_col))
+    tc = token_count_expr(text_col)
     keep = hash_fraction_expr(F.col(id_col), seed) < rate
     target = F.lit(0).cast("bigint")
     for g, w in sorted(weights.items()):
@@ -127,11 +148,16 @@ def oracle_data_mixture_sql(table: str, group_col: str, id_col: str,
         f"WHEN '{g_}' THEN {float(w)!r}" for g_, w in sorted(weights.items()))
         + " ELSE 0.0 END").format(g=group_col)
     h = _duck_hash_fraction(f"d.{id_col}", seed)
-    # LEAST(1.0, (budget * w) / total) mirrors mixture_rates() literally:
-    # same double ops, same order -> identical keep/drop decisions.
-    rate = (f"LEAST(1.0, ({token_budget} * {wcase}) / "
-            f"CAST(t.total_toks AS DOUBLE))")
-    keep = f"{h} < {rate}"
+    # LEAST(1.0, (budget * w) / total) mirrors mixture_rates() literally
+    # (same double ops, same order -> identical keep/drop decisions),
+    # including the total_toks = 0 guard -> rate 0.0 (a naive division
+    # would give inf/NaN, which LEAST would collapse to rate 1.0). The
+    # LEFT JOIN keeps NULL-group rows (never equi-matched) on the rate-0
+    # default path, mirroring the Spark CASE's otherwise branch.
+    rate = (f"CASE WHEN t.total_toks > 0 THEN "
+            f"LEAST(1.0, ({token_budget} * {wcase}) / "
+            f"CAST(t.total_toks AS DOUBLE)) ELSE 0.0 END")
+    keep = f"COALESCE({h} < ({rate}), FALSE)"
     return f"""
 WITH tot AS (
   SELECT {group_col} AS grp, SUM({_TOKENS_SQL.format(col=text_col)}) AS total_toks
@@ -142,7 +168,7 @@ SELECT d.{group_col} AS grp,
        CAST(FLOOR({token_budget} * ({wcase})) AS BIGINT) AS target_tokens,
        CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
        CAST(SUM(CASE WHEN {keep} THEN {tc} ELSE 0 END) AS BIGINT) AS kept_tokens
-FROM {table} d JOIN tot t ON d.{group_col} = t.grp
+FROM {table} d LEFT JOIN tot t ON d.{group_col} = t.grp
 GROUP BY d.{group_col}
 ORDER BY grp
 """
@@ -223,7 +249,7 @@ def split_manifest(df: DataFrame, id_col: str, text_col: str,
         branches.append((name, hi))
     for name, bound in reversed(branches):
         split = F.when(h < F.lit(bound), F.lit(name)).otherwise(split)
-    tc = F.size(tokens_expr(text_col))
+    tc = token_count_expr(text_col)
     return (df.select(split.alias("split"), tc.alias("tc"))
               .groupBy("split")
               .agg(F.count(F.lit(1)).alias("n_docs"),

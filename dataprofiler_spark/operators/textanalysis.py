@@ -40,6 +40,19 @@ def bpe_tokens_expr(text_col: str) -> Column:
     return F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
 
 
+def token_count_expr(text_col: str) -> Column:
+    """NULL-safe whitespace token count: NULL text counts 0 tokens.
+    Raw ``F.size`` returns -1 for NULL input under Spark's default
+    legacy ``sizeOfNull`` — summed into token totals that poisons the
+    accounting (and diverges from SQL engines, where SUM skips NULL).
+    The DuckDB mirror is ``TOKEN_COUNT_SQL``."""
+    return F.when(F.col(text_col).isNull(), F.lit(0)
+                  ).otherwise(F.size(tokens_expr(text_col)))
+
+
+TOKEN_COUNT_SQL = "COALESCE(len(regexp_extract_all(LOWER({col}), '\\S+')), 0)"
+
+
 def bpe_token_count_summary(df: DataFrame, id_col: str, text_col: str
                             ) -> DataFrame:
     """(n_docs, total_tokens, min_tokens, max_tokens, avg_tokens) under

@@ -1303,19 +1303,18 @@ def interval_join_events(spark, sf_dir):
     return iv.interval_join_first_day_counts(T(spark, sf_dir, "events"))
 
 
-from dataprofiler_spark.operators import chunking as _ck2
 from dataprofiler_spark.operators import mixture as mx
 
 
 @register("packing_stats_documents",
-          _ck2.oracle_packing_stats_sql("documents", "doc_id", "text",
-                                        context_len=256))
+          ck.oracle_packing_stats_sql("documents", "doc_id", "text",
+                                      context_len=256))
 def packing_stats_documents(spark, sf_dir):
     """Context-window packing audit (truncation loss, 1-doc padding
     waste, best-case packed-window fill at context=256): one single-pass
     aggregation over an (id, text) projection."""
-    return _ck2.packing_stats(T(spark, sf_dir, "documents"), "doc_id",
-                              "text", context_len=256)
+    return ck.packing_stats(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", context_len=256)
 
 # Down-select 4 of the 20 sources with skewed shares: src0's target
 # exceeds its supply (rate caps at 1 — the shortfall case), the others

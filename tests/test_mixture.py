@@ -68,6 +68,62 @@ def test_mixture_group_cap_raises(docs, monkeypatch):
         mx.mixture_rates(docs, "source", "text", WEIGHTS, BUDGET)
 
 
+def test_mixture_null_and_empty_edge_cases(spark, tmp_path):
+    """NULL group values, NULL text, and an all-empty-text group (total
+    tokens 0) must neither crash the rate builder nor diverge from the
+    DuckDB oracle: NULL groups ride the rate-0 default, NULL text counts
+    0 tokens (not size()=-1), and a 0-token group gets rate 0 (not the
+    inf -> LEAST -> 1.0 trap)."""
+    import duckdb
+
+    rows = [
+        (1, "alpha beta gamma delta", "g1"),
+        (2, "epsilon zeta", "g1"),
+        (3, None, "g1"),          # NULL text
+        (4, "", "gzero"),         # zero-token group
+        (5, "", "gzero"),
+        (6, "eta theta iota", None),  # NULL group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    path = str(tmp_path / "edge.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    weights = {"g1": 0.6, "gzero": 0.3, "ghost": 0.1}  # ghost: absent
+    summ = mx.data_mixture_summary(df, "src", "doc_id", "text",
+                                   weights, 100).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW edge AS SELECT * FROM '{path}/*.parquet'")
+    orc = con.sql(mx.oracle_data_mixture_sql(
+        "edge", "src", "doc_id", "text", weights, 100)).df()
+    a = summ.sort_values("grp", na_position="first").reset_index(drop=True)
+    b = orc.sort_values("grp", na_position="first").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a["grp"].fillna("<null>").tolist() == \
+        b["grp"].fillna("<null>").tolist()
+    for c in a.columns[1:]:
+        assert a[c].astype("int64").tolist() == \
+            b[c].astype("int64").tolist(), (c, a, b)
+    by_grp = {g: r for g, r in zip(a["grp"].fillna("<null>"),
+                                   a.to_dict("records"))}
+    assert by_grp["gzero"]["kept_docs"] == 0      # rate-0, not rate-1
+    assert by_grp["<null>"]["kept_docs"] == 0     # default branch
+    assert by_grp["g1"]["total_tokens"] == 6      # NULL text counted as 0
+
+    # row-level sampler agrees and never crashes on the NULL group
+    assert mx.data_mixture(df, "src", "doc_id", "text", weights, 100) \
+             .where(F.col("src").isNull()).count() == 0
+
+    # packing audit under the same pathology: exact accounting holds
+    from dataprofiler_spark.operators.chunking import (
+        oracle_packing_stats_sql, packing_stats)
+
+    p = packing_stats(df, "doc_id", "text", context_len=4).toPandas()
+    po = con.sql(oracle_packing_stats_sql("edge", "doc_id", "text",
+                                          context_len=4)).df()
+    for c in p.columns:
+        assert float(p[c][0]) == float(po[c][0]), (c, p, po)
+
+
 def test_quality_weighted_rows_agree_with_summary(docs):
     """Row-level soft filter and its audit agree; higher strength keeps
     a superset (monotone in strength, per-row deterministic)."""
