@@ -33,9 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import math
+
 from ..dp_logging import get_logger
 from .sampling import (_duck_hash_fraction, hash_fraction_expr,
-                       stratified_hash_sample)
+                       lookup_fraction_expr, stratified_hash_sample)
 from .textanalysis import TOKEN_COUNT_SQL as _TOKENS_SQL
 from .textanalysis import token_count_expr
 
@@ -121,16 +123,13 @@ def data_mixture_summary(df: DataFrame, group_col: str, id_col: str,
     carry a row; ``mixture_rates`` logs a warning for those.
     """
     rates = mixture_rates(df, group_col, text_col, weights, token_budget)
-    rate = F.lit(0.0)
-    for g, r in sorted(_rate_fractions(rates).items()):
-        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    rate = lookup_fraction_expr(F.col(group_col), _rate_fractions(rates))
     tc = token_count_expr(text_col)
     keep = hash_fraction_expr(F.col(id_col), seed) < rate
-    target = F.lit(0).cast("bigint")
-    for g, w in sorted(weights.items()):
-        target = (F.when(F.col(group_col) == g,
-                         F.floor(F.lit(float(token_budget) * float(w))))
-                   .otherwise(target))
+    targets = {g: float(math.floor(token_budget * float(w)))
+               for g, w in weights.items()}
+    target = lookup_fraction_expr(F.col(group_col), targets,
+                                  0.0).cast("bigint")
     return (df.groupBy(F.col(group_col).alias("grp"))
               .agg(F.sum(tc).alias("total_tokens"),
                    F.first(target).alias("target_tokens"),

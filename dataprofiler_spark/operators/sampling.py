@@ -52,12 +52,31 @@ def stratified_hash_sample(df: DataFrame, key: str, strata_col: str,
                            default_fraction: float = 0.0,
                            seed: str = "dps-sample-v1") -> DataFrame:
     """Per-stratum deterministic sampling (df.stat.sampleBy semantics,
-    but reproducible): each stratum gets its own keep-fraction. One
-    CASE expression — still a pure filter, no shuffle."""
-    frac = F.lit(default_fraction)
-    for value, f in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    but reproducible): each stratum gets its own keep-fraction via a
+    flat map-literal lookup — still a pure filter, no shuffle. (A
+    nested when/otherwise chain here overflows the column-converter
+    stack at a few hundred strata; ``create_map`` is one expression
+    node regardless of width. NULL or unlisted strata take the
+    default, exactly like the CASE chain's otherwise branch.)"""
+    frac = lookup_fraction_expr(F.col(strata_col), fractions,
+                                default_fraction)
     return df.where(hash_fraction_expr(F.col(key), seed) < frac)
+
+
+def lookup_fraction_expr(key: Column, fractions: dict[str, float],
+                         default_fraction: float = 0.0) -> Column:
+    """Flat per-key fraction lookup: map literal + element_at, with
+    NULL/missing keys falling back to the default."""
+    if not fractions:
+        return F.lit(float(default_fraction))
+    pairs: list[Column] = []
+    for value, f in sorted(fractions.items()):
+        pairs.append(F.lit(value))
+        pairs.append(F.lit(float(f)))
+    # try_element_at, not element_at: ANSI mode makes the latter THROW
+    # on a missing map key, and unlisted strata are the normal case.
+    return F.coalesce(F.try_element_at(F.create_map(*pairs), key),
+                      F.lit(float(default_fraction)))
 
 
 def _duck_hash_fraction(key: str, seed: str = "dps-sample-v1") -> str:

@@ -160,3 +160,24 @@ def test_split_fractions_over_one_raises(docs):
     with pytest.raises(ValueError, match="sum to > 1"):
         mx.split_manifest(docs, "doc_id", "text",
                           {"train": 0.9, "val": 0.2})
+
+
+def test_mixture_many_weighted_groups_plan_scales(spark):
+    """A realistic wide mixture (hundreds of weighted sources) must
+    analyze and run: the keep-rate CASE chain is O(#weighted sources)
+    and must not blow the Catalyst stack or take superlinear time."""
+    n_groups = 400
+    df = (spark.range(0, 8000)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("word "),
+                           (F.col("id") % 7).cast("string")).alias("text"),
+                  F.concat(F.lit("g"),
+                           (F.col("id") % n_groups).cast("string"))
+                  .alias("src")))
+    weights = {f"g{i}": 1.0 / n_groups for i in range(n_groups)}
+    summ = mx.data_mixture_summary(df, "src", "doc_id", "text",
+                                   weights, 4000).collect()
+    assert len(summ) == n_groups
+    assert all(r["kept_docs"] <= 8000 // n_groups for r in summ)
+    kept = mx.data_mixture(df, "src", "doc_id", "text", weights, 4000)
+    assert 0 < kept.count() <= 8000

@@ -434,3 +434,36 @@ def test_neardup_streaming_session_recovers_parked_store(spark, tmp_path):
     nd.update(dup, 1)
     assert any(i == 9 for _, i in nd.flagged)  # history survived
     assert not os.path.isdir(nd._keys_path + ".compact-old")
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """quality_weighted_sample and the mixture filters are stateless
+    projections+filters, so they run unchanged on a readStream: the
+    union of per-batch survivors equals the batch-mode answer exactly
+    (deterministic md5 decision — no RNG, no state, no watermark)."""
+    from dataprofiler_spark.operators.mixture import quality_weighted_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    flat = str(tmp_path / "docstream")
+    os.makedirs(flat)
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0,
+                              F.col("doc_id") % 2 == 1)):
+        part = str(tmp_path / f"p{i}")
+        docs.where(pred).coalesce(1).write.parquet(part)
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{part}/{f}", f"{flat}/part{i}.parquet")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    out: list = []
+    q = (quality_weighted_sample(stream, "doc_id", "text", strength=1.2)
+         .writeStream
+         .foreachBatch(lambda d, bid: out.extend(
+             r["doc_id"] for r in d.select("doc_id").collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    expect = sorted(
+        r["doc_id"] for r in
+        quality_weighted_sample(docs, "doc_id", "text", strength=1.2)
+        .select("doc_id").collect())
+    assert sorted(out) == expect and len(expect) > 0
