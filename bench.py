@@ -166,6 +166,11 @@ def main() -> None:
         lambda: ck.packing_stats(documents, "doc_id", "text",
                                  context_len=256).collect())
 
+    run("embedding_decontaminate_embeddings",
+        lambda: sim.embedding_decontaminate(
+            embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
+            "vec_id", "embedding", threshold=0.8).count())
+
     def _drift():
         from pyspark.sql import functions as F
         a = orders.where(F.col("o_orderdate") < "1998-01-01")

@@ -305,3 +305,53 @@ SELECT c.id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
        c.id = c.cluster_id AS is_canonical
 FROM comp c JOIN sizes s USING (cluster_id)
 """
+
+
+def embedding_decontaminate(corpus: DataFrame, bench: DataFrame,
+                            id_col: str, vec_col: str,
+                            threshold: float = 0.8,
+                            round_digits: int = 6) -> DataFrame:
+    """Semantic benchmark decontamination: for every corpus vector, the
+    max cosine against the benchmark set; ``contaminated`` iff it meets
+    the threshold. The embedding twin of ``curation.decontaminate``
+    (reference has no decontamination surface at all).
+
+    Scale shape: the benchmark (eval sets) is SMALL by nature — it is
+    collapsed to ONE row of collected vectors and broadcast, so scoring
+    is a pure map-side pass over the corpus scan: zero shuffles, no
+    per-corpus-row join, no groupBy. Cost is O(|bench| · dim) per
+    corpus row; for benchmark sets beyond ~10^4 vectors, pre-bucket
+    both sides with ``lsh_bucket_expr`` and compare within buckets
+    instead. An empty benchmark yields max = NULL, contaminated =
+    false (fail-open is correct here: nothing to leak).
+    """
+    bvs = bench.agg(F.collect_list(F.col(vec_col)).alias("bvs"))
+    cosines = F.transform(
+        F.col("bvs"), lambda bv: cosine_expr(F.col(vec_col), bv))
+    mx = F.array_max(cosines)
+    return (corpus.crossJoin(F.broadcast(bvs))
+            .select(F.col(id_col).alias("id"),
+                    F.round(mx, round_digits).alias("max_benchmark_cosine"),
+                    F.coalesce(mx >= F.lit(threshold), F.lit(False))
+                     .alias("contaminated")))
+
+
+def oracle_embedding_decontaminate_sql(table: str, id_col: str,
+                                       vec_col: str, bench_pred: str,
+                                       dim: int, threshold: float = 0.8,
+                                       round_digits: int = 6) -> str:
+    """Oracle over a benchmark defined as ``WHERE bench_pred`` rows of
+    the same table (mirrors the registered query's bench subset)."""
+    cos = (f"{_duck_dot('c.v', 'b.bv', dim)} / "
+           f"(SQRT({_duck_dot('c.v', 'c.v', dim)}) * "
+           f"SQRT({_duck_dot('b.bv', 'b.bv', dim)}))")
+    return f"""
+WITH b AS (SELECT {vec_col}::DOUBLE[] AS bv FROM {table} WHERE {bench_pred}),
+c AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})
+SELECT c.id,
+       ROUND(MAX({cos}), {round_digits}) AS max_benchmark_cosine,
+       COALESCE(MAX(CASE WHEN {cos} >= {threshold} THEN 1 ELSE 0 END) = 1,
+                FALSE) AS contaminated
+FROM c LEFT JOIN b ON TRUE
+GROUP BY c.id
+"""

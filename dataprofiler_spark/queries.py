@@ -375,6 +375,20 @@ def embedding_neardup_pairs_q(spark, sf_dir):
                                        "embedding", threshold=0.5, n_planes=4, dim=64)
 
 
+@register("embedding_decontaminate_embeddings",
+          sim.oracle_embedding_decontaminate_sql(
+              "embeddings", "vec_id", "embedding",
+              bench_pred="vec_id % 37 = 0", dim=64, threshold=0.8))
+def embedding_decontaminate_embeddings(spark, sf_dir):
+    """Semantic decontamination: max cosine of every corpus vector vs a
+    broadcast benchmark subset (vec_id % 37 = 0); one map-side pass,
+    zero shuffles."""
+    emb = T(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    return sim.embedding_decontaminate(emb, bench, "vec_id", "embedding",
+                                       threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-id, quality, token counts, fingerprints)
 # ---------------------------------------------------------------------------

@@ -148,3 +148,39 @@ def test_ivf_query_deterministic_across_builds(spark, sf_dir, tmp_path):
         outs.append([tuple(r) for r in
                      ai.ivf_query(spark, path, q, k=5, nprobe=3).collect()])
     assert outs[0] == outs[1]
+
+
+def test_embedding_decontaminate_semantics(spark, sf_dir):
+    """Benchmark members flag themselves (self-cosine 1.0); an empty
+    benchmark fails open (nothing contaminated, NULL max); and the
+    corpus side is never shuffled (map-side broadcast pass)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.similarity import (
+        embedding_decontaminate)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    out = embedding_decontaminate(emb, bench, "vec_id", "embedding",
+                                  threshold=0.8)
+    got = {r["id"]: r for r in out.collect()}
+    bench_ids = [r["vec_id"] for r in bench.select("vec_id").collect()]
+    assert bench_ids, "test premise: non-empty benchmark"
+    for i in bench_ids:  # self-match => cosine 1.0 => contaminated
+        assert got[i]["contaminated"] and \
+            got[i]["max_benchmark_cosine"] == 1.0
+    assert len(got) == emb.count()
+
+    empty = embedding_decontaminate(
+        emb, bench.where(F.lit(False)), "vec_id", "embedding")
+    row = empty.limit(1).collect()[0]
+    assert row["contaminated"] is False
+    assert row["max_benchmark_cosine"] is None
+
+    # corpus rows flow scan -> broadcast nested loop -> project: the only
+    # Exchange in the plan belongs to the 1-row benchmark aggregate.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning" not in plan, plan
