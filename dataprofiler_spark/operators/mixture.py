@@ -143,9 +143,13 @@ def oracle_data_mixture_sql(table: str, group_col: str, id_col: str,
                             token_budget: int,
                             seed: str = "dps-mixture-v1") -> str:
     tc = _TOKENS_SQL.format(col=f"d.{text_col}")
-    wcase = ("CASE d.{g} " + " ".join(
-        f"WHEN '{g_}' THEN {float(w)!r}" for g_, w in sorted(weights.items()))
-        + " ELSE 0.0 END").format(g=group_col)
+    # Group names are data: escape embedded quotes (SQL doubling) and
+    # never .format() over the concatenated WHEN list — a group value
+    # containing '{' or '}' would raise KeyError / produce broken SQL.
+    wcase = (f"CASE d.{group_col} " + " ".join(
+        f"WHEN '{g_.replace(chr(39), chr(39) * 2)}' THEN {float(w)!r}"
+        for g_, w in sorted(weights.items()))
+        + " ELSE 0.0 END")
     h = _duck_hash_fraction(f"d.{id_col}", seed)
     # LEAST(1.0, (budget * w) / total) mirrors mixture_rates() literally
     # (same double ops, same order -> identical keep/drop decisions),
@@ -169,6 +173,95 @@ SELECT d.{group_col} AS grp,
        CAST(SUM(CASE WHEN {keep} THEN {tc} ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM {table} d LEFT JOIN tot t ON d.{group_col} = t.grp
 GROUP BY d.{group_col}
+ORDER BY grp
+"""
+
+
+# Composite-key mixtures (source × language × ...): the rate machinery
+# is single-column, so multi-dimension strata reduce to one derived
+# composite key. Each part is coalesced to a sentinel BEFORE joining —
+# concat_ws would silently SKIP a NULL part, colliding ('a', NULL) with
+# ('a',).
+MULTI_SEP = "|"
+_NULL_PART = "(null)"
+
+
+def _composite_expr(group_cols: list[str]):
+    return F.concat_ws(MULTI_SEP, *[
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_PART))
+        for c in group_cols])
+
+
+def _composite_weights(weights: dict[tuple, float]) -> dict[str, float]:
+    return {MULTI_SEP.join(str(p) for p in k): float(v)
+            for k, v in weights.items()}
+
+
+def data_mixture_multi(df: DataFrame, group_cols: list[str], id_col: str,
+                       text_col: str, weights: dict[tuple, float],
+                       token_budget: int,
+                       seed: str = "dps-mixture-v1") -> DataFrame:
+    """``data_mixture`` over a composite stratum (e.g. source × lang):
+    weights are keyed by tuples aligned with ``group_cols``. Same plan
+    shape as the single-column path — the derived key is a pure
+    projection, so it costs nothing extra at scan time."""
+    tagged = df.withColumn("__mix_grp", _composite_expr(group_cols))
+    out = data_mixture(tagged, "__mix_grp", id_col, text_col,
+                       _composite_weights(weights), token_budget, seed)
+    return out.drop("__mix_grp")
+
+
+def data_mixture_summary_multi(df: DataFrame, group_cols: list[str],
+                               id_col: str, text_col: str,
+                               weights: dict[tuple, float],
+                               token_budget: int,
+                               seed: str = "dps-mixture-v1") -> DataFrame:
+    """Composite-stratum audit table; ``grp`` is the joined key
+    ('src0|en')."""
+    tagged = df.withColumn("__mix_grp", _composite_expr(group_cols))
+    return data_mixture_summary(tagged, "__mix_grp", id_col, text_col,
+                                _composite_weights(weights), token_budget,
+                                seed)
+
+
+def oracle_data_mixture_multi_sql(table: str, group_cols: list[str],
+                                  id_col: str, text_col: str,
+                                  weights: dict[tuple, float],
+                                  token_budget: int,
+                                  seed: str = "dps-mixture-v1") -> str:
+    """DuckDB mirror of ``data_mixture_summary_multi``: the composite
+    key is rebuilt with || over per-part COALESCE (same bytes as
+    Spark's concat_ws over coalesced parts)."""
+    w = _composite_weights(weights)
+
+    def gexpr(prefix: str) -> str:
+        return f" || '{MULTI_SEP}' || ".join(
+            f"COALESCE(CAST({prefix}{c} AS VARCHAR), '{_NULL_PART}')"
+            for c in group_cols)
+
+    tc = _TOKENS_SQL.format(col=f"d.{text_col}")
+    wcase = (f"CASE {gexpr('d.')} " + " ".join(
+        f"WHEN '{g_.replace(chr(39), chr(39) * 2)}' THEN {float(v)!r}"
+        for g_, v in sorted(w.items()))
+        + " ELSE 0.0 END")
+    h = _duck_hash_fraction(f"d.{id_col}", seed)
+    rate = (f"CASE WHEN t.total_toks > 0 THEN "
+            f"LEAST(1.0, ({token_budget} * {wcase}) / "
+            f"CAST(t.total_toks AS DOUBLE)) ELSE 0.0 END")
+    keep = f"COALESCE({h} < ({rate}), FALSE)"
+    return f"""
+WITH tot AS (
+  SELECT {gexpr('')} AS grp,
+         SUM({_TOKENS_SQL.format(col=text_col)}) AS total_toks
+  FROM {table} GROUP BY 1
+)
+SELECT {gexpr('d.')} AS grp,
+       CAST(SUM({tc}) AS BIGINT) AS total_tokens,
+       CAST(FLOOR({token_budget} * ({wcase})) AS BIGINT) AS target_tokens,
+       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN {keep} THEN {tc} ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM {table} d LEFT JOIN tot t ON {gexpr('d.')} = t.grp
+GROUP BY 1
 ORDER BY grp
 """
 
@@ -225,6 +318,17 @@ FROM {table}
 """
 
 
+def _validate_split_fractions(fractions: dict[str, float]) -> None:
+    """A fraction <= 0 silently produces non-monotone cumulative bounds
+    (the split is unreachable and every later boundary shifts) — reject
+    loudly instead."""
+    bad = {k: v for k, v in fractions.items() if not v > 0.0}
+    if bad:
+        raise ValueError(f"split fractions must be > 0: {bad}")
+    if sum(fractions.values()) > 1.0 + 1e-12:
+        raise ValueError("split fractions sum to > 1")
+
+
 def split_manifest(df: DataFrame, id_col: str, text_col: str,
                    fractions: dict[str, float] | None = None,
                    seed: str = "dps-split-v1") -> DataFrame:
@@ -237,8 +341,7 @@ def split_manifest(df: DataFrame, id_col: str, text_col: str,
     splits.
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
-    if sum(fractions.values()) > 1.0 + 1e-12:
-        raise ValueError("split fractions sum to > 1")
+    _validate_split_fractions(fractions)
     h = hash_fraction_expr(F.col(id_col), seed)
     split = F.lit("_rest")
     hi = 0.0
@@ -260,6 +363,7 @@ def oracle_split_manifest_sql(table: str, id_col: str, text_col: str,
                               fractions: dict[str, float] | None = None,
                               seed: str = "dps-split-v1") -> str:
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_fractions(fractions)
     h = _duck_hash_fraction(id_col, seed)
     cases, hi = [], 0.0
     for name, frac in fractions.items():

@@ -176,73 +176,167 @@ SELECT * FROM (
 """
 
 
+def band_hyperplanes(dim: int, bands: int, planes_per_band: int,
+                     seed: str = "dps-lsh-v1") -> list[list[list[float]]]:
+    """``bands`` independent plane-sets (each ``planes_per_band`` planes),
+    seeded per band so the sets are mutually independent yet fully
+    deterministic across engines."""
+    return [hyperplanes(dim, planes_per_band, seed=f"{seed}|band{b}")
+            for b in range(bands)]
+
+
+def embedding_band_buckets(df: DataFrame, id_col: str, vec_col: str,
+                           bands: int = 4, planes_per_band: int = 8,
+                           dim: int = 64, seed: str = "dps-lsh-v1"
+                           ) -> DataFrame:
+    """(id, band, bucket) LSH keys — the embedding twin of
+    ``dedup.minhash_band_buckets``. Two vectors at angle θ collide in one
+    band with probability (1−θ/π)^planes_per_band; across ``bands``
+    independent bands the any-collision probability follows the standard
+    LSH S-curve, so recall is tuned by (bands, planes_per_band) instead
+    of a single huge signature with 2^n buckets."""
+    structs = [
+        F.struct(F.lit(b).alias("band"),
+                 lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+        for b, planes in enumerate(
+            band_hyperplanes(dim, bands, planes_per_band, seed))
+    ]
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array(*structs)).alias("s"))
+            .select("id", "s.band", "s.bucket"))
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                            threshold: float = 0.95, n_planes: int = 8,
-                            dim: int = 64, round_digits: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
-    sharing a bucket with cosine ≥ threshold. The pair join runs per
-    bucket (shuffle on bucket id), never all-pairs."""
-    planes = hyperplanes(dim, n_planes)
-    b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    x, y = b.alias("x"), b.alias("y")
-    return (
-        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+                            threshold: float = 0.95, bands: int = 4,
+                            planes_per_band: int = 8, dim: int = 64,
+                            round_digits: int = 6,
+                            max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
+    the same design as ``dedup.minhash_lsh_pairs``: B independent
+    plane-sets (bands), candidates = pairs sharing any (band, bucket),
+    union'd + distinct'd, then exact-cosine verified against
+    ``threshold``. Never all-pairs; the candidate join shuffles on
+    (band, bucket).
+
+    ``max_bucket_size`` is the skew guard for 100 TB runs: a degenerate
+    bucket of m members (zero vectors, one dense mode) yields m²/2
+    candidates on one join task. Buckets above the cap are dropped
+    BEFORE the self-join (the sizing groupBy hashes on the same
+    (band, bucket) key, so AQE reuses the shuffle); members can still
+    pair through their other bands. Default None = no cap
+    (oracle-matched semantics)."""
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    b = b.persist()  # bucket explode + both verify joins read this once
+    buckets = embedding_band_buckets(b, "id", "v", bands=bands,
+                                     planes_per_band=planes_per_band,
+                                     dim=dim)
+    if max_bucket_size is not None:
+        small = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .where(F.col("__bsz") <= max_bucket_size)
+                 .select("band", "bucket"))
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    v1 = b.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = b.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        pairs.join(v1, "id1").join(v2, "id2")
         .select(
-            F.col("x.id").alias("id1"), F.col("y.id").alias("id2"),
-            F.round(cosine_expr(F.col("x.v"), F.col("y.v")), round_digits)
+            "id1", "id2",
+            F.round(cosine_expr(F.col("v1"), F.col("v2")), round_digits)
              .alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
 
 
-def oracle_embedding_neardup_sql(table: str, id_col: str, vec_col: str,
-                                 threshold: float = 0.95, n_planes: int = 8,
-                                 dim: int = 64, round_digits: int = 6) -> str:
-    planes = hyperplanes(dim, n_planes)
+def _duck_bucket(planes: list[list[float]], dim: int, vec: str) -> str:
+    """DuckDB expression for the sign-bit bucket of ``vec`` vs planes."""
     terms = []
     for i, plane in enumerate(planes):
         arr = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
-        proj = _duck_dot("t.v", arr, dim)
+        proj = _duck_dot(vec, arr, dim)
         terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _duck_band_buckets(planes_sets: list[list[list[float]]], dim: int,
+                       src: str, vec: str = "t.v") -> str:
+    """UNION ALL of per-band (id, band, bucket) selects over ``src``."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, CAST({_duck_bucket(planes, dim, vec)} "
+        f"AS BIGINT) AS bucket FROM {src} t"
+        for b, planes in enumerate(planes_sets))
+
+
+def oracle_embedding_neardup_sql(table: str, id_col: str, vec_col: str,
+                                 threshold: float = 0.95, bands: int = 4,
+                                 planes_per_band: int = 8, dim: int = 64,
+                                 round_digits: int = 6,
+                                 max_bucket_size: int | None = None) -> str:
+    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+    band_sel = _duck_band_buckets(planes_sets, dim, "v")
+    size_filter = ""
+    if max_bucket_size is not None:
+        size_filter = f""",
+small AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket
+  HAVING COUNT(*) <= {max_bucket_size}
+)"""
+    # small is distinct by construction (GROUP BY) — inner join == semi.
+    bsrc = ("(SELECT bk.* FROM buckets bk JOIN small s "
+            "ON bk.band = s.band AND bk.bucket = s.bucket)"
+            if max_bucket_size is not None else "buckets")
     dot = _duck_dot("x.v", "y.v", dim)
     nx = _duck_dot("x.v", "x.v", dim)
     ny = _duck_dot("y.v", "y.v", dim)
     cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
     return f"""
-WITH b AS (
-  SELECT t.{id_col} AS id, t.v, CAST({bucket} AS BIGINT) AS bucket
-  FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) t
+WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+buckets AS (
+{band_sel}
+){size_filter},
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM {bsrc} a JOIN {bsrc} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 )
-SELECT x.id AS id1, y.id AS id2, ROUND({cos}, {round_digits}) AS cosine
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+SELECT p.id1, p.id2, ROUND({cos}, {round_digits}) AS cosine
+FROM pairs p JOIN v x ON p.id1 = x.id JOIN v y ON p.id2 = y.id
 WHERE {cos} >= {threshold}
 """
 
 
 def embedding_neardup_clusters(df: DataFrame, id_col: str, vec_col: str,
-                               threshold: float = 0.95, n_planes: int = 8,
-                               dim: int = 64, round_digits: int = 6,
-                               max_iter: int = 20) -> DataFrame:
+                               threshold: float = 0.95, bands: int = 4,
+                               planes_per_band: int = 8, dim: int = 64,
+                               round_digits: int = 6, max_iter: int = 20,
+                               max_bucket_size: int | None = None
+                               ) -> DataFrame:
     """Embedding-cosine near-duplicate clusters: (id, cluster_id,
     cluster_size, is_canonical) for every vector — the embedding-space
-    twin of ``dedup.neardup_clusters`` (pair generation is the
-    LSH-bucketed cosine join; components are iterative min-label
-    propagation; canonical = min-id member).
+    twin of ``dedup.neardup_clusters`` (pair generation is the banded
+    LSH cosine join; components are iterative min-label propagation;
+    canonical = min-id member).
 
-    Scale shape: per-bucket pair joins (never all-pairs) + O(cluster
+    Scale shape: per-(band, bucket) pair joins with the optional
+    ``max_bucket_size`` skew guard (never all-pairs) + O(cluster
     diameter) label-propagation rounds — near-dup graphs are cliques-ish
     so rounds stay small."""
     from dataprofiler_spark.operators.graph import connected_components
 
     pairs = embedding_neardup_pairs(df, id_col, vec_col,
-                                    threshold=threshold, n_planes=n_planes,
-                                    dim=dim, round_digits=round_digits)
+                                    threshold=threshold, bands=bands,
+                                    planes_per_band=planes_per_band,
+                                    dim=dim, round_digits=round_digits,
+                                    max_bucket_size=max_bucket_size)
     comps = (connected_components(pairs, "id1", "id2", max_iter=max_iter)
              .withColumnRenamed("node", "id"))
     ids = df.select(F.col(id_col).alias("id"))
@@ -259,29 +353,45 @@ def embedding_neardup_clusters(df: DataFrame, id_col: str, vec_col: str,
 def oracle_embedding_neardup_clusters_sql(table: str, id_col: str,
                                           vec_col: str,
                                           threshold: float = 0.95,
-                                          n_planes: int = 8, dim: int = 64,
-                                          round_digits: int = 6) -> str:
-    """Recursive-CTE transitive closure over the bucketed cosine pairs
+                                          bands: int = 4,
+                                          planes_per_band: int = 8,
+                                          dim: int = 64,
+                                          round_digits: int = 6,
+                                          max_bucket_size: int | None = None
+                                          ) -> str:
+    """Recursive-CTE transitive closure over the banded cosine pairs
     (mirrors dedup.oracle_neardup_clusters_sql)."""
-    planes = hyperplanes(dim, n_planes)
-    terms = []
-    for i, plane in enumerate(planes):
-        arr = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
-        proj = _duck_dot("t.v", arr, dim)
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+    band_sel = _duck_band_buckets(planes_sets, dim, "v")
+    size_filter = ""
+    if max_bucket_size is not None:
+        size_filter = f""",
+small AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket
+  HAVING COUNT(*) <= {max_bucket_size}
+)"""
+    bsrc = ("(SELECT bk.* FROM buckets bk JOIN small s "
+            "ON bk.band = s.band AND bk.bucket = s.bucket)"
+            if max_bucket_size is not None else "buckets")
     dot = _duck_dot("x.v", "y.v", dim)
     nx = _duck_dot("x.v", "x.v", dim)
     ny = _duck_dot("y.v", "y.v", dim)
     cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
     return f"""
-WITH RECURSIVE b AS (
-  SELECT t.{id_col} AS id, t.v, CAST({bucket} AS BIGINT) AS bucket
-  FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) t
+WITH RECURSIVE v AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+buckets AS (
+{band_sel}
+){size_filter},
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM {bsrc} a JOIN {bsrc} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ),
 vpairs AS (
-  SELECT x.id AS id1, y.id AS id2
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+  SELECT c.id1, c.id2
+  FROM cand c JOIN v x ON c.id1 = x.id JOIN v y ON c.id2 = y.id
   WHERE {cos} >= {threshold}
 ),
 nodes AS (SELECT {id_col} AS id FROM {table}),
@@ -334,6 +444,100 @@ def embedding_decontaminate(corpus: DataFrame, bench: DataFrame,
                     F.round(mx, round_digits).alias("max_benchmark_cosine"),
                     F.coalesce(mx >= F.lit(threshold), F.lit(False))
                      .alias("contaminated")))
+
+
+def embedding_decontaminate_bucketed(corpus: DataFrame, bench: DataFrame,
+                                     id_col: str, vec_col: str,
+                                     threshold: float = 0.8,
+                                     bands: int = 4,
+                                     planes_per_band: int = 8,
+                                     dim: int = 64,
+                                     round_digits: int = 6) -> DataFrame:
+    """LSH-bucketed semantic decontamination — the scale path past the
+    ~10^4-benchmark-vector ceiling of ``embedding_decontaminate``'s
+    broadcast brute force (which stays the exactness baseline; this
+    variant is approximate: a corpus vector is only compared to bench
+    vectors sharing at least one (band, bucket) LSH key, so
+    ``max_benchmark_cosine`` is NULL/absent for corpus rows whose true
+    max falls below the LSH recall curve — exactly the rows a
+    decontamination filter doesn't care about).
+
+    Plan shape: both sides explode to B (band, bucket) keys; the bench
+    side is small relative to the corpus so Spark broadcasts it and the
+    candidate join + cosine + partial max all run MAP-SIDE — the only
+    shuffle is the per-id max carrying (id, double) rows, and the final
+    left join back to corpus ids reuses that same id hashing. No driver
+    collect anywhere: past broadcast size the join degrades to a
+    shuffle join, still never all-pairs."""
+    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+
+    def _structs(vcol: Column) -> list[Column]:
+        return [F.struct(F.lit(b).alias("band"),
+                         lsh_bucket_expr(vcol, ps).alias("bucket"))
+                for b, ps in enumerate(planes_sets)]
+
+    cb = (corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"),
+                        F.explode(F.array(*_structs(F.col(vec_col))))
+                         .alias("s"))
+          .select("id", "v", "s.band", "s.bucket"))
+    bb = (bench.select(F.col(vec_col).alias("bv"),
+                       F.explode(F.array(*_structs(F.col(vec_col))))
+                        .alias("s"))
+          .select("bv", "s.band", "s.bucket"))
+    # Same bench vector matched through 2+ bands → cosine computed twice;
+    # MAX is duplicate-insensitive so no distinct is needed.
+    mx = (cb.join(F.broadcast(bb), ["band", "bucket"])
+          .select("id", cosine_expr(F.col("v"), F.col("bv")).alias("cos"))
+          .groupBy("id").agg(F.max("cos").alias("mx")))
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (ids.join(mx, "id", "left")
+            .select("id",
+                    F.round("mx", round_digits).alias("max_benchmark_cosine"),
+                    F.coalesce(F.col("mx") >= F.lit(threshold), F.lit(False))
+                     .alias("contaminated")))
+
+
+def oracle_embedding_decontaminate_bucketed_sql(
+        table: str, id_col: str, vec_col: str, bench_pred: str, dim: int,
+        threshold: float = 0.8, bands: int = 4, planes_per_band: int = 8,
+        round_digits: int = 6) -> str:
+    """DuckDB mirror of the banded candidate join (benchmark = the
+    ``WHERE bench_pred`` rows of the same table)."""
+    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+    corpus_sel = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, "
+        f"CAST({_duck_bucket(ps, dim, 't.v')} AS BIGINT) AS bucket FROM c t"
+        for b, ps in enumerate(planes_sets))
+    bench_sel = "\n  UNION ALL\n".join(
+        f"  SELECT bv, {b} AS band, "
+        f"CAST({_duck_bucket(ps, dim, 't.bv')} AS BIGINT) AS bucket "
+        f"FROM bench t"
+        for b, ps in enumerate(planes_sets))
+    cos = (f"{_duck_dot('c.v', 'bb.bv', dim)} / "
+           f"(SQRT({_duck_dot('c.v', 'c.v', dim)}) * "
+           f"SQRT({_duck_dot('bb.bv', 'bb.bv', dim)}))")
+    return f"""
+WITH bench AS (SELECT {vec_col}::DOUBLE[] AS bv FROM {table}
+               WHERE {bench_pred}),
+c AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+cb AS (
+{corpus_sel}
+),
+bb AS (
+{bench_sel}
+),
+m AS (
+  SELECT cb.id, MAX({cos}) AS mx
+  FROM cb
+  JOIN bb ON cb.band = bb.band AND cb.bucket = bb.bucket
+  JOIN c ON cb.id = c.id
+  GROUP BY cb.id
+)
+SELECT c.id, ROUND(m.mx, {round_digits}) AS max_benchmark_cosine,
+       COALESCE(m.mx >= {threshold}, FALSE) AS contaminated
+FROM c LEFT JOIN m ON c.id = m.id
+"""
 
 
 def oracle_embedding_decontaminate_sql(table: str, id_col: str,

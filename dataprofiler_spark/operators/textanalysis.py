@@ -42,10 +42,13 @@ def bpe_tokens_expr(text_col: str) -> Column:
 
 def token_count_expr(text_col: str) -> Column:
     """NULL-safe whitespace token count: NULL text counts 0 tokens.
-    Raw ``F.size`` returns -1 for NULL input under Spark's default
-    legacy ``sizeOfNull`` — summed into token totals that poisons the
-    accounting (and diverges from SQL engines, where SUM skips NULL).
-    The DuckDB mirror is ``TOKEN_COUNT_SQL``."""
+    On Spark 3+/4, raw ``F.size(NULL)`` yields NULL (-1 only under the
+    legacy ``spark.sql.legacy.sizeOfNull`` flag), so SUM over it
+    silently SKIPS NULL-text docs while COUNT(*) still counts them —
+    token totals and doc counts disagree, and comparisons like
+    ``tc > context_len`` go NULL. Pinning NULL to 0 keeps per-row
+    counts aligned with the DuckDB mirror ``TOKEN_COUNT_SQL``'s
+    ``COALESCE(..., 0)``."""
     return F.when(F.col(text_col).isNull(), F.lit(0)
                   ).otherwise(F.size(tokens_expr(text_col)))
 
@@ -121,6 +124,11 @@ def _quality_raw_exprs(text_col: str) -> dict[str, Column]:
         + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
     )
+    # NULL text must score 0.0, not 0.7: least() IGNORES NULL args on
+    # both engines, so the NULL token term silently collapses to
+    # 1.0*0.4 + 0.3 — a quality filter would then PREFER degenerate
+    # NULL-text rows over empty-string rows (score 0.3).
+    score = F.when(F.col(text_col).isNull(), F.lit(0.0)).otherwise(score)
     return {"n_chars": n_chars, "n_tokens": n_tokens, "avg_tok": avg_tok,
             "punct_ratio": punct_ratio, "stop_ratio": stop_ratio,
             "score": score}
@@ -163,6 +171,8 @@ def _quality_raw_sql(text_col: str) -> dict[str, str]:
     score = (f"LEAST(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
              f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
              f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
+    # NULL-text guard — mirrors _quality_raw_exprs (see comment there).
+    score = f"CASE WHEN {text_col} IS NULL THEN 0.0 ELSE {score} END"
     return {"n_chars": nc, "n_tokens": nt, "avg_tok": avg_tok,
             "punct_ratio": pr, "stop_ratio": sr, "score": score}
 
@@ -235,6 +245,8 @@ def oracle_quality_rollup_sql(table: str, text_col: str, group_col: str,
     score = (f"LEAST(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
              f" + (1.0 - LEAST(({pr}) * 5.0, 1.0)) * 0.3"
              f" + LEAST(({sr}) * 4.0, 1.0) * 0.3")
+    # NULL-text guard — mirrors _quality_raw_exprs (see comment there).
+    score = f"CASE WHEN {text_col} IS NULL THEN 0.0 ELSE {score} END"
     return f"""
 SELECT CASE WHEN is_total = 1 THEN '(all)'
             ELSE COALESCE(grp, '(null)') END AS {group_col},
