@@ -140,6 +140,23 @@ class NumpyCharCNN:
 
     # -- prediction ---------------------------------------------------------
 
+    def predict_char_labels(self, texts: list[str],
+                            batch_size: int = 64) -> list[list[int]]:
+        """Per-character argmax label indices for each text (length ==
+        min(len(text), max_length)) — the raw material for span-level
+        NER postprocessing (labeler/ner.py). Batches are grouped as-is;
+        each batch pads to its longest member + conv halo, which yields
+        identical per-character predictions to the reference's fixed
+        3400 padding (see module docstring)."""
+        out: list[list[int]] = []
+        for s in range(0, len(texts), batch_size):
+            chunk = [str(t) for t in texts[s:s + batch_size]]
+            codes, lens = self._encode(chunk)
+            labels = self._forward(codes).argmax(axis=-1)
+            for i, n in enumerate(lens):
+                out.append([int(x) for x in labels[i, :n]])
+        return out
+
     def predict_cells(self, cells: list[str],
                       batch_size: int = 256) -> list[tuple[str, float]]:
         """[(label, confidence)] per cell — StructCharPostprocessor vote:

@@ -1,0 +1,138 @@
+"""Char-span NER (labeler/ner.py): span-merge semantics, word-level
+argmax, the Spark adapter, and the sf0.01 golden fixture behind the
+``ner_spans_orders`` driver query.
+
+Reference parity targets: CharPostprocessor.convert_to_NER_format
+(data_processing.py:1128-1193) and _word_level_argmax (:1030-1126);
+the unstructured labeler profile drives them with
+use_word_level_argmax=True, output_format='NER'
+(unstructured_labeler_profile.py:173).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dataprofiler_spark.labeler.ner import (char_spans, entity_span_counts,
+                                            load_unstructured_model,
+                                            predict_text_spans, text_spans,
+                                            word_level_relabel)
+
+PAD, UNK = 0, 1
+
+
+class TestCharSpans:
+    def test_runs_merge(self):
+        #        U  A  A  B  B  U  A
+        labels = [1, 2, 2, 3, 3, 1, 2]
+        assert char_spans(labels, PAD, UNK) == [(1, 3, 2), (3, 5, 3),
+                                                (6, 7, 2)]
+
+    def test_span_at_end_closes(self):
+        assert char_spans([2, 2], PAD, UNK) == [(0, 2, 2)]
+
+    def test_all_background_empty(self):
+        assert char_spans([1, 1, 0, 1], PAD, UNK) == []
+
+    def test_empty(self):
+        assert char_spans([], PAD, UNK) == []
+
+    def test_pad_breaks_run(self):
+        # PAD between two A-runs yields two spans, not one
+        assert char_spans([2, 0, 2], PAD, UNK) == [(0, 1, 2), (2, 3, 2)]
+
+
+class TestWordLevelRelabel:
+    def test_dominant_label_wins(self):
+        text = "ab cd"
+        #       A A . U U   -> word1 100% A (2 chars) relabels to A
+        labels = [2, 2, 1, 1, 1]
+        out = word_level_relabel(text, labels, UNK)
+        assert out[:2] == [2, 2]
+        assert out[3:] == [UNK, UNK]
+
+    def test_minority_label_erased(self):
+        # 1 of 4 chars labeled A (25% < 75%) -> whole word goes default
+        text = "abcd"
+        labels = [2, 1, 1, 1]
+        assert word_level_relabel(text, labels, UNK) == [UNK] * 4
+
+    def test_single_char_entity_not_dominant(self):
+        # dominant needs >= 2 chars (reference: count > 1)
+        text = "a bc"
+        labels = [2, 1, 2, 2]
+        out = word_level_relabel(text, labels, UNK)
+        assert out[0] == UNK  # 1-char word: 100% but only 1 char
+        assert out[2:] == [2, 2]
+
+    def test_separators_keep_labels(self):
+        text = "a b"
+        labels = [1, 5, 1]
+        out = word_level_relabel(text, labels, UNK)
+        assert out[1] == 5  # separator char untouched
+
+
+needs_model = pytest.mark.skipif(load_unstructured_model() is None,
+                                 reason="CNN weights unavailable")
+
+
+@needs_model
+class TestTextSpans:
+    def test_email_and_phone_found(self):
+        texts = ["Contact: jane.doe@example.com or 555-867-5309."]
+        spans = text_spans(texts)[0]
+        labels = {lbl for _, _, lbl in spans}
+        assert "EMAIL_ADDRESS" in labels and "PHONE_NUMBER" in labels
+        # offsets slice the original text exactly
+        for s, e, lbl in spans:
+            if lbl == "EMAIL_ADDRESS":
+                assert texts[0][s:e] == "jane.doe@example.com"
+
+    def test_empty_text_no_spans(self):
+        assert text_spans([""]) == [[]]
+
+    def test_offsets_within_bounds(self):
+        t = "Born 1990-01-02 in Austin TX"
+        for s, e, lbl in text_spans([t])[0]:
+            assert 0 <= s < e <= len(t)
+
+
+@needs_model
+def test_predict_text_spans_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+          .where(F.col("o_orderkey") <= 10)
+          .select(F.col("o_orderkey").alias("oid"),
+                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("t")))
+    spans = predict_text_spans(df, "oid", "t").collect()
+    assert spans, "a bare ISO date must label as DATE"
+    for r in spans:
+        assert r["entity"] == "DATE"
+        assert r["token"] != ""
+    counts = entity_span_counts(predict_text_spans(df, "oid", "t"))
+    row = counts.collect()[0]
+    assert row["entity"] == "DATE" and row["n_spans"] == len(spans)
+
+
+@needs_model
+def test_ner_span_counts_golden(spark):
+    """The driver-checked ner_spans_orders golden. To regenerate after a
+    testdata change:
+
+        rows = _ner_span_counts(spark, '/root/testdata/sf0.01').collect()
+        json.dump([[r['entity'], r['n_spans'], r['n_chars']] for r in rows],
+                  open('fixtures/ner_spans_sf001.json', 'w'))
+    """
+    from dataprofiler_spark.queries import _ner_span_counts
+
+    p = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "fixtures", "ner_spans_sf001.json")
+    with open(p) as fh:
+        golden = [tuple(r) for r in json.load(fh)]
+    rows = _ner_span_counts(spark, "/root/testdata/sf0.01").collect()
+    got = [(r["entity"], r["n_spans"], r["n_chars"]) for r in rows]
+    assert got == golden
