@@ -188,9 +188,21 @@ mins AS (
 
 
 def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
-                  k: int, num_hashes: int) -> DataFrame:
+                  k: int, num_hashes: int,
+                  verify_k: int | None = None) -> DataFrame:
     """(id, hs, mh0..mhN): hashed shingle set + minhash signature from
-    ONE explode + ONE groupBy (see minhash_lsh_pairs docstring)."""
+    ONE explode + ONE groupBy (see minhash_lsh_pairs docstring).
+
+    ``verify_k`` bounds ``hs`` to the doc's k SMALLEST distinct hashes —
+    a bottom-k sketch (one-permutation KMV): h60 = md5 prefix is a
+    uniform hash, so the k minima are an unbiased sample of the distinct
+    set and support the standard bottom-k Jaccard estimator (see
+    minhash_lsh_pairs). The plan changes shape to keep every shuffle
+    row bounded: distinct (narrow (id, h60) rows) → per-id row_number
+    window → collect_list over rn<=verify_k only (agg buffer ≤ k
+    values), while the signature mins still aggregate ALL distinct
+    hashes (min is duplicate-insensitive, and the min of a *permuted*
+    hash need not be among the bottom-k of h60)."""
     from dataprofiler_spark.session import explode_no_prefilter
 
     shingle_rows = explode_no_prefilter(
@@ -201,8 +213,20 @@ def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
     hashed = shingle_rows.select("id", h60.alias("h60"))
     coeffs = _perm_coeffs(num_hashes)
     h32 = F.shiftright(F.col("h60"), 28)
-    return hashed.groupBy("id").agg(
-        F.collect_set("h60").alias("hs"),
+    if verify_k is None:
+        return hashed.groupBy("id").agg(
+            F.collect_set("h60").alias("hs"),
+            *[F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME))
+               .alias(f"mh{j}")
+              for j, (a, b) in enumerate(coeffs)
+            ])
+    from pyspark.sql.window import Window
+    dist = hashed.distinct()
+    w = Window.partitionBy("id").orderBy("h60")
+    tagged = dist.withColumn("__rn", F.row_number().over(w))
+    return tagged.groupBy("id").agg(
+        F.array_sort(F.collect_list(
+            F.when(F.col("__rn") <= verify_k, F.col("h60")))).alias("hs"),
         *[F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME))
            .alias(f"mh{j}")
           for j, (a, b) in enumerate(coeffs)
@@ -239,7 +263,8 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
                       threshold: float = 0.5, round_digits: int = 6,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      verify_k: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard ≥ threshold) via banded LSH.
 
     rows_per_band = num_hashes / bands; candidate recall follows the
@@ -267,7 +292,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     shuffle). The first 8 hex chars of md5 are a prefix of the first 15,
     so the 32-bit base hash is recovered as ``h60 >> 28`` and signature
     values are unchanged. The oracle derives the identical ints, so even
-    the (negligible) hash-collision cases agree across engines."""
+    the (negligible) hash-collision cases agree across engines.
+
+    ``verify_k`` caps the per-doc verify set to its k smallest distinct
+    hashes (bottom-k / KMV sketch) so multi-MB documents don't push a
+    full shingle set through the shuffle and both verify joins. Jaccard
+    is then the standard bottom-k estimator: with U = the k smallest of
+    hs1 ∪ hs2, estimate = |{x ∈ U : x ∈ hs1 ∧ x ∈ hs2}| / |U| — an
+    unbiased estimate of the true Jaccard (exact whenever both docs
+    have ≤ k distinct shingles, because the sketches are then the full
+    sets; stderr ≈ sqrt(J(1−J)/k) otherwise). Default None keeps the
+    exact-Jaccard semantics; the oracle mirrors whichever rule is
+    active."""
     assert num_hashes % bands == 0
     from dataprofiler_spark.session import ensure_parallelism
     df = ensure_parallelism(df)
@@ -276,7 +312,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # shingle set (collect_set = distinct). 60 bits (15 hex chars) keeps
     # the hash exact in a signed BIGINT on both engines; the 32-bit
     # minhash base hash is the prefix h60 >> 28.
-    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes,
+                         verify_k=verify_k)
     # The band explode and the two verify joins all read from this one
     # aggregate — persist the small intermediate.
     wide = wide.persist()
@@ -300,19 +337,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     s1 = sh.select(F.col("id").alias("id1"), F.col("hs").alias("hs1"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("hs").alias("hs2"))
-    # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct) — one set op per pair,
-    # over ints, instead of intersect+union over strings.
-    inter = F.size(F.array_intersect("hs1", "hs2"))
+    if verify_k is None:
+        # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct) — one set op per
+        # pair, over ints, instead of intersect+union over strings.
+        inter = F.size(F.array_intersect("hs1", "hs2"))
+        jacc = F.round(
+            inter.cast("double")
+            / (F.size("hs1") + F.size("hs2") - inter),
+            round_digits)
+    else:
+        # bottom-k estimator: U = k smallest of the sketch union;
+        # |U ∩ A ∩ B| / |U| (see docstring).
+        u = F.slice(F.array_sort(F.array_union("hs1", "hs2")), 1, verify_k)
+        inter = F.size(F.filter(
+            u, lambda x: F.array_contains(F.col("hs1"), x)
+            & F.array_contains(F.col("hs2"), x)))
+        jacc = F.round(inter.cast("double") / F.size(u), round_digits)
     verified = (
         pairs.join(s1, "id1").join(s2, "id2")
-        .select(
-            "id1", "id2",
-            F.round(
-                inter.cast("double")
-                / (F.size("hs1") + F.size("hs2") - inter),
-                round_digits,
-            ).alias("jaccard"),
-        )
+        .select("id1", "id2", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     return verified
@@ -320,9 +363,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
                      num_hashes: int, bands: int, threshold: float,
-                     round_digits: int) -> str:
+                     round_digits: int, verify_k: int | None = None) -> str:
     """Shared CTE chain: shingles → 60-bit hashes → minhash → bands →
-    candidate pairs → threshold-verified pairs (``vpairs``)."""
+    candidate pairs → threshold-verified pairs (``vpairs``).
+    ``verify_k`` mirrors the bottom-k sketch rule (sh keeps only the k
+    smallest hashes per doc; jaccard is the bottom-k estimator)."""
     rows = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
     mins = ",\n         ".join(
@@ -334,15 +379,26 @@ def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
                              for r in range(rows))
         + ") AS bucket FROM mins"
         for b in range(bands))
+    if verify_k is None:
+        sketch = "hs_full"
+        jacc = ("CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) "
+                "/ (len(s1.hs) + len(s2.hs) "
+                "- len(list_intersect(s1.hs, s2.hs)))")
+    else:
+        sketch = f"(list_sort(hs_full))[1:{verify_k}]"
+        u = f"(list_sort(list_distinct(s1.hs || s2.hs)))[1:{verify_k}]"
+        jacc = (f"CAST(len(list_filter({u}, x -> list_contains(s1.hs, x) "
+                f"AND list_contains(s2.hs, x))) AS DOUBLE) / len({u})")
     return f"""sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
-sh AS (
+shf AS (
   SELECT id, list_distinct(list_transform(sh,
-           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs_full
   FROM sh0
 ),
+sh AS (SELECT id, {sketch} AS hs FROM shf),
 hashes AS (
-  SELECT sh.id, u.h60 // 268435456 AS h
-  FROM sh, UNNEST(sh.hs) u(h60)
+  SELECT shf.id, u.h60 // 268435456 AS h
+  FROM shf, UNNEST(shf.hs_full) u(h60)
 ),
 mins AS (
   SELECT id,
@@ -359,23 +415,20 @@ pairs AS (
 ),
 vpairs AS (
   SELECT p.id1, p.id2,
-         ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-               / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))),
-               {round_digits}) AS jaccard
+         ROUND({jacc}, {round_digits}) AS jaccard
   FROM pairs p
   JOIN sh s1 ON s1.id = p.id1
   JOIN sh s2 ON s2.id = p.id2
-  WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
-        / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))
-        >= {threshold}
+  WHERE ROUND({jacc}, {round_digits}) >= {threshold}
 )"""
 
 
 def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
                                  k: int = 3, num_hashes: int = 12, bands: int = 6,
-                                 threshold: float = 0.5, round_digits: int = 6) -> str:
+                                 threshold: float = 0.5, round_digits: int = 6,
+                                 verify_k: int | None = None) -> str:
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
-                            threshold, round_digits)
+                            threshold, round_digits, verify_k=verify_k)
     return f"WITH {ctes}\nSELECT id1, id2, jaccard FROM vpairs"
 
 
