@@ -22,9 +22,13 @@ whole table at scale. This version distributes it:
    lagged over bucket order (a window over B rows, not the data).
 
 Empty buckets simply don't appear in step 4, so the seam lag naturally
-bridges them. Non-numeric leading keys fall back to a single bucket
-(the round-1 global window — documented, and never hit by the shipped
-queries, whose keys are numeric).
+bridges them. String leading keys range-bucket too: after stripping the
+min/max common prefix, the next 8 bytes of the UTF-8 encoding — zero-
+padded to fixed width, read as a big-endian integer — are weakly
+monotone in the string's binary-collation sort order, which is all
+bucketing needs (within-bucket sorts and seam min_by/max_by use the
+real key). Other types (maps, structs with no natural range) raise
+rather than silently degrading to a single global partition.
 """
 
 from __future__ import annotations
@@ -33,26 +37,70 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pyspark.sql.types import (DateType, NumericType, TimestampType,
-                               TimestampNTZType)
+from pyspark.sql.types import (DateType, NumericType, StringType,
+                               TimestampType, TimestampNTZType)
 
 DEFAULT_ORDER_BUCKETS = 64
 
 
+def _string_prefix_value(df: DataFrame, key: str) -> tuple[Column, float,
+                                                           float] | None:
+    """Monotone numeric projection of a string key, or None when the
+    column is constant/empty (single bucket is then *exact*, not a
+    degradation). Strips the corpus-wide common prefix (min and max
+    share it ⇒ every row shares it) so keys like 'user_000123' still
+    spread across buckets; assumes the default UTF8_BINARY collation.
+    """
+    row = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo_s, hi_s = row["lo"], row["hi"]
+    if lo_s is None or hi_s is None or lo_s == hi_s:
+        return None
+    lob, hib = lo_s.encode("utf-8"), hi_s.encode("utf-8")
+    plen = 0
+    while plen < min(len(lob), len(hib)) and lob[plen] == hib[plen]:
+        plen += 1
+    # Fixed-width zero-padding before the integer read is what makes the
+    # projection monotone: variable-length reads are not ('aa'=0x6161 >
+    # 'b'=0x62 numerically but 'aa' < 'b' lexicographically).
+    kv = F.conv(
+        F.hex(F.expr(
+            f"rpad(substring(encode(`{key}`, 'UTF-8'), {plen + 1}, 8), "
+            f"8, x'00')")),
+        16, 10).cast("double")
+
+    def val(b: bytes) -> float:
+        return float(int.from_bytes(b[plen:plen + 8].ljust(8, b"\x00"),
+                                    "big"))
+
+    return kv, val(lob), val(hib)
+
+
 def _bucket_expr(df: DataFrame, key: str, num_buckets: int) -> Column:
-    """Monotone range-bucket of the leading order key, or lit(1) when the
-    key has no usable numeric range (single bucket = round-1 behavior)."""
+    """Monotone range-bucket of the leading order key. Every supported
+    key type distributes; a constant/empty key yields one bucket (which
+    is exact). Unsupported key types raise — a silent single-bucket
+    fallback would be the round-1 global-window anti-pattern."""
     dtype = df.schema[key].dataType
+    lo = hi = None
     if isinstance(dtype, NumericType):
         kv = F.col(key).cast("double")
     elif isinstance(dtype, (TimestampType, TimestampNTZType)):
         kv = F.unix_micros(F.col(key)).cast("double")
     elif isinstance(dtype, DateType):
         kv = F.datediff(F.col(key), F.lit("1970-01-01")).cast("double")
+    elif isinstance(dtype, StringType):
+        proj = _string_prefix_value(df, key)
+        if proj is None:
+            return F.lit(1)
+        kv, lo, hi = proj
     else:
-        return F.lit(1)
-    row = df.agg(F.min(kv).alias("lo"), F.max(kv).alias("hi")).first()
-    lo, hi = row["lo"], row["hi"]
+        raise ValueError(
+            f"order_profile: no distributed range-bucketing for order key "
+            f"{key!r} of type {dtype.simpleString()}; cast it to a "
+            f"numeric/timestamp/date/string key first")
+    if lo is None:
+        row = df.agg(F.min(kv).alias("lo"), F.max(kv).alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
     if lo is None or hi is None or lo == hi or num_buckets <= 1:
         return F.lit(1)
     # nulls sort first in Spark ascending order → bucket 0 keeps them ahead
