@@ -176,8 +176,39 @@ def looks_like_graph(header_cells: list[str]) -> bool:
     return detect_edge_columns(header_cells) is not None
 
 
+_EXT_FORMATS = {
+    ".parquet": "parquet", ".orc": "orc", ".avro": "avro",
+    ".json": "json", ".jsonl": "json", ".ndjson": "json",
+    ".csv": "csv", ".tsv": "csv", ".txt": "text", ".log": "text",
+}
+
+
+def sniff_extension(path: str) -> SniffResult:
+    """Extension-based dispatch for distributed URIs (s3a://, hdfs://,
+    ...): their bytes live executor-side, so content sniffing would
+    mean a driver-side remote read — exactly what those connectors
+    exist to avoid. Unknown extensions raise with guidance instead of
+    guessing."""
+    import os as _os
+    ext = _os.path.splitext(path.rstrip("/"))[1].lower()
+    fmt = _EXT_FORMATS.get(ext)
+    if fmt is None and ext == "":
+        fmt = "parquet"  # directory datasets default to parquet
+    if fmt is None:
+        raise ValueError(
+            f"cannot content-sniff distributed URI {path!r} and extension "
+            f"{ext!r} is unknown; pass fmt= explicitly")
+    opts: dict = {}
+    if fmt == "csv":
+        opts = {"sep": "\t" if ext == ".tsv" else ",", "header": True}
+    return SniffResult(fmt, opts)
+
+
 def sniff(path: str) -> SniffResult:
-    from dataprofiler_spark.sources.url import is_url, url_to_local
+    from dataprofiler_spark.sources.url import (is_distributed_uri, is_url,
+                                                url_to_local)
+    if is_distributed_uri(path):
+        return sniff_extension(path)
     if is_url(path):
         path = url_to_local(path)  # cached: read_data re-resolves free
     head = _read_head(path)

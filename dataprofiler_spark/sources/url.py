@@ -14,6 +14,16 @@ recognized and routed, and the error names the missing dependency
 instead of failing inside a scan. At cluster scale the right path for
 s3 is the Hadoop s3a connector on the Spark classpath (no driver-side
 fetch at all) — this helper is the reference-parity single-file path.
+
+s3a:// (and the other distributed-filesystem schemes: hdfs, gs, abfs,
+wasb, oss) PASS THROUGH untouched: Spark's Hadoop connectors scan them
+executor-side, which is the only sane shape at 100 TB — a driver-side
+fetch of an object store is the anti-pattern. ``configure_s3a`` wires
+the standard AWS credential env vars (AWS_ACCESS_KEY_ID,
+AWS_SECRET_ACCESS_KEY, AWS_SESSION_TOKEN, AWS_ENDPOINT_URL) into the
+session's Hadoop configuration; absent env vars leave the provider
+chain (instance profile / IRSA) in charge, which is the usual
+production setup.
 """
 
 from __future__ import annotations
@@ -22,6 +32,11 @@ import os
 import tempfile
 import urllib.parse
 import urllib.request
+
+# Schemes Spark scans natively through Hadoop connectors — never fetch
+# these driver-side; sniffing falls back to extension dispatch.
+DISTRIBUTED_SCHEMES = ("s3a", "s3n", "hdfs", "gs", "abfs", "abfss",
+                       "wasb", "wasbs", "oss")
 
 # 1 GiB guard mirrors the reference's content-length check
 # (data_utils.py:1000-1012): a driver-side fetch is for modest files;
@@ -34,7 +49,38 @@ _fetch_cache: dict[str, str] = {}
 
 def is_url(path: str) -> bool:
     scheme = urllib.parse.urlparse(path).scheme.lower()
-    return scheme in ("http", "https", "file", "s3", "s3a")
+    return scheme in ("http", "https", "file", "s3") + DISTRIBUTED_SCHEMES
+
+
+def is_distributed_uri(path: str) -> bool:
+    """True for URIs Spark's Hadoop connectors scan executor-side
+    (s3a://, hdfs://, gs://, ...) — these must pass through to
+    spark.read untouched."""
+    return urllib.parse.urlparse(path).scheme.lower() in DISTRIBUTED_SCHEMES
+
+
+def configure_s3a(spark, endpoint: str | None = None) -> None:
+    """Wire s3a credentials from the standard AWS env vars into the
+    session's Hadoop configuration (hadoop-aws documented keys). With no
+    env vars set this is a no-op and the default provider chain
+    (instance profile, IRSA, ~/.aws) applies — the right production
+    default. Call once per session before reading s3a:// paths."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    mapping = {
+        "AWS_ACCESS_KEY_ID": "fs.s3a.access.key",
+        "AWS_SECRET_ACCESS_KEY": "fs.s3a.secret.key",
+        "AWS_SESSION_TOKEN": "fs.s3a.session.token",
+        "AWS_ENDPOINT_URL": "fs.s3a.endpoint",
+    }
+    for env, key in mapping.items():
+        val = os.environ.get(env)
+        if val:
+            hconf.set(key, val)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    if os.environ.get("AWS_SESSION_TOKEN"):
+        hconf.set("fs.s3a.aws.credentials.provider",
+                  "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
 
 
 def url_to_local(path: str, max_bytes: int = MAX_FETCH_BYTES,
@@ -50,7 +96,9 @@ def url_to_local(path: str, max_bytes: int = MAX_FETCH_BYTES,
         return path  # plain path (single letter = Windows drive)
     if scheme == "file":
         return urllib.request.url2pathname(parsed.path)
-    if scheme in ("s3", "s3a"):
+    if scheme in DISTRIBUTED_SCHEMES:
+        return path  # Spark's Hadoop connector scans it executor-side
+    if scheme == "s3":
         return _s3_to_local(parsed, max_bytes)
     if scheme not in ("http", "https"):
         return path

@@ -329,6 +329,56 @@ def test_url_s3_requires_connector():
         url_to_local("s3://bucket/key.parquet")
 
 
+def test_s3a_passthrough_dispatch():
+    """s3a:// must pass through url_to_local untouched (executor-side
+    scan, never a driver fetch) and sniff must dispatch on extension
+    without any network/import access."""
+    from dataprofiler_spark.sources.sniff import sniff
+    from dataprofiler_spark.sources.url import (is_distributed_uri,
+                                                url_to_local)
+
+    p = "s3a://bucket/prefix/data.parquet"
+    assert is_distributed_uri(p)
+    assert url_to_local(p) == p
+    assert sniff(p).format == "parquet"
+    assert sniff("s3a://b/t.csv").format == "csv"
+    assert sniff("s3a://b/t.tsv").options["sep"] == "\t"
+    assert sniff("hdfs://nn/warehouse/events.jsonl").format == "json"
+    assert sniff("gs://b/dataset/").format == "parquet"  # directory
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pass fmt="):
+        sniff("s3a://b/archive.zip")
+
+
+def test_s3a_data_dispatch_no_import_error(spark):
+    """Data('s3a://...') must reach the Spark reader (PATH_NOT_FOUND /
+    no-filesystem errors are fine — that's the connector's job), never
+    an ImportError from the driver-side fetch path."""
+    from dataprofiler_spark.data import Data
+
+    try:
+        Data("s3a://no-such-bucket/x.parquet", spark=spark)
+    except ImportError as e:  # pragma: no cover
+        raise AssertionError(f"s3a dispatch hit driver fetch: {e}")
+    except Exception:
+        pass  # connector/filesystem errors are expected off-cluster
+
+
+def test_configure_s3a_env_wiring(spark, monkeypatch):
+    from dataprofiler_spark.sources.url import configure_s3a
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test-secret")
+    monkeypatch.setenv("AWS_SESSION_TOKEN", "test-token")
+    configure_s3a(spark, endpoint="http://localhost:9000")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "test-key"
+    assert hconf.get("fs.s3a.secret.key") == "test-secret"
+    assert hconf.get("fs.s3a.session.token") == "test-token"
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert "Temporary" in hconf.get("fs.s3a.aws.credentials.provider")
+
+
 def test_data_entrypoint_reference_flow(spark, tmp_path):
     """The reference's headline flow: Data(path) -> Profiler(data) ->
     report(), with data_type sniffed and the scan staying lazy."""
