@@ -170,6 +170,29 @@ def main() -> None:
         lambda: sim.embedding_decontaminate(
             embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
             "vec_id", "embedding", threshold=0.8).count())
+    run("embedding_decontaminate_bucketed",
+        lambda: sim.embedding_decontaminate_bucketed(
+            embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
+            "vec_id", "embedding", threshold=0.8,
+            bands=4, planes_per_band=4).count())
+    run("embedding_neardup_pairs",
+        lambda: sim.embedding_neardup_pairs(
+            embeddings, "vec_id", "embedding", threshold=0.5,
+            bands=4, planes_per_band=4, max_bucket_size=100).count())
+
+    def _ner():
+        from dataprofiler_spark.labeler.ner import (entity_span_counts,
+                                                    predict_text_spans)
+        blob = orders.where(F.col("o_orderkey") <= 2000).select(
+            F.col("o_orderkey").alias("id"),
+            F.concat_ws(" ", F.lit("order"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("placed"),
+                        F.date_format("o_orderdate", "yyyy-MM-dd"),
+                        F.lit("total"),
+                        F.col("o_totalprice").cast("string")).alias("t"))
+        entity_span_counts(predict_text_spans(blob, "id", "t")).collect()
+    run("ner_spans_orders", _ner)
 
     def _drift():
         from pyspark.sql import functions as F
