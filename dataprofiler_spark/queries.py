@@ -972,6 +972,56 @@ def ner_spans_orders(spark, sf_dir):
     return _ner_span_counts(spark, sf_dir)
 
 
+# Trainable labeler (labeler/trainable.py): fit is closed-form Spark
+# aggregation => fully deterministic, so the train->predict confusion
+# counts over a KEY-DEFINED sample are a fixed integer table (golden
+# VALUES oracle, sf0.01-pinned like the CNN golden above). Regenerate
+# via tests/test_trainable.py::test_trained_labeler_votes_golden.
+def _trained_labeler_votes(spark, sf_dir):
+    from dataprofiler_spark.labeler.trainable import TrainableDataLabeler
+    cust = (T(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 1000)
+            .select("c_name", "c_acctbal", "c_mktsegment"))
+    cols = ["c_name", "c_acctbal", "c_mktsegment"]
+    melted = cust.select(F.explode(F.array(*[
+        F.struct(F.col(c).cast("string").alias("cell"),
+                 F.lit(c).alias("column")) for c in cols])).alias("s")
+    ).select("s.cell", "s.column")
+    lab = TrainableDataLabeler()
+    # validation_split=0: a repeated categorical value hashes whole into
+    # one split, so CV would hold out entire category levels here
+    lab.fit(melted.select(F.col("cell").alias("x"),
+                          F.col("column").alias("y")),
+            "x", "y", validation_split=0.0)
+    preds = lab.predict(melted, "cell")
+    return (preds.groupBy("column", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .orderBy("column", "label"))
+
+
+def _load_trained_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "fixtures",
+        "trained_labeler_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"('{c}', '{l}', {int(v)})" for c, l, v in rows)
+    return (f"SELECT \"column\", label, CAST(votes AS BIGINT) AS votes "
+            f"FROM (VALUES {vals}) AS t(\"column\", label, votes) "
+            f"ORDER BY \"column\", label")
+
+
+@register("trained_labeler_customer", _load_trained_golden())
+def trained_labeler_customer(spark, sf_dir):
+    return _trained_labeler_votes(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics: sessionization, JSON props, rolling windows
 # ---------------------------------------------------------------------------

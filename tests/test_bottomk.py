@@ -79,6 +79,51 @@ def test_estimator_error_bound(spark):
     assert abs(jh - j) <= 4 * stderr, (j, jh, stderr)
 
 
+def test_banded_embedding_pair_join_keys_on_band_bucket(spark, sf_dir):
+    """The banded embedding near-dup pair join must key on
+    (band, bucket) — a join keyed on bucket alone (or worse, a nested
+    loop) collapses the banding back into 2^planes buckets."""
+    import os
+
+    from dataprofiler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = sim.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.5, bands=4,
+                                        planes_per_band=4,
+                                        max_bucket_size=100)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join condition references both band and bucket columns
+    import re
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any(re.search(r"band#\d+L? = band#\d+L?", ln)
+               and re.search(r"bucket#\d+L? = bucket#\d+L?", ln)
+               for ln in join_lines), plan
+
+
+def test_banded_embedding_skew_guard_caps_dense_cluster(spark):
+    """One dense cluster (many identical vectors → one bucket in every
+    band) must be dropped by max_bucket_size instead of exploding into
+    m^2/2 pairs on a single task."""
+    from dataprofiler_spark.operators import similarity as sim
+
+    dense = [(i, [1.0] * 8) for i in range(300)]          # one bucket
+    sparse = [(1000 + i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+              for i in range(20)]
+    df = spark.createDataFrame(dense + sparse,
+                               ["vec_id", "embedding"])
+    capped = sim.embedding_neardup_pairs(df, "vec_id", "embedding",
+                                         threshold=0.99, bands=4,
+                                         planes_per_band=4, dim=8,
+                                         max_bucket_size=50)
+    rows = capped.collect()
+    # the 300-member clique (≈45k pairs) is dropped by the cap; only
+    # sparse-side coincidences may remain
+    assert len(rows) < 1000
+    assert not any(r["id1"] < 1000 and r["id2"] < 1000 for r in rows)
+
+
 def test_bottomk_oracle_parity(spark, duck, sf_dir):
     """The registered bottom-k query matches its DuckDB oracle (also
     covered by test_oracle_parity; kept here so a sketch-rule change

@@ -13,7 +13,8 @@ from tests.oracle_utils import assert_frames_match
 # (the driver's sf): at any other sf the values differ by construction,
 # so the local run degrades to a rows-only check. test_np_cnn covers the
 # sf0.01 golden itself.
-SF001_PINNED = {"cnn_labeler_customer", "ner_spans_orders"}
+SF001_PINNED = {"cnn_labeler_customer", "ner_spans_orders",
+                "trained_labeler_customer"}
 
 
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
