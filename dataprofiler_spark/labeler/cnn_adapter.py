@@ -94,7 +94,10 @@ def predict_cells(df: DataFrame, cols: list[str],
                 "confidence": preds["confidence"].values,
             })
 
-    return samples.mapInPandas(infer, schema=PRED_SCHEMA)
+    from dataprofiler_spark.session import ensure_parallelism
+    # compute-bound inference: spread the (small, limit-bounded) sample
+    # across workers instead of one python process per source split
+    return ensure_parallelism(samples).mapInPandas(infer, schema=PRED_SCHEMA)
 
 
 def column_label_vote(preds: DataFrame) -> DataFrame:

@@ -27,9 +27,12 @@ Semantics (re-implemented, not translated):
   reproduced: it can only widen a span by one separator char and is
   acknowledged in the reference as background handling, documented
   deviation).
-* texts longer than the model's max_length are labeled on their first
-  max_length chars (the reference splits into 3400-char windows; a
-  window split mid-entity truncates it the same way).
+* texts longer than the model's max_length are labeled in consecutive
+  max_length windows whose char labels are concatenated before span
+  merging (the reference's is_separate_at_max_len=True splits the same
+  way, data_processing.py CharPreprocessor; unlike the reference, a
+  span crossing the window boundary merges back together here since
+  the merge runs over the full concatenated label sequence).
 
 When the trained weights are unreadable the regex stand-in produces
 spans from pattern matches (same output contract).
@@ -152,7 +155,25 @@ def text_spans(texts: list[str], use_word_level_argmax: bool = True
     if model is None:
         return [_regex_spans(str(t)) for t in texts]
     str_texts = [str(t) for t in texts]
-    char_labels = model.predict_char_labels(str_texts)
+    # window long texts at max_length and stitch the char labels back:
+    # the flattened batch keeps windows adjacent so per-window results
+    # reassemble by simple slicing.
+    L = model.max_length
+    windows: list[str] = []
+    counts: list[int] = []
+    for t in str_texts:
+        parts = [t[i:i + L] for i in range(0, len(t), L)] or [""]
+        windows.extend(parts)
+        counts.append(len(parts))
+    win_labels = model.predict_char_labels(windows)
+    char_labels: list[list[int]] = []
+    pos = 0
+    for c in counts:
+        stitched: list[int] = []
+        for part in win_labels[pos:pos + c]:
+            stitched.extend(part)
+        char_labels.append(stitched)
+        pos += c
     out = []
     for text, labels in zip(str_texts, char_labels):
         if use_word_level_argmax:
@@ -172,11 +193,16 @@ def predict_text_spans(df: DataFrame, id_col: str, text_col: str,
     carries only span rows."""
     import pandas as pd
 
+    from dataprofiler_spark.session import ensure_parallelism
+
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(text_col).cast("string").alias("text"))
     if max_sample is not None:
         src = src.where(F.col("id") <= max_sample)
     src = src.where(F.col("text").isNotNull())
+    # CNN inference is compute-bound per row — one small parquet split
+    # must not serialize the whole batch onto a single python worker
+    src = ensure_parallelism(src)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

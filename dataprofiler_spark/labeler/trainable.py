@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 DEFAULT_NGRAM = 2
 DEFAULT_VOCAB = 4096
+MAX_LABELS = 1000
 _SMOOTH = 1.0  # Laplace
 
 
@@ -150,8 +151,16 @@ class TrainableDataLabeler:
         top = (counts.groupBy("g").agg(F.sum("n").alias("t"))
                .orderBy(F.desc("t"), F.asc("g")).limit(self.vocab_size)
                .select("g"))
+        # collect guard: the collected state is O(labels × vocab_size) —
+        # a label column with unbounded cardinality is a spec bug (use a
+        # categorical label), not a scale case.
+        priors = (train.groupBy("y").agg(F.count(F.lit(1)).alias("n"))
+                  .limit(MAX_LABELS + 1).collect())
+        if len(priors) > MAX_LABELS:
+            raise ValueError(
+                f"fit: more than {MAX_LABELS} distinct labels in {y!r}; "
+                f"the label column must be categorical")
         kept = counts.join(top, "g", "left_semi").collect()
-        priors = train.groupBy("y").agg(F.count(F.lit(1)).alias("n")).collect()
 
         if not self.label_mapping:
             self.set_labels(sorted({r["y"] for r in priors}))

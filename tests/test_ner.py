@@ -99,6 +99,18 @@ class TestTextSpans:
         for s, e, lbl in text_spans([t])[0]:
             assert 0 <= s < e <= len(t)
 
+    def test_long_text_windows_cover_past_max_length(self):
+        """Text beyond max_length (3400) is labeled in windows — an
+        entity deep in the tail must still be found at its true
+        offset."""
+        filler = ("plain words all over this line " * 130)  # ~4030 chars
+        email = "deep.tail@example.com"
+        t = filler + "contact " + email + " thanks"
+        spans = text_spans([t])[0]
+        hits = [(s, e) for s, e, lbl in spans
+                if lbl == "EMAIL_ADDRESS" and t[s:e] == email]
+        assert hits and hits[0][0] > 3400, spans
+
 
 @needs_model
 def test_predict_text_spans_spark(spark, sf_dir):
