@@ -20,10 +20,59 @@ class UnstructuredProfiler:
     per sample in a single string column."""
 
     def __init__(self, df: DataFrame, text_col: str | None = None,
-                 top_k: int = 20):
+                 top_k: int = 20, labeler: str | None = "regex"):
+        """``labeler``: 'regex' (default — scan-speed entity counts),
+        'cnn' (char-span NER through the trained CNN, labeler/ner.py —
+        the reference UnstructuredProfiler's data_labeler path,
+        unstructured_labeler_profile.py:262-330), or None to skip."""
         self.text_col = text_col or df.columns[0]
         self.df = df
         self.top_k = top_k
+        self.labeler = labeler
+
+    def _entity_section(self, char_count: int) -> dict:
+        if self.labeler == "cnn":
+            from dataprofiler_spark.labeler.ner import (entity_span_counts,
+                                                        predict_text_spans)
+            src = self.df.select(
+                F.monotonically_increasing_id().alias("__id"),
+                F.col(self.text_col).alias("__text"))
+            rows = entity_span_counts(
+                predict_text_spans(src, "__id", "__text")).collect()
+            word_level = {r["entity"]: r["n_spans"] for r in rows}
+            char_level = {r["entity"]: r["n_chars"] for r in rows}
+            labeled = sum(char_level.values())
+            # UNKNOWN carries the unlabeled character mass, as in the
+            # reference's postprocess_char_level accounting
+            char_level["UNKNOWN"] = max(int(char_count) - labeled, 0)
+            tot_w = max(sum(word_level.values()), 1)
+            tot_c = max(sum(char_level.values()), 1)
+            return {
+                "entity_counts": {
+                    "word_level": word_level,
+                    "postprocess_char_level": char_level,
+                },
+                "entity_percentages": {
+                    "word_level": {k: round(v / tot_w, 6)
+                                   for k, v in word_level.items()},
+                    "postprocess_char_level": {k: round(v / tot_c, 6)
+                                               for k, v in char_level.items()},
+                },
+            }
+        if self.labeler == "regex":
+            from dataprofiler_spark.labeler.regex_labeler import \
+                unstructured_entity_counts
+            rows = unstructured_entity_counts(
+                self.df, self.text_col).collect()
+            return {
+                "entity_counts": {
+                    "word_level": {r["label"]: r["entity_count"]
+                                   for r in rows}},
+                "entity_percentages": {
+                    "word_level": {r["label"]: r["percentage"]
+                                   for r in rows}},
+            }
+        return {}
 
     def report(self) -> dict:
         from dataprofiler_spark.operators.textstats import word_counts
@@ -36,6 +85,7 @@ class UnstructuredProfiler:
             (F.sum(F.octet_length(c)).cast("double") / 1048576)
              .alias("memory_size_mb"),
             F.sum(F.size(toks)).alias("word_count"),
+            F.coalesce(F.sum(F.length(c)), F.lit(0)).alias("char_count"),
         ).collect()[0]
         from dataprofiler_spark.session import explode_no_prefilter
         vocab_size = (explode_no_prefilter(
@@ -57,6 +107,7 @@ class UnstructuredProfiler:
                     "word_count": row["word_count"],
                     "vocab_size": vocab_size,
                     "words": top,
+                    **self._entity_section(row["char_count"]),
                 },
             },
         }

@@ -186,6 +186,9 @@ def test_dispatch(spark, tmp_path, sf_dir):
     assert rep["global_stats"]["empty_line_count"] == 1
     assert rep["data_stats"]["statistics"]["word_count"] == 4
 
+    # default regex entity section is present
+    assert "entity_counts" in rep["data_stats"]["statistics"]
+
     (tmp_path / "edges.csv").write_text(
         "source,target,w\n1,2,0.1\n2,3,0.2\n4,5,0.3\n")
     g = profile_path(spark, str(tmp_path / "edges.csv"))
@@ -199,6 +202,34 @@ def test_dispatch(spark, tmp_path, sf_dir):
     sp = profile_path(spark, _os.path.join(sf_dir, "region.parquet"))
     assert isinstance(sp, Profiler)
     assert sp.report()["global_stats"]["row_count"] == 5
+
+
+def test_unstructured_cnn_entity_section(spark, tmp_path):
+    from dataprofiler_spark.labeler.ner import load_unstructured_model
+    from dataprofiler_spark.plans.dispatch import UnstructuredProfiler
+
+    if load_unstructured_model() is None:
+        import pytest
+        pytest.skip("CNN weights unavailable")
+    df = spark.createDataFrame(
+        [("call 555-867-5309 today",),
+         ("mail jane@example.com please",),
+         ("nothing to see here",)], ["text"])
+    rep = UnstructuredProfiler(df, "text", labeler="cnn").report()
+    stats = rep["data_stats"]["statistics"]
+    wl = stats["entity_counts"]["word_level"]
+    cl = stats["entity_counts"]["postprocess_char_level"]
+    assert wl.get("PHONE_NUMBER", 0) >= 1
+    assert wl.get("EMAIL_ADDRESS", 0) >= 1
+    # char accounting: labeled + UNKNOWN == total chars
+    total = sum(len(r[0]) for r in df.collect())
+    assert sum(cl.values()) == total
+    pct = stats["entity_percentages"]["postprocess_char_level"]
+    assert abs(sum(pct.values()) - 1.0) < 0.01
+
+    # labeler=None skips the section
+    rep2 = UnstructuredProfiler(df, "text", labeler=None).report()
+    assert "entity_counts" not in rep2["data_stats"]["statistics"]
 
 
 def test_salted_agg_equivalence(spark, sf_dir):
