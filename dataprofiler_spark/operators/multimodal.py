@@ -81,6 +81,172 @@ def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None]:
     return ("unknown", None, None)
 
 
+AV_SCHEMA = ("id long, byte_len long, format string, channels int, "
+             "sample_rate int, bits_per_sample int, duration_ms long, "
+             "checksum string")
+
+
+def parse_av_header(payload: bytes) -> dict:
+    """Audio/video container metadata from header bytes — REAL parsing,
+    no codec library: WAV (RIFF fmt/data chunk walk), FLAC (STREAMINFO
+    bitfields), MP4 (box walk to moov/mvhd). Returns format, channels,
+    sample_rate, bits_per_sample, duration_ms (None where the container
+    doesn't carry the field)."""
+    out = {"format": "unknown", "channels": None, "sample_rate": None,
+           "bits_per_sample": None, "duration_ms": None}
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out["format"] = "wav"
+            pos, byte_rate, data_size = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos:pos + 4]
+                csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+                if cid == b"fmt " and pos + 24 <= len(payload):
+                    b = payload[pos + 8:pos + 8 + 16]
+                    out["channels"] = int.from_bytes(b[2:4], "little")
+                    out["sample_rate"] = int.from_bytes(b[4:8], "little")
+                    byte_rate = int.from_bytes(b[8:12], "little")
+                    out["bits_per_sample"] = int.from_bytes(b[14:16],
+                                                            "little")
+                elif cid == b"data":
+                    data_size = csz
+                # chunks are word-aligned: odd sizes carry a pad byte
+                pos += 8 + csz + (csz & 1)
+            if byte_rate and data_size is not None:
+                out["duration_ms"] = (data_size * 1000) // byte_rate
+            return out
+        if payload[:4] == b"fLaC" and len(payload) >= 4 + 4 + 34:
+            out["format"] = "flac"
+            # first metadata block must be STREAMINFO (34 bytes)
+            b = payload[8:42]
+            out["sample_rate"] = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+            out["channels"] = ((b[12] >> 1) & 0x7) + 1
+            out["bits_per_sample"] = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+            total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+            if out["sample_rate"]:
+                out["duration_ms"] = (total * 1000) // out["sample_rate"]
+            return out
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            out["format"] = "mp4"
+
+            def find_box(buf, start, end, name):
+                pos = start
+                while pos + 8 <= end:
+                    size = int.from_bytes(buf[pos:pos + 4], "big")
+                    if size < 8:
+                        return None
+                    if buf[pos + 4:pos + 8] == name:
+                        return pos
+                    pos += size
+                return None
+
+            moov = find_box(payload, 0, len(payload), b"moov")
+            if moov is not None:
+                mend = moov + int.from_bytes(payload[moov:moov + 4], "big")
+                mvhd = find_box(payload, moov + 8, min(mend, len(payload)),
+                                b"mvhd")
+                if mvhd is not None:
+                    ver = payload[mvhd + 8]
+                    if ver == 1:
+                        ts = int.from_bytes(payload[mvhd + 28:mvhd + 32],
+                                            "big")
+                        dur = int.from_bytes(payload[mvhd + 32:mvhd + 40],
+                                             "big")
+                    else:
+                        ts = int.from_bytes(payload[mvhd + 20:mvhd + 24],
+                                            "big")
+                        dur = int.from_bytes(payload[mvhd + 24:mvhd + 28],
+                                             "big")
+                    if ts:
+                        out["duration_ms"] = (dur * 1000) // ts
+            return out
+    except (IndexError, ValueError):  # truncated/corrupt header
+        pass
+    return out
+
+
+def decode_av_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """mapInPandas audio/video metadata extraction over a binary column
+    (same Arrow-batched contract as decode_media_features)."""
+    import hashlib
+
+    id_name, bin_name = id_col, bin_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [parse_av_header(p) for p in pdf[bin_name]]
+            yield pd.DataFrame({
+                "id": pdf[id_name].astype("int64"),
+                "byte_len": [len(p) for p in pdf[bin_name]],
+                "format": [f["format"] for f in feats],
+                "channels": pd.array([f["channels"] for f in feats],
+                                     dtype="Int32"),
+                "sample_rate": pd.array([f["sample_rate"] for f in feats],
+                                        dtype="Int32"),
+                "bits_per_sample": pd.array(
+                    [f["bits_per_sample"] for f in feats], dtype="Int32"),
+                "duration_ms": pd.array([f["duration_ms"] for f in feats],
+                                        dtype="Int64"),
+                "checksum": [hashlib.md5(p).hexdigest()
+                             for p in pdf[bin_name]],
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(extract, schema=AV_SCHEMA)
+
+
+def av_profile(features: DataFrame) -> DataFrame:
+    """Aggregate audio/video profile — wide-agg like media_profile."""
+    return features.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.count_distinct("format").alias("n_formats"),
+        F.round(F.avg("sample_rate"), 6).alias("avg_sample_rate"),
+        F.max("sample_rate").cast("long").alias("max_sample_rate"),
+        F.round(F.avg("channels"), 6).alias("avg_channels"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+def _le_bytes(c, width_hex: int):
+    """Little-endian byte string of a column value (expression-only)."""
+    hx = F.lpad(F.hex(c.cast("long")), width_hex, "0")
+    pairs = [F.substring(hx, i, 2)
+             for i in range(width_hex - 1, 0, -2)]
+    return F.unhex(F.concat(*pairs))
+
+
+def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Testdata adapter: synthesize a VALID 44-byte PCM WAV header ahead
+    of the text payload (the 'data' chunk), expression-only. Audio
+    parameters derive deterministically from (id, text length) so an
+    independent SQL oracle can recompute the profile:
+    channels = id % 2 + 1, sample_rate = 8000 + (len % 8) * 1000,
+    bits = 16, data_size = octet_length(text)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    channels = (F.col(id_col) % 2 + 1).cast("long")
+    rate = (F.length(c) % 8 * 1000 + 8000).cast("long")
+    bits = F.lit(16).cast("long")
+    data_size = F.octet_length(F.encode(c, "UTF-8")).cast("long")
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"), _le_bytes(data_size + 36, 8),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le_bytes(F.lit(16), 8),            # fmt chunk size
+        _le_bytes(F.lit(1), 4),             # PCM
+        _le_bytes(channels, 4),
+        _le_bytes(rate, 8),
+        _le_bytes(byte_rate, 8),
+        _le_bytes(block_align, 4),
+        _le_bytes(bits, 4),
+        F.encode(F.lit("data"), "UTF-8"), _le_bytes(data_size, 8),
+        F.encode(c, "UTF-8"),
+    )
+    return df.select(F.col(id_col).alias("id"), payload.alias("payload"))
+
+
 def _header_decode(payload: bytes) -> dict:
     import hashlib
 

@@ -509,6 +509,40 @@ def media_profile_documents(spark, sf_dir):
     return mm.media_profile(feats)
 
 
+# Audio/video twin of the PNG path: synthesize VALID WAV containers from
+# (doc_id, text), parse them back with the real RIFF chunk walker, and
+# let the oracle recompute the same audio stats from the derivation —
+# a parser regression breaks the hash.
+_AV_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS ch,
+         8000 + (LENGTH(COALESCE(text, '')) % 8) * 1000 AS rate,
+         octet_length(encode(COALESCE(text, ''))) AS dsz
+  FROM documents
+)
+SELECT COUNT(*) AS n_media,
+       CAST(SUM(44 + dsz) AS BIGINT) AS total_bytes,
+       CAST(1 AS BIGINT) AS n_formats,
+       ROUND(AVG(rate), 6) AS avg_sample_rate,
+       CAST(MAX(rate) AS BIGINT) AS max_sample_rate,
+       ROUND(AVG(ch), 6) AS avg_channels,
+       CAST(SUM((dsz * 1000) // (rate * ch * 2)) AS BIGINT)
+         AS total_duration_ms,
+       CAST(MAX((dsz * 1000) // (rate * ch * 2)) AS BIGINT)
+         AS max_duration_ms
+FROM d
+"""
+
+
+@register("av_profile_documents", _AV_ORACLE)
+def av_profile_documents(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    media = mm.documents_as_wav_media(docs)
+    feats = mm.decode_av_features(media, "id", "payload")
+    return mm.av_profile(feats)
+
+
 # ---------------------------------------------------------------------------
 # Drift / diff statistics (SURVEY §2.5: PSI, chi2 homogeneity, Welch t)
 # Split = before/after a date boundary — the canonical drift comparison.

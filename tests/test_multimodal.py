@@ -90,3 +90,107 @@ def test_parse_jpeg_fill_bytes_and_standalone_markers():
     data = (b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\x01"
             + b"\xff\xd3" + b"\xff\xff" + sof0 + b"\xff\xd9")
     assert parse_media_header(data) == ("jpeg", 800, 600)
+
+
+# ---- audio/video metadata (round 4) ---------------------------------------
+
+def _wav_bytes(channels=2, rate=44100, bits=16, data=b"\x00" * 1000):
+    import struct
+    byte_rate = rate * channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                          channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _flac_bytes(rate=48000, channels=2, bits=16, total_samples=96000):
+    hdr = bytearray(b"fLaC")
+    hdr += b"\x80\x00\x00\x22"  # last-metadata STREAMINFO, length 34
+    si = bytearray(34)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) \
+        | (((bits - 1) >> 4) & 1)
+    si[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    si[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(hdr + si)
+
+
+def _mp4_bytes(timescale=600, duration=1800):
+    import struct
+    mvhd = (b"\x00" + b"\x00\x00\x00"      # version 0 + flags
+            + struct.pack(">II", 0, 0)      # ctime, mtime
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80)
+    mvhd = struct.pack(">I", len(mvhd) + 8) + b"mvhd" + mvhd
+    moov = struct.pack(">I", len(mvhd) + 8) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_parse_wav_header():
+    from dataprofiler_spark.operators.multimodal import parse_av_header
+
+    out = parse_av_header(_wav_bytes(channels=1, rate=8000, bits=8,
+                                     data=b"x" * 16000))
+    assert out["format"] == "wav"
+    assert out["channels"] == 1 and out["sample_rate"] == 8000
+    assert out["bits_per_sample"] == 8
+    assert out["duration_ms"] == 2000  # 16000 bytes / 8000 B/s
+
+
+def test_parse_flac_header():
+    from dataprofiler_spark.operators.multimodal import parse_av_header
+
+    out = parse_av_header(_flac_bytes(rate=48000, channels=2, bits=24,
+                                      total_samples=96000))
+    assert out["format"] == "flac"
+    assert out["sample_rate"] == 48000 and out["channels"] == 2
+    assert out["bits_per_sample"] == 24
+    assert out["duration_ms"] == 2000
+
+
+def test_parse_mp4_header():
+    from dataprofiler_spark.operators.multimodal import parse_av_header
+
+    out = parse_av_header(_mp4_bytes(timescale=600, duration=1800))
+    assert out["format"] == "mp4"
+    assert out["duration_ms"] == 3000
+
+
+def test_parse_av_corrupt_unknown():
+    from dataprofiler_spark.operators.multimodal import parse_av_header
+
+    assert parse_av_header(b"")["format"] == "unknown"
+    assert parse_av_header(b"RIFFxxxx")["format"] == "unknown"
+    assert parse_av_header(b"RIFF\x00\x00\x00\x00WAVE")["format"] == "wav"
+
+
+def test_wav_adapter_roundtrip(spark):
+    """The expression-synthesized WAV container must parse back to the
+    exact parameters it was derived from."""
+    from dataprofiler_spark.operators.multimodal import (
+        decode_av_features, documents_as_wav_media)
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, None)],
+        ["doc_id", "text"])
+    feats = decode_av_features(documents_as_wav_media(df), "id", "payload")
+    rows = {r["id"]: r for r in feats.collect()}
+    assert rows[1]["format"] == "wav"
+    assert rows[1]["channels"] == 2            # id 1 -> 1 % 2 + 1
+    assert rows[1]["sample_rate"] == 8000 + (len("hello world") % 8) * 1000
+    assert rows[1]["bits_per_sample"] == 16
+    assert rows[3]["byte_len"] == 44           # NULL text -> empty data
+    assert rows[2]["duration_ms"] == (3 * 1000) // (
+        rows[2]["sample_rate"] * rows[2]["channels"] * 2)
+
+
+def test_av_profile_matches_oracle(spark, duck, sf_dir):
+    from dataprofiler_spark.queries import ORACLE_SQL, SPARK_QUERIES
+    from tests.oracle_utils import assert_frames_match
+
+    name = "av_profile_documents"
+    sdf = SPARK_QUERIES[name](spark, sf_dir).toPandas()
+    ddf = duck.sql(ORACLE_SQL[name]).df()
+    assert_frames_match(sdf, ddf, name)
