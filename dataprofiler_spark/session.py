@@ -90,6 +90,10 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     input split. The repartition is round-robin: these operators are
     embarrassingly parallel per row, so no key locality is lost.
     """
+    if df.isStreaming:
+        # partition inspection (df.rdd) would execute the streaming
+        # plan; micro-batch sizing is the trigger's job anyway
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(target // 2, 2):

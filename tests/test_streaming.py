@@ -467,3 +467,63 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
         quality_weighted_sample(docs, "doc_id", "text", strength=1.2)
         .select("doc_id").collect())
     assert sorted(out) == expect and len(expect) > 0
+
+
+def test_streaming_ner_spans(spark, tmp_path):
+    """Char-span NER is a stateless mapInPandas, so the same operator
+    runs unchanged under readStream — entity extraction keeps up with a
+    document stream with no batch-mode special-casing."""
+    from dataprofiler_spark.labeler.ner import (load_unstructured_model,
+                                                predict_text_spans)
+    import pytest as _pytest
+    if load_unstructured_model() is None:
+        _pytest.skip("CNN weights unavailable")
+
+    rows = [(1, "call 555-867-5309 now"),
+            (2, "mail jane@example.com today"),
+            (3, "no entities in this one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "nerdocs")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = []
+    q = (predict_text_spans(stream, "doc_id", "text")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda d, bid: out.extend(d.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ents = {(r["id"], r["entity"]) for r in out}
+    assert (1, "PHONE_NUMBER") in ents
+    assert (2, "EMAIL_ADDRESS") in ents
+    for r in out:  # offsets must slice the original text
+        text = dict(rows)[r["id"]]
+        assert text[r["start"]:r["end"]] == r["token"]
+
+
+def test_streaming_semantic_decontaminate(spark, tmp_path):
+    """embedding_decontaminate is a stateless broadcast scorer: the same
+    operator flags a streaming corpus against a static benchmark."""
+    from dataprofiler_spark.operators.similarity import (
+        embedding_decontaminate)
+
+    bench_vec = [1.0, 0.0, 0.0, 0.0]
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),     # identical -> contaminated
+            (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> clean
+            (3, [0.9, 0.1, 0.0, 0.0])]     # close -> contaminated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "vecs")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    bench = spark.createDataFrame([(0, bench_vec)],
+                                  "vec_id long, embedding array<double>")
+    out = []
+    q = (embedding_decontaminate(stream, bench, "vec_id", "embedding",
+                                 threshold=0.8)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda d, bid: out.extend(d.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: r["contaminated"] for r in out}
+    assert got == {1: True, 2: False, 3: True}
