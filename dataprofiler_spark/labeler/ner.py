@@ -224,6 +224,52 @@ def predict_text_spans(df: DataFrame, id_col: str, text_col: str,
     return src.mapInPandas(infer, schema=SPAN_SCHEMA)
 
 
+REDACT_SCHEMA = "id long, redacted string, n_redactions int"
+
+
+def redact_text_spans(df: DataFrame, id_col: str, text_col: str,
+                      entities: list[str] | None = None,
+                      use_word_level_argmax: bool = True) -> DataFrame:
+    """(id, redacted, n_redactions): every CNN-detected entity span is
+    replaced with ``[LABEL]`` — model-backed PII scrubbing for free
+    text, complementing the regex ``curation.pii_redact`` (which only
+    sees pattern-expressible entities; the CNN also catches learned
+    classes like ADDRESS/PERSON). ``entities`` restricts which labels
+    are scrubbed (default: all non-background spans). Single
+    ``mapInPandas`` pass — spans never leave the worker."""
+    import pandas as pd
+
+    from dataprofiler_spark.session import ensure_parallelism
+
+    keep = set(entities) if entities is not None else None
+    src = ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(text_col).cast("string").alias("text"))
+        .where(F.col("text").isNotNull()))
+
+    def scrub(batches):
+        for pdf in batches:
+            texts = list(pdf["text"])
+            all_spans = text_spans(texts, use_word_level_argmax)
+            reds, counts = [], []
+            for text, spans in zip(texts, all_spans):
+                n = 0
+                # replace right-to-left so earlier offsets stay valid
+                for s, e, lbl in sorted(spans, reverse=True):
+                    if keep is not None and lbl not in keep:
+                        continue
+                    text = text[:s] + f"[{lbl}]" + text[e:]
+                    n += 1
+                reds.append(text)
+                counts.append(n)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "redacted": reds,
+                "n_redactions": pd.Series(counts, dtype="int32")})
+
+    return src.mapInPandas(scrub, schema=REDACT_SCHEMA)
+
+
 def entity_span_counts(spans: DataFrame) -> DataFrame:
     """(entity, n_spans, n_chars) — the span-level half of the
     reference's entity_counts dict (word_level ≈ spans after word-level

@@ -387,3 +387,89 @@ def oracle_pii_redact_sql(table: str, id_col: str, text_col: str) -> str:
     )
     return (f"SELECT {id_col} AS id, {red} AS redacted, {count_cols} "
             f"FROM {table}")
+
+
+def split_leakage(df: DataFrame, id_col: str, text_col: str,
+                  fractions: dict[str, float] | None = None,
+                  seed: str = "dps-split-v1", k: int = 3,
+                  num_hashes: int = 12, bands: int = 6,
+                  threshold: float = 0.5,
+                  max_bucket_size: int | None = None) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: (split_a, split_b,
+    n_pairs) over the MinHash-LSH near-dup pairs, with splits assigned
+    by the same deterministic md5 carve as ``mixture.split_manifest``
+    (same seed ⇒ same assignment). A (train, test) row with n_pairs > 0
+    means held-out documents have near-duplicates in training data —
+    the eval-integrity check every pretraining split needs. Within-
+    split pairs are reported too (they are the dedup workload), with
+    (split_a, split_b) canonically ordered.
+
+    Scale shape: pair generation is the banded LSH plan of
+    ``dedup.minhash_lsh_pairs`` (skew-guardable); split assignment is a
+    pure projection of md5(id); the rest is two id-keyed joins of the
+    (small) pair set + one tiny groupBy."""
+    from dataprofiler_spark.operators.dedup import minhash_lsh_pairs
+    from dataprofiler_spark.operators.mixture import \
+        _validate_split_fractions
+    from dataprofiler_spark.operators.sampling import hash_fraction_expr
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_fractions(fractions)
+    h = hash_fraction_expr(F.col(id_col), seed)
+    split = F.lit("_rest")
+    hi, branches = 0.0, []
+    for name, frac in fractions.items():
+        hi += frac
+        branches.append((name, hi))
+    for name, bound in reversed(branches):
+        split = F.when(h < F.lit(bound), F.lit(name)).otherwise(split)
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold,
+                              max_bucket_size=max_bucket_size)
+    s = df.select(F.col(id_col).alias("sid"), split.alias("split"))
+    lab = (pairs
+           .join(s.select(F.col("sid").alias("id1"),
+                          F.col("split").alias("sp1")), "id1")
+           .join(s.select(F.col("sid").alias("id2"),
+                          F.col("split").alias("sp2")), "id2"))
+    return (lab.select(F.least("sp1", "sp2").alias("split_a"),
+                       F.greatest("sp1", "sp2").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("split_a", "split_b"))
+
+
+def oracle_split_leakage_sql(table: str, id_col: str, text_col: str,
+                             fractions: dict[str, float] | None = None,
+                             seed: str = "dps-split-v1", k: int = 3,
+                             num_hashes: int = 12, bands: int = 6,
+                             threshold: float = 0.5) -> str:
+    from dataprofiler_spark.operators.dedup import _lsh_oracle_ctes
+    from dataprofiler_spark.operators.mixture import \
+        _validate_split_fractions
+    from dataprofiler_spark.operators.sampling import _duck_hash_fraction
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_fractions(fractions)
+    h = _duck_hash_fraction(id_col, seed)
+    cases, hi = [], 0.0
+    for name, frac in fractions.items():
+        hi += frac
+        cases.append(f"WHEN {h} < {hi!r} THEN '{name}'")
+    split = "CASE " + " ".join(cases) + " ELSE '_rest' END"
+    ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
+                            threshold, 6)
+    return f"""
+WITH {ctes},
+s AS (SELECT {id_col} AS sid, {split} AS split FROM {table})
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       COUNT(*) AS n_pairs
+FROM vpairs p
+JOIN s a ON p.id1 = a.sid
+JOIN s b ON p.id2 = b.sid
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""

@@ -1056,6 +1056,53 @@ def trained_labeler_customer(spark, sf_dir):
     return _trained_labeler_votes(spark, sf_dir)
 
 
+# CNN-span PII redaction over free text — deterministic (CNN forward +
+# span merge), so (id, n_redactions, md5(redacted)) over a key-defined
+# sample is a golden VALUES table (sf0.01-pinned). Regenerate via
+# tests/test_ner.py::test_ner_redact_golden.
+def _ner_redact_rows(spark, sf_dir):
+    from dataprofiler_spark.labeler.ner import redact_text_spans
+    df = (T(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") <= 30)
+          .select(F.col("o_orderkey").alias("id"),
+                  F.concat_ws(
+                      " ", F.lit("order placed"),
+                      F.date_format("o_orderdate", "yyyy-MM-dd"),
+                      F.lit("total"), F.col("o_totalprice").cast("string"))
+                  .alias("blob")))
+    # entities restricted to DATE so the un-redacted totals keep the
+    # per-row hashes distinct (an all-entities scrub collapses every
+    # row to the same template — true but a weak golden)
+    red = redact_text_spans(df, "id", "blob", entities=["DATE"])
+    return red.select("id", "n_redactions",
+                      F.md5("redacted").alias("redacted_md5")).orderBy("id")
+
+
+def _load_ner_redact_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "fixtures", "ner_redact_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"({int(i)}, {int(n)}, '{m}')" for i, n, m in rows)
+    return (f"SELECT CAST(id AS BIGINT) AS id, "
+            f"CAST(n_redactions AS INTEGER) AS n_redactions, redacted_md5 "
+            f"FROM (VALUES {vals}) AS t(id, n_redactions, redacted_md5) "
+            f"ORDER BY id")
+
+
+@register("ner_redact_orders", _load_ner_redact_golden())
+def ner_redact_orders(spark, sf_dir):
+    return _ner_redact_rows(spark, sf_dir)
+
+
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics: sessionization, JSON props, rolling windows
 # ---------------------------------------------------------------------------
@@ -1370,6 +1417,17 @@ _PII_ORACLE = cu.oracle_pii_redact_sql(
     "                     c_custkey % 100, c_custkey % 10000)"
     " ELSE '' END AS contact FROM customer)",
     "c_custkey", "contact")
+
+
+@register("split_leakage_documents",
+          cu.oracle_split_leakage_sql("documents", "doc_id", "text",
+                                      threshold=0.5))
+def split_leakage_documents(spark, sf_dir):
+    """Cross-split near-dup leakage audit: near-duplicate pairs labeled
+    by the train/val/test carve — (train, test) rows are eval
+    contamination."""
+    return cu.split_leakage(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", threshold=0.5)
 
 
 @register("pii_redact_customer", _PII_ORACLE)

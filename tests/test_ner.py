@@ -131,6 +131,66 @@ def test_predict_text_spans_spark(spark, sf_dir):
 
 
 @needs_model
+class TestRedaction:
+    def test_redact_all_entities(self, spark):
+        from dataprofiler_spark.labeler.ner import redact_text_spans
+
+        df = spark.createDataFrame(
+            [(1, "call 555-867-5309 or mail jane.doe@example.com")], ["id", "t"])
+        row = redact_text_spans(df, "id", "t").collect()[0]
+        assert "[PHONE_NUMBER]" in row["redacted"]
+        assert "[EMAIL_ADDRESS]" in row["redacted"]
+        assert "555-867-5309" not in row["redacted"]
+        assert row["n_redactions"] >= 2
+
+    def test_entities_filter(self, spark):
+        from dataprofiler_spark.labeler.ner import redact_text_spans
+
+        df = spark.createDataFrame(
+            [(1, "call 555-867-5309 or mail jane.doe@example.com")], ["id", "t"])
+        row = redact_text_spans(df, "id", "t",
+                                entities=["EMAIL_ADDRESS"]).collect()[0]
+        assert "[EMAIL_ADDRESS]" in row["redacted"]
+        assert "555-867-5309" in row["redacted"]  # phone untouched
+
+    def test_overlap_free_replacement(self, spark):
+        """Right-to-left replacement keeps offsets valid — redacting N
+        spans yields exactly N bracket tokens and preserves everything
+        between them."""
+        from dataprofiler_spark.labeler.ner import redact_text_spans
+
+        df = spark.createDataFrame(
+            [(1, "from 2020-01-01 to 2021-02-02 then 2022-03-03 end")],
+            ["id", "t"])
+        row = redact_text_spans(df, "id", "t",
+                                entities=["DATE"]).collect()[0]
+        assert row["redacted"].count("[DATE]") == row["n_redactions"] == 3
+        assert row["redacted"].startswith("from [DATE] to ")
+        assert row["redacted"].endswith(" end")
+
+
+@needs_model
+def test_ner_redact_golden(spark):
+    """The driver-checked ner_redact_orders golden. Regenerate after a
+    testdata change:
+
+        rows = _ner_redact_rows(spark, '/root/testdata/sf0.01').collect()
+        json.dump([[r['id'], r['n_redactions'], r['redacted_md5']]
+                   for r in rows],
+                  open('fixtures/ner_redact_sf001.json', 'w'))
+    """
+    from dataprofiler_spark.queries import _ner_redact_rows
+
+    p = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "fixtures", "ner_redact_sf001.json")
+    with open(p) as fh:
+        golden = [tuple(r) for r in json.load(fh)]
+    rows = _ner_redact_rows(spark, "/root/testdata/sf0.01").collect()
+    got = [(r["id"], r["n_redactions"], r["redacted_md5"]) for r in rows]
+    assert got == golden
+
+
+@needs_model
 def test_ner_span_counts_golden(spark):
     """The driver-checked ner_spans_orders golden. To regenerate after a
     testdata change:
