@@ -3,13 +3,15 @@
 Reference: labelers/column_name_model.py:27-310 (rapidfuzz similarity of
 column names against per-label keyword lists, with include/exclude rules
 and a confidence threshold). Driver-side only (operates on the schema) —
-no Spark jobs at all. rapidfuzz is unavailable here; difflib's ratio is
-the stdlib equivalent scorer.
+no Spark jobs at all. rapidfuzz is unavailable here, so its ``fuzz.ratio``
+is re-derived from first principles: ratio = normalized InDel similarity
+= 2·LCS(a, b) / (len(a) + len(b)) — the exact formula rapidfuzz computes
+(scaled 0-100 there, 0-1 here). difflib's SequenceMatcher is NOT
+equivalent (its junk heuristics and longest-match recursion give
+different mid-range scores), so a small LCS DP is used instead.
 """
 
 from __future__ import annotations
-
-from difflib import SequenceMatcher
 
 LABEL_KEYWORDS: dict[str, tuple[str, ...]] = {
     "ADDRESS": ("address", "addr", "street", "city", "zip", "postal"),
@@ -29,11 +31,27 @@ LABEL_KEYWORDS: dict[str, tuple[str, ...]] = {
 DEFAULT_THRESHOLD = 0.55
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """Longest common subsequence length — one-row DP, O(len(a)·len(b))
+    (column names are short)."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb
+                       else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
 def _score(a: str, b: str) -> float:
     a, b = a.lower(), b.lower()
     if b in a or a in b:
         return 1.0
-    return SequenceMatcher(None, a, b).ratio()
+    tot = len(a) + len(b)
+    return (2.0 * _lcs_len(a, b) / tot) if tot else 1.0
 
 
 def label_columns_by_name(columns: list[str],
