@@ -1661,6 +1661,9 @@ _DRIVER_WINDOW = [
     "embedding_decontaminate_bucketed",
     "data_mixture_source_lang",
     "ner_spans_orders",
+    "trained_labeler_customer",
+    "av_profile_documents",
+    "split_leakage_documents",
     # ---- never driver-checked round-3 adds ----
     "embedding_decontaminate_embeddings",
     "unigram_logprob_documents",
@@ -1699,13 +1702,11 @@ _DRIVER_WINDOW = [
     "graph_components_nation",
     "null_type_indices_customer",
     "unstructured_summary_documents",
-    # ---- flagship end-to-end re-checks (r3-green, high-value paths) ----
+    # ---- flagship end-to-end re-checks (r3-green, high-value paths;
+    # cnn golden was REGENERATED this round so it must re-check) ----
     "full_profile_lineitem",
     "full_profile_events",
-    "data_mixture_documents",
-    "split_manifest_documents",
     "cnn_labeler_customer",
-    "numeric_profile_lineitem",
 ]
 
 

@@ -124,6 +124,30 @@ def test_banded_embedding_skew_guard_caps_dense_cluster(spark):
     assert not any(r["id1"] < 1000 and r["id2"] < 1000 for r in rows)
 
 
+def test_bucketed_decontaminate_plan_no_driver_collect(spark, sf_dir):
+    """The bucketed decontaminate must ship the benchmark through a
+    broadcast JOIN (executor-side exchange, works past 10^4 vectors) —
+    never a driver collect into a literal (the brute-force variant's
+    one-row crossJoin is the small-bench baseline, not this path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    out = sim.embedding_decontaminate_bucketed(emb, bench, "vec_id",
+                                               "embedding", threshold=0.8,
+                                               bands=4, planes_per_band=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # the bench side is a real scan feeding the broadcast, not a
+    # collected LocalTableScan literal
+    assert "LocalTableScan" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_bottomk_oracle_parity(spark, duck, sf_dir):
     """The registered bottom-k query matches its DuckDB oracle (also
     covered by test_oracle_parity; kept here so a sketch-rule change
