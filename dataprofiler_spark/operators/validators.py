@@ -212,3 +212,74 @@ def _bounds(obs: str, e: "Expectation") -> str:
     if e.high is not None:
         parts.append(f"({obs}) <= {float(e.high)}")
     return " AND ".join(parts) if parts else "TRUE"
+
+
+class Validator:
+    """Reference-shaped known-anomaly validator
+    (validators/base_validators.py:41-147): ``validate(data, config)``
+    where config = {"known_anomaly_validation": {col: {"range":
+    {"start": a, "end": b}, "list": [...]}}} collects, per column and
+    check, the identifiers of rows MATCHING the check (these are known
+    anomalies being confirmed). ``get()`` returns the report.
+
+    Spark deviation (documented): DataFrames are unordered, so the
+    reference's positional indexes are replaced by values of an
+    explicit ``id_col`` (config key "id_col", required). The per-check
+    id list is collected under a hard cap (default 10_000, config key
+    "max_collected") with a loud error beyond it — a known-anomaly list
+    larger than that belongs in a DataFrame, not a driver dict
+    (use ``failing_rows`` for the distributed path)."""
+
+    DEFAULT_MAX_COLLECTED = 10_000
+
+    def __init__(self) -> None:
+        self.config: dict | None = None
+        self.validation_run: bool = False
+        self.validation_report: dict = {}
+
+    def validate(self, data: DataFrame, config: dict) -> None:
+        if not config:
+            raise ValueError("Config is required")
+        known = config.get("known_anomaly_validation", {})
+        id_col = config.get("id_col")
+        if id_col is None:
+            raise ValueError(
+                "Spark DataFrames are unordered: pass config['id_col'] "
+                "naming a stable row identifier (the reference's "
+                "positional indexes have no distributed meaning)")
+        cap = int(config.get("max_collected", self.DEFAULT_MAX_COLLECTED))
+        for col, checks in known.items():
+            if len(checks) < 1:
+                raise Warning(
+                    f"Pass at a minimum one value for a specified column "
+                    f"-- not both for {col}")
+        self.config = config
+        self.validation_report = {}
+        for col, checks in known.items():
+            self.validation_report[col] = {}
+            for sub_key, sub_value in checks.items():
+                if sub_key not in ("range", "list"):
+                    raise TypeError("Range and list only acceptable key values.")
+                if sub_key == "range":
+                    pred = ((F.col(col) >= F.lit(sub_value["start"]))
+                            & (F.col(col) <= F.lit(sub_value["end"])))
+                else:
+                    pred = F.col(col).isin(list(sub_value))
+                rows = (data.where(pred).select(id_col)
+                        .limit(cap + 1).collect())
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"Validator: more than {cap} matching rows for "
+                        f"{col}/{sub_key}; raise config['max_collected'] "
+                        f"or use validators.failing_rows for a "
+                        f"distributed result")
+                self.validation_report[col][sub_key] = sorted(
+                    r[id_col] for r in rows)
+        self.validation_run = True
+
+    def get(self) -> dict:
+        if self.validation_run:
+            return self.validation_report
+        raise Warning(
+            "Precondition for get method not met. Must validate data "
+            "prior to getting results.")

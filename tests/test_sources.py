@@ -397,3 +397,48 @@ def test_data_entrypoint_reference_flow(spark, tmp_path):
     t.write_text("some plain text\nwith two lines of words\n")
     prof = Data(str(t), spark=spark).profile()
     assert prof.report()["data_stats"]["data_label"] == "text"
+
+
+def test_validator_reference_facade(spark, sf_dir):
+    """Reference Validator call shape (base_validators.py:41-147):
+    known-anomaly range/list checks collect matching row ids."""
+    import os
+
+    import pytest as _pytest
+
+    from dataprofiler_spark import Validator
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    v = Validator()
+    with _pytest.raises(ValueError, match="Config is required"):
+        v.validate(orders, {})
+    with _pytest.raises(ValueError, match="id_col"):
+        v.validate(orders, {"known_anomaly_validation": {}})
+    v.validate(orders, {
+        "id_col": "o_orderkey",
+        "known_anomaly_validation": {
+            "o_orderkey": {"range": {"start": 3, "end": 5}},
+            "o_orderstatus": {"list": ["P"]},
+        }})
+    rep = v.get()
+    assert rep["o_orderkey"]["range"] == [3, 4, 5]
+    assert rep["o_orderstatus"]["list"]  # some P orders exist
+    with _pytest.raises(TypeError, match="Range and list"):
+        v.validate(orders, {"id_col": "o_orderkey",
+                            "known_anomaly_validation":
+                            {"o_orderkey": {"regex": {}}}})
+    fresh = Validator()
+    with _pytest.raises(Warning, match="Precondition"):
+        fresh.get()
+
+
+def test_top_level_reference_exports():
+    import dataprofiler_spark as dps
+
+    for name in ["Data", "DataLabeler", "StructuredDataLabeler",
+                 "UnstructuredDataLabeler", "TrainableDataLabeler",
+                 "train_structured_labeler", "Validator", "load_plugins",
+                 "GraphProfiler", "Profiler", "StructuredProfiler",
+                 "UnstructuredProfiler", "ProfilerOptions", "graphs",
+                 "get_logger", "set_verbosity"]:
+        assert hasattr(dps, name), name
