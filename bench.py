@@ -180,6 +180,13 @@ def main() -> None:
             embeddings, "vec_id", "embedding", threshold=0.5,
             bands=4, planes_per_band=4, max_bucket_size=100).count())
 
+    def _trainable_fit():
+        from dataprofiler_spark.labeler.trainable import \
+            train_structured_labeler
+        cust = tbl("customer").select("c_name", "c_acctbal", "c_mktsegment")
+        train_structured_labeler(cust)
+    run("trainable_fit_customer", _trainable_fit)
+
     def _ner():
         from dataprofiler_spark.labeler.ner import (entity_span_counts,
                                                     predict_text_spans)
