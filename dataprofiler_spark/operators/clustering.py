@@ -1,0 +1,226 @@
+"""Distributed k-means clustering over embedding columns (Lloyd's
+algorithm with broadcast centroids) — corpus diversity / topic-bucketing
+for training-data pipelines.
+
+The reference has no clustering operator; this extends the engine the
+same way IVF indexing (operators/ann_index.py) does: embeddings are a
+first-class column type, and cluster assignment is the coarse structure
+every mixture / dedup / decontamination decision wants to stratify on.
+
+Scale shape (the MLlib KMeans plan, re-derived on DataFrames):
+  per iteration = ONE scan assigning each vector to its nearest centroid
+  (centroids are literals — broadcast by construction, no join) + ONE
+  fixed-width shuffle of (cluster, dim) integer partial sums. Driver
+  state is O(k * dim) — never the data. At 100 TB the cost is
+  iters+1 scans; k and dim only widen the assignment expression.
+
+Cross-engine determinism (the reason this operator can have a DuckDB
+oracle at all, unlike MLlib's sampled-init KMeans):
+  * init     = the k vectors with the smallest ids (documented, exact);
+  * distance = squared-Euclidean via the same sequential left-fold both
+    engines use for dot products (see operators/similarity.py);
+  * tie-break = lowest cluster index (struct/list lexicographic min);
+  * centroid update = per-dimension mean computed from INTEGER sums of
+    round(x * 1e6) — integer addition is order-independent, so Spark's
+    partial-aggregate tree and DuckDB's sequential sum produce the SAME
+    integer, and the final double division is one IEEE op on identical
+    inputs. The 1e6 fixed-point scale bounds |sum| by 1e6 * max|x| * n:
+    for unit-normalized embeddings int64 overflows only past ~9e12 rows
+    per (cluster, dim) — far beyond any real corpus; a louder guard
+    would cost a COUNT and is intentionally omitted.
+  * empty clusters keep their previous centroid (both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared distance — matches DuckDB's
+    list_sum(list_transform(...)) evaluation order bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid index: lexicographic min over (distance, index)
+    structs — deterministic lowest-index tie-break."""
+    structs = [
+        F.struct(
+            _sqdist(vec, F.array(*[F.lit(w) for w in c])).alias("d"),
+            F.lit(i).alias("cl"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*structs))["cl"]
+
+
+def _init_centroids(base: DataFrame, k: int) -> list[list[float]]:
+    rows = base.orderBy("id").limit(k).select("v").collect()
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(rows)} available vectors")
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _update_centroids(assigned: DataFrame, prev: list[list[float]]
+                      ) -> list[list[float]]:
+    """One fixed-width shuffle: integer partial sums per (cluster, dim),
+    collected as O(k * dim) rows. Mean = (int_sum / n) / 1e6 — both
+    divisions are exact-input IEEE ops, reproducible in any engine."""
+    sums = (
+        assigned.select("cl", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cl", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * _SCALE, 0)
+                  .cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cents = [list(c) for c in prev]  # empty clusters keep prev centroid
+    by_cl: dict[int, list] = {}
+    for r in sums:
+        by_cl.setdefault(r["cl"], []).append(r)
+    for cl, rows in by_cl.items():
+        vec = [0.0] * len(prev[0])
+        for r in rows:
+            vec[r["pos"]] = (r["s"] / r["n"]) / _SCALE
+        cents[cl] = vec
+    return cents
+
+
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
+               iters: int = 2) -> list[list[float]]:
+    """Run ``iters`` Lloyd rounds; return the final centroids."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"))
+    cents = _init_centroids(base, k)
+    for _ in range(iters):
+        assigned = base.select("id", "v",
+                               _assign_expr(F.col("v"), cents).alias("cl"))
+        cents = _update_centroids(assigned, cents)
+    return cents
+
+
+def kmeans_assign(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
+                  iters: int = 2) -> DataFrame:
+    """(id, cluster) under the final centroids — one broadcast-literal
+    scan, zero shuffles in the output plan."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        _assign_expr(F.col(vec_col), cents).cast("int").alias("cluster"),
+    )
+
+
+def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
+                   iters: int = 2, round_digits: int = 6) -> DataFrame:
+    """Per-cluster rollup: (cluster, n_vectors, avg_sqdist) where
+    avg_sqdist is the mean squared distance to the final centroid —
+    the per-cluster inertia a mixture designer reads for compactness."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    structs = [
+        F.struct(
+            _sqdist(F.col(vec_col), F.array(*[F.lit(w) for w in c]))
+            .alias("d"),
+            F.lit(i).alias("cl"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_min(F.array(*structs))
+    assigned = df.select(best["cl"].cast("int").alias("cluster"),
+                         # fixed-point so the cross-engine sum is exact
+                         F.round(best["d"] * _SCALE, 0).cast("long")
+                         .alias("d6"))
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round((F.sum("d6") / F.count(F.lit(1))) / _SCALE,
+                     round_digits).alias("avg_sqdist"))
+        .orderBy("cluster")
+    )
+
+
+# -- DuckDB oracles ----------------------------------------------------------
+
+def _duck_sqdist(v: str, c: str, dim: int) -> str:
+    return (f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))")
+
+
+def _kmeans_ctes(table: str, id_col: str, vec_col: str, k: int,
+                 iters: int, dim: int) -> str:
+    """Unrolled Lloyd iterations as CTEs: c0 = smallest-id init;
+    a{t} assigns under c{t-1}; c{t} = fixed-point means with
+    empty-cluster carry-over (LEFT JOIN + COALESCE)."""
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    ctes = [
+        f"e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"""c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY id) - 1)::INT AS cl, v
+  FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT id, cl FROM (
+    SELECT e.id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{t - 1} c)
+  WHERE rn = 1)""")
+        ctes.append(f"""m{t} AS (
+  SELECT a.cl, d,
+         SUM(CAST(ROUND(e.v[d] * {_SCALE}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{t} a JOIN e USING (id)
+  CROSS JOIN generate_series(1, {dim}) AS g(d)
+  GROUP BY a.cl, d)""")
+        ctes.append(f"""c{t} AS (
+  SELECT c.cl, COALESCE(u.v, c.v) AS v
+  FROM c{t - 1} c LEFT JOIN (
+    SELECT cl, list((CAST(s AS DOUBLE) / n) / {_SCALE} ORDER BY d) AS v
+    FROM m{t} GROUP BY cl) u USING (cl))""")
+    return ",\n".join(ctes)
+
+
+def oracle_kmeans_assign_sql(table: str, id_col: str, vec_col: str,
+                             k: int = 4, iters: int = 2, dim: int = 64
+                             ) -> str:
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k, iters, dim)}
+SELECT id AS {id_col}, cl::INT AS cluster FROM (
+  SELECT e.id, c.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+  FROM e CROSS JOIN c{iters} c)
+WHERE rn = 1
+"""
+
+
+def oracle_kmeans_summary_sql(table: str, id_col: str, vec_col: str,
+                              k: int = 4, iters: int = 2, dim: int = 64,
+                              round_digits: int = 6) -> str:
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k, iters, dim)},
+final_a AS (
+  SELECT id, cl::INT AS cluster,
+         CAST(ROUND(d * {_SCALE}) AS BIGINT) AS d6
+  FROM (
+    SELECT e.id, c.cl, {sq} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_vectors,
+       ROUND((CAST(SUM(d6) AS DOUBLE) / COUNT(*)) / {_SCALE},
+             {round_digits}) AS avg_sqdist
+FROM final_a GROUP BY cluster ORDER BY cluster
+"""

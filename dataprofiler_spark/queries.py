@@ -303,6 +303,7 @@ def word_counts_documents(spark, sf_dir):
 
 from dataprofiler_spark.operators import dedup as dd
 from dataprofiler_spark.operators import multimodal as mm
+from dataprofiler_spark.operators import clustering as clus
 from dataprofiler_spark.operators import similarity as sim
 from dataprofiler_spark.operators import textanalysis as ta
 
@@ -425,6 +426,28 @@ def embedding_decontaminate_bucketed(spark, sf_dir):
     return sim.embedding_decontaminate_bucketed(
         emb, bench, "vec_id", "embedding", threshold=0.8,
         bands=4, planes_per_band=4)
+
+
+@register("kmeans_assign_embeddings",
+          clus.oracle_kmeans_assign_sql("embeddings", "vec_id", "embedding",
+                                        k=4, iters=2, dim=64))
+def kmeans_assign_embeddings(spark, sf_dir):
+    """Deterministic Lloyd's k-means (broadcast-literal centroids,
+    fixed-point integer centroid sums — see operators/clustering.py):
+    per-vector cluster assignment, the corpus topic-bucketing input to
+    mixture design."""
+    return clus.kmeans_assign(T(spark, sf_dir, "embeddings"),
+                              "vec_id", "embedding", k=4, iters=2)
+
+
+@register("kmeans_clusters_embeddings",
+          clus.oracle_kmeans_summary_sql("embeddings", "vec_id", "embedding",
+                                         k=4, iters=2, dim=64))
+def kmeans_clusters_embeddings(spark, sf_dir):
+    """Per-cluster rollup (size + inertia) under the same deterministic
+    k-means fit."""
+    return clus.kmeans_summary(T(spark, sf_dir, "embeddings"),
+                               "vec_id", "embedding", k=4, iters=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1664,6 +1687,9 @@ _DRIVER_WINDOW = [
     "trained_labeler_customer",
     "av_profile_documents",
     "split_leakage_documents",
+    # ---- new round-4 operators, second batch (first driver rows) ----
+    "kmeans_assign_embeddings",
+    "kmeans_clusters_embeddings",
     # ---- never driver-checked round-3 adds ----
     "embedding_decontaminate_embeddings",
     "unigram_logprob_documents",
@@ -1671,8 +1697,10 @@ _DRIVER_WINDOW = [
     "funnel_within_events",
     "embedding_norm_stats",
     "corpus_curation_documents",
-    # ---- r2-green credit, rotated back in (last row two rounds ago) ----
-    "numeric_profile_orders",
+    # ---- r2-green credit, rotated back in (last row two rounds ago;
+    # numeric_profile_orders ceded its slot to kmeans — its exact-mode
+    # battery is driver-covered by numeric_profile_lineitem r3 and it
+    # stays parity-checked locally) ----
     "categorical_stats_lineitem",
     "top_categories_orders",
     "quantiles_extendedprice",
@@ -1703,9 +1731,10 @@ _DRIVER_WINDOW = [
     "null_type_indices_customer",
     "unstructured_summary_documents",
     # ---- flagship end-to-end re-checks (r3-green, high-value paths;
-    # cnn golden was REGENERATED this round so it must re-check) ----
+    # cnn golden was REGENERATED this round so it must re-check;
+    # full_profile_events ceded its slot to kmeans — the composite
+    # profile oracle re-checks via full_profile_lineitem) ----
     "full_profile_lineitem",
-    "full_profile_events",
     "cnn_labeler_customer",
 ]
 

@@ -1,0 +1,88 @@
+"""Deterministic distributed k-means (operators/clustering.py): plan
+shape (assignment is a shuffle-free broadcast-literal scan), Lloyd
+semantics (tie-break, empty-cluster carry-over, convergence on a
+separable toy set), and the k > n guard. Cross-engine hash parity is
+covered by test_oracle_parity for the two registered queries."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators import clustering as cl
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assignment_plan_is_single_scan(spark, sf_dir):
+    """The output plan embeds centroids as literals: no join, no
+    exchange — one parquet scan per assignment at any data size."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cl.kmeans_assign(emb, "vec_id", "embedding", k=2, iters=1)
+    plan = _executed(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_separable_clusters_converge(spark):
+    """Two well-separated blobs end up in two clusters regardless of the
+    interleaved input order; centroids land on the blob means."""
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01, base]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = cl.kmeans_fit(df, "id", "v", k=2, iters=3)
+    assert abs(cents[0][1] - 0.0) < 0.1
+    assert abs(cents[1][1] - 10.0) < 0.1
+    out = {r["id"]: r["cluster"]
+           for r in cl.kmeans_assign(df, "id", "v", k=2, iters=3).collect()}
+    assert all(out[i] == (i % 2) for i in range(20))
+
+
+def test_tie_break_lowest_cluster_index(spark):
+    """A point equidistant from two centroids goes to the lower index —
+    the rule both engines share."""
+    # init centroids = two smallest ids: [0.0] and [2.0]; point 1.0 ties.
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0]), (2, [1.0])], "id long, v array<double>")
+    out = {r["id"]: r["cluster"]
+           for r in cl.kmeans_assign(df, "id", "v", k=2, iters=0).collect()}
+    assert out[2] == 0
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """If no point lands in a cluster, its centroid must carry over
+    (never NaN / dropped) — mirrored in the oracle's LEFT JOIN. Two
+    identical init vectors make every point tie toward cluster 0, so
+    cluster 1 is empty from the first iteration."""
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0]), (2, [5.0])], "id long, v array<double>")
+    cents = cl.kmeans_fit(df, "id", "v", k=2, iters=1)
+    assert cents[1] == [1.0]  # cluster 1 was empty: centroid carried over
+    assert cents[0][0] == pytest.approx(7.0 / 3.0)
+    # next iteration repopulates cluster 1 from the carried centroid
+    cents2 = cl.kmeans_fit(df, "id", "v", k=2, iters=2)
+    assert cents2 == [[5.0], [1.0]]
+
+
+def test_k_exceeding_rows_raises(spark):
+    df = spark.createDataFrame([(0, [0.0]), (1, [1.0])],
+                               "id long, v array<double>")
+    with pytest.raises(ValueError, match="exceeds"):
+        cl.kmeans_fit(df, "id", "v", k=5, iters=1)
+
+
+def test_summary_counts_match_assignments(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    assign = cl.kmeans_assign(emb, "vec_id", "embedding", k=3, iters=1)
+    counts = {r["cluster"]: r["count"]
+              for r in assign.groupBy("cluster").count().collect()}
+    summ = {r["cluster"]: r["n_vectors"]
+            for r in cl.kmeans_summary(emb, "vec_id", "embedding",
+                                       k=3, iters=1).collect()}
+    assert counts == summ
