@@ -1,0 +1,158 @@
+"""Streaming drift monitor: per-micro-batch PSI against a frozen
+baseline profile.
+
+The reference's drift surface is batch-only (profile.diff(other) —
+report.py:326-454 / operators/drift.py). In production the question is
+continuous: "is today's feed still distributed like the profile I
+signed off on?". Structured Streaming answers it with ``foreachBatch``:
+the baseline is aggregated ONCE and frozen driver-side (bounded:
+category counts capped loudly, numeric state is just (lo, hi) + bin
+counts), and each micro-batch runs one small groupBy + broadcast join
+against the frozen counts — per batch cost is one scan of the batch,
+O(categories) driver state, no growing state store.
+
+Semantics match operators/drift.py exactly where the framing allows:
+  * categorical: identical smoothing ((c+1)/(n+k), k = aligned category
+    count) — a micro-batch's PSI equals drift.categorical_psi(baseline,
+    batch) run in batch mode (pinned by tests/test_streaming_drift.py).
+  * numeric: equal-width bins like drift.numeric_psi, but the edges are
+    frozen from the BASELINE's (min, max) — a monitor cannot re-derive
+    edges from data it hasn't seen yet; out-of-range batch values clamp
+    into the edge bins (documented deviation, the standard monitoring
+    formulation).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class StreamingDriftMonitor:
+    """Freeze a baseline; score every micro-batch against it.
+
+    ``columns`` maps column name -> "categorical" | "numeric".
+    ``alert_threshold`` marks log entries with alert=True when any
+    column's PSI exceeds it (the conventional 0.2 "significant shift"
+    cut — reference categorical_column_profile.py PSI reporting leaves
+    interpretation to the caller, so the threshold is opt-in here too).
+    """
+
+    def __init__(self, baseline_df: DataFrame, columns: dict[str, str],
+                 bins: int = 10, max_categories: int = 10_000,
+                 alert_threshold: float | None = None,
+                 sink_path: str | None = None, round_digits: int = 6):
+        self.columns = dict(columns)
+        self.bins = bins
+        self.alert_threshold = alert_threshold
+        self.sink_path = sink_path
+        self.round_digits = round_digits
+        self.log: list[dict] = []
+        self._cat_counts: dict[str, list[tuple[str | None, int]]] = {}
+        self._num_state: dict[str, tuple[float, float, list[tuple[int, int]]]] = {}
+        for col, kind in self.columns.items():
+            if kind == "categorical":
+                rows = (baseline_df
+                        .groupBy(F.col(col).cast("string").alias("value"))
+                        .agg(F.count(F.lit(1)).alias("cnt"))
+                        .limit(max_categories + 1).collect())
+                if len(rows) > max_categories:
+                    raise ValueError(
+                        f"baseline column {col!r} exceeds max_categories="
+                        f"{max_categories}; monitor a bucketed projection "
+                        "instead of a high-cardinality key")
+                self._cat_counts[col] = [(r["value"], r["cnt"]) for r in rows]
+            elif kind == "numeric":
+                mm = baseline_df.agg(
+                    F.min(F.col(col).cast("double")).alias("lo"),
+                    F.max(F.col(col).cast("double")).alias("hi")).collect()[0]
+                lo, hi = float(mm["lo"]), float(mm["hi"])
+                counts = (baseline_df.where(F.col(col).isNotNull())
+                          .groupBy(self._bucket_expr(col, lo, hi)
+                                   .alias("bucket"))
+                          .agg(F.count(F.lit(1)).alias("cnt")).collect())
+                self._num_state[col] = (
+                    lo, hi, [(r["bucket"], r["cnt"]) for r in counts])
+            else:
+                raise ValueError(f"unknown kind {kind!r} for column {col!r}")
+
+    def _bucket_expr(self, col: str, lo: float, hi: float):
+        w = (hi - lo) / float(self.bins) or 1.0
+        return F.least(F.greatest(
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
+            .cast("int"), F.lit(0)), F.lit(self.bins - 1))
+
+    # -- per-batch scoring ---------------------------------------------------
+
+    def _psi_categorical(self, batch_df: DataFrame, col: str) -> float | None:
+        spark = batch_df.sparkSession
+        base = spark.createDataFrame(self._cat_counts[col],
+                                     "value string, cnt_a long")
+        b = (batch_df.groupBy(F.col(col).cast("string").alias("value"))
+             .agg(F.count(F.lit(1)).alias("cnt_b")))
+        counts = (b.join(F.broadcast(base), "value", "full_outer")
+                  .select(F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                          F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+        counts = counts.crossJoin(F.broadcast(counts.agg(
+            F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"),
+            F.count(F.lit(1)).alias("k"))))
+        pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + F.col("k"))
+        pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + F.col("k"))
+        row = counts.agg(F.round(F.sum((pb - pa) * F.log(pb / pa)),
+                                 self.round_digits).alias("psi")).collect()[0]
+        return row["psi"]
+
+    def _psi_numeric(self, batch_df: DataFrame, col: str) -> float | None:
+        lo, hi, base_counts = self._num_state[col]
+        batch = {r["bucket"]: r["cnt"] for r in
+                 (batch_df.where(F.col(col).isNotNull())
+                  .groupBy(self._bucket_expr(col, lo, hi).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect())}
+        base = dict(base_counts)
+        na, nb = sum(base.values()), sum(batch.values())
+        if nb == 0:
+            return None
+        psi = 0.0
+        for bucket in set(base) | set(batch):
+            pa = (base.get(bucket, 0) + 1) / (na + self.bins)
+            pb = (batch.get(bucket, 0) + 1) / (nb + self.bins)
+            psi += (pb - pa) * math.log(pb / pa)
+        return round(psi, self.round_digits)
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> dict:
+        """foreachBatch hook: score one micro-batch against the frozen
+        baseline; append to the in-memory log and the optional sink."""
+        n = batch_df.count()
+        entry: dict = {"batch_id": batch_id, "n_rows": n, "psi": {}}
+        for col, kind in self.columns.items():
+            if n == 0:
+                entry["psi"][col] = None
+                continue
+            entry["psi"][col] = (self._psi_categorical(batch_df, col)
+                                 if kind == "categorical"
+                                 else self._psi_numeric(batch_df, col))
+        if self.alert_threshold is not None:
+            entry["alert"] = any(
+                v is not None and v > self.alert_threshold
+                for v in entry["psi"].values())
+        self.log.append(entry)
+        if self.sink_path is not None:
+            spark = batch_df.sparkSession
+            rows = [(int(batch_id) if batch_id is not None else -1,
+                     float(time.time()), col, entry["psi"][col], int(n))
+                    for col in self.columns]
+            (spark.createDataFrame(
+                rows, "batch_id long, wall_ts double, column_name string, "
+                      "psi double, n_rows long")
+             .write.mode("append").parquet(self.sink_path))
+        return entry
+
+    def attach(self, stream_df: DataFrame):
+        """``monitor.attach(spark.readStream...).start()`` — scores every
+        micro-batch; pair with ``trigger(availableNow=True)`` for
+        catch-up scoring of a backlog."""
+        return stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.update(df, bid))
