@@ -116,6 +116,14 @@ class ProfilerOptions:
         # histogram and categorical removes the entire fused counts scan
         # — at 100 TB that is half the profile's IO.
         disabled_stats: frozenset[str] | set[str] = frozenset(),
+        # Reference _timeit telemetry (base_column_profilers.py:68-81)
+        # records wall time PER STAT because pandas computes stats one
+        # at a time. Spark fuses every stat into one wide agg, so
+        # per-stat time does not exist in the default plan; opting in
+        # runs one extra timed job per stat family (fused across
+        # columns) purely for diagnostics — stat values still come from
+        # the fused plan. Keys land in DatasetState.times as "stat:<name>".
+        detailed_timing: bool = False,
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -138,6 +146,7 @@ class ProfilerOptions:
         self.order_by = order_by
         self.detect_datetime_formats = detect_datetime_formats
         self.min_true_samples = min_true_samples
+        self.detailed_timing = detailed_timing
         unknown = set(disabled_stats) - {"histogram", "categorical",
                                          "samples"}
         if unknown:
@@ -336,7 +345,51 @@ class Profiler:
                 t0 = time.perf_counter()
                 self._format_pass(df, state, dt_strings)
                 state.times["formats"] = time.perf_counter() - t0
+
+        # opt-in diagnostics: reference-style per-stat wall times
+        # (base_column_profilers.py:68-81) via one timed job per stat
+        # family — see ProfilerOptions.detailed_timing.
+        if opt.detailed_timing:
+            self._detailed_timing_pass(df, state, numeric_cols, string_cols,
+                                       dt_cols)
         return state
+
+    def _detailed_timing_pass(self, df: DataFrame, state: DatasetState,
+                              numeric_cols: list[str],
+                              string_cols: list[str],
+                              dt_cols: list[str]) -> None:
+        """Time one fused-across-columns agg per stat family, mirroring
+        the reference's per-stat _timeit keys. Purely diagnostic: the
+        reported stat VALUES still come from the single wide agg (these
+        jobs re-scan, which is exactly what per-stat timing costs on an
+        engine that otherwise fuses the work — documented deviation:
+        times are per family, not per (column, stat))."""
+        fams: dict[str, list] = {}
+        if numeric_cols:
+            fams["min"] = [F.min(c) for c in numeric_cols]
+            fams["max"] = [F.max(c) for c in numeric_cols]
+            fams["sum"] = [F.sum(c) for c in numeric_cols]
+            fams["variance"] = [F.var_samp(c) for c in numeric_cols]
+            fams["skewness"] = [F.skewness(c) for c in numeric_cols]
+            fams["kurtosis"] = [F.kurtosis(c) for c in numeric_cols]
+            fams["num_zeros"] = [
+                F.sum(F.when(F.col(c) == 0, 1).otherwise(0))
+                for c in numeric_cols]
+            fams["num_negatives"] = [
+                F.sum(F.when(F.col(c) < 0, 1).otherwise(0))
+                for c in numeric_cols]
+        if dt_cols:
+            fams["datetime"] = [e for c in dt_cols
+                                for e in (F.min(c), F.max(c))]
+        if string_cols:
+            fams["text_lengths"] = [e for c in string_cols
+                                    for e in (F.min(F.length(c)),
+                                              F.max(F.length(c)),
+                                              F.avg(F.length(c)))]
+        for name, exprs in fams.items():
+            t0 = time.perf_counter()
+            df.agg(*exprs).collect()
+            state.times[f"stat:{name}"] = time.perf_counter() - t0
 
     def _order_pass(self, df: DataFrame, state: DatasetState,
                     order_by: list[str]) -> None:

@@ -562,3 +562,25 @@ def test_disabled_stats_toggles(spark, sf_dir):
     assert rep["global_stats"]["row_count"] == df.count()
     with pytest.raises(ValueError, match="disabled_stats"):
         ProfilerOptions(disabled_stats={"nope"})
+
+
+def test_detailed_timing_pass(spark, sf_dir):
+    """Opt-in per-stat telemetry (reference base_column_profilers.py
+    _timeit): stat:<family> keys appear with positive wall times and the
+    stat values are unchanged from the default fused plan."""
+    import os
+    from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = Profiler(df).profile()
+    timed = Profiler(df, ProfilerOptions(detailed_timing=True)).profile()
+    stat_keys = {k for k in timed.times if k.startswith("stat:")}
+    assert {"stat:min", "stat:max", "stat:variance", "stat:skewness",
+            "stat:datetime", "stat:text_lengths"} <= stat_keys
+    assert all(timed.times[k] > 0 for k in stat_keys)
+    # diagnostics must not perturb the profile itself
+    assert base.row_count == timed.row_count
+    for c in base.columns:
+        assert base.columns[c].numeric == timed.columns[c].numeric
+    # default plan stays free of the extra jobs
+    assert not any(k.startswith("stat:") for k in base.times)
