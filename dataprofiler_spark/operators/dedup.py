@@ -473,17 +473,18 @@ def neardup_clusters(df: DataFrame, id_col: str, text_col: str,
                     (F.col("id") == F.col("cluster_id")).alias("is_canonical")))
 
 
-def oracle_neardup_clusters_sql(table: str, id_col: str, text_col: str,
-                                k: int = 3, num_hashes: int = 12,
-                                bands: int = 6, threshold: float = 0.5,
-                                round_digits: int = 6) -> str:
-    """Recursive-CTE transitive closure over the verified LSH pairs —
-    quadratic, fine at oracle scale; the distributed side iterates
-    instead (see neardup_clusters)."""
+def neardup_comp_ctes(table: str, id_col: str, text_col: str,
+                      k: int = 3, num_hashes: int = 12,
+                      bands: int = 6, threshold: float = 0.5,
+                      round_digits: int = 6) -> str:
+    """Recursive-CTE transitive closure over the verified LSH pairs,
+    through a ``comp(id, cluster_id)`` CTE — quadratic, fine at oracle
+    scale; the distributed side iterates instead (see neardup_clusters).
+    Reused by the cluster query oracle and the leakage-free split oracle
+    (operators/mixture.py) so both mirror the same clustering."""
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
                             threshold, round_digits)
-    return f"""
-WITH RECURSIVE {ctes},
+    return f"""{ctes},
 nodes AS (SELECT {id_col} AS id FROM {table}),
 bi AS (
   SELECT id1 AS src, id2 AS dst FROM vpairs
@@ -497,7 +498,17 @@ reach AS (
 ),
 comp AS (
   SELECT node AS id, MIN(peer) AS cluster_id FROM reach GROUP BY node
-),
+)"""
+
+
+def oracle_neardup_clusters_sql(table: str, id_col: str, text_col: str,
+                                k: int = 3, num_hashes: int = 12,
+                                bands: int = 6, threshold: float = 0.5,
+                                round_digits: int = 6) -> str:
+    ctes = neardup_comp_ctes(table, id_col, text_col, k, num_hashes, bands,
+                             threshold, round_digits)
+    return f"""
+WITH RECURSIVE {ctes},
 sizes AS (
   SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
 )

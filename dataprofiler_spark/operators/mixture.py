@@ -377,3 +377,111 @@ SELECT {split} AS split, COUNT(*) AS n_docs,
 FROM {table}
 GROUP BY 1 ORDER BY split
 """
+
+
+# -- leakage-free (cluster-aware) splits -------------------------------------
+
+def _split_expr(key: F.Column, fractions: dict[str, float],
+                seed: str) -> F.Column:
+    """Cumulative-boundary carve of md5(key) — the split_manifest rule,
+    parameterized on the key so cluster-level carves reuse it."""
+    h = hash_fraction_expr(key, seed)
+    split = F.lit("_rest")
+    hi, branches = 0.0, []
+    for name, frac in fractions.items():
+        hi += frac
+        branches.append((name, hi))
+    for name, bound in reversed(branches):
+        split = F.when(h < F.lit(bound), F.lit(name)).otherwise(split)
+    return split
+
+
+def _split_sql_case(key_sql: str, fractions: dict[str, float],
+                    seed: str) -> str:
+    h = _duck_hash_fraction(key_sql, seed)
+    cases, hi = [], 0.0
+    for name, frac in fractions.items():
+        hi += frac
+        cases.append(f"WHEN {h} < {hi!r} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " ELSE '_rest' END"
+
+
+def leakage_free_split(df: DataFrame, id_col: str, text_col: str,
+                       fractions: dict[str, float] | None = None,
+                       seed: str = "dps-split-v1", k: int = 3,
+                       num_hashes: int = 12, bands: int = 6,
+                       threshold: float = 0.5,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """(id, cluster_id, split): carve train/val/test by hashing the
+    NEAR-DUP CLUSTER id, not the document id — every member of a
+    near-dup cluster lands in the same split, so no near-duplicate pair
+    can straddle train/test (the leak ``curation.split_leakage`` audits
+    for; this is the constructive counterpart).
+
+    Scale shape: clustering is the banded-LSH + min-label-propagation
+    plan of :func:`dataprofiler_spark.operators.dedup.neardup_clusters`
+    (never all-pairs; ``max_bucket_size`` skew guard applies); the carve
+    itself adds ZERO shuffles — a pure md5 projection of cluster_id.
+    Determinism carries over from both pieces: same corpus ⇒ same
+    clusters ⇒ same splits on any engine or partitioning, and documents
+    added later only move an OLD doc's split if they bridge its cluster
+    into a lower-id one (inherent to any cluster-consistent rule).
+    """
+    from dataprofiler_spark.operators.dedup import neardup_clusters
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_fractions(fractions)
+    clusters = neardup_clusters(df, id_col, text_col, k=k,
+                                num_hashes=num_hashes, bands=bands,
+                                threshold=threshold,
+                                max_bucket_size=max_bucket_size)
+    return clusters.select(
+        "id", "cluster_id",
+        _split_expr(F.col("cluster_id"), fractions, seed).alias("split"))
+
+
+def leakage_free_split_manifest(df: DataFrame, id_col: str, text_col: str,
+                                fractions: dict[str, float] | None = None,
+                                seed: str = "dps-split-v1", k: int = 3,
+                                num_hashes: int = 12, bands: int = 6,
+                                threshold: float = 0.5,
+                                max_bucket_size: int | None = None
+                                ) -> DataFrame:
+    """(split, n_docs, n_clusters) rollup of :func:`leakage_free_split`
+    — one extra groupBy over the assignment."""
+    assign = leakage_free_split(df, id_col, text_col, fractions, seed, k,
+                                num_hashes, bands, threshold,
+                                max_bucket_size)
+    return (assign.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"))
+            .orderBy("split"))
+
+
+def oracle_leakage_free_split_sql(table: str, id_col: str, text_col: str,
+                                  fractions: dict[str, float] | None = None,
+                                  seed: str = "dps-split-v1", k: int = 3,
+                                  num_hashes: int = 12, bands: int = 6,
+                                  threshold: float = 0.5,
+                                  round_digits: int = 6,
+                                  manifest: bool = False) -> str:
+    """Mirror: the neardup-clusters recursive closure + the same md5
+    carve on cluster_id."""
+    from dataprofiler_spark.operators.dedup import neardup_comp_ctes
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_fractions(fractions)
+    ctes = neardup_comp_ctes(table, id_col, text_col, k, num_hashes, bands,
+                             threshold, round_digits)
+    split = _split_sql_case("cluster_id", fractions, seed)
+    if manifest:
+        return f"""
+WITH RECURSIVE {ctes}
+SELECT {split} AS split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters
+FROM comp GROUP BY 1 ORDER BY split
+"""
+    return f"""
+WITH RECURSIVE {ctes}
+SELECT id, cluster_id, {split} AS split FROM comp
+"""

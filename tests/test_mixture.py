@@ -181,3 +181,66 @@ def test_mixture_many_weighted_groups_plan_scales(spark):
     assert all(r["kept_docs"] <= 8000 // n_groups for r in summ)
     kept = mx.data_mixture(df, "src", "doc_id", "text", weights, 4000)
     assert 0 < kept.count() <= 8000
+
+
+def test_leakage_free_split_keeps_clusters_whole(spark, sf_dir):
+    """Every near-dup cluster lands in exactly one split, and the split
+    of each member equals the carve of its cluster_id — no near-dup
+    pair can straddle train/test by construction."""
+    import os
+    from dataprofiler_spark.operators import mixture as mx
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assign = mx.leakage_free_split(docs, "doc_id", "text",
+                                   k=3, num_hashes=12, bands=2,
+                                   threshold=0.8).collect()
+    splits_per_cluster: dict[int, set] = {}
+    for r in assign:
+        splits_per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+    assert len(assign) == docs.count()  # every doc assigned exactly once
+
+
+def test_leakage_free_split_fixes_naive_leak(spark):
+    """A synthetic corpus of identical-text pairs whose ids the naive
+    doc-id carve separates: the cluster-aware carve must reunite them."""
+    from dataprofiler_spark.operators import mixture as mx
+    from dataprofiler_spark.operators.sampling import hash_fraction_expr
+    from pyspark.sql import functions as F
+
+    # 40 docs = 20 identical pairs (i, i+100) — near-dup clusters of 2.
+    rows = [(i + off, "alpha beta gamma delta epsilon zeta eta theta "
+             f"iota kappa shared text body {i % 5}")
+            for i in range(20) for off in (0, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = df.select(
+        "doc_id",
+        F.when(hash_fraction_expr(F.col("doc_id"), "dps-split-v1") < 0.5,
+               "train").otherwise("test").alias("split")).collect()
+    naive_split = {r["doc_id"]: r["split"] for r in naive}
+    straddled = sum(1 for i in range(20)
+                    if naive_split[i] != naive_split[i + 100])
+    assert straddled > 0  # the naive carve does leak on this corpus
+
+    assign = mx.leakage_free_split(
+        df, "doc_id", "text", {"train": 0.5, "test": 0.5},
+        threshold=0.5).collect()
+    by_id = {r["doc_id"] if "doc_id" in r else r["id"]: r for r in assign}
+    for i in range(20):
+        assert by_id[i]["split"] == by_id[i + 100]["split"]
+        assert by_id[i]["cluster_id"] == by_id[i + 100]["cluster_id"]
+
+
+def test_leakage_free_manifest_consistent(spark, sf_dir):
+    import os
+    from dataprofiler_spark.operators import mixture as mx
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assign = mx.leakage_free_split(docs, "doc_id", "text",
+                                   bands=2, threshold=0.8)
+    man = {r["split"]: (r["n_docs"], r["n_clusters"])
+           for r in mx.leakage_free_split_manifest(
+               docs, "doc_id", "text", bands=2, threshold=0.8).collect()}
+    from collections import Counter
+    docs_per_split = Counter(r["split"] for r in assign.collect())
+    assert {s: n for s, (n, _) in man.items()} == dict(docs_per_split)
