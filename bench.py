@@ -209,6 +209,11 @@ def main() -> None:
         dr.welch_t(a, b, "o_totalprice").collect()
     run("drift_orders", _drift)
 
+    from dataprofiler_spark.operators import clustering as clus
+    run("kmeans_embeddings",
+        lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
+                                   k=4, iters=2).count())
+
     run("correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -382,3 +382,140 @@ FROM (
   ) mu
 ) q""")
     return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# z-score outlier fences (beyond the reference: a profiler staple —
+# per-column counts outside mean ± z·stddev)
+# ---------------------------------------------------------------------------
+
+def outlier_counts(df: DataFrame, cols: list[str] | None = None,
+                   z: float = 3.0, round_digits: int = 6) -> DataFrame:
+    """Per numeric column: (column, match_count, mean, stddev, fence_lo,
+    fence_hi, n_low, n_high, outlier_ratio) where the fences are
+    mean ± z·stddev (sample stddev).
+
+    Two scans at any column count: pass 1 is the fused exact-mode
+    count/sum/sum-of-squares agg (decimal power sums — see
+    ``numeric_profile_exact``); pass 2 counts fence violations against a
+    broadcast 1-row fence frame. The fence doubles derive from integer
+    sums through a fixed IEEE division sequence, so the per-row
+    comparisons are engine-exact (a row precisely ON a fence is kept on
+    every engine, not a coin flip)."""
+    cols = cols or numeric_columns(df)
+    r = round_digits
+    s2lit = F.lit(float(_S))
+
+    p1_exprs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        xi = F.round(col.cast("double") * _S, 0).cast("decimal(19,0)")
+        p1_exprs.extend([
+            F.count(col).alias(f"{c}__n"),
+            F.sum(xi.cast("decimal(38,0)")).alias(f"{c}__s1"),
+            F.try_sum((xi * xi).cast("decimal(38,0)")).alias(f"{c}__s2"),
+        ])
+    p1 = df.agg(*p1_exprs)
+
+    fence_cols: list[Column] = []
+    for c in cols:
+        n = F.col(f"{c}__n")
+        s1, s2 = F.col(f"{c}__s1"), F.col(f"{c}__s2")
+        mu = s1.cast("double") / n / s2lit
+        css = F.try_subtract(F.try_multiply(n.cast("decimal(38,0)"), s2),
+                             F.try_multiply(s1, s1)).cast("double")
+        var = F.when(n > 1, css / n / (n - 1) / (s2lit * s2lit)) \
+               .otherwise(F.lit(None))
+        sd = F.sqrt(var)
+        fence_cols.extend([
+            n.alias(f"{c}__n"),
+            mu.alias(f"{c}__mu"), sd.alias(f"{c}__sd"),
+            (mu - F.lit(z) * sd).alias(f"{c}__lo"),
+            (mu + F.lit(z) * sd).alias(f"{c}__hi"),
+        ])
+    fences = p1.select(*fence_cols)
+
+    p2_exprs: list[Column] = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        p2_exprs.extend([
+            F.sum(F.when(x < F.col(f"{c}__lo"), 1).otherwise(0))
+             .alias(f"{c}__nlo"),
+            F.sum(F.when(x > F.col(f"{c}__hi"), 1).otherwise(0))
+             .alias(f"{c}__nhi"),
+        ])
+    p2 = df.crossJoin(F.broadcast(fences)).agg(*p2_exprs)
+
+    joined = fences.crossJoin(F.broadcast(p2))
+    structs = []
+    for c in cols:
+        n = F.col(f"{c}__n")
+        nlo = F.coalesce(F.col(f"{c}__nlo"), F.lit(0)).cast("long")
+        nhi = F.coalesce(F.col(f"{c}__nhi"), F.lit(0)).cast("long")
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            n.alias("match_count"),
+            F.round(F.col(f"{c}__mu"), r).alias("mean"),
+            F.round(F.col(f"{c}__sd"), r).alias("stddev"),
+            F.round(F.col(f"{c}__lo"), r).alias("fence_lo"),
+            F.round(F.col(f"{c}__hi"), r).alias("fence_hi"),
+            nlo.alias("n_low"), nhi.alias("n_high"),
+            F.round(F.when(n > 0, (nlo + nhi).cast("double") / n)
+                     .otherwise(F.lit(0.0)), r).alias("outlier_ratio"),
+        ))
+    return joined.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_outlier_counts_sql(table: str, cols: list[str], z: float = 3.0,
+                              round_digits: int = 6) -> str:
+    """Mirror of ``outlier_counts`` — identical division sequence, so the
+    fence doubles (and therefore every comparison) are bit-identical."""
+    r = round_digits
+    S = float(_S)
+    xi = "CAST(ROUND(CAST({c} AS DOUBLE) * {S}, 0) AS DECIMAL(19,0))"
+    selects = []
+    for c in cols:
+        x = xi.format(c=c, S=S)
+        css = ("CAST(CAST(f.n AS HUGEINT) * CAST(f.s2 AS HUGEINT)"
+               " - CAST(f.s1 AS HUGEINT) * CAST(f.s1 AS HUGEINT) AS DOUBLE)")
+        mu = f"(CAST(f.s1 AS DOUBLE) / f.n / {S})"
+        var = f"(CASE WHEN f.n > 1 THEN {css} / f.n / (f.n - 1) / ({S} * {S}) END)"
+        sd = f"SQRT({var})"
+        lo = f"({mu} - {z} * {sd})"
+        hi = f"({mu} + {z} * {sd})"
+        selects.append(f"""
+SELECT '{c}' AS "column", f.n AS match_count,
+  ROUND({mu}, {r}) AS mean, ROUND({sd}, {r}) AS stddev,
+  ROUND({lo}, {r}) AS fence_lo, ROUND({hi}, {r}) AS fence_hi,
+  o.nlo AS n_low, o.nhi AS n_high,
+  ROUND(CASE WHEN f.n > 0
+        THEN CAST(o.nlo + o.nhi AS DOUBLE) / f.n ELSE 0.0 END, {r})
+    AS outlier_ratio
+FROM (
+  SELECT COUNT({c}) AS n,
+         SUM(CAST({x} AS DECIMAL(38,0))) AS s1,
+         SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS s2
+  FROM {table}
+) f CROSS JOIN (
+  SELECT CAST(COALESCE(SUM(CASE WHEN CAST(t.{c} AS DOUBLE) < ff.lo
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS nlo,
+         CAST(COALESCE(SUM(CASE WHEN CAST(t.{c} AS DOUBLE) > ff.hi
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS nhi
+  FROM {table} t CROSS JOIN (
+    SELECT (CAST(p.s1 AS DOUBLE) / p.n / {S})
+           - {z} * SQRT(CASE WHEN p.n > 1 THEN
+               CAST(CAST(p.n AS HUGEINT) * CAST(p.s2 AS HUGEINT)
+                    - CAST(p.s1 AS HUGEINT) * CAST(p.s1 AS HUGEINT) AS DOUBLE)
+               / p.n / (p.n - 1) / ({S} * {S}) END) AS lo,
+           (CAST(p.s1 AS DOUBLE) / p.n / {S})
+           + {z} * SQRT(CASE WHEN p.n > 1 THEN
+               CAST(CAST(p.n AS HUGEINT) * CAST(p.s2 AS HUGEINT)
+                    - CAST(p.s1 AS HUGEINT) * CAST(p.s1 AS HUGEINT) AS DOUBLE)
+               / p.n / (p.n - 1) / ({S} * {S}) END) AS hi
+    FROM (SELECT COUNT({c}) AS n,
+                 SUM(CAST({x} AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS s2
+          FROM {table}) p
+  ) ff
+) o""")
+    return "\nUNION ALL\n".join(selects)

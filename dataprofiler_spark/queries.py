@@ -70,6 +70,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _LINEITEM_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+@register("outlier_counts_lineitem",
+          num.oracle_outlier_counts_sql("lineitem", _LINEITEM_NUM, z=1.5))
+def outlier_counts_lineitem(spark, sf_dir):
+    """Per-column z-score outlier fences (mean ± z·stddev from the
+    exact-mode decimal sums): two scans at any column count, fence
+    comparisons engine-exact."""
+    # z=1.5 so the uniform-ish TPC-H columns (max |z| ~ 1.7) actually
+    # produce nonzero counts — a discriminating hash, not all-zeros.
+    return num.outlier_counts(T(spark, sf_dir, "lineitem"), _LINEITEM_NUM,
+                              z=1.5)
+
+
 @register(
     "numeric_profile_lineitem",
     num.oracle_numeric_profile_sql("lineitem", _LINEITEM_NUM),
@@ -1631,6 +1643,20 @@ def quality_weighted_sample_documents(spark, sf_dir):
         T(spark, sf_dir, "documents"), "doc_id", "text", strength=1.2)
 
 
+@register("leakage_free_split_documents",
+          mx.oracle_leakage_free_split_sql("documents", "doc_id", "text",
+                                           k=3, num_hashes=12, bands=2,
+                                           threshold=0.8))
+def leakage_free_split_documents(spark, sf_dir):
+    """Cluster-aware train/val/test carve: every near-dup cluster lands
+    whole in one split (hash of cluster_id, not doc_id) — the
+    constructive fix for the contamination split_leakage audits.
+    Same selective LSH operating point as neardup_clusters_documents."""
+    return mx.leakage_free_split(T(spark, sf_dir, "documents"), "doc_id",
+                                 "text", k=3, num_hashes=12, bands=2,
+                                 threshold=0.8)
+
+
 @register("split_manifest_documents",
           mx.oracle_split_manifest_sql("documents", "doc_id", "text"))
 def split_manifest_documents(spark, sf_dir):
@@ -1690,6 +1716,7 @@ _DRIVER_WINDOW = [
     # ---- new round-4 operators, second batch (first driver rows) ----
     "kmeans_assign_embeddings",
     "kmeans_clusters_embeddings",
+    "leakage_free_split_documents",
     # ---- never driver-checked round-3 adds ----
     "embedding_decontaminate_embeddings",
     "unigram_logprob_documents",
@@ -1721,8 +1748,10 @@ _DRIVER_WINDOW = [
     "language_id_documents",
     "fingerprints_documents",
     "media_profile_documents",
+    # chi2_orderpriority ceded its slot to leakage_free_split — the chi²
+    # homogeneity path stays in-window via chi2_pair_lineitem and keeps
+    # its r2 driver row + local parity.
     "psi_orderpriority",
-    "chi2_orderpriority",
     "welch_t_totalprice",
     "label_votes_customer",
     "chi2_pair_lineitem",

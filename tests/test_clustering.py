@@ -86,3 +86,29 @@ def test_summary_counts_match_assignments(spark, sf_dir):
             for r in cl.kmeans_summary(emb, "vec_id", "embedding",
                                        k=3, iters=1).collect()}
     assert counts == summ
+
+
+def test_assignment_expr_streaming_safe(spark, sf_dir, tmp_path):
+    """The assignment expression is a stateless scan (literals only), so
+    fitted centroids score a readStream unchanged — online cluster
+    routing of new embeddings."""
+    import os
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = cl.kmeans_fit(emb, "vec_id", "embedding", k=3, iters=1)
+    src = str(tmp_path / "emb_stream")
+    emb.write.mode("overwrite").parquet(src)  # readStream needs a dir
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    out = []
+    q = (stream.select("vec_id",
+                       cl._assign_expr(F.col("embedding"), cents)
+                       .cast("int").alias("cluster"))
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: out.extend(df.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    batch = {r["vec_id"]: r["cluster"]
+             for r in cl.kmeans_assign(emb, "vec_id", "embedding",
+                                       k=3, iters=1).collect()}
+    assert {r["vec_id"]: r["cluster"] for r in out} == batch
