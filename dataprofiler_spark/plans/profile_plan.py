@@ -124,6 +124,14 @@ class ProfilerOptions:
         # columns) purely for diagnostics — stat values still come from
         # the fused plan. Keys land in DatasetState.times as "stat:<name>".
         detailed_timing: bool = False,
+        # Wide-agg expressions are chunked into independently-collected
+        # groups of at most this many aggregates (codegen compile cost
+        # is superlinear in aggregate count; groups overlap across the
+        # collect thread pool). 24 measured best END-TO-END from a cold
+        # JVM (lineitem sf0.1 min-of-3: width 40 → 7.2 s, width 24 +
+        # shared exchange → 4.8 s); much narrower loses its warm-run
+        # gains to per-group codegen compilation.
+        wide_agg_group_width: int = 24,
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -147,6 +155,7 @@ class ProfilerOptions:
         self.detect_datetime_formats = detect_datetime_formats
         self.min_true_samples = min_true_samples
         self.detailed_timing = detailed_timing
+        self.wide_agg_group_width = wide_agg_group_width
         unknown = set(disabled_stats) - {"histogram", "categorical",
                                          "samples"}
         if unknown:
@@ -227,7 +236,17 @@ class Profiler:
                 df = df.sample(sampling_meta["fraction"],
                                seed=opt.sample_seed)
         from dataprofiler_spark.session import ensure_parallelism
-        df = ensure_parallelism(df)
+        ens = ensure_parallelism(df)
+        if ens is not df:
+            # Under-partitioned LOCAL input (one small parquet split):
+            # materialize the round-robin exchange once so every
+            # wide-agg group job and the counts pass reuse the same
+            # partitioning instead of each re-running a full-width
+            # exchange (lineitem sf0.1 cold min-of-3: 5.8 s → 4.8 s).
+            # At real scale ensure_parallelism is a no-op and nothing
+            # is ever materialized.
+            ens = ens.localCheckpoint(eager=True)
+        df = ens
 
         fields = df.schema.fields
         numeric_cols = [f.name for f in fields if isinstance(f.dataType, NumericType)]
@@ -483,7 +502,7 @@ class Profiler:
                          .alias("__uniq"))
 
         groups = [exprs]
-        _MAX_AGGS = 40
+        _MAX_AGGS = self.options.wide_agg_group_width
         cur: list = []
 
         def flush():
@@ -538,7 +557,16 @@ class Profiler:
             F.var_pop(ln).alias(f"{c}__lvarp"),
         ]
         if opt.infer_types_on_strings:
-            d = s.try_cast("double")
+            # try_cast(string → double) walks the JVM parse-failure path
+            # per non-numeric row (~µs each — measured as the single most
+            # expensive wide-agg expression on text columns). Gate it
+            # behind a first-char class that OVER-accepts: after Spark's
+            # <=0x20 trim and an optional sign, every castable double
+            # starts with a digit, '.', Inf or NaN — so the gate can
+            # never flip a match decision (property-tested in
+            # test_profile.py::test_numeric_gate_matches_raw_try_cast).
+            d = F.when(s.rlike(r"^[\x00-\x20]*[+-]?[0-9.iInN]"), s) \
+                 .try_cast("double")
             is_f = d.isNotNull()
             is_i = is_f & (d == F.floor(d))
             # Regex pre-gate before the strptime battery: a failing

@@ -204,9 +204,9 @@ def test_wide_agg_groups_bounded(spark, sf_dir):
     groups = p._wide_agg_expr_groups(allc, num, st, dt)
     assert len(groups) >= 2
     # group 0 (row-level) width scales with column count; per-type groups
-    # are hard-bounded
+    # are hard-bounded by the configured width
     for g in groups[1:]:
-        assert len(g) <= 40
+        assert len(g) <= p.options.wide_agg_group_width
     flat = p._wide_agg_exprs(allc, num, st, dt)
     assert sum(len(g) for g in groups) == len(flat)
 

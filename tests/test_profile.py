@@ -584,3 +584,27 @@ def test_detailed_timing_pass(spark, sf_dir):
         assert base.columns[c].numeric == timed.columns[c].numeric
     # default plan stays free of the extra jobs
     assert not any(k.startswith("stat:") for k in base.times)
+
+
+def test_numeric_gate_matches_raw_try_cast(spark):
+    """The first-char gate in front of try_cast(double) must be a strict
+    SUPERSET of castable strings — gated and raw casts agree on every
+    adversarial value (inf/nan spellings, hex floats, Java d/f suffixes,
+    control-char padding, unicode digits, junk)."""
+    from pyspark.sql import functions as F
+
+    vals = ["1", "-2.5", "+.5", " 3 ", "\t4", "1e5", "1E-5", "inf",
+            "Infinity", "-Infinity", "NaN", "nan", "INF", "0x1p3", "1d",
+            "1.5f", "12,3", "abc", "A", "N", "R", "O", "F", "", " ",
+            "++1", "--1", ".", "+", "-", "e5", ".5e2", "５", "١٢", " 5",
+            "5 ", "\x085", "5 5", "None", "null", "i", "I am", "Nope9",
+            "infx", "nanx", "0", "00.1"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    raw = F.col("s").try_cast("double")
+    gated = F.when(F.col("s").rlike(r"^[\x00-\x20]*[+-]?[0-9.iInN]"),
+                   F.col("s")).try_cast("double")
+    rows = df.select(raw.alias("r"), gated.alias("g")).collect()
+    for r in rows:
+        assert (r["r"] is None) == (r["g"] is None)
+        if r["r"] is not None and r["r"] == r["r"]:  # skip NaN != NaN
+            assert r["r"] == r["g"]
