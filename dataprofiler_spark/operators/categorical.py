@@ -67,10 +67,15 @@ def category_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     profile, matching ``clean_data_and_get_base_stats`` splitting nulls
     before category counting (profile_builder.py:536-676).
     """
+    from dataprofiler_spark.session import ensure_parallelism
+
     pairs = []
     for c in cols:
         pairs.extend([F.lit(c), F.col(c).cast("string")])
-    melted = df.select(F.explode(F.create_map(*pairs)).alias("column", "value"))
+    # the explode fans every row out |cols|-fold — make sure a single
+    # small parquet split doesn't serialize that CPU on one core
+    melted = ensure_parallelism(df).select(
+        F.explode(F.create_map(*pairs)).alias("column", "value"))
     return (
         melted.where(F.col("value").isNotNull())
         .groupBy("column", "value")

@@ -224,3 +224,51 @@ SELECT cluster, COUNT(*) AS n_vectors,
              {round_digits}) AS avg_sqdist
 FROM final_a GROUP BY cluster ORDER BY cluster
 """
+
+
+def cluster_sample(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
+                   iters: int = 2, per_cluster: int = 25) -> DataFrame:
+    """Diversity (cluster-balanced) sampling: the ``per_cluster``
+    members of each k-means cluster with the smallest md5(id) — a
+    deterministic coreset that flattens the corpus's mode imbalance
+    (dense topics stop dominating the sample).
+
+    Plan: the shuffle-free assignment scan + ONE partitionBy(cluster)
+    window over at most k partitions of ranked hashes — never a global
+    sort. Output: (id, cluster, rk)."""
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_assign(df, id_col, vec_col, k, iters)
+    h = F.md5(F.concat_ws("|", F.lit("dps-clsample-v1"),
+                          F.col(id_col).cast("string")))
+    w = Window.partitionBy("cluster").orderBy(F.asc("h"), F.asc(id_col))
+    return (assigned.select(id_col, "cluster", h.alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= per_cluster)
+            .select(id_col, "cluster", "rk"))
+
+
+def oracle_cluster_sample_sql(table: str, id_col: str, vec_col: str,
+                              k: int = 4, iters: int = 2, dim: int = 64,
+                              per_cluster: int = 25) -> str:
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k, iters, dim)},
+assigned AS (
+  SELECT id, cl::INT AS cluster FROM (
+    SELECT e.id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY md5('dps-clsample-v1' || '|' || CAST(id AS VARCHAR)),
+                    id) AS rk
+  FROM assigned
+)
+SELECT id AS {id_col}, cluster, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {per_cluster}
+"""

@@ -292,3 +292,74 @@ def p_value_welch(t_stat: float, dof: float) -> float | None:
     except ImportError:
         from dataprofiler_spark.functions.special import t_sf
         return float(2 * t_sf(abs(t_stat), dof))
+
+
+def temporal_psi(df: DataFrame, ts_col: str, cat_col: str,
+                 round_digits: int = 6) -> DataFrame:
+    """Day-over-day drift: per calendar day, the PSI of ``cat_col``'s
+    distribution vs the PREVIOUS day — the monitoring query a profiler
+    deployment runs over an event stream (the reference diffs two
+    explicit profiles; this chains the diff along time in one plan).
+
+    Output: (day, psi, n_categories) for every day with a previous day
+    present; same Laplace smoothing as :func:`categorical_psi`.
+
+    Scale shape: one groupBy((day, value)) over the scan, a self-join
+    shifted by one day (co-partitioned on the same keys), and a per-day
+    rollup — key cardinality is days × categories, never rows. No
+    windows; at 100 TB the scan dominates, exactly as it should."""
+    day = F.date_trunc("DAY", F.col(ts_col))
+    counts = (df.groupBy(day.alias("bucket"),
+                         F.col(cat_col).cast("string").alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    prev = counts.select(
+        (F.col("bucket") + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+        "value", F.col("cnt").alias("cnt_a"))
+    cur = counts.select("bucket", "value", F.col("cnt").alias("cnt_b"))
+    j = (cur.join(prev, ["bucket", "value"], "full_outer")
+         .select("bucket", "value",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = j.groupBy("bucket").agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"),
+        F.count(F.lit(1)).alias("k"))
+    jt = j.join(tot, "bucket").where((F.col("na") > 0) & (F.col("nb") > 0))
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + F.col("k"))
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + F.col("k"))
+    return (jt.groupBy("bucket")
+            .agg(F.round(F.sum((pb - pa) * F.log(pb / pa)), round_digits)
+                 .alias("psi"),
+                 F.max("k").alias("n_categories"))
+            .select(F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+                    "psi", "n_categories")
+            .orderBy("day"))
+
+
+def oracle_temporal_psi_sql(table: str, ts_col: str, cat_col: str,
+                            round_digits: int = 6) -> str:
+    return f"""
+WITH counts AS (
+  SELECT date_trunc('day', {ts_col}) AS bucket,
+         CAST({cat_col} AS VARCHAR) AS value, COUNT(*) AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+a AS (SELECT bucket + INTERVAL 1 DAY AS bucket, value, cnt AS cnt_a
+      FROM counts),
+b AS (SELECT bucket, value, cnt AS cnt_b FROM counts),
+j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(a.value, b.value) AS value,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket AND a.value = b.value),
+tot AS (SELECT bucket, SUM(cnt_a) AS na, SUM(cnt_b) AS nb,
+               COUNT(*) AS k
+        FROM j GROUP BY bucket)
+SELECT strftime(j.bucket, '%Y-%m-%d') AS day,
+       ROUND(SUM(
+         ((CAST(cnt_b + 1 AS DOUBLE) / (nb + k)) - (CAST(cnt_a + 1 AS DOUBLE) / (na + k)))
+         * LN((CAST(cnt_b + 1 AS DOUBLE) / (nb + k)) / (CAST(cnt_a + 1 AS DOUBLE) / (na + k)))
+       ), {round_digits}) AS psi,
+       MAX(k) AS n_categories
+FROM j JOIN tot USING (bucket)
+WHERE na > 0 AND nb > 0
+GROUP BY 1 ORDER BY day
+"""

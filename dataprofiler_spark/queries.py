@@ -452,6 +452,19 @@ def kmeans_assign_embeddings(spark, sf_dir):
                               "vec_id", "embedding", k=4, iters=2)
 
 
+@register("cluster_sample_embeddings",
+          clus.oracle_cluster_sample_sql("embeddings", "vec_id", "embedding",
+                                         k=4, iters=2, dim=64,
+                                         per_cluster=25))
+def cluster_sample_embeddings(spark, sf_dir):
+    """Diversity sampling: per-cluster deterministic hash-rank coreset
+    over the k-means assignment — equal representation per topic
+    bucket."""
+    return clus.cluster_sample(T(spark, sf_dir, "embeddings"),
+                               "vec_id", "embedding", k=4, iters=2,
+                               per_cluster=25)
+
+
 @register("kmeans_clusters_embeddings",
           clus.oracle_kmeans_summary_sql("embeddings", "vec_id", "embedding",
                                          k=4, iters=2, dim=64))
@@ -594,6 +607,15 @@ def _orders_split(spark, sf_dir):
     df = T(spark, sf_dir, "orders")
     return (df.where(F.col("o_orderdate") < "1998-01-01"),
             df.where(F.col("o_orderdate") >= "1998-01-01"))
+
+
+@register("daily_psi_events",
+          dr.oracle_temporal_psi_sql("events", "ts", "event_type"))
+def daily_psi_events(spark, sf_dir):
+    """Day-over-day PSI of the event-type mix — drift chained along
+    time in one relational plan (keys = days × categories, never
+    rows)."""
+    return dr.temporal_psi(T(spark, sf_dir, "events"), "ts", "event_type")
 
 
 @register("psi_orderpriority",

@@ -334,10 +334,22 @@ def _diff_val(a, b):
 
 def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
     """profile.diff(other): per-stat differences + drift statistics."""
+    # profile_schema diff (profile_builder.py:1907-1926 →
+    # find_diff_of_dicts_with_diff_keys): [unique-to-a, shared, unique-
+    # to-b], where shared maps name → "unchanged" | [pos_a, pos_b].
+    pos_a = {n: i for i, n in enumerate(a.column_order)}
+    pos_b = {n: i for i, n in enumerate(b.column_order)}
+    schema_diff = [
+        {n: [i] for n, i in pos_a.items() if n not in pos_b},
+        {n: ("unchanged" if pos_a[n] == pos_b[n] else [pos_a[n], pos_b[n]])
+         for n in pos_a if n in pos_b},
+        {n: [i] for n, i in pos_b.items() if n not in pos_a},
+    ]
     out: dict = {
         "global_stats": {
             "row_count": _diff_val(a.row_count, b.row_count),
             "unique_row_count": _diff_val(a.unique_row_count, b.unique_row_count),
+            "profile_schema": schema_diff,
         },
         "data_stats": [],
     }

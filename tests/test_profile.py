@@ -608,3 +608,24 @@ def test_numeric_gate_matches_raw_try_cast(spark):
         assert (r["r"] is None) == (r["g"] is None)
         if r["r"] is not None and r["r"] == r["r"]:  # skip NaN != NaN
             assert r["r"] == r["g"]
+
+
+def test_diff_reports_schema_mismatch(spark, sf_dir):
+    """profile.diff must surface schema differences (reference
+    profile_builder.py:1907-1926): columns present in only one profile
+    land in the unique buckets, shared columns report position moves."""
+    import os
+    from dataprofiler_spark.plans.profile_plan import Profiler
+    from dataprofiler_spark.report import diff_profiles
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    a = Profiler(df.select("o_orderkey", "o_custkey", "o_totalprice")).profile()
+    b = Profiler(df.select("o_custkey", "o_orderkey", "o_orderstatus")).profile()
+    only_a, shared, only_b = diff_profiles(a, b)["global_stats"]["profile_schema"]
+    assert only_a == {"o_totalprice": [2]}
+    assert only_b == {"o_orderstatus": [2]}
+    assert shared == {"o_orderkey": [0, 1], "o_custkey": [1, 0]}
+
+    same = diff_profiles(a, a)["global_stats"]["profile_schema"]
+    assert same[0] == {} and same[2] == {}
+    assert all(v == "unchanged" for v in same[1].values())
