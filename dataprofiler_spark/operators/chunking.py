@@ -248,3 +248,81 @@ SELECT n_docs, total_tokens, docs_over_context, truncated_tokens,
                     AS DOUBLE), {round_digits}) AS packing_efficiency
 FROM a
 """
+
+
+def pack_manifest(df: DataFrame, id_col: str, text_col: str,
+                  context_len: int = 512, n_shards: int = 8,
+                  seed: str = "dps-pack-v1") -> DataFrame:
+    """Deterministic concat-and-split packing plan: assign every document
+    a (shard, window range) under sequential greedy packing, the layout a
+    training run's data loader materializes.
+
+    Documents are sharded by md5(id) (so the plan is stable as the corpus
+    grows and shards can pack independently on different executors), then
+    packed in md5 order within the shard: each doc occupies tokens
+    [cum_before, cum_before + tokens) of the shard's concatenated stream,
+    i.e. context windows start_window..end_window. Zero-token docs pin
+    both bounds to the window they fall at (they occupy no tokens).
+
+    Plan: one scan + ONE cumulative-sum window partitioned by shard —
+    n_shards bounded partitions, never a global order. At 100 TB raise
+    ``n_shards`` so each shard's manifest fits a task; the per-shard
+    token stream is exactly what a deterministic data loader replays.
+
+    Output: (id, shard, tokens, start_window, end_window).
+    """
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.operators.textanalysis import token_count_expr
+
+    tc = token_count_expr(text_col).cast("bigint")
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % n_shards).cast("int")
+    base = df.select(F.col(id_col).alias("id"), tc.alias("tokens"),
+                     h.alias("h"), shard.alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("h", "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("tokens").over(w)
+    start = (cum - F.col("tokens")).cast("double")
+    ctx = F.lit(float(context_len))
+    return base.select(
+        F.col("id").alias(id_col), "shard", "tokens",
+        F.floor(start / ctx).cast("bigint").alias("start_window"),
+        F.when(F.col("tokens") > 0,
+               F.floor((start + F.col("tokens") - 1) / ctx))
+         .otherwise(F.floor(start / ctx))
+         .cast("bigint").alias("end_window"),
+    )
+
+
+def oracle_pack_manifest_sql(table: str, id_col: str, text_col: str,
+                             context_len: int = 512, n_shards: int = 8,
+                             seed: str = "dps-pack-v1") -> str:
+    from dataprofiler_spark.operators.textanalysis import TOKEN_COUNT_SQL
+
+    tc = TOKEN_COUNT_SQL.format(col=text_col)
+    h = f"md5('{seed}' || '|' || CAST({id_col} AS VARCHAR))"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, CAST({tc} AS BIGINT) AS tokens, {h} AS h,
+         CAST(('0x' || substr({h}, 1, 4))::BIGINT % {n_shards} AS INT)
+           AS shard
+  FROM {table}
+),
+packed AS (
+  SELECT id, shard, tokens,
+         CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY h, id
+                                ROWS UNBOUNDED PRECEDING) - tokens
+              AS DOUBLE) AS start_tok
+  FROM base
+)
+SELECT id AS {id_col}, shard, tokens,
+       CAST(FLOOR(start_tok / {float(context_len)!r}) AS BIGINT)
+         AS start_window,
+       CAST(CASE WHEN tokens > 0
+                 THEN FLOOR((start_tok + tokens - 1) / {float(context_len)!r})
+                 ELSE FLOOR(start_tok / {float(context_len)!r}) END
+            AS BIGINT) AS end_window
+FROM packed
+"""

@@ -226,6 +226,111 @@ FROM final_a GROUP BY cluster ORDER BY cluster
 """
 
 
+def ivf_topk_det(df: DataFrame, id_col: str, vec_col: str,
+                 k_clusters: int = 8, iters: int = 2, nprobe: int = 2,
+                 n_queries: int = 5, k: int = 5,
+                 round_digits: int = 6) -> DataFrame:
+    """IVF (inverted-file) approximate nearest-neighbour search with a
+    fully deterministic coarse quantizer — the oracle-checkable twin of
+    the MLlib-backed paths (operators/mllib_ops.ivf_topk, persisted
+    operators/ann_index): same plan shape, but the cells come from this
+    module's cross-engine-exact k-means, so a SQL engine reproduces every
+    ranked neighbour bit-for-bit.
+
+    Queries are the ``n_queries`` smallest ids (a deterministic probe
+    set). Each query probes its ``nprobe`` nearest cells; candidates are
+    exactly the vectors assigned to those cells (each vector lives in ONE
+    cell, so no candidate dedup is needed); exact cosine ranks them.
+
+    Plan: one broadcast-literal scan assigns cells (zero shuffle), the
+    tiny query×probe frame broadcasts into the candidate join, and the
+    per-query top-k is a window over ``n_queries`` bounded partitions.
+    At corpus scale the inverted lists are ~nprobe/k_clusters of the
+    data — size ``k_clusters`` so a cell fits a partition; recall/IO
+    trades via ``nprobe`` exactly as in the persisted IVF index.
+
+    Output: (query_id, rank, vec_id, cosine, cell).
+    """
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.operators.similarity import cosine_expr
+
+    cents = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
+    cells = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _assign_expr(F.col(vec_col), cents).cast("int").alias("cell"),
+    )
+    probe_structs = [
+        F.struct(_sqdist(F.col("qv"), F.array(*[F.lit(w) for w in c]))
+                 .alias("d"), F.lit(i).alias("cl"))
+        for i, c in enumerate(cents)
+    ]
+    probes = (
+        df.orderBy(F.col(id_col)).limit(n_queries)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"))
+        .select("query_id", "qv",
+                F.explode(F.transform(
+                    F.slice(F.array_sort(F.array(*probe_structs)), 1,
+                            nprobe),
+                    lambda s: s["cl"].cast("int"))).alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell",
+                F.round(cosine_expr(F.col("v"), F.col("qv")),
+                        round_digits).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine", "cell"))
+
+
+def oracle_ivf_topk_sql(table: str, id_col: str, vec_col: str,
+                        k_clusters: int = 8, iters: int = 2,
+                        nprobe: int = 2, n_queries: int = 5, k: int = 5,
+                        dim: int = 64, round_digits: int = 6) -> str:
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    sq_q = _duck_sqdist("q.qv", "c.v", dim)
+    dot = "list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]))"
+    num = dot.format(d=dim, a="cells.v", b="p.qv")
+    na = dot.format(d=dim, a="cells.v", b="cells.v")
+    nb = dot.format(d=dim, a="p.qv", b="p.qv")
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
+cells AS (
+  SELECT id AS vec_id, v, cl::INT AS cell FROM (
+    SELECT e.id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+q AS (SELECT id AS query_id, v AS qv FROM e ORDER BY id LIMIT {n_queries}),
+probes AS (
+  SELECT query_id, qv, cl::INT AS cell FROM (
+    SELECT q.query_id, q.qv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sq_q}, c.cl) AS rn
+    FROM q CROSS JOIN c{iters} c)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, cells.vec_id, cells.cell,
+         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM probes p JOIN cells ON cells.cell = p.cell
+  WHERE cells.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine, cell FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def cluster_sample(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
                    iters: int = 2, per_cluster: int = 25) -> DataFrame:
     """Diversity (cluster-balanced) sampling: the ``per_cluster``

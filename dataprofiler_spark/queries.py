@@ -475,6 +475,21 @@ def kmeans_clusters_embeddings(spark, sf_dir):
                                "vec_id", "embedding", k=4, iters=2)
 
 
+@register("ivf_topk_embeddings",
+          clus.oracle_ivf_topk_sql("embeddings", "vec_id", "embedding",
+                                   k_clusters=8, iters=2, nprobe=2,
+                                   n_queries=5, k=5, dim=64))
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN search under the deterministic coarse quantizer: the 5
+    smallest-id queries each probe their 2 nearest of 8 k-means cells,
+    exact cosine ranks the inverted lists — the oracle-checkable twin of
+    the MLlib/persisted IVF paths (same plan shape, reproducible
+    cells)."""
+    return clus.ivf_topk_det(T(spark, sf_dir, "embeddings"),
+                             "vec_id", "embedding", k_clusters=8,
+                             iters=2, nprobe=2, n_queries=5, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-id, quality, token counts, fingerprints)
 # ---------------------------------------------------------------------------
@@ -1615,6 +1630,18 @@ def packing_stats_documents(spark, sf_dir):
     aggregation over an (id, text) projection."""
     return ck.packing_stats(T(spark, sf_dir, "documents"), "doc_id",
                             "text", context_len=256)
+
+@register("pack_manifest_documents",
+          ck.oracle_pack_manifest_sql("documents", "doc_id", "text",
+                                      context_len=256, n_shards=4))
+def pack_manifest_documents(spark, sf_dir):
+    """Deterministic concat-and-split packing plan: md5-sharded docs,
+    per-shard greedy token stream, each doc mapped to its context-window
+    range — one cumulative-sum window over n_shards bounded
+    partitions."""
+    return ck.pack_manifest(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", context_len=256, n_shards=4)
+
 
 # Down-select 4 of the 20 sources with skewed shares: src0's target
 # exceeds its supply (rate caps at 1 — the shortfall case), the others

@@ -112,3 +112,33 @@ def test_assignment_expr_streaming_safe(spark, sf_dir, tmp_path):
              for r in cl.kmeans_assign(emb, "vec_id", "embedding",
                                        k=3, iters=1).collect()}
     assert {r["vec_id"]: r["cluster"] for r in out} == batch
+
+
+def test_ivf_topk_candidates_respect_probed_cells(spark, sf_dir):
+    """Every returned neighbour's cell is one of its query's nprobe
+    probed cells, ranks are dense 1..k per query, and the search is
+    deterministic across runs (hash parity is test_oracle_parity's job)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cl.ivf_topk_det(emb, "vec_id", "embedding", k_clusters=4,
+                          iters=1, nprobe=2, n_queries=3, k=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len({r["cell"] for r in rs}) <= 2  # nprobe cells max
+        assert all(r["vec_id"] != q for r in rs)
+    again = cl.ivf_topk_det(emb, "vec_id", "embedding", k_clusters=4,
+                            iters=1, nprobe=2, n_queries=3, k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_topk_probe_join_is_broadcast(spark, sf_dir):
+    """The query×probe side reaches the candidate join as a broadcast —
+    the corpus side never shuffles for the join."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cl.ivf_topk_det(emb, "vec_id", "embedding", k_clusters=4,
+                          iters=1, nprobe=2, n_queries=3, k=4)
+    assert "BroadcastHashJoin" in _executed(out)
