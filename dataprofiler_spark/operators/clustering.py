@@ -331,6 +331,69 @@ WHERE rank <= {k}
 """
 
 
+def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
+                       k: int = 4, iters: int = 2,
+                       factor: float = 2.0) -> DataFrame:
+    """Distance-to-centroid outlier flags: a vector is an outlier when
+    its squared distance to its cluster's centroid exceeds ``factor`` ×
+    the cluster's mean squared distance — the embedding-space analogue
+    of the numeric z-score fences (operators/numeric.outlier_counts),
+    catching garbled/off-distribution documents a per-dim filter misses.
+
+    Plan: the shuffle-free assignment scan + ONE fixed-width (cluster)
+    aggregation broadcast back — two scans total, nothing data-sized on
+    the driver. The comparison runs in fixed-point integers
+    (d6 · n > factor6 · sum_d6 with factor scaled by 100) so the
+    outlier boundary cannot flip between engines.
+
+    Output: (id, cluster, outlier)."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    structs = [
+        F.struct(_sqdist(F.col(vec_col), F.array(*[F.lit(w) for w in c]))
+                 .alias("d"), F.lit(i).alias("cl"))
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_min(F.array(*structs))
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        best["cl"].cast("int").alias("cluster"),
+        F.round(best["d"] * _SCALE, 0).cast("long").alias("d6"))
+    per_cl = assigned.groupBy("cluster").agg(
+        F.sum("d6").alias("sum_d6"), F.count(F.lit(1)).alias("n_cl"))
+    factor100 = int(round(factor * 100))
+    return (assigned.join(F.broadcast(per_cl), "cluster")
+            .select(F.col("id").alias(id_col), "cluster",
+                    (F.col("d6") * F.col("n_cl") * 100
+                     > F.lit(factor100) * F.col("sum_d6")).alias("outlier")))
+
+
+def oracle_embedding_outliers_sql(table: str, id_col: str, vec_col: str,
+                                  k: int = 4, iters: int = 2,
+                                  dim: int = 64,
+                                  factor: float = 2.0) -> str:
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    factor100 = int(round(factor * 100))
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k, iters, dim)},
+assigned AS (
+  SELECT id, cl::INT AS cluster,
+         CAST(ROUND(d * {_SCALE}) AS BIGINT) AS d6
+  FROM (
+    SELECT e.id, c.cl, {sq} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+per_cl AS (
+  SELECT cluster, SUM(d6) AS sum_d6, COUNT(*) AS n_cl
+  FROM assigned GROUP BY cluster
+)
+SELECT a.id AS {id_col}, a.cluster,
+       a.d6 * p.n_cl * 100 > {factor100} * p.sum_d6 AS outlier
+FROM assigned a JOIN per_cl p USING (cluster)
+"""
+
+
 def cluster_sample(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
                    iters: int = 2, per_cluster: int = 25) -> DataFrame:
     """Diversity (cluster-balanced) sampling: the ``per_cluster``

@@ -346,6 +346,74 @@ FROM {table} t LEFT JOIN overlap o ON o.id = t.{id_col}
 """
 
 
+def decontaminate_by_benchmark(df: DataFrame, id_col: str, text_col: str,
+                               benchmark: DataFrame, bench_id_col: str,
+                               bench_text_col: str, bench_label_col: str,
+                               n: int = 8, min_overlap: int = 1
+                               ) -> DataFrame:
+    """Per-benchmark contamination report for a benchmark SUITE: which
+    training documents overlap which eval set (MMLU vs GSM8K vs ...),
+    not just whether they overlap any. Output is one row per
+    contaminated (doc, benchmark) pair: (id, benchmark,
+    n_overlap_ngrams) — bounded by actual contamination, never
+    |docs| × |benchmarks|.
+
+    Scale shape matches ``decontaminate``: the suite's (label, gram)
+    set is still tiny vs a 100 TB corpus and broadcasts into the
+    explode stream; the only corpus-keyed shuffle is the final
+    (id, benchmark) groupBy. A gram shared by B benchmarks fans each
+    matching doc gram out B ways — bounded by the suite, not the
+    corpus."""
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    def gram_hashes(frame, idc, txtc, extra=None):
+        cols = [F.col(idc).alias("id"), tokens_expr(txtc).alias("toks")]
+        if extra:
+            cols.append(F.col(extra).alias("benchmark"))
+        tokd = frame.select(*cols)
+        keep = ["id"] + (["benchmark"] if extra else [])
+        gram = tokd.select(
+            *keep, F.array_distinct(_ngrams_expr(F.col("toks"), n)).alias("gs"))
+        return (explode_no_prefilter(gram, "gs", "g", *keep)
+                .select(*keep, F.xxhash64("g").alias("h")))
+
+    bench_set = (gram_hashes(benchmark, bench_id_col, bench_text_col,
+                             extra=bench_label_col)
+                 .select("benchmark", "h").distinct())
+    doc_grams = gram_hashes(ensure_parallelism(df), id_col, text_col)
+    return (doc_grams.join(F.broadcast(bench_set), "h")
+            .groupBy("id", "benchmark")
+            .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+            .where(F.col("n_overlap_ngrams") >= min_overlap))
+
+
+def oracle_decontaminate_by_benchmark_sql(table: str, id_col: str,
+                                          text_col: str, bench_filter: str,
+                                          bench_label_col: str, n: int = 8,
+                                          min_overlap: int = 1) -> str:
+    """Oracle with the benchmark suite defined as ``table WHERE
+    bench_filter`` labeled by ``bench_label_col``."""
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    grams = (f"SELECT {id_col} AS id, unnest(list_distinct(list_transform("
+             f"range(1, len(toks) - {n} + 2), "
+             f"i -> array_to_string(toks[i:i + {n} - 1], ' ')))) AS g "
+             f"FROM (SELECT {id_col}, {toks} AS toks FROM {table})")
+    return f"""
+WITH grams AS ({grams}),
+bench AS (
+  SELECT DISTINCT t.{bench_label_col} AS benchmark, g.g
+  FROM grams g JOIN {table} t ON g.id = t.{id_col}
+  WHERE {bench_filter}
+)
+SELECT g.id, b.benchmark,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_ngrams
+FROM grams g JOIN bench b ON g.g = b.g
+GROUP BY g.id, b.benchmark
+HAVING COUNT(*) >= {min_overlap}
+"""
+
+
 # RE2-safe and Java-regex-safe patterns (no lookarounds), identical
 # semantics across Spark and DuckDB. Order matters: phone before generic
 # digit runs would, so keep patterns non-overlapping by construction.

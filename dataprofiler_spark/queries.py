@@ -475,6 +475,24 @@ def kmeans_clusters_embeddings(spark, sf_dir):
                                "vec_id", "embedding", k=4, iters=2)
 
 
+# factor=1.05: the synthetic embeddings are near-uniform (per-cluster
+# distance ratios top out at ~1.076), so the generic 2x fence would flag
+# nothing — 1.05 flags the real tail (~5%) and keeps both branches of
+# the integer comparison exercised.
+@register("embedding_outliers_embeddings",
+          clus.oracle_embedding_outliers_sql("embeddings", "vec_id",
+                                             "embedding", k=4, iters=2,
+                                             dim=64, factor=1.05))
+def embedding_outliers_embeddings(spark, sf_dir):
+    """Distance-to-centroid outlier flags under the deterministic
+    k-means fit — the embedding-space analogue of the numeric z-score
+    fences; fixed-point integer comparison so the boundary never flips
+    between engines."""
+    return clus.embedding_outliers(T(spark, sf_dir, "embeddings"),
+                                   "vec_id", "embedding", k=4, iters=2,
+                                   factor=1.05)
+
+
 @register("ivf_topk_embeddings",
           clus.oracle_ivf_topk_sql("embeddings", "vec_id", "embedding",
                                    k_clusters=8, iters=2, nprobe=2,
@@ -1472,6 +1490,23 @@ def decontaminate_documents(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 29 == 0)
     return cu.decontaminate(docs, "doc_id", "text", bench, "doc_id", "text",
                             n=8, min_overlap=1)
+
+
+@register("decontaminate_by_benchmark_documents",
+          cu.oracle_decontaminate_by_benchmark_sql(
+              "documents", "doc_id", "text",
+              bench_filter="t.doc_id % 29 = 0", bench_label_col="source",
+              n=8, min_overlap=1))
+def decontaminate_by_benchmark_documents(spark, sf_dir):
+    """Per-benchmark contamination pairs: the eval suite is the same
+    id-subset stand-in labeled by source, so the report shows WHICH
+    benchmark each training doc leaks — one contaminated (doc,
+    benchmark) row per hit, never |docs| × |benchmarks|."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return cu.decontaminate_by_benchmark(
+        docs, "doc_id", "text", bench, "doc_id", "text", "source",
+        n=8, min_overlap=1)
 
 
 # The synthetic customer table has no PII columns, so the query

@@ -142,3 +142,30 @@ def test_ivf_topk_probe_join_is_broadcast(spark, sf_dir):
     out = cl.ivf_topk_det(emb, "vec_id", "embedding", k_clusters=4,
                           iters=1, nprobe=2, n_queries=3, k=4)
     assert "BroadcastHashJoin" in _executed(out)
+
+
+def test_embedding_outliers_flags_far_point(spark):
+    """One vector far from its blob is flagged; the tight blob isn't."""
+    # blob 1 is identical points: a relative fence on a near-degenerate
+    # spread would flag its extremes, which is correct but not what this
+    # test probes
+    rows = [(i, [0.0, 0.0]) for i in range(10)]
+    # second blob: enough inliers that one far point can exceed 2x the
+    # cluster's mean squared distance (with too few members the outlier
+    # dominates the mean it is compared against)
+    rows += [(10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(5)]
+    rows.append((20, [9.0, 9.0]))       # far outlier within blob 2
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r["id"]: r["outlier"] for r in
+           cl.embedding_outliers(df, "id", "v", k=2, iters=3,
+                                 factor=2.0).collect()}
+    assert out[20] is True
+    assert not any(out[i] for i in range(10))
+
+
+def test_embedding_outliers_uniform_cluster_none(spark):
+    """Identical vectors -> zero distances -> no outliers (0 > 0 false)."""
+    df = spark.createDataFrame([(i, [1.0, 2.0]) for i in range(8)],
+                               "id long, v array<double>")
+    out = cl.embedding_outliers(df, "id", "v", k=2, iters=1, factor=2.0)
+    assert not any(r["outlier"] for r in out.collect())

@@ -121,6 +121,35 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
 
 
+def test_decontaminate_by_benchmark_attributes_hits(spark):
+    """Each contaminated doc reports WHICH labeled benchmark it leaks;
+    clean docs and clean (doc, benchmark) pairs emit no row."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),    # hits bench 'b1' only
+         (2, "alpha beta gamma delta echo"),  # hits bench 'b2' only
+         (3, "totally unrelated words here")],
+        ["id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox leaps", "b1"),
+         (101, "alpha beta gamma punch", "b2"),
+         (102, "beta gamma delta kick", "b2")],
+        ["bid", "btext", "bname"])
+    rows = {(r["id"], r["benchmark"]): r["n_overlap_ngrams"] for r in
+            cu.decontaminate_by_benchmark(docs, "id", "text", bench,
+                                          "bid", "btext", "bname",
+                                          n=3, min_overlap=1).collect()}
+    assert rows == {(1, "b1"): 1, (2, "b2"): 2}
+
+
+def test_decontaminate_by_benchmark_broadcasts_suite(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["id", "text"])
+    bench = spark.createDataFrame([(2, "c d e f g h i j", "x")],
+                                  ["id", "text", "lbl"])
+    plan = cu.decontaminate_by_benchmark(
+        docs, "id", "text", bench, "id", "text", "lbl")._jdf         .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_neardup_clusters_partition_and_canonical(spark):
     from dataprofiler_spark.operators import dedup as dd
     # two identical docs + one distinct → one 2-cluster + singletons
