@@ -213,6 +213,13 @@ def main() -> None:
     run("kmeans_embeddings",
         lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
                                    k=4, iters=2).count())
+    run("ivf_topk_embeddings",
+        lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
+                                  k_clusters=8, iters=2, nprobe=2,
+                                  n_queries=5, k=5).collect())
+    run("pack_manifest_documents",
+        lambda: ck.pack_manifest(documents, "doc_id", "text",
+                                 context_len=256, n_shards=8).count())
 
     run("correlation_lineitem",
         lambda: corr.correlation_matrix_native(
