@@ -132,6 +132,14 @@ class ProfilerOptions:
         # shared exchange → 4.8 s); much narrower loses its warm-run
         # gains to per-group codegen compilation.
         wide_agg_group_width: int = 24,
+        # Histogram counts compute as a map-side conditional-sum agg
+        # (zero shuffle, no explode) when the total bin count across
+        # columns stays at or under this cap; above it (e.g. explicit
+        # histogram_bins=1000 on a wide table) the bins fall back into
+        # the melted groupBy, whose shuffle width is bounded by bins
+        # regardless. 512 keeps the generated aggregate inside one
+        # comfortable codegen unit.
+        histogram_agg_max_bins: int = 512,
     ):
         self.null_spec = null_spec
         self.categorical_stop_ratio = categorical_stop_ratio
@@ -156,6 +164,7 @@ class ProfilerOptions:
         self.min_true_samples = min_true_samples
         self.detailed_timing = detailed_timing
         self.wide_agg_group_width = wide_agg_group_width
+        self.histogram_agg_max_bins = histogram_agg_max_bins
         unknown = set(disabled_stats) - {"histogram", "categorical",
                                          "samples"}
         if unknown:
@@ -681,16 +690,61 @@ class Profiler:
             specs.append((c, ns.min, ns.max, bins))
         return specs
 
+    @staticmethod
+    def _hist_bucket_expr(c: str, lo: float, hi: float, bins: int) -> Column:
+        w = (hi - lo) / bins
+        return F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
+                .cast("int"), F.lit(0)),
+            F.lit(bins - 1))
+
     def _fused_counts_pass(self, df: DataFrame, state: DatasetState,
                            cat_cols: list[str],
                            hist_specs: list[tuple[str, float, float, int]]
                            ) -> None:
         """Category values and histogram buckets melt into one
         (column, key) stream → ONE groupBy shuffle for both operator
-        families. Histogram keys are "#<bucket>" (categorical string
-        values never start with '#<digits>' ambiguity because histogram
-        and categorical column sets are disjoint per key construction —
-        the column name disambiguates)."""
+        families — the scan-minimal plan whenever categorical candidates
+        exist (the "hist:"/"cat:" column tag disambiguates keys).
+
+        When there are NO categorical candidates, melting would spend an
+        explode + shuffle on keys whose space is KNOWN up front (bins per
+        column) — so the histograms compute instead as ONE map-side
+        conditional-sum aggregation: same single scan, zero shuffled
+        rows, no explode fan-out. Gated by ``histogram_agg_max_bins``
+        (an explicit histogram_bins=1000 on a wide table would generate
+        an uncompilable aggregate; the melt's shuffle width is bounded
+        by bins regardless). Never used BESIDE the melt: that would read
+        the data twice where the fused melt reads it once."""
+        total_bins = sum(b for _, _, _, b in hist_specs)
+        use_hist_agg = (hist_specs and not cat_cols and
+                        total_bins <= self.options.histogram_agg_max_bins)
+        self._hist_counts_path = "agg" if use_hist_agg else (
+            "melt" if hist_specs else "none")
+
+        hist_acc: dict[str, dict[int, int]] = {}
+        if use_hist_agg:
+            # one projection pins each bucket expression to a single
+            # evaluation (NULL column value → NULL bucket → uncounted),
+            # then bins·columns conditional sums partial-aggregate
+            # map-side: the histogram of 100 TB is one scan, zero
+            # shuffled rows.
+            proj, aggs = [], []
+            for j, (c, lo, hi, bins) in enumerate(hist_specs):
+                bc = f"__b{j}"
+                proj.append(F.when(F.col(c).isNotNull(),
+                                   self._hist_bucket_expr(c, lo, hi, bins))
+                            .alias(bc))
+                for i in range(bins):
+                    aggs.append(F.sum((F.col(bc) == i).cast("long"))
+                                .alias(f"{j}|{i}"))
+            row = df.select(*proj).agg(*aggs).collect()[0]
+            for j, (c, _, _, bins) in enumerate(hist_specs):
+                hist_acc[c] = {i: row[f"{j}|{i}"] or 0 for i in range(bins)}
+            self._finalize_histograms(state, hist_specs, hist_acc)
+            return
+
         entries = []
         for c in cat_cols:
             entries.append(F.when(
@@ -698,16 +752,11 @@ class Profiler:
                 F.struct(F.lit("cat:" + c).alias("column"),
                          F.col(c).cast("string").alias("key"))))
         for c, lo, hi, bins in hist_specs:
-            w = (hi - lo) / bins
-            b = F.least(
-                F.greatest(
-                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
-                    .cast("int"), F.lit(0)),
-                F.lit(bins - 1))
             entries.append(F.when(
                 F.col(c).isNotNull(),
                 F.struct(F.lit("hist:" + c).alias("column"),
-                         b.cast("string").alias("key"))))
+                         self._hist_bucket_expr(c, lo, hi, bins)
+                         .cast("string").alias("key"))))
         if not entries:
             return
         melted = df.select(
@@ -755,7 +804,6 @@ class Profiler:
             counts_df.unpersist()
 
         kept_per_col: dict[str, tuple[int, int]] = {}
-        hist_acc: dict[str, dict[int, int]] = {}
         for r in counts:
             tag, c = r["column"].split(":", 1)
             if tag == "cat":
@@ -777,6 +825,11 @@ class Profiler:
                 col.categorical = CategoricalState()
             col.categorical.overflow_count = total - kc
             col.categorical.overflow_unique = uniq - ku
+        self._finalize_histograms(state, hist_specs, hist_acc)
+
+    def _finalize_histograms(self, state: DatasetState,
+                             hist_specs: list[tuple[str, float, float, int]],
+                             hist_acc: dict[str, dict[int, int]]) -> None:
         from dataprofiler_spark.operators.histogram import (
             method_losses, suggest_bin_counts)
 

@@ -629,3 +629,30 @@ def test_diff_reports_schema_mismatch(spark, sf_dir):
     same = diff_profiles(a, a)["global_stats"]["profile_schema"]
     assert same[0] == {} and same[2] == {}
     assert all(v == "unchanged" for v in same[1].values())
+
+
+def test_histogram_agg_path_numeric_only_frame(spark, sf_dir):
+    """With no categorical candidates the histogram computes as the
+    shuffle-free conditional-sum aggregation (path 'agg'), bit-equal to
+    the melted fallback; with categorical candidates present the fused
+    melt stays (one scan for both families beats a second read)."""
+    import os
+
+    from dataprofiler_spark import Profiler, ProfilerOptions
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p_full = Profiler(li)
+    p_full.profile()
+    assert p_full._hist_counts_path == "melt"
+
+    num = li.select("l_extendedprice")
+    p_agg = Profiler(num)
+    s_agg = p_agg.profile()
+    assert p_agg._hist_counts_path == "agg"
+    p_melt = Profiler(num, ProfilerOptions(histogram_agg_max_bins=0))
+    s_melt = p_melt.profile()
+    assert p_melt._hist_counts_path == "melt"
+    h_a = s_agg.columns["l_extendedprice"].numeric.histogram
+    h_m = s_melt.columns["l_extendedprice"].numeric.histogram
+    assert h_a["bin_counts"] == h_m["bin_counts"]
+    assert h_a["bin_edges"] == h_m["bin_edges"]
