@@ -40,7 +40,7 @@ import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DateType, NumericType, StringType,
+from pyspark.sql.types import (ArrayType, DateType, NumericType, StringType,
                                TimestampNTZType, TimestampType)
 
 from dataprofiler_spark.functions.nulls import DEFAULT_NULL_SPEC, NullSpec
@@ -48,7 +48,7 @@ from dataprofiler_spark.functions.types import DATETIME_FORMATS
 from dataprofiler_spark.operators.histogram import auto_bin_count
 from dataprofiler_spark.state import (CategoricalState, ColumnState,
                                       DatasetState, DatetimeState,
-                                      NumericState, TextState)
+                                      NumericState, TextState, VectorState)
 
 ISO = "yyyy-MM-dd HH:mm:ss"
 
@@ -262,12 +262,15 @@ class Profiler:
         string_cols = [f.name for f in fields if isinstance(f.dataType, StringType)]
         dt_cols = [f.name for f in fields if isinstance(
             f.dataType, (TimestampType, TimestampNTZType, DateType))]
+        vec_cols = [f.name for f in fields
+                    if isinstance(f.dataType, ArrayType)
+                    and isinstance(f.dataType.elementType, NumericType)]
         all_cols = [f.name for f in fields]
         simple_types = {f.name: f.dataType.simpleString() for f in fields}
 
         t0 = time.perf_counter()
         groups = self._wide_agg_expr_groups(
-            all_cols, numeric_cols, string_cols, dt_cols)
+            all_cols, numeric_cols, string_cols, dt_cols, vec_cols)
         if len(groups) == 1:
             row = df.agg(*groups[0]).collect()[0]
         else:
@@ -289,7 +292,7 @@ class Profiler:
 
         t0 = time.perf_counter()
         state = self._assemble(row, all_cols, numeric_cols, string_cols,
-                               dt_cols, simple_types)
+                               dt_cols, simple_types, vec_cols)
         state.sampling = sampling_meta
         t_assemble = time.perf_counter() - t0
 
@@ -476,7 +479,7 @@ class Profiler:
                 state.columns[c].datetime.formats = fmts
 
     def _wide_agg_expr_groups(self, all_cols, numeric_cols, string_cols,
-                              dt_cols):
+                              dt_cols, vec_cols=()):
         """The wide-agg expressions, split into independently-aggregable
         groups of bounded width.
 
@@ -532,6 +535,8 @@ class Profiler:
             add(self._string_col_exprs(c))
         for c in dt_cols:
             add(self._dt_col_exprs(c))
+        for c in vec_cols:
+            add(self._vector_col_exprs(c))
         flush()
         return groups
 
@@ -540,6 +545,26 @@ class Profiler:
         callers that want the monolithic single-scan aggregate)."""
         return [e for g in self._wide_agg_expr_groups(
             all_cols, numeric_cols, string_cols, dt_cols) for e in g]
+
+    def _vector_col_exprs(self, c):
+        """array<numeric> (embedding) column battery: dimension range +
+        L2 norm stats + zero-vector count — the cheap whole-vector
+        signals (truncated dims, unnormalized or all-zero rows) that the
+        per-dimension operator (operators/vectorstats.py) refines. The
+        norm is one fold per row, map-side only."""
+        v = F.col(c)
+        norm = F.sqrt(F.aggregate(
+            F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+        sz = F.size(v)
+        return [
+            F.count(v).alias(f"{c}__vn"),
+            F.min(sz).alias(f"{c}__vdmin"), F.max(sz).alias(f"{c}__vdmax"),
+            F.sum(norm).alias(f"{c}__vnormsum"),
+            F.min(norm).alias(f"{c}__vnormmin"),
+            F.max(norm).alias(f"{c}__vnormmax"),
+            F.sum(F.when(norm == 0, 1).otherwise(0)).alias(f"{c}__vzero"),
+        ]
 
     def _numeric_col_exprs(self, c):
         d = F.col(c).cast("double")
@@ -607,7 +632,7 @@ class Profiler:
         ]
 
     def _assemble(self, row, all_cols, numeric_cols, string_cols, dt_cols,
-                  simple_types) -> DatasetState:
+                  simple_types, vec_cols=()) -> DatasetState:
         r = row if isinstance(row, dict) else row.asDict()
         n_rows = r["__row_count"]
         state = DatasetState(
@@ -667,6 +692,14 @@ class Profiler:
                 col.datetime = DatetimeState(
                     n=n, min_ts=r[f"{c}__dtmin"], max_ts=r[f"{c}__dtmax"])
                 col.type_counts = {"datetime": n}
+            elif c in vec_cols:
+                col.vector = VectorState(
+                    n=r[f"{c}__vn"] or 0,
+                    dim_min=r[f"{c}__vdmin"], dim_max=r[f"{c}__vdmax"],
+                    norm_sum=r[f"{c}__vnormsum"] or 0.0,
+                    norm_min=r[f"{c}__vnormmin"],
+                    norm_max=r[f"{c}__vnormmax"],
+                    n_zero=r[f"{c}__vzero"] or 0)
             from dataprofiler_spark.state import _infer_type
             col.inferred_type = _infer_type(col)
             state.columns[c] = col

@@ -95,6 +95,14 @@ def _column_report(col: ColumnState, num_quantiles: int = 999) -> dict:
         stats.update({"min_datetime": col.datetime.min_ts,
                       "max_datetime": col.datetime.max_ts,
                       "datetime_formats": col.datetime.formats})
+    if col.vector is not None and col.vector.n:
+        vs = col.vector
+        stats.update({
+            "vector_dim_min": vs.dim_min, "vector_dim_max": vs.dim_max,
+            "vector_norm_min": vs.norm_min, "vector_norm_max": vs.norm_max,
+            "vector_norm_mean": vs.avg_norm,
+            "vector_zero_count": vs.n_zero,
+        })
     # Reference categorical detection: unique ≤ 10 or unique_ratio ≤ 0.2
     # (categorical_column_profile.py:29-34 / is_match:422-438). Tracked
     # counts exist for a wider candidate set; the FLAG follows the

@@ -333,6 +333,45 @@ class TextState:
 
 
 @dataclass
+class VectorState:
+    """Embedding/array<numeric> column profile: dimension range and L2
+    norm stats (the cheap signals that catch truncated, zero-padded or
+    unnormalized vectors before they poison a similarity pipeline).
+    Beyond the reference — it has no vector column type; this engine
+    treats embeddings as first-class (see operators/vectorstats.py for
+    the per-dimension battery). Merge is sum/min/max algebra, so
+    multi-batch and streaming folds are exact."""
+    n: int = 0                     # non-null vectors
+    dim_min: int | None = None
+    dim_max: int | None = None
+    norm_sum: float = 0.0
+    norm_min: float | None = None
+    norm_max: float | None = None
+    n_zero: int = 0                # zero-norm vectors
+
+    @property
+    def avg_norm(self) -> float | None:
+        return self.norm_sum / self.n if self.n else None
+
+    def __add__(self, o: "VectorState") -> "VectorState":
+        def mn(a, b):
+            return b if a is None else (a if b is None else min(a, b))
+
+        def mx(a, b):
+            return b if a is None else (a if b is None else max(a, b))
+
+        return VectorState(
+            n=self.n + o.n,
+            dim_min=mn(self.dim_min, o.dim_min),
+            dim_max=mx(self.dim_max, o.dim_max),
+            norm_sum=self.norm_sum + o.norm_sum,
+            norm_min=mn(self.norm_min, o.norm_min),
+            norm_max=mx(self.norm_max, o.norm_max),
+            n_zero=self.n_zero + o.n_zero,
+        )
+
+
+@dataclass
 class ColumnState:
     name: str = ""
     sample_size: int = 0
@@ -345,6 +384,7 @@ class ColumnState:
     datetime: DatetimeState | None = None
     order: OrderState | None = None
     text: TextState | None = None
+    vector: VectorState | None = None
     approx_distinct: int = 0
     samples: list = field(default_factory=list)  # ≤5 example values (report)
 
@@ -370,6 +410,7 @@ class ColumnState:
             datetime=m(self.datetime, o.datetime),
             order=m(self.order, o.order),
             text=m(self.text, o.text),
+            vector=m(self.vector, o.vector),
             approx_distinct=max(self.approx_distinct, o.approx_distinct),
             samples=(self.samples + o.samples)[:5],
         )
@@ -380,6 +421,8 @@ class ColumnState:
 def _infer_type(col: ColumnState) -> str:
     """First of [datetime, int, float, text] whose match ratio is 1.0
     (column_profile_compilers.py:283-317)."""
+    if col.vector is not None and col.vector.n > 0:
+        return "vector"
     matched = col.sample_size - col.null_count
     if matched <= 0:
         return "text"
@@ -447,7 +490,8 @@ def merge_profile_list(states: list["DatasetState"]) -> "DatasetState":
 _STATE_CLASSES = {
     "NumericState": NumericState, "CategoricalState": CategoricalState,
     "DatetimeState": DatetimeState, "OrderState": OrderState,
-    "TextState": TextState, "ColumnState": ColumnState,
+    "TextState": TextState, "VectorState": VectorState,
+    "ColumnState": ColumnState,
     "DatasetState": DatasetState,
 }
 

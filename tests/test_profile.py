@@ -656,3 +656,47 @@ def test_histogram_agg_path_numeric_only_frame(spark, sf_dir):
     h_m = s_melt.columns["l_extendedprice"].numeric.histogram
     assert h_a["bin_counts"] == h_m["bin_counts"]
     assert h_a["bin_edges"] == h_m["bin_edges"]
+
+
+def test_vector_column_profile(spark, sf_dir):
+    """array<numeric> columns profile as first-class vectors: dimension
+    range, L2 norm stats, zero-vector count — inside the same wide agg,
+    no extra scan. Merge and JSON round-trip preserve the state."""
+    import os
+
+    from dataprofiler_spark import Profiler, from_json, to_json
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = Profiler(emb)
+    st = p.profile()
+    c = st.columns["embedding"]
+    assert c.inferred_type == "vector"
+    assert c.vector.dim_min == 64 and c.vector.dim_max == 64
+    assert abs(c.vector.avg_norm - 1.0) < 1e-3   # unit-normalized corpus
+    assert c.vector.n_zero == 0
+    ds = [d for d in p.report()["data_stats"]
+          if d["column_name"] == "embedding"][0]
+    assert ds["data_type"] == "vector"
+    assert ds["statistics"]["vector_dim_max"] == 64
+
+    half1 = Profiler(emb.where("vec_id % 2 = 0")).profile()
+    half2 = Profiler(emb.where("vec_id % 2 = 1")).profile()
+    mv = (half1 + half2).columns["embedding"].vector
+    assert mv.n == c.vector.n
+    assert mv.norm_min == c.vector.norm_min
+    assert abs(mv.norm_sum - c.vector.norm_sum) < 1e-6
+    rt = from_json(to_json(half1 + half2))
+    assert rt.columns["embedding"].vector.dim_max == 64
+
+
+def test_vector_column_null_and_zero(spark):
+    from dataprofiler_spark import Profiler
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [0.0, 0.0])],
+        "id long, v array<double>")
+    st = Profiler(df).profile()
+    c = st.columns["v"]
+    assert c.null_count == 1 and c.vector.n == 2
+    assert c.vector.n_zero == 1
+    assert c.vector.norm_max == 5.0
