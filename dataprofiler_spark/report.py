@@ -388,6 +388,14 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
                 ca.categorical.categories, cb.categorical.categories)
             col_diff["chi2-test"] = _chi2_from_dicts(
                 ca.categorical.categories, cb.categorical.categories)
+        if ca.vector and cb.vector and ca.vector.n and cb.vector.n:
+            va, vb = ca.vector, cb.vector
+            col_diff["statistics"] = {
+                "vector_dim_max": _diff_val(va.dim_max, vb.dim_max),
+                "vector_norm_mean": _diff_val(va.avg_norm, vb.avg_norm),
+                "vector_norm_max": _diff_val(va.norm_max, vb.norm_max),
+                "vector_zero_count": _diff_val(va.n_zero, vb.n_zero),
+            }
         out["data_stats"].append(col_diff)
     return out
 

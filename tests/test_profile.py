@@ -700,3 +700,18 @@ def test_vector_column_null_and_zero(spark):
     assert c.null_count == 1 and c.vector.n == 2
     assert c.vector.n_zero == 1
     assert c.vector.norm_max == 5.0
+
+
+def test_vector_diff_section(spark, sf_dir):
+    import os
+
+    from dataprofiler_spark import Profiler, diff_profiles
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    a = Profiler(emb.where("vec_id % 2 = 0")).profile()
+    b = Profiler(emb.where("vec_id % 2 = 1")).profile()
+    d = diff_profiles(a, b)
+    vec = [c for c in d["data_stats"] if c["column_name"] == "embedding"][0]
+    assert vec["data_type"] == "unchanged"
+    assert "vector_norm_mean" in vec["statistics"]
+    assert vec["statistics"]["vector_dim_max"] == "unchanged"
