@@ -415,3 +415,75 @@ SELECT tf.id AS id,
 FROM tf JOIN ct USING (term) CROSS JOIN totals
 GROUP BY tf.id
 """
+
+
+def hashed_doc_vectors(df: DataFrame, id_col: str, text_col: str,
+                       dim: int = 32, seed: str = "dps-hashvec-v1"
+                       ) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: each token
+    hashes to a dimension and a ±1 sign (Weinberger et al. 2009), so a
+    document becomes a ``dim``-length integer vector with NO vocabulary,
+    NO model and NO driver state — the deterministic text→vector bridge
+    that lets the embedding stack (cosine top-k, LSH banding, k-means,
+    IVF in operators/similarity.py / clustering.py) run on corpora that
+    ship no embedding column.
+
+    md5 drives both the dimension and the sign, so any engine (or
+    language) reproduces the exact vectors; values are INTEGER signed
+    term counts — cross-engine comparison is exact, and downstream
+    cosine folds cast to double only at use.
+
+    Output is the EXPLODED dense form (id, dpos, value) — one row per
+    (doc, dimension), zero rows nowhere (absent dims emit 0): the
+    merge/compare-friendly shape (arrays don't hash-compare across
+    engines). Plan: explode tokens → one (id, dpos) groupBy → dense
+    fill via a dim-length sequence explode (bounded ×dim fan-out of the
+    doc-count-sized frame, not the token stream).
+    """
+    from dataprofiler_spark.session import explode_no_prefilter
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_expr(text_col).alias("toks"))
+    tok = explode_no_prefilter(toks, "toks", "t", "id")
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("t")))
+    dpos = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+            % dim).cast("int")
+    sign = F.when(F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    sparse = (tok.select("id", dpos.alias("dpos"), sign.alias("s"))
+              .groupBy("id", "dpos")
+              .agg(F.sum("s").cast("long").alias("value")))
+    dense_idx = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dpos"))
+    return (dense_idx.join(sparse, ["id", "dpos"], "left")
+            .select(F.col("id").alias(id_col), "dpos",
+                    F.coalesce(F.col("value"), F.lit(0)).alias("value")))
+
+
+def oracle_hashed_doc_vectors_sql(table: str, id_col: str, text_col: str,
+                                  dim: int = 32,
+                                  seed: str = "dps-hashvec-v1") -> str:
+    h = f"md5('{seed}' || '|' || t)"
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest(regexp_extract_all(LOWER({text_col}),
+                                                   '\\S+')) AS t
+  FROM {table}
+),
+sparse AS (
+  SELECT id,
+         CAST(('0x' || substr({h}, 1, 4))::BIGINT % {dim} AS INT) AS dpos,
+         CAST(SUM(CASE WHEN ('0x' || substr({h}, 5, 1))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS value
+  FROM tok GROUP BY 1, 2
+),
+dense AS (
+  SELECT t.{id_col} AS id, g.d AS dpos
+  FROM {table} t CROSS JOIN generate_series(0, {dim - 1}) AS g(d)
+)
+SELECT dense.id AS {id_col}, dense.dpos,
+       COALESCE(sparse.value, 0) AS value
+FROM dense LEFT JOIN sparse
+  ON sparse.id = dense.id AND sparse.dpos = dense.dpos
+"""

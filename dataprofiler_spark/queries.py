@@ -1266,6 +1266,19 @@ def entity_counts_events_props(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+@register("hashed_doc_vectors_documents",
+          ta.oracle_hashed_doc_vectors_sql("documents", "doc_id", "text",
+                                           dim=16))
+def hashed_doc_vectors_documents(spark, sf_dir):
+    """Feature-hashing document vectors (hashing trick, ±1 signs from
+    md5): the deterministic text→vector bridge that lets the embedding
+    stack (cosine/LSH/k-means/IVF) run on corpora without an embedding
+    column. Exploded dense form (id, dpos, value) with exact integer
+    values."""
+    return ta.hashed_doc_vectors(T(spark, sf_dir, "documents"),
+                                 "doc_id", "text", dim=16)
+
+
 # BPE-ish token counting (SURVEY north-star: token budget estimation)
 # ---------------------------------------------------------------------------
 

@@ -547,3 +547,30 @@ def test_packing_stats_identities(spark, sf_dir):
     assert r["packed_windows_lb"] == math.ceil(usable / ctx)
     assert 0.0 < r["packing_efficiency"] <= 1.0
     assert 0 <= r["docs_over_context"] <= r["n_docs"]
+
+
+def test_hashed_doc_vectors_bridge_semantics(spark):
+    """The hashing-trick vectors behave like document vectors: identical
+    docs map to identical vectors; disjoint-vocabulary docs share no
+    nonzero dimension contributions beyond hash collisions; every doc
+    emits exactly dim dense rows."""
+    from dataprofiler_spark.operators.textanalysis import hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "zeta eta theta iota kappa")],
+        ["id", "text"])
+    rows = hashed_doc_vectors(df, "id", "text", dim=8).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["dpos"]] = r["value"]
+    assert all(len(v) == 8 for v in by_id.values())
+    assert by_id[1] == by_id[2]                     # identical docs
+    assert by_id[1] != by_id[3]
+    # token multiplicity accumulates: "alpha alpha" doubles alpha's slot
+    df2 = spark.createDataFrame([(1, "alpha"), (2, "alpha alpha")],
+                                ["id", "text"])
+    v: dict = {}
+    for r in hashed_doc_vectors(df2, "id", "text", dim=8).collect():
+        v.setdefault(r["id"], {})[r["dpos"]] = r["value"]
+    assert {d: 2 * x for d, x in v[1].items()} == v[2]
