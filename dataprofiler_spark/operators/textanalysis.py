@@ -487,3 +487,87 @@ SELECT dense.id AS {id_col}, dense.dpos,
 FROM dense LEFT JOIN sparse
   ON sparse.id = dense.id AND sparse.dpos = dense.dpos
 """
+
+
+def hashed_cosine_topk(df: DataFrame, id_col: str, text_col: str,
+                       query_id: int, k: int = 10, dim: int = 32,
+                       seed: str = "dps-hashvec-v1",
+                       round_digits: int = 6) -> DataFrame:
+    """Similarity search over a TEXT corpus with no embedding column:
+    cosine top-k between hashing-trick document vectors, computed
+    sparsely — the dot product is a join on the hashed dimension, never
+    an assembled array, so the plan is explode → two bounded groupBys →
+    one broadcast of the query's ``dim`` rows. Integer dots/norms make
+    the ranking engine-exact; ties break (cosine desc, id asc), self
+    excluded.
+
+    Output: (rank, doc_id-named id column, cosine)."""
+    from dataprofiler_spark.operators.topk import ranked_topk
+
+    vecs = hashed_doc_vectors(df, id_col, text_col, dim=dim, seed=seed)
+    vecs = vecs.where(F.col("value") != 0).select(
+        F.col(id_col).alias("id"), "dpos", "value")
+    norms = vecs.groupBy("id").agg(
+        F.sum(F.col("value") * F.col("value")).alias("nrm2"))
+    q = vecs.where(F.col("id") == query_id).select(
+        "dpos", F.col("value").alias("qv"))
+    qn = norms.where(F.col("id") == query_id).select(
+        F.col("nrm2").alias("qnrm2"))
+    dots = (vecs.join(F.broadcast(q), "dpos")
+            .where(F.col("id") != query_id)
+            .groupBy("id")
+            .agg(F.sum(F.col("value") * F.col("qv")).alias("dot")))
+    scored = (dots.join(norms, "id").crossJoin(F.broadcast(qn))
+              .where((F.col("nrm2") > 0) & (F.col("qnrm2") > 0))
+              .select(
+                  "id",
+                  F.round(F.col("dot").cast("double")
+                          / (F.sqrt(F.col("nrm2").cast("double"))
+                             * F.sqrt(F.col("qnrm2").cast("double"))),
+                          round_digits).alias("cosine")))
+    return ranked_topk(scored, [F.desc("cosine"), F.asc("id")], k) \
+        .select("rank", F.col("id").alias(id_col), "cosine")
+
+
+def oracle_hashed_cosine_topk_sql(table: str, id_col: str, text_col: str,
+                                  query_id: int, k: int = 10, dim: int = 32,
+                                  seed: str = "dps-hashvec-v1",
+                                  round_digits: int = 6) -> str:
+    h = f"md5('{seed}' || '|' || t)"
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest(regexp_extract_all(LOWER({text_col}),
+                                                   '\\S+')) AS t
+  FROM {table}
+),
+vecs AS (
+  SELECT id,
+         CAST(('0x' || substr({h}, 1, 4))::BIGINT % {dim} AS INT) AS dpos,
+         CAST(SUM(CASE WHEN ('0x' || substr({h}, 5, 1))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS value
+  FROM tok GROUP BY 1, 2
+  HAVING SUM(CASE WHEN ('0x' || substr({h}, 5, 1))::BIGINT % 2 = 0
+             THEN 1 ELSE -1 END) <> 0
+),
+norms AS (SELECT id, SUM(value * value) AS nrm2 FROM vecs GROUP BY id),
+q AS (SELECT dpos, value AS qv FROM vecs WHERE id = {query_id}),
+qn AS (SELECT nrm2 AS qnrm2 FROM norms WHERE id = {query_id}),
+dots AS (
+  SELECT v.id, SUM(v.value * q.qv) AS dot
+  FROM vecs v JOIN q USING (dpos)
+  WHERE v.id <> {query_id}
+  GROUP BY v.id
+),
+scored AS (
+  SELECT d.id,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(n.nrm2 AS DOUBLE))
+                  * SQRT(CAST(qn.qnrm2 AS DOUBLE))), {round_digits}) AS cosine
+  FROM dots d JOIN norms n USING (id) CROSS JOIN qn
+  WHERE n.nrm2 > 0 AND qn.qnrm2 > 0
+)
+SELECT CAST(rank AS INT) AS rank, id AS {id_col}, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""

@@ -1279,6 +1279,19 @@ def hashed_doc_vectors_documents(spark, sf_dir):
                                  "doc_id", "text", dim=16)
 
 
+@register("hashed_cosine_topk_documents",
+          ta.oracle_hashed_cosine_topk_sql("documents", "doc_id", "text",
+                                           query_id=7, k=10, dim=64))
+def hashed_cosine_topk_documents(spark, sf_dir):
+    """Similarity search over the text corpus with NO embedding column:
+    sparse cosine top-k between hashing-trick vectors — the dot product
+    is a join on the hashed dimension (query side broadcast), integer
+    dots/norms, engine-exact ranking."""
+    return ta.hashed_cosine_topk(T(spark, sf_dir, "documents"),
+                                 "doc_id", "text", query_id=7, k=10,
+                                 dim=64)
+
+
 # BPE-ish token counting (SURVEY north-star: token budget estimation)
 # ---------------------------------------------------------------------------
 

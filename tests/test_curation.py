@@ -146,7 +146,8 @@ def test_decontaminate_by_benchmark_broadcasts_suite(spark):
     bench = spark.createDataFrame([(2, "c d e f g h i j", "x")],
                                   ["id", "text", "lbl"])
     plan = cu.decontaminate_by_benchmark(
-        docs, "id", "text", bench, "id", "text", "lbl")._jdf         .queryExecution().executedPlan().toString()
+        docs, "id", "text", bench, "id", "text", "lbl") \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
@@ -574,3 +575,23 @@ def test_hashed_doc_vectors_bridge_semantics(spark):
     for r in hashed_doc_vectors(df2, "id", "text", dim=8).collect():
         v.setdefault(r["id"], {})[r["dpos"]] = r["value"]
     assert {d: 2 * x for d, x in v[1].items()} == v[2]
+
+
+def test_hashed_cosine_topk_finds_duplicate(spark):
+    """A near-duplicate of the query doc ranks first with cosine ~1;
+    an unrelated doc ranks below it."""
+    from dataprofiler_spark.operators.textanalysis import hashed_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),      # exact dup of 1
+         (3, "alpha beta gamma delta zeta"),          # near dup
+         (4, "omicron pi rho sigma tau")],            # unrelated
+        ["id", "text"])
+    rows = hashed_cosine_topk(df, "id", "text", query_id=1, k=3,
+                              dim=64).collect()
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert ranked[0]["id"] == 2 and abs(ranked[0]["cosine"] - 1.0) < 1e-9
+    assert ranked[1]["id"] == 3 and ranked[1]["cosine"] > 0.5
+    ids = [r["id"] for r in ranked]
+    assert ids.index(2) < ids.index(4) if 4 in ids else True
