@@ -363,3 +363,106 @@ FROM j JOIN tot USING (bucket)
 WHERE na > 0 AND nb > 0
 GROUP BY 1 ORDER BY day
 """
+
+
+def numeric_ks_js(df_a: DataFrame, df_b: DataFrame, col: str,
+                  bins: int = 10, round_digits: int = 6) -> DataFrame:
+    """One-row (ks, js, bins): two more two-sample drift tests over the
+    SAME shared-bin machinery as ``numeric_psi`` —
+
+    * ``ks``: the Kolmogorov–Smirnov statistic, max CDF gap over the
+      shared equal-width bins (binned approximation of the classic
+      order-statistic KS; exact as bins → distinct values);
+    * ``js``: Jensen–Shannon divergence (natural log, so ∈ [0, ln 2]),
+      the symmetric bounded alternative to PSI when a bucket is empty
+      on one side (PSI needs +1 smoothing; JS's 0·log 0 = 0 handles it
+      natively).
+
+    Cumulative counts are INTEGER sums over ≤ ``bins`` ordered rows, so
+    the CDF is engine-exact; only the final per-bucket divisions are
+    floats. The rank window rides the same non-foldable constant
+    partition trick as operators/topk.ranked_topk — the frame is bins
+    rows by construction, never data-sized."""
+    from pyspark.sql.window import Window
+
+    mm = df_a.select(F.col(col).alias("x")).unionAll(
+        df_b.select(F.col(col).alias("x"))).agg(
+        F.min("x").cast("double").alias("lo"),
+        F.max("x").cast("double").alias("hi"))
+
+    def bucket_counts(df, tag):
+        j = df.crossJoin(F.broadcast(mm))
+        w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+        b = F.least(F.greatest(
+            F.floor((F.col(col).cast("double") - F.col("lo")) / w).cast("int"),
+            F.lit(0)), F.lit(bins - 1))
+        return (j.where(F.col(col).isNotNull())
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(f"cnt_{tag}")))
+
+    joined = (bucket_counts(df_a, "a")
+              .join(bucket_counts(df_b, "b"), "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = joined.agg(F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"))
+    j2 = joined.crossJoin(F.broadcast(tot))
+    w = (Window.partitionBy(F.floor(F.rand(42) * F.lit(0.0)))
+         .orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+    cum = j2.select(
+        "cnt_a", "cnt_b", "na", "nb",
+        F.sum("cnt_a").over(w).alias("ca"),
+        F.sum("cnt_b").over(w).alias("cb"))
+    pa = F.col("cnt_a").cast("double") / F.col("na")
+    pb = F.col("cnt_b").cast("double") / F.col("nb")
+    m = (pa + pb) / 2
+    js_term = (F.when(F.col("cnt_a") > 0, pa * F.log(pa / m))
+               .otherwise(F.lit(0.0))
+               + F.when(F.col("cnt_b") > 0, pb * F.log(pb / m))
+               .otherwise(F.lit(0.0))) / 2
+    gap = F.abs(F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb"))
+    return cum.agg(
+        F.round(F.max(gap), round_digits).alias("ks"),
+        F.round(F.sum(js_term), round_digits).alias("js"),
+        F.lit(bins).alias("bins"))
+
+
+def oracle_numeric_ks_js_sql(table_a: str, table_b: str, col: str,
+                             bins: int = 10, round_digits: int = 6) -> str:
+    bucket = (f"LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - mm.lo)"
+              f" / ((mm.hi - mm.lo) / {float(bins)})) AS INT), 0), {bins - 1})")
+    return f"""
+WITH mm AS (
+  SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+  FROM (SELECT {col} AS x FROM {table_a} UNION ALL SELECT {col} FROM {table_b})
+),
+a AS (SELECT {bucket} AS bucket, COUNT(*) AS cnt_a
+      FROM {table_a}, mm WHERE {col} IS NOT NULL GROUP BY 1),
+b AS (SELECT {bucket} AS bucket, COUNT(*) AS cnt_b
+      FROM {table_b}, mm WHERE {col} IS NOT NULL GROUP BY 1),
+j AS (SELECT bucket, COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b USING (bucket)),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM j),
+cum AS (
+  SELECT cnt_a, cnt_b, na, nb,
+         SUM(cnt_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(cnt_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb
+  FROM j, tot
+)
+SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)),
+             {round_digits}) AS ks,
+       ROUND(SUM(
+         (CASE WHEN cnt_a > 0 THEN (CAST(cnt_a AS DOUBLE) / na)
+               * LN((CAST(cnt_a AS DOUBLE) / na)
+                    / (((CAST(cnt_a AS DOUBLE) / na)
+                        + (CAST(cnt_b AS DOUBLE) / nb)) / 2)) ELSE 0.0 END
+          + CASE WHEN cnt_b > 0 THEN (CAST(cnt_b AS DOUBLE) / nb)
+               * LN((CAST(cnt_b AS DOUBLE) / nb)
+                    / (((CAST(cnt_a AS DOUBLE) / na)
+                        + (CAST(cnt_b AS DOUBLE) / nb)) / 2)) ELSE 0.0 END) / 2
+       ), {round_digits}) AS js,
+       {bins} AS bins
+FROM cum
+"""

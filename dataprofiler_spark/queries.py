@@ -1336,6 +1336,17 @@ def psi_numeric_totalprice(spark, sf_dir):
     return dr.numeric_psi(a, b, "o_totalprice")
 
 
+@register("ks_js_totalprice",
+          dr.oracle_numeric_ks_js_sql(_ORD_A, _ORD_B, "o_totalprice"))
+def ks_js_totalprice(spark, sf_dir):
+    """Kolmogorov–Smirnov statistic + Jensen–Shannon divergence over the
+    same shared-bin machinery as numeric PSI — the bounded, symmetric
+    drift tests (JS needs no +1 smoothing when a bucket is empty on one
+    side). Integer cumulative counts keep the CDF engine-exact."""
+    a, b = _orders_split(spark, sf_dir)
+    return dr.numeric_ks_js(a, b, "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Vector-column profiling (per-dimension stats + norm profile)
 # ---------------------------------------------------------------------------

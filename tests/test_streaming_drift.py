@@ -89,3 +89,20 @@ def test_sink_append(spark, sf_dir, tmp_path):
     assert len(rows) == 1
     assert rows[0]["batch_id"] == 7 and rows[0]["column_name"] == "o_orderpriority"
     assert rows[0]["n_rows"] == 100
+
+
+def test_numeric_ks_js_semantics(spark):
+    """KS/JS sanity: identical samples → 0 drift; disjoint ranges → KS 1
+    and JS at its ln(2) ceiling."""
+    import math
+
+    from dataprofiler_spark.operators import drift as dr
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    same = dr.numeric_ks_js(a, a, "x").collect()[0]
+    assert same["ks"] == 0.0 and same["js"] == 0.0
+    b = spark.createDataFrame([(float(i) + 1000.0,) for i in range(100)],
+                              ["x"])
+    far = dr.numeric_ks_js(a, b, "x").collect()[0]
+    assert far["ks"] == 1.0
+    assert abs(far["js"] - math.log(2)) < 1e-6
