@@ -382,6 +382,8 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
             if na.histogram and nb.histogram:
                 col_diff["psi"] = _psi_from_histograms(na.histogram,
                                                        nb.histogram)
+                col_diff["ks"] = _ks_from_histograms(na.histogram,
+                                                     nb.histogram)
         if (ca.categorical and cb.categorical and ca.categorical.active
                 and cb.categorical.active):
             col_diff["psi"] = _psi_from_dicts(
@@ -430,6 +432,35 @@ def _psi_from_histograms(ha: dict, hb: dict, bins: int = 10) -> float | None:
         pb = (b + 1) / (nb + bins)
         psi += (pb - pa) * math.log(pb / pa)
     return psi
+
+
+def _ks_from_histograms(ha: dict, hb: dict, bins: int = 10) -> float | None:
+    """Binned Kolmogorov-Smirnov statistic over the same common-bin
+    projection as _psi_from_histograms (max CDF gap); the distributed
+    two-sample variant is operators/drift.numeric_ks_js."""
+    lo = min(ha["bin_edges"][0], hb["bin_edges"][0])
+    hi = max(ha["bin_edges"][-1], hb["bin_edges"][-1])
+    if hi <= lo:
+        return None
+
+    def project(h):
+        w = (hi - lo) / bins
+        counts = [0] * bins
+        for i, c in enumerate(h["bin_counts"]):
+            mid = (h["bin_edges"][i] + h["bin_edges"][i + 1]) / 2
+            counts[min(max(int((mid - lo) / w), 0), bins - 1)] += c
+        return counts
+
+    ca, cb = project(ha), project(hb)
+    na, nb = sum(ca), sum(cb)
+    if not na or not nb:
+        return None
+    ks, cum_a, cum_b = 0.0, 0, 0
+    for a, b in zip(ca, cb):
+        cum_a += a
+        cum_b += b
+        ks = max(ks, abs(cum_a / na - cum_b / nb))
+    return ks
 
 
 def _psi_from_dicts(da: dict[str, int], db: dict[str, int]) -> float | None:

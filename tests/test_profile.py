@@ -715,3 +715,20 @@ def test_vector_diff_section(spark, sf_dir):
     assert vec["data_type"] == "unchanged"
     assert "vector_norm_mean" in vec["statistics"]
     assert vec["statistics"]["vector_dim_max"] == "unchanged"
+
+
+def test_diff_includes_ks(spark, sf_dir):
+    import os
+
+    from dataprofiler_spark import Profiler, diff_profiles
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    a = Profiler(o.where("o_orderdate < '1996-01-01'")).profile()
+    b = Profiler(o.where("o_orderdate >= '1996-01-01'")).profile()
+    d = diff_profiles(a, b)
+    tp = [c for c in d["data_stats"] if c["column_name"] == "o_totalprice"][0]
+    assert 0.0 <= tp["ks"] <= 1.0
+    same = diff_profiles(a, a)
+    tp2 = [c for c in same["data_stats"]
+           if c["column_name"] == "o_totalprice"][0]
+    assert tp2["ks"] == 0.0
