@@ -204,3 +204,80 @@ SELECT '{col_a}' AS col1, '{col_b}' AS col2,
        (MAX(ka) - 1) * (MAX(kb) - 1) AS dof
 FROM w, tot
 """
+
+
+def mutual_info_pair(df: DataFrame, col_a: str, col_b: str,
+                     round_digits: int = 6) -> DataFrame:
+    """(col1, col2, mi, nmi) for one categorical pair: mutual
+    information in nats from the contingency table, plus the
+    min-entropy-normalized variant (nmi in [0, 1]) — the dependence
+    measure a mixture/feature-selection pipeline reads where chi² only
+    answers "independent or not".
+
+    Plan: the same one-groupBy contingency shape as ``chi2_matrix_pair``
+    plus two marginal aggregations (each ≤ distinct-count rows); the
+    tiny 1-row results cross-join. NULLs participate as their own
+    category — they must be COALESCEd to a sentinel BEFORE the marginal
+    joins (NULL join keys silently drop their joint cells on every
+    engine). All inputs to every log are single integer-ratio
+    divisions, so both engines compute the same doubles; sums are over
+    vocabulary-sized frames, rounded."""
+    ct = df.groupBy(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("(null)")).alias("a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("(null)")).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    n_row = ct.agg(F.sum("o").alias("n"))
+    ra = ct.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
+    joint = (ct.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+             .crossJoin(F.broadcast(n_row)))
+    p = F.col("o").cast("double") / F.col("n")
+    mi_row = joint.agg(F.sum(
+        p * F.log(F.col("o").cast("double") * F.col("n")
+                  / (F.col("ra").cast("double") * F.col("cb"))))
+        .alias("mi"))
+
+    def entropy(marg, cnt):
+        q = F.col(cnt).cast("double") / F.col("n")
+        return (marg.crossJoin(F.broadcast(n_row))
+                .agg((-F.sum(q * F.log(q))).alias(f"h_{cnt}")))
+
+    out = (mi_row.crossJoin(F.broadcast(entropy(ra, "ra")))
+           .crossJoin(F.broadcast(entropy(cb, "cb"))))
+    hmin = F.least(F.col("h_ra"), F.col("h_cb"))
+    return out.select(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        F.round(F.col("mi"), round_digits).alias("mi"),
+        F.round(F.when(hmin > 0, F.col("mi") / hmin).otherwise(F.lit(0.0)),
+                round_digits).alias("nmi"))
+
+
+def oracle_mutual_info_pair_sql(table: str, col_a: str, col_b: str,
+                                round_digits: int = 6) -> str:
+    return f"""
+WITH ct AS (
+  SELECT COALESCE(CAST({col_a} AS VARCHAR), '(null)') AS a,
+         COALESCE(CAST({col_b} AS VARCHAR), '(null)') AS b,
+         COUNT(*) AS o
+  FROM {table} GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS n FROM ct),
+ra AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
+mi AS (
+  SELECT SUM((CAST(o AS DOUBLE) / n)
+             * LN(CAST(o AS DOUBLE) * n
+                  / (CAST(ra.ra AS DOUBLE) * cb.cb))) AS mi
+  FROM ct JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+),
+ha AS (SELECT -SUM((CAST(ra AS DOUBLE) / n) * LN(CAST(ra AS DOUBLE) / n))
+         AS h_ra FROM ra CROSS JOIN tot),
+hb AS (SELECT -SUM((CAST(cb AS DOUBLE) / n) * LN(CAST(cb AS DOUBLE) / n))
+         AS h_cb FROM cb CROSS JOIN tot)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2,
+       ROUND(mi, {round_digits}) AS mi,
+       ROUND(CASE WHEN LEAST(h_ra, h_cb) > 0
+                  THEN mi / LEAST(h_ra, h_cb) ELSE 0.0 END,
+             {round_digits}) AS nmi
+FROM mi, ha, hb
+"""

@@ -762,6 +762,17 @@ def correlation_lineitem(spark, sf_dir):
     return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
+@register("mutual_info_lineitem",
+          corr.oracle_mutual_info_pair_sql("lineitem", "l_returnflag",
+                                           "l_linestatus"))
+def mutual_info_lineitem(spark, sf_dir):
+    """Mutual information (+ min-entropy-normalized NMI) for a
+    categorical pair from one contingency groupBy — the dependence
+    STRENGTH measure beside chi2_pair's independence test."""
+    return corr.mutual_info_pair(T(spark, sf_dir, "lineitem"),
+                                 "l_returnflag", "l_linestatus")
+
+
 @register("chi2_pair_lineitem",
           corr.oracle_chi2_pair_sql("lineitem", "l_returnflag", "l_linestatus"))
 def chi2_pair_lineitem(spark, sf_dir):
