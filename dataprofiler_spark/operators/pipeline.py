@@ -161,3 +161,45 @@ SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
        ROUND(AVG(n_tokens), 6) AS avg_tokens_out
 FROM curated
 """
+
+
+def clean_sample(df, id_col: str, text_col: str, benchmark,
+                 bench_id_col: str, bench_text_col: str,
+                 fraction: float = 0.2, n: int = 8, min_overlap: int = 1,
+                 seed: str = "dps-sample-v1"):
+    """Contamination-safe sampling: benchmark-decontaminate, keep only
+    clean documents, then deterministic hash-sample — the composed
+    "draw an eval-safe training subset" step, one operator call.
+
+    The composition stays one plan: the decontamination overlap join
+    (benchmark grams broadcast) feeds a pure hash filter — no extra
+    scan, no extra shuffle beyond decontaminate's own doc-keyed
+    groupBy. Output: (id, n_overlap_ngrams) of the sampled clean docs.
+    """
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.curation import decontaminate
+    from dataprofiler_spark.operators.sampling import hash_fraction_expr
+
+    dec = decontaminate(df, id_col, text_col, benchmark,
+                        bench_id_col, bench_text_col, n=n,
+                        min_overlap=min_overlap)
+    return (dec.where(~F.col("contaminated"))
+            .where(hash_fraction_expr(F.col("id"), seed) < fraction)
+            .select("id", "n_overlap_ngrams"))
+
+
+def oracle_clean_sample_sql(table: str, id_col: str, text_col: str,
+                            bench_filter: str, fraction: float = 0.2,
+                            n: int = 8, min_overlap: int = 1,
+                            seed: str = "dps-sample-v1") -> str:
+    from dataprofiler_spark.operators.curation import \
+        oracle_decontaminate_sql
+    from dataprofiler_spark.operators.sampling import _duck_hash_fraction
+
+    inner = oracle_decontaminate_sql(table, id_col, text_col, bench_filter,
+                                     n=n, min_overlap=min_overlap)
+    return f"""
+SELECT id, n_overlap_ngrams FROM ({inner}) q
+WHERE NOT contaminated AND {_duck_hash_fraction("id", seed)} < {fraction}
+"""

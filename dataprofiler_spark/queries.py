@@ -1327,6 +1327,21 @@ def corpus_curation_documents(spark, sf_dir):
     return pl.corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("clean_sample_documents",
+          pl.oracle_clean_sample_sql("documents", "doc_id", "text",
+                                     bench_filter="doc_id % 29 = 0",
+                                     fraction=0.3, n=8, min_overlap=1))
+def clean_sample_documents(spark, sf_dir):
+    """Contamination-safe training subset: decontaminate against the
+    id-subset stand-in benchmark, keep clean docs, hash-sample 30% —
+    the composed eval-safe draw as one plan (broadcast gram join +
+    one doc-keyed shuffle + pure hash filter)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return pl.clean_sample(docs, "doc_id", "text", bench, "doc_id", "text",
+                           fraction=0.3, n=8, min_overlap=1)
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator Spark lacks; union-sort formulation vs
 # DuckDB's native ASOF JOIN as oracle)
