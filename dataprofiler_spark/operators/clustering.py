@@ -440,3 +440,93 @@ ranked AS (
 SELECT id AS {id_col}, cluster, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {per_cluster}
 """
+
+
+def ivf_recall(df: DataFrame, id_col: str, vec_col: str,
+               k_clusters: int = 8, iters: int = 2, nprobe: int = 2,
+               n_queries: int = 5, k: int = 5,
+               round_digits: int = 6) -> DataFrame:
+    """Recall@k of the IVF index vs exact brute-force cosine — the
+    measurement that justifies (or vetoes) an ``nprobe``/``k_clusters``
+    setting before committing a 100 TB corpus to approximate search.
+    "Measure, don't guess" applied to the ANN path itself.
+
+    Plan: the IVF side is ``ivf_topk_det`` unchanged; the exact side
+    broadcasts the tiny query frame into one full scan (at scale this
+    is the one deliberately expensive part — you run it on a sampled
+    query set, which is exactly what ``n_queries`` bounds) and ranks
+    with a window over ``n_queries`` bounded partitions. The hit join
+    and the per-query rollup both key on query_id — O(n_queries · k)
+    rows end-to-end after the scans.
+
+    Output: (query_id, n_hits, recall) with recall = |IVF ∩ exact| / k.
+    """
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.operators.similarity import cosine_expr
+
+    ivf = ivf_topk_det(df, id_col, vec_col, k_clusters, iters, nprobe,
+                       n_queries, k, round_digits).select(
+        "query_id", "vec_id")
+    qs = (df.orderBy(F.col(id_col)).limit(n_queries)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv")))
+    scored = (df.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(qs))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("v"), F.col("qv")),
+                              round_digits).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    exact = (scored.withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k).select("query_id", "vec_id"))
+    hits = (ivf.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (qs.select("query_id").join(hits, "query_id", "left")
+            .select("query_id", n_hits.alias("n_hits"),
+                    F.round(n_hits / F.lit(float(k)),
+                            round_digits).alias("recall")))
+
+
+def oracle_ivf_recall_sql(table: str, id_col: str, vec_col: str,
+                          k_clusters: int = 8, iters: int = 2,
+                          nprobe: int = 2, n_queries: int = 5, k: int = 5,
+                          dim: int = 64, round_digits: int = 6) -> str:
+    ivf = oracle_ivf_topk_sql(table, id_col, vec_col, k_clusters, iters,
+                              nprobe, n_queries, k, dim, round_digits)
+    dot = "list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]))"
+    num = dot.format(d=dim, a="e2.v", b="q2.qv")
+    na = dot.format(d=dim, a="e2.v", b="e2.v")
+    nb = dot.format(d=dim, a="q2.qv", b="q2.qv")
+    return f"""
+WITH ivf AS ({ivf}),
+e2 AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}),
+q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2
+       ORDER BY vec_id LIMIT {n_queries}),
+sc AS (
+  SELECT q2.query_id, e2.vec_id,
+         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM q2 CROSS JOIN e2 WHERE e2.vec_id <> q2.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM sc)
+  WHERE rnk <= {k}
+),
+hits AS (
+  SELECT i.query_id, COUNT(*) AS n_hits
+  FROM ivf i JOIN exact x
+    ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+  GROUP BY i.query_id
+)
+SELECT q2.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST({k} AS DOUBLE),
+             {round_digits}) AS recall
+FROM q2 LEFT JOIN hits h USING (query_id)
+"""

@@ -85,3 +85,94 @@ def norm_stats(df: DataFrame, vec_col: str, round_digits: int = 6) -> DataFrame:
         F.round(F.min("nrm"), round_digits).alias("min_norm"),
         F.round(F.max("nrm"), round_digits).alias("max_norm"),
     )
+
+
+def quantize_int8_stats(df: DataFrame, vec_col: str,
+                        round_digits: int = 9) -> DataFrame:
+    """Per-dimension int8 (0–255) scalar-quantization audit: quantize
+    each dimension against its global [min, max] range and report the
+    reconstruction error — the go/no-go check before shrinking a 100 TB
+    fp32 embedding store 4× for ANN serving (the standard IVF/HNSW
+    memory lever; cf. FAISS ScalarQuantizer, public knowledge).
+
+    Plan: posexplode → ONE groupBy(dim) for the ranges (64–4096 groups)
+    → broadcast the tiny range frame back onto a second exploded scan →
+    per-value quantize/dequantize in closed-form expressions → ONE
+    groupBy(dim) for the error stats. Two corpus scans, both shuffles
+    O(dim); at scale you'd persist the range frame as an artifact and
+    pay one scan.
+
+    Engine-exactness: q = floor((x−min)/(max−min)·255 + 0.5) is the
+    same double expression tree on both engines (IEEE-deterministic),
+    the error sum is a scaled-integer (1e9) decimal sum, and constant
+    dimensions (max == min) pin q = 0 instead of dividing by zero.
+
+    Output: (dim, n, vmin, vmax, n_saturated, mean_abs_err,
+    max_abs_err) — n_saturated counts codes 0/255 (range-edge values).
+    """
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    rng = exploded.groupBy("dim").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    scale = F.col("vmax") - F.col("vmin")
+    q = F.when(scale > 0, F.least(F.lit(255.0), F.greatest(
+        F.lit(0.0),
+        F.floor((F.col("x") - F.col("vmin")) / scale * 255 + 0.5)
+        .cast("double")))).otherwise(F.lit(0.0))
+    joined = (exploded.join(F.broadcast(rng), "dim")
+              .withColumn("q", q)
+              .withColumn("err", F.abs(
+                  F.col("x") - (F.col("vmin")
+                                + F.col("q") / 255 * scale))))
+    e9 = F.round(F.col("err") * 1e9, 0).cast("decimal(38,0)")
+    agg = joined.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("vmin"), 6).alias("vmin"),
+        F.round(F.max("vmax"), 6).alias("vmax"),
+        F.sum(F.when(F.col("q").isin(0.0, 255.0), 1)
+              .otherwise(0)).cast("long").alias("n_saturated"),
+        F.sum(e9).alias("s_err9"),
+        F.max("err").alias("max_err"),
+    )
+    return agg.select(
+        "dim", "n", "vmin", "vmax", "n_saturated",
+        F.round(F.col("s_err9").cast("double") / F.col("n") / 1e9,
+                round_digits).alias("mean_abs_err"),
+        F.round(F.col("max_err"), round_digits).alias("max_abs_err"),
+    )
+
+
+def oracle_quantize_int8_sql(table: str, vec_col: str, dim: int = 64,
+                             round_digits: int = 9) -> str:
+    x = f"CAST(({vec_col}::DOUBLE[])[CAST(t.i AS INT)] AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT CAST(t.i - 1 AS INT) AS dim, {x} AS x
+  FROM {table} CROSS JOIN range(1, {dim + 1}) t(i)
+), rng AS (
+  SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM e GROUP BY dim
+), qe AS (
+  SELECT e.dim, e.x, r.vmin, r.vmax,
+         CASE WHEN r.vmax - r.vmin > 0 THEN
+           LEAST(255.0, GREATEST(0.0,
+             CAST(FLOOR((e.x - r.vmin) / (r.vmax - r.vmin) * 255 + 0.5)
+                  AS DOUBLE)))
+         ELSE 0.0 END AS q
+  FROM e JOIN rng r USING (dim)
+), err AS (
+  SELECT dim, vmin, vmax, q,
+         ABS(x - (vmin + q / 255 * (vmax - vmin))) AS err
+  FROM qe
+)
+SELECT dim, COUNT(*) AS n,
+       ROUND(MIN(vmin), 6) AS vmin,
+       ROUND(MAX(vmax), 6) AS vmax,
+       CAST(SUM(CASE WHEN q IN (0.0, 255.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_saturated,
+       ROUND(CAST(SUM(CAST(ROUND(err * 1e9, 0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / COUNT(*) / 1e9,
+             {round_digits}) AS mean_abs_err,
+       ROUND(MAX(err), {round_digits}) AS max_abs_err
+FROM err GROUP BY dim
+"""

@@ -508,6 +508,19 @@ def ivf_topk_embeddings(spark, sf_dir):
                              iters=2, nprobe=2, n_queries=5, k=5)
 
 
+@register("ivf_recall_embeddings",
+          clus.oracle_ivf_recall_sql("embeddings", "vec_id", "embedding",
+                                     k_clusters=8, iters=2, nprobe=2,
+                                     n_queries=5, k=5, dim=64))
+def ivf_recall_embeddings(spark, sf_dir):
+    """Recall@5 of the IVF index vs exact brute-force cosine over the
+    same 5-query probe set — the measurement that tunes nprobe before
+    trusting approximate search on the full corpus."""
+    return clus.ivf_recall(T(spark, sf_dir, "embeddings"),
+                           "vec_id", "embedding", k_clusters=8, iters=2,
+                           nprobe=2, n_queries=5, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-id, quality, token counts, fingerprints)
 # ---------------------------------------------------------------------------
@@ -1403,6 +1416,16 @@ FROM norms
 @register("embedding_norm_stats", _NORM_ORACLE)
 def embedding_norm_stats_q(spark, sf_dir):
     return vs.norm_stats(T(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register("quantize_int8_embeddings",
+          vs.oracle_quantize_int8_sql("embeddings", "embedding", dim=64))
+def quantize_int8_embeddings(spark, sf_dir):
+    """Int8 scalar-quantization audit: per-dimension reconstruction
+    error and saturation counts for a 4x-smaller embedding store — the
+    go/no-go measurement before quantizing a 100 TB ANN corpus."""
+    return vs.quantize_int8_stats(T(spark, sf_dir, "embeddings"),
+                                  "embedding")
 
 
 # ---------------------------------------------------------------------------

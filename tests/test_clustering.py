@@ -169,3 +169,23 @@ def test_embedding_outliers_uniform_cluster_none(spark):
                                "id long, v array<double>")
     out = cl.embedding_outliers(df, "id", "v", k=2, iters=1, factor=2.0)
     assert not any(r["outlier"] for r in out.collect())
+
+
+def test_ivf_recall_full_probe_is_exact(spark, sf_dir):
+    """Probing every cell (nprobe == k_clusters) makes IVF exhaustive,
+    so recall@k must be exactly 1.0 for every query."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cl.ivf_recall(emb, "vec_id", "embedding", k_clusters=4,
+                        iters=1, nprobe=4, n_queries=3, k=5).collect()
+    assert len(out) == 3
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in out)
+
+
+def test_ivf_recall_bounded_and_keyed(spark, sf_dir):
+    """Partial probing yields 0 <= recall <= 1 with one row per query."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = cl.ivf_recall(emb, "vec_id", "embedding", k_clusters=8,
+                         iters=2, nprobe=1, n_queries=4, k=5).collect()
+    assert sorted(r["query_id"] for r in rows) == sorted(
+        set(r["query_id"] for r in rows)) and len(rows) == 4
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)

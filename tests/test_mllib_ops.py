@@ -184,3 +184,33 @@ def test_embedding_decontaminate_semantics(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Int8 reconstruction error can never exceed half a quantization
+    step: max_abs_err <= (vmax - vmin) / 255 / 2 (+ float slack) on
+    every dimension, and constant dims quantize losslessly."""
+    import os
+
+    from dataprofiler_spark.operators import vectorstats as vs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = vs.quantize_int8_stats(emb, "embedding").collect()
+    assert len(rows) == 64
+    for r in rows:
+        half_step = (r["vmax"] - r["vmin"]) / 255 / 2
+        assert r["max_abs_err"] <= half_step + 1e-9, r
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-12
+        assert r["n_saturated"] >= 2  # the min and max values themselves
+
+
+def test_quantize_int8_constant_dim(spark):
+    """A constant dimension (vmax == vmin) takes the q=0 guard: zero
+    error, everything saturated."""
+    from dataprofiler_spark.operators import vectorstats as vs
+
+    df = spark.createDataFrame([(i, [1.5, float(i)]) for i in range(10)],
+                               "id long, v array<double>")
+    rows = {r["dim"]: r for r in vs.quantize_int8_stats(df, "v").collect()}
+    assert rows[0]["mean_abs_err"] == 0.0 and rows[0]["max_abs_err"] == 0.0
+    assert rows[0]["n_saturated"] == 10
