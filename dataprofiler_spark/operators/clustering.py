@@ -530,3 +530,90 @@ SELECT q2.query_id,
              {round_digits}) AS recall
 FROM q2 LEFT JOIN hits h USING (query_id)
 """
+
+
+def label_centroid_audit(df: DataFrame, id_col: str, vec_col: str,
+                         label_col: str,
+                         round_digits: int = 6) -> DataFrame:
+    """Mislabel audit over a labeled embedding corpus: a vector is
+    *suspect* when its nearest label-centroid is NOT its own label —
+    the cheap first pass of confident-learning-style label cleaning,
+    run before a labeled set feeds a training mixture.
+
+    Plan: ONE (label, dim) integer-sum aggregation collects O(labels ×
+    dim) centroid state to the driver (same fixed-point algebra as
+    kmeans_fit, so both engines compute identical centroids), then ONE
+    broadcast-literal scan assigns the nearest centroid (zero shuffle)
+    and a label-keyed rollup counts suspects. Two scans total at any
+    corpus size; the driver never holds data, only centroids.
+
+    Output: (label, n, n_suspect, suspect_ratio).
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"),
+                     F.col(label_col).cast("long").alias("lbl"))
+    sums = (base.select("lbl", F.posexplode("v").alias("pos", "x"))
+            .groupBy("lbl", "pos")
+            .agg(F.sum(F.round(F.col("x").cast("double") * _SCALE, 0)
+                       .cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+    if not sums:
+        raise ValueError("label_centroid_audit: empty input")
+    dim = max(r["pos"] for r in sums) + 1
+    by_lbl: dict[int, list[float]] = {}
+    for r in sums:
+        by_lbl.setdefault(r["lbl"], [0.0] * dim)[r["pos"]] = (
+            (r["s"] / r["n"]) / _SCALE)
+    structs = [
+        F.struct(_sqdist(F.col("v"),
+                         F.array(*[F.lit(w) for w in by_lbl[lb]]))
+                 .alias("d"), F.lit(lb).alias("lb"))
+        for lb in sorted(by_lbl)
+    ]
+    best = F.array_min(F.array(*structs))
+    flagged = base.select(
+        "lbl", (best["lb"] != F.col("lbl")).alias("suspect"))
+    return (flagged.groupBy(F.col("lbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("suspect"), 1).otherwise(0)).cast("long")
+        .alias("n_suspect"))
+        .select("label", "n", "n_suspect",
+                F.round(F.col("n_suspect") / F.col("n"),
+                        round_digits).alias("suspect_ratio")))
+
+
+def oracle_label_centroid_audit_sql(table: str, id_col: str, vec_col: str,
+                                    label_col: str, dim: int = 64,
+                                    round_digits: int = 6) -> str:
+    sq = _duck_sqdist("e.v", "c.cv", dim)
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v,
+         CAST({label_col} AS BIGINT) AS lbl
+  FROM {table}
+), m AS (
+  SELECT lbl, d,
+         SUM(CAST(ROUND(e.v[d] * {_SCALE}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM e CROSS JOIN generate_series(1, {dim}) AS g(d)
+  GROUP BY lbl, d
+), c AS (
+  SELECT lbl AS clbl,
+         list((CAST(s AS DOUBLE) / n) / {_SCALE} ORDER BY d) AS cv
+  FROM m GROUP BY lbl
+), a AS (
+  SELECT id, lbl, clbl FROM (
+    SELECT e.id, e.lbl, c.clbl,
+           ROW_NUMBER() OVER (PARTITION BY e.id
+                              ORDER BY {sq}, c.clbl) AS rn
+    FROM e CROSS JOIN c)
+  WHERE rn = 1
+)
+SELECT lbl AS label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN clbl <> lbl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suspect,
+       ROUND(SUM(CASE WHEN clbl <> lbl THEN 1 ELSE 0 END) / COUNT(*),
+             {round_digits}) AS suspect_ratio
+FROM a GROUP BY lbl
+"""

@@ -559,3 +559,73 @@ SELECT c.id,
 FROM c LEFT JOIN b ON TRUE
 GROUP BY c.id
 """
+
+
+def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, n_queries: int = 5, k: int = 5,
+                   round_digits: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-cosine-similar vectors carrying a DIFFERENT
+    label — the high-value negatives an embedding trainer samples
+    instead of random ones.
+
+    Queries are the ``n_queries`` smallest ids (deterministic probe
+    set, same convention as ivf_topk_det); the tiny query frame
+    broadcasts into one corpus scan, and the per-query top-k is a
+    window over ``n_queries`` bounded partitions — at scale you mine
+    per training batch, which is exactly what the bounded query set
+    models. NULL labels never qualify as negatives (<> is NULL-safe
+    false on both engines).
+
+    Output: (query_id, rank, vec_id, neg_label, cosine).
+    """
+    from pyspark.sql.window import Window
+
+    qs = (df.orderBy(F.col(id_col)).limit(n_queries)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.col(label_col).cast("long").alias("qlbl")))
+    scored = (df.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"),
+                        F.col(label_col).cast("long").alias("neg_label"))
+              .crossJoin(F.broadcast(qs))
+              .where((F.col("vec_id") != F.col("query_id"))
+                     & (F.col("neg_label") != F.col("qlbl")))
+              .select("query_id", "vec_id", "neg_label",
+                      F.round(cosine_expr(F.col("v"), F.col("qv")),
+                              round_digits).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "neg_label", "cosine"))
+
+
+def oracle_hard_negatives_sql(table: str, id_col: str, vec_col: str,
+                              label_col: str, n_queries: int = 5,
+                              k: int = 5, dim: int = 64,
+                              round_digits: int = 6) -> str:
+    num = _duck_dot("e.v", "q.qv", dim)
+    na = _duck_dot("e.v", "e.v", dim)
+    nb = _duck_dot("q.qv", "q.qv", dim)
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         CAST({label_col} AS BIGINT) AS lb
+  FROM {table}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, lb AS qlbl FROM e
+  ORDER BY vec_id LIMIT {n_queries}
+), sc AS (
+  SELECT q.query_id, e.vec_id, e.lb AS neg_label,
+         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM q CROSS JOIN e
+  WHERE e.vec_id <> q.query_id AND e.lb <> q.qlbl
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, neg_label, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sc)
+WHERE rank <= {k}
+"""

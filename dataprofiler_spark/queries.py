@@ -521,6 +521,31 @@ def ivf_recall_embeddings(spark, sf_dir):
                            nprobe=2, n_queries=5, k=5)
 
 
+@register("label_centroid_audit_embeddings",
+          clus.oracle_label_centroid_audit_sql("embeddings", "vec_id",
+                                               "embedding", "label",
+                                               dim=64))
+def label_centroid_audit_embeddings(spark, sf_dir):
+    """Mislabel audit: per-label counts of vectors whose nearest
+    label-centroid is another label's — the cheap confident-learning
+    first pass before a labeled set enters a training mixture."""
+    return clus.label_centroid_audit(T(spark, sf_dir, "embeddings"),
+                                     "vec_id", "embedding", "label")
+
+
+@register("hard_negatives_embeddings",
+          sim.oracle_hard_negatives_sql("embeddings", "vec_id",
+                                        "embedding", "label",
+                                        n_queries=5, k=5, dim=64))
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining: per query, the 5 most-similar vectors with
+    a different label — broadcast query frame, one scan, bounded
+    per-query window."""
+    return sim.hard_negatives(T(spark, sf_dir, "embeddings"),
+                              "vec_id", "embedding", "label",
+                              n_queries=5, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-id, quality, token counts, fingerprints)
 # ---------------------------------------------------------------------------

@@ -189,3 +189,44 @@ def test_ivf_recall_bounded_and_keyed(spark, sf_dir):
     assert sorted(r["query_id"] for r in rows) == sorted(
         set(r["query_id"] for r in rows)) and len(rows) == 4
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_label_centroid_audit_flags_planted_mislabels(spark):
+    """Two separable blobs: clean labels give zero suspects; a planted
+    wrong-label point is the ONLY suspect."""
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01, base], i % 2))
+    rows.append((99, [10.0, 10.0], 0))  # blob-1 vector labeled 0
+    df = spark.createDataFrame(rows, "id long, v array<double>, lbl int")
+    out = {r["label"]: r
+           for r in cl.label_centroid_audit(df, "id", "v", "lbl").collect()}
+    assert out[1]["n_suspect"] == 0
+    assert out[0]["n_suspect"] == 1 and out[0]["n"] == 11
+    clean = df.where(F.col("id") != 99)
+    assert all(r["n_suspect"] == 0 for r in
+               cl.label_centroid_audit(clean, "id", "v", "lbl").collect())
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    """Every mined negative carries a label different from its query's,
+    ranks are 1..k per query, and cosines are non-increasing."""
+    import os as _os
+
+    from dataprofiler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    rows = sim.hard_negatives(emb, "vec_id", "embedding", "label",
+                              n_queries=3, k=4).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"]
+                   for i in range(len(rs) - 1))
