@@ -6,73 +6,87 @@ Prints ONE JSON line:
 
 Bench uses the engine's NATIVE fast paths (built-in Catalyst aggregates);
 the oracle-matched exact mode exists for correctness checking, not speed.
+
+Isolation (VERDICT r4 item 4): co-scheduling ~35 query families in one
+JVM pressures the codegen cache and made round-over-round MEANS drift on
+otherwise-unchanged operators. By default the suite now runs as one
+subprocess PER GROUP (a fresh JVM each: profile / dedup / text / events /
+embedding / labeler), so a group's numbers can't be polluted by another
+group's compiled-class churn. Headline stays min-of-n within the group.
+Set SPARK_GRAFT_BENCH_ISOLATE=0 for the old single-JVM run (fast local
+iteration), or SPARK_GRAFT_BENCH_GROUP=<name> to run one group inline.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
+GROUP_ORDER = ["profile", "dedup", "text", "events", "embedding", "labeler"]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from dataprofiler_spark.session import get_spark
+def build_runners(spark, sf_dir):
+    """name -> (group, thunk). Import-heavy: only called in worker mode."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
     from dataprofiler_spark.operators import categorical as cat
+    from dataprofiler_spark.operators import chunking as ck
+    from dataprofiler_spark.operators import clustering as clus
+    from dataprofiler_spark.operators import correlation as corr
+    from dataprofiler_spark.operators import curation as cu
+    from dataprofiler_spark.operators import dedup as dd
+    from dataprofiler_spark.operators import drift as dr
+    from dataprofiler_spark.operators import events as ev
+    from dataprofiler_spark.operators import intervals as iv
+    from dataprofiler_spark.operators import mixture as mx
     from dataprofiler_spark.operators import numeric as num
     from dataprofiler_spark.operators import rowstats as rs
-
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
-
+    from dataprofiler_spark.operators import similarity as sim
+    from dataprofiler_spark.operators import textanalysis as ta
+    from dataprofiler_spark.operators import validators as vd
     from dataprofiler_spark.queries import T as _T
 
     def tbl(name):
         return _T(spark, sf_dir, name)
 
-    timings: dict[str, float] = {}
-    timings_mean: dict[str, float] = {}
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-
-    def run(name, fn):
-        # n runs; headline = min (steady-state, JIT/codegen-cache warm —
-        # the number comparable to the reference's steady state), mean
-        # kept alongside so run-to-run noise is visible in the artifact.
-        ts = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        timings[name] = round(min(ts), 3)
-        timings_mean[name] = round(sum(ts) / len(ts), 3)
-
-    from dataprofiler_spark import Profiler
-    from dataprofiler_spark.operators import dedup as dd
-    from dataprofiler_spark.operators import similarity as sim
-
     lineitem = tbl("lineitem")
     orders = tbl("orders")
     documents = tbl("documents")
     embeddings = tbl("embeddings")
+    events = tbl("events")
 
-    # warm the JVM + file listing once (not counted)
-    lineitem.count()
+    r: dict[str, tuple[str, object]] = {}
 
-    # headline: the full 3-job profile (reference: StructuredProfiler run)
-    run("full_profile_lineitem", lambda: Profiler(lineitem).report())
-    run("full_profile_orders", lambda: Profiler(orders).report())
+    def add(group, name, fn):
+        r[name] = (group, fn)
+
+    # ---- profile group (headline: the full 3-job profile; reference:
+    # StructuredProfiler run) ----
+    add("profile", "full_profile_lineitem",
+        lambda: Profiler(lineitem).report())
+    add("profile", "full_profile_orders", lambda: Profiler(orders).report())
 
     # merge time (reference harness records it separately —
     # structured_space_time_analysis.py): profile two disjoint halves,
     # time only the state `+`. Driver-side algebra; at scale this is the
     # per-partition combine AND the public multi-batch API.
-    from pyspark.sql import functions as F
-    half1 = Profiler(lineitem.where(F.col("l_orderkey") % 2 == 0)).profile()
-    half2 = Profiler(lineitem.where(F.col("l_orderkey") % 2 == 1)).profile()
-    run("profile_merge_lineitem", lambda: half1 + half2)
+    _halves: dict = {}
 
-    run("numeric_profile_lineitem",
+    def _merge_setup():
+        _halves["a"] = Profiler(
+            lineitem.where(F.col("l_orderkey") % 2 == 0)).profile()
+        _halves["b"] = Profiler(
+            lineitem.where(F.col("l_orderkey") % 2 == 1)).profile()
+
+    def _merge():
+        return _halves["a"] + _halves["b"]
+    _merge.setup = _merge_setup  # untimed: the halves are inputs
+    add("profile", "profile_merge_lineitem", _merge)
+
+    add("profile", "numeric_profile_lineitem",
         lambda: num.numeric_profile_native(lineitem).collect())
 
     def _categorical():
@@ -81,68 +95,77 @@ def main() -> None:
         cat.categorical_stats(counts).collect()
         cat.top_k_categories(counts, 5).collect()
         counts.unpersist()
-    run("categorical_profile_lineitem", _categorical)
+    add("profile", "categorical_profile_lineitem", _categorical)
 
-    run("row_stats_lineitem",
+    add("profile", "row_stats_lineitem",
         lambda: rs.row_stats(lineitem, hashing_method="hll").collect())
+    add("profile", "correlation_lineitem",
+        lambda: corr.correlation_matrix_native(
+            lineitem, ["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"]).collect())
 
+    # ---- dedup group ----
     # bands=2 x rows=6: selective operating point — the synthetic corpus
     # is inherently near-dup (median pairwise jaccard ~0.46), so shallow
     # bands would make most of the 12.5M pairs true candidates.
-    run("minhash_lsh_documents",
+    add("dedup", "minhash_lsh_documents",
         lambda: dd.minhash_lsh_pairs(documents, "doc_id", "text",
                                      num_hashes=12, bands=2,
                                      threshold=0.8).collect())
-    run("simhash_documents",
+    add("dedup", "simhash_documents",
         lambda: dd.simhash(documents, "doc_id", "text").collect())
-    run("cosine_topk_embeddings",
-        lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0, 10).collect())
-
-    from dataprofiler_spark.operators import correlation as corr
-    from dataprofiler_spark.operators import drift as dr
-    from dataprofiler_spark.operators import events as ev
-    from dataprofiler_spark.operators import textanalysis as ta
-
-    events = tbl("events")
-
-    run("quality_features_documents",
-        lambda: ta.quality_features(documents, "doc_id", "text").count())
-    run("language_id_documents",
-        lambda: ta.language_id(documents, "doc_id", "text").count())
-
-    from dataprofiler_spark.operators import curation as cu
-    from dataprofiler_spark.operators import textanalysis as ta2
-    run("repetition_signals_documents",
+    add("dedup", "repetition_signals_documents",
         lambda: cu.repetition_signals(documents, "doc_id", "text").count())
-    run("crossdoc_ngram_dup_documents",
-        lambda: cu.crossdoc_ngram_dup_summary(documents, "doc_id", "text"
-                                              ).collect())
-    run("substring_dup_documents",
-        lambda: cu.substring_dup_signals(documents, "doc_id", "text").count())
-    run("decontaminate_documents",
+    add("dedup", "crossdoc_ngram_dup_documents",
+        lambda: cu.crossdoc_ngram_dup_summary(documents, "doc_id",
+                                              "text").collect())
+    add("dedup", "substring_dup_documents",
+        lambda: cu.substring_dup_signals(documents, "doc_id",
+                                         "text").count())
+    add("dedup", "decontaminate_documents",
         lambda: cu.decontaminate(
             documents, "doc_id", "text",
             documents.where(F.col("doc_id") % 29 == 0), "doc_id", "text"
         ).count())
-    run("quality_rollup_documents",
-        lambda: ta2.quality_rollup(documents, "text", "source").collect())
 
-    from dataprofiler_spark.operators import chunking as ck
-    from dataprofiler_spark.operators import intervals as iv
-    from dataprofiler_spark.operators import validators as vd
-
-    run("chunk_summary_documents",
+    # ---- text group ----
+    add("text", "quality_features_documents",
+        lambda: ta.quality_features(documents, "doc_id", "text").count())
+    add("text", "language_id_documents",
+        lambda: ta.language_id(documents, "doc_id", "text").count())
+    add("text", "quality_rollup_documents",
+        lambda: ta.quality_rollup(documents, "text", "source").collect())
+    add("text", "chunk_summary_documents",
         lambda: ck.chunk_summary(documents, "doc_id", "text",
                                  chunk_tokens=64, overlap_tokens=8
                                  ).collect())
-    run("tfidf_top_terms_documents",
-        lambda: ck.tfidf_top_terms(documents, "doc_id", "text", k=3
-                                   ).count())
-    run("interval_join_events",
+    add("text", "tfidf_top_terms_documents",
+        lambda: ck.tfidf_top_terms(documents, "doc_id", "text",
+                                   k=3).count())
+    add("text", "data_mixture_documents",
+        lambda: mx.data_mixture_summary(
+            documents, "source", "doc_id", "text",
+            {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1},
+            5_000).collect())
+    add("text", "split_manifest_documents",
+        lambda: mx.split_manifest(documents, "doc_id", "text").collect())
+    add("text", "quality_weighted_sample_documents",
+        lambda: mx.quality_weighted_sample_summary(
+            documents, "doc_id", "text", strength=1.2).collect())
+    add("text", "packing_stats_documents",
+        lambda: ck.packing_stats(documents, "doc_id", "text",
+                                 context_len=256).collect())
+    add("text", "pack_manifest_documents",
+        lambda: ck.pack_manifest(documents, "doc_id", "text",
+                                 context_len=256, n_shards=8).count())
+
+    # ---- events group ----
+    add("events", "interval_join_events",
         lambda: iv.interval_join_first_day_counts(events).count())
-    run("funnel_events",
+    add("events", "funnel_events",
         lambda: ev.funnel(events, ["view", "click", "purchase"]).collect())
-    run("expectations_orders",
+    add("events", "sessionize_events", lambda: ev.sessionize(events).count())
+    add("events", "expectations_orders",
         lambda: vd.expectation_report(orders, [
             vd.Expectation("unique", "o_orderkey"),
             vd.Expectation("row_count_between", low=1000),
@@ -151,41 +174,49 @@ def main() -> None:
                            high=1_000_000.0),
         ]).collect())
 
-    from dataprofiler_spark.operators import mixture as mx
-    run("data_mixture_documents",
-        lambda: mx.data_mixture_summary(
-            documents, "source", "doc_id", "text",
-            {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1},
-            5_000).collect())
-    run("split_manifest_documents",
-        lambda: mx.split_manifest(documents, "doc_id", "text").collect())
-    run("quality_weighted_sample_documents",
-        lambda: mx.quality_weighted_sample_summary(
-            documents, "doc_id", "text", strength=1.2).collect())
-    run("packing_stats_documents",
-        lambda: ck.packing_stats(documents, "doc_id", "text",
-                                 context_len=256).collect())
+    def _drift():
+        a = orders.where(F.col("o_orderdate") < "1998-01-01")
+        b = orders.where(F.col("o_orderdate") >= "1998-01-01")
+        dr.categorical_psi(a, b, "o_orderpriority").collect()
+        dr.welch_t(a, b, "o_totalprice").collect()
+    add("events", "drift_orders", _drift)
 
-    run("embedding_decontaminate_embeddings",
+    # ---- embedding group ----
+    add("embedding", "cosine_topk_embeddings",
+        lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0,
+                                10).collect())
+    add("embedding", "embedding_decontaminate_embeddings",
         lambda: sim.embedding_decontaminate(
             embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
             "vec_id", "embedding", threshold=0.8).count())
-    run("embedding_decontaminate_bucketed",
+    add("embedding", "embedding_decontaminate_bucketed",
         lambda: sim.embedding_decontaminate_bucketed(
             embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
             "vec_id", "embedding", threshold=0.8,
             bands=4, planes_per_band=4).count())
-    run("embedding_neardup_pairs",
+    add("embedding", "embedding_neardup_pairs",
         lambda: sim.embedding_neardup_pairs(
             embeddings, "vec_id", "embedding", threshold=0.5,
             bands=4, planes_per_band=4, max_bucket_size=100).count())
+    add("embedding", "kmeans_embeddings",
+        lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
+                                   k=4, iters=2).count())
+    add("embedding", "ivf_topk_embeddings",
+        lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
+                                  k_clusters=8, iters=2, nprobe=2,
+                                  n_queries=5, k=5).collect())
+    add("embedding", "ivf_recall_embeddings",
+        lambda: clus.ivf_recall(embeddings, "vec_id", "embedding",
+                                k_clusters=8, iters=2, nprobe=2,
+                                n_queries=5, k=5).collect())
 
+    # ---- labeler group ----
     def _trainable_fit():
         from dataprofiler_spark.labeler.trainable import \
             train_structured_labeler
         cust = tbl("customer").select("c_name", "c_acctbal", "c_mktsegment")
         train_structured_labeler(cust)
-    run("trainable_fit_customer", _trainable_fit)
+    add("labeler", "trainable_fit_customer", _trainable_fit)
 
     def _ner():
         from dataprofiler_spark.labeler.ner import (entity_span_counts,
@@ -199,35 +230,84 @@ def main() -> None:
                         F.lit("total"),
                         F.col("o_totalprice").cast("string")).alias("t"))
         entity_span_counts(predict_text_spans(blob, "id", "t")).collect()
-    run("ner_spans_orders", _ner)
+    add("labeler", "ner_spans_orders", _ner)
 
-    def _drift():
-        from pyspark.sql import functions as F
-        a = orders.where(F.col("o_orderdate") < "1998-01-01")
-        b = orders.where(F.col("o_orderdate") >= "1998-01-01")
-        dr.categorical_psi(a, b, "o_orderpriority").collect()
-        dr.welch_t(a, b, "o_totalprice").collect()
-    run("drift_orders", _drift)
+    return r
 
-    from dataprofiler_spark.operators import clustering as clus
-    run("kmeans_embeddings",
-        lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
-                                   k=4, iters=2).count())
-    run("ivf_topk_embeddings",
-        lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
-                                  k_clusters=8, iters=2, nprobe=2,
-                                  n_queries=5, k=5).collect())
-    run("pack_manifest_documents",
-        lambda: ck.pack_manifest(documents, "doc_id", "text",
-                                 context_len=256, n_shards=8).count())
 
-    run("correlation_lineitem",
-        lambda: corr.correlation_matrix_native(
-            lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-        ).collect())
-    run("sessionize_events", lambda: ev.sessionize(events).count())
+def run_group(group: str, sf_dir: str) -> tuple[dict, dict]:
+    """Run one group's queries in THIS process; return (min, mean)."""
+    from dataprofiler_spark.session import get_spark
 
-    total = round(sum(timings.values()), 3)
+    spark = get_spark(app_name=f"bench-{group}",
+                      extra_conf={"spark.ui.enabled": "false"})
+    runners = build_runners(spark, sf_dir)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # warm the JVM + file listing once (not counted)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
+    for name, (g, fn) in runners.items():
+        if g != group:
+            continue
+        if hasattr(fn, "setup"):
+            fn.setup()
+        # n runs; headline = min (steady-state, JIT/codegen-cache warm —
+        # the number comparable to the reference's steady state), mean
+        # kept alongside so run-to-run noise is visible in the artifact.
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(min(ts), 3)
+        timings_mean[name] = round(sum(ts) / len(ts), 3)
+    spark.stop()
+    return timings, timings_mean
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    group = os.environ.get("SPARK_GRAFT_BENCH_GROUP")
+    if group:
+        timings, timings_mean = run_group(group, sf_dir)
+        print(json.dumps({"group": group, "queries": timings,
+                          "queries_mean": timings_mean}))
+        return
+
+    timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+    if isolate:
+        import subprocess
+        me = os.path.abspath(__file__)
+        for g in GROUP_ORDER:
+            env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP=g)
+            out = subprocess.run([sys.executable, me], env=env,
+                                 capture_output=True, text=True,
+                                 timeout=1800)
+            parsed = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if parsed is None:
+                timings[f"__group_{g}_failed"] = -1.0
+                sys.stderr.write(out.stderr[-2000:] + "\n")
+                continue
+            timings.update(parsed["queries"])
+            timings_mean.update(parsed["queries_mean"])
+    else:
+        for g in GROUP_ORDER:
+            t, m = run_group(g, sf_dir)
+            timings.update(t)
+            timings_mean.update(m)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
 
     # Reference comparison (BASELINE.md "Measured on this machine"):
     # constants recorded by `python baseline_harness.py <sf_dir> lineitem`
@@ -272,11 +352,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_mean": timings_mean,
-        "n_runs": n_runs,
+        "n_runs": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
+        "isolated_jvm_groups": isolate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_ref": baseline_ref,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ from dataprofiler_spark.session import get_spark, load_tables, set_seed
 from dataprofiler_spark.state import (DatasetState, from_json,
                                       merge_profile_list, to_json)
 from dataprofiler_spark.streaming.drift import StreamingDriftMonitor
+from dataprofiler_spark.streaming.embedding_decon import (
+    StreamingEmbeddingDecon, build_benchmark_store)
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
 from dataprofiler_spark import reports_graphs as graphs
 
@@ -56,6 +58,7 @@ __all__ = [
     "UnstructuredDataLabeler", "TrainableDataLabeler",
     "train_structured_labeler", "Validator", "load_plugins", "graphs",
     "DatasetState", "StreamingProfiler", "StreamingDriftMonitor",
+    "StreamingEmbeddingDecon", "build_benchmark_store",
     "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",
     "set_seed", "set_verbosity", "get_logger", "to_json", "from_json",

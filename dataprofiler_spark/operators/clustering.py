@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 
 _SCALE = 1_000_000
 
+# label_centroid_audit collects O(labels x dim) centroid state to the
+# driver and builds an O(labels) nearest-centroid expression; a
+# high-cardinality label_col (e.g. a float id cast to long) would make
+# both unbounded. Mirror labeler/trainable.py's MAX_LABELS guard: count
+# first (one cheap agg), raise loudly above the cap.
+MAX_AUDIT_LABELS = 1000
+
 
 def _sqdist(a: Column, b: Column) -> Column:
     """Sequential left-fold squared distance — matches DuckDB's
@@ -157,36 +164,44 @@ def _duck_sqdist(v: str, c: str, dim: int) -> str:
 
 
 def _kmeans_ctes(table: str, id_col: str, vec_col: str, k: int,
-                 iters: int, dim: int) -> str:
+                 iters: int, dim: int, prefix: str = "",
+                 vec_expr: str | None = None) -> str:
     """Unrolled Lloyd iterations as CTEs: c0 = smallest-id init;
     a{t} assigns under c{t-1}; c{t} = fixed-point means with
-    empty-cluster carry-over (LEFT JOIN + COALESCE)."""
+    empty-cluster carry-over (LEFT JOIN + COALESCE).
+
+    ``prefix`` namespaces every CTE (e → {p}e, c0 → {p}c0, ...) so
+    several independent fits compose in ONE query (the PQ oracle runs
+    one per subvector). ``vec_expr`` overrides the raw vector
+    expression (e.g. a DuckDB list slice for subvectors)."""
+    p = prefix
     sq = _duck_sqdist("e.v", "c.v", dim)
+    ve = vec_expr if vec_expr is not None else f"{vec_col}::DOUBLE[]"
     ctes = [
-        f"e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
-        f"""c0 AS (
+        f"{p}e AS (SELECT {id_col} AS id, {ve} AS v FROM {table})",
+        f"""{p}c0 AS (
   SELECT (ROW_NUMBER() OVER (ORDER BY id) - 1)::INT AS cl, v
-  FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))""",
+  FROM (SELECT id, v FROM {p}e ORDER BY id LIMIT {k}))""",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""{p}a{t} AS (
   SELECT id, cl FROM (
     SELECT e.id, c.cl,
            ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
-    FROM e CROSS JOIN c{t - 1} c)
+    FROM {p}e e CROSS JOIN {p}c{t - 1} c)
   WHERE rn = 1)""")
-        ctes.append(f"""m{t} AS (
+        ctes.append(f"""{p}m{t} AS (
   SELECT a.cl, d,
          SUM(CAST(ROUND(e.v[d] * {_SCALE}) AS BIGINT)) AS s,
          COUNT(*) AS n
-  FROM a{t} a JOIN e USING (id)
+  FROM {p}a{t} a JOIN {p}e e USING (id)
   CROSS JOIN generate_series(1, {dim}) AS g(d)
   GROUP BY a.cl, d)""")
-        ctes.append(f"""c{t} AS (
+        ctes.append(f"""{p}c{t} AS (
   SELECT c.cl, COALESCE(u.v, c.v) AS v
-  FROM c{t - 1} c LEFT JOIN (
+  FROM {p}c{t - 1} c LEFT JOIN (
     SELECT cl, list((CAST(s AS DOUBLE) / n) / {_SCALE} ORDER BY d) AS v
-    FROM m{t} GROUP BY cl) u USING (cl))""")
+    FROM {p}m{t} GROUP BY cl) u USING (cl))""")
     return ",\n".join(ctes)
 
 
@@ -361,10 +376,16 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
     per_cl = assigned.groupBy("cluster").agg(
         F.sum("d6").alias("sum_d6"), F.count(F.lit(1)).alias("n_cl"))
     factor100 = int(round(factor * 100))
+    # decimal(38,0) keeps the products exact: d6 * n_cl * 100 can pass
+    # int64 for large clusters / unnormalized vectors, and Spark's
+    # non-ANSI bigint arithmetic would wrap silently and flip flags.
+    # DuckDB mirrors with HUGEINT (int128) — same exact integers.
+    d38 = "decimal(38,0)"
     return (assigned.join(F.broadcast(per_cl), "cluster")
             .select(F.col("id").alias(id_col), "cluster",
-                    (F.col("d6") * F.col("n_cl") * 100
-                     > F.lit(factor100) * F.col("sum_d6")).alias("outlier")))
+                    (F.col("d6").cast(d38) * F.col("n_cl") * 100
+                     > F.lit(factor100) * F.col("sum_d6").cast(d38))
+                    .alias("outlier")))
 
 
 def oracle_embedding_outliers_sql(table: str, id_col: str, vec_col: str,
@@ -389,7 +410,8 @@ per_cl AS (
   FROM assigned GROUP BY cluster
 )
 SELECT a.id AS {id_col}, a.cluster,
-       a.d6 * p.n_cl * 100 > {factor100} * p.sum_d6 AS outlier
+       CAST(a.d6 AS HUGEINT) * p.n_cl * 100
+         > {factor100} * CAST(p.sum_d6 AS HUGEINT) AS outlier
 FROM assigned a JOIN per_cl p USING (cluster)
 """
 
@@ -547,11 +569,26 @@ def label_centroid_audit(df: DataFrame, id_col: str, vec_col: str,
     and a label-keyed rollup counts suspects. Two scans total at any
     corpus size; the driver never holds data, only centroids.
 
+    NULL labels are dropped (a NULL label is "unlabeled", not a label
+    class — the audit is about disagreement between a label and the
+    embedding geometry). Label cardinality is capped at
+    ``MAX_AUDIT_LABELS``: the centroid state is O(labels × dim) driver
+    memory and O(labels) expression branches, so a high-cardinality
+    column raises loudly instead of collecting unbounded state.
+
     Output: (label, n, n_suspect, suspect_ratio).
     """
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"),
                      F.col(label_col).cast("long").alias("lbl"))
+    base = base.where(F.col("lbl").isNotNull())
+    n_labels = base.select(F.countDistinct("lbl").alias("c")).head()["c"]
+    if n_labels > MAX_AUDIT_LABELS:
+        raise ValueError(
+            f"label_centroid_audit: {n_labels} distinct labels in "
+            f"{label_col!r} exceeds MAX_AUDIT_LABELS={MAX_AUDIT_LABELS}; "
+            "centroid state is O(labels x dim) driver memory — pass a "
+            "genuine class column, not an id-like column")
     sums = (base.select("lbl", F.posexplode("v").alias("pos", "x"))
             .groupBy("lbl", "pos")
             .agg(F.sum(F.round(F.col("x").cast("double") * _SCALE, 0)
@@ -592,11 +629,16 @@ WITH e AS (
   SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v,
          CAST({label_col} AS BIGINT) AS lbl
   FROM {table}
+  WHERE CAST({label_col} AS BIGINT) IS NOT NULL
 ), m AS (
+  -- d <= len(v) mirrors Spark's posexplode: NULL / short vectors
+  -- contribute no rows past their length (COUNT would otherwise
+  -- include NULL-x rows the Spark side never sees)
   SELECT lbl, d,
          SUM(CAST(ROUND(e.v[d] * {_SCALE}) AS BIGINT)) AS s,
          COUNT(*) AS n
   FROM e CROSS JOIN generate_series(1, {dim}) AS g(d)
+  WHERE e.v IS NOT NULL AND d <= len(e.v)
   GROUP BY lbl, d
 ), c AS (
   SELECT lbl AS clbl,
@@ -616,4 +658,205 @@ SELECT lbl AS label, COUNT(*) AS n,
        ROUND(SUM(CASE WHEN clbl <> lbl THEN 1 ELSE 0 END) / COUNT(*),
              {round_digits}) AS suspect_ratio
 FROM a GROUP BY lbl
+"""
+
+
+def embedding_group_cosines(df: DataFrame, id_col: str, vec_col: str,
+                            group_col: str,
+                            round_digits: int = 6) -> DataFrame:
+    """Pairwise centroid cosine between every two groups of a labeled /
+    stratified embedding corpus — the semantic-drift check a mixture
+    designer runs across sources or snapshot dates ("did the new crawl
+    shift?"), and the confusability map between label classes (near-1
+    centroid cosine = classes the labeler will blur).
+
+    Plan: ONE (group, dim) fixed-point integer aggregation (the
+    label_centroid_audit shape) collects O(groups × dim) to the driver
+    under the same MAX_AUDIT_LABELS cap; the O(groups²) cosine matrix
+    is then driver arithmetic on centroids — no second scan, nothing
+    data-sized anywhere. Python's sequential sum over the centroid
+    doubles is the same left fold DuckDB's list_sum runs, so the matrix
+    is engine-exact.
+
+    NULL groups are dropped (same rule as label_centroid_audit).
+    Output: (group_a, group_b, n_a, n_b, cosine) for group_a < group_b.
+    """
+    base = (df.select(F.col(vec_col).alias("v"),
+                      F.col(group_col).cast("long").alias("g"))
+            .where(F.col("g").isNotNull()))
+    n_groups = base.select(F.countDistinct("g").alias("c")).head()["c"]
+    if n_groups > MAX_AUDIT_LABELS:
+        raise ValueError(
+            f"embedding_group_cosines: {n_groups} groups exceeds "
+            f"MAX_AUDIT_LABELS={MAX_AUDIT_LABELS}")
+    sums = (base.select("g", F.posexplode("v").alias("pos", "x"))
+            .groupBy("g", "pos")
+            .agg(F.sum(F.round(F.col("x").cast("double") * _SCALE, 0)
+                       .cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+    if not sums:
+        raise ValueError("embedding_group_cosines: empty input")
+    dim = max(r["pos"] for r in sums) + 1
+    cents: dict[int, list[float]] = {}
+    counts: dict[int, int] = {}
+    for r in sums:
+        cents.setdefault(r["g"], [0.0] * dim)[r["pos"]] = (
+            (r["s"] / r["n"]) / _SCALE)
+        counts[r["g"]] = max(counts.get(r["g"], 0), r["n"])
+    rows = []
+    groups = sorted(cents)
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            a, b = cents[ga], cents[gb]
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(y * y for y in b) ** 0.5
+            cos = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+            rows.append((ga, gb, counts[ga], counts[gb],
+                         round(cos, round_digits)))
+    return df.sparkSession.createDataFrame(
+        rows, "group_a long, group_b long, n_a long, n_b long, "
+              "cosine double")
+
+
+def oracle_embedding_group_cosines_sql(table: str, id_col: str,
+                                       vec_col: str, group_col: str,
+                                       dim: int = 64,
+                                       round_digits: int = 6) -> str:
+    dot = ("list_sum(list_transform(generate_series(1, {d}),"
+           " i -> {a}[i] * {b}[i]))")
+    num = dot.format(d=dim, a="ca.cv", b="cb.cv")
+    na = dot.format(d=dim, a="ca.cv", b="ca.cv")
+    nb = dot.format(d=dim, a="cb.cv", b="cb.cv")
+    return f"""
+WITH e AS (
+  SELECT {vec_col}::DOUBLE[] AS v, CAST({group_col} AS BIGINT) AS g
+  FROM {table}
+  WHERE CAST({group_col} AS BIGINT) IS NOT NULL
+), m AS (
+  SELECT g, d,
+         SUM(CAST(ROUND(e.v[d] * {_SCALE}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM e CROSS JOIN generate_series(1, {dim}) AS g2(d)
+  WHERE e.v IS NOT NULL AND d <= len(e.v)
+  GROUP BY g, d
+), c AS (
+  SELECT g, MAX(n) AS n,
+         list((CAST(s AS DOUBLE) / n) / {_SCALE} ORDER BY d) AS cv
+  FROM m GROUP BY g
+)
+SELECT ca.g AS group_a, cb.g AS group_b, ca.n AS n_a, cb.n AS n_b,
+       ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+FROM c ca JOIN c cb ON ca.g < cb.g
+"""
+
+
+# -- Product quantization audit ---------------------------------------------
+
+def pq_fit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
+           k_codes: int = 4, iters: int = 1,
+           dim: int = 64) -> list[list[list[float]]]:
+    """PQ codebooks (Jégou et al., TPAMI'11 — public knowledge): split
+    the ``dim`` dims into ``m`` contiguous subvectors and fit an
+    independent deterministic k-means codebook (``k_codes`` codes) per
+    subvector. Returns m codebooks of k_codes centroids each.
+
+    Cost: m independent fits of (iters+1) scans over a dim/m-wide
+    slice — at 100 TB run them concurrently (independent jobs over the
+    same cached projection); driver state is O(m · k_codes · dim/m) =
+    O(k_codes · dim), same as one full k-means."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(F.col(id_col).alias("id"),
+                           F.slice(F.col(vec_col), j * sub + 1, sub)
+                           .alias("v"))
+        books.append(kmeans_fit(sliced, "id", "v", k=k_codes,
+                                iters=iters))
+    return books
+
+
+def pq_audit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
+             k_codes: int = 4, iters: int = 1, dim: int = 64,
+             round_digits: int = 6) -> DataFrame:
+    """Reconstruction-error audit of a PQ layout — the go/no-go before
+    committing a 100 TB corpus to an IVF-PQ store (the standard
+    billion-scale ANN memory layout; dim·4 bytes → m code bytes per
+    vector). Per subvector: rows audited, distinct codes actually used
+    (dead codes = wasted codebook capacity), and the mean/max squared
+    reconstruction error in the subspace.
+
+    Plan: codebooks fit driver-side (pq_fit), then ONE scan emits an
+    m-struct array per row, explodes map-side (m× narrow fan-out: int
+    code + fixed-point error), and ONE groupBy over m groups rolls up.
+    The error sums ride 1e6 fixed-point longs so both engines agree
+    exactly (same algebra as kmeans_summary).
+
+    Output: (subvector, n, codes_used, mean_sq_err, max_sq_err)."""
+    books = pq_fit(df, id_col, vec_col, m, k_codes, iters, dim)
+    sub = dim // m
+    structs = []
+    for j, book in enumerate(books):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cands = F.array(*[
+            F.struct(_sqdist(sl, F.array(*[F.lit(w) for w in c]))
+                     .alias("d"), F.lit(i).alias("cl"))
+            for i, c in enumerate(book)])
+        best = F.array_min(cands)
+        structs.append(F.struct(
+            F.lit(j).alias("subvector"),
+            best["cl"].cast("int").alias("code"),
+            F.round(best["d"] * _SCALE, 0).cast("long").alias("d6")))
+    exploded = (df.select(F.explode(F.array(*structs)).alias("s"))
+                .select("s.subvector", "s.code", "s.d6"))
+    return (exploded.groupBy("subvector")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("code").alias("codes_used"),
+                 F.round((F.sum("d6") / F.count(F.lit(1))) / _SCALE,
+                         round_digits).alias("mean_sq_err"),
+                 F.round(F.max("d6") / F.lit(float(_SCALE)),
+                         round_digits).alias("max_sq_err"))
+            .orderBy("subvector"))
+
+
+def oracle_pq_audit_sql(table: str, id_col: str, vec_col: str,
+                        m: int = 4, k_codes: int = 4, iters: int = 1,
+                        dim: int = 64, round_digits: int = 6) -> str:
+    """One prefixed k-means CTE chain per subvector (s{j}_...), each
+    over the DuckDB list slice of its dims, composed into one UNION ALL
+    rollup."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    chains, selects = [], []
+    for j in range(m):
+        p = f"s{j}_"
+        vexpr = f"({vec_col}::DOUBLE[])[{j * sub + 1}:{(j + 1) * sub}]"
+        chains.append(_kmeans_ctes(table, id_col, vec_col, k_codes,
+                                   iters, sub, prefix=p, vec_expr=vexpr))
+        sq = _duck_sqdist("e.v", "c.v", sub)
+        selects.append(f"""SELECT {j} AS subvector, code,
+       CAST(ROUND(d * {_SCALE}) AS BIGINT) AS d6 FROM (
+  SELECT e.id, c.cl AS code, {sq} AS d,
+         ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+  FROM {p}e e CROSS JOIN {p}c{iters} c)
+WHERE rn = 1""")
+        # NOTE: rn=1 keeps the same (distance, code) tie-break as
+        # Spark's array_min over (d, cl) structs.
+    union = "\n  UNION ALL\n".join(selects)
+    return f"""
+WITH {",".join(chains)},
+assigned AS (
+  {union}
+)
+SELECT subvector, COUNT(*) AS n,
+       COUNT(DISTINCT code) AS codes_used,
+       ROUND((CAST(SUM(d6) AS DOUBLE) / COUNT(*)) / {_SCALE},
+             {round_digits}) AS mean_sq_err,
+       ROUND(CAST(MAX(d6) AS DOUBLE) / {_SCALE},
+             {round_digits}) AS max_sq_err
+FROM assigned GROUP BY subvector ORDER BY subvector
 """

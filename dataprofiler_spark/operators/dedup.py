@@ -264,7 +264,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
                       threshold: float = 0.5, round_digits: int = 6,
                       max_bucket_size: int | None = None,
-                      verify_k: int | None = None) -> DataFrame:
+                      verify_k: int | None = None,
+                      cache: bool = True) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard ≥ threshold) via banded LSH.
 
     rows_per_band = num_hashes / bands; candidate recall follows the
@@ -303,7 +304,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     have ≤ k distinct shingles, because the sketches are then the full
     sets; stderr ≈ sqrt(J(1−J)/k) otherwise). Default None keeps the
     exact-Jaccard semantics; the oracle mirrors whichever rule is
-    active."""
+    active.
+
+    ``cache`` (default True) persists the wide minhash aggregate and the
+    bucket keys — the band explode and both verify joins reread them, so
+    recomputation would triple the shingle-hash scan, the hottest stage.
+    The cached frames stay until the session drops them; callers running
+    many corpora in one session should ``spark.catalog.clearCache()``
+    after materializing, or pass ``cache=False`` for a stateless
+    (slower) plan."""
     assert num_hashes % bands == 0
     from dataprofiler_spark.session import ensure_parallelism
     df = ensure_parallelism(df)
@@ -316,7 +325,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                          verify_k=verify_k)
     # The band explode and the two verify joins all read from this one
     # aggregate — persist the small intermediate.
-    wide = wide.persist()
+    if cache:
+        wide = wide.persist()
     sh = wide.select("id", "hs")
     buckets = _band_buckets(wide, num_hashes, bands)
     if max_bucket_size is not None:
@@ -325,7 +335,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                  .where(F.col("__bsz") <= max_bucket_size)
                  .select("band", "bucket"))
         buckets = buckets.join(small, ["band", "bucket"], "left_semi")
-    buckets = buckets.persist()
+    if cache:
+        buckets = buckets.persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
@@ -574,9 +585,15 @@ SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                           bits: int = SIMHASH_BITS, bands: int = 4,
                           max_hamming: int = 3,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = None,
+                          cache: bool = True) -> DataFrame:
     """Near-duplicate pairs (id1, id2, hamming ≤ max_hamming) via SimHash
     multi-index banding (Manku et al., WWW'07 shape).
+
+    ``cache`` persists the signature frame (read by the band explode and
+    the verify join); callers running many corpora in one session should
+    ``spark.catalog.clearCache()`` after materializing, or pass
+    ``cache=False``.
 
     The ``bits``-bit signature splits into ``bands`` equal slices; by
     pigeonhole, any pair within Hamming distance ``bands − 1`` agrees on
@@ -592,7 +609,9 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
 
-    sig = simhash(df, id_col, text_col, bits).persist()
+    sig = simhash(df, id_col, text_col, bits)
+    if cache:
+        sig = sig.persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

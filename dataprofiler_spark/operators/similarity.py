@@ -210,7 +210,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.95, bands: int = 4,
                             planes_per_band: int = 8, dim: int = 64,
                             round_digits: int = 6,
-                            max_bucket_size: int | None = None) -> DataFrame:
+                            max_bucket_size: int | None = None,
+                            cache: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
     the same design as ``dedup.minhash_lsh_pairs``: B independent
     plane-sets (bands), candidates = pairs sharing any (band, bucket),
@@ -224,9 +225,18 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     BEFORE the self-join (the sizing groupBy hashes on the same
     (band, bucket) key, so AQE reuses the shuffle); members can still
     pair through their other bands. Default None = no cap
-    (oracle-matched semantics)."""
+    (oracle-matched semantics).
+
+    ``cache=True`` persists the (id, vector) projection for the bucket
+    explode + two verify joins; the CALLER must release it
+    (``spark.catalog.clearCache()`` or unpersisting the source) after
+    materializing — a function-scoped persist on a lazily-returned frame
+    can never unpersist itself and leaks MEMORY_AND_DISK state across
+    repeated calls (VERDICT r4). Default off: a parquet re-scan with
+    column pruning is the cheaper, stateless plan at scale."""
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    b = b.persist()  # bucket explode + both verify joins read this once
+    if cache:
+        b = b.persist()
     buckets = embedding_band_buckets(b, "id", "v", bands=bands,
                                      planes_per_band=planes_per_band,
                                      dim=dim)

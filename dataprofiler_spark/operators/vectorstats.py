@@ -50,10 +50,14 @@ def oracle_embedding_dim_stats_sql(table: str, vec_col: str, dim: int = 64,
            f" / n / (n - 1) / ({_S} * {_S})")
     return f"""
 WITH e AS (
+  -- t.i <= len(v) mirrors Spark's posexplode: NULL / short vectors
+  -- contribute no rows past their length (COUNT would otherwise
+  -- include NULL-x rows the Spark side never sees)
   SELECT CAST(t.i - 1 AS INT) AS dim,
          CAST(({vec_col}::DOUBLE[])[CAST(t.i AS INT)] AS DOUBLE) AS x,
          {xi.replace('x *', f'CAST(({vec_col}::DOUBLE[])[CAST(t.i AS INT)] AS DOUBLE) *')} AS xi
   FROM {table} CROSS JOIN range(1, {dim + 1}) t(i)
+  WHERE {vec_col} IS NOT NULL AND t.i <= len({vec_col}::DOUBLE[])
 ), agg AS (
   SELECT dim, COUNT(*) AS n,
          SUM(CAST(xi AS DECIMAL(38,0))) AS s1,
@@ -148,8 +152,12 @@ def oracle_quantize_int8_sql(table: str, vec_col: str, dim: int = 64,
     x = f"CAST(({vec_col}::DOUBLE[])[CAST(t.i AS INT)] AS DOUBLE)"
     return f"""
 WITH e AS (
+  -- t.i <= len(v) mirrors Spark's posexplode: NULL / short vectors
+  -- contribute no rows past their length (n and mean_abs_err would
+  -- otherwise silently diverge on corpora with NULL/ragged embeddings)
   SELECT CAST(t.i - 1 AS INT) AS dim, {x} AS x
   FROM {table} CROSS JOIN range(1, {dim + 1}) t(i)
+  WHERE {vec_col} IS NOT NULL AND t.i <= len({vec_col}::DOUBLE[])
 ), rng AS (
   SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM e GROUP BY dim
 ), qe AS (

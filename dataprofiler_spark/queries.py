@@ -313,6 +313,7 @@ def word_counts_documents(spark, sf_dir):
 # Dedup suite (training-data pipeline ops; SURVEY §7.2 step 8)
 # ---------------------------------------------------------------------------
 
+from dataprofiler_spark.operators import ann_index as ai
 from dataprofiler_spark.operators import dedup as dd
 from dataprofiler_spark.operators import multimodal as mm
 from dataprofiler_spark.operators import clustering as clus
@@ -506,6 +507,58 @@ def ivf_topk_embeddings(spark, sf_dir):
     return clus.ivf_topk_det(T(spark, sf_dir, "embeddings"),
                              "vec_id", "embedding", k_clusters=8,
                              iters=2, nprobe=2, n_queries=5, k=5)
+
+
+@register("ann_index_query_embeddings",
+          ai.oracle_ann_index_query_sql("embeddings", "vec_id",
+                                        "embedding", n_centroids=8,
+                                        iters=2, nprobe=2, k=5, dim=64))
+def ann_index_query_embeddings(spark, sf_dir):
+    """END-TO-END persisted IVF index (VERDICT r4 item 5): build the
+    artifact with the DETERMINISTIC quantizer (build → parquet
+    partitioned by centroid → driver-side probe → partition-pruned
+    query), then top-5 cosine neighbours of the smallest-id vector.
+    The oracle reproduces the whole chain — centroids, assignment,
+    probe ranking, final ranking — because every decision point uses
+    the cross-engine-exact k-means algebra.
+
+    Reference parity: the reference has no ANN store; this is the
+    LLM-pipeline extension's durable-index path (SCALE.md §ANN)."""
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"dps_ann_idx_{abs(hash(sf_dir)) % 10**8}")
+    ai.ivf_build(emb, "vec_id", "embedding", path, n_centroids=8,
+                 quantizer="det", iters=2)
+    qrow = (emb.orderBy("vec_id")
+            .select("vec_id", "embedding").head())
+    return ai.ivf_query(spark, path, list(qrow["embedding"]), k=5,
+                        nprobe=2, exclude_id=qrow["vec_id"])
+
+
+@register("embedding_group_cosines",
+          clus.oracle_embedding_group_cosines_sql(
+              "embeddings", "vec_id", "embedding", "label", dim=64))
+def embedding_group_cosines(spark, sf_dir):
+    """Pairwise label-centroid cosine matrix (45 pairs over 10 labels):
+    the confusability / semantic-drift map between embedding strata.
+    One fixed-point (group, dim) aggregation; engine-exact."""
+    return clus.embedding_group_cosines(T(spark, sf_dir, "embeddings"),
+                                        "vec_id", "embedding", "label")
+
+
+@register("pq_audit_embeddings",
+          clus.oracle_pq_audit_sql("embeddings", "vec_id", "embedding",
+                                   m=4, k_codes=4, iters=1, dim=64))
+def pq_audit_embeddings(spark, sf_dir):
+    """Product-quantization reconstruction audit (Jégou et al. PQ — the
+    IVF-PQ memory layout standard at billion scale): 4 subvectors × 4
+    deterministic k-means codes, per-subvector reconstruction error +
+    dead-code count. One scan + m-way narrow explode + one m-group
+    rollup; fixed-point error sums keep both engines exact."""
+    return clus.pq_audit(T(spark, sf_dir, "embeddings"), "vec_id",
+                         "embedding", m=4, k_codes=4, iters=1, dim=64)
 
 
 @register("ivf_recall_embeddings",
@@ -1888,78 +1941,74 @@ def full_report_events(spark, sf_dir):
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation (VERDICT r3 item 4): the window is exactly the
-# registered queries WITHOUT a driver-green r3 row (the r3-green set
-# keeps its credit and is hash-checked locally by test_oracle_parity),
-# plus the queries whose semantics CHANGED this round (banded embedding
-# LSH, NULL-text quality score), plus flagship end-to-end re-checks.
-# After r4 every registered query has a driver-green row in r3 or r4.
+# Round-5 rotation (VERDICT r4 item 1): every query that has NEVER had
+# a driver row gets a slot (the whole late-r4 batch), plus this round's
+# new/changed-semantics queries, plus the flagship end-to-end re-check,
+# plus the stalest green rows (r2, then r3) to keep credit fresh. The
+# entire r4-green window keeps its credit and is hash-checked locally by
+# test_oracle_parity. After r5 every oracled query has a driver-green
+# row within r3–r5.
 _DRIVER_WINDOW = [
-    # ---- changed this round: banded LSH rewrite + NULL-score fix ----
-    "embedding_neardup_pairs",
-    "embedding_neardup_clusters",
-    "quality_rollup_documents",
-    "quality_features_documents",
-    "quality_weighted_sample_documents",
-    # ---- new round-4 operators (first driver rows) ----
-    "embedding_decontaminate_bucketed",
-    "data_mixture_source_lang",
-    "ner_spans_orders",
-    "trained_labeler_customer",
-    "av_profile_documents",
-    "split_leakage_documents",
-    # ---- new round-4 operators, second batch (first driver rows) ----
-    "kmeans_assign_embeddings",
-    "kmeans_clusters_embeddings",
-    "leakage_free_split_documents",
-    # ---- never driver-checked round-3 adds ----
-    "embedding_decontaminate_embeddings",
-    "unigram_logprob_documents",
-    "packing_stats_documents",
-    "funnel_within_events",
-    "embedding_norm_stats",
-    "corpus_curation_documents",
-    # ---- r2-green credit, rotated back in (last row two rounds ago;
-    # numeric_profile_orders ceded its slot to kmeans — its exact-mode
-    # battery is driver-covered by numeric_profile_lineitem r3 and it
-    # stays parity-checked locally) ----
-    "categorical_stats_lineitem",
-    "top_categories_orders",
-    "quantiles_extendedprice",
-    "median_mad_quantity",
-    "modes_quantity",
-    "time_bucket_events",
-    "order_profile_events_value",
-    "word_counts_documents",
-    "exact_dedup_documents",
-    "ngram_jaccard_documents",
-    "minhash_signatures_documents",
-    "minhash_lsh_pairs_documents",
-    "simhash_documents",
-    "neardup_clusters_documents",
-    "cosine_topk_embeddings",
-    "lsh_topk_embeddings",
-    "token_summary_documents",
-    "language_id_documents",
-    "fingerprints_documents",
-    "media_profile_documents",
-    # chi2_orderpriority ceded its slot to leakage_free_split — the chi²
-    # homogeneity path stays in-window via chi2_pair_lineitem and keeps
-    # its r2 driver row + local parity.
-    "psi_orderpriority",
-    "welch_t_totalprice",
-    "label_votes_customer",
-    "chi2_pair_lineitem",
-    "graph_degree_nation",
-    "graph_components_nation",
-    "null_type_indices_customer",
-    "unstructured_summary_documents",
-    # ---- flagship end-to-end re-checks (r3-green, high-value paths;
-    # cnn golden was REGENERATED this round so it must re-check;
-    # full_profile_events ceded its slot to kmeans — the composite
-    # profile oracle re-checks via full_profile_lineitem) ----
+    # ---- never driver-checked (late-r4 additions) ----
+    "outlier_counts_lineitem",
+    "minhash_lsh_pairs_bottomk",
+    "cluster_sample_embeddings",
+    "embedding_outliers_embeddings",      # also changed r5: decimal compare
+    "ivf_topk_embeddings",
+    "ivf_recall_embeddings",
+    "label_centroid_audit_embeddings",    # also changed r5: NULL/cap guard
+    "hard_negatives_embeddings",
+    "daily_psi_events",
+    "mutual_info_lineitem",
+    "ner_redact_orders",
+    "hashed_doc_vectors_documents",
+    "hashed_cosine_topk_documents",
+    "clean_sample_documents",
+    "ks_js_totalprice",
+    "quantize_int8_embeddings",           # also changed r5: oracle NULL fix
+    "decontaminate_by_benchmark_documents",
+    "pack_manifest_documents",
+    # ---- new round-5 operators (first driver rows) ----
+    "ann_index_query_embeddings",
+    "pq_audit_embeddings",
+    "embedding_group_cosines",
+    # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
+    "embedding_dim_stats",
+    # ---- flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    "cnn_labeler_customer",
+    # ---- stalest driver rows: r2 ----
+    "numeric_profile_orders",
+    "chi2_orderpriority",
+    # ---- stalest driver rows: r3 (27 of 46 — one representative per
+    # family; siblings stay past-window with local parity) ----
+    "numeric_profile_lineitem",
+    "category_counts_lineitem",
+    "row_stats_lineitem",
+    "distinct_counts_lineitem",
+    "histogram_extendedprice",
+    "datetime_profile_orders",
+    "order_profile_lineitem",
+    "text_stats_customer",
+    "type_inference_lineitem",
+    "full_profile_events",
+    "correlation_lineitem",
+    "crosstab_lineitem",
+    "validate_lineitem",
+    "precision_stats_lineitem",
+    "nullspec_customer",
+    "null_replication_orders",
+    "sessionize_events",
+    "json_props_events",
+    "rolling_avg_events",
+    "funnel_gap_events",
+    "retention_cohorts_events",
+    "asof_last_purchase_events",
+    "psi_numeric_totalprice",
+    "referential_integrity_lineitem_orders",
+    "topk_events_per_user",
+    # hash_sample_orders ceded its slot to pq_audit and
+    # rollup_events_type_day to embedding_group_cosines — both keep
+    # their r3 driver rows and local parity.
 ]
 
 

@@ -15,11 +15,18 @@ Semantics match operators/drift.py exactly where the framing allows:
   * categorical: identical smoothing ((c+1)/(n+k), k = aligned category
     count) — a micro-batch's PSI equals drift.categorical_psi(baseline,
     batch) run in batch mode (pinned by tests/test_streaming_drift.py).
-  * numeric: equal-width bins like drift.numeric_psi, but the edges are
-    frozen from the BASELINE's (min, max) — a monitor cannot re-derive
-    edges from data it hasn't seen yet; out-of-range batch values clamp
-    into the edge bins (documented deviation, the standard monitoring
-    formulation).
+  * numeric: bin edges are FROZEN from the baseline — a monitor cannot
+    re-derive edges from data it hasn't seen yet; out-of-range batch
+    values clamp into the edge bins (the standard monitoring
+    formulation). Two edge rules (``numeric_bins``):
+      - "quantile" (default): edges from the baseline's approximate
+        quantiles (percentile_approx at freeze time) — every bin holds
+        ~1/bins of the baseline mass, so one extreme baseline outlier
+        cannot collapse all the mass into a single bin the way
+        equal-width (min, max) edges do (VERDICT r4 item 7). This is
+        the standard PSI formulation for monitoring.
+      - "width": equal-width bins over the baseline (min, max),
+        bit-compatible with drift.numeric_psi's framing.
 """
 
 from __future__ import annotations
@@ -44,15 +51,23 @@ class StreamingDriftMonitor:
     def __init__(self, baseline_df: DataFrame, columns: dict[str, str],
                  bins: int = 10, max_categories: int = 10_000,
                  alert_threshold: float | None = None,
-                 sink_path: str | None = None, round_digits: int = 6):
+                 sink_path: str | None = None, round_digits: int = 6,
+                 numeric_bins: str = "quantile"):
+        if numeric_bins not in ("quantile", "width"):
+            raise ValueError(f"numeric_bins must be 'quantile' or 'width',"
+                             f" got {numeric_bins!r}")
         self.columns = dict(columns)
         self.bins = bins
+        self.numeric_bins = numeric_bins
         self.alert_threshold = alert_threshold
         self.sink_path = sink_path
         self.round_digits = round_digits
         self.log: list[dict] = []
         self._cat_counts: dict[str, list[tuple[str | None, int]]] = {}
-        self._num_state: dict[str, tuple[float, float, list[tuple[int, int]]]] = {}
+        # col -> (edges, bin-count list); edges are the frozen interior
+        # cut points, bucket = #edges strictly below x (clamped by
+        # construction to 0..len(edges)).
+        self._num_state: dict[str, tuple[list[float], list[tuple[int, int]]]] = {}
         for col, kind in self.columns.items():
             if kind == "categorical":
                 rows = (baseline_df
@@ -66,24 +81,50 @@ class StreamingDriftMonitor:
                         "instead of a high-cardinality key")
                 self._cat_counts[col] = [(r["value"], r["cnt"]) for r in rows]
             elif kind == "numeric":
-                mm = baseline_df.agg(
-                    F.min(F.col(col).cast("double")).alias("lo"),
-                    F.max(F.col(col).cast("double")).alias("hi")).collect()[0]
-                lo, hi = float(mm["lo"]), float(mm["hi"])
+                if self.numeric_bins == "quantile":
+                    qs = [i / self.bins for i in range(1, self.bins)]
+                    row = baseline_df.agg(F.percentile_approx(
+                        F.col(col).cast("double"), qs, 10_000)
+                        .alias("e")).collect()[0]
+                    # dedupe: a heavy point mass yields repeated cut
+                    # points; repeated edges would mint empty bins that
+                    # only add smoothing noise.
+                    edges, seen = [], set()
+                    for e in (row["e"] or []):
+                        if e is not None and e not in seen:
+                            seen.add(e)
+                            edges.append(float(e))
+                    edges.sort()
+                else:
+                    mm = baseline_df.agg(
+                        F.min(F.col(col).cast("double")).alias("lo"),
+                        F.max(F.col(col).cast("double")).alias("hi")
+                    ).collect()[0]
+                    lo, hi = float(mm["lo"]), float(mm["hi"])
+                    w = (hi - lo) / float(self.bins) or 1.0
+                    edges = [lo + w * i for i in range(1, self.bins)]
                 counts = (baseline_df.where(F.col(col).isNotNull())
-                          .groupBy(self._bucket_expr(col, lo, hi)
+                          .groupBy(self._bucket_expr(col, edges)
                                    .alias("bucket"))
                           .agg(F.count(F.lit(1)).alias("cnt")).collect())
                 self._num_state[col] = (
-                    lo, hi, [(r["bucket"], r["cnt"]) for r in counts])
+                    edges, [(r["bucket"], r["cnt"]) for r in counts])
             else:
                 raise ValueError(f"unknown kind {kind!r} for column {col!r}")
 
-    def _bucket_expr(self, col: str, lo: float, hi: float):
-        w = (hi - lo) / float(self.bins) or 1.0
-        return F.least(F.greatest(
-            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
-            .cast("int"), F.lit(0)), F.lit(self.bins - 1))
+    def _bucket_expr(self, col: str, edges: list[float]):
+        """bucket = #frozen edges at or below x — monotone, clamps out-of-
+        range values into the first/last bin, and works for BOTH edge
+        rules (width mode's edges are the equal-width interior cuts, so
+        this reproduces the floor((x-lo)/w) bucket for in-range x)."""
+        x = F.col(col).cast("double")
+        if not edges:
+            return F.lit(0).cast("int")
+        return F.aggregate(
+            F.array(*[F.lit(e) for e in edges]),
+            F.lit(0),
+            lambda acc, e: acc + F.when(x >= e, 1).otherwise(0),
+        ).cast("int")
 
     # -- per-batch scoring ---------------------------------------------------
 
@@ -106,19 +147,20 @@ class StreamingDriftMonitor:
         return row["psi"]
 
     def _psi_numeric(self, batch_df: DataFrame, col: str) -> float | None:
-        lo, hi, base_counts = self._num_state[col]
+        edges, base_counts = self._num_state[col]
+        n_bins = len(edges) + 1
         batch = {r["bucket"]: r["cnt"] for r in
                  (batch_df.where(F.col(col).isNotNull())
-                  .groupBy(self._bucket_expr(col, lo, hi).alias("bucket"))
+                  .groupBy(self._bucket_expr(col, edges).alias("bucket"))
                   .agg(F.count(F.lit(1)).alias("cnt")).collect())}
         base = dict(base_counts)
         na, nb = sum(base.values()), sum(batch.values())
         if nb == 0:
             return None
         psi = 0.0
-        for bucket in set(base) | set(batch):
-            pa = (base.get(bucket, 0) + 1) / (na + self.bins)
-            pb = (batch.get(bucket, 0) + 1) / (nb + self.bins)
+        for bucket in range(n_bins):
+            pa = (base.get(bucket, 0) + 1) / (na + n_bins)
+            pb = (batch.get(bucket, 0) + 1) / (nb + n_bins)
             psi += (pb - pa) * math.log(pb / pa)
         return round(psi, self.round_digits)
 

