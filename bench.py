@@ -209,6 +209,14 @@ def build_runners(spark, sf_dir):
         lambda: clus.ivf_recall(embeddings, "vec_id", "embedding",
                                 k_clusters=8, iters=2, nprobe=2,
                                 n_queries=5, k=5).collect())
+    add("embedding", "ivf_pq_topk_embeddings",
+        lambda: clus.ivf_pq_topk(embeddings, "vec_id", "embedding",
+                                 k_clusters=4, iters=1, m=4, k_codes=4,
+                                 pq_iters=1, nprobe=2, n_queries=5,
+                                 k=5, dim=64).collect())
+    add("embedding", "pq_audit_embeddings",
+        lambda: clus.pq_audit(embeddings, "vec_id", "embedding", m=4,
+                              k_codes=4, iters=1, dim=64).collect())
 
     # ---- labeler group ----
     def _trainable_fit():

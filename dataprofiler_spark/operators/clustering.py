@@ -822,6 +822,199 @@ def pq_audit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
             .orderBy("subvector"))
 
 
+def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
+                k_clusters: int = 4, iters: int = 1, m: int = 4,
+                k_codes: int = 4, pq_iters: int = 1, nprobe: int = 2,
+                n_queries: int = 5, k: int = 5,
+                dim: int = 64) -> DataFrame:
+    """IVF-PQ approximate nearest-neighbour search (Jégou et al.
+    TPAMI'11; the FAISS IndexIVFPQ layout, public knowledge): the IVF
+    coarse quantizer prunes to ``nprobe`` cells, then candidates rank
+    by ASYMMETRIC DISTANCE (ADC) — the sum over subvectors of the
+    query-to-codeword distance of each candidate's PQ code — instead of
+    touching the raw vectors. At billion scale this is why the index
+    fits in memory: a candidate costs m table lookups, not a dim-wide
+    dot product.
+
+    PQ here encodes raw vectors (FAISS ``by_residual=False``); residual
+    encoding is the quality upgrade at the cost of coupling the
+    codebooks to the coarse cells — documented trade, not implemented.
+
+    Determinism/oracle: both quantizers are this module's fixed-point
+    k-means; the per-query distance tables are rounded to 1e6
+    fixed-point LONGS, so the ADC sum is integer addition —
+    order-independent and bit-identical across engines. Ties rank by
+    (approx_d, vec_id).
+
+    Plan: coarse assign + per-subvector code assign are ONE
+    broadcast-literal scan (zero shuffle); the n_queries × nprobe probe
+    frame broadcasts into the candidate join; per-query top-k is a
+    window over n_queries bounded partitions. In a persisted layout the
+    codes come from parquet (ann_index-style) and the scan reads m
+    bytes per row instead of the vector column.
+
+    Output: (query_id, rank, vec_id, approx_d, cell).
+    """
+    from pyspark.sql.window import Window
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    coarse = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
+    books = pq_fit(df, id_col, vec_col, m, k_codes, pq_iters, dim)
+
+    # one scan: cell + m codes per vector, all broadcast-literal argmins
+    code_cols = []
+    for j, book in enumerate(books):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cands = F.array(*[
+            F.struct(_sqdist(sl, F.array(*[F.lit(w) for w in c]))
+                     .alias("d"), F.lit(i).alias("cl"))
+            for i, c in enumerate(book)])
+        code_cols.append(F.array_min(cands)["cl"].cast("int")
+                         .alias(f"code{j}"))
+    encoded = df.select(
+        F.col(id_col).alias("vec_id"),
+        _assign_expr(F.col(vec_col), coarse).cast("int").alias("cell"),
+        *code_cols)
+
+    # driver-side: query vectors (n_queries smallest ids), their probe
+    # cells, and their fixed-point ADC tables dt6[j][code]
+    qrows = (df.orderBy(F.col(id_col)).limit(n_queries)
+             .select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).cast("array<double>").alias("qv"))
+             .collect())
+
+    def _sq(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_rows = []
+    tables: dict[int, list[list[int]]] = {}
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        ranked = sorted(range(k_clusters),
+                        key=lambda c: (_sq(qv, coarse[c]), c))
+        for c in ranked[:nprobe]:
+            probe_rows.append((r["qid"], c))
+        tables[r["qid"]] = [
+            [int(round(_sq(qv[j * sub:(j + 1) * sub], code) * _SCALE))
+             for code in book]
+            for j, book in enumerate(books)]
+
+    spark = df.sparkSession
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, "qid long, cell int"))
+
+    # ADC: per query a CASE over qid selects its table; each subvector
+    # contributes element_at(literal array, code+1) — integer adds only
+    def adc_expr():
+        total = None
+        for j in range(m):
+            branch = None
+            for qid, dt in tables.items():
+                arr = F.array(*[F.lit(v) for v in dt[j]])
+                term = F.when(F.col("qid") == qid,
+                              F.element_at(arr, F.col(f"code{j}") + 1))
+                branch = term if branch is None else branch.when(
+                    F.col("qid") == qid,
+                    F.element_at(arr, F.col(f"code{j}") + 1))
+            total = branch if total is None else total + branch
+        return total
+
+    scored = (encoded.join(probes, "cell")
+              .where(F.col("vec_id") != F.col("qid"))
+              .select(F.col("qid").alias("query_id"), "vec_id", "cell",
+                      adc_expr().alias("d6")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d6"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round(F.col("d6") / F.lit(float(_SCALE)), 6)
+                    .alias("approx_d"), "cell"))
+
+
+def oracle_ivf_pq_topk_sql(table: str, id_col: str, vec_col: str,
+                           k_clusters: int = 4, iters: int = 1,
+                           m: int = 4, k_codes: int = 4,
+                           pq_iters: int = 1, nprobe: int = 2,
+                           n_queries: int = 5, k: int = 5,
+                           dim: int = 64) -> str:
+    """Coarse chain (prefix cv_) + one PQ chain per subvector (s{j}_)
+    + SQL-side probe ranking and fixed-point ADC tables — every stage
+    re-derived from the raw table with the same integer algebra."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    chains = [_kmeans_ctes(table, id_col, vec_col, k_clusters, iters,
+                           dim, prefix="cv_")]
+    for j in range(m):
+        vexpr = f"({vec_col}::DOUBLE[])[{j * sub + 1}:{(j + 1) * sub}]"
+        chains.append(_kmeans_ctes(table, id_col, vec_col, k_codes,
+                                   pq_iters, sub, prefix=f"s{j}_",
+                                   vec_expr=vexpr))
+    sq_cell = _duck_sqdist("e.v", "c.v", dim)
+    sq_sub = _duck_sqdist("e.v", "c.v", sub)
+    code_ctes = [f"""cells AS (
+  SELECT id, cl::INT AS cell FROM (
+    SELECT e.id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id
+                              ORDER BY {sq_cell}, c.cl) AS rn
+    FROM cv_e e CROSS JOIN cv_c{iters} c)
+  WHERE rn = 1)"""]
+    for j in range(m):
+        code_ctes.append(f"""code{j} AS (
+  SELECT id, cl::INT AS code FROM (
+    SELECT e.id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id
+                              ORDER BY {sq_sub}, c.cl) AS rn
+    FROM s{j}_e e CROSS JOIN s{j}_c{pq_iters} c)
+  WHERE rn = 1)""")
+    sq_q = _duck_sqdist("q.qv", "c.v", dim)
+    sq_qsub = ("list_sum(list_transform(generate_series(1, {d}), "
+               "i -> (q.qv[{o} + i] - c.v[i]) * (q.qv[{o} + i] - c.v[i])))")
+    dt_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT q.qid, {j} AS sv, c.cl AS code,
+         CAST(ROUND(({sq_qsub.format(d=sub, o=j * sub)}) * {_SCALE})
+              AS BIGINT) AS d6
+  FROM q CROSS JOIN s{j}_c{pq_iters} c"""
+        for j in range(m))
+    return f"""
+WITH {",".join(chains)},
+{",".join(code_ctes)},
+q AS (SELECT id AS qid, v AS qv FROM cv_e ORDER BY id LIMIT {n_queries}),
+probes AS (
+  SELECT qid, cl::INT AS cell FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {sq_q}, c.cl) AS rn
+    FROM q CROSS JOIN cv_c{iters} c)
+  WHERE rn <= {nprobe}
+),
+dt AS (
+{dt_selects}
+),
+scored AS (
+  SELECT p.qid AS query_id, cells.id AS vec_id, cells.cell,
+         SUM(dt.d6) AS d6
+  FROM probes p
+  JOIN cells ON cells.cell = p.cell
+  {" ".join(f"JOIN code{j} ON code{j}.id = cells.id" for j in range(m))}
+  JOIN dt ON dt.qid = p.qid
+  WHERE cells.id <> p.qid
+    AND ({" OR ".join(f"(dt.sv = {j} AND dt.code = code{j}.code)"
+                      for j in range(m))})
+  GROUP BY p.qid, cells.id, cells.cell
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       ROUND(CAST(d6 AS DOUBLE) / {_SCALE}, 6) AS approx_d, cell FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d6, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def oracle_pq_audit_sql(table: str, id_col: str, vec_col: str,
                         m: int = 4, k_codes: int = 4, iters: int = 1,
                         dim: int = 64, round_digits: int = 6) -> str:

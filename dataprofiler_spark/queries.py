@@ -561,6 +561,24 @@ def pq_audit_embeddings(spark, sf_dir):
                          "embedding", m=4, k_codes=4, iters=1, dim=64)
 
 
+@register("ivf_pq_topk_embeddings",
+          clus.oracle_ivf_pq_topk_sql("embeddings", "vec_id",
+                                      "embedding", k_clusters=4,
+                                      iters=1, m=4, k_codes=4,
+                                      pq_iters=1, nprobe=2, n_queries=5,
+                                      k=5, dim=64))
+def ivf_pq_topk_embeddings(spark, sf_dir):
+    """IVF-PQ ANN search (asymmetric-distance scoring over PQ codes —
+    the FAISS IndexIVFPQ layout): coarse cells prune, candidates rank
+    by fixed-point ADC table lookups instead of raw dot products.
+    Both quantizers are the deterministic k-means, so the oracle
+    re-derives every code and table bit-for-bit."""
+    return clus.ivf_pq_topk(T(spark, sf_dir, "embeddings"), "vec_id",
+                            "embedding", k_clusters=4, iters=1, m=4,
+                            k_codes=4, pq_iters=1, nprobe=2,
+                            n_queries=5, k=5, dim=64)
+
+
 @register("ivf_recall_embeddings",
           clus.oracle_ivf_recall_sql("embeddings", "vec_id", "embedding",
                                      k_clusters=8, iters=2, nprobe=2,
@@ -1972,6 +1990,7 @@ _DRIVER_WINDOW = [
     "ann_index_query_embeddings",
     "pq_audit_embeddings",
     "embedding_group_cosines",
+    "ivf_pq_topk_embeddings",
     # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
     "embedding_dim_stats",
     # ---- flagship end-to-end re-check (every round) ----
@@ -2000,7 +2019,8 @@ _DRIVER_WINDOW = [
     "sessionize_events",
     "json_props_events",
     "rolling_avg_events",
-    "funnel_gap_events",
+    # funnel_gap_events ceded its slot to ivf_pq_topk — the funnel
+    # family keeps funnel_within_events' r4 row + local parity.
     "retention_cohorts_events",
     "asof_last_purchase_events",
     "psi_numeric_totalprice",

@@ -329,6 +329,45 @@ def test_pq_audit_single_scan_explode(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_ivf_pq_topk_semantics(spark):
+    """On two well-separated blobs, every query's ADC top-k stays in
+    its own blob (coarse pruning + code distances both respect the
+    separation), ranks are 1..k, approx_d non-decreasing."""
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + (i % 7) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = cl.ivf_pq_topk(df, "id", "v", k_clusters=2, iters=2, m=2,
+                         k_codes=2, pq_iters=1, nprobe=1, n_queries=4,
+                         k=5, dim=4).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i]["approx_d"] <= rs[i + 1]["approx_d"]
+                   for i in range(len(rs) - 1))
+        # same-blob neighbours only
+        assert all(r["vec_id"] % 2 == q % 2 for r in rs)
+
+
+def test_ivf_pq_probe_join_is_broadcast(spark, sf_dir):
+    """The candidate join must broadcast the tiny probe frame — the
+    corpus side never shuffles for the join."""
+    import os as _os
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    out = cl.ivf_pq_topk(emb, "vec_id", "embedding", k_clusters=4,
+                         iters=1, m=4, k_codes=2, pq_iters=1, nprobe=2,
+                         n_queries=3, k=3)
+    plan = _executed(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_hard_negatives_exclude_own_label(spark, sf_dir):
     """Every mined negative carries a label different from its query's,
     ranks are 1..k per query, and cosines are non-increasing."""
