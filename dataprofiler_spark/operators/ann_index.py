@@ -42,8 +42,16 @@ from pyspark.sql import functions as F
 def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
               n_centroids: int = 16, fit_fraction: float | None = None,
               seed: int = 42, quantizer: str = "det",
-              iters: int = 2) -> dict:
-    """Fit + assign + write the index; returns the metadata dict."""
+              iters: int = 2, pq_m: int | None = None,
+              pq_codes: int = 16, pq_iters: int = 1) -> dict:
+    """Fit + assign + write the index; returns the metadata dict.
+
+    ``pq_m`` (det quantizer only) additionally fits ``pq_m`` product-
+    quantization codebooks (clustering.pq_fit) and stores each vector's
+    m codes in the vectors table plus the codebooks in
+    ``_pq_codebooks.json`` — the durable IVF-PQ layout ivf_query_adc
+    serves from without ever reading the vector column."""
+    pq_books = None
     if quantizer == "det":
         from dataprofiler_spark.operators import clustering as cl
         from dataprofiler_spark.operators.sampling import hash_sample
@@ -52,12 +60,31 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
                   if fit_fraction else df)
         centers_list = cl.kmeans_fit(fit_on, id_col, vec_col,
                                      k=n_centroids, iters=iters)
-        assigned = df.select(
+        cols = [
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("embedding"),
             cl._assign_expr(F.col(vec_col), centers_list).cast("int")
-            .alias("centroid"))
+            .alias("centroid")]
+        if pq_m is not None:
+            dim = len(centers_list[0])
+            sub = dim // pq_m
+            pq_books = cl.pq_fit(fit_on, id_col, vec_col, m=pq_m,
+                                 k_codes=pq_codes, iters=pq_iters,
+                                 dim=dim)
+            for j, book in enumerate(pq_books):
+                sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+                cands = F.array(*[
+                    F.struct(cl._sqdist(sl, F.array(*[F.lit(w)
+                                                      for w in c]))
+                             .alias("d"), F.lit(i).alias("cl"))
+                    for i, c in enumerate(book)])
+                cols.append(F.array_min(cands)["cl"].cast("int")
+                            .alias(f"code{j}"))
+        assigned = df.select(*cols)
     elif quantizer == "mllib":
+        if pq_m is not None:
+            raise ValueError("pq_m requires quantizer='det' (the PQ "
+                             "codebooks reuse the deterministic k-means)")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -90,9 +117,14 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
     dim = len(centers[0][1]) if centers else 0
     meta = {"n_centroids": n_centroids, "dim": dim, "metric": "cosine",
             "seed": seed, "fit_fraction": fit_fraction,
-            "quantizer": quantizer, "iters": iters}
+            "quantizer": quantizer, "iters": iters,
+            "pq_m": pq_m, "pq_codes": pq_codes if pq_m else None,
+            "pq_iters": pq_iters if pq_m else None}
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
+    if pq_books is not None:
+        with open(os.path.join(path, "_pq_codebooks.json"), "w") as f:
+            json.dump(pq_books, f)
     return meta
 
 
@@ -136,6 +168,62 @@ def ivf_query(spark: SparkSession, path: str, query_vec: list[float],
         F.round(cosine_expr(F.col("embedding"), q), 6).alias("cosine"))
     return (ranked_topk(scored, [F.desc("cosine"), F.asc("vec_id")], k)
             .select("rank", "vec_id", "cosine"))
+
+
+def ivf_query_adc(spark: SparkSession, path: str,
+                  query_vec: list[float], k: int = 10, nprobe: int = 2,
+                  exclude_id: int | None = None) -> DataFrame:
+    """(rank, vec_id, approx_d) via asymmetric-distance scoring over the
+    STORED PQ codes — the serving path that never reads the vector
+    column: the pruned scan touches (id, centroid, code0..m) only
+    (ReadSchema-asserted in tests), and each candidate costs m integer
+    table lookups.
+
+    Ranking semantics == clustering.ivf_pq_topk: probe cells by squared
+    distance (tie → lowest centroid), ADC tables in 1e6 fixed-point
+    longs, ties by (d6, id). Requires an index built with
+    ``ivf_build(pq_m=...)``."""
+    from dataprofiler_spark.operators.clustering import _SCALE
+    from dataprofiler_spark.operators.topk import ranked_topk
+
+    meta = ivf_meta(path)
+    if not meta.get("pq_m"):
+        raise ValueError(f"index at {path} was built without pq_m — "
+                         "rebuild with ivf_build(..., pq_m=m)")
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        books = json.load(f)
+    m = meta["pq_m"]
+    sub = meta["dim"] // m
+    qv = [float(x) for x in query_vec]
+
+    def _sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cent_rows = spark.read.parquet(
+        os.path.join(path, "centroids")).collect()
+    ranked = sorted(cent_rows,
+                    key=lambda r: (_sq(qv, list(r["center"])),
+                                   r["centroid"]))
+    probe = [r["centroid"] for r in ranked[:nprobe]]
+    dt6 = [[int(round(_sq(qv[j * sub:(j + 1) * sub], code) * _SCALE))
+            for code in book] for j, book in enumerate(books)]
+
+    cols = ["id", "centroid"] + [f"code{j}" for j in range(m)]
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).select(*cols)
+    cand = vecs.where(F.col("centroid").isin(probe))
+    if exclude_id is not None:
+        cand = cand.where(F.col("id") != exclude_id)
+    total = None
+    for j in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in dt6[j]]),
+                            F.col(f"code{j}") + 1)
+        total = term if total is None else total + term
+    scored = cand.select(F.col("id").alias("vec_id"),
+                         total.alias("d6"))
+    return (ranked_topk(scored, [F.asc("d6"), F.asc("vec_id")], k)
+            .select("rank", "vec_id",
+                    F.round(F.col("d6") / F.lit(float(_SCALE)), 6)
+                    .alias("approx_d")))
 
 
 def ivf_meta(path: str) -> dict:

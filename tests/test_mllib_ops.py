@@ -183,6 +183,46 @@ def test_ivf_build_quantizer_variants(spark, sf_dir, tmp_path):
                      quantizer="hnsw")
 
 
+def test_ivf_pq_persisted_matches_inline(spark, sf_dir, tmp_path):
+    """The durable IVF-PQ path (ivf_build(pq_m=..) + ivf_query_adc) must
+    reproduce clustering.ivf_pq_topk's ranking exactly for the same
+    settings — same coarse cells, same codebooks, same fixed-point ADC
+    tables — and its pruned scan must never read the vector column."""
+    from dataprofiler_spark.operators import ann_index as ai
+    from dataprofiler_spark.operators import clustering as cl
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "ivfpq")
+    meta = ai.ivf_build(emb, "vec_id", "embedding", path, n_centroids=4,
+                        quantizer="det", iters=1, pq_m=4, pq_codes=4,
+                        pq_iters=1)
+    assert meta["pq_m"] == 4
+
+    inline = cl.ivf_pq_topk(emb, "vec_id", "embedding", k_clusters=4,
+                            iters=1, m=4, k_codes=4, pq_iters=1,
+                            nprobe=2, n_queries=1, k=5, dim=64).collect()
+    qid = inline[0]["query_id"]
+    qrow = emb.where(F.col("vec_id") == qid).head()
+    out = ai.ivf_query_adc(spark, path, list(qrow["embedding"]), k=5,
+                           nprobe=2, exclude_id=qid)
+    persisted = out.collect()
+    assert ([(r["rank"], r["vec_id"], r["approx_d"]) for r in persisted]
+            == [(r["rank"], r["vec_id"], r["approx_d"]) for r in inline])
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "centroid" in plan, plan
+    # the serving scan reads codes, never the stored fp32 vectors
+    assert "embedding" not in plan.split("ReadSchema")[1][:200], plan
+
+    # unbuilt-PQ index refuses ADC queries loudly
+    plain = str(tmp_path / "plain")
+    ai.ivf_build(emb, "vec_id", "embedding", plain, n_centroids=4,
+                 quantizer="det", iters=1)
+    with pytest.raises(ValueError, match="pq_m"):
+        ai.ivf_query_adc(spark, plain, list(qrow["embedding"]))
+
+
 def test_embedding_decontaminate_semantics(spark, sf_dir):
     """Benchmark members flag themselves (self-cosine 1.0); an empty
     benchmark fails open (nothing contaminated, NULL max); and the
