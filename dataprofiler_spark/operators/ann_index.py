@@ -56,6 +56,8 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
         from dataprofiler_spark.operators import clustering as cl
         from dataprofiler_spark.operators.sampling import hash_sample
 
+        # NULL vectors have no cell — same rule as the clustering ops
+        df = df.where(F.col(vec_col).isNotNull())
         fit_on = (hash_sample(df, id_col, fit_fraction)
                   if fit_fraction else df)
         centers_list = cl.kmeans_fit(fit_on, id_col, vec_col,

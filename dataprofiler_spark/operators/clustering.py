@@ -107,6 +107,7 @@ def _update_centroids(assigned: DataFrame, prev: list[list[float]]
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
                iters: int = 2) -> list[list[float]]:
     """Run ``iters`` Lloyd rounds; return the final centroids."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
     cents = _init_centroids(base, k)
@@ -121,6 +122,7 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
                   iters: int = 2) -> DataFrame:
     """(id, cluster) under the final centroids — one broadcast-literal
     scan, zero shuffles in the output plan."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
     return df.select(
         F.col(id_col).alias(id_col),
@@ -133,6 +135,7 @@ def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
     """Per-cluster rollup: (cluster, n_vectors, avg_sqdist) where
     avg_sqdist is the mean squared distance to the final centroid —
     the per-cluster inertia a mixture designer reads for compactness."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
     structs = [
         F.struct(
@@ -178,7 +181,10 @@ def _kmeans_ctes(table: str, id_col: str, vec_col: str, k: int,
     sq = _duck_sqdist("e.v", "c.v", dim)
     ve = vec_expr if vec_expr is not None else f"{vec_col}::DOUBLE[]"
     ctes = [
-        f"{p}e AS (SELECT {id_col} AS id, {ve} AS v FROM {table})",
+        # NULL vectors excluded on BOTH engines (Spark operators filter
+        # isNotNull at entry) — a NULL vector has no cell.
+        f"{p}e AS (SELECT {id_col} AS id, {ve} AS v FROM {table}"
+        f" WHERE {ve} IS NOT NULL)",
         f"""{p}c0 AS (
   SELECT (ROW_NUMBER() OVER (ORDER BY id) - 1)::INT AS cl, v
   FROM (SELECT id, v FROM {p}e ORDER BY id LIMIT {k}))""",
@@ -266,6 +272,7 @@ def ivf_topk_det(df: DataFrame, id_col: str, vec_col: str,
 
     Output: (query_id, rank, vec_id, cosine, cell).
     """
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     from pyspark.sql.window import Window
 
     from dataprofiler_spark.operators.similarity import cosine_expr
@@ -362,6 +369,7 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
     outlier boundary cannot flip between engines.
 
     Output: (id, cluster, outlier)."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
     structs = [
         F.struct(_sqdist(F.col(vec_col), F.array(*[F.lit(w) for w in c]))
@@ -426,6 +434,7 @@ def cluster_sample(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
     Plan: the shuffle-free assignment scan + ONE partitionBy(cluster)
     window over at most k partitions of ranked hashes — never a global
     sort. Output: (id, cluster, rk)."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     from pyspark.sql.window import Window
 
     assigned = kmeans_assign(df, id_col, vec_col, k, iters)
@@ -483,6 +492,7 @@ def ivf_recall(df: DataFrame, id_col: str, vec_col: str,
 
     Output: (query_id, n_hits, recall) with recall = |IVF ∩ exact| / k.
     """
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     from pyspark.sql.window import Window
 
     from dataprofiler_spark.operators.similarity import cosine_expr
@@ -766,6 +776,7 @@ def pq_fit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
     slice — at 100 TB run them concurrently (independent jobs over the
     same cached projection); driver state is O(m · k_codes · dim/m) =
     O(k_codes · dim), same as one full k-means."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
@@ -796,6 +807,7 @@ def pq_audit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
     exactly (same algebra as kmeans_summary).
 
     Output: (subvector, n, codes_used, mean_sq_err, max_sq_err)."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     books = pq_fit(df, id_col, vec_col, m, k_codes, iters, dim)
     sub = dim // m
     structs = []
@@ -855,6 +867,7 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
 
     Output: (query_id, rank, vec_id, approx_d, cell).
     """
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     from pyspark.sql.window import Window
 
     if dim % m != 0:

@@ -122,7 +122,17 @@ def rolling_avg(df: DataFrame, order_col: str = "event_id",
     db = F.lit(0)  # dense bucket id; lit(0) = single bucket fallback
     max_db = 0
     row = base.agg(F.min(F.col("oid").cast("double")).alias("lo"),
-                   F.max(F.col("oid").cast("double")).alias("hi")).first()
+                   F.max(F.col("oid").cast("double")).alias("hi"),
+                   F.count(F.lit(1)).alias("n_all"),
+                   F.count("oid").alias("n_oid")).first()
+    if row["n_oid"] != row["n_all"]:
+        # A NULL order key has no place in a trailing-frame order: the
+        # bucket map would crash (None vs int sort) and engines order
+        # NULLs differently — refuse loudly instead of diverging.
+        raise ValueError(
+            f"rolling_avg: {row['n_all'] - row['n_oid']} NULL values in "
+            f"order column {order_col!r}; filter them (or fill a "
+            "deterministic key) before windowing")
     lo, hi = row["lo"], row["hi"]
     if lo is not None and lo != hi and num_buckets > 1:
         cand = F.width_bucket(F.col("oid").cast("double"), F.lit(lo),

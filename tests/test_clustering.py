@@ -296,6 +296,24 @@ def test_embedding_group_cosines_semantics(spark):
         cl.MAX_AUDIT_LABELS = old
 
 
+def test_null_vectors_excluded_everywhere(spark):
+    """A NULL embedding has no cell: fit ignores it, assignment drops
+    the row, and the summary counts only real vectors — uniformly
+    across the k-means family (matching the oracles' WHERE v IS NOT
+    NULL)."""
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(10)]
+    clean = spark.createDataFrame(rows, "id long, v array<double>")
+    dirty = clean.union(spark.createDataFrame(
+        [(100, None), (101, None)], "id long, v array<double>"))
+    assert (cl.kmeans_fit(dirty, "id", "v", k=2, iters=2)
+            == cl.kmeans_fit(clean, "id", "v", k=2, iters=2))
+    assert cl.kmeans_assign(dirty, "id", "v", k=2, iters=2).count() == 10
+    out = cl.kmeans_summary(dirty, "id", "v", k=2, iters=2).collect()
+    assert sum(r["n_vectors"] for r in out) == 10
+    assert cl.pq_audit(dirty, "id", "v", m=2, k_codes=2, iters=1,
+                       dim=2).collect()[0]["n"] == 10
+
+
 def test_pq_audit_semantics(spark):
     """Perfectly code-book-representable data reconstructs exactly:
     vectors drawn from k_codes distinct subvector patterns give zero
