@@ -314,6 +314,7 @@ def word_counts_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from dataprofiler_spark.operators import ann_index as ai
+from dataprofiler_spark.operators import nbclassify as nbc
 from dataprofiler_spark.operators import dedup as dd
 from dataprofiler_spark.operators import multimodal as mm
 from dataprofiler_spark.operators import clustering as clus
@@ -535,6 +536,20 @@ def ann_index_query_embeddings(spark, sf_dir):
             .select("vec_id", "embedding").head())
     return ai.ivf_query(spark, path, list(qrow["embedding"]), k=5,
                         nprobe=2, exclude_id=qrow["vec_id"])
+
+
+@register("nb_source_confusion_documents",
+          nbc.oracle_nb_confusion_sql("documents", "doc_id", "text",
+                                      "source", vocab_cap=30))
+def nb_source_confusion_documents(spark, sf_dir):
+    """Closed-form Naive-Bayes domain classifier (the fastText-style
+    source/quality classifier of web-corpus pipelines, made
+    oracle-exact): fit on (text, source), self-score, report the
+    confusion matrix. vocab_cap=30 exercises the frequency cutoff AND
+    the out-of-vocabulary smoothing path on this corpus. Fixed-point
+    log-likelihood sums keep fit and argmax bit-identical in DuckDB."""
+    return nbc.nb_confusion(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", "source", vocab_cap=30)
 
 
 @register("embedding_group_cosines",
@@ -1991,6 +2006,7 @@ _DRIVER_WINDOW = [
     "pq_audit_embeddings",
     "embedding_group_cosines",
     "ivf_pq_topk_embeddings",
+    "nb_source_confusion_documents",
     # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
     "embedding_dim_stats",
     # ---- flagship end-to-end re-check (every round) ----
@@ -2017,7 +2033,8 @@ _DRIVER_WINDOW = [
     "nullspec_customer",
     "null_replication_orders",
     "sessionize_events",
-    "json_props_events",
+    # json_props_events ceded its slot to nb_source_confusion — it
+    # keeps its r3 driver row and local parity.
     "rolling_avg_events",
     # funnel_gap_events ceded its slot to ivf_pq_topk — the funnel
     # family keeps funnel_within_events' r4 row + local parity.
