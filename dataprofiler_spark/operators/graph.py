@@ -110,6 +110,94 @@ def component_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def pagerank(edges: DataFrame, src: str, dst: str, iters: int = 3,
+             damp_num: int = 85, damp_den: int = 100,
+             round_digits: int = 9) -> DataFrame:
+    """PageRank over a directed edge list (Brin & Page '98 — public
+    knowledge) — the node-importance signal a data-curation pipeline
+    uses to weight web-graph domains, extended beyond the reference's
+    degree/component stats.
+
+    Each iteration is ONE join (ranks onto out-edges) + ONE groupBy(dst)
+    of integer partial sums + a LEFT join back onto the node set —
+    the standard distributed PageRank plan; the loop runs driver-side
+    with O(1) state.
+
+    Cross-engine exactness: ranks live in 1e9 fixed-point integers;
+    every step is integer arithmetic — init = 1e9 // N, per-edge share
+    = rank // out_degree (truncating div), update = base +
+    (damp_num · Σ shares) // damp_den with base = (1e9 ·
+    (damp_den − damp_num)) // (damp_den · N). Integer sums are
+    order-independent, so Spark's partial aggregation and a sequential
+    SQL engine produce the SAME rank at every iteration. Truncation
+    mass loss (the classic integer-PageRank trade) is identical on
+    both engines, and dangling-node mass is dropped (documented).
+
+    Output: (node, rank) with rank = rank9 / 1e9, rounded."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+    r0 = 10**9 // n
+    base = (10**9 * (damp_den - damp_num)) // (damp_den * n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        shares = (e.join(ranks, e.src == ranks.node)
+                  .join(outdeg, "src")
+                  .select(F.col("dst").alias("node"),
+                          F.expr("r div od").alias("share")))
+        contrib = shares.groupBy("node").agg(F.sum("share").alias("s"))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({damp_num} * coalesce(s, 0))"
+                                   f" div {damp_den}"))
+                         .cast("long").alias("r")))
+        ranks = ranks.localCheckpoint()  # truncate growing lineage
+    return ranks.select("node",
+                        F.round(F.col("r") / F.lit(1e9), round_digits)
+                        .alias("rank"))
+
+
+def oracle_pagerank_sql(table: str, src: str, dst: str, iters: int = 3,
+                        damp_num: int = 85, damp_den: int = 100,
+                        round_digits: int = 9) -> str:
+    """Unrolled iterations as CTEs — same integer algebra."""
+    ctes = [f"""e AS (
+  SELECT {src} AS src, {dst} AS dst FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL)""",
+            """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+            "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+            "outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+            """r0 AS (
+  SELECT node, CAST(1000000000::BIGINT // n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn)"""]
+    base = (f"CAST(1000000000::BIGINT * {damp_den - damp_num} "
+            f"// ({damp_den} * n) AS BIGINT)")
+    for t in range(1, iters + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT n.node,
+         {base} + CAST({damp_num} * COALESCE(c.s, 0) // {damp_den}
+                       AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // d.od) AS s
+    FROM e JOIN r{t - 1} r ON r.node = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.node = n.node)""")
+    return f"""
+WITH {",".join(ctes)}
+SELECT node, ROUND(CAST(r AS DOUBLE) / 1e9, {round_digits}) AS rank
+FROM r{iters}
+"""
+
+
 def edge_attribute_profile(edges: DataFrame, attr_cols: list[str],
                            categorical_threshold: float = 0.05,
                            max_categories: int = 10_000) -> dict:

@@ -933,6 +933,18 @@ def graph_degree_nation(spark, sf_dir):
     return gr.degree_stats(T(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey")
 
 
+@register("pagerank_nation",
+          gr.oracle_pagerank_sql("nation", "n_nationkey", "n_regionkey",
+                                 iters=3))
+def pagerank_nation(spark, sf_dir):
+    """PageRank over the nation→region edge list (3 iterations,
+    damping 85/100) — integer fixed-point ranks make every iteration
+    bit-identical across engines (truncating div, order-independent
+    integer sums)."""
+    return gr.pagerank(T(spark, sf_dir, "nation"), "n_nationkey",
+                       "n_regionkey", iters=3)
+
+
 _COMPONENTS_ORACLE = """
 WITH RECURSIVE
 nodes AS (
@@ -2007,6 +2019,7 @@ _DRIVER_WINDOW = [
     "embedding_group_cosines",
     "ivf_pq_topk_embeddings",
     "nb_source_confusion_documents",
+    "pagerank_nation",
     # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
     "embedding_dim_stats",
     # ---- flagship end-to-end re-check (every round) ----
@@ -2039,7 +2052,8 @@ _DRIVER_WINDOW = [
     # funnel_gap_events ceded its slot to ivf_pq_topk — the funnel
     # family keeps funnel_within_events' r4 row + local parity.
     "retention_cohorts_events",
-    "asof_last_purchase_events",
+    # asof_last_purchase_events ceded its slot to pagerank_nation —
+    # it keeps its r3 driver row and local parity.
     "psi_numeric_totalprice",
     "referential_integrity_lineitem_orders",
     "topk_events_per_user",

@@ -170,3 +170,43 @@ def test_dp_logging_surface():
     assert any(isinstance(h, logging.StreamHandler) for h in lg.handlers)
     child = get_child_logger("dataprofiler_spark.operators.numeric")
     assert child.name == "dataprofiler_spark.operators.numeric"
+
+
+def test_pagerank_semantics(spark):
+    """Star graph: the hub receiving every edge accumulates rank; leaf
+    ranks equal the teleport base; the total is bounded by 1 (integer
+    truncation loses mass, never adds); empty graph raises."""
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 9)], "s long, d long")
+    out = {r["node"]: r["rank"] for r in
+           gr.pagerank(edges, "s", "d", iters=3).collect()}
+    assert len(out) == 9
+    hub = out[99]
+    leaves = [v for n, v in out.items() if n != 99]
+    assert all(v == leaves[0] for v in leaves)  # symmetric leaves
+    assert hub > 5 * leaves[0]                  # hub dominates
+    assert sum(out.values()) <= 1.0 + 1e-9      # truncation only loses
+
+    with _pytest.raises(ValueError, match="empty graph"):
+        gr.pagerank(edges.where("s < 0"), "s", "d")
+
+
+def test_pagerank_dangling_mass_drops(spark):
+    """A dangling node (no out-edges) receives rank but re-emits none —
+    its mass leaves the system (documented), so total mass strictly
+    shrinks with iterations on a chain ending in a sink, while the
+    sink stays ahead of the source at any iteration count."""
+    from dataprofiler_spark.operators import graph as gr
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3)], "s long, d long")  # 3 is dangling
+    r1 = {r["node"]: r["rank"] for r in
+          gr.pagerank(chain, "s", "d", iters=1).collect()}
+    r3 = {r["node"]: r["rank"] for r in
+          gr.pagerank(chain, "s", "d", iters=3).collect()}
+    assert r1[3] > r1[1] and r3[3] > r3[1]
+    assert sum(r3.values()) < sum(r1.values())  # dangling leak
