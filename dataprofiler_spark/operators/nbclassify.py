@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_LABELS = 200
+# collected model cells (labels × vocab_cap) allowed on the driver
+MAX_STATE_CELLS = 2_000_000
 _S = 1_000_000
 
 # vocabulary = top-N tokens by corpus count (ties → token asc): the
@@ -61,6 +63,13 @@ def nb_fit(df: DataFrame, text_col: str, label_col: str,
     if n_labels > MAX_LABELS:
         raise ValueError(f"nb_fit: {n_labels} labels exceeds "
                          f"MAX_LABELS={MAX_LABELS}")
+    if n_labels * vocab_cap > MAX_STATE_CELLS:
+        # the collected model is O(labels × vocab): keep the driver
+        # honest instead of silently materializing gigabytes
+        raise ValueError(
+            f"nb_fit: labels × vocab_cap = {n_labels * vocab_cap} "
+            f"exceeds MAX_STATE_CELLS={MAX_STATE_CELLS}; lower "
+            "vocab_cap or coarsen the label column")
     # priors from document counts
     prior_rows = (base.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
                   .collect())

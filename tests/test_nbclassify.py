@@ -79,3 +79,14 @@ def test_confusion_diagonal_on_separable(spark):
            nbc.nb_confusion(df, "id", "text", "lbl",
                             vocab_cap=100).collect()}
     assert out == {("pet", "pet"): 2, ("fin", "fin"): 2}
+
+
+def test_state_cell_cap(spark):
+    df = _toy(spark)
+    old = nbc.MAX_STATE_CELLS
+    nbc.MAX_STATE_CELLS = 3
+    try:
+        with pytest.raises(ValueError, match="MAX_STATE_CELLS"):
+            nbc.nb_fit(df, "text", "lbl", vocab_cap=100)
+    finally:
+        nbc.MAX_STATE_CELLS = old
