@@ -589,3 +589,34 @@ def test_streaming_embedding_decon_store(spark, tmp_path):
     ids = {r["id"] for r in spark.read.parquet(store + "/keys")
            .select("id").distinct().collect()}
     assert ids == {100}
+
+
+def test_streaming_nb_classifier_scoring(spark, tmp_path):
+    """A fitted NB model scores micro-batches statelessly: per-batch
+    predictions equal the batch-mode predictions on the same rows (the
+    lp table is a broadcast literal — no state store)."""
+    from dataprofiler_spark.operators import nbclassify as nbc
+
+    train = spark.createDataFrame(
+        [(0, "cat cat purr", "pet"), (1, "cat purr purr", "pet"),
+         (2, "stock stock yield", "fin"), (3, "stock yield yield", "fin")],
+        "id long, text string, lbl string")
+    model = nbc.nb_fit(train, "text", "lbl", vocab_cap=100)
+
+    rows = [(10, "purr cat"), (11, "yield stock stock"), (12, "cat")]
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(rows, "id long, text string")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got: list = []
+    # the per-doc score aggregation runs per micro-batch (foreachBatch),
+    # the same shape as StreamingDriftMonitor / StreamingEmbeddingDecon
+    q = (stream.writeStream
+         .foreachBatch(lambda d, bid: got.extend(
+             nbc.nb_predict(d, "id", "text", model).collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    preds = {r["id"]: r["pred_label"] for r in got}
+    assert preds == {10: "pet", 11: "fin", 12: "pet"}
