@@ -838,7 +838,7 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
                 k_clusters: int = 4, iters: int = 1, m: int = 4,
                 k_codes: int = 4, pq_iters: int = 1, nprobe: int = 2,
                 n_queries: int = 5, k: int = 5,
-                dim: int = 64) -> DataFrame:
+                dim: int = 64, by_residual: bool = False) -> DataFrame:
     """IVF-PQ approximate nearest-neighbour search (Jégou et al.
     TPAMI'11; the FAISS IndexIVFPQ layout, public knowledge): the IVF
     coarse quantizer prunes to ``nprobe`` cells, then candidates rank
@@ -848,9 +848,13 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     fits in memory: a candidate costs m table lookups, not a dim-wide
     dot product.
 
-    PQ here encodes raw vectors (FAISS ``by_residual=False``); residual
-    encoding is the quality upgrade at the cost of coupling the
-    codebooks to the coarse cells — documented trade, not implemented.
+    ``by_residual`` selects what the PQ encodes (both FAISS modes):
+    False = raw vectors (codebooks independent of cells — simplest);
+    True = residuals x − centroid[cell(x)] (the FAISS default — the
+    codebooks only need to cover the within-cell spread, so the same
+    m·k_codes budget reconstructs tighter). Residual mode keys the
+    query's ADC tables by (query, probed cell), since the query
+    residual differs per cell.
 
     Determinism/oracle: both quantizers are this module's fixed-point
     k-means; the per-query distance tables are rounded to 1e6
@@ -874,12 +878,23 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
     coarse = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
-    books = pq_fit(df, id_col, vec_col, m, k_codes, pq_iters, dim)
+    cell_expr = _assign_expr(F.col(vec_col), coarse).cast("int")
+    if by_residual:
+        cmat = F.array(*[F.array(*[F.lit(w) for w in c]) for c in coarse])
+        code_vec = F.zip_with(F.col(vec_col),
+                              F.element_at(cmat, cell_expr + 1),
+                              lambda a, b: a.cast("double") - b)
+        fit_src = df.select(F.col(id_col).alias("id"),
+                            code_vec.alias("v"))
+        books = pq_fit(fit_src, "id", "v", m, k_codes, pq_iters, dim)
+    else:
+        code_vec = F.col(vec_col)
+        books = pq_fit(df, id_col, vec_col, m, k_codes, pq_iters, dim)
 
     # one scan: cell + m codes per vector, all broadcast-literal argmins
     code_cols = []
     for j, book in enumerate(books):
-        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        sl = F.slice(code_vec, j * sub + 1, sub)
         cands = F.array(*[
             F.struct(_sqdist(sl, F.array(*[F.lit(w) for w in c]))
                      .alias("d"), F.lit(i).alias("cl"))
@@ -888,11 +903,11 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
                          .alias(f"code{j}"))
     encoded = df.select(
         F.col(id_col).alias("vec_id"),
-        _assign_expr(F.col(vec_col), coarse).cast("int").alias("cell"),
+        cell_expr.alias("cell"),
         *code_cols)
 
     # driver-side: query vectors (n_queries smallest ids), their probe
-    # cells, and their fixed-point ADC tables dt6[j][code]
+    # cells, and the fixed-point ADC tables keyed (query, cell)
     qrows = (df.orderBy(F.col(id_col)).limit(n_queries)
              .select(F.col(id_col).alias("qid"),
                      F.col(vec_col).cast("array<double>").alias("qv"))
@@ -902,35 +917,36 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     probe_rows = []
-    tables: dict[int, list[list[int]]] = {}
+    tables: dict[tuple[int, int], list[list[int]]] = {}
     for r in qrows:
         qv = [float(x) for x in r["qv"]]
         ranked = sorted(range(k_clusters),
                         key=lambda c: (_sq(qv, coarse[c]), c))
         for c in ranked[:nprobe]:
             probe_rows.append((r["qid"], c))
-        tables[r["qid"]] = [
-            [int(round(_sq(qv[j * sub:(j + 1) * sub], code) * _SCALE))
-             for code in book]
-            for j, book in enumerate(books)]
+            qr = ([qv[i] - coarse[c][i] for i in range(dim)]
+                  if by_residual else qv)
+            tables[(r["qid"], c)] = [
+                [int(round(_sq(qr[j * sub:(j + 1) * sub], code)
+                           * _SCALE)) for code in book]
+                for j, book in enumerate(books)]
 
     spark = df.sparkSession
     probes = F.broadcast(spark.createDataFrame(
         probe_rows, "qid long, cell int"))
 
-    # ADC: per query a CASE over qid selects its table; each subvector
+    # ADC: a CASE over (query, cell) selects the table; each subvector
     # contributes element_at(literal array, code+1) — integer adds only
     def adc_expr():
         total = None
         for j in range(m):
             branch = None
-            for qid, dt in tables.items():
+            for (qid, cell), dt in tables.items():
                 arr = F.array(*[F.lit(v) for v in dt[j]])
-                term = F.when(F.col("qid") == qid,
-                              F.element_at(arr, F.col(f"code{j}") + 1))
-                branch = term if branch is None else branch.when(
-                    F.col("qid") == qid,
-                    F.element_at(arr, F.col(f"code{j}") + 1))
+                cond = (F.col("qid") == qid) & (F.col("cell") == cell)
+                term = F.element_at(arr, F.col(f"code{j}") + 1)
+                branch = (F.when(cond, term) if branch is None
+                          else branch.when(cond, term))
             total = branch if total is None else total + branch
         return total
 
@@ -952,29 +968,45 @@ def oracle_ivf_pq_topk_sql(table: str, id_col: str, vec_col: str,
                            m: int = 4, k_codes: int = 4,
                            pq_iters: int = 1, nprobe: int = 2,
                            n_queries: int = 5, k: int = 5,
-                           dim: int = 64) -> str:
+                           dim: int = 64,
+                           by_residual: bool = False) -> str:
     """Coarse chain (prefix cv_) + one PQ chain per subvector (s{j}_)
     + SQL-side probe ranking and fixed-point ADC tables — every stage
-    re-derived from the raw table with the same integer algebra."""
+    re-derived from the raw table with the same integer algebra. In
+    residual mode the subvector chains fit over a ``resid`` CTE
+    (x − centroid[cell(x)]) and the ADC tables are keyed
+    (query, probed cell)."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    chains = [_kmeans_ctes(table, id_col, vec_col, k_clusters, iters,
-                           dim, prefix="cv_")]
-    for j in range(m):
-        vexpr = f"({vec_col}::DOUBLE[])[{j * sub + 1}:{(j + 1) * sub}]"
-        chains.append(_kmeans_ctes(table, id_col, vec_col, k_codes,
-                                   pq_iters, sub, prefix=f"s{j}_",
-                                   vec_expr=vexpr))
     sq_cell = _duck_sqdist("e.v", "c.v", dim)
-    sq_sub = _duck_sqdist("e.v", "c.v", sub)
-    code_ctes = [f"""cells AS (
+    chains = [_kmeans_ctes(table, id_col, vec_col, k_clusters, iters,
+                           dim, prefix="cv_"),
+              f"""cells AS (
   SELECT id, cl::INT AS cell FROM (
     SELECT e.id, c.cl,
            ROW_NUMBER() OVER (PARTITION BY e.id
                               ORDER BY {sq_cell}, c.cl) AS rn
     FROM cv_e e CROSS JOIN cv_c{iters} c)
   WHERE rn = 1)"""]
+    if by_residual:
+        chains.append(f"""resid AS (
+  SELECT e.id,
+         list_transform(generate_series(1, {dim}),
+                        i -> e.v[i] - cc.v[i]) AS v
+  FROM cv_e e JOIN cells ON cells.id = e.id
+  JOIN cv_c{iters} cc ON cc.cl = cells.cell)""")
+        src_table, src_vec = "resid", "(v)"
+    else:
+        src_table, src_vec = table, f"({vec_col}::DOUBLE[])"
+    for j in range(m):
+        vexpr = f"{src_vec}[{j * sub + 1}:{(j + 1) * sub}]"
+        chains.append(_kmeans_ctes(src_table, "id" if by_residual
+                                   else id_col, vec_col, k_codes,
+                                   pq_iters, sub, prefix=f"s{j}_",
+                                   vec_expr=vexpr))
+    sq_sub = _duck_sqdist("e.v", "c.v", sub)
+    code_ctes = []
     for j in range(m):
         code_ctes.append(f"""code{j} AS (
   SELECT id, cl::INT AS code FROM (
@@ -984,13 +1016,22 @@ def oracle_ivf_pq_topk_sql(table: str, id_col: str, vec_col: str,
     FROM s{j}_e e CROSS JOIN s{j}_c{pq_iters} c)
   WHERE rn = 1)""")
     sq_q = _duck_sqdist("q.qv", "c.v", dim)
+    if by_residual:
+        qterm = "((q.qv[{o} + i] - cc.v[{o} + i]) - c.v[i])"
+        dt_from = (f"FROM q JOIN probes p ON p.qid = q.qid\n"
+                   f"  JOIN cv_c{iters} cc ON cc.cl = p.cell\n"
+                   f"  CROSS JOIN s{{j}}_c{pq_iters} c")
+    else:
+        qterm = "(q.qv[{o} + i] - c.v[i])"
+        dt_from = (f"FROM q JOIN probes p ON p.qid = q.qid\n"
+                   f"  CROSS JOIN s{{j}}_c{pq_iters} c")
     sq_qsub = ("list_sum(list_transform(generate_series(1, {d}), "
-               "i -> (q.qv[{o} + i] - c.v[i]) * (q.qv[{o} + i] - c.v[i])))")
+               f"i -> {qterm} * {qterm}))")
     dt_selects = "\n  UNION ALL\n".join(
-        f"""  SELECT q.qid, {j} AS sv, c.cl AS code,
+        f"""  SELECT q.qid, p.cell, {j} AS sv, c.cl AS code,
          CAST(ROUND(({sq_qsub.format(d=sub, o=j * sub)}) * {_SCALE})
               AS BIGINT) AS d6
-  FROM q CROSS JOIN s{j}_c{pq_iters} c"""
+  {dt_from.format(j=j)}"""
         for j in range(m))
     return f"""
 WITH {",".join(chains)},
@@ -1013,7 +1054,7 @@ scored AS (
   FROM probes p
   JOIN cells ON cells.cell = p.cell
   {" ".join(f"JOIN code{j} ON code{j}.id = cells.id" for j in range(m))}
-  JOIN dt ON dt.qid = p.qid
+  JOIN dt ON dt.qid = p.qid AND dt.cell = p.cell
   WHERE cells.id <> p.qid
     AND ({" OR ".join(f"(dt.sv = {j} AND dt.code = code{j}.code)"
                       for j in range(m))})

@@ -594,6 +594,24 @@ def ivf_pq_topk_embeddings(spark, sf_dir):
                             n_queries=5, k=5, dim=64)
 
 
+@register("ivf_pq_residual_topk_embeddings",
+          clus.oracle_ivf_pq_topk_sql("embeddings", "vec_id",
+                                      "embedding", k_clusters=4,
+                                      iters=1, m=4, k_codes=4,
+                                      pq_iters=1, nprobe=2, n_queries=5,
+                                      k=5, dim=64, by_residual=True))
+def ivf_pq_residual_topk_embeddings(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (the FAISS default): codebooks fit
+    on x − centroid[cell(x)], so the same m×k_codes budget reconstructs
+    the within-cell spread; the query's ADC tables are re-derived per
+    probed cell. Oracle composes the coarse chain, a resid CTE, and
+    per-subvector chains over it."""
+    return clus.ivf_pq_topk(T(spark, sf_dir, "embeddings"), "vec_id",
+                            "embedding", k_clusters=4, iters=1, m=4,
+                            k_codes=4, pq_iters=1, nprobe=2,
+                            n_queries=5, k=5, dim=64, by_residual=True)
+
+
 @register("ivf_recall_embeddings",
           clus.oracle_ivf_recall_sql("embeddings", "vec_id", "embedding",
                                      k_clusters=8, iters=2, nprobe=2,

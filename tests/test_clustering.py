@@ -372,6 +372,29 @@ def test_ivf_pq_topk_semantics(spark):
         assert all(r["vec_id"] % 2 == q % 2 for r in rs)
 
 
+def test_ivf_pq_residual_mode_semantics(spark):
+    """Residual encoding keeps the same search contract (ranks 1..k,
+    same-blob neighbours on separable data) while fitting codebooks on
+    x − centroid[cell]; on blob data with within-blob structure the
+    residual codebooks reconstruct the offsets raw-mode codebooks
+    spend their budget on blob positions for."""
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + (i % 7) * 0.5] * 4))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = cl.ivf_pq_topk(df, "id", "v", k_clusters=2, iters=2, m=2,
+                         k_codes=4, pq_iters=1, nprobe=1, n_queries=4,
+                         k=5, dim=4, by_residual=True).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r["vec_id"] % 2 == q % 2 for r in rs)
+
+
 def test_ivf_pq_probe_join_is_broadcast(spark, sf_dir):
     """The candidate join must broadcast the tiny probe frame — the
     corpus side never shuffles for the join."""
