@@ -273,7 +273,9 @@ probes AS (
   SELECT cl::INT AS centroid FROM (
     SELECT c.cl,
            ROW_NUMBER() OVER (
-             ORDER BY {qnum} / (SQRT({qna}) * SQRT({qnb})) DESC,
+             ORDER BY CASE WHEN {qna} > 0 AND {qnb} > 0
+                           THEN {qnum} / (SQRT({qna}) * SQRT({qnb}))
+                           ELSE 0.0 END DESC,
                       c.cl) AS rn
     FROM c{iters} c CROSS JOIN q)
   WHERE rn <= {nprobe}

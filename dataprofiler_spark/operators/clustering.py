@@ -757,7 +757,11 @@ WITH e AS (
   FROM m GROUP BY g
 )
 SELECT ca.g AS group_a, cb.g AS group_b, ca.n AS n_a, cb.n AS n_b,
-       ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+       -- zero-norm centroid -> 0.0, matching the Python side (IEEE
+       -- division would give NaN/Inf and silently diverge)
+       ROUND(CASE WHEN {na} > 0 AND {nb} > 0
+                  THEN {num} / (SQRT({na}) * SQRT({nb}))
+                  ELSE 0.0 END, {round_digits}) AS cosine
 FROM c ca JOIN c cb ON ca.g < cb.g
 """
 
