@@ -31,6 +31,9 @@ from dataprofiler_spark.state import (DatasetState, from_json,
 from dataprofiler_spark.streaming.drift import StreamingDriftMonitor
 from dataprofiler_spark.streaming.embedding_decon import (
     StreamingEmbeddingDecon, build_benchmark_store)
+from dataprofiler_spark.streaming.history import (ProfileHistory,
+                                                  drift_series,
+                                                  drift_timeline)
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
 from dataprofiler_spark import reports_graphs as graphs
 
@@ -59,6 +62,7 @@ __all__ = [
     "train_structured_labeler", "Validator", "load_plugins", "graphs",
     "DatasetState", "StreamingProfiler", "StreamingDriftMonitor",
     "StreamingEmbeddingDecon", "build_benchmark_store",
+    "ProfileHistory", "drift_series", "drift_timeline",
     "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",
     "set_seed", "set_verbosity", "get_logger", "to_json", "from_json",

@@ -620,3 +620,56 @@ def test_streaming_nb_classifier_scoring(spark, tmp_path):
     q.awaitTermination(120)
     preds = {r["id"]: r["pred_label"] for r in got}
     assert preds == {10: "pet", 11: "fin", 12: "pet"}
+
+
+def test_profile_history_and_drift_timeline(spark, sf_dir, tmp_path):
+    """Per-batch snapshots persist as mergeable JSON; the timeline
+    replays the batch diff API across consecutive snapshots, and the
+    per-column PSI series flags the interval where the distribution
+    actually moved."""
+    from dataprofiler_spark.streaming.history import (ProfileHistory,
+                                                      drift_series,
+                                                      drift_timeline,
+                                                      load_history)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    shifted = orders.where(F.col("o_orderpriority") == "1-URGENT")
+
+    src = str(tmp_path / "stream")
+    for i, part in enumerate([base.limit(300), base.limit(500),
+                              shifted]):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/part{n}.parquet"
+                shutil.copy(f"{src}/b{i}/{f}", dst)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
+                n += 1
+
+    hist = ProfileHistory(str(tmp_path / "snaps"))
+    schema = orders.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    q = hist.attach(stream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    snaps = load_history(str(tmp_path / "snaps"))
+    assert len(snaps) == 3
+    tl = drift_timeline(str(tmp_path / "snaps"))
+    assert len(tl) == 2 and all("diff" in e for e in tl)
+
+    # batch arrival order is nondeterministic — identify the URGENT-only
+    # interval by its PSI: the transition in/out of it must dominate
+    series = drift_series(str(tmp_path / "snaps"), "o_orderpriority",
+                          "psi")
+    vals = [v for _, v in series if v is not None]
+    assert len(vals) == 2
+    assert max(vals) > 0.2  # the distribution shift interval screams
+
+    with pytest.raises(ValueError, match="mode"):
+        ProfileHistory(str(tmp_path / "x"), mode="weekly")
