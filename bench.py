@@ -159,6 +159,12 @@ def build_runners(spark, sf_dir):
         lambda: ck.pack_manifest(documents, "doc_id", "text",
                                  context_len=256, n_shards=8).count())
 
+    def _nb():
+        from dataprofiler_spark.operators import nbclassify as nbc
+        nbc.nb_confusion(documents, "doc_id", "text", "source",
+                         vocab_cap=30).collect()
+    add("text", "nb_confusion_documents", _nb)
+
     # ---- events group ----
     add("events", "interval_join_events",
         lambda: iv.interval_join_first_day_counts(events).count())

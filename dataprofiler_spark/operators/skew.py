@@ -56,3 +56,80 @@ def salted_agg(df: DataFrame, key_cols: list[str],
         combine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}[fn]
         stage2_aggs.append(combine(name).alias(name))
     return partial.groupBy(*key_cols).agg(*stage2_aggs)
+
+
+def key_skew_summary(df: DataFrame, key_cols: list[str],
+                     round_digits: int = 6) -> DataFrame:
+    """The "should I salt this key?" measurement: one row of
+    (n_rows, n_keys, max_count, mean_count, skew_ratio) where
+    skew_ratio = max_count / mean_count — the factor by which the
+    hottest reducer outweighs the average one. Rule of thumb: ratios
+    in the tens → AQE handles it; hundreds+ → salt (salted_agg) or
+    isolate the hot keys.
+
+    NULL keys group together (their own, frequently-hot, key — exactly
+    what the measurement should surface, not hide).
+
+    Plan: ONE groupBy(keys) + ONE tiny rollup of the count column —
+    two shuffles, the second over n_keys rows."""
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.round(F.sum("cnt") / F.count(F.lit(1)), round_digits)
+        .alias("mean_count"),
+        # double-FIRST: the integer product max_count * n_keys can pass
+        # int64 at petabyte row counts (mirrors the oracle's CAST order)
+        F.round(F.max("cnt").cast("double") * F.count(F.lit(1))
+                / F.sum("cnt"), round_digits).alias("skew_ratio"),
+    )
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], k: int = 5) -> DataFrame:
+    """The k hottest keys (key..., cnt, rank) — the candidates for
+    isolate-and-broadcast handling. Deterministic ties: count desc,
+    then key columns asc. Distributed TakeOrderedAndProject."""
+    from dataprofiler_spark.operators.topk import ranked_topk
+
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # nulls LAST on the tie-break: Spark's ASC defaults nulls-first,
+    # DuckDB's defaults nulls-last — a NULL key tying a real key on
+    # count would otherwise rank differently per engine
+    order = [F.desc("cnt")] + [F.asc_nulls_last(c) for c in key_cols]
+    return ranked_topk(counts, order, k).select(
+        "rank", *key_cols, "cnt")
+
+
+def oracle_key_skew_summary_sql(table: str, key_cols: list[str],
+                                round_digits: int = 6) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH counts AS (
+  SELECT {keys}, COUNT(*) AS cnt FROM {table} GROUP BY {keys}
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       MAX(cnt) AS max_count,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), {round_digits})
+         AS mean_count,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt),
+             {round_digits}) AS skew_ratio
+FROM counts
+"""
+
+
+def oracle_hot_keys_sql(table: str, key_cols: list[str],
+                        k: int = 5) -> str:
+    keys = ", ".join(key_cols)
+    order = "cnt DESC, " + ", ".join(f"{c} ASC" for c in key_cols)
+    return f"""
+WITH counts AS (
+  SELECT {keys}, COUNT(*) AS cnt FROM {table} GROUP BY {keys}
+)
+SELECT CAST(rank AS INT) AS rank, {keys}, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY {order}) AS rank FROM counts)
+WHERE rank <= {k}
+"""

@@ -315,6 +315,7 @@ def word_counts_documents(spark, sf_dir):
 
 from dataprofiler_spark.operators import ann_index as ai
 from dataprofiler_spark.operators import nbclassify as nbc
+from dataprofiler_spark.operators import skew as sk
 from dataprofiler_spark.operators import dedup as dd
 from dataprofiler_spark.operators import multimodal as mm
 from dataprofiler_spark.operators import clustering as clus
@@ -949,6 +950,25 @@ def crosstab_lineitem(spark, sf_dir):
           gr.oracle_degree_stats_sql("nation", "n_nationkey", "n_regionkey"))
 def graph_degree_nation(spark, sf_dir):
     return gr.degree_stats(T(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey")
+
+
+@register("key_skew_lineitem",
+          sk.oracle_key_skew_summary_sql("lineitem", ["l_orderkey"]))
+def key_skew_lineitem(spark, sf_dir):
+    """The pre-salting skew measurement on a join key: n_rows / n_keys /
+    max_count / mean_count / skew_ratio — the number that decides
+    between plain groupBy, AQE, and salted_agg at 100 TB."""
+    return sk.key_skew_summary(T(spark, sf_dir, "lineitem"),
+                               ["l_orderkey"])
+
+
+@register("hot_keys_events",
+          sk.oracle_hot_keys_sql("events", ["user_id"], k=5))
+def hot_keys_events(spark, sf_dir):
+    """Top-5 hottest event users — the isolate-and-broadcast candidate
+    list. Deterministic tie-break (cnt desc, key asc),
+    TakeOrderedAndProject plan."""
+    return sk.hot_keys(T(spark, sf_dir, "events"), ["user_id"], k=5)
 
 
 @register("pagerank_nation",
@@ -2038,6 +2058,8 @@ _DRIVER_WINDOW = [
     "ivf_pq_topk_embeddings",
     "nb_source_confusion_documents",
     "pagerank_nation",
+    "key_skew_lineitem",
+    "hot_keys_events",
     # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
     "embedding_dim_stats",
     # ---- flagship end-to-end re-check (every round) ----
@@ -2058,7 +2080,8 @@ _DRIVER_WINDOW = [
     "type_inference_lineitem",
     "full_profile_events",
     "correlation_lineitem",
-    "crosstab_lineitem",
+    # crosstab_lineitem ceded its slot to key_skew_lineitem —
+    # it keeps its r3 driver row and local parity.
     "validate_lineitem",
     "precision_stats_lineitem",
     "nullspec_customer",
@@ -2074,7 +2097,8 @@ _DRIVER_WINDOW = [
     # it keeps its r3 driver row and local parity.
     "psi_numeric_totalprice",
     "referential_integrity_lineitem_orders",
-    "topk_events_per_user",
+    # topk_events_per_user ceded its slot to hot_keys_events (same
+    # TakeOrdered family) — it keeps its r3 driver row + local parity.
     # hash_sample_orders ceded its slot to pq_audit and
     # rollup_events_type_day to embedding_group_cosines — both keep
     # their r3 driver rows and local parity.

@@ -35,3 +35,21 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_key_skew_summary_and_hot_keys(spark):
+    """A planted hot key dominates both the ratio and the hot-key list;
+    NULL keys group as their own key rather than disappearing."""
+    from dataprofiler_spark.operators import skew as sk
+
+    rows = ([(1, "x")] * 90 + [(2, "y")] * 5 + [(3, "z")] * 5
+            + [(None, "n")] * 20)
+    df = spark.createDataFrame(rows, "k int, v string")
+    row = sk.key_skew_summary(df, ["k"]).collect()[0]
+    assert row["n_rows"] == 120 and row["n_keys"] == 4
+    assert row["max_count"] == 90
+    assert row["skew_ratio"] == 3.0  # 90 / (120/4)
+
+    hot = sk.hot_keys(df, ["k"], k=2).collect()
+    assert [(r["rank"], r["k"], r["cnt"]) for r in hot] \
+        == [(1, 1, 90), (2, None, 20)]
