@@ -282,7 +282,7 @@ probes AS (
 ),
 scored AS (
   SELECT cells.id AS vec_id,
-         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {num} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM cells JOIN probes USING (centroid) CROSS JOIN q
   WHERE cells.id <> q.qid
 )

@@ -341,7 +341,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, cells.vec_id, cells.cell,
-         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {num} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM probes p JOIN cells ON cells.cell = p.cell
   WHERE cells.vec_id <> p.query_id
 )
@@ -540,7 +540,7 @@ q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2
        ORDER BY vec_id LIMIT {n_queries}),
 sc AS (
   SELECT q2.query_id, e2.vec_id,
-         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {num} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM q2 CROSS JOIN e2 WHERE e2.vec_id <> q2.query_id
 ),
 exact AS (

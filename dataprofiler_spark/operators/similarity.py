@@ -32,7 +32,20 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine with a zero-norm guard: a zero vector is similar to
+    nothing (cosine 0.0) rather than crashing the whole query — under
+    Spark's ANSI mode the raw division would throw DIVIDE_BY_ZERO on
+    the first degenerate embedding in a 100 TB corpus. Every DuckDB
+    cosine oracle mirrors the rule (duck_cosine)."""
+    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def duck_cosine(dot: str, na: str, nb: str) -> str:
+    """SQL twin of cosine_expr's zero-norm rule (na/nb are SQUARED
+    norms — product of sqrts > 0 ⟺ both squared norms > 0)."""
+    return (f"CASE WHEN {na} > 0 AND {nb} > 0 "
+            f"THEN {dot} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END")
 
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
@@ -75,7 +88,7 @@ e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
       WHERE {id_col} <> {query_id}),
 scored AS (
   SELECT e.vec_id,
-         ROUND({dot} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM e, q
 )
 SELECT * FROM (
@@ -164,7 +177,7 @@ WITH b AS (
 q AS (SELECT v AS v, bucket AS qbucket FROM b WHERE vec_id = {query_id}),
 cand AS (
   SELECT c.vec_id,
-         ROUND({dot} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM b c, (SELECT v, qbucket FROM q) q
   WHERE c.bucket = q.qbucket AND c.vec_id <> {query_id}
 )
@@ -307,7 +320,8 @@ small AS (
     dot = _duck_dot("x.v", "y.v", dim)
     nx = _duck_dot("x.v", "x.v", dim)
     ny = _duck_dot("y.v", "y.v", dim)
-    cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
+    cos = (f"CASE WHEN {nx} > 0 AND {ny} > 0 "
+           f"THEN {dot} / (SQRT({nx}) * SQRT({ny})) ELSE 0.0 END")
     return f"""
 WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
 buckets AS (
@@ -386,7 +400,8 @@ small AS (
     dot = _duck_dot("x.v", "y.v", dim)
     nx = _duck_dot("x.v", "x.v", dim)
     ny = _duck_dot("y.v", "y.v", dim)
-    cos = f"{dot} / (SQRT({nx}) * SQRT({ny}))"
+    cos = (f"CASE WHEN {nx} > 0 AND {ny} > 0 "
+           f"THEN {dot} / (SQRT({nx}) * SQRT({ny})) ELSE 0.0 END")
     return f"""
 WITH RECURSIVE v AS (
   SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}
@@ -524,9 +539,9 @@ def oracle_embedding_decontaminate_bucketed_sql(
         f"CAST({_duck_bucket(ps, dim, 't.bv')} AS BIGINT) AS bucket "
         f"FROM bench t"
         for b, ps in enumerate(planes_sets))
-    cos = (f"{_duck_dot('c.v', 'bb.bv', dim)} / "
-           f"(SQRT({_duck_dot('c.v', 'c.v', dim)}) * "
-           f"SQRT({_duck_dot('bb.bv', 'bb.bv', dim)}))")
+    cos = duck_cosine(_duck_dot('c.v', 'bb.bv', dim),
+                      _duck_dot('c.v', 'c.v', dim),
+                      _duck_dot('bb.bv', 'bb.bv', dim))
     return f"""
 WITH bench AS (SELECT {vec_col}::DOUBLE[] AS bv FROM {table}
                WHERE {bench_pred}),
@@ -556,9 +571,9 @@ def oracle_embedding_decontaminate_sql(table: str, id_col: str,
                                        round_digits: int = 6) -> str:
     """Oracle over a benchmark defined as ``WHERE bench_pred`` rows of
     the same table (mirrors the registered query's bench subset)."""
-    cos = (f"{_duck_dot('c.v', 'b.bv', dim)} / "
-           f"(SQRT({_duck_dot('c.v', 'c.v', dim)}) * "
-           f"SQRT({_duck_dot('b.bv', 'b.bv', dim)}))")
+    cos = duck_cosine(_duck_dot('c.v', 'b.bv', dim),
+                      _duck_dot('c.v', 'c.v', dim),
+                      _duck_dot('b.bv', 'b.bv', dim))
     return f"""
 WITH b AS (SELECT {vec_col}::DOUBLE[] AS bv FROM {table} WHERE {bench_pred}),
 c AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})
@@ -628,7 +643,7 @@ WITH e AS (
   ORDER BY vec_id LIMIT {n_queries}
 ), sc AS (
   SELECT q.query_id, e.vec_id, e.lb AS neg_label,
-         ROUND({num} / (SQRT({na}) * SQRT({nb})), {round_digits}) AS cosine
+         ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN {num} / (SQRT({na}) * SQRT({nb})) ELSE 0.0 END, {round_digits}) AS cosine
   FROM q CROSS JOIN e
   WHERE e.vec_id <> q.query_id AND e.lb <> q.qlbl
 )
