@@ -120,9 +120,13 @@ def correlation_matrix(df: DataFrame, cols: list[str],
                       F.col(f"spd_{a}__{b}"), sad, sbd)
             da = css(F.col(f"ss_{a}"), sa, sa, F.col(f"ssd_{a}"), sad, sad)
             db = css(F.col(f"ss_{b}"), sb, sb, F.col(f"ssd_{b}"), sbd, sbd)
+            den = da * db
             structs.append(F.struct(
                 F.lit(a).alias("col1"), F.lit(b).alias("col2"),
-                F.round(num / F.sqrt(da * db), round_digits).alias("corr"),
+                # constant column -> zero variance -> Pearson undefined:
+                # NULL on both engines (ANSI division would throw here)
+                F.round(F.when(den > 0, num / F.sqrt(den)),
+                        round_digits).alias("corr"),
             ))
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
@@ -143,7 +147,9 @@ def oracle_correlation_sql(table: str, cols: list[str],
                   f" - {h.format(x='p.sb')} * {h.format(x='p.sb')} AS DOUBLE)")
             selects.append(f"""
 SELECT '{a}' AS col1, '{b}' AS col2,
-       ROUND({num} / SQRT({da} * {db}), {round_digits}) AS corr
+       ROUND(CASE WHEN ({da}) * ({db}) > 0
+             THEN {num} / SQRT(({da}) * ({db})) END,
+             {round_digits}) AS corr
 FROM (
   SELECT COUNT(*) AS n,
          SUM(CAST({xa} AS DECIMAL(38,0))) AS sa,

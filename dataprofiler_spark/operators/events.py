@@ -91,7 +91,10 @@ def json_props_summary(df: DataFrame, props_col: str = "props",
 
 def oracle_json_props_sql(table: str, props_col: str = "props",
                           key: str = "k") -> str:
-    v = f"CAST(json_extract_string({props_col}, '$.{key}') AS BIGINT)"
+    # json_valid guard: Spark's get_json_object returns NULL on
+    # malformed JSON where DuckDB's json_extract_string raises
+    v = (f"CAST(CASE WHEN json_valid({props_col}) THEN "
+         f"json_extract_string({props_col}, '$.{key}') END AS BIGINT)")
     return f"""
 SELECT COUNT(*) AS n, COUNT({v}) AS n_with_key,
        CAST(SUM({v}) AS BIGINT) AS sum_k, MIN({v}) AS min_k, MAX({v}) AS max_k

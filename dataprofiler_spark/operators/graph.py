@@ -74,12 +74,22 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     label changes. Each iteration is two joins + one groupBy; the loop
     runs on the driver but all data stays distributed. localCheckpoint
     truncates the growing lineage (essential at scale — without it the
-    plan doubles every round)."""
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    plan doubles every round).
+
+    NULL is not a node: an edge with a NULL endpoint contributes its
+    non-NULL side as an isolated node and no edge — otherwise the NULL
+    "node" becomes its own phantom component and, worse, equality joins
+    silently stop propagating through it, so the two engines disagree
+    on the component count (found by the adversarial parity suite)."""
+    raw_nodes = (edges.select(F.col(src).alias("node"))
+                 .unionAll(edges.select(F.col(dst).alias("node")))
+                 .where(F.col("node").isNotNull()).distinct())
+    both = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    e = (both.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .unionAll(both.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
          .distinct().persist())
-    labels = (e.select(F.col("a").alias("node")).distinct()
-              .withColumn("component", F.col("node")))
+    labels = raw_nodes.withColumn("component", F.col("node"))
     for _ in range(max_iter):
         prop = (e.join(labels, e.a == labels.node)
                 .select(F.col("b").alias("node"),

@@ -138,12 +138,21 @@ def ordered_pairs(df: DataFrame, order_by: list[str], value_cols: list[str],
         *[F.lag(F.col(c)).over(w_in).alias(f"{c}__prev") for c in value_cols],
     )
 
+    # struct min/max, NOT min_by/max_by: Spark's min_by/max_by IGNORE
+    # rows whose VALUE is NULL, so a bucket ending in a NULL value would
+    # carry its last non-null value into the seam — a pair the global
+    # lag formulation never sees (found by the adversarial parity
+    # suite). The struct comparison is decided by __k before the value
+    # field, so NULL values ride along faithfully; on __k ties the
+    # value breaks the tie deterministically (order keys with
+    # duplicates have no canonical adjacent-pair order anyway —
+    # documented contract).
     per_bucket = b.groupBy("__b").agg(
         F.min(F.col("__k")).alias("__k"),
-        *[F.min_by(F.col(c), F.col("__k")).alias(f"{c}__first")
-          for c in value_cols],
-        *[F.max_by(F.col(c), F.col("__k")).alias(f"{c}__last")
-          for c in value_cols],
+        *[F.min(F.struct(F.col("__k").alias("k"), F.col(c).alias("v")))
+          ["v"].alias(f"{c}__first") for c in value_cols],
+        *[F.max(F.struct(F.col("__k").alias("k"), F.col(c).alias("v")))
+          ["v"].alias(f"{c}__last") for c in value_cols],
     )
     # B rows, not data; floor(rand·0) ≡ 0 is a constant partition key that
     # Catalyst can't fold away (see operators/topk.py) — keeps WindowExec

@@ -113,11 +113,11 @@ _LINEITEM_CAT = ["l_returnflag", "l_linestatus"]
 _CAT_COUNTS_ORACLE = """
 SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value,
        COUNT(*) AS count
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
 UNION ALL
 SELECT 'l_linestatus' AS "column", CAST(l_linestatus AS VARCHAR) AS value,
        COUNT(*) AS count
-FROM lineitem GROUP BY l_linestatus
+FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus
 """
 
 
@@ -130,10 +130,12 @@ def category_counts_lineitem(spark, sf_dir):
 _CAT_STATS_ORACLE = """
 WITH counts AS (
   SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS value,
-         COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+         COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL
+  GROUP BY l_returnflag
   UNION ALL
   SELECT 'l_linestatus' AS col, CAST(l_linestatus AS VARCHAR) AS value,
-         COUNT(*) AS cnt FROM lineitem GROUP BY l_linestatus
+         COUNT(*) AS cnt FROM lineitem WHERE l_linestatus IS NOT NULL
+  GROUP BY l_linestatus
 )
 SELECT col AS "column",
        COUNT(*) AS unique_count,
@@ -164,10 +166,12 @@ def categorical_stats_lineitem(spark, sf_dir):
 _TOPK_ORACLE = """
 WITH counts AS (
   SELECT 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS value,
-         COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority
+         COUNT(*) AS cnt FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_orderpriority
   UNION ALL
   SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS value,
-         COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+         COUNT(*) AS cnt FROM orders WHERE o_orderstatus IS NOT NULL
+  GROUP BY o_orderstatus
 ), ranked AS (
   SELECT col, value, cnt,
          ROW_NUMBER() OVER (PARTITION BY col ORDER BY cnt DESC, value ASC) AS rank
@@ -985,15 +989,19 @@ def pagerank_nation(spark, sf_dir):
 
 _COMPONENTS_ORACLE = """
 WITH RECURSIVE
+-- NULL is not a node: half-NULL edges keep their non-NULL endpoint as
+-- an isolated node (mirrors operators/graph.connected_components)
 nodes AS (
-  SELECT n_nationkey AS node FROM nation
+  SELECT n_nationkey AS node FROM nation WHERE n_nationkey IS NOT NULL
   UNION
-  SELECT n_regionkey FROM nation
+  SELECT n_regionkey FROM nation WHERE n_regionkey IS NOT NULL
 ),
 bi AS (
   SELECT n_nationkey AS src, n_regionkey AS dst FROM nation
+  WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
   UNION
   SELECT n_regionkey, n_nationkey FROM nation
+  WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
 ),
 reach AS (
   SELECT node, node AS peer FROM nodes

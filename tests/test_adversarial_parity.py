@@ -68,20 +68,125 @@ def _adv_embeddings(spark):
         rows, "vec_id long, embedding array<float>, label int")
 
 
+def _adv_orders(spark):
+    """NULL keys/prices/dates/priorities, negative and constant prices,
+    one dominant priority, duplicate keys."""
+    rng = random.Random(13)
+    rows = []
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", None]
+    for i in range(120):
+        rows.append((
+            i,
+            rng.choice([None, 1, 2, 3, 4, 5]),
+            rng.choice(["O", "F", None]),
+            rng.choice([None, -500.25, 0.0, 1234.5,
+                        rng.uniform(1.0, 9999.0)]),
+            rng.choice([None, "1997-03-0%d" % (i % 9 + 1),
+                        "1998-06-0%d" % (i % 9 + 1)]),
+            pris[0] if i % 3 == 0 else rng.choice(pris),
+        ))
+    from pyspark.sql import functions as SF
+    return (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate_s string,"
+              " o_orderpriority string")
+        .withColumn("o_orderdate", SF.to_timestamp("o_orderdate_s"))
+        .drop("o_orderdate_s")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+
+def _adv_lineitem(spark):
+    """NULLs and negatives in every measure, NULL categoricals, a
+    constant column (l_tax), duplicate (orderkey, linenumber) rows."""
+    rng = random.Random(17)
+    rows = []
+    for i in range(150):
+        rows.append((
+            i % 60,                              # duplicate orderkeys
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([1, 2, None]),
+            i % 4,
+            rng.choice([None, -5.0, 0.0, 17.25, rng.uniform(1, 50)]),
+            rng.choice([None, -100.5, 0.0, rng.uniform(100, 90000)]),
+            rng.choice([None, 0.0, 0.04, 0.08]),
+            0.05,                                # constant
+            rng.choice(["A", "N", "R", None]),
+            rng.choice(["O", "F"]),
+            rng.choice([None, "1996-01-1%d" % (i % 9 + 1)]),
+        ))
+    from pyspark.sql import functions as SF
+    return (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long,"
+              " l_linenumber int, l_quantity double,"
+              " l_extendedprice double, l_discount double, l_tax double,"
+              " l_returnflag string, l_linestatus string,"
+              " l_shipdate_s string")
+        .withColumn("l_shipdate", SF.to_timestamp("l_shipdate_s"))
+        .drop("l_shipdate_s")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"))
+
+
+def _adv_events(spark):
+    """NULL users/types/values/props, malformed JSON props, duplicate
+    event ids, one hot user."""
+    rng = random.Random(19)
+    rows = []
+    types = ["view", "click", "purchase", None]
+    for i in range(200):
+        uid = 1 if i % 3 == 0 else rng.choice([None, 2, 3, 4, 5])
+        props = rng.choice([None, '{"k": 3}', '{"k": null}', '{}',
+                            'not json', '{"other": 1}'])
+        rows.append((
+            # event_id stays UNIQUE: adjacent-pair order detection has
+            # no canonical order under duplicate keys (documented
+            # contract in operators/order.py) — NULL values still
+            # exercise the seam carry bug this suite caught
+            i,
+            "2024-01-01 0%d:%02d:00" % (i % 9, i % 60),
+            uid, rng.choice(types),
+            rng.choice([None, -1.5, 0.0, rng.uniform(0, 100)]),
+            props,
+        ))
+    from pyspark.sql import functions as SF
+    return (spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long,"
+              " event_type string, value double, props string")
+        .withColumn("ts", SF.to_timestamp("ts_s")).drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                "props"))
+
+
+def _adv_nation(spark):
+    """Self-loop, duplicate edge, NULL region (dangling), shared node
+    ids between the two endpoint domains."""
+    rows = [(0, "A", 0),        # self-loop (node 0 -> node 0)
+            (1, "B", 0), (2, "C", 0), (2, "C2", 0),   # duplicate edge
+            (3, "D", 1), (4, "E", None),              # NULL dst
+            (5, "F", 2), (6, "G", 2), (7, "H", 3)]
+    return spark.createDataFrame(
+        rows, "n_nationkey int, n_name string, n_regionkey int")
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory, spark):
     d = str(tmp_path_factory.mktemp("adv"))
-    _adv_documents(spark).coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(d, "documents.parquet"))
-    _adv_embeddings(spark).coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(d, "embeddings.parquet"))
+    builders = {"documents": _adv_documents, "embeddings": _adv_embeddings,
+                "orders": _adv_orders, "lineitem": _adv_lineitem,
+                "events": _adv_events, "nation": _adv_nation}
+    for t, fn in builders.items():
+        fn(spark).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(d, f"{t}.parquet"))
     return d
 
 
 @pytest.fixture(scope="module")
 def adv_duck(adv_dir):
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "orders", "lineitem", "events",
+              "nation"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{os.path.join(adv_dir, t + '.parquet')}/*.parquet'")
     yield con
@@ -149,6 +254,56 @@ ADV_QUERIES = [
     "embedding_group_cosines",
     "ann_index_query_embeddings",
     "hard_negatives_embeddings",
+    # orders family — numeric / datetime / categorical / drift
+    "numeric_profile_orders",
+    "datetime_profile_orders",
+    "top_categories_orders",
+    "psi_orderpriority",
+    "chi2_orderpriority",
+    "welch_t_totalprice",
+    "psi_numeric_totalprice",
+    "ks_js_totalprice",
+    "hash_sample_orders",
+    "stratified_sample_orders",
+    "null_replication_orders",
+    "expectations_orders",
+    # lineitem family — the exact-mode numeric battery and friends
+    "numeric_profile_lineitem",
+    "outlier_counts_lineitem",
+    "histogram_extendedprice",
+    "quantiles_extendedprice",
+    "median_mad_quantity",
+    "modes_quantity",
+    "precision_stats_lineitem",
+    "category_counts_lineitem",
+    "categorical_stats_lineitem",
+    "distinct_counts_lineitem",
+    "row_stats_lineitem",
+    "correlation_lineitem",
+    "chi2_pair_lineitem",
+    "mutual_info_lineitem",
+    "crosstab_lineitem",
+    "validate_lineitem",
+    "type_inference_lineitem",
+    "key_skew_lineitem",
+    # events family
+    "sessionize_events",
+    "funnel_events",
+    "funnel_within_events",
+    "funnel_gap_events",
+    "retention_cohorts_events",
+    "rolling_avg_events",
+    "json_props_events",
+    "time_bucket_events",
+    "rollup_events_type_day",
+    "topk_events_per_user",
+    "daily_psi_events",
+    "hot_keys_events",
+    "order_profile_events_value",
+    # graph family
+    "graph_degree_nation",
+    "graph_components_nation",
+    "pagerank_nation",
 ]
 
 
