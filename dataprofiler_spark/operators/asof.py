@@ -37,7 +37,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast(right.schema[right_value].dataType).alias("rv"),
         F.struct(*[F.col(c) for c in left.columns]).alias("row"),
     )
-    r_tag = right.select(
+    # NULL keys have no identity: a NULL-key left row must NOT match
+    # NULL-key right rows (window partitioning groups NULLs together
+    # where the SQL equality join never does — found by the adversarial
+    # parity suite). Excluding NULL-key right rows leaves the NULL-key
+    # partition with only rv=NULL rows → asof_value NULL, matching SQL.
+    r_tag = right.where(F.col(key).isNotNull()).select(
         F.col(key).alias("k"), F.col(right_ts).alias("t"),
         F.lit(0).alias("side"),
         F.col(right_value).alias("rv"),

@@ -1768,12 +1768,16 @@ def decontaminate_by_benchmark_documents(spark, sf_dir):
 # synthesizes a deterministic contact string (phone digits from the
 # keys, an email from the name) — identically in both engines — and
 # the operator redacts it. Every third row gets an SSN-shaped token.
+# COALESCE every source column: Spark's format_string renders a NULL
+# int as the string 'null' while DuckDB's printf yields NULL — without
+# the coalesce the two engines build different contact strings on NULL
+# rows (found by the adversarial parity suite).
 _PII_ORACLE = cu.oracle_pii_redact_sql(
-    "(SELECT c_custkey, c_name || ' ph:' ||"
-    " printf('%02d-%03d-%03d-%04d', c_nationkey,"
+    "(SELECT c_custkey, COALESCE(c_name, '') || ' ph:' ||"
+    " printf('%02d-%03d-%03d-%04d', COALESCE(c_nationkey, 0),"
     "        c_custkey % 1000, (c_custkey // 1000) % 1000,"
     "        c_custkey % 10000) ||"
-    " ' ' || LOWER(c_mktsegment) || '.user@example.com' ||"
+    " ' ' || COALESCE(LOWER(c_mktsegment), '') || '.user@example.com' ||"
     " CASE WHEN c_custkey % 3 = 0 THEN"
     "   ' ssn ' || printf('%03d-%02d-%04d', c_custkey % 1000,"
     "                     c_custkey % 100, c_custkey % 10000)"
@@ -1798,11 +1802,13 @@ def pii_redact_customer(spark, sf_dir):
     phone/SSN/email patterns replaced, per-pattern counts kept."""
     k = F.col("c_custkey")
     contact = F.concat(
-        F.col("c_name"), F.lit(" ph:"),
-        F.format_string("%02d-%03d-%03d-%04d", F.col("c_nationkey"),
+        F.coalesce(F.col("c_name"), F.lit("")), F.lit(" ph:"),
+        F.format_string("%02d-%03d-%03d-%04d",
+                        F.coalesce(F.col("c_nationkey"), F.lit(0)),
                         k % 1000, (k / F.lit(1000)).cast("long") % 1000,
                         k % 10000),
-        F.lit(" "), F.lower(F.col("c_mktsegment")),
+        F.lit(" "),
+        F.coalesce(F.lower(F.col("c_mktsegment")), F.lit("")),
         F.lit(".user@example.com"),
         F.when(k % 3 == 0,
                F.concat(F.lit(" ssn "),

@@ -159,6 +159,26 @@ def _adv_events(spark):
                 "props"))
 
 
+def _adv_customer(spark):
+    """NULL names/balances/segments, empty and whitespace names,
+    unicode, numbers-as-text names (type-inference bait), negative
+    balances."""
+    rng = random.Random(23)
+    rows = []
+    segs = ["BUILDING", "MACHINERY", None]
+    names = [None, "", "   ", "Customer#000001", "José Münz 株式会社",
+             "12345", "3.14", "1996-01-02", "true"]
+    for i in range(80):
+        rows.append((
+            i, rng.choice(names), rng.choice([None, 0, 1, 2]),
+            rng.choice([None, -999.99, 0.0, rng.uniform(-100, 9000)]),
+            rng.choice(segs),
+        ))
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int,"
+              " c_acctbal double, c_mktsegment string")
+
+
 def _adv_nation(spark):
     """Self-loop, duplicate edge, NULL region (dangling), shared node
     ids between the two endpoint domains."""
@@ -175,7 +195,8 @@ def adv_dir(tmp_path_factory, spark):
     d = str(tmp_path_factory.mktemp("adv"))
     builders = {"documents": _adv_documents, "embeddings": _adv_embeddings,
                 "orders": _adv_orders, "lineitem": _adv_lineitem,
-                "events": _adv_events, "nation": _adv_nation}
+                "events": _adv_events, "nation": _adv_nation,
+                "customer": _adv_customer}
     for t, fn in builders.items():
         fn(spark).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(d, f"{t}.parquet"))
@@ -186,7 +207,7 @@ def adv_dir(tmp_path_factory, spark):
 def adv_duck(adv_dir):
     con = duckdb.connect()
     for t in ["documents", "embeddings", "orders", "lineitem", "events",
-              "nation"]:
+              "nation", "customer"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{os.path.join(adv_dir, t + '.parquet')}/*.parquet'")
     yield con
@@ -304,6 +325,18 @@ ADV_QUERIES = [
     "graph_degree_nation",
     "graph_components_nation",
     "pagerank_nation",
+    # customer family — text stats / nulls / regex labeling / type infer
+    "text_stats_customer",
+    "nullspec_customer",
+    "null_type_indices_customer",
+    "label_votes_customer",
+    "pii_redact_customer",
+    # cross-table + composites
+    "referential_integrity_lineitem_orders",
+    "interval_join_events",
+    "asof_last_purchase_events",
+    "full_profile_lineitem",
+    "full_profile_events",
 ]
 
 
