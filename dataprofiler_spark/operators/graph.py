@@ -24,6 +24,40 @@ SRC_KEYWORDS = ("source", "src", "from", "node_id_1", "start")
 DST_KEYWORDS = ("target", "destination", "dst", "to", "node_id_2", "end")
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _checkpoint_tracking(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eagerly localCheckpoint ``df``; also return the ids of the RDDs
+    the checkpoint persisted, so the caller can release them once the
+    snapshot is superseded.
+
+    localCheckpoint persists its materialized RDD and nothing ever
+    unpersists it — in an iterative loop that leaks one MEMORY_AND_DISK
+    snapshot of the full label frame PER ROUND until the JVM
+    ContextCleaner happens to collect them. On a long-lived session at
+    scale that is an unbounded storage-memory leak, so each round frees
+    the snapshot it supersedes (AFTER the last job that reads it — a
+    localCheckpoint's lineage is truncated, so unpersisting it while
+    still referenced loses the data, it cannot be recomputed); only the
+    FINAL checkpoint (which backs the returned frame) is left to the
+    ContextCleaner."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    added = _persistent_rdd_ids(sc) - before
+    return out, added
+
+
+def _release_rdds(sc, ids: set[int]) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def detect_edge_columns(columns: list[str]) -> tuple[str, str] | None:
     """Name-substring detection (graph_data.py:84-143), driver-side."""
     src = next((c for c in columns
@@ -90,6 +124,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                                F.col(src).alias("b")))
          .distinct().persist())
     labels = raw_nodes.withColumn("component", F.col("node"))
+    ckpt_ids: set[int] = set()
     for _ in range(max_iter):
         prop = (e.join(labels, e.a == labels.node)
                 .select(F.col("b").alias("node"),
@@ -97,11 +132,13 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         new_labels = (labels.select("node", F.col("component").alias("cand"))
                       .unionAll(prop)
                       .groupBy("node").agg(F.min("cand").alias("component")))
-        new_labels = new_labels.localCheckpoint()
+        new_labels, added = _checkpoint_tracking(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
+        _release_rdds(new_labels.sparkSession.sparkContext, ckpt_ids)
+        ckpt_ids = added
         labels = new_labels
         if changed == 0:
             break
@@ -156,6 +193,7 @@ def pagerank(edges: DataFrame, src: str, dst: str, iters: int = 3,
     base = (10**9 * (damp_den - damp_num)) // (damp_den * n)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    ckpt_ids: set[int] = set()
     for _ in range(iters):
         shares = (e.join(ranks, e.src == ranks.node)
                   .join(outdeg, "src")
@@ -168,7 +206,11 @@ def pagerank(edges: DataFrame, src: str, dst: str, iters: int = 3,
                           + F.expr(f"({damp_num} * coalesce(s, 0))"
                                    f" div {damp_den}"))
                          .cast("long").alias("r")))
-        ranks = ranks.localCheckpoint()  # truncate growing lineage
+        # truncate growing lineage; the eager checkpoint is the last job
+        # that reads the previous round's snapshot, so it can be freed
+        ranks, added = _checkpoint_tracking(ranks)
+        _release_rdds(ranks.sparkSession.sparkContext, ckpt_ids)
+        ckpt_ids = added
     return ranks.select("node",
                         F.round(F.col("r") / F.lit(1e9), round_digits)
                         .alias("rank"))

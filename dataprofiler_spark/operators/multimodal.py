@@ -172,12 +172,20 @@ def decode_av_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     id_name, bin_name = id_col, bin_col
 
+    _null = {"format": None, "channels": None, "sample_rate": None,
+             "bits_per_sample": None, "duration_ms": None}
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [parse_av_header(p) for p in pdf[bin_name]]
+            # NULL media cell -> NULL features (a real corpus has NULL
+            # binary cells; aggregates then skip them like any NULL)
+            feats = [_null if p is None else parse_av_header(p)
+                     for p in pdf[bin_name]]
             yield pd.DataFrame({
                 "id": pdf[id_name].astype("int64"),
-                "byte_len": [len(p) for p in pdf[bin_name]],
+                "byte_len": pd.array(
+                    [None if p is None else len(p)
+                     for p in pdf[bin_name]], dtype="Int64"),
                 "format": [f["format"] for f in feats],
                 "channels": pd.array([f["channels"] for f in feats],
                                      dtype="Int32"),
@@ -187,7 +195,8 @@ def decode_av_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     [f["bits_per_sample"] for f in feats], dtype="Int32"),
                 "duration_ms": pd.array([f["duration_ms"] for f in feats],
                                         dtype="Int64"),
-                "checksum": [hashlib.md5(p).hexdigest()
+                "checksum": [None if p is None
+                             else hashlib.md5(p).hexdigest()
                              for p in pdf[bin_name]],
             })
 
@@ -284,15 +293,24 @@ def decode_media_features(df: DataFrame, id_col: str, bin_col: str,
     id_name, bin_name = id_col, bin_col
     decode = _header_decode if decoder == "headers" else _fake_decode
 
+    _null = {"byte_len": None, "format": None, "width": None,
+             "height": None, "checksum": None}
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[bin_name].map(decode)
+            # NULL media cell -> NULL features (aggregates skip them,
+            # n_media still counts the row — mirrors SQL NULL algebra)
+            feats = pdf[bin_name].map(
+                lambda p: _null if p is None else decode(p))
             out = pd.DataFrame({
                 "id": pdf[id_name].astype("int64"),
-                "byte_len": [f["byte_len"] for f in feats],
+                "byte_len": pd.array([f["byte_len"] for f in feats],
+                                     dtype="Int64"),
                 "format": [f["format"] for f in feats],
-                "width": [f["width"] for f in feats],
-                "height": [f["height"] for f in feats],
+                "width": pd.array([f["width"] for f in feats],
+                                  dtype="Int32"),
+                "height": pd.array([f["height"] for f in feats],
+                                   dtype="Int32"),
                 "checksum": [f["checksum"] for f in feats],
             })
             yield out

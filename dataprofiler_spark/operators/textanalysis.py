@@ -354,13 +354,14 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
     corpus counts ride a term-partitioned window over the SAME tf table
     (no second scan — the tfidf lesson). The identity
     ``mean ln(ct/N) = mean ln(ct) − ln(N)`` defers the corpus total to
-    AFTER the per-doc reduction, so N comes from a broadcast aggregate
-    of the doc-sized partial table — which is persisted (doc-count
-    rows, MEMORY_AND_DISK) precisely so that aggregate does not
-    re-derive the corpus lineage. Per-doc sums go through scaled-
+    AFTER the per-doc reduction, so N needs only the corpus token
+    count — computed as a SEPARATE one-column map-side aggregate
+    (sum of per-row token counts) rather than a second pass through the
+    tf/window lineage, so nothing has to be persisted: the whole
+    operator is stateless (no cache to leak across calls — the
+    embedding_neardup lesson) at the cost of one extra column-pruned
+    scan, the cheaper trade at scale. Per-doc sums go through scaled-
     decimal accumulation so the mean is independent of summation order.
-    The persisted partial stays cached until the session drops it;
-    callers running many corpora can spark.catalog.clearCache().
     """
     from pyspark.sql.window import Window
 
@@ -380,9 +381,13 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
                .groupBy("id")
                .agg(F.sum("tf").alias("n_tokens"),
                     F.sum(F.col("lp").cast("decimal(28,12)"))
-                     .alias("__s"))
-               .persist())
-    totals = per_doc.agg(F.sum("n_tokens").alias("n_total"))
+                     .alias("__s")))
+    # corpus token total == sum(tf): every exploded term is counted once.
+    # Guarded size() so NULL texts contribute 0 under both legacy
+    # (size(NULL) = -1) and ANSI (NULL) semantics.
+    totals = base.agg(
+        F.sum(F.when(F.col("toks").isNull(), F.lit(0))
+              .otherwise(F.size("toks"))).alias("n_total"))
     return (per_doc.crossJoin(F.broadcast(totals))
             .select("id", "n_tokens",
                     F.round(F.col("__s").cast("double")

@@ -720,11 +720,17 @@ SELECT COUNT(*) AS n_media,
        COUNT(DISTINCT md5(CAST(LENGTH(text) % 512 + 16 AS VARCHAR)
                           || '|' || CAST(doc_id % 512 + 16 AS VARCHAR)
                           || '|' || text)) AS distinct_payloads,
-       CAST(1 AS BIGINT) AS n_formats,
+       CAST(COUNT(DISTINCT CASE WHEN text IS NULL THEN NULL
+                           ELSE 'png' END) AS BIGINT) AS n_formats,
        ROUND(AVG(LENGTH(text) % 512 + 16), 6) AS avg_width,
        CAST(MAX(LENGTH(text) % 512 + 16) AS BIGINT) AS max_width,
-       ROUND(AVG(doc_id % 512 + 16), 6) AS avg_height,
-       CAST(MAX(doc_id % 512 + 16) AS BIGINT) AS max_height
+       -- height derives from doc_id, but a NULL text nulls the WHOLE
+       -- payload on the engine side, so every per-media stat must skip
+       -- NULL-text rows here too (found by the adversarial suite)
+       ROUND(AVG(CASE WHEN text IS NULL THEN NULL
+                 ELSE doc_id % 512 + 16 END), 6) AS avg_height,
+       CAST(MAX(CASE WHEN text IS NULL THEN NULL
+                ELSE doc_id % 512 + 16 END) AS BIGINT) AS max_height
 FROM documents
 """
 

@@ -215,7 +215,11 @@ def adv_duck(adv_dir):
 
 
 # Queries reading only documents/embeddings whose contract must hold on
-# dirty data. (Excluded by contract: none yet — add with a reason.)
+# dirty data. Excluded by contract: cnn_labeler_customer /
+# ner_spans_orders / ner_redact_orders / trained_labeler_customer
+# (oracles are sf0.01-pinned golden VALUES tables — data-bound by
+# design; dirty-text behavior is covered in test_ner/test_trainable
+# instead) and full_report_* (rows-only, no SQL oracle).
 ADV_QUERIES = [
     # documents / text family
     "exact_dedup_documents",
@@ -247,7 +251,13 @@ ADV_QUERIES = [
     "hashed_doc_vectors_documents",
     "hashed_cosine_topk_documents",
     "nb_source_confusion_documents",
+    "decontaminate_documents",
     "decontaminate_by_benchmark_documents",
+    "data_mixture_documents",
+    "bpe_token_summary_documents",
+    "unstructured_summary_documents",
+    "media_profile_documents",
+    "av_profile_documents",
     "split_manifest_documents",
     "split_leakage_documents",
     "leakage_free_split_documents",
@@ -307,6 +317,8 @@ ADV_QUERIES = [
     "validate_lineitem",
     "type_inference_lineitem",
     "key_skew_lineitem",
+    "numeric_profile_by_returnflag",
+    "order_profile_lineitem",
     # events family
     "sessionize_events",
     "funnel_events",
@@ -315,6 +327,7 @@ ADV_QUERIES = [
     "retention_cohorts_events",
     "rolling_avg_events",
     "json_props_events",
+    "entity_counts_events_props",
     "time_bucket_events",
     "rollup_events_type_day",
     "topk_events_per_user",
