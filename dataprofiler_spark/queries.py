@@ -981,6 +981,29 @@ def hot_keys_events(spark, sf_dir):
     return sk.hot_keys(T(spark, sf_dir, "events"), ["user_id"], k=5)
 
 
+from dataprofiler_spark.operators import fuzzyjoin as fz
+
+
+@register("fuzzy_pairs_customer",
+          fz.oracle_fuzzy_self_pairs_sql(
+              "customer", "c_custkey",
+              "CAST(c_custkey AS VARCHAR)", max_dist=1))
+def fuzzy_pairs_customer(spark, sf_dir):
+    """Edit-distance self-join (PassJoin segment blocking + exact
+    levenshtein verify): customer keys within one edit of each other
+    over the natural decimal string. Deliberately UNPADDED — a
+    zero-padded key puts a constant zero run at one end, and whichever
+    segment falls inside it becomes one hot bucket holding most of the
+    table (measured: OOM at sf0.1); the variable-length form spreads
+    both segments across leading-digit buckets. The same rule at 100 TB:
+    strip constant affixes from the key expression before fuzzy-joining.
+    ASCII key keeps the brute-force DuckDB oracle byte/char-exact."""
+    df = T(spark, sf_dir, "customer")
+    return fz.fuzzy_self_pairs(
+        df, "c_custkey", "c_name", max_dist=1,
+        key_expr=F.col("c_custkey").cast("string"))
+
+
 @register("pagerank_nation",
           gr.oracle_pagerank_sql("nation", "n_nationkey", "n_regionkey",
                                  iters=3))
@@ -2080,6 +2103,7 @@ _DRIVER_WINDOW = [
     "pagerank_nation",
     "key_skew_lineitem",
     "hot_keys_events",
+    "fuzzy_pairs_customer",
     # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
     "embedding_dim_stats",
     # ---- flagship end-to-end re-check (every round) ----
@@ -2115,7 +2139,9 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     # asof_last_purchase_events ceded its slot to pagerank_nation —
     # it keeps its r3 driver row and local parity.
-    "psi_numeric_totalprice",
+    # psi_numeric_totalprice ceded its slot to fuzzy_pairs_customer —
+    # it keeps its r3 driver row; the numeric-drift family stays
+    # represented in-window by ks_js_totalprice.
     "referential_integrity_lineitem_orders",
     # topk_events_per_user ceded its slot to hot_keys_events (same
     # TakeOrdered family) — it keeps its r3 driver row + local parity.

@@ -344,6 +344,7 @@ ADV_QUERIES = [
     "null_type_indices_customer",
     "label_votes_customer",
     "pii_redact_customer",
+    "fuzzy_pairs_customer",
     # cross-table + composites
     "referential_integrity_lineitem_orders",
     "interval_join_events",
