@@ -152,6 +152,11 @@ def build_runners(spark, sf_dir):
     add("text", "quality_weighted_sample_documents",
         lambda: mx.quality_weighted_sample_summary(
             documents, "doc_id", "text", strength=1.2).collect())
+    def _bm25():
+        from dataprofiler_spark.operators import retrieval as rtv
+        rtv.bm25_topk(documents, "doc_id", "text",
+                      "spark window merge vector", k=10).collect()
+    add("text", "bm25_topk_documents", _bm25)
     add("text", "packing_stats_documents",
         lambda: ck.packing_stats(documents, "doc_id", "text",
                                  context_len=256).collect())

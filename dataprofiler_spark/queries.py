@@ -1514,6 +1514,49 @@ def hashed_cosine_topk_documents(spark, sf_dir):
                                  dim=64)
 
 
+from dataprofiler_spark.operators import retrieval as rtv
+
+_BM25_QUERY = "spark window merge vector"
+
+
+@register("bm25_topk_documents",
+          rtv.oracle_bm25_topk_sql("documents", "doc_id", "text",
+                                   _BM25_QUERY, k=10))
+def bm25_topk_documents(spark, sf_dir):
+    """BM25 full-text ranking over the corpus: the query's terms are
+    driver literals so the candidate filter fuses into the corpus scan;
+    one narrow shuffle on candidate doc ids, collection constants
+    broadcast, TakeOrdered top-k. The lexical half of retrieval-based
+    decontamination beside hashed_cosine_topk's vector half."""
+    return rtv.bm25_topk(T(spark, sf_dir, "documents"), "doc_id", "text",
+                         _BM25_QUERY, k=10)
+
+
+@register("query_cosine_topk_documents",
+          rtv.oracle_hashed_query_cosine_topk_sql(
+              "documents", "doc_id", "text", _BM25_QUERY, k=10, dim=64))
+def query_cosine_topk_documents(spark, sf_dir):
+    """Free-text vector search with no embedding column: the query
+    hashes driver-side into the hashing-trick space, docs rank by
+    integer-exact cosine against the broadcast literal query vector."""
+    return rtv.hashed_query_cosine_topk(T(spark, sf_dir, "documents"),
+                                        "doc_id", "text", _BM25_QUERY,
+                                        k=10, dim=64)
+
+
+@register("hybrid_rrf_topk_documents",
+          rtv.oracle_hybrid_rrf_topk_sql("documents", "doc_id", "text",
+                                         _BM25_QUERY, k=10, n_cand=25,
+                                         dim=64))
+def hybrid_rrf_topk_documents(spark, sf_dir):
+    """Hybrid search: reciprocal-rank fusion of the BM25 lexical leg and
+    the hashed-vector cosine leg — each leg TakeOrdered to n_cand, so
+    the fusion join is O(n_cand) regardless of corpus size."""
+    return rtv.hybrid_rrf_topk(T(spark, sf_dir, "documents"), "doc_id",
+                               "text", _BM25_QUERY, k=10, n_cand=25,
+                               dim=64)
+
+
 # BPE-ish token counting (SURVEY north-star: token budget estimation)
 # ---------------------------------------------------------------------------
 

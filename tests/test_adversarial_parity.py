@@ -255,6 +255,9 @@ ADV_QUERIES = [
     "decontaminate_by_benchmark_documents",
     "data_mixture_documents",
     "bpe_token_summary_documents",
+    "bm25_topk_documents",
+    "query_cosine_topk_documents",
+    "hybrid_rrf_topk_documents",
     "unstructured_summary_documents",
     "media_profile_documents",
     "av_profile_documents",
