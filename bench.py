@@ -157,6 +157,12 @@ def build_runners(spark, sf_dir):
         rtv.bm25_topk(documents, "doc_id", "text",
                       "spark window merge vector", k=10).collect()
     add("text", "bm25_topk_documents", _bm25)
+    add("text", "bigram_logprob_documents",
+        lambda: ta.bigram_logprob_scores(documents, "doc_id",
+                                         "text").count())
+    add("text", "collocations_pmi_documents",
+        lambda: ta.collocations_pmi(documents, "text", k=20,
+                                    min_count=5).collect())
     add("text", "packing_stats_documents",
         lambda: ck.packing_stats(documents, "doc_id", "text",
                                  context_len=256).collect())
@@ -228,6 +234,11 @@ def build_runners(spark, sf_dir):
     add("embedding", "pq_audit_embeddings",
         lambda: clus.pq_audit(embeddings, "vec_id", "embedding", m=4,
                               k_codes=4, iters=1, dim=64).collect())
+
+    def _cov():
+        from dataprofiler_spark.operators import vectorstats as vs
+        vs.embedding_covariance(embeddings, "embedding").count()
+    add("embedding", "embedding_covariance", _cov)
 
     # ---- labeler group ----
     def _trainable_fit():

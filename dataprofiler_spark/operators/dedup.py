@@ -716,3 +716,76 @@ SELECT id, cluster_id, cluster_size
 FROM ({inner}) c
 WHERE is_canonical AND {_duck_hash_fraction('id', seed)} < {fraction}
 """
+
+
+def cross_source_dup_matrix(df: DataFrame, id_col: str, text_col: str,
+                            source_col: str, k: int = 3,
+                            num_hashes: int = 12, bands: int = 6,
+                            threshold: float = 0.5,
+                            max_bucket_size: int | None = None,
+                            round_digits: int = 6) -> DataFrame:
+    """(source_a, source_b, n_pairs, avg_jaccard): near-duplicate pair
+    counts BETWEEN sources — the provenance view of duplication ("which
+    feeds copy from which") that decides what a mixture re-weights or
+    drops. Diagonal rows (source_a == source_b) measure internal
+    duplication. Pair generation is the banded-LSH plan of
+    :func:`minhash_lsh_pairs` (same skew guard); the source labels join
+    in on doc id and the matrix aggregates to at most |sources|² rows.
+    Pair orientation is normalized (least/greatest) so each unordered
+    source pair appears once; NULL sources label as '(null)' — a pair
+    involving an unlabeled doc is still a duplication fact.
+    avg_jaccard averages the 6-digit-rounded verified similarities via
+    integer sums (order-independent, engine-exact)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold,
+                              round_digits=round_digits,
+                              max_bucket_size=max_bucket_size)
+    src = df.select(F.col(id_col).alias("id"),
+                    F.coalesce(F.col(source_col).cast("string"),
+                               F.lit("(null)")).alias("src"))
+    lab = (pairs
+           .join(src.select(F.col("id").alias("id1"),
+                            F.col("src").alias("s1")), "id1")
+           .join(src.select(F.col("id").alias("id2"),
+                            F.col("src").alias("s2")), "id2")
+           .select(F.least("s1", "s2").alias("source_a"),
+                   F.greatest("s1", "s2").alias("source_b"),
+                   F.round(F.col("jaccard") * 1e6, 0)
+                    .cast("long").alias("j6")))
+    return (lab.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum("j6").cast("double") / 1e6
+                         / F.count(F.lit(1)),
+                         round_digits).alias("avg_jaccard")))
+
+
+def oracle_cross_source_dup_matrix_sql(table: str, id_col: str,
+                                       text_col: str, source_col: str,
+                                       k: int = 3, num_hashes: int = 12,
+                                       bands: int = 6,
+                                       threshold: float = 0.5,
+                                       round_digits: int = 6) -> str:
+    ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
+                            threshold, round_digits)
+    return f"""
+WITH {ctes},
+src AS (
+  SELECT {id_col} AS id,
+         COALESCE(CAST({source_col} AS VARCHAR), '(null)') AS src
+  FROM {table}
+),
+lab AS (
+  SELECT LEAST(s1.src, s2.src) AS source_a,
+         GREATEST(s1.src, s2.src) AS source_b,
+         CAST(ROUND(jaccard * 1000000.0, 0) AS BIGINT) AS j6
+  FROM vpairs
+  JOIN src s1 ON vpairs.id1 = s1.id
+  JOIN src s2 ON vpairs.id2 = s2.id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(j6) AS DOUBLE) / 1000000.0 / COUNT(*),
+             {round_digits}) AS avg_jaccard
+FROM lab
+GROUP BY source_a, source_b
+"""

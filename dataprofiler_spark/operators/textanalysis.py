@@ -396,6 +396,174 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
                             round_digits).alias("avg_logprob")))
 
 
+def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
+                          round_digits: int = 6) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): per-doc mean natural-log CONDITIONAL
+    probability ln P(w_i | w_{i-1}) under the corpus bigram model — the
+    CCNet-style LM quality filter one order up from
+    ``unigram_logprob_scores`` (word-salad text keeps plausible unigrams
+    but implausible transitions, so it separates where the unigram score
+    can't). P(w2|w1) = c(w1,w2) / c(w1,·); no smoothing is needed
+    because every scored bigram exists in the corpus by construction.
+
+    Shape: bigrams assemble JVM-side as ``zip_with`` over two token-array
+    slices (no positional self-join), then one (doc, w1, w2) tf
+    aggregation; BOTH corpus counts ride windows over that tf table —
+    the w1-partitioned window runs FIRST so the (w1,w2) window reuses its
+    exchange (hash(w1) clusters (w1,w2) too): one shuffle for both.
+    Hot first-words skew the w1 partitioning the same way hot terms skew
+    the unigram window — the tf table is already collapsed per doc, which
+    bounds the hot partition by the DISTINCT follower count, not the
+    token stream. Docs with fewer than two tokens (incl. NULL text) have
+    no bigrams and don't appear — same contract as the unigram scorer.
+    """
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  tokens_expr(text_col).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("id", F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> struct(a AS w1, b AS w2))").alias("bi")))
+    pairs = (explode_no_prefilter(base, "bi", "z", "id")
+             .select("id", F.col("z.w1").alias("w1"),
+                     F.col("z.w2").alias("w2")))
+    tf = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    with_ct = (tf
+               .withColumn("cl", F.sum("tf").over(Window.partitionBy("w1")))
+               .withColumn("cb", F.sum("tf").over(
+                   Window.partitionBy("w1", "w2"))))
+    lp = F.round(F.col("tf") * (F.log("cb") - F.log("cl")), 9)
+    return (with_ct
+            .groupBy("id")
+            .agg(F.sum("tf").alias("n_bigrams"),
+                 F.round(F.sum(lp.cast("decimal(28,12)")).cast("double")
+                         / F.sum("tf"), round_digits).alias("avg_logprob")))
+
+
+def collocations_pmi(df: DataFrame, text_col: str, k: int = 20,
+                     min_count: int = 5, round_digits: int = 6
+                     ) -> DataFrame:
+    """(w1, w2, pair_count, c1, c2, pmi, rank): top-k collocations by
+    pointwise mutual information PMI = ln(P(w1,w2)/(P(w1)P(w2))) —
+    the standard phrase/boilerplate miner (Church & Hanks 1990).
+    P(w1,w2) uses the bigram total, P(w) the token total.
+
+    Scale shape: the ``min_count`` filter runs on the aggregated bigram
+    table BEFORE the unigram joins, so only surviving candidates (a set
+    that SHRINKS as the corpus grows, for fixed ``min_count`` share) ever
+    join against the vocabulary counts; the two totals are broadcast
+    1-row aggregates. PMI sums ln terms in a fixed order (engine-exact);
+    ties (pmi desc, w1 asc, w2 asc)."""
+    from dataprofiler_spark.operators.topk import ranked_topk
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(tokens_expr(text_col).alias("toks")))
+    terms = explode_no_prefilter(base, "toks", "w")
+    uni = terms.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.agg(F.sum("c").alias("n_total"))
+    bi_base = (base.where(F.size("toks") >= 2)
+               .select(F.expr(
+                   "zip_with(slice(toks, 1, size(toks) - 1),"
+                   "         slice(toks, 2, size(toks) - 1),"
+                   "         (a, b) -> struct(a AS w1, b AS w2))")
+                   .alias("bi")))
+    pairs = (explode_no_prefilter(bi_base, "bi", "z")
+             .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")))
+    cb = (pairs.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("pair_count"))
+          .where(F.col("pair_count") >= min_count))
+    nb_total = pairs.groupBy().agg(F.count(F.lit(1)).alias("nb_total"))
+    joined = (cb
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .crossJoin(F.broadcast(n_total))
+              .crossJoin(F.broadcast(nb_total)))
+    pmi = F.round(F.log("pair_count") - F.log("nb_total")
+                  - F.log("c1") - F.log("c2")
+                  + F.lit(2.0) * F.log("n_total"), round_digits)
+    scored = joined.select("w1", "w2", "pair_count", "c1", "c2",
+                           pmi.alias("pmi"))
+    return (ranked_topk(scored,
+                        [F.desc("pmi"), F.asc("w1"), F.asc("w2")], k)
+            .select("w1", "w2", "pair_count", "c1", "c2", "pmi", "rank"))
+
+
+def oracle_collocations_pmi_sql(table: str, text_col: str, k: int = 20,
+                                min_count: int = 5,
+                                round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH base AS (SELECT {toks} AS tk FROM {table}),
+terms AS (SELECT UNNEST(tk) AS w FROM base),
+uni AS (SELECT w, COUNT(*) AS c FROM terms GROUP BY w),
+n_total AS (SELECT SUM(c) AS n_total FROM uni),
+bi AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (SELECT UNNEST(list_zip(tk[1:LEN(tk)-1], tk[2:LEN(tk)])) AS z
+        FROM base)
+),
+nb_total AS (SELECT COUNT(*) AS nb_total FROM bi),
+cb AS (
+  SELECT w1, w2, COUNT(*) AS pair_count
+  FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}
+),
+scored AS (
+  SELECT cb.w1, cb.w2, cb.pair_count, u1.c AS c1, u2.c AS c2,
+         ROUND(LN(CAST(pair_count AS DOUBLE))
+               - LN(CAST(nb_total AS DOUBLE))
+               - LN(CAST(u1.c AS DOUBLE)) - LN(CAST(u2.c AS DOUBLE))
+               + 2.0 * LN(CAST(n_total AS DOUBLE)),
+               {round_digits}) AS pmi
+  FROM cb JOIN uni u1 ON cb.w1 = u1.w
+          JOIN uni u2 ON cb.w2 = u2.w
+  CROSS JOIN n_total CROSS JOIN nb_total
+)
+SELECT w1, w2, pair_count, c1, c2, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""
+
+
+def oracle_bigram_logprob_sql(table: str, id_col: str, text_col: str,
+                              round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH bi AS (
+  SELECT id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT {id_col} AS id,
+               UNNEST(list_zip(t.tk[1:LEN(t.tk)-1], t.tk[2:LEN(t.tk)])) AS z
+        FROM (SELECT {id_col}, {toks} AS tk FROM {table}) t)
+),
+tf AS (
+  SELECT id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY id, w1, w2
+),
+cl AS (SELECT w1, SUM(tf) AS cl FROM tf GROUP BY w1),
+cb AS (SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY w1, w2)
+SELECT tf.id AS id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(tf.tf * (LN(CAST(cb.cb AS DOUBLE))
+                                          - LN(CAST(cl.cl AS DOUBLE))), 9)
+                           AS DECIMAL(28,12))) AS DOUBLE)
+             / SUM(tf.tf),
+             {round_digits}) AS avg_logprob
+FROM tf JOIN cl USING (w1) JOIN cb USING (w1, w2)
+GROUP BY tf.id
+"""
+
+
 def oracle_unigram_logprob_sql(table: str, id_col: str, text_col: str,
                                round_digits: int = 6) -> str:
     toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"

@@ -74,6 +74,111 @@ FROM agg
 """
 
 
+def embedding_covariance(df: DataFrame, vec_col: str,
+                         round_digits: int = 9) -> DataFrame:
+    """(d1, d2, n, cov, corr) for every dimension pair d1 ≤ d2 — the
+    covariance/correlation structure of an embedding column. High
+    off-diagonal correlation means anisotropy (embeddings collapsed
+    toward a cone — the known failure mode of contrastive encoders);
+    this is the measurement you take before deciding to whiten or to
+    trust raw cosine similarity.
+
+    Plan: double posexplode builds (d1, x1, d2, x2) MAP-SIDE (no join —
+    the upper-triangle filter halves it), then ONE groupBy on (d1, d2):
+    d·(d+1)/2 groups, so the shuffle moves only partial aggregates.
+    Every sum is per-pair and scaled-integer, which makes ragged/NULL
+    vectors well-defined (a pair's n counts rows carrying BOTH dims) and
+    the results engine-exact. The exploded stream is n·d²/2 rows of CPU
+    (not memory — partial aggregation collapses it); at dim ≳ 1024
+    hash-sample rows first (operators/sampling.py) — the estimate
+    converges long before the full corpus.
+
+    Zero-variance dimensions yield corr = NULL (the correlation_matrix
+    contract)."""
+    exploded = (df
+                .where(F.col(vec_col).isNotNull())
+                .select(F.posexplode(F.col(vec_col)).alias("d1", "x1"),
+                        F.col(vec_col).alias("__v"))
+                .select("d1", F.col("x1").cast("double").alias("x1"),
+                        F.posexplode(F.col("__v")).alias("d2", "x2"))
+                .where(F.col("d2") >= F.col("d1"))
+                .select("d1", "x1", "d2",
+                        F.col("x2").cast("double").alias("x2")))
+    i1 = F.round(F.col("x1") * _S, 0).cast("decimal(19,0)")
+    i2 = F.round(F.col("x2") * _S, 0).cast("decimal(19,0)")
+    agg = exploded.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(i1.cast("decimal(38,0)")).alias("s1"),
+        F.sum(i2.cast("decimal(38,0)")).alias("s2"),
+        F.sum((i1 * i1).cast("decimal(38,0)")).alias("s11"),
+        F.sum((i2 * i2).cast("decimal(38,0)")).alias("s22"),
+        F.sum((i1 * i2).cast("decimal(38,0)")).alias("s12"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    num = (n * F.col("s12") - s1 * s2).cast("double")
+    den1 = (n * F.col("s11") - s1 * s1).cast("double")
+    den2 = (n * F.col("s22") - s2 * s2).cast("double")
+    cov = num / n / (n - 1) / (_S * _S)
+    corr = F.when((den1 > 0) & (den2 > 0),
+                  num / (F.sqrt(den1) * F.sqrt(den2)))
+    return agg.select(
+        "d1", "d2", "n",
+        F.round(cov, round_digits).alias("cov"),
+        F.round(corr, round_digits).alias("corr"),
+    )
+
+
+def oracle_embedding_covariance_sql(table: str, vec_col: str,
+                                    dim: int = 64,
+                                    round_digits: int = 9) -> str:
+    v = f"{vec_col}::DOUBLE[]"
+    x1 = f"CAST(({v})[CAST(t1.i AS INT)] AS DOUBLE)"
+    x2 = f"CAST(({v})[CAST(t2.i AS INT)] AS DOUBLE)"
+    i1 = f"CAST(ROUND({x1} * {_S}, 0) AS DECIMAL(19,0))"
+    i2 = f"CAST(ROUND({x2} * {_S}, 0) AS DECIMAL(19,0))"
+    return f"""
+WITH e AS (
+  SELECT CAST(t1.i - 1 AS INT) AS d1, CAST(t2.i - 1 AS INT) AS d2,
+         {i1} AS i1, {i2} AS i2
+  FROM {table}
+  CROSS JOIN range(1, {dim + 1}) t1(i)
+  CROSS JOIN range(1, {dim + 1}) t2(i)
+  WHERE {vec_col} IS NOT NULL
+    AND t1.i <= len({v}) AND t2.i <= len({v})
+    AND t2.i >= t1.i
+), agg AS (
+  SELECT d1, d2, COUNT(*) AS n,
+         SUM(CAST(i1 AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(i2 AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(i1 * i1 AS DECIMAL(38,0))) AS s11,
+         SUM(CAST(i2 * i2 AS DECIMAL(38,0))) AS s22,
+         SUM(CAST(i1 * i2 AS DECIMAL(38,0))) AS s12
+  FROM e GROUP BY d1, d2
+)
+SELECT d1, d2, n,
+       ROUND(CAST(CAST(n AS HUGEINT) * CAST(s12 AS HUGEINT)
+                  - CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE)
+             / n / (n - 1) / ({_S} * {_S}), {round_digits}) AS cov,
+       ROUND(CASE WHEN CAST(CAST(n AS HUGEINT) * CAST(s11 AS HUGEINT)
+                            - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                            AS DOUBLE) > 0
+                   AND CAST(CAST(n AS HUGEINT) * CAST(s22 AS HUGEINT)
+                            - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT)
+                            AS DOUBLE) > 0
+                  THEN CAST(CAST(n AS HUGEINT) * CAST(s12 AS HUGEINT)
+                            - CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT)
+                            AS DOUBLE)
+                       / (SQRT(CAST(CAST(n AS HUGEINT) * CAST(s11 AS HUGEINT)
+                                    - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                                    AS DOUBLE))
+                          * SQRT(CAST(CAST(n AS HUGEINT) * CAST(s22 AS HUGEINT)
+                                      - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT)
+                                      AS DOUBLE)))
+             END, {round_digits}) AS corr
+FROM agg
+"""
+
+
 def norm_stats(df: DataFrame, vec_col: str, round_digits: int = 6) -> DataFrame:
     """(n_vectors, mean_norm, min_norm, max_norm): L2-norm profile —
     catches unnormalized embedding batches before they poison cosine

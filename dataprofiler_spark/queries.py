@@ -352,6 +352,20 @@ def minhash_lsh_pairs_documents(spark, sf_dir):
                                 k=3, num_hashes=12, bands=6, threshold=0.5)
 
 
+@register("cross_source_dup_matrix_documents",
+          dd.oracle_cross_source_dup_matrix_sql(
+              "documents", "doc_id", "text", "source",
+              k=3, num_hashes=12, bands=6, threshold=0.5))
+def cross_source_dup_matrix_documents(spark, sf_dir):
+    """Near-dup pair counts between sources (provenance view of
+    duplication): LSH pairs joined to source labels, aggregated to at
+    most |sources|² rows."""
+    return dd.cross_source_dup_matrix(T(spark, sf_dir, "documents"),
+                                      "doc_id", "text", "source",
+                                      k=3, num_hashes=12, bands=6,
+                                      threshold=0.5)
+
+
 @register("minhash_lsh_pairs_bottomk",
           dd.oracle_minhash_lsh_pairs_sql("documents", "doc_id", "text",
                                           k=3, num_hashes=12, bands=6,
@@ -1640,6 +1654,18 @@ def embedding_dim_stats_q(spark, sf_dir):
     return vs.embedding_dim_stats(T(spark, sf_dir, "embeddings"), "embedding")
 
 
+@register("embedding_covariance_embeddings",
+          vs.oracle_embedding_covariance_sql("embeddings", "embedding",
+                                             dim=64))
+def embedding_covariance_embeddings(spark, sf_dir):
+    """Upper-triangle covariance/correlation matrix of the embedding
+    dimensions — the anisotropy measurement behind whiten-or-not
+    decisions; map-side double-posexplode, one d·(d+1)/2-group shuffle
+    of partial aggregates."""
+    return vs.embedding_covariance(T(spark, sf_dir, "embeddings"),
+                                   "embedding")
+
+
 _NORM_ORACLE = """
 WITH norms AS (
   SELECT SQRT(list_sum(list_transform(generate_series(1, 64),
@@ -1924,6 +1950,27 @@ def unigram_logprob_documents(spark, sf_dir):
     signal (low = gibberish/rare-token soup, high = typical prose)."""
     return ta.unigram_logprob_scores(T(spark, sf_dir, "documents"),
                                      "doc_id", "text")
+
+
+@register("bigram_logprob_documents",
+          ta.oracle_bigram_logprob_sql("documents", "doc_id", "text"))
+def bigram_logprob_documents(spark, sf_dir):
+    """Per-doc mean bigram conditional log-probability — the CCNet-style
+    LM quality filter one order up from the unigram score (word-salad
+    text keeps plausible unigrams but implausible transitions)."""
+    return ta.bigram_logprob_scores(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
+@register("collocations_pmi_documents",
+          ta.oracle_collocations_pmi_sql("documents", "text", k=20,
+                                         min_count=5))
+def collocations_pmi_documents(spark, sf_dir):
+    """Top-k collocations by PMI — the phrase/boilerplate miner; the
+    min_count filter runs on the aggregated bigram table before any
+    vocabulary join."""
+    return ta.collocations_pmi(T(spark, sf_dir, "documents"), "text",
+                               k=20, min_count=5)
 
 
 @register("canonical_sample_documents",

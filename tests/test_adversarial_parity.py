@@ -226,6 +226,7 @@ ADV_QUERIES = [
     "ngram_jaccard_documents",
     "minhash_signatures_documents",
     "minhash_lsh_pairs_documents",
+    "cross_source_dup_matrix_documents",
     "minhash_lsh_pairs_bottomk",
     "simhash_documents",
     "simhash_neardup_documents",
@@ -244,6 +245,8 @@ ADV_QUERIES = [
     "corpus_curation_documents",
     "clean_sample_documents",
     "unigram_logprob_documents",
+    "bigram_logprob_documents",
+    "collocations_pmi_documents",
     "packing_stats_documents",
     "pack_manifest_documents",
     "chunk_summary_documents",
@@ -267,6 +270,7 @@ ADV_QUERIES = [
     "data_mixture_source_lang",
     # embeddings family
     "embedding_dim_stats",
+    "embedding_covariance_embeddings",
     "embedding_norm_stats",
     "quantize_int8_embeddings",
     "cosine_topk_embeddings",

@@ -531,6 +531,97 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[101]["avg_logprob"] < -3.0  # ~ln(1/42)
 
 
+def test_bigram_logprob_separates_word_salad(spark):
+    """Shuffled word salad keeps the SAME unigram distribution as the
+    coherent corpus but scores lower on bigram transitions — the
+    signal the bigram scorer adds over the unigram one."""
+    from dataprofiler_spark.operators.textanalysis import (
+        bigram_logprob_scores, unigram_logprob_scores)
+
+    coherent = "the cat sat on the mat"
+    rows = [(i, coherent) for i in range(6)]
+    rows += [(100, coherent),
+             (101, "mat the on sat cat the")]   # same tokens, salad order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["id"]: r["avg_logprob"] for r in
+           unigram_logprob_scores(df, "doc_id", "text").collect()}
+    bi = {r["id"]: r for r in
+          bigram_logprob_scores(df, "doc_id", "text").collect()}
+    # Unigram can't separate them; bigram can.
+    assert uni[100] == uni[101]
+    assert bi[100]["avg_logprob"] > bi[101]["avg_logprob"]
+    assert bi[100]["n_bigrams"] == 5
+    # A doc of always-repeated transitions scores ln(1) = 0 ceiling.
+    assert bi[100]["avg_logprob"] <= 0.0
+
+
+def test_bigram_logprob_short_and_null_docs_excluded(spark):
+    from dataprofiler_spark.operators.textanalysis import (
+        bigram_logprob_scores)
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "only"), (3, None), (4, ""), (5, "   ")],
+        "doc_id long, text string")
+    out = bigram_logprob_scores(df, "doc_id", "text").collect()
+    assert [r["id"] for r in out] == [1]
+    # Single doc, single bigram: P(b|a) = 1 → avg_logprob exactly 0.
+    assert out[0]["n_bigrams"] == 1 and out[0]["avg_logprob"] == 0.0
+
+
+def test_bigram_logprob_oracle_parity_dirty(spark, tmp_path):
+    import duckdb
+
+    from dataprofiler_spark.operators.textanalysis import (
+        bigram_logprob_scores, oracle_bigram_logprob_sql)
+    from tests.oracle_utils import assert_frames_match
+
+    rows = [(1, "the cat sat on the mat"), (2, None), (3, ""),
+            (4, "solo"), (5, "THE CAT the cat"), (6, "a a a a a a"),
+            (7, "ünï çödé ünï çödé"), (8, "x " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = bigram_logprob_scores(spark.read.parquet(p),
+                                "doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
+    want = con.execute(oracle_bigram_logprob_sql(
+        "docs", "doc_id", "text")).fetchdf()
+    assert_frames_match(got, want, "bigram_dirty")
+
+
+def test_collocations_pmi_finds_fixed_phrase(spark):
+    """A rigid two-word phrase scores the PMI ceiling; a pair of
+    independent common words scores near zero and ranks below it."""
+    import math
+
+    import pytest
+
+    from dataprofiler_spark.operators.textanalysis import collocations_pmi
+
+    # "hong kong" always together; "the" pairs promiscuously.
+    rows = [(i, "hong kong the end the start") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations_pmi(df, "text", k=10, min_count=5).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("hong", "kong")
+    # PMI("hong","kong") = ln(cb·N²/(Nb·c1·c2)) with cb=c1=c2=10,
+    # N=60, Nb=50: ln(3600/(50·10)) = ln 7.2.
+    assert top["pmi"] == pytest.approx(math.log(7.2), abs=1e-6)
+    ranked = {(r["w1"], r["w2"]): r["rank"] for r in out}
+    assert ranked[("hong", "kong")] < ranked[("the", "end")]
+
+
+def test_collocations_pmi_min_count_filters(spark):
+    from dataprofiler_spark.operators.textanalysis import collocations_pmi
+
+    rows = [(1, "rare pair"), (2, None), (3, "")]
+    rows += [(10 + i, "common duo") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations_pmi(df, "text", k=10, min_count=5).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("common", "duo")]
+
+
 def test_packing_stats_identities(spark, sf_dir):
     """The packing audit's columns satisfy exact accounting identities:
     usable + truncated = total, padding = n_docs*context - usable, and

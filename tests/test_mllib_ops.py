@@ -287,3 +287,87 @@ def test_quantize_int8_constant_dim(spark):
     rows = {r["dim"]: r for r in vs.quantize_int8_stats(df, "v").collect()}
     assert rows[0]["mean_abs_err"] == 0.0 and rows[0]["max_abs_err"] == 0.0
     assert rows[0]["n_saturated"] == 10
+
+
+def test_embedding_covariance_semantics(spark):
+    """Perfectly linearly dependent dims read corr ±1, independent-ish
+    dims read the exact closed form, constant dims read corr NULL."""
+    from dataprofiler_spark.operators import vectorstats as vs
+
+    # v = [x, 2x, -x, 7]: dims (0,1) corr 1, (0,2) corr -1, dim 3 const.
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, -1.0 * i, 7.0]) for i in range(10)],
+        "id long, v array<double>")
+    out = {(r["d1"], r["d2"]): r
+           for r in vs.embedding_covariance(df, "v").collect()}
+    assert len(out) == 10  # 4*5/2 upper-triangle pairs
+    assert out[(0, 1)]["corr"] == 1.0
+    assert out[(0, 2)]["corr"] == -1.0
+    assert out[(0, 3)]["corr"] is None      # zero-variance partner
+    assert out[(3, 3)]["corr"] is None
+    assert out[(3, 3)]["cov"] == 0.0
+    # var(x) for x=0..9 (sample): 55/6; cov(0,1) = 2*var.
+    assert out[(0, 0)]["cov"] == pytest.approx(55 / 6, abs=1e-6)
+    assert out[(0, 1)]["cov"] == pytest.approx(2 * 55 / 6, abs=1e-6)
+    assert all(r["n"] == 10 for r in out.values())
+
+
+def test_embedding_covariance_ragged_and_null(spark):
+    """NULL vectors contribute nothing; a short vector contributes only
+    to the pairs it actually carries (per-pair n, the posexplode rule)."""
+    from dataprofiler_spark.operators import vectorstats as vs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0]), (4, None)],
+        "id long, v array<double>")
+    out = {(r["d1"], r["d2"]): r
+           for r in vs.embedding_covariance(df, "v").collect()}
+    assert out[(0, 0)]["n"] == 3
+    assert out[(0, 1)]["n"] == 2
+    assert out[(1, 1)]["n"] == 2
+
+
+def test_embedding_covariance_oracle_parity_dirty(spark, tmp_path):
+    import duckdb
+
+    from dataprofiler_spark.operators import vectorstats as vs
+    from tests.oracle_utils import assert_frames_match
+
+    rows = [(1, [0.5, -0.25, 0.0]), (2, [0.125, 0.75, -1.0]),
+            (3, None), (4, [0.25]), (5, [0.0, 0.0, 0.0]),
+            (6, [1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    p = str(tmp_path / "emb.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = vs.embedding_covariance(spark.read.parquet(p), "v").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW emb AS SELECT * FROM '{p}/*.parquet'")
+    want = con.execute(vs.oracle_embedding_covariance_sql(
+        "emb", "v", dim=3)).fetchdf()
+    assert_frames_match(got, want, "cov_dirty")
+
+
+def test_cross_source_dup_matrix_semantics(spark):
+    """Copies planted across two sources surface as an off-diagonal
+    (srcA, srcB) row; internal copies as a diagonal row; NULL source
+    labels as '(null)'; pair orientation is normalized."""
+    from dataprofiler_spark.operators import dedup as dd
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, boiler, "srcA"),
+        (2, boiler, "srcB"),          # cross-source copy
+        (3, boiler, "srcA"),          # internal copy in srcA
+        (4, boiler, None),            # unlabeled copy
+        (5, "completely different text about spark plans", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in dd.cross_source_dup_matrix(
+               df, "doc_id", "text", "source", threshold=0.9).collect()}
+    assert out[("srcA", "srcB")]["n_pairs"] == 2      # 1-2, 3-2
+    assert out[("srcA", "srcA")]["n_pairs"] == 1      # 1-3
+    assert out[("(null)", "srcA")]["n_pairs"] == 2    # 4-1, 4-3
+    assert out[("(null)", "srcB")]["n_pairs"] == 1    # 4-2
+    assert all(r["avg_jaccard"] == 1.0 for r in out.values())
+    assert all(r["source_a"] <= r["source_b"] for r in out.values())

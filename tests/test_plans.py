@@ -372,3 +372,40 @@ def test_mixture_prunes_scan_columns(spark, sf_dir):
     assert scans, plan
     for rs in scans:
         assert "source" not in rs and "lang" not in rs, plan
+
+
+def test_bm25_term_filter_precedes_shuffle(spark, sf_dir):
+    """The BM25 candidate-term filter must run directly on the exploded
+    token stream (map-side, before any Exchange), so the tf shuffle only
+    moves candidate rows; the top-k must be TakeOrderedAndProject and
+    the collection constants a broadcast."""
+    from dataprofiler_spark.operators import retrieval as rtv
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _simple(rtv.bm25_topk(docs, "doc_id", "text",
+                                 "spark window merge vector", k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    # The IN-filter on the generated term column appears below the first
+    # hash Exchange in the plan text (plans print top-down).
+    filt = plan.index(" IN (spark,window,merge,vector)")
+    first_hash_exchange = plan.index("Exchange hashpartitioning")
+    assert filt > first_hash_exchange, plan  # deeper in tree = later in text
+    gen = plan.index("Generate explode")
+    assert filt < gen, plan  # filter sits directly above the explode
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_windows_share_one_exchange(spark, sf_dir):
+    """Both corpus-count windows (w1) and (w1,w2) must reuse a single
+    hash(w1) exchange — hash(w1) clusters (w1,w2) too."""
+    import re
+
+    from dataprofiler_spark.operators import textanalysis as ta
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _simple(ta.bigram_logprob_scores(docs, "doc_id", "text"))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    w1_only = [e for e in exchanges if "w1" in e and "w2" not in e]
+    w1w2 = [e for e in exchanges if "w1" in e and "w2" in e and "id" not in e]
+    assert len(w1_only) == 1, exchanges
+    assert not w1w2, exchanges  # the (w1,w2) window reuses hash(w1)
