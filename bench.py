@@ -112,6 +112,10 @@ def build_runners(spark, sf_dir):
         lambda: dd.minhash_lsh_pairs(documents, "doc_id", "text",
                                      num_hashes=12, bands=2,
                                      threshold=0.8).collect())
+    add("dedup", "winnow_neardup_pairs_documents",
+        lambda: dd.winnow_neardup_pairs(documents, "doc_id", "text",
+                                        min_shared=20,
+                                        max_fp_freq=50).count())
     add("dedup", "simhash_documents",
         lambda: dd.simhash(documents, "doc_id", "text").collect())
     add("dedup", "repetition_signals_documents",

@@ -35,6 +35,7 @@ from dataprofiler_spark.streaming.history import (ProfileHistory,
                                                   drift_series,
                                                   drift_timeline)
 from dataprofiler_spark.streaming.incremental import StreamingProfiler
+from dataprofiler_spark.streaming.winnow import StreamingWinnowDup
 from dataprofiler_spark import reports_graphs as graphs
 
 # Reference aliases: the reference exposes profiler/labeler families as
@@ -62,6 +63,7 @@ __all__ = [
     "train_structured_labeler", "Validator", "load_plugins", "graphs",
     "DatasetState", "StreamingProfiler", "StreamingDriftMonitor",
     "StreamingEmbeddingDecon", "build_benchmark_store",
+    "StreamingWinnowDup",
     "ProfileHistory", "drift_series", "drift_timeline",
     "build_report", "diff_profiles",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",

@@ -789,3 +789,168 @@ SELECT source_a, source_b, COUNT(*) AS n_pairs,
 FROM lab
 GROUP BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm). Char-k-gram hashes, window-min selection: guarantees
+# any shared substring of length >= k + window - 1 shares a fingerprint,
+# while keeping the fingerprint density ~2/(window+1) — position-robust
+# local dedup between full-text MinHash and exact-substring scanning.
+# ---------------------------------------------------------------------------
+
+def _winnow_gram_hashes_expr(norm_col: str, k: int) -> F.Column:
+    """array<bigint> of 60-bit md5 hashes of the char k-grams. MUST be
+    materialized as its own projection before the window-min pass —
+    inlining it into the per-window lambda would re-hash the whole gram
+    array once per window (O(n²) md5 calls per doc)."""
+    return F.expr(
+        f"CASE WHEN {norm_col} IS NULL OR length({norm_col}) < {k} "
+        f"THEN cast(array() as array<bigint>) "
+        f"ELSE transform(sequence(1, length({norm_col}) - {k} + 1), i -> "
+        f"cast(conv(substring(md5(cast(substr({norm_col}, i, {k}) "
+        f"as binary)), 1, 15), 16, 10) as bigint)) END")
+
+
+def _winnow_fps_expr(gh_col: str, window: int) -> F.Column:
+    """array<bigint> fingerprints from a MATERIALIZED gram-hash array
+    column: per-window minima → distinct. Empty gram arrays fingerprint
+    to the empty set; fewer than ``window`` grams contribute their
+    single global minimum."""
+    return F.expr(f"""
+        CASE WHEN size({gh_col}) = 0
+               THEN cast(array() as array<bigint>)
+             WHEN size({gh_col}) < {window}
+               THEN array(array_min({gh_col}))
+             ELSE array_distinct(transform(
+                    sequence(1, size({gh_col}) - {window} + 1),
+                    i -> array_min(slice({gh_col}, i, {window}))))
+        END""")
+
+
+def _winnow_norm(text_col: str) -> F.Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """(id, fp): the winnowing fingerprint set of each document —
+    computed entirely map-side (one scan, no shuffle before the
+    consumer's); whitespace-normalized lowercase text, so formatting
+    changes don't move fingerprints."""
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  _winnow_norm(text_col).alias("__n"))
+        .select("id", _winnow_gram_hashes_expr("__n", k).alias("__gh"))
+        .select("id", _winnow_fps_expr("__gh", window).alias("fps")))
+    return explode_no_prefilter(base, "fps", "fp", "id")
+
+
+def winnow_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 5, window: int = 4,
+                         min_shared: int = 2,
+                         max_fp_freq: int | None = None,
+                         round_digits: int = 6) -> DataFrame:
+    """(id1, id2, n_shared, overlap): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints; ``overlap`` is the overlap
+    coefficient n_shared / min(|fp₁|, |fp₂|). Localized copying (one
+    plagiarized paragraph inside an otherwise-unique doc) surfaces here
+    while a global-similarity MinHash misses it.
+
+    ``max_fp_freq`` is the skew guard (the LSH max_bucket_size pattern):
+    a boilerplate fingerprint appearing in f docs would emit f²/2
+    candidate rows on one join task — fingerprints more frequent than
+    the cap are dropped BEFORE the self-join (frequency sizing reuses
+    the same fp-keyed shuffle). Deterministic, so the oracle mirrors it
+    exactly."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    if max_fp_freq is not None:
+        from pyspark.sql.window import Window
+        fps = (fps.withColumn("__f", F.count(F.lit(1))
+                              .over(Window.partitionBy("fp")))
+               .where(F.col("__f") <= max_fp_freq).drop("__f"))
+    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    a = fps.select(F.col("id").alias("id1"), "fp")
+    b = fps.select(F.col("id").alias("id2"), "fp")
+    shared = (a.join(b, "fp")
+              .where(F.col("id1") < F.col("id2"))
+              .groupBy("id1", "id2")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .where(F.col("n_shared") >= min_shared))
+    return (shared
+            .join(counts.select(F.col("id").alias("id1"),
+                                F.col("c").alias("c1")), "id1")
+            .join(counts.select(F.col("id").alias("id2"),
+                                F.col("c").alias("c2")), "id2")
+            .select("id1", "id2", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.least("c1", "c2"),
+                            round_digits).alias("overlap")))
+
+
+def _winnow_oracle_fps_cte(table: str, id_col: str, text_col: str,
+                           k: int, window: int) -> str:
+    norm = (f"regexp_replace(TRIM(LOWER({text_col})), '\\s+', ' ', 'g')")
+    gh = (f"[ ('0x' || substr(md5(substr(n, CAST(i AS INT), {k})), 1, 15))"
+          f"::BIGINT for i in range(1, GREATEST(LEN(n) - {k} + 1, 0) + 1) ]")
+    return f"""nrm AS (
+  SELECT {id_col} AS id, {norm} AS n FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+grams AS (
+  SELECT id, {gh} AS gh FROM nrm WHERE LEN(n) >= {k}
+),
+winnowed AS (
+  SELECT id,
+         CASE WHEN LEN(gh) < {window} THEN [list_min(gh)]
+              ELSE list_distinct([ list_min(
+                     gh[CAST(i AS INT):CAST(i AS INT) + {window} - 1])
+                   for i in range(1, LEN(gh) - {window} + 2) ])
+         END AS fps
+  FROM grams
+),
+fps AS (
+  SELECT id, UNNEST(fps) AS fp FROM winnowed
+)"""
+
+
+def oracle_winnow_fingerprints_sql(table: str, id_col: str, text_col: str,
+                                   k: int = 5, window: int = 4) -> str:
+    ctes = _winnow_oracle_fps_cte(table, id_col, text_col, k, window)
+    return f"WITH {ctes}\nSELECT id, fp FROM fps"
+
+
+def oracle_winnow_neardup_pairs_sql(table: str, id_col: str, text_col: str,
+                                    k: int = 5, window: int = 4,
+                                    min_shared: int = 2,
+                                    max_fp_freq: int | None = None,
+                                    round_digits: int = 6) -> str:
+    ctes = _winnow_oracle_fps_cte(table, id_col, text_col, k, window)
+    freq_filter = ""
+    if max_fp_freq is not None:
+        freq_filter = f""",
+kept AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS f FROM fps)
+  WHERE f <= {max_fp_freq}
+)"""
+    src = "kept" if max_fp_freq is not None else "fps"
+    return f"""
+WITH {ctes}{freq_filter},
+counts AS (SELECT id, COUNT(*) AS c FROM {src} GROUP BY id),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_shared
+  FROM {src} a JOIN {src} b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT id1, id2, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(c1.c, c2.c),
+             {round_digits}) AS overlap
+FROM shared
+JOIN counts c1 ON shared.id1 = c1.id
+JOIN counts c2 ON shared.id2 = c2.id
+"""

@@ -352,6 +352,30 @@ def minhash_lsh_pairs_documents(spark, sf_dir):
                                 k=3, num_hashes=12, bands=6, threshold=0.5)
 
 
+@register("winnow_fingerprints_documents",
+          dd.oracle_winnow_fingerprints_sql("documents", "doc_id", "text",
+                                            k=5, window=4))
+def winnow_fingerprints_documents(spark, sf_dir):
+    """Winnowing fingerprint sets (MOSS, Schleimer et al. 2003):
+    char-5-gram md5 hashes, window-4 minima — guarantees any shared
+    substring of length >= 8 shares a fingerprint; entirely map-side."""
+    return dd.winnow_fingerprints(T(spark, sf_dir, "documents"),
+                                  "doc_id", "text", k=5, window=4)
+
+
+@register("winnow_neardup_pairs_documents",
+          dd.oracle_winnow_neardup_pairs_sql("documents", "doc_id", "text",
+                                             k=5, window=4, min_shared=20,
+                                             max_fp_freq=50))
+def winnow_neardup_pairs_documents(spark, sf_dir):
+    """Localized-copy detection: pairs sharing >= 20 winnowing
+    fingerprints after dropping boilerplate fingerprints hotter than 50
+    docs (the deterministic skew guard, mirrored in the oracle)."""
+    return dd.winnow_neardup_pairs(T(spark, sf_dir, "documents"),
+                                   "doc_id", "text", k=5, window=4,
+                                   min_shared=20, max_fp_freq=50)
+
+
 @register("cross_source_dup_matrix_documents",
           dd.oracle_cross_source_dup_matrix_sql(
               "documents", "doc_id", "text", "source",

@@ -162,7 +162,8 @@ class StreamingNearDup:
 
 def compact_store(spark: SparkSession, keys_path: str,
                   target_files_per_band: int = 1,
-                  min_batch: int | None = None) -> int:
+                  min_batch: int | None = None,
+                  schema: str = STORE_SCHEMA) -> int:
     """Rewrite an append-heavy band-partitioned keys table with large
     files (``target_files_per_band`` per band partition) — run between
     streaming sessions, not concurrently with one. Returns the row
@@ -198,13 +199,13 @@ def compact_store(spark: SparkSession, keys_path: str,
             shutil.rmtree(old)            # crash before cleanup: stale park
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)                # stale partial rewrite
-    df = spark.read.schema(STORE_SCHEMA).parquet(keys_path)
+    df = spark.read.schema(schema).parquet(keys_path)
     if min_batch is not None:
         df = df.where(F.col("batch").isNull()
                       | (F.col("batch") >= min_batch))
     (df.repartition(target_files_per_band, "band")
      .write.mode("overwrite").partitionBy("band").parquet(tmp))
-    n = spark.read.schema(STORE_SCHEMA).parquet(tmp).count()
+    n = spark.read.schema(schema).parquet(tmp).count()
     shutil.move(keys_path, old)
     shutil.move(tmp, keys_path)
     shutil.rmtree(old)

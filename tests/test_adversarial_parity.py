@@ -227,6 +227,8 @@ ADV_QUERIES = [
     "minhash_signatures_documents",
     "minhash_lsh_pairs_documents",
     "cross_source_dup_matrix_documents",
+    "winnow_fingerprints_documents",
+    "winnow_neardup_pairs_documents",
     "minhash_lsh_pairs_bottomk",
     "simhash_documents",
     "simhash_neardup_documents",

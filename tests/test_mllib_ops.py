@@ -371,3 +371,84 @@ def test_cross_source_dup_matrix_semantics(spark):
     assert out[("(null)", "srcB")]["n_pairs"] == 1    # 4-2
     assert all(r["avg_jaccard"] == 1.0 for r in out.values())
     assert all(r["source_a"] <= r["source_b"] for r in out.values())
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 (= 8 here) share at least one fingerprint, even
+    when the rest of the text is completely different."""
+    from dataprofiler_spark.operators import dedup as dd
+
+    shared = "xxQWERTYUIOPxx"  # 14 chars > 8
+    rows = [(1, "aaaaaaa " + shared + " bbbbbbb"),
+            (2, "ccccccc " + shared + " ddddddd"),
+            (3, "totally unrelated content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dd.winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    bysrc = {i: {r["fp"] for r in fps.where(f"id = {i}").collect()}
+             for i in (1, 2, 3)}
+    assert bysrc[1] & bysrc[2], "shared substring must share a fingerprint"
+    # Whitespace normalization: reformatting doesn't move fingerprints.
+    df2 = spark.createDataFrame([(9, "  aaaaaaa   " + shared + "\n bbbbbbb ")],
+                                "doc_id long, text string")
+    fps9 = {r["fp"] for r in dd.winnow_fingerprints(
+        df2, "doc_id", "text", k=5, window=4).collect()}
+    assert fps9 == bysrc[1]
+
+
+def test_winnow_short_and_null_docs(spark):
+    from dataprofiler_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, None), (3, ""), (4, "abcde"), (5, "abcdef")],
+        "doc_id long, text string")
+    out = dd.winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    got = {r["id"]: r["fp"] for r in out.collect()}
+    # <5 chars / NULL / empty -> no fingerprints; 5-6 chars -> exactly
+    # the single global-min fingerprint (fewer grams than the window).
+    assert set(got) == {4, 5}
+
+
+def test_winnow_pairs_detect_localized_copy(spark):
+    """A plagiarized paragraph inside an otherwise-unique doc surfaces
+    as a pair; the overlap coefficient is bounded (0, 1]."""
+    from dataprofiler_spark.operators import dedup as dd
+
+    para = "the unique paragraph that was copied verbatim between docs"
+    filler1 = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    filler2 = " ".join(f"gamma{i} delta{i}" for i in range(30))
+    rows = [(1, filler1 + " " + para),
+            (2, para + " " + filler2),
+            (3, filler1 + " qqzz7 wwxx8 yyvv9")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.winnow_neardup_pairs(df, "doc_id", "text", min_shared=3)
+    pairs = {(r["id1"], r["id2"]): r for r in out.collect()}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert 0 < r["overlap"] <= 1.0
+    # Doc 2 shares no substring >= 8 chars with doc 3: the pair either
+    # doesn't form or sits far below the copied-paragraph pair.
+    if (2, 3) in pairs:
+        assert pairs[(2, 3)]["n_shared"] < r["n_shared"]
+
+
+def test_winnow_fp_freq_guard_mirrors_oracle(spark, tmp_path):
+    import duckdb
+
+    from dataprofiler_spark.operators import dedup as dd
+    from tests.oracle_utils import assert_frames_match
+
+    boiler = "shared boilerplate sentence appearing everywhere in corpus"
+    rows = [(i, boiler + f" unique tail {i} " + "pad " * i)
+            for i in range(12)]
+    rows += [(100, None), (101, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = dd.winnow_neardup_pairs(spark.read.parquet(p), "doc_id", "text",
+                                  min_shared=2, max_fp_freq=8).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
+    want = con.execute(dd.oracle_winnow_neardup_pairs_sql(
+        "docs", "doc_id", "text", min_shared=2, max_fp_freq=8)).fetchdf()
+    assert_frames_match(got, want, "winnow_guard")

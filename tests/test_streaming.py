@@ -673,3 +673,52 @@ def test_profile_history_and_drift_timeline(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="mode"):
         ProfileHistory(str(tmp_path / "x"), mode="weekly")
+
+
+def test_streaming_winnow_store(spark, tmp_path):
+    """Incremental localized-copy detection: a batch-2 doc that copies a
+    passage from a batch-1 doc is flagged against the persistent
+    fingerprint store even though the rest of its text is new; novel
+    docs pass and their fingerprints are appended."""
+    from dataprofiler_spark.streaming.winnow import StreamingWinnowDup
+
+    passage = "the exact sentence that gets plagiarized word for word"
+    b1 = [(1, passage + " inside an otherwise ordinary first document"),
+          (2, "completely different content about spark aggregation")]
+    b2 = [(3, "fresh framing text but then " + passage + " appears again"),
+          (4, "a genuinely novel document with new wording throughout")]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        (spark.createDataFrame(rows, "id long, text string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/part{n}.parquet"
+                shutil.copy(f"{src}/b{i}/{f}", dst)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
+                n += 1
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    wd = StreamingWinnowDup(str(tmp_path / "store"), min_shared=3)
+    q = wd.attach(stream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert wd.batches_seen == 2
+    flagged_ids = {i for _, i in wd.flagged}
+    assert 3 in flagged_ids          # copied the passage from doc 1
+    assert 4 not in flagged_ids      # novel doc passes
+    store = spark.read.parquet(str(tmp_path / "store" / "fps"))
+    ids = {r["id"] for r in store.select("id").distinct().collect()}
+    assert ids == {1, 2, 4}          # flagged doc 3's fps not appended
+    # compaction (shared with the LSH store) preserves the rows
+    from dataprofiler_spark.streaming.neardup import compact_store
+    from dataprofiler_spark.streaming.winnow import WINNOW_STORE_SCHEMA
+    total = store.count()
+    assert compact_store(spark, str(tmp_path / "store" / "fps"),
+                         schema=WINNOW_STORE_SCHEMA) == total
