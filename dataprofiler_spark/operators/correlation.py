@@ -162,23 +162,41 @@ FROM (
     return "\nUNION ALL\n".join(selects)
 
 
-def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
-                     round_digits: int = 6) -> DataFrame:
-    """(col1, col2, chi2, dof) for one categorical pair from its
-    contingency table (one groupBy job; the full matrix loops pairs —
-    outputs are k_a × k_b rows, trivially small)."""
-    from pyspark.sql.window import Window
-
+def _dense_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """(a, b, o, ra, cb, n, ka, kb) over the DENSE k_a × k_b grid —
+    zero observed cells included. chi² over only the observed cells
+    understates the statistic (a zero cell contributes its full
+    expectation e, since (0−e)²/e = e); the reference's scipy
+    chi2_contingency runs on the dense crosstab. The grid assembles
+    from the two marginal tables (each one tiny groupBy) cross-joined —
+    k_a·k_b rows, trivially small — left-joined to observed counts."""
     ct = df.groupBy(
         F.col(col_a).cast("string").alias("a"),
         F.col(col_b).cast("string").alias("b"),
     ).agg(F.count(F.lit(1)).alias("o"))
-    ct = ct.withColumn("ra", F.sum("o").over(Window.partitionBy("a")))
-    ct = ct.withColumn("cb", F.sum("o").over(Window.partitionBy("b")))
-    ct = ct.crossJoin(F.broadcast(ct.agg(
+    ma = ct.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
+    obs = ct.select(F.col("a").alias("__oa"), F.col("b").alias("__ob"), "o")
+    # NULL is a category (both marginals carry it): the grid join must
+    # be null-safe or the NULL cell's observed count silently drops.
+    grid = (ma.crossJoin(mb)
+            .join(obs, F.col("a").eqNullSafe(F.col("__oa"))
+                  & F.col("b").eqNullSafe(F.col("__ob")), "left")
+            .select("a", "b", "ra", "cb",
+                    F.coalesce("o", F.lit(0)).alias("o")))
+    return grid.crossJoin(F.broadcast(ct.agg(
         F.sum("o").alias("n"),
         F.count_distinct("a").alias("ka"),
         F.count_distinct("b").alias("kb"))))
+
+
+def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
+                     round_digits: int = 6) -> DataFrame:
+    """(col1, col2, chi2, dof) for one categorical pair from its DENSE
+    contingency table (zero cells included — scipy/reference semantics;
+    one groupBy job + two tiny marginal joins; the full matrix loops
+    pairs — grids are k_a × k_b rows, trivially small)."""
+    ct = _dense_contingency(df, col_a, col_b)
     e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
     return ct.agg(
@@ -188,21 +206,27 @@ def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
     )
 
 
-def oracle_chi2_pair_sql(table: str, col_a: str, col_b: str,
-                         round_digits: int = 6) -> str:
-    return f"""
-WITH ct AS (
+_DENSE_CT_CTES = """ct AS (
   SELECT CAST({col_a} AS VARCHAR) AS a, CAST({col_b} AS VARCHAR) AS b,
          COUNT(*) AS o
   FROM {table} GROUP BY 1, 2
-), w AS (
-  SELECT a, b, o,
-         SUM(o) OVER (PARTITION BY a) AS ra,
-         SUM(o) OVER (PARTITION BY b) AS cb
-  FROM ct
+), ma AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
+mb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
+w AS (
+  SELECT ma.a, mb.b, COALESCE(ct.o, 0) AS o, ma.ra, mb.cb
+  FROM ma CROSS JOIN mb
+  LEFT JOIN ct ON ct.a IS NOT DISTINCT FROM ma.a
+              AND ct.b IS NOT DISTINCT FROM mb.b
 ), tot AS (
   SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM ct
-)
+)"""
+
+
+def oracle_chi2_pair_sql(table: str, col_a: str, col_b: str,
+                         round_digits: int = 6) -> str:
+    ctes = _DENSE_CT_CTES.format(table=table, col_a=col_a, col_b=col_b)
+    return f"""
+WITH {ctes}
 SELECT '{col_a}' AS col1, '{col_b}' AS col2,
        ROUND(SUM((o - (CAST(ra AS DOUBLE) * cb / n))
                  * (o - (CAST(ra AS DOUBLE) * cb / n))
@@ -286,4 +310,197 @@ SELECT '{col_a}' AS col1, '{col_b}' AS col2,
                   THEN mi / LEAST(h_ra, h_cb) ELSE 0.0 END,
              {round_digits}) AS nmi
 FROM mi, ha, hb
+"""
+
+
+def _rank2_table(base: DataFrame, c: str, n_buckets: int) -> DataFrame:
+    """(v, r) for column ``c``: r = 2·avg_rank as an exact INTEGER
+    (avg ranks are half-integers under ties; doubling keeps the Pearson
+    machinery integer-exact, and Pearson is affine-invariant so the
+    doubled ranks give the same rho).
+
+    Distributed ranking with NO global window (the order.py range-bucket
+    pattern): distinct values bucket by width_bucket(v, lo, hi, B);
+    per-bucket totals collect to the driver (≤ B+1 rows, bounded) and
+    come back as broadcast exclusive offsets; the within-bucket running
+    count is a window partitioned by bucket. rank2 = 2·(rows below v)
+    + cnt(v) + 1."""
+    from pyspark.sql.window import Window
+
+    dv = (base.groupBy(F.col(c).alias("v"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    mm = dv.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None or lo == hi:
+        b = F.lit(1)
+    else:
+        b = F.expr(f"width_bucket(v, {lo!r}, {hi!r}, {n_buckets})")
+    dv = dv.withColumn("b", b)
+    tot = {r["b"]: r["t"] for r in
+           dv.groupBy("b").agg(F.sum("cnt").alias("t")).collect()}
+    offs, acc = [], 0
+    for bk in sorted(tot):
+        offs.append((int(bk), acc))
+        acc += int(tot[bk])
+    spark = base.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(offs or [(1, 0)],
+                                               "ob int, off long"))
+    w = (Window.partitionBy("b").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (dv.join(off_df, dv["b"] == off_df["ob"], "left")
+            .select("v", "cnt",
+                    (F.coalesce("off", F.lit(0))
+                     + F.sum("cnt").over(w) - F.col("cnt")).alias("lt"))
+            .select("v", (F.lit(2) * F.col("lt") + F.col("cnt")
+                          + F.lit(1)).alias("r")))
+
+
+def spearman_matrix(df: DataFrame, cols: list[str],
+                    n_buckets: int = 1024,
+                    round_digits: int = 6) -> DataFrame:
+    """(col1, col2, rho) Spearman rank correlation for all unordered
+    pairs — the monotone-dependence complement to the Pearson matrix
+    (robust to outliers and nonlinearity). Complete-case: rows with a
+    NULL or NaN in ANY of ``cols`` are dropped, so every column ranks
+    over the same row set (ties get average ranks, the standard
+    treatment).
+
+    rho = Pearson on the integer doubled ranks: every sum is exact
+    decimal (rank2 ≤ 2n+1, so Σr² ≤ 4n³ — inside decimal(38,0) to
+    ~3·10¹¹ rows), making results independent of partitioning and
+    bit-identical to the oracle. Ranks join back on value (rank is a
+    function of the value), so no row ids are needed."""
+    dbl = [F.col(c).cast("double").alias(c) for c in cols]
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c))
+        keep = cond if keep is None else (keep & cond)
+    base = df.select(*dbl).where(keep)
+    ranked = base
+    for c in cols:
+        rt = _rank2_table(base, c, n_buckets)
+        ranked = (ranked.join(rt, ranked[c] == rt["v"])
+                  .drop("v").withColumnRenamed("r", f"r_{c}"))
+
+    def ri(c):
+        return F.col(f"r_{c}").cast("decimal(19,0)")
+
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        exprs.append(F.sum(ri(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        exprs.append(F.sum((ri(c) * ri(c)).cast("decimal(38,0)"))
+                     .alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for bcol in cols[i + 1:]:
+            exprs.append(F.sum((ri(a) * ri(bcol)).cast("decimal(38,0)"))
+                         .alias(f"sp_{a}__{bcol}"))
+    row = ranked.agg(*exprs)
+    n = F.col("n").cast("decimal(38,0)")
+    structs = []
+    for i, a in enumerate(cols):
+        for bcol in cols[i + 1:]:
+            sa, sb = F.col(f"s_{a}"), F.col(f"s_{bcol}")
+            num = (n * F.col(f"sp_{a}__{bcol}") - sa * sb).cast("double")
+            da = (n * F.col(f"ss_{a}") - sa * sa).cast("double")
+            db = (n * F.col(f"ss_{bcol}") - sb * sb).cast("double")
+            structs.append(F.struct(
+                F.lit(a).alias("col1"), F.lit(bcol).alias("col2"),
+                F.round(F.when((da > 0) & (db > 0),
+                               num / (F.sqrt(da) * F.sqrt(db))),
+                        round_digits).alias("rho")))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_spearman_sql(table: str, cols: list[str],
+                        round_digits: int = 6) -> str:
+    keep = " AND ".join(f"{c} IS NOT NULL AND NOT isnan({c}::DOUBLE)"
+                        for c in cols)
+    sel = ", ".join(f"{c}::DOUBLE AS {c}" for c in cols)
+    rts = ",\n".join(
+        f"""rt_{c} AS (
+  SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - cnt)
+            + cnt + 1 AS r
+  FROM (SELECT {c} AS v, COUNT(*) AS cnt FROM base GROUP BY 1)
+)""" for c in cols)
+    joins = " ".join(f"JOIN rt_{c} ON base.{c} = rt_{c}.v" for c in cols)
+    rsel = ", ".join(f"rt_{c}.r AS r_{c}" for c in cols)
+    aggs = ["COUNT(*) AS n"]
+    for c in cols:
+        aggs.append(f"SUM(CAST(CAST(r_{c} AS DECIMAL(19,0))"
+                    f" AS DECIMAL(38,0))) AS s_{c}")
+        aggs.append(f"SUM(CAST(CAST(r_{c} AS DECIMAL(19,0))"
+                    f" * CAST(r_{c} AS DECIMAL(19,0))"
+                    f" AS DECIMAL(38,0))) AS ss_{c}")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(f"SUM(CAST(CAST(r_{a} AS DECIMAL(19,0))"
+                        f" * CAST(r_{b} AS DECIMAL(19,0))"
+                        f" AS DECIMAL(38,0))) AS sp_{a}__{b}")
+            num = (f"CAST(CAST(n AS HUGEINT) * CAST(sp_{a}__{b} AS HUGEINT)"
+                   f" - CAST(s_{a} AS HUGEINT) * CAST(s_{b} AS HUGEINT)"
+                   f" AS DOUBLE)")
+            da = (f"CAST(CAST(n AS HUGEINT) * CAST(ss_{a} AS HUGEINT)"
+                  f" - CAST(s_{a} AS HUGEINT) * CAST(s_{a} AS HUGEINT)"
+                  f" AS DOUBLE)")
+            db = (f"CAST(CAST(n AS HUGEINT) * CAST(ss_{b} AS HUGEINT)"
+                  f" - CAST(s_{b} AS HUGEINT) * CAST(s_{b} AS HUGEINT)"
+                  f" AS DOUBLE)")
+            pairs.append(
+                f"SELECT '{a}' AS col1, '{b}' AS col2, "
+                f"ROUND(CASE WHEN {da} > 0 AND {db} > 0 "
+                f"THEN {num} / (SQRT({da}) * SQRT({db})) END, "
+                f"{round_digits}) AS rho FROM s")
+    union = "\nUNION ALL\n".join(pairs)
+    return f"""
+WITH base AS (SELECT {sel} FROM {table} WHERE {keep}),
+{rts},
+ranked AS (SELECT {rsel} FROM base {joins}),
+s AS (SELECT {', '.join(aggs)} FROM ranked)
+{union}
+"""
+
+
+def cramers_v_pair(df: DataFrame, col_a: str, col_b: str,
+                   round_digits: int = 6) -> DataFrame:
+    """(col1, col2, n, chi2, v): Cramér's V — chi² normalized to [0, 1]
+    (V = sqrt((chi²/n) / min(k_a−1, k_b−1))), the categorical
+    association strength that, unlike raw chi², is comparable across
+    pairs and sample sizes. Same DENSE-contingency plan as
+    chi2_matrix_pair (zero cells included — scipy/reference semantics);
+    V derives from the ROUNDED chi² so both engines take sqrt of the
+    identical double. A constant column (min(k−1) = 0) yields
+    V = NULL."""
+    ct = _dense_contingency(df, col_a, col_b)
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    agg = ct.agg(
+        F.max("n").alias("n"),
+        F.round(F.sum(term), round_digits).alias("chi2"),
+        F.least(F.max("ka") - 1, F.max("kb") - 1).alias("m"))
+    return agg.select(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        F.col("n"), F.col("chi2"),
+        F.round(F.when(F.col("m") > 0,
+                       F.sqrt(F.col("chi2") / F.col("n") / F.col("m"))),
+                round_digits).alias("v"))
+
+
+def oracle_cramers_v_sql(table: str, col_a: str, col_b: str,
+                         round_digits: int = 6) -> str:
+    ctes = _DENSE_CT_CTES.format(table=table, col_a=col_a, col_b=col_b)
+    return f"""
+WITH {ctes}, agg AS (
+  SELECT MAX(n) AS n,
+         ROUND(SUM((o - (CAST(ra AS DOUBLE) * cb / n))
+                   * (o - (CAST(ra AS DOUBLE) * cb / n))
+                   / (CAST(ra AS DOUBLE) * cb / n)), {round_digits}) AS chi2,
+         LEAST(MAX(ka) - 1, MAX(kb) - 1) AS m
+  FROM w, tot
+)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2, n, chi2,
+       ROUND(CASE WHEN m > 0 THEN SQRT(chi2 / n / m) END,
+             {round_digits}) AS v
+FROM agg
 """

@@ -953,6 +953,25 @@ def correlation_lineitem(spark, sf_dir):
     return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
+@register("cramers_v_orders",
+          corr.oracle_cramers_v_sql("orders", "o_orderpriority",
+                                    "o_orderstatus"))
+def cramers_v_orders(spark, sf_dir):
+    """Cramér's V — chi² normalized to [0,1], comparable across pairs
+    and sample sizes; one contingency groupBy."""
+    return corr.cramers_v_pair(T(spark, sf_dir, "orders"),
+                               "o_orderpriority", "o_orderstatus")
+
+
+@register("spearman_lineitem", corr.oracle_spearman_sql("lineitem",
+                                                        _CORR_COLS))
+def spearman_lineitem(spark, sf_dir):
+    """Spearman rank-correlation matrix (monotone dependence, outlier-
+    robust): distributed ranking via range-bucketed cumulative counts —
+    no global window — and integer doubled-rank Pearson sums."""
+    return corr.spearman_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 @register("mutual_info_lineitem",
           corr.oracle_mutual_info_pair_sql("lineitem", "l_returnflag",
                                            "l_linestatus"))

@@ -300,6 +300,7 @@ ADV_QUERIES = [
     "top_categories_orders",
     "psi_orderpriority",
     "chi2_orderpriority",
+    "cramers_v_orders",
     "welch_t_totalprice",
     "psi_numeric_totalprice",
     "ks_js_totalprice",
@@ -320,6 +321,7 @@ ADV_QUERIES = [
     "distinct_counts_lineitem",
     "row_stats_lineitem",
     "correlation_lineitem",
+    "spearman_lineitem",
     "chi2_pair_lineitem",
     "mutual_info_lineitem",
     "crosstab_lineitem",
