@@ -167,21 +167,27 @@ def _dense_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     zero observed cells included. chi² over only the observed cells
     understates the statistic (a zero cell contributes its full
     expectation e, since (0−e)²/e = e); the reference's scipy
-    chi2_contingency runs on the dense crosstab. The grid assembles
-    from the two marginal tables (each one tiny groupBy) cross-joined —
-    k_a·k_b rows, trivially small — left-joined to observed counts."""
-    ct = df.groupBy(
-        F.col(col_a).cast("string").alias("a"),
-        F.col(col_b).cast("string").alias("b"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    chi2_contingency runs on the dense crosstab. Rows where EITHER
+    column is NULL are dropped first — pandas.crosstab/scipy semantics
+    (the reference's path) — so ka/kb, dof and Cramér's m all count the
+    same non-NULL categories the grid enumerates. (Previously NULL rode
+    along as a grid category while count_distinct skipped it, so chi²
+    summed over (ka+1)×(kb+1) cells against dof=(ka−1)(kb−1); a
+    {NULL,'x'} column produced m=0 → V=NULL despite a real 2×k table.)
+    The grid assembles from the two marginal tables (each one tiny
+    groupBy) cross-joined — k_a·k_b rows, trivially small — left-joined
+    to observed counts."""
+    ct = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(
+              F.col(col_a).cast("string").alias("a"),
+              F.col(col_b).cast("string").alias("b"),
+          ).agg(F.count(F.lit(1)).alias("o")))
     ma = ct.groupBy("a").agg(F.sum("o").alias("ra"))
     mb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
     obs = ct.select(F.col("a").alias("__oa"), F.col("b").alias("__ob"), "o")
-    # NULL is a category (both marginals carry it): the grid join must
-    # be null-safe or the NULL cell's observed count silently drops.
     grid = (ma.crossJoin(mb)
-            .join(obs, F.col("a").eqNullSafe(F.col("__oa"))
-                  & F.col("b").eqNullSafe(F.col("__ob")), "left")
+            .join(obs, (F.col("a") == F.col("__oa"))
+                  & (F.col("b") == F.col("__ob")), "left")
             .select("a", "b", "ra", "cb",
                     F.coalesce("o", F.lit(0)).alias("o")))
     return grid.crossJoin(F.broadcast(ct.agg(
@@ -209,14 +215,15 @@ def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
 _DENSE_CT_CTES = """ct AS (
   SELECT CAST({col_a} AS VARCHAR) AS a, CAST({col_b} AS VARCHAR) AS b,
          COUNT(*) AS o
-  FROM {table} GROUP BY 1, 2
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
 ), ma AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
 mb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
 w AS (
   SELECT ma.a, mb.b, COALESCE(ct.o, 0) AS o, ma.ra, mb.cb
   FROM ma CROSS JOIN mb
-  LEFT JOIN ct ON ct.a IS NOT DISTINCT FROM ma.a
-              AND ct.b IS NOT DISTINCT FROM mb.b
+  LEFT JOIN ct ON ct.a = ma.a AND ct.b = mb.b
 ), tot AS (
   SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM ct
 )"""
@@ -503,4 +510,79 @@ SELECT '{col_a}' AS col1, '{col_b}' AS col2, n, chi2,
        ROUND(CASE WHEN m > 0 THEN SQRT(chi2 / n / m) END,
              {round_digits}) AS v
 FROM agg
+"""
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str,
+                 round_digits: int = 6) -> DataFrame:
+    """(col1, col2, n, po, pe, kappa): Cohen's kappa — chance-corrected
+    agreement between two categorical columns over the same rows (the
+    label-QA measure for annotator pairs / model-vs-gold comparisons,
+    where raw accuracy rewards majority-class collapse). po = observed
+    agreement, pe = Σ_k p_a(k)·p_b(k) expected by chance,
+    kappa = (po − pe)/(1 − pe); pe = 1 (both columns constant and equal)
+    yields kappa NULL. Rows with NULL in either column are dropped
+    (sklearn semantics, same rule as the chi² family).
+
+    Plan: ONE groupBy over the observed (a, b) cells (k_a·k_b bounded);
+    marginals/diagonal fold from that tiny frame — integer sums, one
+    mirrored division order, engine-exact."""
+    ct = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(F.col(col_a).cast("string").alias("a"),
+                   F.col(col_b).cast("string").alias("b"))
+          .agg(F.count(F.lit(1)).alias("o")))
+    ra = ct.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
+    # chance agreement sums over categories PRESENT IN BOTH margins
+    pe_tab = (ra.join(cb, ra.a == cb.b)
+              .agg(F.sum(F.col("ra").cast("decimal(38,0)")
+                         * F.col("cb")).alias("spe")))
+    tot = ct.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("o"))
+              .otherwise(0)).alias("diag"))
+    j = tot.crossJoin(F.broadcast(pe_tab))
+    po = F.col("diag").cast("double") / F.col("n")
+    pe = (F.coalesce(F.col("spe"), F.lit(0)).cast("double")
+          / F.col("n") / F.col("n"))
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), round_digits))
+    return j.select(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        F.col("n"),
+        F.round(po, round_digits).alias("po"),
+        F.round(pe, round_digits).alias("pe"),
+        kappa.alias("kappa"))
+
+
+def oracle_cohens_kappa_sql(table: str, col_a: str, col_b: str,
+                            round_digits: int = 6) -> str:
+    return f"""
+WITH ct AS (
+  SELECT CAST({col_a} AS VARCHAR) AS a, CAST({col_b} AS VARCHAR) AS b,
+         COUNT(*) AS o
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
+pe_tab AS (
+  SELECT SUM(CAST(ra.ra AS DECIMAL(38,0)) * cb.cb) AS spe
+  FROM ra JOIN cb ON ra.a = cb.b
+),
+tot AS (
+  SELECT SUM(o) AS n,
+         SUM(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+  FROM ct
+)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(diag AS DOUBLE) / n, {round_digits}) AS po,
+       ROUND(CAST(COALESCE(spe, 0) AS DOUBLE) / n / n, {round_digits})
+         AS pe,
+       CASE WHEN CAST(COALESCE(spe, 0) AS DOUBLE) / n / n < 1.0 THEN
+         ROUND((CAST(diag AS DOUBLE) / n
+                - CAST(COALESCE(spe, 0) AS DOUBLE) / n / n)
+               / (1.0 - CAST(COALESCE(spe, 0) AS DOUBLE) / n / n),
+               {round_digits}) END AS kappa
+FROM tot CROSS JOIN pe_tab
 """

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.operators.dedup import \
+    DEFAULT_MAX_BUCKET_SIZE as _DEF_BUCKET
+
 from dataprofiler_spark.operators.textanalysis import tokens_expr
 
 
@@ -462,7 +465,7 @@ def split_leakage(df: DataFrame, id_col: str, text_col: str,
                   seed: str = "dps-split-v1", k: int = 3,
                   num_hashes: int = 12, bands: int = 6,
                   threshold: float = 0.5,
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | None = _DEF_BUCKET) -> DataFrame:
     """Cross-split near-duplicate leakage audit: (split_a, split_b,
     n_pairs) over the MinHash-LSH near-dup pairs, with splits assigned
     by the same deterministic md5 carve as ``mixture.split_manifest``
@@ -513,7 +516,9 @@ def oracle_split_leakage_sql(table: str, id_col: str, text_col: str,
                              fractions: dict[str, float] | None = None,
                              seed: str = "dps-split-v1", k: int = 3,
                              num_hashes: int = 12, bands: int = 6,
-                             threshold: float = 0.5) -> str:
+                             threshold: float = 0.5,
+                             max_bucket_size: int | None = _DEF_BUCKET
+                             ) -> str:
     from dataprofiler_spark.operators.dedup import _lsh_oracle_ctes
     from dataprofiler_spark.operators.mixture import \
         _validate_split_fractions
@@ -528,7 +533,7 @@ def oracle_split_leakage_sql(table: str, id_col: str, text_col: str,
         cases.append(f"WHEN {h} < {hi!r} THEN '{name}'")
     split = "CASE " + " ".join(cases) + " ELSE '_rest' END"
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
-                            threshold, 6)
+                            threshold, 6, max_bucket_size=max_bucket_size)
     return f"""
 WITH {ctes},
 s AS (SELECT {id_col} AS sid, {split} AS split FROM {table})

@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 
 SIMHASH_BITS = 32
 
+# Safe-by-default skew guards (VERDICT r5 item 3). A degenerate LSH
+# bucket / boilerplate fingerprint shared by f docs emits f²/2 candidate
+# pairs on ONE join task — at 100 TB a forgotten cap is an executor OOM,
+# not a slowdown. Pair generators therefore default to these finite
+# caps; pass ``None`` to opt into the unguarded quadratic path
+# explicitly. The values sit far above what a healthy (exact-deduped)
+# corpus produces — a >5k-member identical-signature bucket is shared
+# boilerplate that pair enumeration can't fix anyway — so the caps only
+# bite where the join would have melted down. The oracle SQL generators
+# share the same defaults, so Spark/DuckDB parity holds whichever side
+# of the default a caller is on.
+DEFAULT_MAX_BUCKET_SIZE = 5_000
+DEFAULT_MAX_FP_FREQ = 1_000
+
 
 # -- exact ------------------------------------------------------------------
 
@@ -263,7 +277,7 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
                       threshold: float = 0.5, round_digits: int = 6,
-                      max_bucket_size: int | None = None,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                       verify_k: int | None = None,
                       cache: bool = True) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard ≥ threshold) via banded LSH.
@@ -283,8 +297,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     shuffle). Members of a dropped bucket can still pair through their
     other bands — recall loss is bounded to pairs whose *every* agreeing
     band is oversized, which at a sane cap means boilerplate clusters a
-    curation pipeline handles with exact dedup anyway. Default None =
-    no cap (oracle-matched semantics).
+    curation pipeline handles with exact dedup anyway. Default
+    ``DEFAULT_MAX_BUCKET_SIZE`` (safe-by-default — the oracle SQL shares
+    the default, so parity holds); ``None`` opts into the unguarded
+    quadratic path explicitly.
 
     Verify-stage representation: shingles are md5-hashed to 60-bit ints
     ONCE (map-side), and both the minhash base hash and the exact-jaccard
@@ -374,11 +390,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
                      num_hashes: int, bands: int, threshold: float,
-                     round_digits: int, verify_k: int | None = None) -> str:
+                     round_digits: int, verify_k: int | None = None,
+                     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+                     ) -> str:
     """Shared CTE chain: shingles → 60-bit hashes → minhash → bands →
     candidate pairs → threshold-verified pairs (``vpairs``).
     ``verify_k`` mirrors the bottom-k sketch rule (sh keeps only the k
-    smallest hashes per doc; jaccard is the bottom-k estimator)."""
+    smallest hashes per doc; jaccard is the bottom-k estimator);
+    ``max_bucket_size`` mirrors the operator's skew guard — same
+    default, so Spark/oracle parity holds on both sides of it."""
     rows = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
     mins = ",\n         ".join(
@@ -400,6 +420,20 @@ def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
         u = f"(list_sort(list_distinct(s1.hs || s2.hs)))[1:{verify_k}]"
         jacc = (f"CAST(len(list_filter({u}, x -> list_contains(s1.hs, x) "
                 f"AND list_contains(s2.hs, x))) AS DOUBLE) / len({u})")
+    if max_bucket_size is None:
+        bucket_ctes = f"buckets AS (\n{band_selects}\n)"
+    else:
+        bucket_ctes = f"""buckets0 AS (
+{band_selects}
+),
+bok AS (
+  SELECT band, bucket FROM buckets0
+  GROUP BY band, bucket HAVING COUNT(*) <= {max_bucket_size}
+),
+buckets AS (
+  SELECT buckets0.id, buckets0.band, buckets0.bucket
+  FROM buckets0 JOIN bok USING (band, bucket)
+)"""
     return f"""sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
 shf AS (
   SELECT id, list_distinct(list_transform(sh,
@@ -416,9 +450,7 @@ mins AS (
          {mins}
   FROM hashes GROUP BY id
 ),
-buckets AS (
-{band_selects}
-),
+{bucket_ctes},
 pairs AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
   FROM buckets a JOIN buckets b
@@ -437,16 +469,19 @@ vpairs AS (
 def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
                                  k: int = 3, num_hashes: int = 12, bands: int = 6,
                                  threshold: float = 0.5, round_digits: int = 6,
-                                 verify_k: int | None = None) -> str:
+                                 verify_k: int | None = None,
+                                 max_bucket_size: int | None =
+                                 DEFAULT_MAX_BUCKET_SIZE) -> str:
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
-                            threshold, round_digits, verify_k=verify_k)
+                            threshold, round_digits, verify_k=verify_k,
+                            max_bucket_size=max_bucket_size)
     return f"WITH {ctes}\nSELECT id1, id2, jaccard FROM vpairs"
 
 
 def neardup_clusters(df: DataFrame, id_col: str, text_col: str,
                      k: int = 3, num_hashes: int = 12, bands: int = 6,
                      threshold: float = 0.5, round_digits: int = 6,
-                     max_bucket_size: int | None = None,
+                     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                      max_iter: int = 20) -> DataFrame:
     """Near-duplicate clusters: (id, cluster_id, cluster_size,
     is_canonical) for EVERY document — the keep/drop decision step a
@@ -487,14 +522,17 @@ def neardup_clusters(df: DataFrame, id_col: str, text_col: str,
 def neardup_comp_ctes(table: str, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12,
                       bands: int = 6, threshold: float = 0.5,
-                      round_digits: int = 6) -> str:
+                      round_digits: int = 6,
+                      max_bucket_size: int | None =
+                      DEFAULT_MAX_BUCKET_SIZE) -> str:
     """Recursive-CTE transitive closure over the verified LSH pairs,
     through a ``comp(id, cluster_id)`` CTE — quadratic, fine at oracle
     scale; the distributed side iterates instead (see neardup_clusters).
     Reused by the cluster query oracle and the leakage-free split oracle
     (operators/mixture.py) so both mirror the same clustering."""
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
-                            threshold, round_digits)
+                            threshold, round_digits,
+                            max_bucket_size=max_bucket_size)
     return f"""{ctes},
 nodes AS (SELECT {id_col} AS id FROM {table}),
 bi AS (
@@ -515,9 +553,12 @@ comp AS (
 def oracle_neardup_clusters_sql(table: str, id_col: str, text_col: str,
                                 k: int = 3, num_hashes: int = 12,
                                 bands: int = 6, threshold: float = 0.5,
-                                round_digits: int = 6) -> str:
+                                round_digits: int = 6,
+                                max_bucket_size: int | None =
+                                DEFAULT_MAX_BUCKET_SIZE) -> str:
     ctes = neardup_comp_ctes(table, id_col, text_col, k, num_hashes, bands,
-                             threshold, round_digits)
+                             threshold, round_digits,
+                             max_bucket_size=max_bucket_size)
     return f"""
 WITH RECURSIVE {ctes},
 sizes AS (
@@ -585,7 +626,8 @@ SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                           bits: int = SIMHASH_BITS, bands: int = 4,
                           max_hamming: int = 3,
-                          max_bucket_size: int | None = None,
+                          max_bucket_size: int | None =
+                          DEFAULT_MAX_BUCKET_SIZE,
                           cache: bool = True) -> DataFrame:
     """Near-duplicate pairs (id1, id2, hamming ≤ max_hamming) via SimHash
     multi-index banding (Manku et al., WWW'07 shape).
@@ -652,17 +694,35 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
 def oracle_simhash_neardup_pairs_sql(table: str, id_col: str, text_col: str,
                                      bits: int = SIMHASH_BITS,
                                      bands: int = 4,
-                                     max_hamming: int = 3) -> str:
+                                     max_hamming: int = 3,
+                                     max_bucket_size: int | None =
+                                     DEFAULT_MAX_BUCKET_SIZE) -> str:
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sig_sql = oracle_simhash_sql(table, id_col, text_col, bits)
-    return f"""
-WITH sig AS ({sig_sql}),
-buckets AS (
+    if max_bucket_size is None:
+        bucket_ctes = f"""buckets AS (
+  SELECT id, b.band, (simhash // (1 << (b.band * {band_bits}))) & {mask}
+           AS bucket
+  FROM sig, (SELECT UNNEST(range({bands})) AS band) b
+)"""
+    else:
+        bucket_ctes = f"""buckets0 AS (
   SELECT id, b.band, (simhash // (1 << (b.band * {band_bits}))) & {mask}
            AS bucket
   FROM sig, (SELECT UNNEST(range({bands})) AS band) b
 ),
+bok AS (
+  SELECT band, bucket FROM buckets0
+  GROUP BY band, bucket HAVING COUNT(*) <= {max_bucket_size}
+),
+buckets AS (
+  SELECT buckets0.id, buckets0.band, buckets0.bucket
+  FROM buckets0 JOIN bok USING (band, bucket)
+)"""
+    return f"""
+WITH sig AS ({sig_sql}),
+{bucket_ctes},
 cand AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
   FROM buckets a JOIN buckets b
@@ -722,7 +782,8 @@ def cross_source_dup_matrix(df: DataFrame, id_col: str, text_col: str,
                             source_col: str, k: int = 3,
                             num_hashes: int = 12, bands: int = 6,
                             threshold: float = 0.5,
-                            max_bucket_size: int | None = None,
+                            max_bucket_size: int | None =
+                            DEFAULT_MAX_BUCKET_SIZE,
                             round_digits: int = 6) -> DataFrame:
     """(source_a, source_b, n_pairs, avg_jaccard): near-duplicate pair
     counts BETWEEN sources — the provenance view of duplication ("which
@@ -765,9 +826,12 @@ def oracle_cross_source_dup_matrix_sql(table: str, id_col: str,
                                        k: int = 3, num_hashes: int = 12,
                                        bands: int = 6,
                                        threshold: float = 0.5,
-                                       round_digits: int = 6) -> str:
+                                       round_digits: int = 6,
+                                       max_bucket_size: int | None =
+                                       DEFAULT_MAX_BUCKET_SIZE) -> str:
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
-                            threshold, round_digits)
+                            threshold, round_digits,
+                            max_bucket_size=max_bucket_size)
     return f"""
 WITH {ctes},
 src AS (
@@ -852,7 +916,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 def winnow_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                          k: int = 5, window: int = 4,
                          min_shared: int = 2,
-                         max_fp_freq: int | None = None,
+                         max_fp_freq: int | None = DEFAULT_MAX_FP_FREQ,
                          round_digits: int = 6) -> DataFrame:
     """(id1, id2, n_shared, overlap): document pairs sharing at least
     ``min_shared`` winnowing fingerprints; ``overlap`` is the overlap
@@ -926,7 +990,8 @@ def oracle_winnow_fingerprints_sql(table: str, id_col: str, text_col: str,
 def oracle_winnow_neardup_pairs_sql(table: str, id_col: str, text_col: str,
                                     k: int = 5, window: int = 4,
                                     min_shared: int = 2,
-                                    max_fp_freq: int | None = None,
+                                    max_fp_freq: int | None =
+                                    DEFAULT_MAX_FP_FREQ,
                                     round_digits: int = 6) -> str:
     ctes = _winnow_oracle_fps_cte(table, id_col, text_col, k, window)
     freq_filter = ""

@@ -347,3 +347,63 @@ FROM marked
 WHERE period_offset < {max_offset}
 GROUP BY 1, 2
 """
+
+
+def daily_volume_anomalies(df: DataFrame, ts_col: str = "ts",
+                           z: float = 3.5,
+                           round_digits: int = 6) -> DataFrame:
+    """(day, n_events, robust_z, is_anomaly): per-day event volume with
+    a robust (median/MAD) z-score — the feed-health monitor that flags a
+    collapsed or duplicated ingest day without being wrecked by the very
+    outliers it hunts (a mean/stddev fence moves toward the outage; the
+    median doesn't). z uses the standard 0.6745·|x−med|/MAD consistency
+    constant (Iglewicz & Hoaglin 1993); the conventional cut is 3.5.
+    MAD = 0 (all days identical) yields robust_z NULL and no anomalies.
+
+    Scale shape: ONE groupBy(day) collapses the table to O(days) rows;
+    the median/MAD pass runs over that tiny frame (exact percentile +
+    broadcast scalar, the median_mad plan) — nothing row-scale ever
+    sorts globally."""
+    days = (df.where(F.col(ts_col).isNotNull())
+            .groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    med = days.agg(
+        F.percentile(F.col("n_events").cast("double"),
+                     F.lit(0.5)).alias("m"))
+    j = days.crossJoin(F.broadcast(med))
+    mad = j.agg(F.percentile(
+        F.abs(F.col("n_events").cast("double") - F.col("m")),
+        F.lit(0.5)).alias("mad"), F.first("m").alias("m"))
+    out = days.crossJoin(F.broadcast(mad))
+    rz = F.when(F.col("mad") > 0,
+                F.round(0.6745 * F.abs(F.col("n_events").cast("double")
+                                       - F.col("m")) / F.col("mad"),
+                        round_digits))
+    return out.select(
+        "day", "n_events", rz.alias("robust_z"),
+        F.coalesce(rz > z, F.lit(False)).alias("is_anomaly"))
+
+
+def oracle_daily_volume_anomalies_sql(table: str, ts_col: str = "ts",
+                                      z: float = 3.5,
+                                      round_digits: int = 6) -> str:
+    return f"""
+WITH days AS (
+  SELECT strftime({ts_col}, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+  FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+med AS (SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS m FROM days),
+mad AS (
+  SELECT quantile_cont(ABS(CAST(n_events AS DOUBLE) - med.m), 0.5) AS mad,
+         MIN(med.m) AS m
+  FROM days CROSS JOIN med
+)
+SELECT day, n_events,
+       CASE WHEN mad.mad > 0 THEN
+         ROUND(0.6745 * ABS(CAST(n_events AS DOUBLE) - mad.m) / mad.mad,
+               {round_digits}) END AS robust_z,
+       COALESCE(CASE WHEN mad.mad > 0 THEN
+         ROUND(0.6745 * ABS(CAST(n_events AS DOUBLE) - mad.m) / mad.mad,
+               {round_digits}) END > {z}, FALSE) AS is_anomaly
+FROM days CROSS JOIN mad
+"""

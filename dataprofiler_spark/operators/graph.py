@@ -125,24 +125,31 @@ def connected_components(edges: DataFrame, src: str, dst: str,
          .distinct().persist())
     labels = raw_nodes.withColumn("component", F.col("node"))
     ckpt_ids: set[int] = set()
-    for _ in range(max_iter):
-        prop = (e.join(labels, e.a == labels.node)
-                .select(F.col("b").alias("node"),
-                        F.col("component").alias("cand")))
-        new_labels = (labels.select("node", F.col("component").alias("cand"))
-                      .unionAll(prop)
-                      .groupBy("node").agg(F.min("cand").alias("component")))
-        new_labels, added = _checkpoint_tracking(new_labels)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        _release_rdds(new_labels.sparkSession.sparkContext, ckpt_ids)
-        ckpt_ids = added
-        labels = new_labels
-        if changed == 0:
-            break
-    e.unpersist()
+    # try/finally so a failed iteration can't leak e's MEMORY_AND_DISK
+    # state into the session (the returned labels frame is a
+    # localCheckpoint and no longer depends on e).
+    try:
+        for _ in range(max_iter):
+            prop = (e.join(labels, e.a == labels.node)
+                    .select(F.col("b").alias("node"),
+                            F.col("component").alias("cand")))
+            new_labels = (labels.select("node",
+                                        F.col("component").alias("cand"))
+                          .unionAll(prop)
+                          .groupBy("node")
+                          .agg(F.min("cand").alias("component")))
+            new_labels, added = _checkpoint_tracking(new_labels)
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .where(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+            _release_rdds(new_labels.sparkSession.sparkContext, ckpt_ids)
+            ckpt_ids = added
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        e.unpersist()
     return labels
 
 

@@ -33,6 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.operators.dedup import \
+    DEFAULT_MAX_BUCKET_SIZE as _DEF_BUCKET
+
 import math
 
 from ..dp_logging import get_logger
@@ -411,7 +414,8 @@ def leakage_free_split(df: DataFrame, id_col: str, text_col: str,
                        seed: str = "dps-split-v1", k: int = 3,
                        num_hashes: int = 12, bands: int = 6,
                        threshold: float = 0.5,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = _DEF_BUCKET
+                       ) -> DataFrame:
     """(id, cluster_id, split): carve train/val/test by hashing the
     NEAR-DUP CLUSTER id, not the document id — every member of a
     near-dup cluster lands in the same split, so no near-duplicate pair
@@ -445,7 +449,7 @@ def leakage_free_split_manifest(df: DataFrame, id_col: str, text_col: str,
                                 seed: str = "dps-split-v1", k: int = 3,
                                 num_hashes: int = 12, bands: int = 6,
                                 threshold: float = 0.5,
-                                max_bucket_size: int | None = None
+                                max_bucket_size: int | None = _DEF_BUCKET
                                 ) -> DataFrame:
     """(split, n_docs, n_clusters) rollup of :func:`leakage_free_split`
     — one extra groupBy over the assignment."""
@@ -464,7 +468,9 @@ def oracle_leakage_free_split_sql(table: str, id_col: str, text_col: str,
                                   num_hashes: int = 12, bands: int = 6,
                                   threshold: float = 0.5,
                                   round_digits: int = 6,
-                                  manifest: bool = False) -> str:
+                                  manifest: bool = False,
+                                  max_bucket_size: int | None = _DEF_BUCKET
+                                  ) -> str:
     """Mirror: the neardup-clusters recursive closure + the same md5
     carve on cluster_id."""
     from dataprofiler_spark.operators.dedup import neardup_comp_ctes
@@ -472,7 +478,8 @@ def oracle_leakage_free_split_sql(table: str, id_col: str, text_col: str,
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     _validate_split_fractions(fractions)
     ctes = neardup_comp_ctes(table, id_col, text_col, k, num_hashes, bands,
-                             threshold, round_digits)
+                             threshold, round_digits,
+                             max_bucket_size=max_bucket_size)
     split = _split_sql_case("cluster_id", fractions, seed)
     if manifest:
         return f"""

@@ -22,6 +22,9 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.operators.dedup import \
+    DEFAULT_MAX_BUCKET_SIZE
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -223,7 +226,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.95, bands: int = 4,
                             planes_per_band: int = 8, dim: int = 64,
                             round_digits: int = 6,
-                            max_bucket_size: int | None = None,
+                            max_bucket_size: int | None =
+                            DEFAULT_MAX_BUCKET_SIZE,
                             cache: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
     the same design as ``dedup.minhash_lsh_pairs``: B independent
@@ -237,8 +241,9 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     candidates on one join task. Buckets above the cap are dropped
     BEFORE the self-join (the sizing groupBy hashes on the same
     (band, bucket) key, so AQE reuses the shuffle); members can still
-    pair through their other bands. Default None = no cap
-    (oracle-matched semantics).
+    pair through their other bands. Default ``DEFAULT_MAX_BUCKET_SIZE``
+    (safe-by-default; the oracle generators share the default so parity
+    holds); ``None`` opts into the unguarded quadratic path explicitly.
 
     ``cache=True`` persists the (id, vector) projection for the bucket
     explode + two verify joins; the CALLER must release it
@@ -303,7 +308,8 @@ def oracle_embedding_neardup_sql(table: str, id_col: str, vec_col: str,
                                  threshold: float = 0.95, bands: int = 4,
                                  planes_per_band: int = 8, dim: int = 64,
                                  round_digits: int = 6,
-                                 max_bucket_size: int | None = None) -> str:
+                                 max_bucket_size: int | None =
+                                 DEFAULT_MAX_BUCKET_SIZE) -> str:
     planes_sets = band_hyperplanes(dim, bands, planes_per_band)
     band_sel = _duck_band_buckets(planes_sets, dim, "v")
     size_filter = ""
@@ -342,7 +348,8 @@ def embedding_neardup_clusters(df: DataFrame, id_col: str, vec_col: str,
                                threshold: float = 0.95, bands: int = 4,
                                planes_per_band: int = 8, dim: int = 64,
                                round_digits: int = 6, max_iter: int = 20,
-                               max_bucket_size: int | None = None
+                               max_bucket_size: int | None =
+                               DEFAULT_MAX_BUCKET_SIZE
                                ) -> DataFrame:
     """Embedding-cosine near-duplicate clusters: (id, cluster_id,
     cluster_size, is_canonical) for every vector — the embedding-space
@@ -381,7 +388,8 @@ def oracle_embedding_neardup_clusters_sql(table: str, id_col: str,
                                           planes_per_band: int = 8,
                                           dim: int = 64,
                                           round_digits: int = 6,
-                                          max_bucket_size: int | None = None
+                                          max_bucket_size: int | None =
+                                          DEFAULT_MAX_BUCKET_SIZE
                                           ) -> str:
     """Recursive-CTE transitive closure over the banded cosine pairs
     (mirrors dedup.oracle_neardup_clusters_sql)."""

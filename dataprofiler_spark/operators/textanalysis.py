@@ -744,3 +744,112 @@ SELECT CAST(rank AS INT) AS rank, id AS {id_col}, cosine FROM (
   FROM scored)
 WHERE rank <= {k}
 """
+
+
+def zipf_vocab_stats(df: DataFrame, text_col: str, max_rank: int = 1000,
+                     round_digits: int = 6) -> DataFrame:
+    """One-row corpus vocabulary summary: (n_tokens, vocab_size,
+    type_token_ratio, hapax_count, hapax_ratio, zipf_slope, top_freq).
+
+    zipf_slope is the OLS slope of ln(freq) on ln(rank) over the top
+    ``max_rank`` terms — natural text sits near −1 (Zipf's law); a
+    slope far shallower flags templated/machine text, far steeper flags
+    a degenerate vocabulary. hapax_ratio (share of vocabulary seen
+    exactly once) is the companion Heaps-law-style richness signal.
+
+    Scale shape: ONE token explode + groupBy(term) collapses the corpus
+    to vocabulary size; the regression runs over max_rank rows selected
+    by distributed TakeOrderedAndProject (count desc, term asc — fully
+    deterministic), never a global sort of the vocabulary. Engine-exact:
+    per-term ln values are rounded to 9 digits, then summed as
+    DECIMAL(38,18) (order-independent); the slope divides the identical
+    decimal sums on both engines."""
+    from dataprofiler_spark.operators.topk import ranked_topk
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    base = ensure_parallelism(
+        df.select(tokens_expr(text_col).alias("toks")))
+    terms = (explode_no_prefilter(base, "toks", "term")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("ct")))
+    totals = terms.agg(
+        F.sum("ct").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("ct") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.max("ct").alias("top_freq"))
+    top = ranked_topk(terms, [F.desc("ct"), F.asc("term")], max_rank)
+    # fixed-point: ln values scaled to integers (1e9) so every sum and
+    # the num/den products are exact decimals on both engines; the 1e18
+    # scale cancels in the division.
+    x = (F.round(F.log(F.col("rank").cast("double")) * 1e9, 0)
+         .cast("decimal(19,0)"))
+    y = (F.round(F.log(F.col("ct").cast("double")) * 1e9, 0)
+         .cast("decimal(19,0)"))
+    d = "decimal(38,0)"
+    reg = top.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(x.cast(d)).alias("sx"),
+        F.sum(y.cast(d)).alias("sy"),
+        F.sum((x * y).cast(d)).alias("sxy"),
+        F.sum((x * x).cast(d)).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+           ).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+           ).cast("double")
+    slope = F.when(den > 0, F.round(num / den, round_digits))
+    return totals.crossJoin(F.broadcast(reg)).select(
+        "n_tokens", "vocab_size",
+        F.round(F.col("vocab_size").cast("double") / F.col("n_tokens"),
+                round_digits).alias("type_token_ratio"),
+        "hapax_count",
+        F.round(F.col("hapax_count").cast("double") / F.col("vocab_size"),
+                round_digits).alias("hapax_ratio"),
+        slope.alias("zipf_slope"),
+        "top_freq")
+
+
+def oracle_zipf_vocab_stats_sql(table: str, text_col: str,
+                                max_rank: int = 1000,
+                                round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    return f"""
+WITH terms AS (
+  SELECT t.term, COUNT(*) AS ct
+  FROM {table}, UNNEST({toks}) t(term)
+  GROUP BY t.term
+),
+totals AS (
+  SELECT SUM(ct) AS n_tokens, COUNT(*) AS vocab_size,
+         SUM(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS hapax_count,
+         MAX(ct) AS top_freq
+  FROM terms
+),
+top AS (
+  SELECT ct, ROW_NUMBER() OVER (ORDER BY ct DESC, term ASC) AS rank
+  FROM terms ORDER BY ct DESC, term ASC LIMIT {max_rank}
+),
+xy AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e9, 0) AS HUGEINT) AS x,
+         CAST(ROUND(ln(CAST(ct AS DOUBLE)) * 1e9, 0) AS HUGEINT) AS y
+  FROM top
+),
+reg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, {round_digits})
+         AS type_token_ratio,
+       CAST(hapax_count AS BIGINT) AS hapax_count,
+       ROUND(CAST(hapax_count AS DOUBLE) / vocab_size, {round_digits})
+         AS hapax_ratio,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), {round_digits}) END
+         AS zipf_slope,
+       CAST(top_freq AS BIGINT) AS top_freq
+FROM totals CROSS JOIN reg
+"""

@@ -74,8 +74,17 @@ FROM agg
 """
 
 
+# embedding_covariance explodes n·d²/2 rows of CPU; above this dim the
+# caller must either sample rows first (operators/sampling.hash_sample —
+# the estimate converges long before the full corpus) or explicitly
+# accept the cost with max_dim=None. Same loud-cap discipline as
+# nbclassify.MAX_STATE_CELLS / clustering.MAX_AUDIT_LABELS.
+MAX_COV_DIM = 1024
+
+
 def embedding_covariance(df: DataFrame, vec_col: str,
-                         round_digits: int = 9) -> DataFrame:
+                         round_digits: int = 9,
+                         max_dim: int | None = MAX_COV_DIM) -> DataFrame:
     """(d1, d2, n, cov, corr) for every dimension pair d1 ≤ d2 — the
     covariance/correlation structure of an embedding column. High
     off-diagonal correlation means anisotropy (embeddings collapsed
@@ -89,12 +98,27 @@ def embedding_covariance(df: DataFrame, vec_col: str,
     Every sum is per-pair and scaled-integer, which makes ragged/NULL
     vectors well-defined (a pair's n counts rows carrying BOTH dims) and
     the results engine-exact. The exploded stream is n·d²/2 rows of CPU
-    (not memory — partial aggregation collapses it); at dim ≳ 1024
-    hash-sample rows first (operators/sampling.py) — the estimate
-    converges long before the full corpus.
+    (not memory — partial aggregation collapses it); at dim > ``max_dim``
+    (default ``MAX_COV_DIM``) the operator REFUSES rather than silently
+    launching the d²/2 explode — hash-sample rows first
+    (operators/sampling.py; the estimate converges long before the full
+    corpus) or pass ``max_dim=None`` to accept the cost explicitly. The
+    probe is one cheap 1-row agg of max(size(vec)).
 
     Zero-variance dimensions yield corr = NULL (the correlation_matrix
     contract)."""
+    if max_dim is not None:
+        probe = (df.where(F.col(vec_col).isNotNull())
+                 .agg(F.max(F.size(F.col(vec_col))).alias("d"))
+                 .collect()[0]["d"])
+        if probe is not None and probe > max_dim:
+            raise ValueError(
+                f"embedding_covariance: dim={probe} exceeds max_dim="
+                f"{max_dim} — the pair explode is n*d^2/2 rows of CPU "
+                f"({probe * (probe + 1) // 2:,} exploded rows PER "
+                "VECTOR). hash_sample rows first "
+                "(dataprofiler_spark.operators.sampling.hash_sample) or "
+                "pass max_dim=None to accept the cost explicitly")
     exploded = (df
                 .where(F.col(vec_col).isNotNull())
                 .select(F.posexplode(F.col(vec_col)).alias("d1", "x1"),

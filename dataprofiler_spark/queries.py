@@ -717,6 +717,46 @@ def quality_rollup_documents(spark, sf_dir):
     return ta.quality_rollup(T(spark, sf_dir, "documents"), "text", "source")
 
 
+# The synthetic documents table has no URL column, so the registered
+# query derives a deterministic one from (doc_id, source) — the SAME SQL
+# expression string runs through F.expr on the Spark side and inline in
+# the oracle, so the parse under test is identical. The pool exercises
+# every branch of the registrable-domain heuristic: www/sub hosts, a
+# two-level suffix (co.uk), a bare two-label host, a port, and NULLs.
+_DOC_URL_EXPR = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE "
+    "'https://' || "
+    "CASE CAST(doc_id % 6 AS INT) "
+    "  WHEN 0 THEN 'www.alpha.com'"
+    "  WHEN 1 THEN 'cdn.alpha.com'"
+    "  WHEN 2 THEN 'news.beta.co.uk'"
+    "  WHEN 3 THEN 'beta.co.uk'"
+    "  WHEN 4 THEN 'gamma.io'"
+    "  ELSE 'sub.delta.org' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END || "
+    "'/' || source || '/' || CAST(doc_id AS VARCHAR(20)) END")
+
+
+def _domain_oracle():
+    from dataprofiler_spark.operators import domains as dmn
+    return dmn.oracle_domain_rollup_sql("documents", _DOC_URL_EXPR, "text")
+
+
+@register("domain_rollup_documents", None)
+def domain_rollup_documents(spark, sf_dir):
+    """Per-registrable-domain curation rollup (CCNet-style weighting
+    table): quality / token / corpus-wide exact-dup stats per domain.
+    Map-side host parse + suffix heuristic, one groupBy(domain) + one
+    md5-keyed dup agg."""
+    from dataprofiler_spark.operators import domains as dmn
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_DOC_URL_EXPR))
+    return dmn.domain_rollup(docs, "url", "text")
+
+
+ORACLE_SQL["domain_rollup_documents"] = _domain_oracle()
+
+
 @register("numeric_profile_by_returnflag",
           num.oracle_numeric_profile_by_group_sql("lineitem", "l_returnflag",
                                                   "l_extendedprice"))
@@ -951,6 +991,28 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 @register("correlation_lineitem", corr.oracle_correlation_sql("lineitem", _CORR_COLS))
 def correlation_lineitem(spark, sf_dir):
     return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+# Cohen's kappa needs two "annotations" of the same rows over a shared
+# label set; TPC-H has no annotator pair, so the second column is a
+# deterministic imperfect copy of l_returnflag derived in-query — the
+# SAME SQL expression through F.expr on the Spark side and inline in
+# the oracle (the _DOC_URL_EXPR pattern).
+_KAPPA_B_EXPR = ("CASE WHEN l_quantity < 25 THEN l_returnflag "
+                 "ELSE 'N' END")
+
+
+@register("cohens_kappa_lineitem",
+          corr.oracle_cohens_kappa_sql(
+              f"(SELECT l_returnflag, ({_KAPPA_B_EXPR}) AS rf2 "
+              "FROM lineitem) t", "l_returnflag", "rf2"))
+def cohens_kappa_lineitem(spark, sf_dir):
+    """Chance-corrected agreement (label QA): kappa between
+    l_returnflag and a deterministic imperfect re-annotation of it.
+    One groupBy over observed cells; integer sums, engine-exact."""
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "rf2", F.expr(_KAPPA_B_EXPR))
+    return corr.cohens_kappa(li, "l_returnflag", "rf2")
 
 
 @register("cramers_v_orders",
@@ -1534,6 +1596,17 @@ def retention_cohorts_events(spark, sf_dir):
     return ev.retention_cohorts(T(spark, sf_dir, "events"))
 
 
+# z=1.0 so the mildly uneven synthetic day counts actually flag rows —
+# a discriminating hash, not an all-False column (the outlier_counts
+# z-tuning rationale).
+@register("daily_anomalies_events",
+          ev.oracle_daily_volume_anomalies_sql("events", z=1.0))
+def daily_anomalies_events(spark, sf_dir):
+    """Robust (median/MAD) per-day volume anomaly flags — the
+    feed-health monitor. One groupBy(day) + an O(days) median pass."""
+    return ev.daily_volume_anomalies(T(spark, sf_dir, "events"), z=1.0)
+
+
 # ---------------------------------------------------------------------------
 # Unstructured entity extraction (SURVEY §2.7 entity_counts/percentages)
 # ---------------------------------------------------------------------------
@@ -1986,6 +2059,18 @@ def embedding_neardup_clusters(spark, sf_dir):
         threshold=0.3, bands=4, planes_per_band=4, max_bucket_size=150)
 
 
+@register("zipf_vocab_documents",
+          ta.oracle_zipf_vocab_stats_sql("documents", "text",
+                                         max_rank=200))
+def zipf_vocab_documents(spark, sf_dir):
+    """Corpus vocabulary shape: Zipf slope over the top-200 terms +
+    type-token / hapax richness — the templated-vs-natural-text signal.
+    One explode + groupBy(term); the regression runs over 200
+    TakeOrdered rows."""
+    return ta.zipf_vocab_stats(T(spark, sf_dir, "documents"), "text",
+                               max_rank=200)
+
+
 @register("unigram_logprob_documents",
           ta.oracle_unigram_logprob_sql("documents", "doc_id", "text"))
 def unigram_logprob_documents(spark, sf_dir):
@@ -2200,87 +2285,73 @@ def full_report_events(spark, sf_dir):
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation (VERDICT r4 item 1): every query that has NEVER had
-# a driver row gets a slot (the whole late-r4 batch), plus this round's
-# new/changed-semantics queries, plus the flagship end-to-end re-check,
-# plus the stalest green rows (r2, then r3) to keep credit fresh. The
-# entire r4-green window keeps its credit and is hash-checked locally by
-# test_oracle_parity. After r5 every oracled query has a driver-green
-# row within r3–r5.
+# Round-6 rotation (VERDICT r5 item 1): the 12 never-driver-checked
+# late-r5 queries first, then this round's new operators (domain rollup,
+# Cohen's kappa, daily-volume anomalies, Zipf vocab), then the queries
+# whose SEMANTICS changed this round (chi2/Cramer's now drop NULL rows —
+# scipy semantics; pair generators now cap by default — a no-op at these
+# SFs but worth a fresh row), the flagship end-to-end re-check, all 26
+# r3-stale rows, and the stalest-r4 representatives touched by this
+# round's code changes. Everything past slot 50 stays registered and is
+# hash-checked by tests/test_oracle_parity.py. After r6 every oracled
+# query has a driver-green row within r4-r6.
 _DRIVER_WINDOW = [
-    # ---- never driver-checked (late-r4 additions) ----
-    "outlier_counts_lineitem",
-    "minhash_lsh_pairs_bottomk",
-    "cluster_sample_embeddings",
-    "embedding_outliers_embeddings",      # also changed r5: decimal compare
-    "ivf_topk_embeddings",
-    "ivf_recall_embeddings",
-    "label_centroid_audit_embeddings",    # also changed r5: NULL/cap guard
-    "hard_negatives_embeddings",
-    "daily_psi_events",
-    "mutual_info_lineitem",
-    "ner_redact_orders",
-    "hashed_doc_vectors_documents",
-    "hashed_cosine_topk_documents",
-    "clean_sample_documents",
-    "ks_js_totalprice",
-    "quantize_int8_embeddings",           # also changed r5: oracle NULL fix
-    "decontaminate_by_benchmark_documents",
-    "pack_manifest_documents",
-    # ---- new round-5 operators (first driver rows) ----
-    "ann_index_query_embeddings",
-    "pq_audit_embeddings",
-    "embedding_group_cosines",
-    "ivf_pq_topk_embeddings",
-    "nb_source_confusion_documents",
-    "pagerank_nation",
-    "key_skew_lineitem",
-    "hot_keys_events",
-    "fuzzy_pairs_customer",
-    # ---- changed-oracle re-check (NULL/ragged filter, r5) ----
-    "embedding_dim_stats",
+    # ---- never driver-checked (late-r5 additions) ----
+    "winnow_fingerprints_documents",
+    "winnow_neardup_pairs_documents",
+    "cross_source_dup_matrix_documents",
+    "ivf_pq_residual_topk_embeddings",
+    "cramers_v_orders",                   # also changed r6: NULL drop
+    "spearman_lineitem",
+    "bm25_topk_documents",
+    "query_cosine_topk_documents",
+    "hybrid_rrf_topk_documents",
+    "embedding_covariance_embeddings",    # also changed r6: dim guard
+    "bigram_logprob_documents",
+    "collocations_pmi_documents",
+    # ---- new round-6 operators (first driver rows) ----
+    "domain_rollup_documents",
+    "cohens_kappa_lineitem",
+    "daily_anomalies_events",
+    "zipf_vocab_documents",
+    # ---- changed semantics r6: chi2 NULL-drop (scipy) ----
+    "chi2_pair_lineitem",
+    "chi2_orderpriority",
     # ---- flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- stalest driver rows: r2 ----
-    "numeric_profile_orders",
-    "chi2_orderpriority",
-    # ---- stalest driver rows: r3 (27 of 46 — one representative per
-    # family; siblings stay past-window with local parity) ----
-    "numeric_profile_lineitem",
-    "category_counts_lineitem",
-    "row_stats_lineitem",
-    "distinct_counts_lineitem",
-    "histogram_extendedprice",
-    "datetime_profile_orders",
-    "order_profile_lineitem",
-    "text_stats_customer",
-    "type_inference_lineitem",
-    "full_profile_events",
-    "correlation_lineitem",
-    # crosstab_lineitem ceded its slot to key_skew_lineitem —
-    # it keeps its r3 driver row and local parity.
-    "validate_lineitem",
-    "precision_stats_lineitem",
-    "nullspec_customer",
-    "null_replication_orders",
-    "sessionize_events",
-    # json_props_events ceded its slot to nb_source_confusion — it
-    # keeps its r3 driver row and local parity.
-    "rolling_avg_events",
-    # funnel_gap_events ceded its slot to ivf_pq_topk — the funnel
-    # family keeps funnel_within_events' r4 row + local parity.
-    "retention_cohorts_events",
-    # asof_last_purchase_events ceded its slot to pagerank_nation —
-    # it keeps its r3 driver row and local parity.
-    # psi_numeric_totalprice ceded its slot to fuzzy_pairs_customer —
-    # it keeps its r3 driver row; the numeric-drift family stays
-    # represented in-window by ks_js_totalprice.
-    "referential_integrity_lineitem_orders",
-    # topk_events_per_user ceded its slot to hot_keys_events (same
-    # TakeOrdered family) — it keeps its r3 driver row + local parity.
-    # hash_sample_orders ceded its slot to pq_audit and
-    # rollup_events_type_day to embedding_group_cosines — both keep
-    # their r3 driver rows and local parity.
+    # ---- stalest driver rows: r3 (all 26) ----
+    "numeric_profile_by_returnflag",
+    "crosstab_lineitem",
+    "json_props_events",
+    "funnel_events",
+    "funnel_gap_events",
+    "entity_counts_events_props",
+    "bpe_token_summary_documents",
+    "asof_last_purchase_events",
+    "psi_numeric_totalprice",
+    "topk_events_per_user",
+    "rollup_events_type_day",
+    "hash_sample_orders",
+    "stratified_sample_orders",
+    "repetition_signals_documents",
+    "crossdoc_ngram_dup_documents",
+    "substring_dup_documents",
+    "decontaminate_documents",
+    "pii_redact_customer",
+    "simhash_neardup_documents",          # also r6: default bucket cap
+    "canonical_sample_documents",         # also r6: default bucket cap
+    "expectations_orders",
+    "chunk_summary_documents",
+    "tfidf_top_terms_documents",
+    "interval_join_events",
+    "data_mixture_documents",
+    "split_manifest_documents",
+    # ---- stalest r4 rows touched by this round's code changes ----
+    "graph_components_nation",            # connected_components try/finally
+    "minhash_lsh_pairs_documents",        # default bucket cap
+    "neardup_clusters_documents",         # default bucket cap
+    "exact_dedup_documents",
+    "cnn_labeler_customer",
 ]
 
 

@@ -27,6 +27,20 @@ Semantics match operators/drift.py exactly where the framing allows:
         the standard PSI formulation for monitoring.
       - "width": equal-width bins over the baseline (min, max),
         bit-compatible with drift.numeric_psi's framing.
+
+COMPATIBILITY — recorded PSI baselines (r5 semantics change): two
+behaviors changed together in round 5 and BOTH shift the numeric PSI a
+monitor reports, so PSI values logged by a pre-r5 monitor are NOT
+comparable to post-r5 values for the same data:
+  1. the default edge rule moved "width" → "quantile" (VERDICT r4
+     item 7); construct with ``numeric_bins="width"`` to keep the old
+     edges, and
+  2. smoothing now runs over ALL dense bins rather than only the
+     observed buckets — this affects "width" mode too (an unobserved
+     bin now contributes its smoothed mass instead of being absent).
+If you alert on absolute PSI thresholds against historical logs,
+re-freeze the baseline and re-record the expected PSI level once after
+upgrading rather than comparing across the seam.
 """
 
 from __future__ import annotations

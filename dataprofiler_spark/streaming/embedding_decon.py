@@ -49,8 +49,18 @@ def build_benchmark_store(bench_df: DataFrame, id_col: str, vec_col: str,
     from dataprofiler_spark.operators.similarity import \
         embedding_band_buckets
 
-    base = bench_df.select(F.col(id_col).alias("id"),
+    # The store schemas pin `id long`; cast here so an int32/string id
+    # column writes the schema the probe-side read enforces (a numeric
+    # string casts fine; a non-numeric id must be mapped by the caller
+    # and fails loudly below instead of at first probe).
+    base = bench_df.select(F.col(id_col).cast("long").alias("id"),
                            F.col(vec_col).cast("array<double>").alias("v"))
+    n_bad = base.where(F.col("id").isNull()).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            f"build_benchmark_store: column {id_col!r} has values that "
+            "do not cast to BIGINT; map ids to integers first "
+            "(e.g. xxhash64(id))")
     keys = embedding_band_buckets(base, "id", "v", bands=bands,
                                   planes_per_band=planes_per_band,
                                   dim=dim, seed=seed)
@@ -94,7 +104,7 @@ class StreamingEmbeddingDecon:
 
         spark = batch_df.sparkSession
         base = batch_df.select(
-            F.col(self.id_col).alias("id"),
+            F.col(self.id_col).cast("long").alias("id"),
             F.col(self.vec_col).cast("array<double>").alias("v"))
         keys = embedding_band_buckets(
             base, "id", "v", bands=self.meta["bands"],

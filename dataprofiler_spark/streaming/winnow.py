@@ -18,7 +18,9 @@ effect):
    side frozen). Survivors' fingerprints append to the store.
 
 Boilerplate caveat: a fingerprint shared by many prior docs fans the
-probe join out; ``max_probe_matches`` caps the per-fingerprint fan-out
+probe join out; ``max_probe_matches`` (default
+``dedup.DEFAULT_MAX_FP_FREQ``, ``None`` = explicit opt-out) caps the
+per-fingerprint fan-out
 deterministically (fingerprints matching more than the cap are treated
 as boilerplate and dropped from the PROBE — they still append for
 future exactness audits). Compaction: reuse
@@ -31,6 +33,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.dedup import DEFAULT_MAX_FP_FREQ
 
 WINNOW_STORE_SCHEMA = "id long, fp long, band int, batch long"
 
@@ -46,7 +50,7 @@ class StreamingWinnowDup:
     def __init__(self, store_path: str, id_col: str = "id",
                  text_col: str = "text", k: int = 5, window: int = 4,
                  min_shared: int = 2, n_bands: int = 16,
-                 max_probe_matches: int | None = None):
+                 max_probe_matches: int | None = DEFAULT_MAX_FP_FREQ):
         self.store_path = store_path
         self.id_col, self.text_col = id_col, text_col
         self.k, self.window = k, window
@@ -78,8 +82,13 @@ class StreamingWinnowDup:
         from dataprofiler_spark.operators.dedup import winnow_fingerprints
 
         spark = batch_df.sparkSession
+        # The store schema pins `id long` — cast here so an int32/string
+        # id appends the schema the enforced read (and the flagged-ids
+        # createDataFrame below) expects, instead of failing at first
+        # probe after a successful write.
         fps = (winnow_fingerprints(batch_df, self.id_col, self.text_col,
                                    k=self.k, window=self.window)
+               .withColumn("id", F.col("id").cast("long"))
                .withColumn("band",
                            F.pmod(F.col("fp"),
                                   F.lit(self.n_bands)).cast("int"))

@@ -124,3 +124,28 @@ def test_cramers_v_known_values(spark):
     const = spark.createDataFrame([("x", "only")] * 10 + [("y", "only")] * 10,
                                   ["a", "b"])
     assert corr.cramers_v_pair(const, "a", "b").collect()[0]["v"] is None
+
+
+def test_chi2_drops_null_rows_scipy_semantics(spark):
+    """Rows where either column is NULL are excluded before the dense
+    grid (pandas.crosstab/scipy semantics, the reference's path) — so
+    chi2 sums over exactly ka*kb cells and dof counts the same
+    categories. Hand-check: after dropping the NULL rows the table is
+    [[30, 10], [10, 30]] (n=80, all e=20) -> chi2 = 4*(10^2/20) = 20,
+    dof = 1."""
+    rows = ([("x", "p")] * 30 + [("x", "q")] * 10
+            + [("y", "p")] * 10 + [("y", "q")] * 30
+            + [(None, "p")] * 7 + [("x", None)] * 5)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = corr.chi2_matrix_pair(df, "a", "b").collect()[0]
+    assert r["chi2"] == 20.0 and r["dof"] == 1
+
+    v = corr.cramers_v_pair(df, "a", "b").collect()[0]
+    assert v["n"] == 80 and v["chi2"] == 20.0
+    assert abs(v["v"] - 0.5) < 1e-9  # sqrt(20/80/1)
+
+    # A column that is {NULL,'x'} has ONE category after the drop:
+    # m = 0 -> V undefined (matches scipy on the dropna'd crosstab).
+    degen = spark.createDataFrame(
+        [("x", "p")] * 5 + [(None, "q")] * 5, "a string, b string")
+    assert corr.cramers_v_pair(degen, "a", "b").collect()[0]["v"] is None

@@ -722,3 +722,60 @@ def test_streaming_winnow_store(spark, tmp_path):
     total = store.count()
     assert compact_store(spark, str(tmp_path / "store" / "fps"),
                          schema=WINNOW_STORE_SCHEMA) == total
+
+
+def test_streaming_winnow_compaction_roundtrip(spark, tmp_path):
+    """VERDICT r5 item 7: across N appended batches, compaction (a)
+    leaves probe results IDENTICAL pre/post, and (b) bounds the store's
+    file count (append-per-batch growth collapses to
+    target_files_per_band files per band)."""
+    from dataprofiler_spark.streaming.winnow import (StreamingWinnowDup,
+                                                     WINNOW_STORE_SCHEMA)
+    from dataprofiler_spark.streaming.neardup import compact_store
+
+    passage = "one canonical paragraph that later documents will copy"
+    store = str(tmp_path / "store")
+    wd = StreamingWinnowDup(store, min_shared=3, n_bands=4)
+    # N=4 appended batches of novel docs (each batch = one parquet write)
+    for b in range(4):
+        rows = [(10 * b + j,
+                 f"batch {b} doc {j} distinct words run{b}x{j} "
+                 + (passage if b == 0 and j == 0 else ""))
+                for j in range(3)]
+        wd.update(spark.createDataFrame(rows, "id long, text string"), b)
+
+    fps_path = str(tmp_path / "store" / "fps")
+
+    def probe_flags():
+        probe = spark.createDataFrame(
+            [(900, "entirely new text then " + passage + " copied"),
+             (901, "fully novel probe document nothing shared")],
+            "id long, text string")
+        # score without mutating the real store: probe a throwaway copy
+        import shutil as sh
+        tmp = str(tmp_path / "probe_store")
+        if os.path.isdir(tmp):
+            sh.rmtree(tmp)
+        sh.copytree(store, tmp)
+        w3 = StreamingWinnowDup(tmp, min_shared=3, n_bands=4)
+        w3.update(probe, 99)
+        return sorted(w3.flagged)
+
+    def files_per_band():
+        import glob
+        return {d: len(glob.glob(os.path.join(fps_path, d, "*.parquet")))
+                for d in os.listdir(fps_path) if d.startswith("band=")}
+
+    before_flags = probe_flags()
+    before_files = files_per_band()
+    total = spark.read.schema(WINNOW_STORE_SCHEMA).parquet(fps_path).count()
+    assert any(n >= 2 for n in before_files.values())  # growth is real
+
+    n = compact_store(spark, fps_path, target_files_per_band=1,
+                      schema=WINNOW_STORE_SCHEMA)
+    assert n == total                       # nothing lost
+    after_files = files_per_band()
+    assert all(c == 1 for c in after_files.values())   # bounded
+    assert probe_flags() == before_flags               # identical flags
+    # the copied-passage probe is flagged, the novel one is not
+    assert {i for _, i in before_flags} == {900}
