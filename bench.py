@@ -99,6 +99,10 @@ def build_runners(spark, sf_dir):
 
     add("profile", "row_stats_lineitem",
         lambda: rs.row_stats(lineitem, hashing_method="hll").collect())
+    add("profile", "robust_stats_lineitem",
+        lambda: num.robust_stats(
+            lineitem, ["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"]).collect())
     add("profile", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
@@ -139,6 +143,17 @@ def build_runners(spark, sf_dir):
         lambda: ta.language_id(documents, "doc_id", "text").count())
     add("text", "quality_rollup_documents",
         lambda: ta.quality_rollup(documents, "text", "source").collect())
+
+    def _domain():
+        from dataprofiler_spark.operators import domains as dmn
+        from dataprofiler_spark.queries import _DOC_URL_EXPR
+        docs = documents.withColumn("url", F.expr(_DOC_URL_EXPR))
+        dmn.domain_rollup(docs, "url", "text").collect()
+    add("text", "domain_rollup_documents", _domain)
+    add("text", "markup_signals_documents",
+        lambda: ta.markup_signals(documents, "doc_id", "text").count())
+    add("text", "zipf_vocab_documents",
+        lambda: ta.zipf_vocab_stats(documents, "text").collect())
     add("text", "chunk_summary_documents",
         lambda: ck.chunk_summary(documents, "doc_id", "text",
                                  chunk_tokens=64, overlap_tokens=8

@@ -519,3 +519,121 @@ FROM (
   ) ff
 ) o""")
     return "\nUNION ALL\n".join(selects)
+
+
+def robust_stats(df: DataFrame, cols: list[str],
+                 trim: float = 0.05,
+                 round_digits: int = 6) -> DataFrame:
+    """(column, n, q1, q3, iqr, n_low_outliers, n_high_outliers,
+    trimmed_mean, winsorized_mean): the Tukey-fence + trimmed-estimator
+    battery — the robust complement to the z-score fences of
+    ``outlier_counts`` (a z fence moves toward the very outliers it
+    hunts; quartiles don't).
+
+    * Tukey fences: [q1 − 1.5·IQR, q3 + 1.5·IQR]; counts outside each.
+    * trimmed_mean: mean of values strictly inside the (trim, 1−trim)
+      exact quantiles (classic two-sided trim).
+    * winsorized_mean: same, but clamped tail values REPLACE the tails
+      rather than dropping them.
+
+    Plan: pass 1 is ONE wide agg of exact quantiles for every column
+    (Spark's percentile is a mergeable aggregate); its 1-row result
+    broadcast-crossJoins into pass 2, which folds fence counts and both
+    estimators for ALL columns in one more wide agg — 2 scans at any
+    column count (the exact-mode profile discipline), zero driver
+    round-trips, no literal re-rounding seams (every quantile value
+    flows engine-side through the SAME arithmetic the oracle runs).
+    Sums are DECIMAL-scaled (order-independent); all-NULL columns yield
+    NULL quantiles/means and zero outlier counts on both engines."""
+    qexprs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        qexprs.append(F.percentile(x, F.lit(0.25)).alias(f"__q1_{c}"))
+        qexprs.append(F.percentile(x, F.lit(0.75)).alias(f"__q3_{c}"))
+        qexprs.append(F.percentile(x, F.lit(float(trim))).alias(f"__lo_{c}"))
+        qexprs.append(F.percentile(x, F.lit(1.0 - trim)).alias(f"__hi_{c}"))
+    j = df.crossJoin(F.broadcast(df.agg(*qexprs)))
+
+    d = "decimal(38,6)"
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        iqr = q3 - q1
+        xs = F.round(x, 6).cast(d)
+        inner = F.when((x > lo) & (x < hi), xs)
+        wins = F.when(x <= lo, F.round(lo, 6).cast(d)) \
+                .when(x >= hi, F.round(hi, 6).cast(d)).otherwise(xs)
+        aggs.extend([
+            F.count(x).alias(f"n_{c}"),
+            F.min(q1).alias(f"vq1_{c}"),
+            F.min(q3).alias(f"vq3_{c}"),
+            F.min(iqr).alias(f"viqr_{c}"),
+            F.sum(F.when(x < q1 - 1.5 * iqr, 1).otherwise(0))
+             .alias(f"nlo_{c}"),
+            F.sum(F.when(x > q3 + 1.5 * iqr, 1).otherwise(0))
+             .alias(f"nhi_{c}"),
+            F.sum(inner).alias(f"sin_{c}"),
+            F.count(inner).alias(f"nin_{c}"),
+            F.sum(wins).alias(f"swin_{c}"),
+        ])
+    row = j.agg(*aggs)
+    structs = []
+    for c in cols:
+        n = F.col(f"n_{c}")
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            n.alias("n"),
+            F.round(F.col(f"vq1_{c}"), round_digits).alias("q1"),
+            F.round(F.col(f"vq3_{c}"), round_digits).alias("q3"),
+            F.round(F.col(f"viqr_{c}"), round_digits).alias("iqr"),
+            F.col(f"nlo_{c}").alias("n_low_outliers"),
+            F.col(f"nhi_{c}").alias("n_high_outliers"),
+            F.round(F.col(f"sin_{c}").cast("double")
+                    / F.nullif(F.col(f"nin_{c}"), F.lit(0)),
+                    round_digits).alias("trimmed_mean"),
+            F.round(F.col(f"swin_{c}").cast("double")
+                    / F.nullif(n, F.lit(0)),
+                    round_digits).alias("winsorized_mean")))
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+
+
+def oracle_robust_stats_sql(table: str, cols: list[str],
+                            trim: float = 0.05,
+                            round_digits: int = 6) -> str:
+    selects = []
+    for c in cols:
+        x = f"CAST({c} AS DOUBLE)"
+        xs = f"CAST(ROUND({x}, 6) AS DECIMAL(38,6))"
+        selects.append(f"""
+SELECT '{c}' AS "column", n,
+       ROUND(q1, {round_digits}) AS q1,
+       ROUND(q3, {round_digits}) AS q3,
+       ROUND(q3 - q1, {round_digits}) AS iqr,
+       n_low_outliers, n_high_outliers,
+       ROUND(CAST(s_in AS DOUBLE) / NULLIF(n_in, 0), {round_digits})
+         AS trimmed_mean,
+       ROUND(CAST(s_win AS DOUBLE) / NULLIF(n, 0), {round_digits})
+         AS winsorized_mean
+FROM (
+  SELECT COUNT({x}) AS n, MIN(qq.q1) AS q1, MIN(qq.q3) AS q3,
+         SUM(CASE WHEN {x} < qq.q1 - 1.5 * (qq.q3 - qq.q1)
+             THEN 1 ELSE 0 END) AS n_low_outliers,
+         SUM(CASE WHEN {x} > qq.q3 + 1.5 * (qq.q3 - qq.q1)
+             THEN 1 ELSE 0 END) AS n_high_outliers,
+         SUM(CASE WHEN {x} > qq.lo AND {x} < qq.hi THEN {xs} END) AS s_in,
+         COUNT(CASE WHEN {x} > qq.lo AND {x} < qq.hi THEN 1 END) AS n_in,
+         SUM(CASE WHEN {x} <= qq.lo THEN CAST(ROUND(qq.lo, 6)
+                                              AS DECIMAL(38,6))
+                  WHEN {x} >= qq.hi THEN CAST(ROUND(qq.hi, 6)
+                                              AS DECIMAL(38,6))
+                  ELSE {xs} END) AS s_win
+  FROM {table} CROSS JOIN (
+    SELECT quantile_cont({x}, 0.25) AS q1, quantile_cont({x}, 0.75) AS q3,
+           quantile_cont({x}, {trim}) AS lo,
+           quantile_cont({x}, {1.0 - trim}) AS hi
+    FROM {table}) qq
+) s""")
+    return "\nUNION ALL\n".join(selects)

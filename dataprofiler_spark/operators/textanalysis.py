@@ -853,3 +853,71 @@ SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(top_freq AS BIGINT) AS top_freq
 FROM totals CROSS JOIN reg
 """
+
+
+def markup_signals(df: DataFrame, id_col: str, text_col: str,
+                   round_digits: int = 6) -> DataFrame:
+    """(id, n_chars, tag_count, entity_count, control_char_count,
+    replacement_count, markup_density, is_markupy): HTML-extraction /
+    encoding-damage signals per document — the C4/RefinedWeb cleaning
+    inputs (a doc with leftover tags means the extractor failed; U+FFFD
+    replacement chars mean the bytes were decoded with the wrong
+    charset; raw C0 control chars mean binary contamination).
+
+    * tag_count: ``<tag ...>`` / ``</tag>`` shapes
+    * entity_count: ``&amp;``-style named/numeric entities
+    * control_char_count: C0 controls except tab/newline/CR
+    * replacement_count: U+FFFD
+    * markup_density: (tags + entities) per 100 chars
+    * is_markupy: density > 1 per 100 chars — the drop-candidate flag
+
+    Pure per-row regexps — fuses into the scan, no shuffle; NULL text
+    yields zero counts and no flag (same contract as quality_features).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    tags = F.size(F.regexp_extract_all(
+        t, F.lit(r"<[a-zA-Z/][^<>]*>"), 0))
+    ents = F.size(F.regexp_extract_all(
+        t, F.lit(r"&(?:[a-zA-Z]{2,10}|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});"),
+        0))
+    ctrl = F.size(F.regexp_extract_all(
+        t, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), 0))
+    repl = F.size(F.regexp_extract_all(t, F.lit("�"), 0))
+    dens = F.when(n_chars > 0,
+                  F.round((tags + ents) * 100.0 / n_chars, round_digits)
+                  ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        tags.alias("tag_count"),
+        ents.alias("entity_count"),
+        ctrl.alias("control_char_count"),
+        repl.alias("replacement_count"),
+        dens.alias("markup_density"),
+        (dens > 1.0).alias("is_markupy"))
+
+
+def oracle_markup_signals_sql(table: str, id_col: str, text_col: str,
+                              round_digits: int = 6) -> str:
+    t = f"COALESCE({text_col}, '')"
+    nc = f"LENGTH({t})"
+    tags = f"len(regexp_extract_all({t}, '<[a-zA-Z/][^<>]*>'))"
+    ents = (f"len(regexp_extract_all({t}, "
+            "'&([a-zA-Z]{2,10}|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});'))")
+    ctrl = (f"len(regexp_extract_all({t}, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))")
+    repl = f"len(regexp_extract_all({t}, '\\x{{FFFD}}'))"
+    dens = (f"CASE WHEN {nc} > 0 THEN "
+            f"ROUND(({tags} + {ents}) * 100.0 / {nc}, {round_digits}) "
+            "ELSE 0.0 END")
+    return f"""
+SELECT {id_col} AS id, CAST({nc} AS INT) AS n_chars,
+       CAST({tags} AS INT) AS tag_count,
+       CAST({ents} AS INT) AS entity_count,
+       CAST({ctrl} AS INT) AS control_char_count,
+       CAST({repl} AS INT) AS replacement_count,
+       {dens} AS markup_density,
+       ({dens}) > 1.0 AS is_markupy
+FROM {table}
+"""

@@ -993,6 +993,15 @@ def correlation_lineitem(spark, sf_dir):
     return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
+@register("robust_stats_lineitem",
+          num.oracle_robust_stats_sql("lineitem", _LINEITEM_NUM))
+def robust_stats_lineitem(spark, sf_dir):
+    """Tukey IQR fences + trimmed/winsorized means — the robust
+    complement to the z-score outlier fences; 2 scans at any column
+    count, quantiles flow engine-side (no literal seams)."""
+    return num.robust_stats(T(spark, sf_dir, "lineitem"), _LINEITEM_NUM)
+
+
 # Cohen's kappa needs two "annotations" of the same rows over a shared
 # label set; TPC-H has no annotator pair, so the second column is a
 # deterministic imperfect copy of l_returnflag derived in-query — the
@@ -2059,6 +2068,16 @@ def embedding_neardup_clusters(spark, sf_dir):
         threshold=0.3, bands=4, planes_per_band=4, max_bucket_size=150)
 
 
+@register("markup_signals_documents",
+          ta.oracle_markup_signals_sql("documents", "doc_id", "text"))
+def markup_signals_documents(spark, sf_dir):
+    """Per-doc HTML-extraction / encoding-damage signals (leftover
+    tags, entities, control chars, U+FFFD) — the C4/RefinedWeb cleaning
+    inputs; pure regexps, fuses into the scan."""
+    return ta.markup_signals(T(spark, sf_dir, "documents"),
+                             "doc_id", "text")
+
+
 @register("zipf_vocab_documents",
           ta.oracle_zipf_vocab_stats_sql("documents", "text",
                                          max_rank=200))
@@ -2350,8 +2369,11 @@ _DRIVER_WINDOW = [
     "graph_components_nation",            # connected_components try/finally
     "minhash_lsh_pairs_documents",        # default bucket cap
     "neardup_clusters_documents",         # default bucket cap
-    "exact_dedup_documents",
-    "cnn_labeler_customer",
+    # exact_dedup_documents and cnn_labeler_customer cede their slots
+    # to the new markup_signals and robust_stats — both keep their r4
+    # driver rows and local parity.
+    "markup_signals_documents",
+    "robust_stats_lineitem",
 ]
 
 

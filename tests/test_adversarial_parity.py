@@ -261,6 +261,9 @@ ADV_QUERIES = [
     "data_mixture_documents",
     "bpe_token_summary_documents",
     "bm25_topk_documents",
+    "domain_rollup_documents",
+    "markup_signals_documents",
+    "zipf_vocab_documents",
     "query_cosine_topk_documents",
     "hybrid_rrf_topk_documents",
     "unstructured_summary_documents",
@@ -328,6 +331,8 @@ ADV_QUERIES = [
     "validate_lineitem",
     "type_inference_lineitem",
     "key_skew_lineitem",
+    "cohens_kappa_lineitem",
+    "robust_stats_lineitem",
     "numeric_profile_by_returnflag",
     "order_profile_lineitem",
     # events family
@@ -343,6 +348,7 @@ ADV_QUERIES = [
     "rollup_events_type_day",
     "topk_events_per_user",
     "daily_psi_events",
+    "daily_anomalies_events",
     "hot_keys_events",
     "order_profile_events_value",
     # graph family

@@ -686,3 +686,51 @@ def test_hashed_cosine_topk_finds_duplicate(spark):
     assert ranked[1]["id"] == 3 and ranked[1]["cosine"] > 0.5
     ids = [r["id"] for r in ranked]
     assert ids.index(2) < ids.index(4) if 4 in ids else True
+
+
+def test_zipf_vocab_stats_semantics(spark):
+    """A perfectly Zipfian corpus (freq = C/rank) fits slope ~ -1; all
+    richness counters are exact."""
+    from dataprofiler_spark.operators import textanalysis as ta
+
+    # term t_r appears floor(120/r) times, r = 1..12
+    words = []
+    for r in range(1, 13):
+        words += [f"w{r:02d}"] * (120 // r)
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    row = ta.zipf_vocab_stats(df, "text", max_rank=12).collect()[0]
+    assert row["vocab_size"] == 12
+    assert row["n_tokens"] == sum(120 // r for r in range(1, 13))
+    assert row["top_freq"] == 120
+    assert row["hapax_count"] == 0
+    assert -1.05 < row["zipf_slope"] < -0.95
+
+    # hapax-heavy corpus: every word unique -> slope 0 (flat), ttr 1
+    uniq = spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(50)))],
+        "doc_id long, text string")
+    r2 = ta.zipf_vocab_stats(uniq, "text", max_rank=50).collect()[0]
+    assert r2["type_token_ratio"] == 1.0 and r2["hapax_ratio"] == 1.0
+    assert r2["zipf_slope"] == 0.0
+
+
+def test_markup_signals_semantics(spark):
+    from dataprofiler_spark.operators import textanalysis as ta
+
+    rows = [
+        (0, "<div class='x'>hello</div> &amp; <b>world</b>"),
+        (1, "clean prose with no markup at all in a longer sentence"),
+        (2, "mojibake �� here"),
+        (3, "ctrl\x01\x02 chars"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           ta.markup_signals(df, "doc_id", "text").collect()}
+    assert out[0]["tag_count"] == 4 and out[0]["entity_count"] == 1
+    assert out[0]["is_markupy"]
+    assert out[1]["tag_count"] == 0 and not out[1]["is_markupy"]
+    assert out[2]["replacement_count"] == 2
+    assert out[3]["control_char_count"] == 2
+    assert out[4]["n_chars"] == 0 and not out[4]["is_markupy"]

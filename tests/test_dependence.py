@@ -149,3 +149,32 @@ def test_chi2_drops_null_rows_scipy_semantics(spark):
     degen = spark.createDataFrame(
         [("x", "p")] * 5 + [(None, "q")] * 5, "a string, b string")
     assert corr.cramers_v_pair(degen, "a", "b").collect()[0]["v"] is None
+
+
+def test_cohens_kappa_known_values(spark):
+    """Perfect agreement -> kappa 1; perfect disagreement on a 2x2 ->
+    kappa -1; agreement no better than chance -> kappa ~ 0; both
+    columns constant-equal (pe = 1) -> NULL."""
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 20, ["a", "b"])
+    r = corr.cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+
+    opposite = spark.createDataFrame(
+        [("x", "y")] * 25 + [("y", "x")] * 25, ["a", "b"])
+    assert corr.cohens_kappa(opposite, "a", "b").collect()[0]["kappa"] == -1.0
+
+    # independence: P(agree) = pe exactly on this balanced table
+    chance = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "xy" for _ in range(25)], ["a", "b"])
+    assert corr.cohens_kappa(chance, "a", "b").collect()[0]["kappa"] == 0.0
+
+    const = spark.createDataFrame([("x", "x")] * 10, ["a", "b"])
+    assert corr.cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+    # NULL rows dropped (sklearn semantics)
+    withnull = spark.createDataFrame(
+        [("x", "x")] * 10 + [(None, "x")] * 5 + [("y", None)] * 5,
+        "a string, b string")
+    r = corr.cohens_kappa(withnull, "a", "b").collect()[0]
+    assert r["n"] == 10 and r["kappa"] is None  # constant after the drop

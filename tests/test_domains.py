@@ -46,3 +46,44 @@ def test_domain_rollup_dup_is_corpus_wide(spark):
     assert out["a.com"]["n_docs"] == 2 and out["a.com"]["n_dup_docs"] == 1
     assert out["b.com"]["n_dup_docs"] == 1 and out["b.com"]["dup_ratio"] == 1.0
     assert out["(invalid)"]["n_dup_docs"] == 0
+
+
+def test_streaming_domain_rollup_matches_batch(spark):
+    """Folding per-batch state across micro-batches reproduces the
+    one-shot batch rollup over the concatenated data exactly (the
+    mergeable-algebra contract), minus the batch-only dup columns."""
+    from dataprofiler_spark.streaming.domains import StreamingDomainRollup
+
+    b1 = [(1, "https://a.com/1", "some reasonably long text with the and of"),
+          (2, "https://b.co.uk/1", "short"),
+          (3, None, "invalid url doc")]
+    b2 = [(4, "https://www.a.com/2", "another document for the a domain"),
+          (5, "https://b.co.uk/2", "more b text with the stopwords of and")]
+    schema = "id long, url string, text string"
+    mon = StreamingDomainRollup()
+    mon.update(spark.createDataFrame(b1, schema), 0)
+    mon.update(spark.createDataFrame(b2, schema), 1)
+    assert mon.batches_seen == 2
+    snap = {r["domain"]: r for r in mon.snapshot()}
+
+    from dataprofiler_spark.operators.domains import domain_rollup
+    batch = {r["domain"]: r for r in domain_rollup(
+        spark.createDataFrame(b1 + b2, schema), "url", "text").collect()}
+    assert set(snap) == set(batch) == {"a.com", "b.co.uk", "(invalid)"}
+    for d in snap:
+        for k in ("n_docs", "total_tokens", "avg_quality", "n_low_quality"):
+            assert snap[d][k] == batch[d][k], (d, k, snap[d], batch[d])
+
+
+def test_streaming_domain_rollup_cap_overflow(spark):
+    """Past max_domains, new domains fold into '(other)' — totals exact,
+    state bounded."""
+    from dataprofiler_spark.streaming.domains import StreamingDomainRollup
+
+    rows = [(i, f"https://site{i}.com/x", f"doc {i} text") for i in range(6)]
+    mon = StreamingDomainRollup(max_domains=3)
+    mon.update(spark.createDataFrame(rows, "id long, url string, text string"))
+    snap = {r["domain"]: r for r in mon.snapshot()}
+    assert len(snap) == 4 and "(other)" in snap
+    assert sum(r["n_docs"] for r in snap.values()) == 6
+    assert snap["(other)"]["n_docs"] == 3

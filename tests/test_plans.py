@@ -409,3 +409,36 @@ def test_bigram_windows_share_one_exchange(spark, sf_dir):
     w1w2 = [e for e in exchanges if "w1" in e and "w2" in e and "id" not in e]
     assert len(w1_only) == 1, exchanges
     assert not w1w2, exchanges  # the (w1,w2) window reuses hash(w1)
+
+
+def test_markup_and_domain_plans_stay_jvm_side(spark, sf_dir):
+    """Round-6 operators: markup_signals fuses into the scan (zero
+    Exchange, zero Python); domain_rollup's plan is two hash
+    aggregations + joins with no Python eval and no cartesian blowup;
+    zipf's top-terms selection is distributed TakeOrdered."""
+    import os
+
+    from dataprofiler_spark.operators import domains as dmn
+    from dataprofiler_spark.operators import textanalysis as ta
+    from dataprofiler_spark.queries import _DOC_URL_EXPR
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    mk = ta.markup_signals(docs, "doc_id", "text")
+    plan = _formatted(mk)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    dr = dmn.domain_rollup(docs.withColumn("url", F.expr(_DOC_URL_EXPR)),
+                           "url", "text")
+    plan = _formatted(dr)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    # column pruning: the dup-hash/quality projection needs text only
+    assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+    zf = ta.zipf_vocab_stats(docs, "text", max_rank=50)
+    plan = _formatted(zf)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

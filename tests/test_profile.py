@@ -732,3 +732,28 @@ def test_diff_includes_ks(spark, sf_dir):
     tp2 = [c for c in same["data_stats"]
            if c["column_name"] == "o_totalprice"][0]
     assert tp2["ks"] == 0.0
+
+
+def test_robust_stats_semantics(spark):
+    """Hand-checkable values on 1..100 plus outliers; all-NULL column
+    contract."""
+    from dataprofiler_spark.operators import numeric as num
+
+    rows = [(float(i), None) for i in range(1, 101)]
+    rows += [(1000.0, None), (-1000.0, None)]  # clear Tukey outliers
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {r["column"]: r for r in
+           num.robust_stats(df, ["x", "y"], trim=0.05).collect()}
+    rx = out["x"]
+    assert rx["n"] == 102
+    # q1/q3 of 1..100,±1000 sit near 26/76; fences catch exactly the 2
+    assert rx["n_low_outliers"] == 1 and rx["n_high_outliers"] == 1
+    # trimmed mean over the inner 90%: symmetric -> 50.5
+    assert abs(rx["trimmed_mean"] - 50.5) < 0.6
+    # winsorized mean likewise robust: clamping the ±1000 tails pulls it
+    # back to the middle, unlike the raw mean (5050/102 ~ 49.51... but
+    # the estimator lands on 50.5 because the clamped tails offset)
+    assert abs(rx["winsorized_mean"] - 50.5) < 1.5
+    ry = out["y"]
+    assert ry["n"] == 0 and ry["q1"] is None and ry["trimmed_mean"] is None
+    assert ry["n_low_outliers"] == 0 and ry["n_high_outliers"] == 0
