@@ -130,6 +130,9 @@ def build_runners(spark, sf_dir):
     add("dedup", "substring_dup_documents",
         lambda: cu.substring_dup_signals(documents, "doc_id",
                                          "text").count())
+    add("dedup", "paragraph_dup_documents",
+        lambda: cu.paragraph_dup_signals(documents, "doc_id",
+                                         "text").count())
     add("dedup", "decontaminate_documents",
         lambda: cu.decontaminate(
             documents, "doc_id", "text",
@@ -196,6 +199,8 @@ def build_runners(spark, sf_dir):
     add("text", "nb_confusion_documents", _nb)
 
     # ---- events group ----
+    add("events", "active_users_events",
+        lambda: ev.active_users_rollup(events).collect())
     add("events", "interval_join_events",
         lambda: iv.interval_join_first_day_counts(events).count())
     add("events", "funnel_events",

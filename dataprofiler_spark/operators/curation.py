@@ -546,3 +546,89 @@ JOIN s b ON p.id2 = b.sid
 GROUP BY 1, 2
 ORDER BY split_a, split_b
 """
+
+
+def paragraph_dup_signals(df: DataFrame, id_col: str, text_col: str,
+                          min_chars: int = 20,
+                          round_digits: int = 6) -> DataFrame:
+    """(id, n_paras, n_dup_paras, dup_para_ratio, dup_char_ratio):
+    paragraph-level boilerplate detection (the Gopher/MassiveText
+    paragraph-dedup signal): a paragraph (blank-line-delimited block,
+    whitespace-normalized, ≥ ``min_chars`` chars — shorter blocks are
+    headers/bullets, not boilerplate evidence) counts as duplicated when
+    the SAME normalized paragraph appears in any other document (or
+    twice in this one, corpus-wide count > 1). dup_char_ratio weighs by
+    paragraph length — a doc whose one duplicated paragraph is 90% of
+    its text scores high even though n_dup_paras is 1. Docs with no
+    qualifying paragraph report zero ratios (never NULL).
+
+    Scale shape: one paragraph explode (bounded by text size), ONE
+    md5-keyed aggregation for corpus counts (uniform hash keys), one
+    join back on the hash, one groupBy(id) — no self-join, no pair
+    blowup; boilerplate hubs are md5-key hot groups for a COUNT, which
+    partial aggregation absorbs."""
+    from dataprofiler_spark.session import ensure_parallelism
+
+    paras = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), r"\n\s*\n").alias("__ps"))
+             .select("id", F.explode("__ps").alias("__p")))
+    norm = F.trim(F.regexp_replace(F.col("__p"), r"\s+", " "))
+    base = (paras.select("id", norm.alias("p"))
+            .where(F.length("p") >= min_chars)
+            .select("id", F.md5("p").alias("h"),
+                    F.length("p").alias("len")))
+    counts = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (base.join(counts, "h")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_paras"),
+                    F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                     .alias("n_dup_paras"),
+                    F.sum("len").alias("__tot"),
+                    F.sum(F.when(F.col("c") > 1, F.col("len"))
+                          .otherwise(0)).alias("__dup")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                    F.coalesce("n_dup_paras", F.lit(0))
+                     .alias("n_dup_paras"),
+                    F.round(F.coalesce(
+                        F.col("n_dup_paras").cast("double")
+                        / F.col("n_paras"), F.lit(0.0)),
+                        round_digits).alias("dup_para_ratio"),
+                    F.round(F.coalesce(
+                        F.col("__dup").cast("double") / F.col("__tot"),
+                        F.lit(0.0)), round_digits).alias("dup_char_ratio")))
+
+
+def oracle_paragraph_dup_sql(table: str, id_col: str, text_col: str,
+                             min_chars: int = 20,
+                             round_digits: int = 6) -> str:
+    return f"""
+WITH paras AS (
+  SELECT {id_col} AS id,
+         TRIM(regexp_replace(p.p, '\\s+', ' ', 'g')) AS p
+  FROM {table}, UNNEST(string_split_regex({text_col}, '\\n\\s*\\n')) p(p)
+),
+base AS (
+  SELECT id, md5(p) AS h, LENGTH(p) AS len
+  FROM paras WHERE LENGTH(p) >= {min_chars}
+),
+counts AS (SELECT h, COUNT(*) AS c FROM base GROUP BY h),
+per_doc AS (
+  SELECT id, COUNT(*) AS n_paras,
+         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_paras,
+         SUM(len) AS tot,
+         SUM(CASE WHEN c > 1 THEN len ELSE 0 END) AS dup
+  FROM base JOIN counts USING (h) GROUP BY id
+)
+SELECT t.{id_col} AS id,
+       CAST(COALESCE(p.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(p.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       ROUND(COALESCE(CAST(p.n_dup_paras AS DOUBLE) / p.n_paras, 0.0),
+             {round_digits}) AS dup_para_ratio,
+       ROUND(COALESCE(CAST(p.dup AS DOUBLE) / p.tot, 0.0),
+             {round_digits}) AS dup_char_ratio
+FROM {table} t LEFT JOIN per_doc p ON p.id = t.{id_col}
+"""

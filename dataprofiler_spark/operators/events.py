@@ -407,3 +407,61 @@ SELECT day, n_events,
                {round_digits}) END > {z}, FALSE) AS is_anomaly
 FROM days CROSS JOIN mad
 """
+
+
+def active_users_rollup(df: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", window_days: int = 7,
+                        round_digits: int = 6) -> DataFrame:
+    """(day, dau, wau, stickiness): daily active users, trailing
+    ``window_days`` active users, and the DAU/WAU stickiness ratio —
+    the standard engagement rollup, exact (no sketch).
+
+    Distributed shape — the explode-into-windows trick: a trailing
+    distinct-count can't ride a window function (count DISTINCT over a
+    moving frame isn't a window aggregate), so each observed
+    (user, day) pair instead EXPLODES into the ``window_days`` window
+    anchor days it contributes to (day .. day+w−1), and one
+    groupBy(anchor) countDistinct finishes the job. Cost is
+    w × |distinct (user, day)| rows — dedup to (user, day) FIRST so the
+    factor multiplies the small frame, not the raw event stream. Only
+    observed days are reported (a day with zero events has no row —
+    the gap IS the signal; rows near the stream head count a partial
+    trailing window by construction). NULL users/timestamps are
+    excluded."""
+    ud = (df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+          .select(F.col(user_col).alias("u"),
+                  F.to_date(ts_col).alias("d"))
+          .distinct())
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    w = (ud.select("u", F.explode(F.sequence(
+            F.col("d"), F.date_add(F.col("d"), window_days - 1)))
+         .alias("anchor"))
+         .groupBy("anchor")
+         .agg(F.count_distinct("u").alias("wau")))
+    return (dau.join(w, dau.d == w.anchor)
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau").cast("double") / F.col("wau"),
+                            round_digits).alias("stickiness")))
+
+
+def oracle_active_users_sql(table: str, user_col: str = "user_id",
+                            ts_col: str = "ts", window_days: int = 7,
+                            round_digits: int = 6) -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT {user_col} AS u, CAST({ts_col} AS DATE) AS d
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+w AS (
+  SELECT d + CAST(o.o AS INT) AS anchor, u
+  FROM ud, UNNEST(range({window_days})) o(o)
+),
+wau AS (SELECT anchor, COUNT(DISTINCT u) AS wau FROM w GROUP BY anchor)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, {round_digits})
+         AS stickiness
+FROM dau JOIN wau ON wau.anchor = dau.d
+"""

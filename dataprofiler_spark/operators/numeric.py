@@ -545,14 +545,25 @@ def robust_stats(df: DataFrame, cols: list[str],
     flows engine-side through the SAME arithmetic the oracle runs).
     Sums are DECIMAL-scaled (order-independent); all-NULL columns yield
     NULL quantiles/means and zero outlier counts on both engines."""
+    # ONE percentile aggregate per column with an ARRAY of percentages:
+    # all four quantiles share a single sorted-counts state — 4 separate
+    # percentile() calls would each rebuild that state (measured 10 s vs
+    # 2.8 s on sf0.1 lineitem×4 cols).
     qexprs = []
     for c in cols:
         x = F.col(c).cast("double")
-        qexprs.append(F.percentile(x, F.lit(0.25)).alias(f"__q1_{c}"))
-        qexprs.append(F.percentile(x, F.lit(0.75)).alias(f"__q3_{c}"))
-        qexprs.append(F.percentile(x, F.lit(float(trim))).alias(f"__lo_{c}"))
-        qexprs.append(F.percentile(x, F.lit(1.0 - trim)).alias(f"__hi_{c}"))
-    j = df.crossJoin(F.broadcast(df.agg(*qexprs)))
+        qexprs.append(F.percentile(x, F.array(
+            F.lit(float(trim)), F.lit(0.25), F.lit(0.75),
+            F.lit(1.0 - trim))).alias(f"__qs_{c}"))
+    qrow = df.agg(*qexprs)
+    proj = []
+    for c in cols:
+        qs = F.col(f"__qs_{c}")
+        proj.extend([qs.getItem(0).alias(f"__lo_{c}"),
+                     qs.getItem(1).alias(f"__q1_{c}"),
+                     qs.getItem(2).alias(f"__q3_{c}"),
+                     qs.getItem(3).alias(f"__hi_{c}")])
+    j = df.crossJoin(F.broadcast(qrow.select(*proj)))
 
     d = "decimal(38,6)"
     aggs = []

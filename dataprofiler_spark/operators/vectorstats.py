@@ -313,3 +313,99 @@ SELECT dim, COUNT(*) AS n,
        ROUND(MAX(err), {round_digits}) AS max_abs_err
 FROM err GROUP BY dim
 """
+
+
+def embedding_shift(df_a: DataFrame, df_b: DataFrame, vec_col: str,
+                    round_digits: int = 6) -> DataFrame:
+    """One-row distribution-shift summary between two embedding
+    batches: (n_a, n_b, mean_cosine, mean_l2_dist, max_abs_dim_shift) —
+    the cheap "did my new embedding batch drift" check (encoder
+    version bump, domain change) before re-running ANN/dedup thresholds
+    tuned on the old distribution.
+
+    * mean_cosine: cosine between the two MEAN vectors (1.0 = same
+      direction; anisotropic encoders sit high here even across real
+      drift — read together with the next two).
+    * mean_l2_dist: L2 distance between the mean vectors.
+    * max_abs_dim_shift: worst single-dimension mean delta — localizes
+      the drift when one feature moved.
+
+    Plan: each side is ONE posexplode + groupBy(dim) (the dim-stats
+    shuffle, d groups); the two d-row frames join on dim and fold to
+    one row. Fixed-point per-dim sums keep both engines exact; the
+    derived doubles divide identical decimals. NULL vectors are
+    excluded (the clustering-ops rule)."""
+    def per_dim(df, side):
+        e = (df.where(F.col(vec_col).isNotNull())
+             .select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+             .select("dim", F.col("x").cast("double").alias("x")))
+        xi = F.round(F.col("x") * _S, 0).cast("decimal(19,0)")
+        return e.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.sum(xi.cast("decimal(38,0)")).alias(f"s_{side}"))
+    j = per_dim(df_a, "a").join(per_dim(df_b, "b"), "dim")
+    ma = F.col("s_a").cast("double") / F.col("n_a") / _S
+    mb = F.col("s_b").cast("double") / F.col("n_b") / _S
+    # per-dim products are doubles; round-then-decimal-sum makes the
+    # d-term fold order-independent (join output order differs between
+    # engines), mirroring the oracle exactly.
+    dec = "decimal(38,15)"
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.round(ma * mb, 15).cast(dec)).alias("dot"),
+        F.sum(F.round(ma * ma, 15).cast(dec)).alias("na2"),
+        F.sum(F.round(mb * mb, 15).cast(dec)).alias("nb2"),
+        F.sum(F.round((ma - mb) * (ma - mb), 15).cast(dec)).alias("d2"),
+        F.max(F.abs(ma - mb)).alias("mx"))
+    return agg.select(
+        F.col("n_a"), F.col("n_b"),
+        F.round(F.when((F.col("na2") > 0) & (F.col("nb2") > 0),
+                       F.col("dot").cast("double")
+                       / (F.sqrt(F.col("na2").cast("double"))
+                          * F.sqrt(F.col("nb2").cast("double")))),
+                round_digits).alias("mean_cosine"),
+        F.round(F.sqrt(F.col("d2").cast("double")),
+                round_digits).alias("mean_l2_dist"),
+        F.round(F.col("mx"), round_digits).alias("max_abs_dim_shift"))
+
+
+def oracle_embedding_shift_sql(table_a: str, table_b: str, vec_col: str,
+                               round_digits: int = 6) -> str:
+    def per_dim(table, side):
+        return f"""
+  SELECT CAST(t.i - 1 AS INT) AS dim, COUNT(*) AS n_{side},
+         SUM(CAST(ROUND(CAST(({vec_col}::DOUBLE[])[CAST(t.i AS INT)]
+                             AS DOUBLE) * {_S}, 0)
+                  AS DECIMAL(38,0))) AS s_{side}
+  FROM {table}, UNNEST(range(1, len({vec_col}::DOUBLE[]) + 1)) t(i)
+  WHERE {vec_col} IS NOT NULL
+  GROUP BY 1"""
+    return f"""
+WITH pa AS ({per_dim(table_a, 'a')}),
+pb AS ({per_dim(table_b, 'b')}),
+j AS (
+  SELECT pa.dim, pa.n_a, pa.s_a, pb.n_b, pb.s_b,
+         CAST(pa.s_a AS DOUBLE) / pa.n_a / {_S} AS ma,
+         CAST(pb.s_b AS DOUBLE) / pb.n_b / {_S} AS mb
+  FROM pa JOIN pb USING (dim)
+),
+agg AS (
+  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         SUM(CAST(ROUND(ma * mb, 15) AS DECIMAL(38,15))) AS dot,
+         SUM(CAST(ROUND(ma * ma, 15) AS DECIMAL(38,15))) AS na2,
+         SUM(CAST(ROUND(mb * mb, 15) AS DECIMAL(38,15))) AS nb2,
+         SUM(CAST(ROUND((ma - mb) * (ma - mb), 15)
+                  AS DECIMAL(38,15))) AS d2,
+         MAX(ABS(ma - mb)) AS mx
+  FROM j
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na2 > 0 AND nb2 > 0
+             THEN CAST(dot AS DOUBLE)
+                  / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))
+             END, {round_digits}) AS mean_cosine,
+       ROUND(SQRT(CAST(d2 AS DOUBLE)), {round_digits}) AS mean_l2_dist,
+       ROUND(mx, {round_digits}) AS max_abs_dim_shift
+FROM agg
+"""

@@ -1605,6 +1605,13 @@ def retention_cohorts_events(spark, sf_dir):
     return ev.retention_cohorts(T(spark, sf_dir, "events"))
 
 
+@register("active_users_events", ev.oracle_active_users_sql("events"))
+def active_users_events(spark, sf_dir):
+    """Exact DAU/WAU/stickiness via the explode-into-windows trick
+    (trailing countDistinct can't ride a window function)."""
+    return ev.active_users_rollup(T(spark, sf_dir, "events"))
+
+
 # z=1.0 so the mildly uneven synthetic day counts actually flag rows —
 # a discriminating hash, not an all-False column (the outlier_counts
 # z-tuning rationale).
@@ -1779,6 +1786,21 @@ def embedding_dim_stats_q(spark, sf_dir):
     return vs.embedding_dim_stats(T(spark, sf_dir, "embeddings"), "embedding")
 
 
+@register("embedding_shift_embeddings",
+          vs.oracle_embedding_shift_sql(
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) ea",
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 1) eb",
+              "embedding"))
+def embedding_shift_embeddings(spark, sf_dir):
+    """Distribution-shift summary between two embedding batches (here:
+    even vs odd vec_id halves) — mean-vector cosine/L2 + worst per-dim
+    delta; two dim-stats shuffles + a d-row fold."""
+    emb = T(spark, sf_dir, "embeddings")
+    return vs.embedding_shift(emb.where(F.col("vec_id") % 2 == 0),
+                              emb.where(F.col("vec_id") % 2 == 1),
+                              "embedding")
+
+
 @register("embedding_covariance_embeddings",
           vs.oracle_embedding_covariance_sql("embeddings", "embedding",
                                              dim=64))
@@ -1927,6 +1949,16 @@ def stratified_sample_orders(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from dataprofiler_spark.operators import curation as cu
+
+
+@register("paragraph_dup_documents",
+          cu.oracle_paragraph_dup_sql("documents", "doc_id", "text"))
+def paragraph_dup_documents(spark, sf_dir):
+    """Paragraph-level boilerplate detection (Gopher paragraph dedup):
+    per-doc duplicated-paragraph count + char-weighted ratio. One
+    explode + md5 count + join back — no self-join."""
+    return cu.paragraph_dup_signals(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
 
 
 @register("repetition_signals_documents",
@@ -2365,15 +2397,18 @@ _DRIVER_WINDOW = [
     "interval_join_events",
     "data_mixture_documents",
     "split_manifest_documents",
-    # ---- stalest r4 rows touched by this round's code changes ----
-    "graph_components_nation",            # connected_components try/finally
-    "minhash_lsh_pairs_documents",        # default bucket cap
-    "neardup_clusters_documents",         # default bucket cap
-    # exact_dedup_documents and cnn_labeler_customer cede their slots
-    # to the new markup_signals and robust_stats — both keep their r4
-    # driver rows and local parity.
+    # ---- remaining new round-6 operators ----
+    # (the r4 rows touched by this round's code — graph_components,
+    # minhash_lsh_pairs, neardup_clusters, exact_dedup, cnn_labeler —
+    # cede their slots: the cap-default change is a no-op at driver SF
+    # (5000 >> corpus size, results bit-identical) and all five keep
+    # their r4 driver rows, local parity, AND adversarial-suite rows;
+    # never-driver-checked new queries outrank no-op re-checks.)
     "markup_signals_documents",
     "robust_stats_lineitem",
+    "paragraph_dup_documents",
+    "embedding_shift_embeddings",
+    "active_users_events",
 ]
 
 

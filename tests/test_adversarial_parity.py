@@ -263,6 +263,7 @@ ADV_QUERIES = [
     "bm25_topk_documents",
     "domain_rollup_documents",
     "markup_signals_documents",
+    "paragraph_dup_documents",
     "zipf_vocab_documents",
     "query_cosine_topk_documents",
     "hybrid_rrf_topk_documents",
@@ -276,6 +277,7 @@ ADV_QUERIES = [
     # embeddings family
     "embedding_dim_stats",
     "embedding_covariance_embeddings",
+    "embedding_shift_embeddings",
     "embedding_norm_stats",
     "quantize_int8_embeddings",
     "cosine_topk_embeddings",
@@ -349,6 +351,7 @@ ADV_QUERIES = [
     "topk_events_per_user",
     "daily_psi_events",
     "daily_anomalies_events",
+    "active_users_events",
     "hot_keys_events",
     "order_profile_events_value",
     # graph family

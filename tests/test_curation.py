@@ -734,3 +734,40 @@ def test_markup_signals_semantics(spark):
     assert out[2]["replacement_count"] == 2
     assert out[3]["control_char_count"] == 2
     assert out[4]["n_chars"] == 0 and not out[4]["is_markupy"]
+
+
+def test_paragraph_dup_signals_semantics(spark):
+    """Shared paragraphs flag on BOTH docs; short blocks don't count;
+    char-weighting reflects the duplicated share; NULL/para-less docs
+    report zeros."""
+    from dataprofiler_spark.operators import curation as cu
+
+    boiler = ("subscribe to our newsletter for more great content "
+              "delivered daily to your inbox")
+    uniq_a = "a genuinely unique analytical paragraph about spark plans"
+    uniq_b = "another unique paragraph that appears exactly once only"
+    rows = [
+        (1, uniq_a + "\n\n" + boiler),
+        (2, uniq_b + "\n\n" + boiler + "\n\nhi"),   # "hi" < min_chars
+        (3, "one single unique paragraph with no duplication at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in cu.paragraph_dup_signals(
+        df, "doc_id", "text").collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[2]["n_paras"] == 2 and out[2]["n_dup_paras"] == 1
+    assert out[1]["dup_para_ratio"] == 0.5
+    # char weighting: boiler is longer than uniq_a -> ratio > 0.5
+    assert out[1]["dup_char_ratio"] > 0.5
+    assert out[3]["n_dup_paras"] == 0 and out[3]["dup_char_ratio"] == 0.0
+    assert out[4]["n_paras"] == 0 and out[4]["dup_para_ratio"] == 0.0
+
+    # whitespace normalization: reflowed copies still match
+    reflow = spark.createDataFrame(
+        [(1, "shared paragraph with   extra  spaces inside this block"),
+         (2, "shared paragraph with extra spaces inside this block")],
+        "doc_id long, text string")
+    o2 = {r["id"]: r for r in cu.paragraph_dup_signals(
+        reflow, "doc_id", "text").collect()}
+    assert o2[1]["n_dup_paras"] == 1 and o2[2]["n_dup_paras"] == 1
