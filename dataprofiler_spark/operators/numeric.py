@@ -648,3 +648,112 @@ FROM (
     FROM {table}) qq
 ) s""")
     return "\nUNION ALL\n".join(selects)
+
+
+def benford_test(df: DataFrame, cols: list[str],
+                 round_digits: int = 6) -> DataFrame:
+    """(column, n, chi2, max_abs_dev, top_digit, top_digit_freq):
+    Benford's-law first-significant-digit test per numeric column — the
+    classic fabricated/synthetic-data screen (naturally occurring
+    multi-magnitude quantities follow P(d) = log10(1 + 1/d); uniform
+    generators, capped fields and hand-typed values don't).
+
+    * chi2: Pearson statistic of the observed digit distribution
+      against Benford (dof = 8, > ~20 is a strong rejection).
+    * max_abs_dev: worst |observed − expected| digit share.
+    * top_digit/top_digit_freq: the most frequent first digit
+      (tie → lowest digit) and its share.
+
+    Zeros/NULLs carry no first digit and are excluded (n counts used
+    rows). NOTE: a column failing Benford is not "wrong" — bounded
+    quantities (percent, ages, TPC-H uniform prices) legitimately fail;
+    the test is a SCREEN whose reject is a prompt to look, which is
+    exactly how reference-class profilers ship it.
+
+    Plan: first digit is a map-side string expression on |x|; one
+    groupBy (column, digit) over ≤ 9·k groups, folded per column —
+    scan-bound at any scale."""
+    import math
+
+    exp = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    digit_rows = []
+    for c in cols:
+        x = F.abs(F.col(c).cast("double"))
+        # first significant digit: strip sign/zeros/dot from the
+        # plain-notation rendering; format_number avoids E-notation for
+        # small magnitudes (1e-4 renders '0.000100')
+        s = F.regexp_replace(F.format_number(x, 10), r"[^1-9]", "")
+        d = F.when(x > 0, F.substring(s, 1, 1).cast("int"))
+        digit_rows.append(
+            df.select(F.lit(c).alias("column"), d.alias("digit"))
+            .where(F.col("digit").isNotNull()))
+    u = digit_rows[0]
+    for r in digit_rows[1:]:
+        u = u.unionAll(r)
+    counts = u.groupBy("column", "digit").agg(
+        F.count(F.lit(1)).alias("o"))
+    n_tab = counts.groupBy("column").agg(F.sum("o").alias("n"))
+    j = counts.join(n_tab, "column")
+    e = F.element_at(
+        F.array(*[F.lit(exp[d]) for d in range(1, 10)]), F.col("digit")
+    ) * F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    dev = F.abs(F.col("o").cast("double") / F.col("n")
+                - e / F.col("n"))
+    # deterministic argmax with tie -> lowest digit, as ONE bigint key:
+    # o*16 - digit (keys are distinct across digits mod 16, so the
+    # comparison is total on both engines — no struct-comparator
+    # portability issues)
+    key = F.col("o") * 16 - F.col("digit")
+    return (j.groupBy("column")
+            .agg(F.max("n").alias("n"),
+                 F.round(F.sum(term), round_digits).alias("chi2"),
+                 F.round(F.max(dev), round_digits).alias("max_abs_dev"),
+                 F.max_by(F.col("digit"), key).alias("top_digit"),
+                 F.max_by(F.col("o"), key).alias("__to"))
+            .select("column", "n", "chi2", "max_abs_dev", "top_digit",
+                    F.round(F.col("__to").cast("double") / F.col("n"),
+                            round_digits).alias("top_digit_freq"))
+            )
+
+
+def oracle_benford_sql(table: str, cols: list[str],
+                       round_digits: int = 6) -> str:
+    import math
+
+    exp_case = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10))
+    selects = []
+    for c in cols:
+        x = f"ABS(CAST({c} AS DOUBLE))"
+        s = f"regexp_replace(format('{{:.10f}}', {x}), '[^1-9]', '', 'g')"
+        selects.append(f"""
+SELECT '{c}' AS "column", CAST({x} > 0 AS INT) AS used,
+       CASE WHEN {x} > 0 THEN CAST(substr({s}, 1, 1) AS INT) END AS digit
+FROM {table}
+WHERE {c} IS NOT NULL""")
+    base = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH raw AS ({base}),
+cnt AS (
+  SELECT "column", digit, COUNT(*) AS o
+  FROM raw WHERE digit IS NOT NULL GROUP BY 1, 2
+),
+n_tab AS (SELECT "column", SUM(o) AS n FROM cnt GROUP BY 1),
+j AS (
+  SELECT c."column", c.digit, c.o, n_tab.n,
+         CAST(CASE c.digit {exp_case} END AS DOUBLE)
+           * CAST(n_tab.n AS DOUBLE) AS e
+  FROM cnt c JOIN n_tab USING ("column")
+)
+SELECT "column", CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e),
+             {round_digits}) AS chi2,
+       ROUND(MAX(ABS(CAST(o AS DOUBLE) / n - e / n)), {round_digits})
+         AS max_abs_dev,
+       CAST(arg_max(digit, o * 16 - digit) AS INT) AS top_digit,
+       ROUND(CAST(arg_max(o, o * 16 - digit) AS DOUBLE) / MAX(n),
+             {round_digits}) AS top_digit_freq
+FROM j GROUP BY "column"
+"""

@@ -993,6 +993,15 @@ def correlation_lineitem(spark, sf_dir):
     return corr.correlation_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
 
 
+@register("benford_lineitem",
+          num.oracle_benford_sql("lineitem", _LINEITEM_NUM))
+def benford_lineitem(spark, sf_dir):
+    """Benford first-digit screen per numeric column (TPC-H's uniform
+    generators fail it loudly — the screen working as designed). One
+    map-side digit projection + a 9·k-group fold."""
+    return num.benford_test(T(spark, sf_dir, "lineitem"), _LINEITEM_NUM)
+
+
 @register("robust_stats_lineitem",
           num.oracle_robust_stats_sql("lineitem", _LINEITEM_NUM))
 def robust_stats_lineitem(spark, sf_dir):

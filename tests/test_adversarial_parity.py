@@ -335,6 +335,7 @@ ADV_QUERIES = [
     "key_skew_lineitem",
     "cohens_kappa_lineitem",
     "robust_stats_lineitem",
+    "benford_lineitem",
     "numeric_profile_by_returnflag",
     "order_profile_lineitem",
     # events family

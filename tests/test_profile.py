@@ -757,3 +757,36 @@ def test_robust_stats_semantics(spark):
     ry = out["y"]
     assert ry["n"] == 0 and ry["q1"] is None and ry["trimmed_mean"] is None
     assert ry["n_low_outliers"] == 0 and ry["n_high_outliers"] == 0
+
+
+def test_benford_semantics(spark):
+    """A Benford-conforming sample scores low chi2; a uniform-digit
+    sample scores high; zeros/NULLs excluded; ties break to the lowest
+    digit."""
+    import math
+
+    from dataprofiler_spark.operators import numeric as num
+
+    # exact Benford proportions over 10000 rows: chi2 ~ 0
+    rows = []
+    for d in range(1, 10):
+        cnt = round(math.log10(1 + 1 / d) * 10000)
+        rows += [(float(d) * 10 ** (i % 3),) for i in range(cnt)]
+    rows += [(0.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    r = num.benford_test(df, ["x"]).collect()[0]
+    assert r["n"] == len(rows) - 2          # zero + NULL excluded
+    assert r["chi2"] < 1.0
+    assert r["top_digit"] == 1
+
+    uni = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10) for _ in range(100)],
+        "x double")
+    ru = num.benford_test(uni, ["x"]).collect()[0]
+    assert ru["chi2"] > 100.0               # uniform digits reject hard
+    assert ru["top_digit"] == 1 and ru["top_digit_freq"] == round(1 / 9, 6)
+
+    # first SIGNIFICANT digit of small magnitudes (0.0042 -> 4)
+    small = spark.createDataFrame([(0.0042,), (-0.0042,)], "x double")
+    rs_ = num.benford_test(small, ["x"]).collect()[0]
+    assert rs_["top_digit"] == 4 and rs_["n"] == 2
