@@ -128,3 +128,72 @@ def category_counts_cms(df: DataFrame, cols: list[str], eps: float = 0.001,
         for c in cols
     ]
     return df.agg(*aggs)
+
+
+def column_entropy(df: DataFrame, cols: list[str],
+                   round_digits: int = 6) -> DataFrame:
+    """(column, n, k, entropy, normalized_entropy): Shannon entropy (in
+    nats) of each column's value distribution plus the ln(k)-normalized
+    variant in [0, 1] — the concentration measure gini/unalikeability
+    don't give you (entropy distinguishes "one dominant value + a long
+    tail" from "a few equal values" at the same gini). NULL is a
+    category (the categorical-stats contract: a 50%-NULL column IS
+    concentrated). k = 1 yields normalized_entropy NULL (undefined, not
+    0 — a constant column has no spread to normalize).
+
+    Engine-exactness: H = ln(n) − Σ c·ln(c)/n over the count table —
+    per-category c·ln(c) values are doubles rounded to 9 digits and
+    summed as DECIMAL (order-independent; the same ln-sum discipline as
+    the LM scorers). One groupBy per column over a union'd melt — a
+    single shuffle keyed by (column, value)."""
+    melted = None
+    for c in cols:
+        part = df.select(F.lit(c).alias("column"),
+                         F.col(c).cast("string").alias("value"))
+        melted = part if melted is None else melted.unionAll(part)
+    counts = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("c"))
+    clnc = F.round(F.col("c").cast("double")
+                   * F.log(F.col("c").cast("double")), 9)
+    agg = counts.groupBy("column").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(clnc.cast("decimal(38,9)")).alias("s"))
+    h = (F.log(F.col("n").cast("double"))
+         - F.col("s").cast("double") / F.col("n"))
+    return agg.select(
+        "column", "n", "k",
+        F.round(h, round_digits).alias("entropy"),
+        F.round(F.when(F.col("k") > 1,
+                       h / F.log(F.col("k").cast("double"))),
+                round_digits).alias("normalized_entropy"))
+
+
+def oracle_column_entropy_sql(table: str, cols: list[str],
+                              round_digits: int = 6) -> str:
+    selects = []
+    for c in cols:
+        selects.append(
+            f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value "
+            f"FROM {table}")
+    base = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH melted AS ({base}),
+counts AS (
+  SELECT "column", value, COUNT(*) AS c FROM melted GROUP BY 1, 2
+),
+agg AS (
+  SELECT "column", SUM(c) AS n, COUNT(*) AS k,
+         SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(38,9))) AS s
+  FROM counts GROUP BY 1
+)
+SELECT "column", CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n,
+             {round_digits}) AS entropy,
+       ROUND(CASE WHEN k > 1 THEN
+         (ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n)
+         / ln(CAST(k AS DOUBLE)) END, {round_digits})
+         AS normalized_entropy
+FROM agg
+"""

@@ -148,6 +148,21 @@ FROM counts GROUP BY col
 """
 
 
+@register("entropy_lineitem",
+          None)
+def entropy_lineitem(spark, sf_dir):
+    """Per-column Shannon entropy + ln(k)-normalized concentration —
+    the categorical spread measure gini/unalikeability don't give."""
+    return cat.column_entropy(T(spark, sf_dir, "lineitem"),
+                              ["l_returnflag", "l_linestatus",
+                               "l_quantity", "l_linenumber"])
+
+
+ORACLE_SQL["entropy_lineitem"] = cat.oracle_column_entropy_sql(
+    "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_linenumber"])
+
+
 @register("categorical_stats_lineitem", _CAT_STATS_ORACLE)
 def categorical_stats_lineitem(spark, sf_dir):
     df = T(spark, sf_dir, "lineitem")

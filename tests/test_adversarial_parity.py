@@ -336,6 +336,7 @@ ADV_QUERIES = [
     "cohens_kappa_lineitem",
     "robust_stats_lineitem",
     "benford_lineitem",
+    "entropy_lineitem",
     "numeric_profile_by_returnflag",
     "order_profile_lineitem",
     # events family

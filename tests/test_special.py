@@ -210,3 +210,25 @@ def test_pagerank_dangling_mass_drops(spark):
           gr.pagerank(chain, "s", "d", iters=3).collect()}
     assert r1[3] > r1[1] and r3[3] > r3[1]
     assert sum(r3.values()) < sum(r1.values())  # dangling leak
+
+
+def test_column_entropy_semantics(spark):
+    """Uniform k values -> H = ln(k), normalized 1; constant -> H = 0,
+    normalized NULL; NULL is a category."""
+    import math
+
+    from dataprofiler_spark.operators import categorical as cat
+
+    df = spark.createDataFrame(
+        [(v, "x", v if v != "c" else None)
+         for v in ["a", "b", "c", "d"] for _ in range(25)],
+        "u string, k string, withnull string")
+    out = {r["column"]: r for r in cat.column_entropy(
+        df, ["u", "k", "withnull"]).collect()}
+    assert abs(out["u"]["entropy"] - math.log(4)) < 1e-6
+    assert out["u"]["normalized_entropy"] == 1.0
+    assert out["k"]["entropy"] == 0.0
+    assert out["k"]["normalized_entropy"] is None
+    # NULL replaces 'c' as its own category: same distribution shape
+    assert out["withnull"]["k"] == 4
+    assert abs(out["withnull"]["entropy"] - math.log(4)) < 1e-6
