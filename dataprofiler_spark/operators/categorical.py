@@ -197,3 +197,87 @@ SELECT "column", CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
          AS normalized_entropy
 FROM agg
 """
+
+
+def pattern_profile(df: DataFrame, cols: list[str], k: int = 5,
+                    round_digits: int = 6) -> DataFrame:
+    """(column, rank, pattern, collapsed, count, share): top-k value
+    SHAPE patterns per column — the classic profiler format screen
+    (phone/id/date columns show one dominant shape; a second shape is
+    dirty data). Characters map to classes: upper → 'A', lower → 'a',
+    digit → '9', whitespace → '_'; punctuation stays itself;
+    ``collapsed`` additionally collapses runs of each class
+    ('AAA-9999' → 'A-9'; punctuation runs stay literal — RE2 has no
+    backreferences, so the collapse is a per-class A+/a+/9+/_+ chain
+    identical on both engines). NULL values report as '(null)'.
+
+    Plan: the shape is a map-side regexp chain; one groupBy
+    (column, pattern) over the melted columns, then per-column top-k by
+    (count desc, pattern asc) via a window PARTITIONED BY column —
+    bounded by distinct shapes per column (shapes collapse hard:
+    a million order ids are one pattern), never a global sort."""
+    from pyspark.sql.window import Window
+
+    def shape(c):
+        s = F.col(c).cast("string")
+        s = F.regexp_replace(s, r"[A-Z]", "A")
+        s = F.regexp_replace(s, r"[a-z]", "a")
+        s = F.regexp_replace(s, r"[0-9]", "9")
+        s = F.regexp_replace(s, r"\s", "_")
+        return F.coalesce(s, F.lit("(null)"))
+
+    melted = None
+    for c in cols:
+        part = df.select(F.lit(c).alias("column"),
+                         shape(c).alias("pattern"))
+        melted = part if melted is None else melted.unionAll(part)
+    counts = melted.groupBy("column", "pattern").agg(
+        F.count(F.lit(1)).alias("count"))
+    tot = counts.groupBy("column").agg(F.sum("count").alias("__n"))
+    w = Window.partitionBy("column").orderBy(
+        F.desc("count"), F.asc("pattern"))
+    collapsed = F.col("pattern")
+    for cls in ("A", "a", "9", "_"):
+        collapsed = F.regexp_replace(collapsed, cls + "{2,}", cls)
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .join(tot, "column")
+            .select("column", "rank", "pattern",
+                    collapsed.alias("collapsed"), "count",
+                    F.round(F.col("count").cast("double") / F.col("__n"),
+                            round_digits).alias("share")))
+
+
+def oracle_pattern_profile_sql(table: str, cols: list[str], k: int = 5,
+                               round_digits: int = 6) -> str:
+    selects = []
+    for c in cols:
+        shape = f"CAST({c} AS VARCHAR)"
+        for pat, rep in ((r"[A-Z]", "A"), (r"[a-z]", "a"),
+                         (r"[0-9]", "9"), (r"\s", "_")):
+            shape = f"regexp_replace({shape}, '{pat}', '{rep}', 'g')"
+        selects.append(
+            f"SELECT '{c}' AS \"column\", COALESCE({shape}, '(null)')"
+            f" AS pattern FROM {table}")
+    base = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH melted AS ({base}),
+counts AS (
+  SELECT "column", pattern, COUNT(*) AS count FROM melted GROUP BY 1, 2
+),
+tot AS (SELECT "column", SUM(count) AS n FROM counts GROUP BY 1),
+ranked AS (
+  SELECT "column", pattern, count,
+         ROW_NUMBER() OVER (PARTITION BY "column"
+                            ORDER BY count DESC, pattern ASC) AS rank
+  FROM counts
+)
+SELECT r."column", CAST(r.rank AS INT) AS rank, r.pattern,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         r.pattern, 'A{{2,}}', 'A', 'g'), 'a{{2,}}', 'a', 'g'),
+         '9{{2,}}', '9', 'g'), '_{{2,}}', '_', 'g') AS collapsed,
+       CAST(r.count AS BIGINT) AS count,
+       ROUND(CAST(r.count AS DOUBLE) / tot.n, {round_digits}) AS share
+FROM ranked r JOIN tot USING ("column")
+WHERE r.rank <= {k}
+"""

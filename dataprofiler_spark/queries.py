@@ -148,6 +148,21 @@ FROM counts GROUP BY col
 """
 
 
+@register("pattern_profile_customer",
+          None)
+def pattern_profile_customer(spark, sf_dir):
+    """Top-k value-shape patterns per column (the classic profiler
+    format screen: A/a/9/_ classes + run collapse); one melt-groupBy,
+    per-column window over distinct shapes only."""
+    return cat.pattern_profile(T(spark, sf_dir, "customer"),
+                               ["c_name", "c_mktsegment", "c_acctbal"],
+                               k=3)
+
+
+ORACLE_SQL["pattern_profile_customer"] = cat.oracle_pattern_profile_sql(
+    "customer", ["c_name", "c_mktsegment", "c_acctbal"], k=3)
+
+
 @register("entropy_lineitem",
           None)
 def entropy_lineitem(spark, sf_dir):

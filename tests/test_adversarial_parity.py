@@ -366,6 +366,7 @@ ADV_QUERIES = [
     "null_type_indices_customer",
     "label_votes_customer",
     "pii_redact_customer",
+    "pattern_profile_customer",
     "fuzzy_pairs_customer",
     # cross-table + composites
     "referential_integrity_lineitem_orders",

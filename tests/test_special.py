@@ -232,3 +232,22 @@ def test_column_entropy_semantics(spark):
     # NULL replaces 'c' as its own category: same distribution shape
     assert out["withnull"]["k"] == 4
     assert abs(out["withnull"]["entropy"] - math.log(4)) < 1e-6
+
+
+def test_pattern_profile_semantics(spark):
+    from dataprofiler_spark.operators import categorical as cat
+
+    df = spark.createDataFrame(
+        [("AB-1234",)] * 8 + [("XY-77",)] * 3 + [(None,)] * 2
+        + [("weird VALUE 9",)],
+        "code string")
+    out = {(r["rank"]): r for r in cat.pattern_profile(
+        df, ["code"], k=4).collect()}
+    assert out[1]["pattern"] == "AA-9999" and out[1]["count"] == 8
+    assert out[1]["collapsed"] == "A-9"
+    assert out[2]["pattern"] == "AA-99"
+    assert out[2]["collapsed"] == "A-9"   # same shape family
+    assert out[3]["pattern"] == "(null)" and out[3]["count"] == 2
+    assert out[4]["pattern"] == "aaaaa_AAAAA_9"
+    assert out[4]["collapsed"] == "a_A_9"
+    assert abs(out[1]["share"] - 8 / 14) < 1e-5  # 6-digit rounding
