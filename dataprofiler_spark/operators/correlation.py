@@ -586,3 +586,83 @@ SELECT '{col_a}' AS col1, '{col_b}' AS col2, CAST(n AS BIGINT) AS n,
                {round_digits}) END AS kappa
 FROM tot CROSS JOIN pe_tab
 """
+
+
+def null_phi_matrix(df: DataFrame, cols: list[str],
+                    round_digits: int = 6) -> DataFrame:
+    """(col1, col2, n, null1, null2, both_null, phi) for every unordered
+    column pair: the phi coefficient between the two IS NULL indicator
+    variables — "which columns go null together" (a strong pairwise phi
+    means one broken upstream join or a shared optional record section;
+    the per-column null_count can't see it).
+
+    phi = (n·n11 − r1·r2) / sqrt(r1·(n−r1)·r2·(n−r2)), the 2×2 Pearson.
+    Either indicator constant (a column with no nulls, or all nulls)
+    yields phi NULL (undefined, both engines).
+
+    Plan: ONE wide aggregate of integer indicator sums — k + k(k−1)/2
+    counters, one scan at any k; exact integer arithmetic up to one
+    double conversion (the correlation_matrix discipline)."""
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        exprs.append(F.sum(F.col(c).isNull().cast("long"))
+                     .alias(f"n_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            exprs.append(F.sum((F.col(a).isNull()
+                                & F.col(b).isNull()).cast("long"))
+                         .alias(f"nn_{a}__{b}"))
+    row = df.agg(*exprs)
+    n = F.col("n").cast("decimal(38,0)")
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            r1 = F.col(f"n_{a}").cast("decimal(38,0)")
+            r2 = F.col(f"n_{b}").cast("decimal(38,0)")
+            n11 = F.col(f"nn_{a}__{b}").cast("decimal(38,0)")
+            num = (n * n11 - r1 * r2).cast("double")
+            den = (r1 * (n - r1)).cast("double") \
+                * (r2 * (n - r2)).cast("double")
+            structs.append(F.struct(
+                F.lit(a).alias("col1"), F.lit(b).alias("col2"),
+                F.col("n").alias("n"),
+                F.col(f"n_{a}").alias("null1"),
+                F.col(f"n_{b}").alias("null2"),
+                F.col(f"nn_{a}__{b}").alias("both_null"),
+                F.round(F.when(den > 0, num / F.sqrt(den)),
+                        round_digits).alias("phi")))
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def oracle_null_phi_sql(table: str, cols: list[str],
+                        round_digits: int = 6) -> str:
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            selects.append(f"""
+SELECT '{a}' AS col1, '{b}' AS col2,
+       CAST("n_raw" AS BIGINT) AS n,
+       CAST(null1 AS BIGINT) AS null1, CAST(null2 AS BIGINT) AS null2,
+       CAST(both_null AS BIGINT) AS both_null,
+       ROUND(CASE WHEN CAST(r1 * (n - r1) AS DOUBLE)
+                       * CAST(r2 * (n - r2) AS DOUBLE) > 0
+             THEN CAST(n * n11 - r1 * r2 AS DOUBLE)
+                  / SQRT(CAST(r1 * (n - r1) AS DOUBLE)
+                         * CAST(r2 * (n - r2) AS DOUBLE)) END,
+             {round_digits}) AS phi
+FROM (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN {a} IS NULL THEN 1 ELSE 0 END)
+              AS HUGEINT) AS r1,
+         CAST(SUM(CASE WHEN {b} IS NULL THEN 1 ELSE 0 END)
+              AS HUGEINT) AS r2,
+         CAST(SUM(CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1 ELSE 0
+                  END) AS HUGEINT) AS n11,
+         COUNT(*) AS "n_raw",
+         SUM(CASE WHEN {a} IS NULL THEN 1 ELSE 0 END) AS null1,
+         SUM(CASE WHEN {b} IS NULL THEN 1 ELSE 0 END) AS null2,
+         SUM(CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1 ELSE 0 END)
+           AS both_null
+  FROM {table}
+) p""")
+    return "\nUNION ALL\n".join(selects)

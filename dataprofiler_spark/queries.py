@@ -148,6 +148,43 @@ FROM counts GROUP BY col
 """
 
 
+# The testdata has zero NULLs, so the null-phi query derives three
+# deterministically-nulled columns (a's nulls are a subset of b's →
+# strong positive phi; c nulls independently) via shared SQL strings
+# (the _DOC_URL_EXPR pattern).
+_NULLPHI_EXPRS = {
+    "na": "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END",
+    "nb": ("CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 11 = 0 "
+           "THEN NULL ELSE o_totalprice END"),
+    "nc": ("CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+           "ELSE o_orderstatus END"),
+}
+
+
+@register("null_phi_orders", None)
+def null_phi_orders(spark, sf_dir):
+    """Null co-occurrence (phi) matrix — which columns go null together
+    (a shared broken upstream section the per-column null_count can't
+    see). One wide integer-indicator aggregate, one scan."""
+    from dataprofiler_spark.operators import correlation as _corr
+    df = T(spark, sf_dir, "orders")
+    for name, e in _NULLPHI_EXPRS.items():
+        df = df.withColumn(name, F.expr(e))
+    return _corr.null_phi_matrix(df, ["na", "nb", "nc"])
+
+
+def _null_phi_oracle():
+    from dataprofiler_spark.operators import correlation as _corr
+    return _corr.oracle_null_phi_sql(
+        "(SELECT *, "
+        + ", ".join(f"({e}) AS {n}" for n, e in _NULLPHI_EXPRS.items())
+        + " FROM orders) t",
+        ["na", "nb", "nc"])
+
+
+ORACLE_SQL["null_phi_orders"] = _null_phi_oracle()
+
+
 @register("pattern_profile_customer",
           None)
 def pattern_profile_customer(spark, sf_dir):

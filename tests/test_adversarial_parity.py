@@ -304,6 +304,7 @@ ADV_QUERIES = [
     "datetime_profile_orders",
     "top_categories_orders",
     "psi_orderpriority",
+    "null_phi_orders",
     "chi2_orderpriority",
     "cramers_v_orders",
     "welch_t_totalprice",

@@ -178,3 +178,23 @@ def test_cohens_kappa_known_values(spark):
         "a string, b string")
     r = corr.cohens_kappa(withnull, "a", "b").collect()[0]
     assert r["n"] == 10 and r["kappa"] is None  # constant after the drop
+
+
+def test_null_phi_matrix_semantics(spark):
+    """Identical null masks -> phi 1; disjoint-ish -> negative; a
+    never-null column -> phi NULL (constant indicator)."""
+    rows = []
+    for i in range(100):
+        a = None if i % 4 == 0 else float(i)
+        b = None if i % 4 == 0 else float(i) * 2   # same mask as a
+        c = None if i % 4 == 1 else "x"            # disjoint from a
+        d = float(i)                               # never null
+        rows.append((a, b, c, d))
+    df = spark.createDataFrame(rows, "a double, b double, c string, d double")
+    out = {(r["col1"], r["col2"]): r for r in
+           corr.null_phi_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")]["phi"] == 1.0
+    assert out[("a", "b")]["both_null"] == 25
+    assert out[("a", "c")]["phi"] < 0       # masks never overlap
+    assert out[("a", "d")]["phi"] is None   # d's indicator is constant
+    assert out[("a", "b")]["n"] == 100 and out[("a", "b")]["null1"] == 25
