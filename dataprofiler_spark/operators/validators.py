@@ -283,3 +283,70 @@ class Validator:
         raise Warning(
             "Precondition for get method not met. Must validate data "
             "prior to getting results.")
+
+
+def fd_check(df: DataFrame, pairs: list[tuple[str, str]],
+             round_digits: int = 6) -> DataFrame:
+    """(determinant, dependent, n, n_groups, violating_groups, g3_error,
+    fd_holds): approximate functional-dependency check for each ordered
+    column pair — does A determine B? ``g3_error`` is the classic g₃
+    measure (Kivinen & Mannila; TANE): the minimum fraction of rows to
+    delete for A → B to hold exactly (1 − Σ_a max_b count(a,b) / n).
+    fd_holds = (g3_error == 0). NULLs compare as values (a NULL
+    determinant group is a group; the pragmatic profiler convention).
+
+    Scale shape per pair: one groupBy(A, B) → one groupBy(A) max/count
+    — both shuffles keyed on the determinant (its cardinality is the
+    state), then a 1-row fold. Pairs run as a union of independent
+    branches; Catalyst schedules the scans concurrently."""
+    outs = []
+    for det, dep in pairs:
+        ab = (df.groupBy(
+                F.coalesce(F.col(det).cast("string"), F.lit("\x00null"))
+                .alias("a"),
+                F.coalesce(F.col(dep).cast("string"), F.lit("\x00null"))
+                .alias("b"))
+              .agg(F.count(F.lit(1)).alias("c")))
+        per_a = ab.groupBy("a").agg(
+            F.sum("c").alias("na"),
+            F.max("c").alias("keep"),
+            F.count(F.lit(1)).alias("kb"))
+        outs.append(per_a.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.sum("na").alias("n"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("kb") > 1, 1).otherwise(0))
+             .alias("violating_groups"),
+            F.round(F.lit(1.0) - F.sum("keep").cast("double")
+                    / F.sum("na"), round_digits).alias("g3_error"),
+            (F.max("kb") <= 1).alias("fd_holds")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def oracle_fd_check_sql(table: str, pairs: list[tuple[str, str]],
+                        round_digits: int = 6) -> str:
+    selects = []
+    for det, dep in pairs:
+        a = f"COALESCE(CAST({det} AS VARCHAR), chr(0) || 'null')"
+        b = f"COALESCE(CAST({dep} AS VARCHAR), chr(0) || 'null')"
+        selects.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(SUM(na) AS BIGINT) AS n,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN kb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       ROUND(1.0 - CAST(SUM(keep) AS DOUBLE) / SUM(na), {round_digits})
+         AS g3_error,
+       MAX(kb) <= 1 AS fd_holds
+FROM (
+  SELECT a, SUM(c) AS na, MAX(c) AS keep, COUNT(*) AS kb
+  FROM (
+    SELECT {a} AS a, {b} AS b, COUNT(*) AS c
+    FROM {table} GROUP BY 1, 2
+  ) GROUP BY a
+)""")
+    return "\nUNION ALL\n".join(selects)

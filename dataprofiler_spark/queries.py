@@ -1277,6 +1277,25 @@ _RULES = [
 ]
 
 
+# FD pairs with known answers: orderkey→orderdate HOLDS (one order,
+# one date... actually orders is keyed on o_orderkey so trivially);
+# use lineitem: (l_orderkey → l_shipdate) violated (many lines per
+# order ship on different dates), (l_orderkey → l_orderkey) trivially
+# holds, (l_linenumber → l_returnflag) violated.
+_FD_PAIRS = [("l_orderkey", "l_shipdate"),
+             ("l_linenumber", "l_returnflag"),
+             ("l_orderkey", "l_orderkey")]
+
+
+@register("fd_check_lineitem",
+          vd.oracle_fd_check_sql("lineitem", _FD_PAIRS))
+def fd_check_lineitem(spark, sf_dir):
+    """Approximate functional-dependency profiling (TANE g3 error):
+    does A determine B, and how many rows violate it. Two
+    determinant-keyed shuffles per pair."""
+    return vd.fd_check(T(spark, sf_dir, "lineitem"), _FD_PAIRS)
+
+
 @register("validate_lineitem", vd.oracle_validate_sql("lineitem", _RULES))
 def validate_lineitem(spark, sf_dir):
     return vd.validate(T(spark, sf_dir, "lineitem"), _RULES)

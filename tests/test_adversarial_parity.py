@@ -332,6 +332,7 @@ ADV_QUERIES = [
     "mutual_info_lineitem",
     "crosstab_lineitem",
     "validate_lineitem",
+    "fd_check_lineitem",
     "type_inference_lineitem",
     "key_skew_lineitem",
     "cohens_kappa_lineitem",

@@ -251,3 +251,25 @@ def test_pattern_profile_semantics(spark):
     assert out[4]["pattern"] == "aaaaa_AAAAA_9"
     assert out[4]["collapsed"] == "a_A_9"
     assert abs(out[1]["share"] - 8 / 14) < 1e-5  # 6-digit rounding
+
+
+def test_fd_check_semantics(spark):
+    """g3 = minimum delete fraction; exact FD -> 0/holds; NULL
+    determinant is a group."""
+    from dataprofiler_spark.operators import validators as vd
+
+    rows = [
+        (1, "x", "p"), (1, "x", "p"), (1, "y", "p"),   # 1 -> {x,x,y}
+        (2, "z", "q"), (2, "z", "q"),                   # 2 -> {z,z}
+        (None, "w", "r"),                               # NULL group
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c string")
+    out = {(r["determinant"], r["dependent"]): r for r in
+           vd.fd_check(df, [("a", "b"), ("a", "c")]).collect()}
+    ab = out[("a", "b")]
+    # delete the single 'y' row and a->b holds: g3 = 1/6
+    assert not ab["fd_holds"] and ab["violating_groups"] == 1
+    assert abs(ab["g3_error"] - 1 / 6) < 1e-6
+    ac = out[("a", "c")]
+    assert ac["fd_holds"] and ac["g3_error"] == 0.0
+    assert ac["n_groups"] == 3  # NULL determinant counted as a group
