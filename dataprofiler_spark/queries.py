@@ -1277,6 +1277,25 @@ _RULES = [
 ]
 
 
+@register("skew_join_lineitem_orders",
+          "SELECT l.l_orderkey AS k, l.l_quantity AS qty, "
+          "o.o_totalprice AS total "
+          "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+def skew_join_lineitem_orders(spark, sf_dir):
+    """Hot-key split join: result-identical to the plain equi-join (the
+    oracle IS the plain SQL join) while hot keys route through a
+    broadcast branch instead of co-locating on one reducer.
+    hot_threshold=5 forces the split on TPC-H's ≤7-line orders so the
+    driver check exercises BOTH branches."""
+    from dataprofiler_spark.operators.skew import skew_join
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_quantity").alias("qty"))
+    od = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("total"))
+    return skew_join(li, od, "k", hot_threshold=5)
+
+
 # FD pairs with known answers: orderkey→orderdate HOLDS (one order,
 # one date... actually orders is keyed on o_orderkey so trivially);
 # use lineitem: (l_orderkey → l_shipdate) violated (many lines per

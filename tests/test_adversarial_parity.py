@@ -372,6 +372,7 @@ ADV_QUERIES = [
     "fuzzy_pairs_customer",
     # cross-table + composites
     "referential_integrity_lineitem_orders",
+    "skew_join_lineitem_orders",
     "interval_join_events",
     "asof_last_purchase_events",
     "full_profile_lineitem",

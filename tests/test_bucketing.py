@@ -53,3 +53,39 @@ def test_key_skew_summary_and_hot_keys(spark):
     hot = sk.hot_keys(df, ["k"], k=2).collect()
     assert [(r["rank"], r["k"], r["cnt"]) for r in hot] \
         == [(1, 1, 90), (2, None, 20)]
+
+
+def test_skew_join_result_identical_and_broadcasts(spark):
+    """skew_join == plain join row-for-row (inner AND left, incl. NULL
+    keys), and the hot branch is a BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.skew import skew_join
+
+    left = spark.createDataFrame(
+        [(1, f"hot{i}") for i in range(500)]
+        + [(k, f"cold{k}") for k in range(2, 50)]
+        + [(None, "nullkey")],
+        "k int, lv string")
+    right = spark.createDataFrame(
+        [(1, "dim1"), (2, "dim2"), (3, "dim3"), (None, "dimnull")],
+        "k int, rv string")
+
+    def norm(df):
+        return sorted((tuple(-1 if v is None else v if not
+                             isinstance(v, str) else v for v in r))
+                      for r in map(tuple, df.collect()))
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        split = skew_join(left, right, "k", hot_threshold=100, how=how)
+        assert norm(plain) == norm(split), how
+
+    plan = skew_join(left, right, "k", hot_threshold=100)._sc._jvm \
+        .PythonSQLUtils.explainString(
+            skew_join(left, right, "k", hot_threshold=100)
+            ._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    # no hot keys -> falls through to the plain join
+    same = skew_join(left, right, "k", hot_threshold=10_000)
+    assert norm(same) == norm(left.join(right, "k"))
