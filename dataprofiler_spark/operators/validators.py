@@ -350,3 +350,72 @@ FROM (
   ) GROUP BY a
 )""")
     return "\nUNION ALL\n".join(selects)
+
+
+def inclusion_profile(df_a: DataFrame, cols_a: list[str],
+                      df_b: DataFrame, cols_b: list[str],
+                      round_digits: int = 6) -> DataFrame:
+    """(col_a, col_b, distinct_a, distinct_b, intersection, containment):
+    unary inclusion-dependency discovery (SPIDER/SINDY-class) — for each
+    column pair across two tables, what fraction of A's distinct values
+    appear in B (containment = |A∩B| / |A|). containment 1.0 is a
+    foreign-key candidate; this is the join-key discovery primitive a
+    profiler runs before anyone writes the first JOIN. Values compare as
+    strings (cross-type FK candidates — int id vs varchar id — are
+    exactly the case worth finding); NULL is not a value.
+
+    Scale shape: each side melts to a DISTINCT (column, value) frame —
+    one shuffle per side, sized by Σ distinct values, NOT rows. The
+    value-keyed equi-join then moves only distinct values, and the
+    k_a×k_b result folds from a groupBy over the join output. No
+    pairwise loops, no per-pair scans."""
+    def melt(df, cols, side):
+        m = None
+        for c in cols:
+            part = (df.where(F.col(c).isNotNull())
+                    .select(F.lit(c).alias(f"col_{side}"),
+                            F.col(c).cast("string").alias("v"))
+                    .distinct())
+            m = part if m is None else m.unionAll(part)
+        return m
+    ma, mb = melt(df_a, cols_a, "a"), melt(df_b, cols_b, "b")
+    da = ma.groupBy("col_a").agg(F.count(F.lit(1)).alias("distinct_a"))
+    db = mb.groupBy("col_b").agg(F.count(F.lit(1)).alias("distinct_b"))
+    inter = (ma.join(mb, "v")
+             .groupBy("col_a", "col_b")
+             .agg(F.count(F.lit(1)).alias("intersection")))
+    grid = da.crossJoin(db)
+    return (grid.join(inter, ["col_a", "col_b"], "left")
+            .select("col_a", "col_b", "distinct_a", "distinct_b",
+                    F.coalesce("intersection", F.lit(0))
+                     .alias("intersection"),
+                    F.round(F.coalesce("intersection", F.lit(0))
+                            .cast("double") / F.col("distinct_a"),
+                            round_digits).alias("containment")))
+
+
+def oracle_inclusion_sql(table_a: str, cols_a: list[str],
+                         table_b: str, cols_b: list[str],
+                         round_digits: int = 6) -> str:
+    def melt(table, cols, side):
+        return "\nUNION ALL\n".join(
+            f"SELECT DISTINCT '{c}' AS col_{side}, CAST({c} AS VARCHAR)"
+            f" AS v FROM {table} WHERE {c} IS NOT NULL" for c in cols)
+    return f"""
+WITH ma AS ({melt(table_a, cols_a, 'a')}),
+mb AS ({melt(table_b, cols_b, 'b')}),
+da AS (SELECT col_a, COUNT(*) AS distinct_a FROM ma GROUP BY 1),
+db AS (SELECT col_b, COUNT(*) AS distinct_b FROM mb GROUP BY 1),
+inter AS (
+  SELECT col_a, col_b, COUNT(*) AS intersection
+  FROM ma JOIN mb USING (v) GROUP BY 1, 2
+)
+SELECT da.col_a, db.col_b,
+       CAST(da.distinct_a AS BIGINT) AS distinct_a,
+       CAST(db.distinct_b AS BIGINT) AS distinct_b,
+       CAST(COALESCE(i.intersection, 0) AS BIGINT) AS intersection,
+       ROUND(CAST(COALESCE(i.intersection, 0) AS DOUBLE)
+             / da.distinct_a, {round_digits}) AS containment
+FROM da CROSS JOIN db
+LEFT JOIN inter i ON i.col_a = da.col_a AND i.col_b = db.col_b
+"""

@@ -1277,6 +1277,23 @@ _RULES = [
 ]
 
 
+@register("inclusion_orders_customer",
+          None)
+def inclusion_orders_customer(spark, sf_dir):
+    """Unary inclusion-dependency discovery (foreign-key candidates):
+    o_custkey ⊆ c_custkey reads containment 1.0, o_orderkey doesn't.
+    Distinct melts + one value-keyed join — sized by distincts, not
+    rows."""
+    return vd.inclusion_profile(
+        T(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"],
+        T(spark, sf_dir, "customer"), ["c_custkey", "c_nationkey"])
+
+
+ORACLE_SQL["inclusion_orders_customer"] = vd.oracle_inclusion_sql(
+    "orders", ["o_custkey", "o_orderkey"],
+    "customer", ["c_custkey", "c_nationkey"])
+
+
 @register("skew_join_lineitem_orders",
           "SELECT l.l_orderkey AS k, l.l_quantity AS qty, "
           "o.o_totalprice AS total "

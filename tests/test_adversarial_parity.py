@@ -373,6 +373,7 @@ ADV_QUERIES = [
     # cross-table + composites
     "referential_integrity_lineitem_orders",
     "skew_join_lineitem_orders",
+    "inclusion_orders_customer",
     "interval_join_events",
     "asof_last_purchase_events",
     "full_profile_lineitem",

@@ -273,3 +273,23 @@ def test_fd_check_semantics(spark):
     ac = out[("a", "c")]
     assert ac["fd_holds"] and ac["g3_error"] == 0.0
     assert ac["n_groups"] == 3  # NULL determinant counted as a group
+
+
+def test_inclusion_profile_semantics(spark):
+    """Exact containment values incl. cross-type string comparison and
+    NULL exclusion."""
+    from dataprofiler_spark.operators import validators as vd
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (None, "z")],
+        "fk int, junk string")
+    b = spark.createDataFrame([("1",), ("2",), ("9",)], "pk string")
+    out = {(r["col_a"], r["col_b"]): r for r in vd.inclusion_profile(
+        a, ["fk", "junk"], b, ["pk"]).collect()}
+    fk = out[("fk", "pk")]
+    # fk distincts {1,2,3}; {1,2} appear in pk (INT vs VARCHAR matches
+    # through the string cast — the cross-type FK case)
+    assert fk["distinct_a"] == 3 and fk["intersection"] == 2
+    assert abs(fk["containment"] - 2 / 3) < 1e-6
+    jk = out[("junk", "pk")]
+    assert jk["intersection"] == 0 and jk["containment"] == 0.0
