@@ -693,7 +693,19 @@ def benford_test(df: DataFrame, cols: list[str],
     counts = u.groupBy("column", "digit").agg(
         F.count(F.lit(1)).alias("o"))
     n_tab = counts.groupBy("column").agg(F.sum("o").alias("n"))
-    j = counts.join(n_tab, "column")
+    # DENSE digit grid: a digit with zero observations still contributes
+    # its full expectation e to chi2 ((0-e)^2/e = e) and e/n to the
+    # deviation — summing only observed digits understates both (the
+    # chi2 dense-contingency rule; found by the independent Python
+    # reference test, invisible to the DuckDB mirror which shared the
+    # formulation).
+    grid = (n_tab.select("column")
+            .select("column", F.explode(F.sequence(F.lit(1), F.lit(9)))
+                    .alias("digit")))
+    dense = (grid.join(counts, ["column", "digit"], "left")
+             .select("column", "digit",
+                     F.coalesce("o", F.lit(0)).alias("o")))
+    j = dense.join(n_tab, "column")
     e = F.element_at(
         F.array(*[F.lit(exp[d]) for d in range(1, 10)]), F.col("digit")
     ) * F.col("n")
@@ -741,11 +753,18 @@ cnt AS (
   FROM raw WHERE digit IS NOT NULL GROUP BY 1, 2
 ),
 n_tab AS (SELECT "column", SUM(o) AS n FROM cnt GROUP BY 1),
+-- dense 1..9 grid: zero-count digits contribute their full expectation
+dense AS (
+  SELECT n_tab."column", CAST(g.d AS INT) AS digit,
+         COALESCE(cnt.o, 0) AS o
+  FROM n_tab CROSS JOIN (SELECT UNNEST(range(1, 10)) AS d) g
+  LEFT JOIN cnt ON cnt."column" = n_tab."column" AND cnt.digit = g.d
+),
 j AS (
   SELECT c."column", c.digit, c.o, n_tab.n,
          CAST(CASE c.digit {exp_case} END AS DOUBLE)
            * CAST(n_tab.n AS DOUBLE) AS e
-  FROM cnt c JOIN n_tab USING ("column")
+  FROM dense c JOIN n_tab USING ("column")
 )
 SELECT "column", CAST(MAX(n) AS BIGINT) AS n,
        ROUND(SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e),
