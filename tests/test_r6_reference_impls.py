@@ -161,3 +161,96 @@ def test_zipf_slope_vs_numpy(spark):
     slope = np.polyfit(x, y, 1)[0]
     assert got["zipf_slope"] == pytest.approx(slope, abs=1e-3)
     assert got["vocab_size"] == len(counts)
+
+
+# ---------------------------------------------------------------------------
+# Third-opinion checks for OLDER shared-formulation operators (the same
+# class of bug the benford dense-grid fix came from).
+# ---------------------------------------------------------------------------
+
+def test_chi2_cramers_vs_python(spark, frame):
+    from dataprofiler_spark.operators.correlation import (chi2_matrix_pair,
+                                                          cramers_v_pair)
+
+    rows = [(x[1], x[2]) for x in _rows(99)
+            if x[1] is not None and x[2] is not None]
+    ra, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    joint = Counter(rows)
+    n = len(rows)
+    chi2 = 0.0
+    for a in ra:
+        for b in cb:                      # DENSE grid incl. zero cells
+            e = ra[a] * cb[b] / n
+            chi2 += (joint.get((a, b), 0) - e) ** 2 / e
+    r = chi2_matrix_pair(frame, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-6)
+    assert r["dof"] == (len(ra) - 1) * (len(cb) - 1)
+    v = cramers_v_pair(frame, "a", "b").collect()[0]
+    m = min(len(ra) - 1, len(cb) - 1)
+    assert v["v"] == pytest.approx(
+        math.sqrt(round(chi2, 6) / n / m), abs=1e-5)
+
+
+def test_mutual_info_vs_python(spark, frame):
+    from dataprofiler_spark.operators.correlation import mutual_info_pair
+
+    rows = [("(null)" if x[1] is None else x[1],
+             "(null)" if x[2] is None else x[2]) for x in _rows(99)]
+    n = len(rows)
+    ra, cb, joint = (Counter(a for a, _ in rows),
+                     Counter(b for _, b in rows), Counter(rows))
+    mi = sum(c / n * math.log(c * n / (ra[a] * cb[b]))
+             for (a, b), c in joint.items())
+    h_a = -sum(k / n * math.log(k / n) for k in ra.values())
+    h_b = -sum(k / n * math.log(k / n) for k in cb.values())
+    r = mutual_info_pair(frame, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(mi, abs=1e-5)
+    assert r["nmi"] == pytest.approx(mi / min(h_a, h_b), abs=1e-5)
+
+
+def test_quality_score_vs_python(spark):
+    from dataprofiler_spark.operators.textanalysis import (STOP_WORDS,
+                                                           quality_features)
+
+    texts = ["the quick brown fox, with punctuation!!! and the stops",
+             "x", "", "a b c d " * 40, None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: r for r in
+           quality_features(df, "id", "text").collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i]["quality_score"] == 0.0
+            continue
+        toks = t.lower().split()
+        nt, nc = len(toks), len(t)
+        npunct = sum(1 for ch in t
+                     if not (ch.isalnum() or ch == "_" or ch.isspace()))
+        ns = sum(1 for w in toks if w in STOP_WORDS)
+        pr = npunct / nc if nc else 0.0
+        sr = ns / nt if nt else 0.0
+        score = (min(nt / 100, 1.0) * 0.4
+                 + (1 - min(pr * 5, 1.0)) * 0.3 + min(sr * 4, 1.0) * 0.3)
+        assert got[i]["quality_score"] == pytest.approx(score, abs=1e-5), t
+
+
+def test_minhash_jaccard_vs_python(spark):
+    """The LSH verify stage's exact jaccard equals a from-scratch
+    char-shingle jaccard for pairs the banding surfaces."""
+    from dataprofiler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dot"),
+            (2, "completely different content here entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0,
+                             bands=12, num_hashes=12).collect()}
+
+    def shingles(t, k=3):
+        return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+    s0, s1 = shingles(docs[0][1]), shingles(docs[1][1])
+    truth = len(s0 & s1) / len(s0 | s1)
+    assert (0, 1) in got
+    assert got[(0, 1)] == pytest.approx(truth, abs=1e-6)
