@@ -254,3 +254,193 @@ def test_minhash_jaccard_vs_python(spark):
     truth = len(s0 & s1) / len(s0 | s1)
     assert (0, 1) in got
     assert got[(0, 1)] == pytest.approx(truth, abs=1e-6)
+
+
+def test_correlation_matrix_vs_numpy(spark, sf_dir):
+    import os
+
+    import numpy as np
+
+    from dataprofiler_spark.operators.correlation import correlation_matrix
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {(r["col1"], r["col2"]): r["corr"] for r in
+           correlation_matrix(li, cols).collect()}
+    pdf = li.select(cols).toPandas()
+    # the engine's exact mode works on 1e-3-scaled integers; mirror that
+    # rounding so numpy sees the same data
+    arr = np.round(pdf.to_numpy(dtype=float) * 1000) / 1000
+    cm = np.corrcoef(arr, rowvar=False)
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                assert got[(a, b)] == pytest.approx(cm[i][j], abs=1e-6)
+
+
+def test_daily_anomalies_vs_python(spark):
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.events import daily_volume_anomalies
+
+    rng = random.Random(3)
+    rows = []
+    for day in range(1, 21):
+        n = 40 + rng.randint(-5, 5)
+        if day == 7:
+            n = 400                       # the outage-inverse spike
+        rows += [(day * 86400 + s,) for s in range(n)]
+    df = (spark.createDataFrame(rows, "t long")
+          .withColumn("ts", F.timestamp_seconds("t")))
+    got = {r["day"]: r for r in
+           daily_volume_anomalies(df, "ts", z=3.5).collect()}
+
+    days = Counter()
+    for (t,) in rows:
+        days[t // 86400] += 1
+    counts = sorted(days.values())
+
+    def med(v):
+        m = len(v) // 2
+        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2
+    m = med(counts)
+    mad = med(sorted(abs(c - m) for c in counts))
+    flagged = {d for d, c in days.items()
+               if mad > 0 and 0.6745 * abs(c - m) / mad > 3.5}
+    got_flagged = {d for d, r in got.items() if r["is_anomaly"]}
+    from datetime import datetime, timezone
+    want = {datetime.fromtimestamp(d * 86400, tz=timezone.utc)
+            .strftime("%Y-%m-%d") for d in flagged}
+    assert got_flagged == want and len(want) == 1
+
+
+def test_active_users_vs_python(spark):
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.events import active_users_rollup
+
+    rng = random.Random(17)
+    rows = [(rng.randint(1, 30), rng.randint(0, 13) * 86400 + 5)
+            for _ in range(600)]
+    df = (spark.createDataFrame(rows, "u long, t long")
+          .withColumn("ts", F.timestamp_seconds("t")))
+    got = {r["day"]: r for r in active_users_rollup(
+        df, "u", "ts", window_days=7).collect()}
+
+    by_day = defaultdict(set)
+    for u, t in rows:
+        by_day[t // 86400].add(u)
+    from datetime import datetime, timezone
+    for d, users in by_day.items():
+        wau = set()
+        for off in range(7):
+            wau |= by_day.get(d - off, set())
+        key = datetime.fromtimestamp(d * 86400, tz=timezone.utc) \
+            .strftime("%Y-%m-%d")
+        assert got[key]["dau"] == len(users), key
+        assert got[key]["wau"] == len(wau), key
+        assert got[key]["stickiness"] == pytest.approx(
+            len(users) / len(wau), abs=1e-5)
+
+
+def test_embedding_shift_vs_numpy(spark):
+    import numpy as np
+
+    from dataprofiler_spark.operators.vectorstats import embedding_shift
+
+    rng = np.random.RandomState(8)
+    a = rng.uniform(-1, 1, (40, 16))
+    b = rng.uniform(-1, 1, (50, 16)) + 0.1
+    df_a = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(a)],
+        "id long, v array<double>")
+    df_b = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(b)],
+        "id long, v array<double>")
+    r = embedding_shift(df_a, df_b, "v").collect()[0]
+    # mirror the engine's 1e-6 fixed-point means
+    ma = np.round(a * 1e6).sum(axis=0) / len(a) / 1e6
+    mb = np.round(b * 1e6).sum(axis=0) / len(b) / 1e6
+    cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    assert r["n_a"] == 40 and r["n_b"] == 50
+    assert r["mean_cosine"] == pytest.approx(cos, abs=1e-5)
+    assert r["mean_l2_dist"] == pytest.approx(
+        float(np.linalg.norm(ma - mb)), abs=1e-5)
+    assert r["max_abs_dim_shift"] == pytest.approx(
+        float(np.max(np.abs(ma - mb))), abs=1e-5)
+
+
+def test_domain_extract_vs_urllib(spark):
+    """Host parse agrees with urllib for well-formed URLs (the suffix
+    rule is the engine's own heuristic; the HOST must match stdlib)."""
+    import urllib.parse
+
+    from dataprofiler_spark.operators.domains import domain_extract
+
+    urls = ["https://www.example.co.uk:8080/p?q=1#f",
+            "http://user:pw@cdn.alpha.com/x",
+            "ftp://files.beta.com.au/z",
+            "https://192.168.0.1:443/x",
+            "https://single/x"]
+    df = spark.createDataFrame(list(enumerate(urls)),
+                               "id long, url string")
+    got = {r["id"]: r["host"] for r in
+           domain_extract(df, "id", "url").collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == urllib.parse.urlparse(u).hostname, u
+
+
+def test_markup_signals_vs_re(spark):
+    import re
+
+    from dataprofiler_spark.operators.textanalysis import markup_signals
+
+    texts = ["<div>x</div> &amp; <br/> plain &#169; &#x2122; <a href='q'>",
+             "no markup here at all just words", "\x01\x02ctrl��"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {r["id"]: r for r in
+           markup_signals(df, "id", "text").collect()}
+    for i, t in enumerate(texts):
+        assert got[i]["tag_count"] == len(
+            re.findall(r"<[a-zA-Z/][^<>]*>", t)), t
+        assert got[i]["entity_count"] == len(re.findall(
+            r"&(?:[a-zA-Z]{2,10}|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});", t))
+        assert got[i]["control_char_count"] == len(
+            re.findall(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", t))
+        assert got[i]["replacement_count"] == t.count("�")
+
+
+def test_paragraph_dup_vs_python(spark):
+    from dataprofiler_spark.operators.curation import paragraph_dup_signals
+
+    rng = random.Random(31)
+    boiler = ["shared boilerplate paragraph number %d with enough chars"
+              % k for k in range(3)]
+    docs = []
+    for i in range(20):
+        paras = [f"unique paragraph {i}-{j} with sufficient characters"
+                 for j in range(rng.randint(1, 3))]
+        paras += rng.sample(boiler, rng.randint(0, 2))
+        rng.shuffle(paras)
+        docs.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in paragraph_dup_signals(
+        df, "doc_id", "text").collect()}
+
+    import re as _re
+    corpus = Counter()
+    split = {}
+    for i, t in docs:
+        ps = [_re.sub(r"\s+", " ", p).strip()
+              for p in _re.split(r"\n\s*\n", t)]
+        ps = [p for p in ps if len(p) >= 20]
+        split[i] = ps
+        corpus.update(ps)
+    for i, _ in docs:
+        dup = [p for p in split[i] if corpus[p] > 1]
+        assert got[i]["n_paras"] == len(split[i]), i
+        assert got[i]["n_dup_paras"] == len(dup), i
+        tot = sum(len(p) for p in split[i])
+        want = sum(len(p) for p in dup) / tot if tot else 0.0
+        assert got[i]["dup_char_ratio"] == pytest.approx(want, abs=1e-5)
