@@ -103,6 +103,40 @@ def build_runners(spark, sf_dir):
         lambda: num.robust_stats(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
                        "l_tax"]).collect())
+    add("profile", "benford_lineitem",
+        lambda: num.benford_test(
+            lineitem, ["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"]).collect())
+    add("profile", "entropy_lineitem",
+        lambda: cat.column_entropy(
+            lineitem, ["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_linenumber"]).collect())
+
+    def _pattern():
+        cust = tbl("customer")
+        cat.pattern_profile(cust, ["c_name", "c_mktsegment",
+                                   "c_acctbal"], k=3).collect()
+    add("profile", "pattern_profile_customer", _pattern)
+
+    def _fd():
+        vd.fd_check(lineitem, [("l_orderkey", "l_shipdate"),
+                               ("l_linenumber", "l_returnflag")]).collect()
+    add("profile", "fd_check_lineitem", _fd)
+
+    def _incl():
+        cust = tbl("customer")
+        vd.inclusion_profile(orders, ["o_custkey", "o_orderkey"],
+                             cust, ["c_custkey", "c_nationkey"]).collect()
+    add("profile", "inclusion_orders_customer", _incl)
+
+    def _skewjoin():
+        from dataprofiler_spark.operators.skew import skew_join
+        li = lineitem.select(F.col("l_orderkey").alias("k"),
+                             F.col("l_quantity").alias("qty"))
+        od = orders.select(F.col("o_orderkey").alias("k"),
+                           F.col("o_totalprice").alias("total"))
+        skew_join(li, od, "k", hot_threshold=5).count()
+    add("profile", "skew_join_lineitem_orders", _skewjoin)
     add("profile", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",

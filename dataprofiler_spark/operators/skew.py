@@ -137,46 +137,61 @@ WHERE rank <= {k}
 
 def skew_join(left: DataFrame, right: DataFrame, key: str,
               hot_threshold: int = 1_000_000,
+              max_hot_keys: int = 10_000,
               how: str = "inner") -> DataFrame:
     """Hot-key split join: result-identical to ``left.join(right, key,
     how)`` but immune to a handful of mega-keys stalling one reducer.
 
     The classic pattern AQE's skew-join splitting generalizes, exposed
-    as an explicit operator for when you KNOW the hot keys (AQE splits
+    as an explicit operator for when you KNOW hot keys exist (AQE splits
     oversized partitions, but a single key's rows still co-locate; the
     split join instead broadcasts the hot keys' RIGHT side, so the hot
     LEFT rows never shuffle at all):
 
-    1. Count left keys once; keys above ``hot_threshold`` rows are hot
-       (driver collects ONLY the hot key values — by construction at
-       most |left| / hot_threshold of them, a bounded tiny list).
+    1. Count left keys once; keys above ``hot_threshold`` rows are hot.
+       The hot-key FRAME (at most |left| / hot_threshold keys by
+       construction) routes the split via BROADCAST semi/anti joins —
+       key values never collect to the driver and never become literal
+       expressions (an isin() with thousands of literals is its own
+       scale bug).
     2. cold LEFT ⋈ cold RIGHT: the normal shuffle join, hot keys
-       excluded on BOTH sides (their partitions stay balanced).
+       anti-joined off BOTH sides (their partitions stay balanced).
     3. hot LEFT ⋈ broadcast(hot RIGHT): map-side, no shuffle of the
        hot rows. Requires the hot keys' right side to fit in a
        broadcast — true in the dimension-skew case this pattern
-       targets (few hot keys, small per-key right payload); a hot key
-       with a HUGE right side is a genuine cross-product and no join
-       strategy saves it.
+       targets; a hot key with a HUGE right side is a genuine
+       cross-product and no join strategy saves it.
     4. Union. Supported ``how``: inner / left (semantics preserved
        per-row because every row routes to exactly one branch by its
-       key's hotness).
+       key's hotness). NULL join keys never match (standard equi-join)
+       and route cold (anti-join keeps them).
 
-    NULL join keys never match (standard equi-join): they survive only
-    in the left-join branch, routed cold."""
+    ``max_hot_keys``: if more keys clear the threshold than this, the
+    key space isn't "a few mega-keys" — it's a uniform-ish
+    distribution where the split buys nothing and the broadcast grows
+    unbounded; fall back to the plain join (AQE handles partition-level
+    imbalance) with a log note."""
+    import logging
+
     if how not in ("inner", "left"):
         raise ValueError(f"skew_join supports inner/left, got {how!r}")
-    counts = (left.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
-              .where(F.col("__c") > hot_threshold))
-    hot_vals = [r[key] for r in counts.select(key).collect()
-                if r[key] is not None]
-    if not hot_vals:
+    hk = (left.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+          .where(F.col("__c") > hot_threshold)
+          .where(F.col(key).isNotNull())
+          .select(key))
+    n_hot = hk.limit(max_hot_keys + 1).count()
+    if n_hot == 0:
         return left.join(right, key, how)
-    cold_l = left.where(~F.col(key).isin(hot_vals)
-                        | F.col(key).isNull())
-    cold_r = right.where(~F.col(key).isin(hot_vals))
-    hot_l = left.where(F.col(key).isin(hot_vals))
-    hot_r = right.where(F.col(key).isin(hot_vals))
-    cold = cold_l.join(cold_r, key, how)
-    hot = hot_l.join(F.broadcast(hot_r), key, how)
+    if n_hot > max_hot_keys:
+        logging.getLogger("dataprofiler_spark").warning(
+            "skew_join: >%d keys exceed hot_threshold=%d — not a "
+            "mega-key skew; falling back to the plain join (AQE)",
+            max_hot_keys, hot_threshold)
+        return left.join(right, key, how)
+    hkb = F.broadcast(hk)
+    cold = (left.join(hkb, key, "left_anti")
+            .join(right.join(hkb, key, "left_anti"), key, how))
+    hot = (left.join(hkb, key, "left_semi")
+           .join(F.broadcast(right.join(hkb, key, "left_semi")),
+                 key, how))
     return cold.unionAll(hot)

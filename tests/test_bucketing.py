@@ -89,3 +89,21 @@ def test_skew_join_result_identical_and_broadcasts(spark):
     # no hot keys -> falls through to the plain join
     same = skew_join(left, right, "k", hot_threshold=10_000)
     assert norm(same) == norm(left.join(right, "k"))
+
+
+def test_skew_join_fallback_when_everything_is_hot(spark):
+    """A uniform key space clearing the threshold is NOT mega-key skew:
+    past max_hot_keys the operator falls back to the plain join (same
+    results) instead of building an unbounded broadcast."""
+    from dataprofiler_spark.operators.skew import skew_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in range(20) for i in range(10)], "k int, lv int")
+    right = spark.createDataFrame([(k, k * 10) for k in range(20)],
+                                  "k int, rv int")
+    out = skew_join(left, right, "k", hot_threshold=5, max_hot_keys=3)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, left.join(right, "k").collect()))
+    # fallback plan is the ONE plain join — no union branches
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
