@@ -666,3 +666,87 @@ FROM (
   FROM {table}
 ) p""")
     return "\nUNION ALL\n".join(selects)
+
+
+def theils_u_pair(df: DataFrame, col_a: str, col_b: str,
+                  round_digits: int = 6) -> DataFrame:
+    """(col1, col2, n, u_ab, u_ba): Theil's uncertainty coefficient in
+    BOTH directions — U(B|A) = (H(B) − H(B|A)) / H(B), the ASYMMETRIC
+    categorical dependence measure (pandas-profiling's default for
+    category pairs): "knowing zip code tells you the state (U≈1) but
+    knowing the state barely narrows the zip (U≈0)" — a direction
+    Cramér's V and MI cannot express. NULL is a category (the
+    mutual-info contract: coalesced to a sentinel so both marginals and
+    the joint count it identically). A constant column (H = 0) yields
+    that direction NULL.
+
+    Identity used: U(B|A) = MI / H(B), so the plan is exactly the
+    mutual-info shape — ONE joint groupBy + two marginal folds — with
+    ln sums rounded-then-decimal (order-independent, engine-exact)."""
+    ct = df.groupBy(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("(null)")).alias("a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("(null)")).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    n_row = ct.agg(F.sum("o").alias("n"))
+    d = "decimal(38,9)"
+
+    def lnsum(grouped, cnt):
+        c = F.col(cnt).cast("double")
+        return grouped.agg(F.sum(
+            F.round(c * F.log(c), 9).cast(d)).alias(f"s_{cnt}"))
+
+    ra = lnsum(ct.groupBy("a").agg(F.sum("o").alias("ra")), "ra")
+    cb = lnsum(ct.groupBy("b").agg(F.sum("o").alias("cb")), "cb")
+    jj = lnsum(ct.groupBy(), "o")
+    row = (n_row.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(cb))
+           .crossJoin(F.broadcast(jj)))
+    n = F.col("n").cast("double")
+    lnn = F.log(n)
+    # H(X) = ln n − Σ c·ln c / n
+    h_a = lnn - F.col("s_ra").cast("double") / n
+    h_b = lnn - F.col("s_cb").cast("double") / n
+    h_ab = lnn - F.col("s_o").cast("double") / n
+    mi = h_a + h_b - h_ab
+    return row.select(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        F.col("n"),
+        F.round(F.when(h_b > 0, mi / h_b), round_digits).alias("u_ab"),
+        F.round(F.when(h_a > 0, mi / h_a), round_digits).alias("u_ba"))
+
+
+def oracle_theils_u_sql(table: str, col_a: str, col_b: str,
+                        round_digits: int = 6) -> str:
+    def lnsum(expr):
+        return (f"SUM(CAST(ROUND(CAST({expr} AS DOUBLE)"
+                f" * ln(CAST({expr} AS DOUBLE)), 9) AS DECIMAL(38,9)))")
+    return f"""
+WITH ct AS (
+  SELECT COALESCE(CAST({col_a} AS VARCHAR), '(null)') AS a,
+         COALESCE(CAST({col_b} AS VARCHAR), '(null)') AS b,
+         COUNT(*) AS o
+  FROM {table} GROUP BY 1, 2
+),
+n_row AS (SELECT SUM(o) AS n FROM ct),
+ra AS (SELECT {lnsum('ra')} AS s_ra
+       FROM (SELECT SUM(o) AS ra FROM ct GROUP BY a)),
+cb AS (SELECT {lnsum('cb')} AS s_cb
+       FROM (SELECT SUM(o) AS cb FROM ct GROUP BY b)),
+jj AS (SELECT {lnsum('o')} AS s_o FROM ct)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN ln(CAST(n AS DOUBLE)) - CAST(s_cb AS DOUBLE) / n
+                       > 0
+         THEN ((ln(CAST(n AS DOUBLE)) - CAST(s_ra AS DOUBLE) / n)
+               + (ln(CAST(n AS DOUBLE)) - CAST(s_cb AS DOUBLE) / n)
+               - (ln(CAST(n AS DOUBLE)) - CAST(s_o AS DOUBLE) / n))
+              / (ln(CAST(n AS DOUBLE)) - CAST(s_cb AS DOUBLE) / n) END,
+             {round_digits}) AS u_ab,
+       ROUND(CASE WHEN ln(CAST(n AS DOUBLE)) - CAST(s_ra AS DOUBLE) / n
+                       > 0
+         THEN ((ln(CAST(n AS DOUBLE)) - CAST(s_ra AS DOUBLE) / n)
+               + (ln(CAST(n AS DOUBLE)) - CAST(s_cb AS DOUBLE) / n)
+               - (ln(CAST(n AS DOUBLE)) - CAST(s_o AS DOUBLE) / n))
+              / (ln(CAST(n AS DOUBLE)) - CAST(s_ra AS DOUBLE) / n) END,
+             {round_digits}) AS u_ba
+FROM n_row CROSS JOIN ra CROSS JOIN cb CROSS JOIN jj
+"""

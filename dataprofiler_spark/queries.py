@@ -1100,6 +1100,17 @@ def cohens_kappa_lineitem(spark, sf_dir):
     return corr.cohens_kappa(li, "l_returnflag", "rf2")
 
 
+@register("theils_u_orders",
+          corr.oracle_theils_u_sql("orders", "o_orderpriority",
+                                   "o_orderstatus"))
+def theils_u_orders(spark, sf_dir):
+    """Theil's uncertainty coefficient both directions — the asymmetric
+    categorical dependence (which column predicts which). MI shape:
+    one joint groupBy + two marginal folds."""
+    return corr.theils_u_pair(T(spark, sf_dir, "orders"),
+                              "o_orderpriority", "o_orderstatus")
+
+
 @register("cramers_v_orders",
           corr.oracle_cramers_v_sql("orders", "o_orderpriority",
                                     "o_orderstatus"))

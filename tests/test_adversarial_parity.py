@@ -307,6 +307,7 @@ ADV_QUERIES = [
     "null_phi_orders",
     "chi2_orderpriority",
     "cramers_v_orders",
+    "theils_u_orders",
     "welch_t_totalprice",
     "psi_numeric_totalprice",
     "ks_js_totalprice",

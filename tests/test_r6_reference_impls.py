@@ -444,3 +444,30 @@ def test_paragraph_dup_vs_python(spark):
         tot = sum(len(p) for p in split[i])
         want = sum(len(p) for p in dup) / tot if tot else 0.0
         assert got[i]["dup_char_ratio"] == pytest.approx(want, abs=1e-5)
+
+
+def test_theils_u_vs_python(spark, frame):
+    from dataprofiler_spark.operators.correlation import theils_u_pair
+
+    rows = [("(null)" if x[1] is None else x[1],
+             "(null)" if x[2] is None else x[2]) for x in _rows(99)]
+    n = len(rows)
+    ra, cb, joint = (Counter(a for a, _ in rows),
+                     Counter(b for _, b in rows), Counter(rows))
+
+    def H(c):
+        return -sum(k / n * math.log(k / n) for k in c.values())
+    mi = H(ra) + H(cb) - H(joint)
+    r = theils_u_pair(frame, "a", "b").collect()[0]
+    assert r["u_ab"] == pytest.approx(mi / H(cb), abs=1e-5)
+    assert r["u_ba"] == pytest.approx(mi / H(ra), abs=1e-5)
+
+    # asymmetry direction check: a determines b perfectly, not reversed
+    det = spark.createDataFrame(
+        [("x1", "p"), ("x2", "p"), ("y1", "q"), ("y2", "q")] * 10,
+        ["a", "b"])
+    r2 = theils_u_pair(det, "a", "b").collect()[0]
+    # u_ab = U(B|A) = MI/H(B): knowing a pins b -> 1
+    assert r2["u_ab"] == 1.0
+    # u_ba = U(A|B) = MI/H(A): b only halves a's 2-bit entropy
+    assert r2["u_ba"] == 0.5
