@@ -303,3 +303,75 @@ SELECT rank, value, count FROM (
   FROM {table} WHERE {col} IS NOT NULL GROUP BY {col}
 ) WHERE rank <= {k}
 """
+
+
+def grouped_histogram(df: DataFrame, col: str, group_col: str,
+                      n_bins: int, round_digits: int = 6) -> DataFrame:
+    """(group, bucket, bin_lo, bin_hi, count, share): per-group
+    equal-width histogram over SHARED GLOBAL bin edges — the faceted
+    drift/comparison view (per-group edges would make the facets
+    incomparable, which is the usual mistake). share is within-group,
+    so groups of different sizes compare by shape. NULL group values
+    report as '(null)'; NULL measures drop (the histogram contract).
+
+    Plan: one 1-row global min/max agg broadcast-crossJoined into one
+    groupBy (group, bucket) — two scans, output ≤ groups × n_bins rows,
+    and the bucket arithmetic is the same floor expression the
+    single-group histogram (and its oracle) uses."""
+    mm = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.when(F.max(F.col(col).cast("double"))
+               == F.min(F.col(col).cast("double")),
+               F.min(F.col(col).cast("double")) + 1.0)
+        .otherwise(F.max(F.col(col).cast("double"))).alias("__hi"))
+    j = df.where(F.col(col).isNotNull()).crossJoin(F.broadcast(mm))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    b = bucket_expr(F.col(col), lo, hi, n_bins)
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+    counts = (j.groupBy(grp.alias("group"), b.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.min(lo).alias("__lo"), F.min(hi).alias("__hi")))
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    from pyspark.sql.window import Window
+    gtot = F.sum("count").over(Window.partitionBy("group"))
+    return counts.select(
+        "group", "bucket",
+        (F.col("__lo") + F.col("bucket") * w).alias("bin_lo"),
+        (F.col("__lo") + (F.col("bucket") + 1) * w).alias("bin_hi"),
+        "count",
+        F.round(F.col("count").cast("double") / gtot,
+                round_digits).alias("share"))
+
+
+def oracle_grouped_histogram_sql(table: str, col: str, group_col: str,
+                                 n_bins: int,
+                                 round_digits: int = 6) -> str:
+    return f"""
+WITH mm AS (
+  SELECT CAST(MIN({col}) AS DOUBLE) AS lo,
+         CASE WHEN MAX({col}) = MIN({col})
+              THEN CAST(MIN({col}) AS DOUBLE) + 1.0
+              ELSE CAST(MAX({col}) AS DOUBLE) END AS hi
+  FROM {table}
+), b AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '(null)') AS "group",
+         LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - mm.lo)
+           / ((mm.hi - mm.lo) / {float(n_bins)})) AS INT), 0),
+           {n_bins - 1}) AS bucket,
+         mm.lo, mm.hi
+  FROM {table}, mm
+  WHERE {col} IS NOT NULL
+), c AS (
+  SELECT "group", bucket, MIN(lo) AS lo, MIN(hi) AS hi,
+         COUNT(*) AS count
+  FROM b GROUP BY 1, 2
+)
+SELECT "group", bucket,
+       lo + bucket * ((hi - lo) / {n_bins}) AS bin_lo,
+       lo + (bucket + 1) * ((hi - lo) / {n_bins}) AS bin_hi,
+       count,
+       ROUND(CAST(count AS DOUBLE)
+             / SUM(count) OVER (PARTITION BY "group"),
+             {round_digits}) AS share
+FROM c
+"""

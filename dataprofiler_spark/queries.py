@@ -307,6 +307,16 @@ def histogram_extendedprice(spark, sf_dir):
     return hist.histogram(T(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
 
 
+@register("grouped_histogram_lineitem",
+          hist.oracle_grouped_histogram_sql("lineitem", "l_extendedprice",
+                                            "l_returnflag", 12))
+def grouped_histogram_lineitem(spark, sf_dir):
+    """Faceted histogram with SHARED global bin edges (per-group edges
+    would make the facets incomparable) + within-group shares."""
+    return hist.grouped_histogram(T(spark, sf_dir, "lineitem"),
+                                  "l_extendedprice", "l_returnflag", 12)
+
+
 _QPROBS = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
 
 

@@ -319,6 +319,7 @@ ADV_QUERIES = [
     "numeric_profile_lineitem",
     "outlier_counts_lineitem",
     "histogram_extendedprice",
+    "grouped_histogram_lineitem",
     "quantiles_extendedprice",
     "median_mad_quantity",
     "modes_quantity",
