@@ -465,3 +465,86 @@ SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
          AS stickiness
 FROM dau JOIN wau ON wau.anchor = dau.d
 """
+
+
+def interarrival_stats(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       round_digits: int = 6) -> DataFrame:
+    """One-row corpus summary of per-user inter-event gaps:
+    (n_gaps, mean_gap_s, stddev_gap_s, median_gap_s, burstiness) —
+    burstiness B = (σ−μ)/(σ+μ) (Goh & Barabási 2008): B → −1 for
+    metronome-regular activity (bots), ≈ 0 for Poisson, → +1 for
+    heavy-tailed human bursts. The event-stream behavioral signal that
+    volume counts can't see.
+
+    Plan: gaps come from a lag window PARTITIONED BY user (scales with
+    user cardinality, the natural key — never a global sort); the fold
+    is one aggregate of integer-microsecond decimal sums (engine-exact
+    mean/σ) + one exact percentile. NULL users/timestamps drop;
+    single-event users contribute no gap."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gaps = (df.where(F.col(user_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(user_col),
+                    (F.unix_micros(F.col(ts_col))
+                     - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+                    .alias("g"))
+            .where(F.col("g").isNotNull()))
+    d = "decimal(38,0)"
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("g").cast(d)).alias("s1"),
+        F.sum((F.col("g").cast(d) * F.col("g")).cast(d)).alias("s2"),
+        F.percentile(F.col("g").cast("double"),
+                     F.lit(0.5)).alias("med"))
+    n = F.col("n_gaps")
+    mu = F.col("s1").cast("double") / n / 1e6
+    var = ((n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+           / n / (n - 1)) / 1e12
+    sd = F.sqrt(var)
+    burst = F.when((sd + mu) > 0, (sd - mu) / (sd + mu))
+    return agg.select(
+        "n_gaps",
+        F.round(mu, round_digits).alias("mean_gap_s"),
+        F.round(F.when(n > 1, sd), round_digits).alias("stddev_gap_s"),
+        F.round(F.col("med") / 1e6, round_digits).alias("median_gap_s"),
+        F.round(F.when(n > 1, burst), round_digits).alias("burstiness"))
+
+
+def oracle_interarrival_sql(table: str, user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            round_digits: int = 6) -> str:
+    return f"""
+WITH gaps AS (
+  SELECT CAST(epoch_us({ts_col})
+         - LAG(epoch_us({ts_col})) OVER (PARTITION BY {user_col}
+                                         ORDER BY {ts_col})
+         AS BIGINT) AS g
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(g AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(CAST(g AS DECIMAL(38,0)) * g AS DECIMAL(38,0))) AS s2,
+         quantile_cont(CAST(g AS DOUBLE), 0.5) AS med
+  FROM gaps WHERE g IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / n / 1e6, {round_digits}) AS mean_gap_s,
+       ROUND(CASE WHEN n > 1 THEN
+         SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 1e12)
+         END, {round_digits}) AS stddev_gap_s,
+       ROUND(med / 1e6, {round_digits}) AS median_gap_s,
+       ROUND(CASE WHEN n > 1 AND
+         (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 1e12)
+          + CAST(s1 AS DOUBLE) / n / 1e6) > 0 THEN
+         (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 1e12)
+          - CAST(s1 AS DOUBLE) / n / 1e6)
+         / (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 1e12)
+            + CAST(s1 AS DOUBLE) / n / 1e6) END, {round_digits})
+         AS burstiness
+FROM agg
+"""

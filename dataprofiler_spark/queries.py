@@ -1757,6 +1757,14 @@ def retention_cohorts_events(spark, sf_dir):
     return ev.retention_cohorts(T(spark, sf_dir, "events"))
 
 
+@register("interarrival_events", ev.oracle_interarrival_sql("events"))
+def interarrival_events(spark, sf_dir):
+    """Per-user inter-event gap summary + Goh-Barabási burstiness (bot
+    vs human activity shape); user-partitioned lag window + one exact
+    integer-microsecond fold."""
+    return ev.interarrival_stats(T(spark, sf_dir, "events"))
+
+
 @register("active_users_events", ev.oracle_active_users_sql("events"))
 def active_users_events(spark, sf_dir):
     """Exact DAU/WAU/stickiness via the explode-into-windows trick

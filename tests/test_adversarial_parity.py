@@ -358,6 +358,7 @@ ADV_QUERIES = [
     "daily_psi_events",
     "daily_anomalies_events",
     "active_users_events",
+    "interarrival_events",
     "hot_keys_events",
     "order_profile_events_value",
     # graph family

@@ -471,3 +471,45 @@ def test_theils_u_vs_python(spark, frame):
     assert r2["u_ab"] == 1.0
     # u_ba = U(A|B) = MI/H(A): b only halves a's 2-bit entropy
     assert r2["u_ba"] == 0.5
+
+
+def test_interarrival_vs_python(spark):
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.events import interarrival_stats
+
+    rng = random.Random(21)
+    rows = []
+    for u in range(1, 6):
+        t = 0
+        for _ in range(rng.randint(2, 30)):
+            t += rng.randint(1, 500)
+            rows.append((u, t))
+    rows.append((99, 7))          # single-event user: no gap
+    rows.append((None, 11))       # NULL user drops
+    df = (spark.createDataFrame(rows, "u long, t long")
+          .withColumn("ts", F.timestamp_seconds("t")))
+    r = interarrival_stats(df, "u", "ts").collect()[0]
+
+    by_u = defaultdict(list)
+    for u, t in rows:
+        if u is not None:
+            by_u[u].append(t)
+    gaps = []
+    for ts in by_u.values():
+        ts.sort()
+        gaps += [b - a for a, b in zip(ts, ts[1:])]
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = (n * sum(g * g for g in gaps) - sum(gaps) ** 2) / n / (n - 1)
+    sd = math.sqrt(var)
+    assert r["n_gaps"] == n
+    assert r["mean_gap_s"] == pytest.approx(mu, abs=1e-5)
+    assert r["stddev_gap_s"] == pytest.approx(sd, abs=1e-5)
+    assert r["burstiness"] == pytest.approx((sd - mu) / (sd + mu),
+                                            abs=1e-5)
+    srt = sorted(gaps)
+    i = (n - 1) * 0.5
+    lo_, hi_ = int(math.floor(i)), int(math.ceil(i))
+    med = srt[lo_] + (srt[hi_] - srt[lo_]) * (i - lo_)
+    assert r["median_gap_s"] == pytest.approx(med, abs=1e-5)
