@@ -129,6 +129,17 @@ def build_runners(spark, sf_dir):
                              cust, ["c_custkey", "c_nationkey"]).collect()
     add("profile", "inclusion_orders_customer", _incl)
 
+    def _theil():
+        corr.theils_u_pair(lineitem, "l_returnflag",
+                           "l_linestatus").collect()
+    add("profile", "theils_u_lineitem", _theil)
+
+    def _ghist():
+        from dataprofiler_spark.operators import histogram as hg
+        hg.grouped_histogram(lineitem, "l_extendedprice",
+                             "l_returnflag", 12).collect()
+    add("profile", "grouped_histogram_lineitem", _ghist)
+
     def _skewjoin():
         from dataprofiler_spark.operators.skew import skew_join
         li = lineitem.select(F.col("l_orderkey").alias("k"),
@@ -235,6 +246,8 @@ def build_runners(spark, sf_dir):
     # ---- events group ----
     add("events", "active_users_events",
         lambda: ev.active_users_rollup(events).collect())
+    add("events", "interarrival_events",
+        lambda: ev.interarrival_stats(events).collect())
     add("events", "interval_join_events",
         lambda: iv.interval_join_first_day_counts(events).count())
     add("events", "funnel_events",
