@@ -223,7 +223,10 @@ def pattern_profile(df: DataFrame, cols: list[str], k: int = 5,
         s = F.regexp_replace(s, r"[A-Z]", "A")
         s = F.regexp_replace(s, r"[a-z]", "a")
         s = F.regexp_replace(s, r"[0-9]", "9")
-        s = F.regexp_replace(s, r"\s", "_")
+        # explicit class, NOT \s: Java's \s includes U+000B but RE2's
+        # (DuckDB) does not — the one whitespace-class divergence
+        # between the engines (ADVICE r6)
+        s = F.regexp_replace(s, r"[ \t\n\x0B\f\r]", "_")
         return F.coalesce(s, F.lit("(null)"))
 
     melted = None
@@ -254,7 +257,7 @@ def oracle_pattern_profile_sql(table: str, cols: list[str], k: int = 5,
     for c in cols:
         shape = f"CAST({c} AS VARCHAR)"
         for pat, rep in ((r"[A-Z]", "A"), (r"[a-z]", "a"),
-                         (r"[0-9]", "9"), (r"\s", "_")):
+                         (r"[0-9]", "9"), (r"[ \t\n\x0b\f\r]", "_")):
             shape = f"regexp_replace({shape}, '{pat}', '{rep}', 'g')"
         selects.append(
             f"SELECT '{c}' AS \"column\", COALESCE({shape}, '(null)')"

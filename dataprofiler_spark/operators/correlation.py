@@ -205,9 +205,16 @@ def chi2_matrix_pair(df: DataFrame, col_a: str, col_b: str,
     ct = _dense_contingency(df, col_a, col_b)
     e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
+    # round-then-decimal fold (the theils_u discipline): each cell term
+    # is rounded to 9 digits and summed as DECIMAL, so the sum is
+    # partition-order-independent and bit-identical across engines — a
+    # plain double F.sum over the grid was the one order seam left in
+    # the chi² family (r6 driver-red cramers_v_orders).
+    tsum = F.sum(F.round(term, 9).cast("decimal(38,9)"))
+    from dataprofiler_spark.functions.rounding import duckdb_round
     return ct.agg(
         F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
-        F.round(F.sum(term), round_digits).alias("chi2"),
+        duckdb_round(tsum.cast("double"), round_digits).alias("chi2"),
         ((F.max("ka") - 1) * (F.max("kb") - 1)).alias("dof"),
     )
 
@@ -232,12 +239,14 @@ w AS (
 def oracle_chi2_pair_sql(table: str, col_a: str, col_b: str,
                          round_digits: int = 6) -> str:
     ctes = _DENSE_CT_CTES.format(table=table, col_a=col_a, col_b=col_b)
+    term = ("(o - (CAST(ra AS DOUBLE) * cb / n))"
+            " * (o - (CAST(ra AS DOUBLE) * cb / n))"
+            " / (CAST(ra AS DOUBLE) * cb / n)")
     return f"""
 WITH {ctes}
 SELECT '{col_a}' AS col1, '{col_b}' AS col2,
-       ROUND(SUM((o - (CAST(ra AS DOUBLE) * cb / n))
-                 * (o - (CAST(ra AS DOUBLE) * cb / n))
-                 / (CAST(ra AS DOUBLE) * cb / n)), {round_digits}) AS chi2,
+       ROUND(CAST(SUM(CAST(ROUND({term}, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE), {round_digits}) AS chi2,
        (MAX(ka) - 1) * (MAX(kb) - 1) AS dof
 FROM w, tot
 """
@@ -482,27 +491,35 @@ def cramers_v_pair(df: DataFrame, col_a: str, col_b: str,
     ct = _dense_contingency(df, col_a, col_b)
     e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
+    # round-then-decimal term fold — see chi2_matrix_pair (this was the
+    # r6 driver-red seam: a plain double sum drifts with partition
+    # order; the decimal fold is order-independent in both engines).
+    tsum = F.sum(F.round(term, 9).cast("decimal(38,9)"))
+    from dataprofiler_spark.functions.rounding import duckdb_round
     agg = ct.agg(
         F.max("n").alias("n"),
-        F.round(F.sum(term), round_digits).alias("chi2"),
+        duckdb_round(tsum.cast("double"), round_digits).alias("chi2"),
         F.least(F.max("ka") - 1, F.max("kb") - 1).alias("m"))
     return agg.select(
         F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
         F.col("n"), F.col("chi2"),
-        F.round(F.when(F.col("m") > 0,
-                       F.sqrt(F.col("chi2") / F.col("n") / F.col("m"))),
-                round_digits).alias("v"))
+        duckdb_round(F.when(F.col("m") > 0,
+                            F.sqrt(F.col("chi2") / F.col("n")
+                                   / F.col("m"))),
+                     round_digits).alias("v"))
 
 
 def oracle_cramers_v_sql(table: str, col_a: str, col_b: str,
                          round_digits: int = 6) -> str:
     ctes = _DENSE_CT_CTES.format(table=table, col_a=col_a, col_b=col_b)
+    term = ("(o - (CAST(ra AS DOUBLE) * cb / n))"
+            " * (o - (CAST(ra AS DOUBLE) * cb / n))"
+            " / (CAST(ra AS DOUBLE) * cb / n)")
     return f"""
 WITH {ctes}, agg AS (
   SELECT MAX(n) AS n,
-         ROUND(SUM((o - (CAST(ra AS DOUBLE) * cb / n))
-                   * (o - (CAST(ra AS DOUBLE) * cb / n))
-                   / (CAST(ra AS DOUBLE) * cb / n)), {round_digits}) AS chi2,
+         ROUND(CAST(SUM(CAST(ROUND({term}, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE), {round_digits}) AS chi2,
          LEAST(MAX(ka) - 1, MAX(kb) - 1) AS m
   FROM w, tot
 )

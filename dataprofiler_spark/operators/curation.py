@@ -569,11 +569,15 @@ def paragraph_dup_signals(df: DataFrame, id_col: str, text_col: str,
     partial aggregation absorbs."""
     from dataprofiler_spark.session import ensure_parallelism
 
+    # explicit whitespace class, NOT \s: Java's \s includes U+000B,
+    # RE2's (DuckDB) does not (ADVICE r6) — identical class both engines
+    ws = r"[ \t\n\x0B\f\r]"
     paras = (ensure_parallelism(df)
              .select(F.col(id_col).alias("id"),
-                     F.split(F.col(text_col), r"\n\s*\n").alias("__ps"))
+                     F.split(F.col(text_col),
+                             r"\n" + ws + r"*\n").alias("__ps"))
              .select("id", F.explode("__ps").alias("__p")))
-    norm = F.trim(F.regexp_replace(F.col("__p"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col("__p"), ws + "+", " "))
     base = (paras.select("id", norm.alias("p"))
             .where(F.length("p") >= min_chars)
             .select("id", F.md5("p").alias("h"),
@@ -608,8 +612,9 @@ def oracle_paragraph_dup_sql(table: str, id_col: str, text_col: str,
     return f"""
 WITH paras AS (
   SELECT {id_col} AS id,
-         TRIM(regexp_replace(p.p, '\\s+', ' ', 'g')) AS p
-  FROM {table}, UNNEST(string_split_regex({text_col}, '\\n\\s*\\n')) p(p)
+         TRIM(regexp_replace(p.p, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS p
+  FROM {table}, UNNEST(string_split_regex(
+       {text_col}, '\\n[ \\t\\n\\x0b\\f\\r]*\\n')) p(p)
 ),
 base AS (
   SELECT id, md5(p) AS h, LENGTH(p) AS len

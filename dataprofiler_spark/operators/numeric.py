@@ -531,123 +531,210 @@ def robust_stats(df: DataFrame, cols: list[str],
     hunts; quartiles don't).
 
     * Tukey fences: [q1 − 1.5·IQR, q3 + 1.5·IQR]; counts outside each.
-    * trimmed_mean: mean of values strictly inside the (trim, 1−trim)
-      exact quantiles (classic two-sided trim).
-    * winsorized_mean: same, but clamped tail values REPLACE the tails
-      rather than dropping them.
+    * trimmed_mean: classic two-sided RANK trim (scipy.stats.trim_mean
+      semantics): drop the lowest/highest ⌊n·trim⌋ order statistics,
+      mean the rest.
+    * winsorized_mean: the dropped tails are REPLACED by the boundary
+      order statistics (ranks ⌊n·trim⌋+1 and n−⌊n·trim⌋) instead.
 
-    Plan: pass 1 is ONE wide agg of exact quantiles for every column
-    (Spark's percentile is a mergeable aggregate); its 1-row result
-    broadcast-crossJoins into pass 2, which folds fence counts and both
-    estimators for ALL columns in one more wide agg — 2 scans at any
-    column count (the exact-mode profile discipline), zero driver
-    round-trips, no literal re-rounding seams (every quantile value
-    flows engine-side through the SAME arithmetic the oracle runs).
-    Sums are DECIMAL-scaled (order-independent); all-NULL columns yield
-    NULL quantiles/means and zero outlier counts on both engines."""
-    # ONE percentile aggregate per column with an ARRAY of percentages:
-    # all four quantiles share a single sorted-counts state — 4 separate
-    # percentile() calls would each rebuild that state (measured 10 s vs
-    # 2.8 s on sf0.1 lineitem×4 cols).
-    qexprs = []
-    for c in cols:
-        x = F.col(c).cast("double")
-        qexprs.append(F.percentile(x, F.array(
-            F.lit(float(trim)), F.lit(0.25), F.lit(0.75),
-            F.lit(1.0 - trim))).alias(f"__qs_{c}"))
-    qrow = df.agg(*qexprs)
-    proj = []
-    for c in cols:
-        qs = F.col(f"__qs_{c}")
-        proj.extend([qs.getItem(0).alias(f"__lo_{c}"),
-                     qs.getItem(1).alias(f"__q1_{c}"),
-                     qs.getItem(2).alias(f"__q3_{c}"),
-                     qs.getItem(3).alias(f"__hi_{c}")])
-    j = df.crossJoin(F.broadcast(qrow.select(*proj)))
+    ENGINE-EXACTNESS DESIGN (the r6 driver-red lesson): the r6 version
+    compared raw doubles against engine-native interpolated quantiles
+    (Spark ``percentile`` vs DuckDB ``quantile_cont``) — a 1-ulp
+    interpolation difference flips every tied boundary row on
+    low-cardinality columns. This version calls NO native quantile at
+    all. Everything derives from a counts-CDF: group by (column, value),
+    running-count window, then (a) trim/winsor membership is pure
+    integer rank-interval overlap, (b) q1/q3 are interpolated by the
+    SAME explicit IEEE expression in both engines
+    (pos = (n−1)·p; q = v[⌊pos⌋] + frac·(v[⌊pos⌋+1] − v[⌊pos⌋])),
+    (c) Tukey fences derive from those identical doubles. No
+    cross-engine float comparison is left against a value either engine
+    interpolated privately.
 
-    d = "decimal(38,6)"
-    aggs = []
-    for c in cols:
-        x = F.col(c).cast("double")
-        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
-        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        iqr = q3 - q1
-        xs = F.round(x, 6).cast(d)
-        inner = F.when((x > lo) & (x < hi), xs)
-        wins = F.when(x <= lo, F.round(lo, 6).cast(d)) \
-                .when(x >= hi, F.round(hi, 6).cast(d)).otherwise(xs)
-        aggs.extend([
-            F.count(x).alias(f"n_{c}"),
-            F.min(q1).alias(f"vq1_{c}"),
-            F.min(q3).alias(f"vq3_{c}"),
-            F.min(iqr).alias(f"viqr_{c}"),
-            F.sum(F.when(x < q1 - 1.5 * iqr, 1).otherwise(0))
-             .alias(f"nlo_{c}"),
-            F.sum(F.when(x > q3 + 1.5 * iqr, 1).otherwise(0))
-             .alias(f"nhi_{c}"),
-            F.sum(inner).alias(f"sin_{c}"),
-            F.count(inner).alias(f"nin_{c}"),
-            F.sum(wins).alias(f"swin_{c}"),
-        ])
-    row = j.agg(*aggs)
-    structs = []
-    for c in cols:
-        n = F.col(f"n_{c}")
-        structs.append(F.struct(
-            F.lit(c).alias("column"),
-            n.alias("n"),
-            F.round(F.col(f"vq1_{c}"), round_digits).alias("q1"),
-            F.round(F.col(f"vq3_{c}"), round_digits).alias("q3"),
-            F.round(F.col(f"viqr_{c}"), round_digits).alias("iqr"),
-            F.col(f"nlo_{c}").alias("n_low_outliers"),
-            F.col(f"nhi_{c}").alias("n_high_outliers"),
-            F.round(F.col(f"sin_{c}").cast("double")
-                    / F.nullif(F.col(f"nin_{c}"), F.lit(0)),
-                    round_digits).alias("trimmed_mean"),
-            F.round(F.col(f"swin_{c}").cast("double")
-                    / F.nullif(n, F.lit(0)),
-                    round_digits).alias("winsorized_mean")))
-    return (row.select(F.explode(F.array(*structs)).alias("s"))
-            .select("s.*"))
+    Plan/scale: 2 scans — melt → groupBy(column, value) (map-side
+    combined) feeds both a rank-window pass and a fence-count pass. The
+    per-column window is a SPILLABLE sort + streaming running sum
+    (bounded memory), unlike ``F.percentile`` whose value→count map
+    state is O(distinct) per aggregate and OOMs on continuous 100 TB
+    columns. Sums are DECIMAL-scaled (order-independent); all-NULL
+    columns yield NULL quantiles/means and zero outlier counts on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    melt = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("double").alias("v")) for c in cols]
+    vals = (df.select(F.explode(F.array(*melt)).alias("s"))
+            .select("s.column", "s.v").where(F.col("v").isNotNull()))
+    vc = vals.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy("column").orderBy("v")
+    cdf = (vc.withColumn("c_end", F.sum("cnt").over(win))
+           .withColumn("c_start", F.col("c_end") - F.col("cnt")))
+
+    # per-column totals from the base frame so all-NULL columns keep a row
+    trow = df.agg(*[F.count(F.col(c).cast("double")).alias(f"__n_{c}")
+                    for c in cols])
+    tot = (trow.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__n_{c}").alias("n")) for c in cols])).alias("s"))
+        .select("s.*"))
+
+    j = cdf.join(F.broadcast(tot), "column")
+    n = F.col("n")
+    nd = (n - 1).cast("double")
+    k1 = F.floor(nd * F.lit(0.25)).cast("long")
+    g1 = nd * F.lit(0.25) - k1.cast("double")
+    k3 = F.floor(nd * F.lit(0.75)).cast("long")
+    g3 = nd * F.lit(0.75) - k3.cast("double")
+    lcut = F.floor(n.cast("double") * F.lit(float(trim))).cast("long")
+    lo_r, hi_r = lcut + 1, n - lcut
+
+    def at(r):
+        # value at 1-based rank r: exactly one CDF interval contains it
+        return F.min(F.when((F.col("c_end") >= r)
+                            & (F.col("c_start") < r), F.col("v")))
+
+    dv = F.round(F.col("v"), 6).cast("decimal(38,6)")
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("c_end"), hi_r)
+        - F.greatest(F.col("c_start") + 1, lo_r) + F.lit(1))
+    s1 = j.groupBy("column").agg(
+        at(k1 + 1).alias("vq1a"), at(k1 + 2).alias("vq1b"),
+        at(k3 + 1).alias("vq3a"), at(k3 + 2).alias("vq3b"),
+        at(lo_r).alias("vlo"), at(hi_r).alias("vhi"),
+        F.max(g1).alias("g1"), F.max(g3).alias("g3"),
+        F.max(lcut).alias("lcut"),
+        F.sum(dv * take).alias("t_sum"),
+        F.sum(take).alias("t_cnt"))
+
+    def interp(va, vb, g):
+        return F.when(g == 0.0, va).otherwise(va + g * (vb - va))
+
+    q = (tot.join(F.broadcast(s1), "column", "left")
+         .select("column", "n",
+                 interp(F.col("vq1a"), F.col("vq1b"),
+                        F.col("g1")).alias("q1d"),
+                 interp(F.col("vq3a"), F.col("vq3b"),
+                        F.col("g3")).alias("q3d"),
+                 "vlo", "vhi", "lcut", "t_sum", "t_cnt"))
+
+    iqr = F.col("q3d") - F.col("q1d")
+    qf = q.select("column", (F.col("q1d") - 1.5 * iqr).alias("lo_f"),
+                  (F.col("q3d") + 1.5 * iqr).alias("hi_f"))
+    fc = (cdf.join(F.broadcast(qf), "column")
+          .groupBy("column")
+          .agg(F.sum(F.when(F.col("v") < F.col("lo_f"), F.col("cnt"))
+                     .otherwise(0)).alias("nlo"),
+               F.sum(F.when(F.col("v") > F.col("hi_f"), F.col("cnt"))
+                     .otherwise(0)).alias("nhi")))
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    dlo = F.round(F.col("vlo"), 6).cast("decimal(38,6)")
+    dhi = F.round(F.col("vhi"), 6).cast("decimal(38,6)")
+    w_sum = F.col("t_sum") + dlo * F.col("lcut") + dhi * F.col("lcut")
+    # duckdb_round, not F.round: a 6-dp decimal sum over an integer
+    # count lands EXACTLY on 7th-digit halves (this operator's r6
+    # driver-red was literally 53055.8184745) — see functions/rounding.
+    return (q.join(F.broadcast(fc), "column", "left")
+            .select(
+                "column", F.col("n").alias("n"),
+                duckdb_round(F.col("q1d"), round_digits).alias("q1"),
+                duckdb_round(F.col("q3d"), round_digits).alias("q3"),
+                duckdb_round(iqr, round_digits).alias("iqr"),
+                F.coalesce(F.col("nlo"), F.lit(0)).cast("long")
+                 .alias("n_low_outliers"),
+                F.coalesce(F.col("nhi"), F.lit(0)).cast("long")
+                 .alias("n_high_outliers"),
+                duckdb_round(F.col("t_sum").cast("double")
+                             / F.nullif(F.col("t_cnt"), F.lit(0)),
+                             round_digits).alias("trimmed_mean"),
+                duckdb_round(w_sum.cast("double")
+                             / F.nullif(F.col("n"), F.lit(0)),
+                             round_digits).alias("winsorized_mean")))
 
 
 def oracle_robust_stats_sql(table: str, cols: list[str],
                             trim: float = 0.05,
                             round_digits: int = 6) -> str:
-    selects = []
-    for c in cols:
-        x = f"CAST({c} AS DOUBLE)"
-        xs = f"CAST(ROUND({x}, 6) AS DECIMAL(38,6))"
-        selects.append(f"""
-SELECT '{c}' AS "column", n,
-       ROUND(q1, {round_digits}) AS q1,
-       ROUND(q3, {round_digits}) AS q3,
-       ROUND(q3 - q1, {round_digits}) AS iqr,
-       n_low_outliers, n_high_outliers,
-       ROUND(CAST(s_in AS DOUBLE) / NULLIF(n_in, 0), {round_digits})
+    """Mirror of ``robust_stats``: the same counts-CDF / integer-rank /
+    explicit-interpolation formulation — deliberately NOT
+    ``quantile_cont`` (see the operator docstring: native-quantile
+    interpolation is the cross-engine seam this design removes)."""
+    vals = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS DOUBLE) AS v"
+        f" FROM {table} WHERE {c} IS NOT NULL" for c in cols)
+    tots = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", COUNT({c}) AS n FROM {table}"
+        for c in cols)
+    take = ("GREATEST(0, LEAST(c_end, n - lcut)"
+            " - GREATEST(c_start + 1, lcut + 1) + 1)")
+
+    def at(r):
+        return f"MIN(CASE WHEN c_end >= {r} AND c_start < {r} THEN v END)"
+
+    return f"""
+WITH vals AS ({vals}),
+vc AS (SELECT "column", v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+cdf AS (
+  SELECT "column", v, cnt,
+         SUM(cnt) OVER (PARTITION BY "column" ORDER BY v) AS c_end,
+         SUM(cnt) OVER (PARTITION BY "column" ORDER BY v) - cnt AS c_start
+  FROM vc
+),
+tot AS ({tots}),
+j AS (
+  SELECT cdf.*, tot.n,
+         CAST(FLOOR(CAST(tot.n - 1 AS DOUBLE) * 0.25) AS BIGINT) AS k1,
+         CAST(tot.n - 1 AS DOUBLE) * 0.25
+           - FLOOR(CAST(tot.n - 1 AS DOUBLE) * 0.25) AS g1,
+         CAST(FLOOR(CAST(tot.n - 1 AS DOUBLE) * 0.75) AS BIGINT) AS k3,
+         CAST(tot.n - 1 AS DOUBLE) * 0.75
+           - FLOOR(CAST(tot.n - 1 AS DOUBLE) * 0.75) AS g3,
+         CAST(FLOOR(CAST(tot.n AS DOUBLE) * {trim!r}) AS BIGINT) AS lcut
+  FROM cdf JOIN tot USING ("column")
+),
+s1 AS (
+  SELECT "column",
+         {at('k1 + 1')} AS vq1a, {at('k1 + 2')} AS vq1b,
+         {at('k3 + 1')} AS vq3a, {at('k3 + 2')} AS vq3b,
+         {at('lcut + 1')} AS vlo, {at('n - lcut')} AS vhi,
+         MAX(g1) AS g1, MAX(g3) AS g3, MAX(lcut) AS lcut,
+         SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)) * {take}) AS t_sum,
+         SUM({take}) AS t_cnt
+  FROM j GROUP BY 1
+),
+q AS (
+  SELECT tot."column", tot.n,
+         CASE WHEN g1 = 0 THEN vq1a
+              ELSE vq1a + g1 * (vq1b - vq1a) END AS q1d,
+         CASE WHEN g3 = 0 THEN vq3a
+              ELSE vq3a + g3 * (vq3b - vq3a) END AS q3d,
+         vlo, vhi, lcut, t_sum, t_cnt
+  FROM tot LEFT JOIN s1 USING ("column")
+),
+fc AS (
+  SELECT cdf."column",
+         SUM(CASE WHEN v < q1d - 1.5 * (q3d - q1d) THEN cnt ELSE 0 END)
+           AS nlo,
+         SUM(CASE WHEN v > q3d + 1.5 * (q3d - q1d) THEN cnt ELSE 0 END)
+           AS nhi
+  FROM cdf JOIN q USING ("column") GROUP BY 1
+)
+SELECT q."column", CAST(q.n AS BIGINT) AS n,
+       ROUND(q1d, {round_digits}) AS q1,
+       ROUND(q3d, {round_digits}) AS q3,
+       ROUND(q3d - q1d, {round_digits}) AS iqr,
+       CAST(COALESCE(nlo, 0) AS BIGINT) AS n_low_outliers,
+       CAST(COALESCE(nhi, 0) AS BIGINT) AS n_high_outliers,
+       ROUND(CAST(t_sum AS DOUBLE) / NULLIF(t_cnt, 0), {round_digits})
          AS trimmed_mean,
-       ROUND(CAST(s_win AS DOUBLE) / NULLIF(n, 0), {round_digits})
+       ROUND(CAST(t_sum + CAST(ROUND(vlo, 6) AS DECIMAL(38,6)) * lcut
+                  + CAST(ROUND(vhi, 6) AS DECIMAL(38,6)) * lcut
+                  AS DOUBLE) / NULLIF(q.n, 0), {round_digits})
          AS winsorized_mean
-FROM (
-  SELECT COUNT({x}) AS n, MIN(qq.q1) AS q1, MIN(qq.q3) AS q3,
-         SUM(CASE WHEN {x} < qq.q1 - 1.5 * (qq.q3 - qq.q1)
-             THEN 1 ELSE 0 END) AS n_low_outliers,
-         SUM(CASE WHEN {x} > qq.q3 + 1.5 * (qq.q3 - qq.q1)
-             THEN 1 ELSE 0 END) AS n_high_outliers,
-         SUM(CASE WHEN {x} > qq.lo AND {x} < qq.hi THEN {xs} END) AS s_in,
-         COUNT(CASE WHEN {x} > qq.lo AND {x} < qq.hi THEN 1 END) AS n_in,
-         SUM(CASE WHEN {x} <= qq.lo THEN CAST(ROUND(qq.lo, 6)
-                                              AS DECIMAL(38,6))
-                  WHEN {x} >= qq.hi THEN CAST(ROUND(qq.hi, 6)
-                                              AS DECIMAL(38,6))
-                  ELSE {xs} END) AS s_win
-  FROM {table} CROSS JOIN (
-    SELECT quantile_cont({x}, 0.25) AS q1, quantile_cont({x}, 0.75) AS q3,
-           quantile_cont({x}, {trim}) AS lo,
-           quantile_cont({x}, {1.0 - trim}) AS hi
-    FROM {table}) qq
-) s""")
-    return "\nUNION ALL\n".join(selects)
+FROM q LEFT JOIN fc USING ("column")
+"""
 
 
 def benford_test(df: DataFrame, cols: list[str],
@@ -717,15 +804,24 @@ def benford_test(df: DataFrame, cols: list[str],
     # comparison is total on both engines — no struct-comparator
     # portability issues)
     key = F.col("o") * 16 - F.col("digit")
+    # round-then-decimal term fold (theils_u/chi2 discipline): the 9
+    # digit terms sum as DECIMAL so partition/merge order can't move
+    # the double sum — the seam class behind the r6 driver-red chi²
+    # rows.
+    tsum = F.sum(F.round(term, 9).cast("decimal(38,9)"))
+    from dataprofiler_spark.functions.rounding import duckdb_round
     return (j.groupBy("column")
             .agg(F.max("n").alias("n"),
-                 F.round(F.sum(term), round_digits).alias("chi2"),
-                 F.round(F.max(dev), round_digits).alias("max_abs_dev"),
+                 duckdb_round(tsum.cast("double"),
+                              round_digits).alias("chi2"),
+                 duckdb_round(F.max(dev),
+                              round_digits).alias("max_abs_dev"),
                  F.max_by(F.col("digit"), key).alias("top_digit"),
                  F.max_by(F.col("o"), key).alias("__to"))
             .select("column", "n", "chi2", "max_abs_dev", "top_digit",
-                    F.round(F.col("__to").cast("double") / F.col("n"),
-                            round_digits).alias("top_digit_freq"))
+                    duckdb_round(F.col("__to").cast("double")
+                                 / F.col("n"),
+                                 round_digits).alias("top_digit_freq"))
             )
 
 
@@ -742,7 +838,7 @@ def oracle_benford_sql(table: str, cols: list[str],
         s = f"regexp_replace(format('{{:.10f}}', {x}), '[^1-9]', '', 'g')"
         selects.append(f"""
 SELECT '{c}' AS "column", CAST({x} > 0 AS INT) AS used,
-       CASE WHEN {x} > 0 THEN CAST(substr({s}, 1, 1) AS INT) END AS digit
+       CASE WHEN {x} > 0 THEN TRY_CAST(substr({s}, 1, 1) AS INT) END AS digit
 FROM {table}
 WHERE {c} IS NOT NULL""")
     base = "\nUNION ALL\n".join(selects)
@@ -767,8 +863,9 @@ j AS (
   FROM dense c JOIN n_tab USING ("column")
 )
 SELECT "column", CAST(MAX(n) AS BIGINT) AS n,
-       ROUND(SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e),
-             {round_digits}) AS chi2,
+       ROUND(CAST(SUM(CAST(ROUND(
+                 (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+             9) AS DECIMAL(38,9))) AS DOUBLE), {round_digits}) AS chi2,
        ROUND(MAX(ABS(CAST(o AS DOUBLE) / n - e / n)), {round_digits})
          AS max_abs_dev,
        CAST(arg_max(digit, o * 16 - digit) AS INT) AS top_digit,

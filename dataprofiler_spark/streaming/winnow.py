@@ -93,6 +93,16 @@ class StreamingWinnowDup:
                            F.pmod(F.col("fp"),
                                   F.lit(self.n_bands)).cast("int"))
                .persist())
+        # Loud null-after-cast guard (same contract as
+        # embedding_decon.build_benchmark_store): a non-numeric string
+        # id would otherwise silently become NULL and corrupt
+        # flagged-id reporting downstream.
+        if fps.where(F.col("id").isNull()).limit(1).count():
+            fps.unpersist()
+            raise ValueError(
+                f"StreamingWinnowDup: column {self.id_col!r} has values "
+                "that do not cast to BIGINT; map ids to integers first "
+                "(e.g. xxhash64(id))")
         try:
             store = self._read_store(spark)
             flagged: set[int] = set()

@@ -748,12 +748,11 @@ def test_robust_stats_semantics(spark):
     assert rx["n"] == 102
     # q1/q3 of 1..100,±1000 sit near 26/76; fences catch exactly the 2
     assert rx["n_low_outliers"] == 1 and rx["n_high_outliers"] == 1
-    # trimmed mean over the inner 90%: symmetric -> 50.5
-    assert abs(rx["trimmed_mean"] - 50.5) < 0.6
-    # winsorized mean likewise robust: clamping the ±1000 tails pulls it
-    # back to the middle, unlike the raw mean (5050/102 ~ 49.51... but
-    # the estimator lands on 50.5 because the clamped tails offset)
-    assert abs(rx["winsorized_mean"] - 50.5) < 1.5
+    # rank trim drops ⌊102·0.05⌋ = 5 each side → mean(5..96) = 50.5
+    assert abs(rx["trimmed_mean"] - 50.5) < 1e-9
+    # winsorize replaces each tail with its boundary order statistic
+    # (5 and 96): (92·50.5 + 5·5 + 5·96)/102 = 50.5 exactly
+    assert abs(rx["winsorized_mean"] - 50.5) < 1e-9
     ry = out["y"]
     assert ry["n"] == 0 and ry["q1"] is None and ry["trimmed_mean"] is None
     assert ry["n_low_outliers"] == 0 and ry["n_high_outliers"] == 0

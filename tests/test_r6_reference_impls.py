@@ -119,26 +119,30 @@ def test_robust_stats_vs_python(spark, frame):
 
     r = robust_stats(frame, ["v"], trim=0.05).collect()[0]
     vals = sorted(x[3] for x in _rows(99) if x[3] is not None)
+    n = len(vals)
 
     def q(p):
-        # linear interpolation (quantile_cont / Spark percentile rule)
-        i = (len(vals) - 1) * p
+        # linear interpolation (percentile_cont rule, Type-7)
+        i = (n - 1) * p
         lo, hi = int(math.floor(i)), int(math.ceil(i))
         return vals[lo] + (vals[hi] - vals[lo]) * (i - lo)
 
-    q1, q3, lo, hi = q(0.25), q(0.75), q(0.05), q(0.95)
+    q1, q3 = q(0.25), q(0.75)
     assert r["q1"] == pytest.approx(q1, abs=1e-4)
     assert r["iqr"] == pytest.approx(q3 - q1, abs=1e-4)
     fl, fh = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     assert r["n_low_outliers"] == sum(1 for v in vals if v < fl)
     assert r["n_high_outliers"] == sum(1 for v in vals if v > fh)
-    inner = [v for v in vals if lo < v < hi]
+    # rank trim (scipy.stats.trim_mean rule): drop ⌊n·trim⌋ each side
+    lcut = int(math.floor(n * 0.05))
+    inner = vals[lcut:n - lcut]
     assert r["trimmed_mean"] == pytest.approx(
         sum(round(v, 6) for v in inner) / len(inner), abs=1e-4)
-    wins = [round(lo, 6) if v <= lo else round(hi, 6) if v >= hi
-            else round(v, 6) for v in vals]
-    assert r["winsorized_mean"] == pytest.approx(
-        sum(wins) / len(wins), abs=1e-4)
+    # winsorize: tails replaced by the boundary ORDER STATISTICS
+    wins = (sum(round(v, 6) for v in inner)
+            + lcut * round(vals[lcut], 6)
+            + lcut * round(vals[n - lcut - 1], 6))
+    assert r["winsorized_mean"] == pytest.approx(wins / n, abs=1e-4)
 
 
 def test_zipf_slope_vs_numpy(spark):
