@@ -361,19 +361,21 @@ def daily_volume_anomalies(df: DataFrame, ts_col: str = "ts",
     MAD = 0 (all days identical) yields robust_z NULL and no anomalies.
 
     Scale shape: ONE groupBy(day) collapses the table to O(days) rows;
-    the median/MAD pass runs over that tiny frame (exact percentile +
-    broadcast scalar, the median_mad plan) — nothing row-scale ever
+    the median/MAD pass runs over that tiny frame via the counts-CDF
+    (histogram.cdf_quantiles — no native-quantile interpolation seam;
+    see the r7 module note in histogram.py) — nothing row-scale ever
     sorts globally."""
+    from dataprofiler_spark.operators.histogram import cdf_quantiles
+
     days = (df.where(F.col(ts_col).isNotNull())
             .groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
             .agg(F.count(F.lit(1)).alias("n_events")))
-    med = days.agg(
-        F.percentile(F.col("n_events").cast("double"),
-                     F.lit(0.5)).alias("m"))
+    med = cdf_quantiles(days, "n_events", [0.5]).select(
+        F.col("q0").alias("m"))
     j = days.crossJoin(F.broadcast(med))
-    mad = j.agg(F.percentile(
-        F.abs(F.col("n_events").cast("double") - F.col("m")),
-        F.lit(0.5)).alias("mad"), F.first("m").alias("m"))
+    dev = F.abs(F.col("n_events").cast("double") - F.col("m"))
+    mad = (cdf_quantiles(j, dev, [0.5]).select(F.col("q0").alias("mad"))
+           .crossJoin(F.broadcast(med)))
     out = days.crossJoin(F.broadcast(mad))
     rz = F.when(F.col("mad") > 0,
                 F.round(0.6745 * F.abs(F.col("n_events").cast("double")
@@ -387,16 +389,46 @@ def daily_volume_anomalies(df: DataFrame, ts_col: str = "ts",
 def oracle_daily_volume_anomalies_sql(table: str, ts_col: str = "ts",
                                       z: float = 3.5,
                                       round_digits: int = 6) -> str:
+    from dataprofiler_spark.operators.histogram import \
+        oracle_cdf_quantiles_cte
+
+    med_cte = oracle_cdf_quantiles_cte("days", "n_events", [0.5])
     return f"""
 WITH days AS (
   SELECT strftime({ts_col}, '%Y-%m-%d') AS day, COUNT(*) AS n_events
   FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
 ),
-med AS (SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS m FROM days),
+{med_cte},
+med AS (SELECT q0 AS m FROM qs),
+vc_mad AS (
+  SELECT ABS(CAST(n_events AS DOUBLE) - med.m) AS v, COUNT(*) AS cnt
+  FROM days CROSS JOIN med GROUP BY 1
+),
+cdf_mad AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v) AS c_end,
+         SUM(cnt) OVER (ORDER BY v) - cnt AS c_start,
+         SUM(cnt) OVER () AS n
+  FROM vc_mad
+),
+madpick AS (
+  SELECT MAX(n) AS n,
+         MIN(CASE WHEN c_end >= CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 1
+                  AND c_start < CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 1 THEN v END) AS a0,
+         MIN(CASE WHEN c_end >= CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 2
+                  AND c_start < CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 2 THEN v END) AS b0,
+         MAX(CAST(n - 1 AS DOUBLE) * 0.5
+             - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS g0
+  FROM cdf_mad
+),
 mad AS (
-  SELECT quantile_cont(ABS(CAST(n_events AS DOUBLE) - med.m), 0.5) AS mad,
-         MIN(med.m) AS m
-  FROM days CROSS JOIN med
+  SELECT CASE WHEN g0 = 0 THEN a0 ELSE a0 + g0 * (b0 - a0) END AS mad,
+         med.m AS m
+  FROM madpick CROSS JOIN med
 )
 SELECT day, n_events,
        CASE WHEN mad.mad > 0 THEN
@@ -480,9 +512,13 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
     Plan: gaps come from a lag window PARTITIONED BY user (scales with
     user cardinality, the natural key — never a global sort); the fold
     is one aggregate of integer-microsecond decimal sums (engine-exact
-    mean/σ) + one exact percentile. NULL users/timestamps drop;
-    single-event users contribute no gap."""
+    mean/σ) + a counts-CDF exact median (histogram.cdf_quantiles —
+    bounded state and no native-quantile interpolation seam, unlike
+    ``F.percentile`` whose value→count map state is O(distinct gaps),
+    effectively unbounded on microsecond gaps at 100 TB)."""
     from pyspark.sql.window import Window
+
+    from dataprofiler_spark.operators.histogram import cdf_quantiles
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gaps = (df.where(F.col(user_col).isNotNull()
@@ -493,12 +529,13 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
                     .alias("g"))
             .where(F.col("g").isNotNull()))
     d = "decimal(38,0)"
+    med_row = cdf_quantiles(gaps, "g", [0.5]).select(
+        F.col("q0").alias("med"))
     agg = gaps.agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum(F.col("g").cast(d)).alias("s1"),
         F.sum((F.col("g").cast(d) * F.col("g")).cast(d)).alias("s2"),
-        F.percentile(F.col("g").cast("double"),
-                     F.lit(0.5)).alias("med"))
+    ).crossJoin(F.broadcast(med_row))
     n = F.col("n_gaps")
     mu = F.col("s1").cast("double") / n / 1e6
     var = ((n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
@@ -516,6 +553,10 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
 def oracle_interarrival_sql(table: str, user_col: str = "user_id",
                             ts_col: str = "ts",
                             round_digits: int = 6) -> str:
+    from dataprofiler_spark.operators.histogram import \
+        oracle_cdf_quantiles_cte
+
+    med_cte = oracle_cdf_quantiles_cte("gaps", "g", [0.5])
     return f"""
 WITH gaps AS (
   SELECT CAST(epoch_us({ts_col})
@@ -525,11 +566,12 @@ WITH gaps AS (
   FROM {table}
   WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
 ),
+{med_cte},
 agg AS (
   SELECT COUNT(*) AS n,
          SUM(CAST(g AS DECIMAL(38,0))) AS s1,
          SUM(CAST(CAST(g AS DECIMAL(38,0)) * g AS DECIMAL(38,0))) AS s2,
-         quantile_cont(CAST(g AS DOUBLE), 0.5) AS med
+         (SELECT q0 FROM qs) AS med
   FROM gaps WHERE g IS NOT NULL
 )
 SELECT CAST(n AS BIGINT) AS n_gaps,

