@@ -24,7 +24,12 @@ import os
 import sys
 import time
 
-GROUP_ORDER = ["profile", "dedup", "text", "events", "embedding", "labeler"]
+# r7 (VERDICT r6 item 4): the single "embedding" group grew to 14
+# queries in one JVM and its numbers degraded uniformly with zero code
+# change (codegen-cache crowding). Split into similarity / clustering /
+# serving so per-query regression signal returns.
+GROUP_ORDER = ["profile", "dedup", "text", "events", "similarity",
+               "clustering", "serving", "labeler"]
 
 
 def build_runners(spark, sf_dir):
@@ -148,6 +153,31 @@ def build_runners(spark, sf_dir):
                            F.col("o_totalprice").alias("total"))
         skew_join(li, od, "k", hot_threshold=5).count()
     add("profile", "skew_join_lineitem_orders", _skewjoin)
+
+    # skew_join vs AQE head-to-head (VERDICT r6 item 7): ~1/3 of
+    # lineitem rows collapse onto ONE synthetic mega-key; the identical
+    # join runs once through skew_join (hot side broadcast, hot rows
+    # never shuffle) and once as a plain shuffle join under AQE's
+    # skewJoin splitting. The ratio is the operator's reason to exist.
+    def _mega_inputs():
+        li = lineitem.select(
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit(1).cast("long"))
+             .otherwise(F.col("l_orderkey")).alias("k"),
+            F.col("l_quantity").alias("qty"))
+        od = orders.select(F.col("o_orderkey").alias("k"),
+                           F.col("o_totalprice").alias("total"))
+        return li, od
+
+    def _skew_mega():
+        from dataprofiler_spark.operators.skew import skew_join
+        li, od = _mega_inputs()
+        skew_join(li, od, "k", hot_threshold=50_000).count()
+    add("profile", "skew_join_megakey", _skew_mega)
+
+    def _plain_mega():
+        li, od = _mega_inputs()
+        li.join(od, "k").count()
+    add("profile", "plain_join_aqe_megakey", _plain_mega)
     add("profile", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
@@ -269,47 +299,49 @@ def build_runners(spark, sf_dir):
         dr.welch_t(a, b, "o_totalprice").collect()
     add("events", "drift_orders", _drift)
 
-    # ---- embedding group ----
-    add("embedding", "cosine_topk_embeddings",
+    # ---- similarity group ----
+    add("similarity", "cosine_topk_embeddings",
         lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0,
                                 10).collect())
-    add("embedding", "embedding_decontaminate_embeddings",
+    add("similarity", "embedding_decontaminate_embeddings",
         lambda: sim.embedding_decontaminate(
             embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
             "vec_id", "embedding", threshold=0.8).count())
-    add("embedding", "embedding_decontaminate_bucketed",
+    add("similarity", "embedding_decontaminate_bucketed",
         lambda: sim.embedding_decontaminate_bucketed(
             embeddings, embeddings.where(F.col("vec_id") % 37 == 0),
             "vec_id", "embedding", threshold=0.8,
             bands=4, planes_per_band=4).count())
-    add("embedding", "embedding_neardup_pairs",
+    add("similarity", "embedding_neardup_pairs",
         lambda: sim.embedding_neardup_pairs(
             embeddings, "vec_id", "embedding", threshold=0.5,
             bands=4, planes_per_band=4, max_bucket_size=100).count())
-    add("embedding", "kmeans_embeddings",
-        lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
-                                   k=4, iters=2).count())
-    add("embedding", "ivf_topk_embeddings",
-        lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
-                                  k_clusters=8, iters=2, nprobe=2,
-                                  n_queries=5, k=5).collect())
-    add("embedding", "ivf_recall_embeddings",
-        lambda: clus.ivf_recall(embeddings, "vec_id", "embedding",
-                                k_clusters=8, iters=2, nprobe=2,
-                                n_queries=5, k=5).collect())
-    add("embedding", "ivf_pq_topk_embeddings",
-        lambda: clus.ivf_pq_topk(embeddings, "vec_id", "embedding",
-                                 k_clusters=4, iters=1, m=4, k_codes=4,
-                                 pq_iters=1, nprobe=2, n_queries=5,
-                                 k=5, dim=64).collect())
-    add("embedding", "pq_audit_embeddings",
-        lambda: clus.pq_audit(embeddings, "vec_id", "embedding", m=4,
-                              k_codes=4, iters=1, dim=64).collect())
 
     def _cov():
         from dataprofiler_spark.operators import vectorstats as vs
         vs.embedding_covariance(embeddings, "embedding").count()
-    add("embedding", "embedding_covariance", _cov)
+    add("similarity", "embedding_covariance", _cov)
+
+    # ---- clustering group ----
+    add("clustering", "kmeans_embeddings",
+        lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
+                                   k=4, iters=2).count())
+    add("clustering", "ivf_topk_embeddings",
+        lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
+                                  k_clusters=8, iters=2, nprobe=2,
+                                  n_queries=5, k=5).collect())
+    add("clustering", "ivf_recall_embeddings",
+        lambda: clus.ivf_recall(embeddings, "vec_id", "embedding",
+                                k_clusters=8, iters=2, nprobe=2,
+                                n_queries=5, k=5).collect())
+    add("clustering", "ivf_pq_topk_embeddings",
+        lambda: clus.ivf_pq_topk(embeddings, "vec_id", "embedding",
+                                 k_clusters=4, iters=1, m=4, k_codes=4,
+                                 pq_iters=1, nprobe=2, n_queries=5,
+                                 k=5, dim=64).collect())
+    add("clustering", "pq_audit_embeddings",
+        lambda: clus.pq_audit(embeddings, "vec_id", "embedding", m=4,
+                              k_codes=4, iters=1, dim=64).collect())
 
     # Persisted-index serving cost (VERDICT r5 item 6): the codes-only
     # ADC path vs the raw-vector path against the SAME index, so
@@ -337,14 +369,14 @@ def build_runners(spark, sf_dir):
         ai.ivf_query_adc(spark, _ann["path"], _ann["q"], k=10,
                          nprobe=2).collect()
     _adc.setup = _ann_setup
-    add("embedding", "ivf_query_adc_embeddings", _adc)
+    add("serving", "ivf_query_adc_embeddings", _adc)
 
     def _raw():
         from dataprofiler_spark.operators import ann_index as ai
         ai.ivf_query(spark, _ann["path"], _ann["q"], k=10,
                      nprobe=2).collect()
     _raw.setup = _ann_setup
-    add("embedding", "ivf_query_raw_embeddings", _raw)
+    add("serving", "ivf_query_raw_embeddings", _raw)
 
     # ---- labeler group ----
     def _trainable_fit():

@@ -179,7 +179,15 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
           .where(F.col("__c") > hot_threshold)
           .where(F.col(key).isNotNull())
           .select(key))
-    n_hot = hk.limit(max_hot_keys + 1).count()
+    # Materialize the hot-key frame ONCE: it is referenced by four
+    # joins below, and without this each reference re-runs the full
+    # groupBy over `left` (measured 4.99 s vs 1.5 s for the plain join
+    # on the sf0.1 mega-key bench before this checkpoint). LIMIT first
+    # so a uniform key space (the fallback case) never materializes an
+    # unbounded frame; when the guard passes, the limited frame holds
+    # ALL hot keys.
+    hk = hk.limit(max_hot_keys + 1).localCheckpoint(eager=True)
+    n_hot = hk.count()
     if n_hot == 0:
         return left.join(right, key, how)
     if n_hot > max_hot_keys:
