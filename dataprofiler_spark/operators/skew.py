@@ -170,7 +170,14 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
     key space isn't "a few mega-keys" — it's a uniform-ish
     distribution where the split buys nothing and the broadcast grows
     unbounded; fall back to the plain join (AQE handles partition-level
-    imbalance) with a log note."""
+    imbalance) with a log note.
+
+    WHEN TO USE (measured, SCALE.md §30): at small scale the plain AQE
+    join WINS (0.4 s vs 1.4 s on the sf0.1 mega-key bench) — the split's
+    ~4 extra small jobs outweigh a hot partition one reducer absorbs
+    easily. Reach for skew_join only when key_skew_stats shows a top
+    key larger than ~1 executor-partition of rows AND the hot keys'
+    right side fits a broadcast; otherwise let AQE handle it."""
     import logging
 
     if how not in ("inner", "left"):
