@@ -277,16 +277,21 @@ def mutual_info_pair(df: DataFrame, col_a: str, col_b: str,
     cb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
     joint = (ct.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
              .crossJoin(F.broadcast(n_row)))
+    # round-then-decimal fold (theils_u discipline, r7): the grid is
+    # vocabulary-sized — a plain double sum over it is partition-order
+    # dependent, the exact seam class of the r6 chi²-family reds.
+    d12 = "decimal(38,12)"
     p = F.col("o").cast("double") / F.col("n")
-    mi_row = joint.agg(F.sum(
-        p * F.log(F.col("o").cast("double") * F.col("n")
-                  / (F.col("ra").cast("double") * F.col("cb"))))
-        .alias("mi"))
+    mi_term = p * F.log(F.col("o").cast("double") * F.col("n")
+                        / (F.col("ra").cast("double") * F.col("cb")))
+    mi_row = joint.agg(
+        F.sum(F.round(mi_term, 12).cast(d12)).cast("double").alias("mi"))
 
     def entropy(marg, cnt):
         q = F.col(cnt).cast("double") / F.col("n")
         return (marg.crossJoin(F.broadcast(n_row))
-                .agg((-F.sum(q * F.log(q))).alias(f"h_{cnt}")))
+                .agg((-F.sum(F.round(q * F.log(q), 12).cast(d12))
+                      .cast("double")).alias(f"h_{cnt}")))
 
     out = (mi_row.crossJoin(F.broadcast(entropy(ra, "ra")))
            .crossJoin(F.broadcast(entropy(cb, "cb"))))
@@ -311,14 +316,17 @@ tot AS (SELECT SUM(o) AS n FROM ct),
 ra AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
 cb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
 mi AS (
-  SELECT SUM((CAST(o AS DOUBLE) / n)
+  SELECT CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) / n)
              * LN(CAST(o AS DOUBLE) * n
-                  / (CAST(ra.ra AS DOUBLE) * cb.cb))) AS mi
+                  / (CAST(ra.ra AS DOUBLE) * cb.cb)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) AS mi
   FROM ct JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
 ),
-ha AS (SELECT -SUM((CAST(ra AS DOUBLE) / n) * LN(CAST(ra AS DOUBLE) / n))
+ha AS (SELECT -CAST(SUM(CAST(ROUND((CAST(ra AS DOUBLE) / n)
+         * LN(CAST(ra AS DOUBLE) / n), 12) AS DECIMAL(38,12))) AS DOUBLE)
          AS h_ra FROM ra CROSS JOIN tot),
-hb AS (SELECT -SUM((CAST(cb AS DOUBLE) / n) * LN(CAST(cb AS DOUBLE) / n))
+hb AS (SELECT -CAST(SUM(CAST(ROUND((CAST(cb AS DOUBLE) / n)
+         * LN(CAST(cb AS DOUBLE) / n), 12) AS DECIMAL(38,12))) AS DOUBLE)
          AS h_cb FROM cb CROSS JOIN tot)
 SELECT '{col_a}' AS col1, '{col_b}' AS col2,
        ROUND(mi, {round_digits}) AS mi,

@@ -97,8 +97,12 @@ def chi2_homogeneity(df_a: DataFrame, df_b: DataFrame, col: str,
     eb = F.col("nb") * col_tot / total
     term = ((F.col("cnt_a") - ea) * (F.col("cnt_a") - ea) / ea
             + (F.col("cnt_b") - eb) * (F.col("cnt_b") - eb) / eb)
+    # round-then-decimal fold + DuckDB-procedure rounding (r7): same
+    # chi²-family discipline as correlation.chi2_matrix_pair.
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    tsum = F.sum(F.round(term, 9).cast("decimal(38,9)"))
     return counts.agg(
-        F.round(F.sum(term), round_digits).alias("chi2"),
+        duckdb_round(tsum.cast("double"), round_digits).alias("chi2"),
         (F.max("k") - 1).alias("dof"),
     )
 
@@ -114,14 +118,14 @@ j AS (SELECT COALESCE(a.value, b.value) AS value,
              COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
       FROM a FULL OUTER JOIN b ON a.value = b.value),
 tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS k FROM j)
-SELECT ROUND(SUM(
+SELECT ROUND(CAST(SUM(CAST(ROUND(
          (cnt_a - (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
          * (cnt_a - (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
          / (na * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb))
          + (cnt_b - (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
          * (cnt_b - (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb)))
          / (nb * CAST(cnt_a + cnt_b AS DOUBLE) / (na + nb))
-       ), {round_digits}) AS chi2,
+       , 9) AS DECIMAL(38,9))) AS DOUBLE), {round_digits}) AS chi2,
        MAX(k) - 1 AS dof
 FROM j, tot
 """
