@@ -775,3 +775,120 @@ SELECT '{col_a}' AS col1, '{col_b}' AS col2,
              {round_digits}) AS u_ba
 FROM n_row CROSS JOIN ra CROSS JOIN cb CROSS JOIN jj
 """
+
+
+def kendall_tau_b(df: DataFrame, col_a: str, col_b: str,
+                  max_cells: int = 2000,
+                  round_digits: int = 6) -> DataFrame:
+    """(col1, col2, n, concordant, discordant, tau_b): Kendall's tau-b
+    rank correlation with tie correction (scipy.stats.kendalltau
+    semantics) — the rank-association measure that, unlike Spearman,
+    stays well-defined and interpretable under HEAVY ties (low-cardinality
+    numeric columns like quantities, ratings, bucketed scores, where
+    Spearman's average-rank machinery washes out). Rows where either
+    column is NULL drop. tau_b = (C − D) / sqrt((n0−n1)(n0−n2)),
+    n0 = n(n−1)/2, n1/n2 = tied-pair counts per side. Either column
+    constant → tau_b NULL.
+
+    Plan: ONE groupBy onto the (va, vb) joint grid (k_a·k_b cells),
+    then a cell-level self-join on va1 < va2 — O(cells²) CELL pairs,
+    never row pairs; concordant/discordant counts are integer products
+    o1·o2 summed as DECIMAL (order-independent). A probe REFUSES more
+    than ``max_cells`` cells (cells² work — for genuinely continuous
+    columns pre-bucket or sample first; the operator's home turf is
+    tied/discrete data where cells ≪ rows). All arithmetic integer
+    until the single final division, mirrored verbatim in the oracle."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    ct = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(F.col(col_a).cast("double").alias("va"),
+                   F.col(col_b).cast("double").alias("vb"))
+          .agg(F.count(F.lit(1)).alias("o")))
+    # materialize once (probe + 4 downstream references); LIMIT first so
+    # a continuous column never checkpoints an unbounded frame
+    ct = ct.limit(max_cells + 1).localCheckpoint(eager=True)
+    n_cells = ct.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: joint grid exceeds max_cells={max_cells} "
+            f"cells — the O(cells^2) pair fold would blow up. Bucket or "
+            f"sample the continuous column first, or raise max_cells "
+            f"explicitly.")
+    d = "decimal(38,0)"
+    c1, c2 = ct.alias("c1"), ct.alias("c2")
+    prod = (F.col("c1.o").cast(d) * F.col("c2.o")).cast(d)
+    cd = (c1.join(c2, F.col("c1.va") < F.col("c2.va"))
+          .agg(F.coalesce(F.sum(F.when(F.col("c1.vb") < F.col("c2.vb"),
+                                       prod)), F.lit(0).cast(d))
+               .alias("C"),
+               F.coalesce(F.sum(F.when(F.col("c1.vb") > F.col("c2.vb"),
+                                       prod)), F.lit(0).cast(d))
+               .alias("D")))
+    def tied(key, out):
+        return (ct.groupBy(key).agg(F.sum("o").alias("t"))
+                .agg(F.coalesce(
+                    F.sum((F.col("t").cast(d)
+                           * (F.col("t") - 1)).cast(d)),
+                    F.lit(0).cast(d)).alias(out)))
+
+    ta = tied("va", "tta")
+    tb = tied("vb", "ttb")
+    n_row = ct.agg(F.sum("o").cast("long").alias("n"))
+    j = (n_row.crossJoin(F.broadcast(cd))
+         .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb)))
+    n = F.col("n")
+    # doubled denominators avoid the /2s: (n0−n1)(n0−n2) = d2a·d2b/4,
+    # so tau = 2(C−D)/sqrt(d2a·d2b) — one sqrt over one double product
+    d2a = (n.cast(d) * (n - 1) - F.col("tta")).cast("double")
+    d2b = (n.cast(d) * (n - 1) - F.col("ttb")).cast("double")
+    tau = F.when(
+        (d2a > 0) & (d2b > 0),
+        2.0 * (F.col("C") - F.col("D")).cast("double")
+        / F.sqrt(d2a * d2b))
+    return j.select(
+        F.lit(col_a).alias("col1"), F.lit(col_b).alias("col2"),
+        n,
+        F.col("C").cast("long").alias("concordant"),
+        F.col("D").cast("long").alias("discordant"),
+        duckdb_round(tau, round_digits).alias("tau_b"))
+
+
+def oracle_kendall_tau_b_sql(table: str, col_a: str, col_b: str,
+                             round_digits: int = 6) -> str:
+    return f"""
+WITH ct AS (
+  SELECT CAST({col_a} AS DOUBLE) AS va, CAST({col_b} AS DOUBLE) AS vb,
+         COUNT(*) AS o
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT COALESCE(SUM(CASE WHEN c1.vb < c2.vb THEN
+           CAST(CAST(c1.o AS DECIMAL(38,0)) * c2.o AS DECIMAL(38,0))
+         END), 0) AS C,
+         COALESCE(SUM(CASE WHEN c1.vb > c2.vb THEN
+           CAST(CAST(c1.o AS DECIMAL(38,0)) * c2.o AS DECIMAL(38,0))
+         END), 0) AS D
+  FROM ct c1 JOIN ct c2 ON c1.va < c2.va
+),
+ta AS (SELECT COALESCE(SUM(CAST(CAST(t AS DECIMAL(38,0)) * (t - 1)
+         AS DECIMAL(38,0))), 0) AS tta
+       FROM (SELECT SUM(o) AS t FROM ct GROUP BY va)),
+tb AS (SELECT COALESCE(SUM(CAST(CAST(t AS DECIMAL(38,0)) * (t - 1)
+         AS DECIMAL(38,0))), 0) AS ttb
+       FROM (SELECT SUM(o) AS t FROM ct GROUP BY vb)),
+n_row AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct)
+SELECT '{col_a}' AS col1, '{col_b}' AS col2, n,
+       CAST(C AS BIGINT) AS concordant,
+       CAST(D AS BIGINT) AS discordant,
+       ROUND(CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - tta
+                         AS DOUBLE) > 0
+                   AND CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - ttb
+                         AS DOUBLE) > 0 THEN
+         2.0 * CAST(C - D AS DOUBLE)
+         / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - tta AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - ttb
+                       AS DOUBLE)) END, {round_digits}) AS tau_b
+FROM n_row CROSS JOIN cd CROSS JOIN ta CROSS JOIN tb
+"""

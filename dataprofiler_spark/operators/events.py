@@ -590,3 +590,153 @@ SELECT CAST(n AS BIGINT) AS n_gaps,
          AS burstiness
 FROM agg
 """
+
+
+def markov_transitions(df: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       round_digits: int = 6) -> DataFrame:
+    """(from_type, to_type, n_trans, prob): first-order Markov
+    transition matrix over per-user event sequences — P(next | current)
+    row-normalized over each from_type's out-degree. The behavioral
+    fingerprint funnels can't see: funnels test ONE hypothesized path,
+    the transition matrix surfaces every path and its weight (bot
+    loops, rage-click cycles, unexpected back-edges). Rows with NULL
+    user/type/ts drop; single-event users contribute no transition.
+
+    Determinism under timestamp ties: the sequence orders by
+    (ts, type) — two different types at the identical timestamp always
+    order lexicographically, identically in both engines; identical
+    (ts, type) duplicates are order-insensitive by construction.
+
+    Plan: ONE lag window PARTITIONED BY user (scales with user
+    cardinality, never a global sort) → ONE groupBy over the k² type
+    pairs → tiny out-degree rollup joined back broadcast."""
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    pairs = (df.where(F.col(user_col).isNotNull()
+                      & F.col(type_col).isNotNull()
+                      & F.col(ts_col).isNotNull())
+             .select(F.lag(F.col(type_col)).over(w).alias("from_type"),
+                     F.col(type_col).alias("to_type"))
+             .where(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n_trans")))
+    outdeg = counts.groupBy("from_type").agg(
+        F.sum("n_trans").alias("__tot"))
+    return (counts.join(F.broadcast(outdeg), "from_type")
+            .select("from_type", "to_type", "n_trans",
+                    duckdb_round(F.col("n_trans").cast("double")
+                                 / F.col("__tot"),
+                                 round_digits).alias("prob")))
+
+
+def oracle_markov_transitions_sql(table: str, user_col: str = "user_id",
+                                  type_col: str = "event_type",
+                                  ts_col: str = "ts",
+                                  round_digits: int = 6) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT LAG({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {type_col})
+           AS from_type,
+         {type_col} AS to_type
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {type_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (SELECT from_type, SUM(n_trans) AS tot FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n_trans AS BIGINT) AS n_trans,
+       ROUND(CAST(c.n_trans AS DOUBLE) / o.tot, {round_digits}) AS prob
+FROM counts c JOIN outdeg o USING (from_type)
+"""
+
+
+def calendar_gaps(df: DataFrame, ts_col: str = "ts",
+                  group_col: str | None = None) -> DataFrame:
+    """(group, n_days_present, n_days_expected, n_days_missing,
+    first_missing_day, last_missing_day): per-group calendar coverage —
+    which days between each group's first and last event have ZERO
+    events. The ingest-health check a daily rollup hides (a missing day
+    simply isn't a row there). group_col None profiles the whole table
+    as one '(all)' group; NULL group values report as '(null)'. A gap-
+    free group reports 0 missing and NULL first/last day.
+
+    Plan: ONE groupBy(group, day) collapses rows to O(groups × days);
+    gaps come from a lag window per group over those day rows (exact
+    integer date arithmetic — no floats anywhere); one final
+    groupBy(group). Nothing row-scale sorts."""
+    g = (F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+         if group_col else F.lit("(all)"))
+    days = (df.where(F.col(ts_col).isNotNull())
+            .groupBy(g.alias("group"),
+                     F.to_date(ts_col).alias("day"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group").orderBy("day")
+    lagged = days.select(
+        "group", "day", F.lag("day").over(w).alias("prev"))
+    gap = F.col("prev").isNotNull() & (
+        F.datediff(F.col("day"), F.col("prev")) > 1)
+    out = (lagged.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_days_present"),
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .alias("n_days_expected"),
+        F.min(F.when(gap, F.date_add(F.col("prev"), 1)))
+        .alias("__first_missing"),
+        F.max(F.when(gap, F.date_sub(F.col("day"), 1)))
+        .alias("__last_missing")))
+    return out.select(
+        "group", "n_days_present",
+        F.col("n_days_expected").cast("long").alias("n_days_expected"),
+        (F.col("n_days_expected") - F.col("n_days_present"))
+        .cast("long").alias("n_days_missing"),
+        F.date_format("__first_missing", "yyyy-MM-dd")
+        .alias("first_missing_day"),
+        F.date_format("__last_missing", "yyyy-MM-dd")
+        .alias("last_missing_day"))
+
+
+def oracle_calendar_gaps_sql(table: str, ts_col: str = "ts",
+                             group_col: str | None = None) -> str:
+    g = (f"COALESCE(CAST({group_col} AS VARCHAR), '(null)')"
+         if group_col else "'(all)'")
+    return f"""
+WITH days AS (
+  SELECT {g} AS grp, CAST({ts_col} AS DATE) AS day, COUNT(*) AS c
+  FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT grp, day,
+         LAG(day) OVER (PARTITION BY grp ORDER BY day) AS prev
+  FROM days
+),
+agg AS (
+  SELECT grp,
+         COUNT(*) AS n_days_present,
+         date_diff('day', MIN(day), MAX(day)) + 1 AS n_days_expected,
+         MIN(CASE WHEN prev IS NOT NULL
+                   AND date_diff('day', prev, day) > 1
+                  THEN prev + INTERVAL 1 DAY END) AS first_missing,
+         MAX(CASE WHEN prev IS NOT NULL
+                   AND date_diff('day', prev, day) > 1
+                  THEN day - INTERVAL 1 DAY END) AS last_missing
+  FROM lagged GROUP BY 1
+)
+SELECT grp AS "group",
+       CAST(n_days_present AS BIGINT) AS n_days_present,
+       CAST(n_days_expected AS BIGINT) AS n_days_expected,
+       CAST(n_days_expected - n_days_present AS BIGINT)
+         AS n_days_missing,
+       strftime(first_missing, '%Y-%m-%d') AS first_missing_day,
+       strftime(last_missing, '%Y-%m-%d') AS last_missing_day
+FROM agg
+"""

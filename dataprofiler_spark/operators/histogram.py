@@ -498,3 +498,111 @@ SELECT "group", bucket,
              {round_digits}) AS share
 FROM c
 """
+
+
+def decile_stats(df: DataFrame, col: str, n_buckets: int = 10,
+                 round_digits: int = 6) -> DataFrame:
+    """(bucket, n, lo, hi, mean): equal-FREQUENCY binning (deciles by
+    default) with per-bucket stats — the feature-binning / monotonicity
+    screen an ML pipeline runs before WoE encoding or calibration
+    curves. Bucket d holds ranks ((d−1)·n div nb, d·n div nb] of the
+    sorted non-NULL values — pure integer rank arithmetic on the
+    counts-CDF, so ties never split nondeterministically the way
+    ``ntile`` splits them (ntile breaks ties by physical row order —
+    unreproducible across engines AND across runs). lo/hi are the
+    boundary ORDER STATISTICS of each bucket; mean is the exact
+    rank-interval mean (decimal sums of 6-dp-rounded values).
+
+    Plan: the counts-CDF shape (see the r7 module note): one
+    groupBy(value) + one spillable ordered window + one wide agg.
+    Empty/all-NULL input yields n=0 buckets with NULL stats."""
+    from pyspark.sql.window import Window
+
+    x = F.col(col).cast("double")
+    vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    owin = Window.orderBy("v")
+    twin = Window.partitionBy(F.lit(1))
+    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
+           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+           .withColumn("n", F.sum("cnt").over(twin)))
+    dv = F.round(F.col("v"), 6).cast("decimal(38,6)")
+    aggs = [F.max("n").alias("__n")]
+    for dd in range(1, n_buckets + 1):
+        lo_r = F.expr(f"(n * {dd - 1}) div {n_buckets}")
+        hi_r = F.expr(f"(n * {dd}) div {n_buckets}")
+        take = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("c_end"), hi_r)
+            - F.greatest(F.col("c_start") + 1, lo_r + 1) + F.lit(1))
+        aggs += [
+            F.min(F.when((F.col("c_end") >= lo_r + 1)
+                         & (F.col("c_start") < lo_r + 1),
+                         F.col("v"))).alias(f"__lo{dd}"),
+            F.min(F.when((F.col("c_end") >= hi_r)
+                         & (F.col("c_start") < hi_r),
+                         F.col("v"))).alias(f"__hi{dd}"),
+            F.sum(dv * take).alias(f"__s{dd}"),
+            F.sum(take).alias(f"__c{dd}"),
+        ]
+    row = cdf.agg(*aggs)
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    structs = []
+    for dd in range(1, n_buckets + 1):
+        cnt = F.coalesce(F.col(f"__c{dd}"), F.lit(0)).cast("long")
+        structs.append(F.struct(
+            F.lit(dd).alias("bucket"),
+            cnt.alias("n"),
+            duckdb_round(F.col(f"__lo{dd}"), round_digits).alias("lo"),
+            duckdb_round(F.col(f"__hi{dd}"), round_digits).alias("hi"),
+            duckdb_round(F.col(f"__s{dd}").cast("double")
+                         / F.nullif(cnt, F.lit(0)),
+                         round_digits).alias("mean")))
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+
+
+def oracle_decile_stats_sql(table: str, col: str, n_buckets: int = 10,
+                            round_digits: int = 6) -> str:
+    picks = []
+    for dd in range(1, n_buckets + 1):
+        lo_r = f"((n * {dd - 1}) // {n_buckets})"
+        hi_r = f"((n * {dd}) // {n_buckets})"
+        take = (f"GREATEST(0, LEAST(c_end, {hi_r})"
+                f" - GREATEST(c_start + 1, {lo_r} + 1) + 1)")
+        picks.append(
+            f"MIN(CASE WHEN c_end >= {lo_r} + 1 AND c_start < {lo_r} + 1"
+            f" THEN v END) AS lo{dd},\n"
+            f"         MIN(CASE WHEN c_end >= {hi_r} AND c_start < {hi_r}"
+            f" THEN v END) AS hi{dd},\n"
+            f"         SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)) * {take})"
+            f" AS s{dd},\n"
+            f"         SUM({take}) AS c{dd}")
+    picks_sql = ",\n         ".join(picks)
+    outs = "\nUNION ALL\n".join(
+        f"SELECT {dd} AS bucket,"
+        f" CAST(COALESCE(c{dd}, 0) AS BIGINT) AS n,"
+        f" ROUND(lo{dd}, {round_digits}) AS lo,"
+        f" ROUND(hi{dd}, {round_digits}) AS hi,"
+        f" ROUND(CAST(s{dd} AS DOUBLE) / NULLIF(c{dd}, 0),"
+        f" {round_digits}) AS mean FROM pick"
+        for dd in range(1, n_buckets + 1))
+    return f"""
+WITH vc AS (
+  SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cnt
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+),
+cdf AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v) AS c_end,
+         SUM(cnt) OVER (ORDER BY v) - cnt AS c_start,
+         SUM(cnt) OVER () AS n
+  FROM vc
+),
+pick AS (
+  SELECT MAX(n) AS n,
+         {picks_sql}
+  FROM cdf
+)
+{outs}
+"""

@@ -419,3 +419,82 @@ SELECT da.col_a, db.col_b,
 FROM da CROSS JOIN db
 LEFT JOIN inter i ON i.col_a = da.col_a AND i.col_b = db.col_b
 """
+
+
+def woe_iv(df: "DataFrame", feature_col: str, label_col: str,
+           round_digits: int = 6) -> "DataFrame":
+    """(category, n, n_pos, n_neg, woe, iv_contrib): weight-of-evidence
+    encoding + information-value contribution of a categorical feature
+    against a binary outcome — the classic credit-scoring / feature-
+    screening measure (IV = Σ contribs; < 0.02 useless, > 0.5 suspect
+    leakage). 0.5-Laplace smoothing on BOTH class shares keeps WoE
+    finite for pure categories: ps = (n_pos + 0.5) / (P + 0.5k),
+    ns likewise, woe = ln(ps/ns), contrib = (ps − ns)·woe. NULL feature
+    values are their own '(null)' category (missingness is predictive);
+    rows with NULL label drop.
+
+    Plan: ONE groupBy(category) of integer counts + a broadcast 1-row
+    totals join — scan-bound at any scale; every division is mirrored
+    verbatim in the oracle."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    y = F.col(label_col).cast("boolean")
+    cat = F.coalesce(F.col(feature_col).cast("string"), F.lit("(null)"))
+    base = (df.where(y.isNotNull())
+            .select(cat.alias("category"), y.alias("y")))
+    counts = base.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"))
+    tot = counts.agg(F.sum("n_pos").alias("tot_pos"),
+                     F.sum(F.col("n") - F.col("n_pos")).alias("tot_neg"),
+                     F.count(F.lit(1)).alias("k"))
+    j = counts.crossJoin(F.broadcast(tot))
+    ps = ((F.col("n_pos").cast("double") + 0.5)
+          / (F.col("tot_pos").cast("double") + 0.5 * F.col("k")))
+    ns = (((F.col("n") - F.col("n_pos")).cast("double") + 0.5)
+          / (F.col("tot_neg").cast("double") + 0.5 * F.col("k")))
+    woe = F.log(ps / ns)
+    return j.select(
+        "category", "n", "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        duckdb_round(woe, round_digits).alias("woe"),
+        duckdb_round((ps - ns) * woe, round_digits).alias("iv_contrib"))
+
+
+def oracle_woe_iv_sql(table: str, feature_expr: str, label_expr: str,
+                      round_digits: int = 6) -> str:
+    return f"""
+WITH base AS (
+  SELECT COALESCE(CAST({feature_expr} AS VARCHAR), '(null)') AS category,
+         CAST({label_expr} AS BOOLEAN) AS y
+  FROM {table}
+  WHERE ({label_expr}) IS NOT NULL
+),
+counts AS (
+  SELECT category, COUNT(*) AS n,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+  FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(n_pos) AS tot_pos, SUM(n - n_pos) AS tot_neg,
+               COUNT(*) AS k
+        FROM counts)
+SELECT category, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       ROUND(LN(((CAST(n_pos AS DOUBLE) + 0.5)
+                 / (CAST(tot_pos AS DOUBLE) + 0.5 * k))
+                / ((CAST(n - n_pos AS DOUBLE) + 0.5)
+                   / (CAST(tot_neg AS DOUBLE) + 0.5 * k))), {round_digits})
+         AS woe,
+       ROUND((((CAST(n_pos AS DOUBLE) + 0.5)
+               / (CAST(tot_pos AS DOUBLE) + 0.5 * k))
+              - ((CAST(n - n_pos AS DOUBLE) + 0.5)
+                 / (CAST(tot_neg AS DOUBLE) + 0.5 * k)))
+             * LN(((CAST(n_pos AS DOUBLE) + 0.5)
+                   / (CAST(tot_pos AS DOUBLE) + 0.5 * k))
+                  / ((CAST(n - n_pos AS DOUBLE) + 0.5)
+                     / (CAST(tot_neg AS DOUBLE) + 0.5 * k))), {round_digits})
+         AS iv_contrib
+FROM counts CROSS JOIN tot
+"""

@@ -1,0 +1,191 @@
+"""Round-7 operators vs INDEPENDENT pure-Python reference
+implementations on seeded random data — the third opinion besides the
+DuckDB oracle (which shares the formulation; a shared-formulation bug
+passes parity but not a from-scratch Python fold). Pattern proven in r6:
+it caught the Benford dense-grid bug on day one.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+
+def _num_rows(seed, n=500):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        a = rng.choice([None] + list(range(1, 13)))
+        b = rng.choice([None, 0.0, 1.5, 2.5, 7.0, 9.0])
+        v = rng.choice([None, 0.0, round(rng.uniform(-40, 900), 2)])
+        out.append((i, a, b, v))
+    return out
+
+
+@pytest.fixture(scope="module")
+def nframe(spark):
+    return spark.createDataFrame(
+        _num_rows(7), "id long, a int, b double, v double")
+
+
+def _event_rows(seed, n=600):
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    out = []
+    for i in range(n):
+        u = rng.randrange(40)
+        ts = base + datetime.timedelta(
+            days=rng.randrange(25), seconds=rng.randrange(86400))
+        et = rng.choice(["view", "click", "purchase", "refund"])
+        out.append((u, ts, et))
+    return out
+
+
+@pytest.fixture(scope="module")
+def eframe(spark):
+    return spark.createDataFrame(
+        _event_rows(11), "user_id long, ts timestamp, event_type string")
+
+
+def test_kendall_tau_b_vs_scipy_formula(spark, nframe):
+    from dataprofiler_spark.operators.correlation import kendall_tau_b
+
+    r = kendall_tau_b(nframe, "a", "b").collect()[0]
+    rows = [(x[1], float(x[2])) for x in _num_rows(7)
+            if x[1] is not None and x[2] is not None]
+    n = len(rows)
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            da = rows[i][0] - rows[j][0]
+            db = rows[i][1] - rows[j][1]
+            s = da * db
+            if s > 0:
+                C += 1
+            elif s < 0:
+                D += 1
+    n0 = n * (n - 1) // 2
+    ta = Counter(a for a, _ in rows)
+    tb = Counter(b for _, b in rows)
+    n1 = sum(t * (t - 1) // 2 for t in ta.values())
+    n2 = sum(t * (t - 1) // 2 for t in tb.values())
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert r["n"] == n
+    assert r["concordant"] == C and r["discordant"] == D
+    assert r["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_tau_b_perfect_orderings(spark):
+    from dataprofiler_spark.operators.correlation import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(30)],
+        "x int, y double, z double")
+    up = kendall_tau_b(df, "x", "y").collect()[0]
+    dn = kendall_tau_b(df, "x", "z").collect()[0]
+    assert up["tau_b"] == pytest.approx(1.0)
+    assert dn["tau_b"] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_b_cell_gate(spark):
+    from dataprofiler_spark.operators.correlation import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 7 % 101)) for i in range(200)],
+        "x double, y double")
+    with pytest.raises(ValueError, match="cells"):
+        kendall_tau_b(df, "x", "y", max_cells=50).collect()
+
+
+def test_markov_transitions_vs_python(spark, eframe):
+    from dataprofiler_spark.operators.events import markov_transitions
+
+    got = {(r["from_type"], r["to_type"]): r for r in
+           markov_transitions(eframe).collect()}
+    seqs = defaultdict(list)
+    for u, ts, et in _event_rows(11):
+        seqs[u].append((ts, et))
+    trans = Counter()
+    for u, evs in seqs.items():
+        evs.sort()  # (ts, type) — the documented deterministic order
+        for (_ta, a), (_tb, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    outdeg = Counter()
+    for (a, _), c in trans.items():
+        outdeg[a] += c
+    assert set(got) == set(trans)
+    for k, c in trans.items():
+        assert got[k]["n_trans"] == c
+        assert got[k]["prob"] == pytest.approx(c / outdeg[k[0]], abs=1e-6)
+
+
+def test_calendar_gaps_vs_python(spark, eframe):
+    from dataprofiler_spark.operators.events import calendar_gaps
+
+    got = {r["group"]: r for r in
+           calendar_gaps(eframe, group_col="event_type").collect()}
+    per = defaultdict(set)
+    for u, ts, et in _event_rows(11):
+        per[et].add(ts.date())
+    for et, days in per.items():
+        lo, hi = min(days), max(days)
+        expected = (hi - lo).days + 1
+        missing = sorted(set(lo + datetime.timedelta(days=i)
+                             for i in range(expected)) - days)
+        g = got[et]
+        assert g["n_days_present"] == len(days)
+        assert g["n_days_expected"] == expected
+        assert g["n_days_missing"] == len(missing)
+        if missing:
+            assert g["first_missing_day"] == missing[0].isoformat()
+            assert g["last_missing_day"] == missing[-1].isoformat()
+        else:
+            assert g["first_missing_day"] is None
+
+
+def test_decile_stats_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.histogram import decile_stats
+
+    got = {r["bucket"]: r for r in
+           decile_stats(nframe, "v", n_buckets=10).collect()}
+    vals = sorted(float(x[3]) for x in _num_rows(7) if x[3] is not None)
+    n = len(vals)
+    for d in range(1, 11):
+        lo = n * (d - 1) // 10
+        hi = n * d // 10
+        part = vals[lo:hi]
+        g = got[d]
+        assert g["n"] == len(part)
+        if part:
+            assert g["lo"] == pytest.approx(part[0], abs=1e-6)
+            assert g["hi"] == pytest.approx(part[-1], abs=1e-6)
+            assert g["mean"] == pytest.approx(
+                sum(round(v, 6) for v in part) / len(part), abs=1e-5)
+
+
+def test_woe_iv_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.validators import woe_iv
+
+    lab = nframe.selectExpr("a", "v is not null and v > 100 as y")
+    got = {r["category"]: r for r in woe_iv(lab, "a", "y").collect()}
+    rows = [( "(null)" if x[1] is None else str(x[1]),
+              x[3] is not None and x[3] > 100) for x in _num_rows(7)]
+    cats = sorted(set(c for c, _ in rows))
+    k = len(cats)
+    P = sum(1 for _, y in rows if y)
+    N = len(rows) - P
+    for c in cats:
+        np_ = sum(1 for cc, y in rows if cc == c and y)
+        nn = sum(1 for cc, y in rows if cc == c and not y)
+        ps = (np_ + 0.5) / (P + 0.5 * k)
+        ns = (nn + 0.5) / (N + 0.5 * k)
+        woe = math.log(ps / ns)
+        g = got[c]
+        assert g["n"] == np_ + nn
+        assert g["n_pos"] == np_
+        assert g["woe"] == pytest.approx(woe, abs=1e-6)
+        assert g["iv_contrib"] == pytest.approx((ps - ns) * woe, abs=1e-6)
