@@ -531,7 +531,8 @@ WITH {ctes}, agg AS (
          LEAST(MAX(ka) - 1, MAX(kb) - 1) AS m
   FROM w, tot
 )
-SELECT '{col_a}' AS col1, '{col_b}' AS col2, n, chi2,
+SELECT '{col_a}' AS col1, '{col_b}' AS col2,
+       CAST(n AS BIGINT) AS n, chi2,
        ROUND(CASE WHEN m > 0 THEN SQRT(chi2 / n / m) END,
              {round_digits}) AS v
 FROM agg

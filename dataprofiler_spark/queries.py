@@ -2555,79 +2555,74 @@ def full_report_events(spark, sf_dir):
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation (VERDICT r5 item 1): the 12 never-driver-checked
-# late-r5 queries first, then this round's new operators (domain rollup,
-# Cohen's kappa, daily-volume anomalies, Zipf vocab), then the queries
-# whose SEMANTICS changed this round (chi2/Cramer's now drop NULL rows —
-# scipy semantics; pair generators now cap by default — a no-op at these
-# SFs but worth a fresh row), the flagship end-to-end re-check, all 26
-# r3-stale rows, and the stalest-r4 representatives touched by this
-# round's code changes. Everything past slot 50 stays registered and is
-# hash-checked by tests/test_oracle_parity.py. After r6 every oracled
-# query has a driver-green row within r4-r6.
+# Round-7 rotation (VERDICT r6 items 1-2): (a) the 15 queries with NO
+# driver row yet — the 10 late-r6 additions plus this round's 5 new
+# operators; (b) every query whose SEMANTICS changed in r7 and so needs
+# a fresh driver row (the two r6 driver-reds re-checked after their
+# seam-class fixes; the chi2-family decimal folds; the \s->explicit
+# whitespace class; the counts-CDF quantile conversions; mutual_info's
+# decimal fold); (c) the flagship end-to-end re-check; (d) 27 of the 48
+# r4-stale rows (the rest turn 4 rounds old and head the r8 window —
+# siblings of in-window queries ceded slots: minhash_signatures to
+# minhash_lsh_pairs, kmeans_clusters to kmeans_assign,
+# embedding_decontaminate to its bucketed twin).
 _DRIVER_WINDOW = [
-    # ---- never driver-checked (late-r5 additions) ----
-    "winnow_fingerprints_documents",
-    "winnow_neardup_pairs_documents",
-    "cross_source_dup_matrix_documents",
-    "ivf_pq_residual_topk_embeddings",
-    "cramers_v_orders",                   # also changed r6: NULL drop
-    "spearman_lineitem",
-    "bm25_topk_documents",
-    "query_cosine_topk_documents",
-    "hybrid_rrf_topk_documents",
-    "embedding_covariance_embeddings",    # also changed r6: dim guard
-    "bigram_logprob_documents",
-    "collocations_pmi_documents",
-    # ---- new round-6 operators (first driver rows) ----
-    "domain_rollup_documents",
-    "cohens_kappa_lineitem",
-    "daily_anomalies_events",
-    "zipf_vocab_documents",
-    # ---- changed semantics r6: chi2 NULL-drop (scipy) ----
-    "chi2_pair_lineitem",
-    "chi2_orderpriority",
+    # ---- never driver-checked: late-r6 additions ----
+    "benford_lineitem",
+    "entropy_lineitem",
+    "pattern_profile_customer",
+    "null_phi_orders",
+    "fd_check_lineitem",
+    "skew_join_lineitem_orders",
+    "inclusion_orders_customer",
+    "theils_u_orders",
+    "grouped_histogram_lineitem",
+    "interarrival_events",        # also r7: counts-CDF median
+    # ---- never driver-checked: new r7 operators ----
+    "kendall_tau_lineitem",
+    "markov_transitions_events",
+    "calendar_gaps_events",
+    "decile_stats_extendedprice",
+    "woe_iv_orders",
+    # ---- r6 driver-reds, re-checked after the seam-class fixes ----
+    "cramers_v_orders",           # decimal fold + duckdb_round
+    "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
+    # ---- changed semantics r7 ----
+    "chi2_pair_lineitem",         # decimal term fold
+    "chi2_orderpriority",         # decimal term fold (homogeneity)
+    "paragraph_dup_documents",    # explicit whitespace class
+    "daily_anomalies_events",     # counts-CDF median/MAD
+    "mutual_info_lineitem",       # decimal mi/entropy folds
+    "quantiles_extendedprice",    # counts-CDF (also r4-stale)
+    "median_mad_quantity",        # counts-CDF (also r4-stale)
     # ---- flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- stalest driver rows: r3 (all 26) ----
-    "numeric_profile_by_returnflag",
-    "crosstab_lineitem",
-    "json_props_events",
-    "funnel_events",
-    "funnel_gap_events",
-    "entity_counts_events_props",
-    "bpe_token_summary_documents",
-    "asof_last_purchase_events",
-    "psi_numeric_totalprice",
-    "topk_events_per_user",
-    "rollup_events_type_day",
-    "hash_sample_orders",
-    "stratified_sample_orders",
-    "repetition_signals_documents",
-    "crossdoc_ngram_dup_documents",
-    "substring_dup_documents",
-    "decontaminate_documents",
-    "pii_redact_customer",
-    "simhash_neardup_documents",          # also r6: default bucket cap
-    "canonical_sample_documents",         # also r6: default bucket cap
-    "expectations_orders",
-    "chunk_summary_documents",
-    "tfidf_top_terms_documents",
-    "interval_join_events",
-    "data_mixture_documents",
-    "split_manifest_documents",
-    # ---- remaining new round-6 operators ----
-    # (the r4 rows touched by this round's code — graph_components,
-    # minhash_lsh_pairs, neardup_clusters, exact_dedup, cnn_labeler —
-    # cede their slots: the cap-default change is a no-op at driver SF
-    # (5000 >> corpus size, results bit-identical) and all five keep
-    # their r4 driver rows, local parity, AND adversarial-suite rows;
-    # never-driver-checked new queries outrank no-op re-checks.)
-    "markup_signals_documents",
-    "robust_stats_lineitem",
-    "paragraph_dup_documents",
-    "embedding_shift_embeddings",
-    "active_users_events",
+    # ---- stalest driver rows: r4 cohort (25 of the remaining 46) ----
+    "categorical_stats_lineitem",
+    "top_categories_orders",
+    "modes_quantity",
+    "time_bucket_events",
+    "order_profile_events_value",
+    "word_counts_documents",
+    "exact_dedup_documents",
+    "ngram_jaccard_documents",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "neardup_clusters_documents",
+    "cosine_topk_embeddings",
+    "lsh_topk_embeddings",
+    "embedding_neardup_pairs",
+    "embedding_decontaminate_bucketed",
+    "kmeans_assign_embeddings",
+    "token_summary_documents",
+    "quality_rollup_documents",
+    "language_id_documents",
+    "fingerprints_documents",
+    "psi_orderpriority",
+    "welch_t_totalprice",
+    "graph_components_nation",
+    "cnn_labeler_customer",
+    "media_profile_documents",
 ]
 
 
