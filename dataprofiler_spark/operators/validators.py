@@ -498,3 +498,150 @@ SELECT category, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
          AS iv_contrib
 FROM counts CROSS JOIN tot
 """
+
+
+def roc_auc(df: "DataFrame", score_col: str, label_col: str,
+            round_digits: int = 6) -> "DataFrame":
+    """One-row (n, n_pos, n_neg, auc): EXACT ROC AUC of a score against
+    a binary label — the Mann-Whitney U formulation with average ranks
+    on ties (sklearn.roc_auc_score semantics), the one number a
+    quality-classifier gate is tuned by. Rows with NULL score or label
+    drop; a single-class input yields auc NULL.
+
+    Exactness: from the score counts-CDF, the average rank of a tied
+    score group is (c_start + 1 + c_end)/2, so
+    2·Σ ranks_pos = Σ_groups pos_g·(c_start + c_end + 1) — an INTEGER.
+    auc = (2·Σranks_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg): all
+    integer arithmetic until one final division, mirrored verbatim in
+    the oracle. Same bounded-state plan as every CDF operator (groupBy
+    score + one spillable ordered window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    base = (df.where(s.isNotNull() & y.isNotNull())
+            .select(s.alias("s"), y.alias("y")))
+    vc = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("y").cast("long")).alias("pos"))
+    w = Window.orderBy("s")
+    cdf = (vc.withColumn("c_end", F.sum("cnt").over(w))
+           .withColumn("c_start", F.col("c_end") - F.col("cnt")))
+    d = "decimal(38,0)"
+    agg = cdf.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum(
+            (F.col("pos").cast(d)
+             * (F.col("c_start") + F.col("c_end") + 1)).cast(d)),
+            F.lit(0).cast(d)).alias("r2"))
+    n_pos = F.col("n_pos")
+    n_neg = (F.col("n") - n_pos).alias("n_neg")
+    num = (F.col("r2") - n_pos.cast(d) * (n_pos + 1)).cast("double")
+    den = (2 * n_pos.cast(d) * (F.col("n") - n_pos)).cast("double")
+    return agg.select(
+        "n", "n_pos", n_neg,
+        duckdb_round(F.when(den > 0, num / den),
+                     round_digits).alias("auc"))
+
+
+def oracle_roc_auc_sql(table: str, score_expr: str, label_expr: str,
+                       round_digits: int = 6) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({score_expr} AS DOUBLE) AS s,
+         CAST({label_expr} AS BOOLEAN) AS y
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+),
+vc AS (
+  SELECT s, COUNT(*) AS cnt,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+  FROM base GROUP BY 1
+),
+cdf AS (
+  SELECT s, cnt, pos,
+         SUM(cnt) OVER (ORDER BY s) AS c_end,
+         SUM(cnt) OVER (ORDER BY s) - cnt AS c_start
+  FROM vc
+),
+agg AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+         COALESCE(SUM(CAST(CAST(pos AS DECIMAL(38,0))
+                           * (c_start + c_end + 1) AS DECIMAL(38,0))),
+                  0) AS r2
+  FROM cdf
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN CAST(2 * CAST(n_pos AS DECIMAL(38,0))
+                            * (n - n_pos) AS DOUBLE) > 0 THEN
+         CAST(r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)
+                AS DOUBLE) END, {round_digits}) AS auc
+FROM agg
+"""
+
+
+def calibration_curve(df: "DataFrame", score_col: str, label_col: str,
+                      n_bins: int = 10,
+                      round_digits: int = 6) -> "DataFrame":
+    """(bin, n, n_pos, mean_score, pos_rate): equal-width reliability
+    diagram of a [0, 1] score against a binary label — bin b holds
+    scores in [b/n_bins, (b+1)/n_bins) with the top edge closed
+    (min(⌊s·n_bins⌋, n_bins−1), the sklearn 'uniform' strategy). A
+    calibrated classifier tracks pos_rate ≈ mean_score per bin. Rows
+    with NULL score/label drop; empty bins are absent (no dense grid —
+    the curve reader treats absence as no evidence, matching sklearn).
+
+    Plan: one map-side bin expression + ONE groupBy(bin) — scan-bound;
+    mean_score sums 6-dp-rounded decimals (order-independent)."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    base = (df.where(s.isNotNull() & y.isNotNull())
+            .select(s.alias("s"), y.alias("y")))
+    b = F.least(F.floor(F.col("s") * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    out = (base.groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y").cast("long")).alias("n_pos"),
+                F.sum(F.round(F.col("s"), 6).cast("decimal(38,6)"))
+                .alias("__ss")))
+    return out.select(
+        "bin", "n", "n_pos",
+        duckdb_round(F.col("__ss").cast("double") / F.col("n"),
+                     round_digits).alias("mean_score"),
+        duckdb_round(F.col("n_pos").cast("double") / F.col("n"),
+                     round_digits).alias("pos_rate"))
+
+
+def oracle_calibration_curve_sql(table: str, score_expr: str,
+                                 label_expr: str, n_bins: int = 10,
+                                 round_digits: int = 6) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({score_expr} AS DOUBLE) AS s,
+         CAST({label_expr} AS BOOLEAN) AS y
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(s * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+         s, y
+  FROM base
+)
+SELECT bin, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(CAST(ROUND(s, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), {round_digits}) AS mean_score,
+       ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), {round_digits}) AS pos_rate
+FROM binned GROUP BY 1
+"""

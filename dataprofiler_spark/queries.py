@@ -2540,6 +2540,38 @@ def woe_iv_orders(spark, sf_dir):
     return vd.woe_iv(df, "o_orderstatus", "__y")
 
 
+# Classifier-evaluation pair: a heavily-tied integer score against a
+# binary outcome exercises the tie-corrected rank formulation; the
+# label is ONE shared SQL expression in both engines.
+_AUC_LABEL_EXPR = "l_returnflag = 'R'"
+
+
+@register("roc_auc_lineitem",
+          vd.oracle_roc_auc_sql("lineitem", "l_quantity",
+                                _AUC_LABEL_EXPR))
+def roc_auc_lineitem(spark, sf_dir):
+    """Exact tie-corrected ROC AUC (Mann-Whitney on the score
+    counts-CDF — integer arithmetic until one division)."""
+    df = T(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.expr(_AUC_LABEL_EXPR).alias("__y"))
+    return vd.roc_auc(df, "l_quantity", "__y")
+
+
+_CAL_SCORE_EXPR = "l_discount * 10.0"
+
+
+@register("calibration_lineitem",
+          vd.oracle_calibration_curve_sql("lineitem", _CAL_SCORE_EXPR,
+                                          _AUC_LABEL_EXPR))
+def calibration_lineitem(spark, sf_dir):
+    """Equal-width reliability diagram of a [0,1] score vs a binary
+    outcome — one map-side bin + one groupBy."""
+    df = T(spark, sf_dir, "lineitem").select(
+        F.expr(_CAL_SCORE_EXPR).alias("__s"),
+        F.expr(_AUC_LABEL_EXPR).alias("__y"))
+    return vd.calibration_curve(df, "__s", "__y")
+
+
 @register("full_report_events")
 def full_report_events(spark, sf_dir):
     return _flat_report_df(spark, T(spark, sf_dir, "events"))
@@ -2565,7 +2597,8 @@ def full_report_events(spark, sf_dir):
 # r4-stale rows (the rest turn 4 rounds old and head the r8 window —
 # siblings of in-window queries ceded slots: minhash_signatures to
 # minhash_lsh_pairs, kmeans_clusters to kmeans_assign,
-# embedding_decontaminate to its bucketed twin).
+# embedding_decontaminate to its bucketed twin, modes_quantity to the
+# quantile family, lsh_topk to cosine_topk).
 _DRIVER_WINDOW = [
     # ---- never driver-checked: late-r6 additions ----
     "benford_lineitem",
@@ -2584,6 +2617,8 @@ _DRIVER_WINDOW = [
     "calendar_gaps_events",
     "decile_stats_extendedprice",
     "woe_iv_orders",
+    "roc_auc_lineitem",
+    "calibration_lineitem",
     # ---- r6 driver-reds, re-checked after the seam-class fixes ----
     "cramers_v_orders",           # decimal fold + duckdb_round
     "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
@@ -2600,7 +2635,6 @@ _DRIVER_WINDOW = [
     # ---- stalest driver rows: r4 cohort (25 of the remaining 46) ----
     "categorical_stats_lineitem",
     "top_categories_orders",
-    "modes_quantity",
     "time_bucket_events",
     "order_profile_events_value",
     "word_counts_documents",
@@ -2610,7 +2644,6 @@ _DRIVER_WINDOW = [
     "simhash_documents",
     "neardup_clusters_documents",
     "cosine_topk_embeddings",
-    "lsh_topk_embeddings",
     "embedding_neardup_pairs",
     "embedding_decontaminate_bucketed",
     "kmeans_assign_embeddings",

@@ -189,3 +189,65 @@ def test_woe_iv_vs_python(spark, nframe):
         assert g["n_pos"] == np_
         assert g["woe"] == pytest.approx(woe, abs=1e-6)
         assert g["iv_contrib"] == pytest.approx((ps - ns) * woe, abs=1e-6)
+
+
+def test_roc_auc_vs_sklearn_formula(spark, nframe):
+    from dataprofiler_spark.operators.validators import roc_auc
+
+    lab = nframe.selectExpr("a as score", "v is not null and v > 100 as y")
+    r = roc_auc(lab, "score", "y").collect()[0]
+    rows = [(x[1], x[3] is not None and x[3] > 100)
+            for x in _num_rows(7) if x[1] is not None]
+    # Mann-Whitney with average ranks on ties (sklearn roc_auc_score)
+    rows.sort(key=lambda t: t[0])
+    ranks = {}
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    n_pos = sum(1 for _, y in rows if y)
+    n_neg = len(rows) - n_pos
+    rsum = sum(ranks[k] for k, (_, y) in enumerate(rows) if y)
+    auc = (rsum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+    assert r["auc"] == pytest.approx(auc, abs=1e-6)
+
+
+def test_roc_auc_perfect_and_degenerate(spark):
+    from dataprofiler_spark.operators.validators import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "s double, y boolean")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == pytest.approx(1.0)
+    one = spark.createDataFrame([(1.0, True), (2.0, True)],
+                                "s double, y boolean")
+    assert roc_auc(one, "s", "y").collect()[0]["auc"] is None
+
+
+def test_calibration_curve_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.validators import calibration_curve
+
+    lab = nframe.selectExpr("(a - 1) / 11.0 as score",
+                            "v is not null and v > 100 as y")
+    got = {r["bin"]: r for r in
+           calibration_curve(lab, "score", "y", n_bins=10).collect()}
+    rows = [((x[1] - 1) / 11.0, x[3] is not None and x[3] > 100)
+            for x in _num_rows(7) if x[1] is not None]
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for s, y in rows:
+        b = min(int(s * 10), 9)
+        bins[b].append((s, y))
+    for b, part in bins.items():
+        g = got[b]
+        assert g["n"] == len(part)
+        assert g["n_pos"] == sum(1 for _, y in part if y)
+        assert g["mean_score"] == pytest.approx(
+            sum(round(s, 6) for s, _ in part) / len(part), abs=1e-5)
+        assert g["pos_rate"] == pytest.approx(
+            sum(1 for _, y in part if y) / len(part), abs=1e-6)
