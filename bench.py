@@ -178,6 +178,27 @@ def build_runners(spark, sf_dir):
         li, od = _mega_inputs()
         li.join(od, "k").count()
     add("profile", "plain_join_aqe_megakey", _plain_mega)
+    def _kendall():
+        corr.kendall_tau_b(lineitem, "l_quantity", "l_discount").collect()
+    add("profile", "kendall_tau_lineitem", _kendall)
+
+    def _decile():
+        from dataprofiler_spark.operators import histogram as hg
+        hg.decile_stats(lineitem, "l_extendedprice").collect()
+    add("profile", "decile_stats_lineitem", _decile)
+
+    def _roc():
+        li = lineitem.select("l_quantity",
+                             F.expr("l_returnflag = 'R'").alias("y"))
+        vd.roc_auc(li, "l_quantity", "y").collect()
+    add("profile", "roc_auc_lineitem", _roc)
+
+    def _woe():
+        od = orders.select("o_orderstatus", F.expr(
+            "o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("y"))
+        vd.woe_iv(od, "o_orderstatus", "y").collect()
+    add("profile", "woe_iv_orders", _woe)
+
     add("profile", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
@@ -298,6 +319,11 @@ def build_runners(spark, sf_dir):
         dr.categorical_psi(a, b, "o_orderpriority").collect()
         dr.welch_t(a, b, "o_totalprice").collect()
     add("events", "drift_orders", _drift)
+    add("events", "markov_transitions_events",
+        lambda: ev.markov_transitions(events).collect())
+    add("events", "calendar_gaps_events",
+        lambda: ev.calendar_gaps(events, group_col="event_type")
+                  .collect())
 
     # ---- similarity group ----
     add("similarity", "cosine_topk_embeddings",

@@ -381,6 +381,14 @@ ADV_QUERIES = [
     "asof_last_purchase_events",
     "full_profile_lineitem",
     "full_profile_events",
+    # round-7 additions
+    "kendall_tau_lineitem",
+    "markov_transitions_events",
+    "calendar_gaps_events",
+    "decile_stats_extendedprice",
+    "woe_iv_orders",
+    "roc_auc_lineitem",
+    "calibration_lineitem",
 ]
 
 
