@@ -409,3 +409,62 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(mx, {round_digits}) AS max_abs_dim_shift
 FROM agg
 """
+
+
+def embedding_spectrum(df: DataFrame, vec_col: str,
+                       round_digits: int = 6,
+                       max_dim: int | None = MAX_COV_DIM) -> DataFrame:
+    """One-row spectral summary of the embedding covariance:
+    (dim, n, total_var, top1_ratio, top5_ratio, effective_rank,
+    participation_ratio): eigen-spectrum concentration of the d×d
+    covariance — the quantitative form of the anisotropy question
+    ``embedding_covariance`` lets you eyeball. top1_ratio ≈ 1 means the
+    embeddings collapsed to a line (rank-1 cone); effective_rank
+    (exp of the eigenvalue-distribution entropy, Roy & Vetterli 2007)
+    and participation_ratio ((Σλ)²/Σλ² ) measure how many directions
+    carry real variance — the numbers that decide whether to whiten
+    before cosine retrieval.
+
+    Plan: the distributed part IS ``embedding_covariance`` (oracled,
+    decimal-exact); the d×d eigendecomposition runs DRIVER-SIDE on its
+    d(d+1)/2-row result (bounded by the same ``max_dim`` gate —
+    1024² × 8 B ≈ 8 MB, a scalar problem no cluster should shuffle
+    for). numpy.linalg.eigh on a symmetric matrix; negative eigenvalue
+    dust from rounding clamps to 0. NOT SQL-expressible (eigen) — the
+    registry carries it rows-only; correctness is pinned against
+    analytically-known spectra in tests/test_r7_reference_impls.py."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, round_digits=9,
+                                    max_dim=max_dim).collect()
+    spark = df.sparkSession
+    if not cov_rows:
+        return spark.createDataFrame(
+            [], "dim int, n long, total_var double, top1_ratio double,"
+                " top5_ratio double, effective_rank double,"
+                " participation_ratio double")
+    d = max(r["d2"] for r in cov_rows) + 1
+    n = max(r["n"] for r in cov_rows)
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        c = float(r["cov"]) if r["cov"] is not None else 0.0
+        m[r["d1"], r["d2"]] = c
+        m[r["d2"], r["d1"]] = c
+    ev = np.linalg.eigh(m)[0]
+    ev = np.clip(ev, 0.0, None)[::-1]          # descending, clamped
+    tot = float(ev.sum())
+    if tot <= 0:
+        row = (int(d), int(n), 0.0, None, None, None, None)
+    else:
+        p = ev / tot
+        nz = p[p > 0]
+        h = float(-(nz * np.log(nz)).sum())
+        row = (int(d), int(n), round(tot, round_digits),
+               round(float(p[0]), round_digits),
+               round(float(p[:5].sum()), round_digits),
+               round(float(np.exp(h)), round_digits),
+               round(tot * tot / float((ev * ev).sum()), round_digits))
+    return spark.createDataFrame(
+        [row], "dim int, n long, total_var double, top1_ratio double,"
+               " top5_ratio double, effective_rank double,"
+               " participation_ratio double")

@@ -2476,6 +2476,18 @@ def split_manifest_documents(spark, sf_dir):
 # the driver check for the same end-to-end path)
 # ---------------------------------------------------------------------------
 
+@register("embedding_spectrum_embeddings")
+def embedding_spectrum_embeddings(spark, sf_dir):
+    """Eigen-spectrum concentration of the embedding covariance
+    (rows-only: eigendecomposition is not SQL-expressible; the
+    distributed covariance underneath IS oracled as
+    embedding_covariance_embeddings, and the spectrum math is pinned
+    against analytically-known spectra in tests)."""
+    from dataprofiler_spark.operators import vectorstats as vs
+    return vs.embedding_spectrum(T(spark, sf_dir, "embeddings"),
+                                 "embedding")
+
+
 @register("full_report_lineitem")
 def full_report_lineitem(spark, sf_dir):
     return _flat_report_df(spark, T(spark, sf_dir, "lineitem"))

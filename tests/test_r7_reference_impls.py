@@ -251,3 +251,92 @@ def test_calibration_curve_vs_python(spark, nframe):
             sum(round(s, 6) for s, _ in part) / len(part), abs=1e-5)
         assert g["pos_rate"] == pytest.approx(
             sum(1 for _, y in part if y) / len(part), abs=1e-6)
+
+
+def test_streaming_markov_fold_equals_batch(spark):
+    """Event-time-ordered micro-batches fold to EXACTLY the batch
+    transition counts (seam pairs stitched from carried per-user
+    state)."""
+    from dataprofiler_spark.operators.events import markov_transitions
+    from dataprofiler_spark.streaming.markov import StreamingMarkov
+
+    rows = sorted(_event_rows(23), key=lambda r: r[1])  # event time
+    schema = "user_id long, ts timestamp, event_type string"
+    full = spark.createDataFrame(rows, schema)
+    want = {(r["from_type"], r["to_type"]): r["n_trans"]
+            for r in markov_transitions(full).collect()}
+
+    mon = StreamingMarkov()
+    step = len(rows) // 4 + 1
+    for i in range(0, len(rows), step):
+        mon.update(spark.createDataFrame(rows[i:i + step], schema), i)
+    got = {(d["from_type"], d["to_type"]): d["n_trans"]
+           for d in mon.snapshot()}
+    assert got == want
+    assert mon.seam_skipped == 0
+    # probabilities row-normalize identically (up to rounding style)
+    probs = {(d["from_type"], d["to_type"]): d["prob"]
+             for d in mon.snapshot()}
+    for r in markov_transitions(full).collect():
+        assert probs[(r["from_type"], r["to_type"])] == pytest.approx(
+            r["prob"], abs=1e-6)
+
+
+def test_streaming_markov_user_cap(spark):
+    from dataprofiler_spark.streaming.markov import StreamingMarkov
+
+    schema = "user_id long, ts timestamp, event_type string"
+    mon = StreamingMarkov(max_users=2)
+    base = datetime.datetime(2024, 1, 1)
+    b1 = [(u, base + datetime.timedelta(minutes=u), "a")
+          for u in range(5)]
+    b2 = [(u, base + datetime.timedelta(hours=1, minutes=u), "b")
+          for u in range(5)]
+    mon.update(spark.createDataFrame(b1, schema), 0)
+    mon.update(spark.createDataFrame(b2, schema), 1)
+    # only the 2 tracked users contribute seam pairs; each untracked
+    # user counts one refusal PER BATCH it appears in (3 in each of the
+    # two batches) — the counter reports loss events, not unique users
+    snap = {(d["from_type"], d["to_type"]): d["n_trans"]
+            for d in mon.snapshot()}
+    assert snap == {("a", "b"): 2}
+    assert mon.seam_skipped == 6
+
+
+def test_embedding_spectrum_known_spectrum(spark):
+    """Axis-aligned synthetic embeddings with known per-dimension
+    variances: the spectrum must recover them analytically."""
+    from dataprofiler_spark.operators.vectorstats import \
+        embedding_spectrum
+
+    rng = random.Random(3)
+    rows = []
+    # dim variances ~ [9, 4, 1, 0]: x0 in {-3,3}, x1 in {-2,2},
+    # x2 in {-1,1}, x3 = 0 — exactly zero means, exact variances
+    for _ in range(400):
+        rows.append(([rng.choice([-3.0, 3.0]), rng.choice([-2.0, 2.0]),
+                      rng.choice([-1.0, 1.0]), 0.0],))
+    df = spark.createDataFrame(rows, "v array<double>")
+    r = embedding_spectrum(df, "v").collect()[0]
+    # population covariance estimates converge to diag(9,4,1,0) but the
+    # SAMPLE covariance with random signs wobbles; eigenvalues of an
+    # (almost) diagonal matrix ~ the diagonal
+    assert r["dim"] == 4 and r["n"] == 400
+    assert r["total_var"] == pytest.approx(14.0, rel=0.15)
+    assert r["top1_ratio"] == pytest.approx(9 / 14, rel=0.15)
+    # 3 directions carry variance -> effective rank between 2 and 3.2
+    assert 2.0 < r["effective_rank"] < 3.2
+    assert 1.5 < r["participation_ratio"] < 2.5
+
+
+def test_embedding_spectrum_rank1(spark):
+    from dataprofiler_spark.operators.vectorstats import \
+        embedding_spectrum
+
+    rows = [([float(i % 5), 2.0 * (i % 5), 3.0 * (i % 5)],)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    r = embedding_spectrum(df, "v").collect()[0]
+    # perfectly collinear dims -> rank-1 spectrum
+    assert r["top1_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert r["effective_rank"] == pytest.approx(1.0, abs=1e-3)
