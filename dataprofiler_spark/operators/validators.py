@@ -645,3 +645,81 @@ SELECT bin, COUNT(*) AS n,
              / COUNT(*), {round_digits}) AS pos_rate
 FROM binned GROUP BY 1
 """
+
+
+def iv_summary(df: "DataFrame", feature_cols: list[str], label_col: str,
+               round_digits: int = 6) -> "DataFrame":
+    """(feature, k, iv): TOTAL information value per candidate feature
+    against one binary outcome — the ranking view of ``woe_iv`` (which
+    gives the per-category breakdown for one feature). Same 0.5-smoothed
+    shares; iv = Σ_categories (ps − ns)·ln(ps/ns), folded
+    round-then-decimal (9 dp) so the sum is partition-order-independent.
+
+    Plan: melt features map-side → ONE groupBy(feature, category) →
+    per-feature totals joined back broadcast → one tiny fold. One scan
+    at any feature count."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    y = F.col(label_col).cast("boolean")
+    melt = [F.struct(F.lit(c).alias("feature"),
+                     F.coalesce(F.col(c).cast("string"),
+                                F.lit("(null)")).alias("category"))
+            for c in feature_cols]
+    base = (df.where(y.isNotNull())
+            .select(F.explode(F.array(*melt)).alias("s"),
+                    y.alias("y"))
+            .select("s.feature", "s.category", "y"))
+    counts = base.groupBy("feature", "category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"))
+    tot = counts.groupBy("feature").agg(
+        F.sum("n_pos").alias("tot_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("tot_neg"),
+        F.count(F.lit(1)).alias("k"))
+    j = counts.join(F.broadcast(tot), "feature")
+    ps = ((F.col("n_pos").cast("double") + 0.5)
+          / (F.col("tot_pos").cast("double") + 0.5 * F.col("k")))
+    ns = (((F.col("n") - F.col("n_pos")).cast("double") + 0.5)
+          / (F.col("tot_neg").cast("double") + 0.5 * F.col("k")))
+    term = (ps - ns) * F.log(ps / ns)
+    return (j.groupBy("feature")
+            .agg(F.max("k").alias("k"),
+                 duckdb_round(
+                     F.sum(F.round(term, 9).cast("decimal(38,9)"))
+                     .cast("double"), round_digits).alias("iv")))
+
+
+def oracle_iv_summary_sql(table: str, feature_exprs: dict[str, str],
+                          label_expr: str,
+                          round_digits: int = 6) -> str:
+    melts = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS feature,"
+        f" COALESCE(CAST({expr} AS VARCHAR), '(null)') AS category,"
+        f" CAST({label_expr} AS BOOLEAN) AS y"
+        f" FROM {table} WHERE ({label_expr}) IS NOT NULL"
+        for name, expr in feature_exprs.items())
+    ps = ("((CAST(n_pos AS DOUBLE) + 0.5)"
+          " / (CAST(tot_pos AS DOUBLE) + 0.5 * k))")
+    ns = ("((CAST(n - n_pos AS DOUBLE) + 0.5)"
+          " / (CAST(tot_neg AS DOUBLE) + 0.5 * k))")
+    return f"""
+WITH base AS ({melts}),
+counts AS (
+  SELECT feature, category, COUNT(*) AS n,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, SUM(n_pos) AS tot_pos, SUM(n - n_pos) AS tot_neg,
+         COUNT(*) AS k
+  FROM counts GROUP BY 1
+)
+SELECT feature, CAST(MAX(k) AS BIGINT) AS k,
+       ROUND(CAST(SUM(CAST(ROUND(({ps} - {ns}) * LN({ps} / {ns}), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE),
+             {round_digits}) AS iv
+FROM counts JOIN tot USING (feature)
+GROUP BY feature
+"""

@@ -2552,6 +2552,24 @@ def woe_iv_orders(spark, sf_dir):
     return vd.woe_iv(df, "o_orderstatus", "__y")
 
 
+@register("iv_summary_orders",
+          vd.oracle_iv_summary_sql(
+              "orders",
+              {"o_orderstatus": "o_orderstatus",
+               "o_order_month": "substr(CAST(o_orderdate AS VARCHAR), 6, 2)"},
+              "o_orderpriority IN ('1-URGENT', '2-HIGH')"))
+def iv_summary_orders(spark, sf_dir):
+    """Information-value ranking of two candidate features (order
+    status; order month) against the urgent-priority outcome — the
+    melt-once multi-feature fold."""
+    df = T(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("substr(CAST(o_orderdate AS STRING), 6, 2)")
+         .alias("o_order_month"),
+        F.expr("o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("__y"))
+    return vd.iv_summary(df, ["o_orderstatus", "o_order_month"], "__y")
+
+
 # Classifier-evaluation pair: a heavily-tied integer score against a
 # binary outcome exercises the tie-corrected rank formulation; the
 # label is ONE shared SQL expression in both engines.

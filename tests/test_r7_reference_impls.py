@@ -340,3 +340,31 @@ def test_embedding_spectrum_rank1(spark):
     # perfectly collinear dims -> rank-1 spectrum
     assert r["top1_ratio"] == pytest.approx(1.0, abs=1e-6)
     assert r["effective_rank"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_iv_summary_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.validators import iv_summary
+
+    lab = nframe.selectExpr("a", "b", "v is not null and v > 100 as y")
+    got = {r["feature"]: r for r in
+           iv_summary(lab, ["a", "b"], "y").collect()}
+    rows = [(x[1], x[2], x[3] is not None and x[3] > 100)
+            for x in _num_rows(7)]
+    for fi, fname in ((0, "a"), (1, "b")):
+        cats = Counter(("(null)" if r[fi] is None else str(r[fi]))
+                       for r in rows)
+        k = len(cats)
+        P = sum(1 for r in rows if r[2])
+        N = len(rows) - P
+        iv = 0.0
+        for c in cats:
+            np_ = sum(1 for r in rows
+                      if ("(null)" if r[fi] is None else str(r[fi])) == c
+                      and r[2])
+            nn = cats[c] - np_
+            ps = (np_ + 0.5) / (P + 0.5 * k)
+            ns = (nn + 0.5) / (N + 0.5 * k)
+            iv += (ps - ns) * math.log(ps / ns)
+        g = got[fname]
+        assert g["k"] == k
+        assert g["iv"] == pytest.approx(iv, abs=1e-5)
