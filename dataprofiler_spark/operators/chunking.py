@@ -76,7 +76,7 @@ def oracle_chunk_summary_sql(table: str, id_col: str, text_col: str,
                              chunk_tokens: int = 128,
                              overlap_tokens: int = 16) -> str:
     stride = chunk_tokens - overlap_tokens
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH t AS (
   SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS n
@@ -148,7 +148,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
 def oracle_tfidf_top_sql(table: str, id_col: str, text_col: str,
                          k: int = 5, min_df: int = 1,
                          round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH terms AS (
   SELECT {id_col} AS id, UNNEST({toks}) AS term FROM {table}
@@ -224,7 +224,7 @@ def packing_stats(df: DataFrame, id_col: str, text_col: str,
 def oracle_packing_stats_sql(table: str, id_col: str, text_col: str,
                              context_len: int = 512,
                              round_digits: int = 6) -> str:
-    tc = f"COALESCE(len(regexp_extract_all(LOWER({text_col}), '\\S+')), 0)"
+    tc = f"COALESCE(len(regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')), 0)"
     usable = f"LEAST({tc}, {context_len})"
     return f"""
 WITH a AS (

@@ -116,7 +116,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
 
 def oracle_repetition_signals_sql(table: str, id_col: str, text_col: str,
                                   round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
@@ -188,7 +188,7 @@ def crossdoc_ngram_dup_summary(df: DataFrame, id_col: str, text_col: str,
 def oracle_crossdoc_ngram_dup_sql(table: str, id_col: str, text_col: str,
                                   n: int = 5, round_digits: int = 6) -> str:
     # DuckDB list slices are 1-based inclusive: t[i:i+n-1] is n tokens.
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH grams AS (
   SELECT DISTINCT {id_col} AS id,
@@ -257,7 +257,7 @@ def substring_dup_signals(df: DataFrame, id_col: str, text_col: str,
 
 def oracle_substring_dup_sql(table: str, id_col: str, text_col: str,
                              window: int = 10, round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
@@ -326,7 +326,7 @@ def oracle_decontaminate_sql(table: str, id_col: str, text_col: str,
                              min_overlap: int = 1) -> str:
     """Oracle with the benchmark defined as ``table WHERE bench_filter``
     (the query-side fixture uses a deterministic id-hash subset)."""
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     grams = (f"SELECT {id_col} AS id, unnest(list_distinct(list_transform("
              f"range(1, len(toks) - {n} + 2), "
              f"i -> array_to_string(toks[i:i + {n} - 1], ' ')))) AS g "
@@ -397,7 +397,7 @@ def oracle_decontaminate_by_benchmark_sql(table: str, id_col: str,
                                           min_overlap: int = 1) -> str:
     """Oracle with the benchmark suite defined as ``table WHERE
     bench_filter`` labeled by ``bench_label_col``."""
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     grams = (f"SELECT {id_col} AS id, unnest(list_distinct(list_transform("
              f"range(1, len(toks) - {n} + 2), "
              f"i -> array_to_string(toks[i:i + {n} - 1], ' ')))) AS g "

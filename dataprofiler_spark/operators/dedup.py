@@ -583,7 +583,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     toks = explode_no_prefilter(
         df.select(F.col(id_col).alias("id"),
                   F.regexp_extract_all(F.lower(F.col(text_col)),
-                                       F.lit(r"\S+"), 0).alias("toks")),
+                                       F.lit(r"[^ \t\n\x0B\f\r]+"), 0).alias("toks")),
         "toks", "tok", "id")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     votes = toks.select("id", h.alias("h")).groupBy("id").agg(*[
@@ -611,7 +611,7 @@ def oracle_simhash_sql(table: str, id_col: str, text_col: str,
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
-         ('0x' || substr(md5(UNNEST(regexp_extract_all(LOWER({text_col}), '\\S+'))), 1, 8))::BIGINT AS h
+         ('0x' || substr(md5(UNNEST(regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+'))), 1, 8))::BIGINT AS h
   FROM {table}
 ),
 votes AS (

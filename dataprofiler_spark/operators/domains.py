@@ -176,7 +176,7 @@ def oracle_domain_rollup_sql(table: str, url_expr: str, text_col: str,
     from dataprofiler_spark.operators.textanalysis import (STOP_WORDS)
 
     stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     nc = f"LENGTH({text_col})"
     nt = f"len({toks})"
     np_ = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"

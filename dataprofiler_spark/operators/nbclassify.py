@@ -184,7 +184,7 @@ def oracle_nb_confusion_sql(table: str, id_col: str, text_col: str,
                             alpha: float = 1.0) -> str:
     """Re-derives fit AND prediction: the same frequency-cutoff
     vocabulary, the same fixed-point log table, the same argmax."""
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     a = repr(float(alpha))
     return f"""
 WITH base AS (

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from dataprofiler_spark.operators.textanalysis import (token_count_expr,
                                                        tokens_expr)
 
-_TOKEN_RE = r"\S+"
+_TOKEN_RE = r"[^ \t\n\x0B\f\r]+"
 
 
 def _query_terms(query: str) -> list[str]:

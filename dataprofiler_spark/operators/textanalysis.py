@@ -33,7 +33,7 @@ BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
 
 
 def tokens_expr(text_col: str) -> Column:
-    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[^ \t\n\x0B\f\r]+"), 0)
 
 
 def bpe_tokens_expr(text_col: str) -> Column:
@@ -53,7 +53,7 @@ def token_count_expr(text_col: str) -> Column:
                   ).otherwise(F.size(tokens_expr(text_col)))
 
 
-TOKEN_COUNT_SQL = "COALESCE(len(regexp_extract_all(LOWER({col}), '\\S+')), 0)"
+TOKEN_COUNT_SQL = "COALESCE(len(regexp_extract_all(LOWER({col}), '[^ \\t\\n\\x0b\\f\\r]+')), 0)"
 
 
 def bpe_token_count_summary(df: DataFrame, id_col: str, text_col: str
@@ -95,7 +95,7 @@ def token_count_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def oracle_token_count_sql(table: str, id_col: str, text_col: str) -> str:
-    tc = f"len(regexp_extract_all(LOWER({text_col}), '\\S+'))"
+    tc = f"len(regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+'))"
     return f"""
 SELECT COUNT(*) AS n_docs, CAST(SUM({tc}) AS BIGINT) AS total_tokens,
        MIN({tc}) AS min_tokens, MAX({tc}) AS max_tokens,
@@ -165,7 +165,7 @@ def _quality_raw_sql(text_col: str) -> dict[str, str]:
     so the doubles agree bit-for-bit (shared by the features oracle and
     mixture.quality_weighted_sample's oracle)."""
     stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     nc = f"LENGTH({text_col})"
     nt = f"len({toks})"
     np_ = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"
@@ -247,7 +247,7 @@ def oracle_quality_rollup_sql(table: str, text_col: str, group_col: str,
                               low_quality_threshold: float = 0.5,
                               round_digits: int = 6) -> str:
     stop = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     nc = f"LENGTH({text_col})"
     nt = f"len({toks})"
     np_ = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"
@@ -310,7 +310,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def oracle_language_id_sql(table: str, id_col: str, text_col: str) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     score_exprs = {
         lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in LANG_MARKERS.items()
@@ -501,7 +501,7 @@ def collocations_pmi(df: DataFrame, text_col: str, k: int = 20,
 def oracle_collocations_pmi_sql(table: str, text_col: str, k: int = 20,
                                 min_count: int = 5,
                                 round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH base AS (SELECT {toks} AS tk FROM {table}),
 terms AS (SELECT UNNEST(tk) AS w FROM base),
@@ -539,7 +539,7 @@ LIMIT {k}
 
 def oracle_bigram_logprob_sql(table: str, id_col: str, text_col: str,
                               round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH bi AS (
   SELECT id, z[1] AS w1, z[2] AS w2
@@ -566,7 +566,7 @@ GROUP BY tf.id
 
 def oracle_unigram_logprob_sql(table: str, id_col: str, text_col: str,
                                round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH terms AS (
   SELECT {id_col} AS id, UNNEST({toks}) AS term FROM {table}
@@ -641,7 +641,7 @@ def oracle_hashed_doc_vectors_sql(table: str, id_col: str, text_col: str,
     return f"""
 WITH tok AS (
   SELECT {id_col} AS id, unnest(regexp_extract_all(LOWER({text_col}),
-                                                   '\\S+')) AS t
+                                                   '[^ \\t\\n\\x0b\\f\\r]+')) AS t
   FROM {table}
 ),
 sparse AS (
@@ -710,7 +710,7 @@ def oracle_hashed_cosine_topk_sql(table: str, id_col: str, text_col: str,
     return f"""
 WITH tok AS (
   SELECT {id_col} AS id, unnest(regexp_extract_all(LOWER({text_col}),
-                                                   '\\S+')) AS t
+                                                   '[^ \\t\\n\\x0b\\f\\r]+')) AS t
   FROM {table}
 ),
 vecs AS (
@@ -811,7 +811,7 @@ def zipf_vocab_stats(df: DataFrame, text_col: str, max_rank: int = 1000,
 def oracle_zipf_vocab_stats_sql(table: str, text_col: str,
                                 max_rank: int = 1000,
                                 round_digits: int = 6) -> str:
-    toks = f"regexp_extract_all(LOWER({text_col}), '\\S+')"
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
     return f"""
 WITH terms AS (
   SELECT t.term, COUNT(*) AS ct

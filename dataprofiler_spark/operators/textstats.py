@@ -162,7 +162,7 @@ def word_counts(df: DataFrame, text_col: str, top_k: int = 20,
         explode_no_prefilter(
             df.where(F.col(text_col).isNotNull())
             .select(F.regexp_extract_all(F.lower(F.col(text_col)),
-                                         F.lit(r"\S+"), 0).alias("toks")),
+                                         F.lit(r"[^ \t\n\x0B\f\r]+"), 0).alias("toks")),
             "toks", "word")
         .select(F.regexp_replace(F.col("word"), r"^[^0-9a-z]+|[^0-9a-z]+$", "").alias("word"))
         .where(F.col("word") != "")
@@ -181,7 +181,7 @@ def oracle_word_counts_sql(table: str, text_col: str, top_k: int = 20,
     stop_filter = f"AND word NOT IN ({stop})" if strip_stop_words else ""
     return f"""
 WITH toks AS (
-  SELECT regexp_replace(UNNEST(regexp_extract_all(LOWER({text_col}), '\\S+')),
+  SELECT regexp_replace(UNNEST(regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')),
                         '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g') AS word
   FROM {table} WHERE {text_col} IS NOT NULL
 ), counts AS (

@@ -77,7 +77,7 @@ class UnstructuredProfiler:
     def report(self) -> dict:
         from dataprofiler_spark.operators.textstats import word_counts
         c = F.col(self.text_col)
-        toks = F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)
+        toks = F.regexp_extract_all(F.lower(c), F.lit(r"[^ \t\n\x0B\f\r]+"), 0)
         row = self.df.agg(
             F.count(F.lit(1)).alias("samples"),
             F.sum(F.when(c.rlike(r"^\s*$") | c.isNull(), 1).otherwise(0))
@@ -90,7 +90,7 @@ class UnstructuredProfiler:
         from dataprofiler_spark.session import explode_no_prefilter
         vocab_size = (explode_no_prefilter(
             self.df.select(F.regexp_extract_all(
-                F.lower(c), F.lit(r"\S+"), 0).alias("toks")),
+                F.lower(c), F.lit(r"[^ \t\n\x0B\f\r]+"), 0).alias("toks")),
             "toks", "w")
             .agg(F.count_distinct("w")).collect()[0][0])
         top = [(r["word"], r["count"]) for r in

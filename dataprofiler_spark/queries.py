@@ -1450,9 +1450,9 @@ _UNSTRUCT_ORACLE = """
 SELECT COUNT(*) AS samples,
        CAST(SUM(CASE WHEN regexp_matches(text, '^\\s*$') OR text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
        ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE) / 1048576, 6) AS memory_mb,
-       CAST(SUM(len(regexp_extract_all(LOWER(text), '\\S+'))) AS BIGINT) AS total_words,
+       CAST(SUM(len(regexp_extract_all(LOWER(text), '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS total_words,
        (SELECT COUNT(DISTINCT w) FROM (
-          SELECT UNNEST(regexp_extract_all(LOWER(text), '\\S+')) AS w FROM documents
+          SELECT UNNEST(regexp_extract_all(LOWER(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS w FROM documents
        )) AS unique_words
 FROM documents
 """
@@ -1462,7 +1462,7 @@ FROM documents
 def unstructured_summary_documents(spark, sf_dir):
     df = T(spark, sf_dir, "documents")
     from dataprofiler_spark.session import explode_no_prefilter
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[^ \t\n\x0B\f\r]+"), 0)
     uniq = (explode_no_prefilter(df.select(toks.alias("toks")), "toks", "w")
             .agg(F.count_distinct("w").alias("unique_words")))
     summary = df.agg(
