@@ -921,3 +921,103 @@ SELECT {id_col} AS id, CAST({nc} AS INT) AS n_chars,
        ({dens}) > 1.0 AS is_markupy
 FROM {table}
 """
+
+
+def lm_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                  round_digits: int = 6) -> DataFrame:
+    """One-row (vocab, n_tokens_a, n_tokens_b, kl_ab, kl_ba, js):
+    unigram-distribution divergence between two corpora — the
+    mixture-tuning / domain-shift number ("how different is this source
+    from my training mix?") that per-doc quality scores can't express.
+    0.5-additive smoothing over the UNION vocabulary keeps both KLs
+    finite; JS is the symmetric bounded [0, ln 2] variant to report on
+    dashboards. Identical corpora score exactly 0 on every column.
+
+    Plan: one tf aggregation per corpus (map-side combined, keyed on
+    the term — uniform), FULL OUTER join on term (vocabulary-sized),
+    round-then-decimal term folds (12 dp — the mutual_info discipline:
+    vocabulary-sized sums are partition-order-dependent as plain double
+    sums). Token totals ride the same tf frames."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    def tf(df):
+        base = ensure_parallelism(
+            df.select(tokens_expr(text_col).alias("toks")))
+        return (explode_no_prefilter(base, "toks", "term")
+                .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+
+    ca = tf(df_a).select("term", F.col("c").alias("ca"))
+    cb = tf(df_b).select("term", F.col("c").alias("cb"))
+    v = (ca.join(cb, "term", "full_outer")
+         .select("term", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = v.agg(F.count(F.lit(1)).alias("k"),
+                F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = v.crossJoin(F.broadcast(tot))
+    pa = ((F.col("ca").cast("double") + 0.5)
+          / (F.col("na").cast("double") + 0.5 * F.col("k")))
+    pb = ((F.col("cb").cast("double") + 0.5)
+          / (F.col("nb").cast("double") + 0.5 * F.col("k")))
+    m = (pa + pb) / 2
+    d12 = "decimal(38,12)"
+
+    def fold(term):
+        return F.sum(F.round(term, 12).cast(d12)).cast("double")
+
+    agg = j.agg(
+        F.max("k").alias("vocab"),
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        fold(pa * F.log(pa / pb)).alias("__kl_ab"),
+        fold(pb * F.log(pb / pa)).alias("__kl_ba"),
+        fold(0.5 * pa * F.log(pa / m)
+             + 0.5 * pb * F.log(pb / m)).alias("__js"))
+    return agg.select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n_tokens_a").cast("long").alias("n_tokens_a"),
+        F.col("n_tokens_b").cast("long").alias("n_tokens_b"),
+        duckdb_round(F.col("__kl_ab"), round_digits).alias("kl_ab"),
+        duckdb_round(F.col("__kl_ba"), round_digits).alias("kl_ba"),
+        duckdb_round(F.col("__js"), round_digits).alias("js"))
+
+
+def oracle_lm_divergence_sql(table_a: str, table_b: str, text_col: str,
+                             round_digits: int = 6) -> str:
+    toks = "regexp_extract_all(LOWER({c}), '[^ \\t\\n\\x0b\\f\\r]+')"
+    pa = ("((CAST(ca AS DOUBLE) + 0.5)"
+          " / (CAST(na AS DOUBLE) + 0.5 * k))")
+    pb = ("((CAST(cb AS DOUBLE) + 0.5)"
+          " / (CAST(nb AS DOUBLE) + 0.5 * k))")
+    m = f"(({pa} + {pb}) / 2)"
+
+    def fold(term):
+        return (f"CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(38,12)))"
+                f" AS DOUBLE)")
+
+    return f"""
+WITH ta AS (
+  SELECT UNNEST({toks.format(c=text_col)}) AS term FROM {table_a}
+),
+tb AS (
+  SELECT UNNEST({toks.format(c=text_col)}) AS term FROM {table_b}
+),
+ca AS (SELECT term, COUNT(*) AS ca FROM ta GROUP BY 1),
+cb AS (SELECT term, COUNT(*) AS cb FROM tb GROUP BY 1),
+v AS (
+  SELECT COALESCE(ca.term, cb.term) AS term,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+),
+tot AS (SELECT COUNT(*) AS k, SUM(ca) AS na, SUM(cb) AS nb FROM v)
+SELECT CAST(MAX(k) AS BIGINT) AS vocab,
+       CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+       ROUND({fold(f"{pa} * LN({pa} / {pb})")}, {round_digits}) AS kl_ab,
+       ROUND({fold(f"{pb} * LN({pb} / {pa})")}, {round_digits}) AS kl_ba,
+       ROUND({fold(f"0.5 * {pa} * LN({pa} / {m})"
+                   f" + 0.5 * {pb} * LN({pb} / {m})")}, {round_digits})
+         AS js
+FROM v, tot
+"""

@@ -2476,6 +2476,25 @@ def split_manifest_documents(spark, sf_dir):
 # the driver check for the same end-to-end path)
 # ---------------------------------------------------------------------------
 
+_LMDIV_A = "(SELECT * FROM documents WHERE source IN ('src0','src1','src2','src3','src4'))"
+_LMDIV_B = "(SELECT * FROM documents WHERE source NOT IN ('src0','src1','src2','src3','src4'))"
+
+
+@register("lm_divergence_documents",
+          ta.oracle_lm_divergence_sql(_LMDIV_A, _LMDIV_B, "text"))
+def lm_divergence_documents(spark, sf_dir):
+    """Cross-corpus unigram KL/JS divergence between two source groups
+    — the mixture-tuning / domain-shift number; vocabulary-sized folds
+    use the round-then-decimal discipline."""
+    from dataprofiler_spark.operators import textanalysis as _ta
+    docs = T(spark, sf_dir, "documents")
+    a = docs.where(F.col("source").isin(
+        "src0", "src1", "src2", "src3", "src4"))
+    b = docs.where(~F.col("source").isin(
+        "src0", "src1", "src2", "src3", "src4"))
+    return _ta.lm_divergence(a, b, "text")
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

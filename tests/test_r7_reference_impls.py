@@ -368,3 +368,45 @@ def test_iv_summary_vs_python(spark, nframe):
         g = got[fname]
         assert g["k"] == k
         assert g["iv"] == pytest.approx(iv, abs=1e-5)
+
+
+def test_lm_divergence_vs_python(spark):
+    from dataprofiler_spark.operators.textanalysis import lm_divergence
+
+    rng = random.Random(31)
+    wa = ["alpha", "beta", "gamma", "delta", "eps"]
+    wb = ["alpha", "beta", "zeta", "eta"]
+    rows_a = [(i, " ".join(rng.choice(wa) for _ in range(20)))
+              for i in range(40)]
+    rows_b = [(i, " ".join(rng.choice(wb) for _ in range(15)))
+              for i in range(30)]
+    schema = "id long, text string"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    r = lm_divergence(da, db, "text").collect()[0]
+
+    ca, cb = Counter(), Counter()
+    for _, t in rows_a:
+        ca.update(t.split())
+    for _, t in rows_b:
+        cb.update(t.split())
+    vocab = sorted(set(ca) | set(cb))
+    k = len(vocab)
+    na, nb = sum(ca.values()), sum(cb.values())
+    pa = {w: (ca.get(w, 0) + 0.5) / (na + 0.5 * k) for w in vocab}
+    pb = {w: (cb.get(w, 0) + 0.5) / (nb + 0.5 * k) for w in vocab}
+    kl_ab = sum(pa[w] * math.log(pa[w] / pb[w]) for w in vocab)
+    kl_ba = sum(pb[w] * math.log(pb[w] / pa[w]) for w in vocab)
+    js = 0.0
+    for w in vocab:
+        m = (pa[w] + pb[w]) / 2
+        js += 0.5 * pa[w] * math.log(pa[w] / m) \
+            + 0.5 * pb[w] * math.log(pb[w] / m)
+    assert r["vocab"] == k
+    assert r["n_tokens_a"] == na and r["n_tokens_b"] == nb
+    assert r["kl_ab"] == pytest.approx(kl_ab, abs=1e-5)
+    assert r["kl_ba"] == pytest.approx(kl_ba, abs=1e-5)
+    assert r["js"] == pytest.approx(js, abs=1e-5)
+    # identical corpora -> zero divergence
+    z = lm_divergence(da, da, "text").collect()[0]
+    assert z["kl_ab"] == 0.0 and z["js"] == 0.0
