@@ -2668,6 +2668,8 @@ _DRIVER_WINDOW = [
     "woe_iv_orders",
     "roc_auc_lineitem",
     "calibration_lineitem",
+    "iv_summary_orders",
+    "lm_divergence_documents",
     # ---- r6 driver-reds, re-checked after the seam-class fixes ----
     "cramers_v_orders",           # decimal fold + duckdb_round
     "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
@@ -2700,8 +2702,6 @@ _DRIVER_WINDOW = [
     "quality_rollup_documents",
     "language_id_documents",
     "fingerprints_documents",
-    "psi_orderpriority",
-    "welch_t_totalprice",
     "graph_components_nation",
     "cnn_labeler_customer",
     "media_profile_documents",
