@@ -611,3 +611,102 @@ pick AS (
 )
 {outs}
 """
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, col: str,
+                      probs: list[float],
+                      round_digits: int = 6) -> DataFrame:
+    """(group, prob, value): exact Type-7 quantiles PER GROUP — the
+    segmented complement of ``quantiles`` (and of ``grouped_histogram``,
+    which gives shape but not exact order statistics). NULL group values
+    are their own '(null)' segment; a group's all-NULL values yield no
+    rows for it (no non-NULL data, no quantile).
+
+    Plan: the counts-CDF partitioned by group — groupBy(group, value)
+    (map-side combined) → per-group running/total sums in ONE
+    WindowExec keyed on the group (groups sort in parallel, each
+    spillable) → ONE groupBy(group) of rank-conditional aggregates.
+    Same engine-exactness contract as cdf_quantiles: explicit (n−1)·p
+    interpolation mirrored verbatim in the oracle, no native quantile."""
+    from pyspark.sql.window import Window
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+    x = F.col(col).cast("double")
+    vc = (df.where(x.isNotNull())
+          .groupBy(g.alias("g"), x.alias("v"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    owin = Window.partitionBy("g").orderBy("v")
+    twin = Window.partitionBy("g")
+    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
+           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+           .withColumn("n", F.sum("cnt").over(twin)))
+    aggs = []
+    for i, p in enumerate(probs):
+        nd = (F.col("n") - 1).cast("double")
+        k = F.floor(nd * F.lit(float(p))).cast("long")
+        gg = nd * F.lit(float(p)) - k.cast("double")
+        aggs += [
+            F.min(F.when((F.col("c_end") >= k + 1)
+                         & (F.col("c_start") < k + 1),
+                         F.col("v"))).alias(f"__a{i}"),
+            F.min(F.when((F.col("c_end") >= k + 2)
+                         & (F.col("c_start") < k + 2),
+                         F.col("v"))).alias(f"__b{i}"),
+            F.max(gg).alias(f"__g{i}"),
+        ]
+    row = cdf.groupBy("g").agg(*aggs)
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    structs = []
+    for i, p in enumerate(probs):
+        a, b, gg = (F.col(f"__a{i}"), F.col(f"__b{i}"), F.col(f"__g{i}"))
+        q = F.when(gg == 0.0, a).otherwise(a + gg * (b - a))
+        structs.append(F.struct(
+            F.lit(float(p)).alias("prob"),
+            duckdb_round(q, round_digits).alias("value")))
+    return (row.select(F.col("g").alias("group"),
+                       F.explode(F.array(*structs)).alias("s"))
+            .select("group", "s.prob", "s.value"))
+
+
+def oracle_grouped_quantiles_sql(table: str, group_col: str, col: str,
+                                 probs: list[float],
+                                 round_digits: int = 6) -> str:
+    picks = []
+    for i, p in enumerate(probs):
+        k = (f"CAST(FLOOR(CAST(n - 1 AS DOUBLE) * {float(p)!r})"
+             f" AS BIGINT)")
+        gg = (f"(CAST(n - 1 AS DOUBLE) * {float(p)!r}"
+              f" - FLOOR(CAST(n - 1 AS DOUBLE) * {float(p)!r}))")
+        picks.append(
+            f"MIN(CASE WHEN c_end >= {k} + 1 AND c_start < {k} + 1"
+            f" THEN v END) AS a{i},\n"
+            f"         MIN(CASE WHEN c_end >= {k} + 2 AND c_start < {k} + 2"
+            f" THEN v END) AS b{i},\n"
+            f"         MAX({gg}) AS g{i}")
+    picks_sql = ",\n         ".join(picks)
+    outs = "\nUNION ALL\n".join(
+        f"SELECT g AS \"group\", {float(p)!r} AS prob,"
+        f" ROUND(CASE WHEN g{i} = 0 THEN a{i}"
+        f" ELSE a{i} + g{i} * (b{i} - a{i}) END, {round_digits}) AS value"
+        f" FROM pick"
+        for i, p in enumerate(probs))
+    return f"""
+WITH vc AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '(null)') AS g,
+         CAST({col} AS DOUBLE) AS v, COUNT(*) AS cnt
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1, 2
+),
+cdf AS (
+  SELECT g, v, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS c_end,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS c_start,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM vc
+),
+pick AS (
+  SELECT g,
+         {picks_sql}
+  FROM cdf GROUP BY g
+)
+{outs}
+"""

@@ -2495,6 +2495,19 @@ def lm_divergence_documents(spark, sf_dir):
     return _ta.lm_divergence(a, b, "text")
 
 
+@register("grouped_quantiles_lineitem",
+          hist.oracle_grouped_quantiles_sql(
+              "lineitem", "l_returnflag", "l_extendedprice",
+              [0.25, 0.5, 0.75, 0.95]))
+def grouped_quantiles_lineitem(spark, sf_dir):
+    """Per-returnflag exact quantiles of extendedprice — the
+    group-partitioned counts-CDF (one WindowExec keyed on the group;
+    groups sort in parallel)."""
+    return hist.grouped_quantiles(
+        T(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95])
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

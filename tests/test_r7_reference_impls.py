@@ -410,3 +410,24 @@ def test_lm_divergence_vs_python(spark):
     # identical corpora -> zero divergence
     z = lm_divergence(da, da, "text").collect()[0]
     assert z["kl_ab"] == 0.0 and z["js"] == 0.0
+
+
+def test_grouped_quantiles_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.histogram import grouped_quantiles
+
+    lab = nframe.selectExpr("cast(a % 3 as string) as g", "v")
+    got = {(r["group"], r["prob"]): r["value"] for r in
+           grouped_quantiles(lab, "g", "v", [0.25, 0.5, 0.75]).collect()}
+    per = defaultdict(list)
+    for x in _num_rows(7):
+        g = "(null)" if x[1] is None else str(x[1] % 3)
+        if x[3] is not None:
+            per[g].append(float(x[3]))
+    for g, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        for p in (0.25, 0.5, 0.75):
+            i = (n - 1) * p
+            lo, hi = int(math.floor(i)), int(math.ceil(i))
+            want = vals[lo] + (vals[hi] - vals[lo]) * (i - lo)
+            assert got[(g, p)] == pytest.approx(want, abs=1e-6), (g, p)
