@@ -740,3 +740,96 @@ SELECT grp AS "group",
        strftime(last_missing, '%Y-%m-%d') AS last_missing_day
 FROM agg
 """
+
+
+def type_cooccurrence(df: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      round_digits: int = 6) -> DataFrame:
+    """(type_a, type_b, n_users_a, n_users_b, n_users_both, support,
+    lift): market-basket pair statistics over per-user event-type sets —
+    which behaviors co-occur in the same users beyond chance
+    (lift = P(a,b) / (P(a)·P(b)); > 1 means the pair travels together).
+    Pairs ordered type_a < type_b; users/types NULL drop; pairs never
+    observed together are absent (support 0 carries no evidence).
+
+    Plan: map-side distinct (user, type) via ONE groupBy — the shuffle
+    key is the user (uniform) and per-user type sets are bounded by the
+    event taxonomy k, so the within-user pair expansion is ≤ k²/2 per
+    user — a collect_set + explode of combinations, never a row-level
+    self-join. Totals fold from the same distinct frame."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    ut = (df.where(F.col(user_col).isNotNull()
+                   & F.col(type_col).isNotNull())
+          .select(F.col(user_col).alias("u"),
+                  F.col(type_col).alias("t"))
+          .distinct())
+    n_users = ut.agg(F.count_distinct("u").alias("n_users"))
+    solo = ut.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    # per-user ordered type array -> all i<j pairs, map-side
+    sets = ut.groupBy("u").agg(F.sort_array(F.collect_set("t"))
+                               .alias("ts"))
+    pairs = (sets.select(
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), i - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ts"), j + 1).alias("type_a"),
+                    F.element_at(F.col("ts"),
+                                 i + 1).alias("type_b")))))).alias("p"))
+        .select("p.type_a", "p.type_b"))
+    both = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_users_both"))
+    sa = solo.select(F.col("t").alias("type_a"),
+                     F.col("n_t").alias("n_users_a"))
+    sb = solo.select(F.col("t").alias("type_b"),
+                     F.col("n_t").alias("n_users_b"))
+    j = (both.join(F.broadcast(sa), "type_a")
+         .join(F.broadcast(sb), "type_b")
+         .crossJoin(F.broadcast(n_users)))
+    nu = F.col("n_users").cast("double")
+    support = F.col("n_users_both").cast("double") / nu
+    lift = (support
+            / ((F.col("n_users_a").cast("double") / nu)
+               * (F.col("n_users_b").cast("double") / nu)))
+    return j.select(
+        "type_a", "type_b", "n_users_a", "n_users_b", "n_users_both",
+        duckdb_round(support, round_digits).alias("support"),
+        duckdb_round(lift, round_digits).alias("lift"))
+
+
+def oracle_type_cooccurrence_sql(table: str, user_col: str = "user_id",
+                                 type_col: str = "event_type",
+                                 round_digits: int = 6) -> str:
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT {user_col} AS u, {type_col} AS t
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {type_col} IS NOT NULL
+),
+n_users AS (SELECT COUNT(DISTINCT u) AS n_users FROM ut),
+solo AS (SELECT t, COUNT(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+),
+pb AS (
+  SELECT type_a, type_b, COUNT(*) AS n_users_both
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(sa.n_t AS BIGINT) AS n_users_a,
+       CAST(sb.n_t AS BIGINT) AS n_users_b,
+       CAST(n_users_both AS BIGINT) AS n_users_both,
+       ROUND(CAST(n_users_both AS DOUBLE) / n_users, {round_digits})
+         AS support,
+       ROUND((CAST(n_users_both AS DOUBLE) / n_users)
+             / ((CAST(sa.n_t AS DOUBLE) / n_users)
+                * (CAST(sb.n_t AS DOUBLE) / n_users)), {round_digits})
+         AS lift
+FROM pb
+JOIN solo sa ON sa.t = pb.type_a
+JOIN solo sb ON sb.t = pb.type_b
+CROSS JOIN n_users
+"""

@@ -2508,6 +2508,15 @@ def grouped_quantiles_lineitem(spark, sf_dir):
         [0.25, 0.5, 0.75, 0.95])
 
 
+@register("type_cooccurrence_events",
+          ev.oracle_type_cooccurrence_sql("events"))
+def type_cooccurrence_events(spark, sf_dir):
+    """Market-basket event-type pair stats (support/lift over per-user
+    type sets) — within-user pair expansion bounded by the taxonomy,
+    never a row-level self-join."""
+    return ev.type_cooccurrence(T(spark, sf_dir, "events"))
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

@@ -389,6 +389,10 @@ ADV_QUERIES = [
     "woe_iv_orders",
     "roc_auc_lineitem",
     "calibration_lineitem",
+    "grouped_quantiles_lineitem",
+    "lm_divergence_documents",
+    "iv_summary_orders",
+    "type_cooccurrence_events",
 ]
 
 

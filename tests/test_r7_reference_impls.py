@@ -431,3 +431,31 @@ def test_grouped_quantiles_vs_python(spark, nframe):
             lo, hi = int(math.floor(i)), int(math.ceil(i))
             want = vals[lo] + (vals[hi] - vals[lo]) * (i - lo)
             assert got[(g, p)] == pytest.approx(want, abs=1e-6), (g, p)
+
+
+def test_type_cooccurrence_vs_python(spark, eframe):
+    from dataprofiler_spark.operators.events import type_cooccurrence
+
+    got = {(r["type_a"], r["type_b"]): r for r in
+           type_cooccurrence(eframe).collect()}
+    per_user = defaultdict(set)
+    for u, ts, et in _event_rows(11):
+        per_user[u].add(et)
+    n_users = len(per_user)
+    solo = Counter()
+    both = Counter()
+    for u, types in per_user.items():
+        for t in types:
+            solo[t] += 1
+        ts_ = sorted(types)
+        for i in range(len(ts_)):
+            for j in range(i + 1, len(ts_)):
+                both[(ts_[i], ts_[j])] += 1
+    assert set(got) == set(both)
+    for (a, b), nb in both.items():
+        g = got[(a, b)]
+        assert g["n_users_both"] == nb
+        assert g["n_users_a"] == solo[a] and g["n_users_b"] == solo[b]
+        assert g["support"] == pytest.approx(nb / n_users, abs=1e-6)
+        lift = (nb / n_users) / ((solo[a] / n_users) * (solo[b] / n_users))
+        assert g["lift"] == pytest.approx(lift, abs=1e-4)
