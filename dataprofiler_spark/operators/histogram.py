@@ -181,6 +181,13 @@ def histogram(df: DataFrame, col: str, n_bins: int,
     numeric battery when provided, else a cheap extra agg."""
     if vmin is None or vmax is None:
         row = df.agg(F.min(col).cast("double"), F.max(col).cast("double")).collect()[0]
+        if row[0] is None:
+            # empty / all-NULL column: zero buckets (both engines — the
+            # oracle's bucket CTE is empty too), not a float(None) crash
+            # (empty-tables audit, r7)
+            return (df.sparkSession.createDataFrame(
+                [], "bucket int, bin_lo double, bin_hi double,"
+                    " count long"))
         vmin, vmax = float(row[0]), float(row[1])
     if vmax == vmin:
         vmax = vmin + 1.0

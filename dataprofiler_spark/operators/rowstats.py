@@ -61,7 +61,10 @@ def row_stats(df: DataFrame, cols: list[str] | None = None,
         F.count(F.lit(1)).alias("row_count"),
         uniq.alias("unique_row_count"),
         (F.count(F.lit(1)) - uniq).alias("duplicate_row_count"),
-        F.round(uniq / F.count(F.lit(1)), 6).alias("unique_row_ratio"),
+        # nullif: an EMPTY table must yield ratio NULL, not an ANSI
+        # divide-by-zero crash (empty-tables audit, r7)
+        F.round(uniq / F.nullif(F.count(F.lit(1)), F.lit(0)), 6)
+         .alias("unique_row_ratio"),
         F.sum(F.when(nin > 0, 1).otherwise(0)).alias("rows_with_null_count"),
         F.sum(F.when(nin == ncols, 1).otherwise(0)).alias("rows_all_null_count"),
     )
@@ -81,7 +84,8 @@ def oracle_row_stats_sql(table: str, cols: list[str]) -> str:
     return f"""
 SELECT row_count, unique_row_count,
        row_count - unique_row_count AS duplicate_row_count,
-       ROUND(CAST(unique_row_count AS DOUBLE) / row_count, 6) AS unique_row_ratio,
+       ROUND(CAST(unique_row_count AS DOUBLE) / NULLIF(row_count, 0), 6)
+         AS unique_row_ratio,
        CAST(rows_with_null_count AS BIGINT) AS rows_with_null_count,
        CAST(rows_all_null_count AS BIGINT) AS rows_all_null_count
 FROM (

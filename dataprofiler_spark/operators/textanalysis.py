@@ -276,6 +276,7 @@ FROM (
            AS n_low_quality
   FROM {table}
   GROUP BY ROLLUP (grp)
+  HAVING COUNT(*) > 0
 )
 """
 

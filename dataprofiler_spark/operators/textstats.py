@@ -124,6 +124,11 @@ def text_length_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     melted = row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
     return (
         melted.join(vocab, "column", "left")
+        # a column with ZERO non-null values has vocab 0, not NULL —
+        # DuckDB's COUNT(DISTINCT) over empty is 0 and the left join
+        # here would otherwise say NULL (empty-tables audit, r7)
+        .withColumn("vocab_size",
+                    F.coalesce(F.col("vocab_size"), F.lit(0)))
         .withColumn("is_text", F.col("max_len") > STRING_MAX_LEN)
     )
 

@@ -2044,6 +2044,7 @@ SELECT event_type,
          AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+HAVING COUNT(*) > 0
 """
 
 
