@@ -199,6 +199,13 @@ def build_runners(spark, sf_dir):
         vd.woe_iv(od, "o_orderstatus", "y").collect()
     add("profile", "woe_iv_orders", _woe)
 
+    def _gq():
+        from dataprofiler_spark.operators import histogram as hg
+        hg.grouped_quantiles(lineitem, "l_returnflag",
+                             "l_extendedprice",
+                             [0.25, 0.5, 0.75, 0.95]).collect()
+    add("profile", "grouped_quantiles_lineitem", _gq)
+
     add("profile", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
@@ -278,6 +285,14 @@ def build_runners(spark, sf_dir):
     add("text", "bigram_logprob_documents",
         lambda: ta.bigram_logprob_scores(documents, "doc_id",
                                          "text").count())
+    def _lmdiv():
+        a = documents.where(F.col("source").isin(
+            "src0", "src1", "src2", "src3", "src4"))
+        b = documents.where(~F.col("source").isin(
+            "src0", "src1", "src2", "src3", "src4"))
+        ta.lm_divergence(a, b, "text").collect()
+    add("text", "lm_divergence_documents", _lmdiv)
+
     add("text", "collocations_pmi_documents",
         lambda: ta.collocations_pmi(documents, "text", k=20,
                                     min_count=5).collect())
@@ -319,6 +334,8 @@ def build_runners(spark, sf_dir):
         dr.categorical_psi(a, b, "o_orderpriority").collect()
         dr.welch_t(a, b, "o_totalprice").collect()
     add("events", "drift_orders", _drift)
+    add("events", "type_cooccurrence_events",
+        lambda: ev.type_cooccurrence(events).collect())
     add("events", "markov_transitions_events",
         lambda: ev.markov_transitions(events).collect())
     add("events", "calendar_gaps_events",
