@@ -756,7 +756,12 @@ def type_cooccurrence(df: DataFrame, user_col: str = "user_id",
     key is the user (uniform) and per-user type sets are bounded by the
     event taxonomy k, so the within-user pair expansion is ≤ k²/2 per
     user — a collect_set + explode of combinations, never a row-level
-    self-join. Totals fold from the same distinct frame."""
+    self-join. Totals fold from the same distinct frame. NOTE the
+    distinct frame's lineage is referenced three times (pair sets,
+    per-type counts, user total) and Catalyst does not dedupe common
+    subplans — three narrow 2-column scans + three shuffles. At scales
+    where that matters, persist the deduplicated (user, type) frame
+    once and pass it in pre-distincted."""
     from dataprofiler_spark.functions.rounding import duckdb_round
 
     ut = (df.where(F.col(user_col).isNotNull()
