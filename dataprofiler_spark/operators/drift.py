@@ -470,3 +470,67 @@ SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)),
        {bins} AS bins
 FROM cum
 """
+
+
+def quantile_shift(df_a: DataFrame, df_b: DataFrame, col: str,
+                   probs: list[float] | None = None,
+                   round_digits: int = 6) -> DataFrame:
+    """(prob, q_a, q_b, shift, rel_shift): per-quantile drift between
+    two snapshots of a numeric column — the ORDER-STATISTICS view of
+    distribution change that PSI's binned view blurs (a pure tail shift
+    moves q99 and nothing else; PSI over 10 bins barely ticks).
+    rel_shift = shift / |q_a| (NULL when q_a = 0). Empty sides yield
+    NULL quantiles.
+
+    Plan: two counts-CDF quantile passes (histogram.cdf_quantiles — no
+    native percentile, bounded state, identical interpolation both
+    engines) + a 1-row cross join."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.operators.histogram import cdf_quantiles
+
+    probs = probs or [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    qa = cdf_quantiles(df_a, col, probs).select(
+        *[F.col(f"q{i}").alias(f"qa{i}") for i in range(len(probs))])
+    qb = cdf_quantiles(df_b, col, probs).select(
+        *[F.col(f"q{i}").alias(f"qb{i}") for i in range(len(probs))])
+    row = qa.crossJoin(F.broadcast(qb))
+    structs = []
+    for i, p in enumerate(probs):
+        a, b = F.col(f"qa{i}"), F.col(f"qb{i}")
+        structs.append(F.struct(
+            F.lit(float(p)).alias("prob"),
+            duckdb_round(a, round_digits).alias("q_a"),
+            duckdb_round(b, round_digits).alias("q_b"),
+            duckdb_round(b - a, round_digits).alias("shift"),
+            duckdb_round(F.when(F.abs(a) > 0, (b - a) / F.abs(a)),
+                         round_digits).alias("rel_shift")))
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+
+
+def oracle_quantile_shift_sql(table_a: str, table_b: str, col: str,
+                              probs: list[float] | None = None,
+                              round_digits: int = 6) -> str:
+    from dataprofiler_spark.operators.histogram import \
+        oracle_cdf_quantiles_cte
+
+    probs = probs or [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    cte_a = oracle_cdf_quantiles_cte(table_a, col, probs)
+    # second CTE chain needs distinct names
+    cte_b = (oracle_cdf_quantiles_cte(table_b, col, probs)
+             .replace("vc_0", "vc_b").replace("cdfq", "cdfq_b")
+             .replace("qpick", "qpick_b")
+             .replace("qs AS", "qs_b AS"))
+    outs = "\nUNION ALL\n".join(
+        f"SELECT {float(p)!r} AS prob,"
+        f" ROUND(a.q{i}, {round_digits}) AS q_a,"
+        f" ROUND(b.q{i}, {round_digits}) AS q_b,"
+        f" ROUND(b.q{i} - a.q{i}, {round_digits}) AS shift,"
+        f" ROUND(CASE WHEN ABS(a.q{i}) > 0"
+        f" THEN (b.q{i} - a.q{i}) / ABS(a.q{i}) END, {round_digits})"
+        f" AS rel_shift"
+        f" FROM qs a CROSS JOIN qs_b b"
+        for i, p in enumerate(probs))
+    return f"WITH {cte_a},\n{cte_b}\n{outs}"

@@ -2518,6 +2518,23 @@ def type_cooccurrence_events(spark, sf_dir):
     return ev.type_cooccurrence(T(spark, sf_dir, "events"))
 
 
+_QSHIFT_A = "(SELECT * FROM orders WHERE o_orderdate < '1996-01-01')"
+_QSHIFT_B = "(SELECT * FROM orders WHERE o_orderdate >= '1996-01-01')"
+
+
+@register("quantile_shift_totalprice",
+          dr.oracle_quantile_shift_sql(_QSHIFT_A, _QSHIFT_B,
+                                       "o_totalprice"))
+def quantile_shift_totalprice(spark, sf_dir):
+    """Per-quantile drift of totalprice across a date split — the
+    order-statistics view PSI's bins blur; two counts-CDF passes."""
+    o = T(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1996-01-01")
+    b = o.where(F.col("o_orderdate") >= "1996-01-01")
+    from dataprofiler_spark.operators import drift as _dr
+    return _dr.quantile_shift(a, b, "o_totalprice")
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

@@ -393,6 +393,7 @@ ADV_QUERIES = [
     "lm_divergence_documents",
     "iv_summary_orders",
     "type_cooccurrence_events",
+    "quantile_shift_totalprice",
 ]
 
 

@@ -459,3 +459,33 @@ def test_type_cooccurrence_vs_python(spark, eframe):
         assert g["support"] == pytest.approx(nb / n_users, abs=1e-6)
         lift = (nb / n_users) / ((solo[a] / n_users) * (solo[b] / n_users))
         assert g["lift"] == pytest.approx(lift, abs=1e-4)
+
+
+def test_quantile_shift_vs_python(spark, nframe):
+    from dataprofiler_spark.operators.drift import quantile_shift
+
+    a = nframe.where("id % 2 = 0").select("v")
+    b = nframe.where("id % 2 = 1").select("v")
+    got = {r["prob"]: r for r in
+           quantile_shift(a, b, "v", [0.25, 0.5, 0.75]).collect()}
+    va = sorted(float(x[3]) for x in _num_rows(7)
+                if x[0] % 2 == 0 and x[3] is not None)
+    vb = sorted(float(x[3]) for x in _num_rows(7)
+                if x[0] % 2 == 1 and x[3] is not None)
+
+    def q(vals, p):
+        i = (len(vals) - 1) * p
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return vals[lo] + (vals[hi] - vals[lo]) * (i - lo)
+
+    for p in (0.25, 0.5, 0.75):
+        qa, qb = q(va, p), q(vb, p)
+        g = got[p]
+        assert g["q_a"] == pytest.approx(qa, abs=1e-6)
+        assert g["q_b"] == pytest.approx(qb, abs=1e-6)
+        assert g["shift"] == pytest.approx(qb - qa, abs=1e-6)
+        if qa == 0:
+            assert g["rel_shift"] is None      # undefined at q_a = 0
+        else:
+            assert g["rel_shift"] == pytest.approx(
+                (qb - qa) / abs(qa), abs=1e-5)
