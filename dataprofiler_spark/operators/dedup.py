@@ -1019,3 +1019,61 @@ FROM shared
 JOIN counts c1 ON shared.id1 = c1.id
 JOIN counts c2 ON shared.id2 = c2.id
 """
+
+
+def neardup_threshold_sweep(df: DataFrame, id_col: str, text_col: str,
+                            thresholds: list[float] | None = None,
+                            k: int = 3, num_hashes: int = 12,
+                            bands: int = 6, round_digits: int = 6,
+                            max_bucket_size: int | None =
+                            DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+    """(threshold, n_pairs): how many verified near-dup pairs survive
+    each candidate Jaccard threshold — the tuning table you read BEFORE
+    committing a dedup threshold to a 100 TB run ("0.8 keeps 1.2k
+    pairs, 0.7 keeps 41k: which cliff is real?"). One LSH+verify pass
+    at min(thresholds); every higher threshold is a conditional count
+    over the SAME verified pairs frame — the jaccard doubles and the
+    literal cutoffs are identical in both engines, so counts are exact.
+
+    Candidate-generation caveat (documented, matches the oracle): the
+    LSH band parameters are FIXED across the sweep, so recall at each
+    threshold is the recall of that one banding — the sweep compares
+    thresholds under the banding you would actually deploy, not an
+    oracle-perfect all-pairs scan."""
+    thresholds = sorted(thresholds or [0.5, 0.6, 0.7, 0.8, 0.9])
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=min(thresholds),
+                              round_digits=round_digits,
+                              max_bucket_size=max_bucket_size)
+    aggs = [F.coalesce(
+        F.sum((F.col("jaccard") >= F.lit(float(t))).cast("long")),
+        F.lit(0)).alias(f"__n{i}") for i, t in enumerate(thresholds)]
+    row = pairs.agg(*aggs)
+    structs = [F.struct(F.lit(float(t)).alias("threshold"),
+                        F.col(f"__n{i}").cast("long").alias("n_pairs"))
+               for i, t in enumerate(thresholds)]
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+
+
+def oracle_neardup_threshold_sweep_sql(table: str, id_col: str,
+                                       text_col: str,
+                                       thresholds: list[float] | None =
+                                       None,
+                                       k: int = 3, num_hashes: int = 12,
+                                       bands: int = 6,
+                                       round_digits: int = 6,
+                                       max_bucket_size: int | None =
+                                       DEFAULT_MAX_BUCKET_SIZE) -> str:
+    thresholds = sorted(thresholds or [0.5, 0.6, 0.7, 0.8, 0.9])
+    inner = oracle_minhash_lsh_pairs_sql(
+        table, id_col, text_col, k=k, num_hashes=num_hashes,
+        bands=bands, threshold=min(thresholds),
+        round_digits=round_digits, max_bucket_size=max_bucket_size)
+    outs = "\nUNION ALL\n".join(
+        f"SELECT {float(t)!r} AS threshold,"
+        f" CAST(COALESCE(SUM(CASE WHEN jaccard >= {float(t)!r}"
+        f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs FROM pairs"
+        for t in thresholds)
+    return f"WITH pairs AS ({inner})\n{outs}"

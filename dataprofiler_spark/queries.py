@@ -2535,6 +2535,16 @@ def quantile_shift_totalprice(spark, sf_dir):
     return _dr.quantile_shift(a, b, "o_totalprice")
 
 
+@register("neardup_threshold_sweep_documents",
+          dd.oracle_neardup_threshold_sweep_sql(
+              "documents", "doc_id", "text", bands=2))
+def neardup_threshold_sweep_documents(spark, sf_dir):
+    """Verified-pair counts at each candidate dedup threshold — one
+    LSH+verify pass at the lowest threshold, conditional counts above."""
+    return dd.neardup_threshold_sweep(
+        T(spark, sf_dir, "documents"), "doc_id", "text", bands=2)
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

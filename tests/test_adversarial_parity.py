@@ -394,6 +394,7 @@ ADV_QUERIES = [
     "iv_summary_orders",
     "type_cooccurrence_events",
     "quantile_shift_totalprice",
+    "neardup_threshold_sweep_documents",
 ]
 
 
