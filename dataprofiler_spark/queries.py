@@ -2697,7 +2697,9 @@ def full_report_events(spark, sf_dir):
 # siblings of in-window queries ceded slots: minhash_signatures to
 # minhash_lsh_pairs, kmeans_clusters to kmeans_assign,
 # embedding_decontaminate to its bucketed twin, modes_quantity to the
-# quantile family, lsh_topk to cosine_topk).
+# quantile family, lsh_topk/cosine_topk to query_cosine_topk,
+# time_bucket to rollup_events, word_counts to token_summary,
+# fingerprints to the winnowing rows).
 _DRIVER_WINDOW = [
     # ---- never driver-checked: late-r6 additions ----
     "benford_lineitem",
@@ -2720,6 +2722,10 @@ _DRIVER_WINDOW = [
     "calibration_lineitem",
     "iv_summary_orders",
     "lm_divergence_documents",
+    "grouped_quantiles_lineitem",
+    "type_cooccurrence_events",
+    "quantile_shift_totalprice",
+    "neardup_threshold_sweep_documents",
     # ---- r6 driver-reds, re-checked after the seam-class fixes ----
     "cramers_v_orders",           # decimal fold + duckdb_round
     "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
@@ -2736,22 +2742,18 @@ _DRIVER_WINDOW = [
     # ---- stalest driver rows: r4 cohort (25 of the remaining 46) ----
     "categorical_stats_lineitem",
     "top_categories_orders",
-    "time_bucket_events",
     "order_profile_events_value",
-    "word_counts_documents",
     "exact_dedup_documents",
     "ngram_jaccard_documents",
     "minhash_lsh_pairs_documents",
     "simhash_documents",
     "neardup_clusters_documents",
-    "cosine_topk_embeddings",
     "embedding_neardup_pairs",
     "embedding_decontaminate_bucketed",
     "kmeans_assign_embeddings",
     "token_summary_documents",
     "quality_rollup_documents",
     "language_id_documents",
-    "fingerprints_documents",
     "graph_components_nation",
     "cnn_labeler_customer",
     "media_profile_documents",
