@@ -838,3 +838,114 @@ JOIN solo sa ON sa.t = pb.type_a
 JOIN solo sb ON sb.t = pb.type_b
 CROSS JOIN n_users
 """
+
+
+def null_rate_by_day(df: DataFrame, ts_col: str, cols: list[str],
+                     round_digits: int = 6) -> DataFrame:
+    """(day, column, n, n_null, null_rate): per-day completeness of each
+    column — the data-quality TIMESERIES a single null_count hides (a
+    feed that went 40% null last Tuesday looks fine in the全-corpus
+    rate). Rows with NULL timestamp drop (they have no day to report
+    under).
+
+    Plan: ONE groupBy(day) computing every column's (count, null count)
+    in the same wide aggregate, exploded to rows afterwards — one scan
+    and one O(days) shuffle at any column count."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
+    base = df.where(F.col(ts_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"__nn_{c}"))
+    day = F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    row = base.groupBy(day).agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col("__n").alias("n"),
+                        F.col(f"__nn_{c}").alias("n_null"))
+               for c in cols]
+    return (row.select("day", F.explode(F.array(*structs)).alias("s"))
+            .select("day", "s.column", "s.n", "s.n_null",
+                    duckdb_round(F.col("s.n_null").cast("double")
+                                 / F.col("s.n"),
+                                 round_digits).alias("null_rate")))
+
+
+def oracle_null_rate_by_day_sql(table: str, ts_col: str,
+                                cols: list[str],
+                                round_digits: int = 6) -> str:
+    selects = []
+    for c in cols:
+        selects.append(f"""
+SELECT strftime({ts_col}, '%Y-%m-%d') AS day, '{c}' AS "column",
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), {round_digits}) AS null_rate
+FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1""")
+    return "\nUNION ALL\n".join(selects)
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  gap_minutes: int = SESSION_GAP_MINUTES,
+                  round_digits: int = 6) -> DataFrame:
+    """One-row (n_sessions, n_users, mean_events, median_duration_s,
+    p95_duration_s): the corpus summary of gap-based sessions — the
+    engagement overview that per-session rows (``sessionize``) are too
+    granular to report. Durations are exact integer microsecond spans;
+    the median/p95 run on the counts-CDF (no native percentile).
+
+    Plan: the sessionize window plan (user-partitioned) → O(sessions)
+    rows → one wide agg + one CDF quantile pass."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.operators.histogram import cdf_quantiles
+
+    sess = sessionize(df, user_col, ts_col, gap_minutes)
+    dur_s = ((F.col("end_us") - F.col("start_us")).cast("double")
+             / 1e6)
+    agg = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("__ev"))
+    q = cdf_quantiles(sess.select(dur_s.alias("__d")), "__d",
+                      [0.5, 0.95])
+    j = agg.crossJoin(F.broadcast(q))
+    return j.select(
+        "n_sessions", "n_users",
+        duckdb_round(F.col("__ev").cast("double")
+                     / F.nullif(F.col("n_sessions"), F.lit(0)),
+                     round_digits).alias("mean_events"),
+        duckdb_round(F.col("q0"), round_digits)
+        .alias("median_duration_s"),
+        duckdb_round(F.col("q1"), round_digits).alias("p95_duration_s"))
+
+
+def oracle_session_stats_sql(table: str, user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             gap_minutes: int = SESSION_GAP_MINUTES,
+                             round_digits: int = 6) -> str:
+    from dataprofiler_spark.operators.histogram import \
+        oracle_cdf_quantiles_cte
+
+    inner = oracle_sessionize_sql(table, user_col, ts_col, gap_minutes)
+    q_cte = oracle_cdf_quantiles_cte(
+        "sess", "CAST(end_us - start_us AS DOUBLE) / 1e6", [0.5, 0.95])
+    return f"""
+WITH sess AS ({inner}),
+{q_cte},
+agg AS (
+  SELECT COUNT(*) AS n_sessions,
+         COUNT(DISTINCT user_id) AS n_users,
+         SUM(n_events) AS ev
+  FROM sess
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(CAST(ev AS DOUBLE) / NULLIF(n_sessions, 0),
+             {round_digits}) AS mean_events,
+       ROUND(q0, {round_digits}) AS median_duration_s,
+       ROUND(q1, {round_digits}) AS p95_duration_s
+FROM agg CROSS JOIN qs
+"""

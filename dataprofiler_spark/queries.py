@@ -2545,6 +2545,24 @@ def neardup_threshold_sweep_documents(spark, sf_dir):
         T(spark, sf_dir, "documents"), "doc_id", "text", bands=2)
 
 
+@register("null_rate_by_day_events",
+          ev.oracle_null_rate_by_day_sql("events", "ts",
+                                         ["user_id", "value", "props"]))
+def null_rate_by_day_events(spark, sf_dir):
+    """Per-day completeness timeseries of three columns — one
+    groupBy(day) wide agg, exploded to rows."""
+    return ev.null_rate_by_day(T(spark, sf_dir, "events"), "ts",
+                               ["user_id", "value", "props"])
+
+
+@register("session_stats_events",
+          ev.oracle_session_stats_sql("events"))
+def session_stats_events(spark, sf_dir):
+    """One-row session summary (count/users/mean events/median + p95
+    duration) — sessionize plan + a counts-CDF quantile pass."""
+    return ev.session_stats(T(spark, sf_dir, "events"))
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance

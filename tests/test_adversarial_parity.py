@@ -395,6 +395,8 @@ ADV_QUERIES = [
     "type_cooccurrence_events",
     "quantile_shift_totalprice",
     "neardup_threshold_sweep_documents",
+    "null_rate_by_day_events",
+    "session_stats_events",
 ]
 
 

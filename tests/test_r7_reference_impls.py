@@ -489,3 +489,68 @@ def test_quantile_shift_vs_python(spark, nframe):
         else:
             assert g["rel_shift"] == pytest.approx(
                 (qb - qa) / abs(qa), abs=1e-5)
+
+
+def test_null_rate_by_day_vs_python(spark):
+    from dataprofiler_spark.operators.events import null_rate_by_day
+
+    rng = random.Random(41)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for i in range(400):
+        ts = base + datetime.timedelta(days=rng.randrange(6),
+                                       seconds=rng.randrange(86400))
+        v = rng.choice([None, 1.0, 2.0])
+        u = rng.choice([None, rng.randrange(5)])
+        rows.append((u, ts, v))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r["day"], r["column"]): r for r in
+           null_rate_by_day(df, "ts", ["user_id", "value"]).collect()}
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for u, ts, v in rows:
+        d = ts.date().isoformat()
+        for col, x in (("user_id", u), ("value", v)):
+            per[d][col][0] += 1
+            per[d][col][1] += (x is None)
+    for d, cols in per.items():
+        for col, (n, nn) in cols.items():
+            g = got[(d, col)]
+            assert g["n"] == n and g["n_null"] == nn
+            assert g["null_rate"] == pytest.approx(nn / n, abs=1e-6)
+
+
+def test_session_stats_vs_python(spark, eframe):
+    from dataprofiler_spark.operators.events import session_stats
+
+    r = session_stats(eframe, gap_minutes=30).collect()[0]
+    seqs = defaultdict(list)
+    for u, ts, et in _event_rows(11):
+        seqs[u].append(ts)
+    sessions = []
+    for u, tss in seqs.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - prev).total_seconds() > 1800:
+                sessions.append((n, (prev - start).total_seconds()))
+                start = t
+                n = 0
+            n += 1
+            prev = t
+        sessions.append((n, (prev - start).total_seconds()))
+    n_sessions = len(sessions)
+    evs = [n for n, _ in sessions]
+    durs = sorted(d for _, d in sessions)
+
+    def q(vals, p):
+        i = (len(vals) - 1) * p
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return vals[lo] + (vals[hi] - vals[lo]) * (i - lo)
+
+    assert r["n_sessions"] == n_sessions
+    assert r["n_users"] == len(seqs)
+    assert r["mean_events"] == pytest.approx(
+        sum(evs) / n_sessions, abs=1e-6)
+    assert r["median_duration_s"] == pytest.approx(q(durs, 0.5), abs=1e-4)
+    assert r["p95_duration_s"] == pytest.approx(q(durs, 0.95), abs=1e-4)
