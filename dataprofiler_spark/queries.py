@@ -2744,6 +2744,8 @@ _DRIVER_WINDOW = [
     "type_cooccurrence_events",
     "quantile_shift_totalprice",
     "neardup_threshold_sweep_documents",
+    "null_rate_by_day_events",
+    "session_stats_events",
     # ---- r6 driver-reds, re-checked after the seam-class fixes ----
     "cramers_v_orders",           # decimal fold + duckdb_round
     "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
@@ -2760,9 +2762,7 @@ _DRIVER_WINDOW = [
     # ---- stalest driver rows: r4 cohort (25 of the remaining 46) ----
     "categorical_stats_lineitem",
     "top_categories_orders",
-    "order_profile_events_value",
     "exact_dedup_documents",
-    "ngram_jaccard_documents",
     "minhash_lsh_pairs_documents",
     "simhash_documents",
     "neardup_clusters_documents",
