@@ -1022,3 +1022,66 @@ SELECT CAST(MAX(k) AS BIGINT) AS vocab,
          AS js
 FROM v, tot
 """
+
+
+def top_terms_by_group(df: DataFrame, group_col: str, text_col: str,
+                       k: int = 10,
+                       round_digits: int = 6) -> DataFrame:
+    """(group, rank, term, tf, share): each group's top-k tokens by
+    frequency with the within-group share — the quick vocabulary
+    fingerprint of a source/language/domain slice (tfidf_top_terms is
+    per-DOCUMENT; this is the per-SEGMENT rollup you eyeball when
+    deciding whether a new source is news, code, or spam). NULL group
+    values are their own '(null)' segment; ties rank by (tf desc,
+    term asc) — deterministic on both engines.
+
+    Plan: ONE (group, term) tf aggregation (map-side combined), a
+    per-group totals rollup joined back broadcast-sized, then top-k via
+    a window PARTITIONED BY group — bounded by per-group vocabulary,
+    never a global sort."""
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.session import (ensure_parallelism,
+                                            explode_no_prefilter)
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+    base = ensure_parallelism(
+        df.select(g.alias("g"), tokens_expr(text_col).alias("toks")))
+    tf = (explode_no_prefilter(base, "toks", "term", "g")
+          .groupBy("g", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tot = tf.groupBy("g").agg(F.sum("tf").alias("__tot"))
+    w = Window.partitionBy("g").orderBy(F.desc("tf"), F.asc("term"))
+    return (tf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .join(F.broadcast(tot), "g")
+            .select(F.col("g").alias("group"), "rank", "term", "tf",
+                    duckdb_round(F.col("tf").cast("double")
+                                 / F.col("__tot"),
+                                 round_digits).alias("share")))
+
+
+def oracle_top_terms_by_group_sql(table: str, group_col: str,
+                                  text_col: str, k: int = 10,
+                                  round_digits: int = 6) -> str:
+    toks = f"regexp_extract_all(LOWER({text_col}), '[^ \\t\\n\\x0b\\f\\r]+')"
+    return f"""
+WITH terms AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '(null)') AS g,
+         UNNEST({toks}) AS term
+  FROM {table}
+),
+tf AS (SELECT g, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+tot AS (SELECT g, SUM(tf) AS tot FROM tf GROUP BY 1),
+ranked AS (
+  SELECT g, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY g
+                            ORDER BY tf DESC, term ASC) AS rank
+  FROM tf
+)
+SELECT r.g AS "group", CAST(r.rank AS INT) AS rank, r.term,
+       CAST(r.tf AS BIGINT) AS tf,
+       ROUND(CAST(r.tf AS DOUBLE) / tot.tot, {round_digits}) AS share
+FROM ranked r JOIN tot USING (g)
+WHERE r.rank <= {k}
+"""

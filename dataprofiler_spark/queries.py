@@ -2563,6 +2563,17 @@ def session_stats_events(spark, sf_dir):
     return ev.session_stats(T(spark, sf_dir, "events"))
 
 
+@register("top_terms_by_group_documents",
+          ta.oracle_top_terms_by_group_sql("documents", "source",
+                                           "text", k=5))
+def top_terms_by_group_documents(spark, sf_dir):
+    """Per-source top-5 vocabulary with within-group share — one
+    (group, term) tf aggregation + a group-partitioned top-k window."""
+    from dataprofiler_spark.operators import textanalysis as _ta
+    return _ta.top_terms_by_group(T(spark, sf_dir, "documents"),
+                                  "source", "text", k=5)
+
+
 @register("embedding_spectrum_embeddings")
 def embedding_spectrum_embeddings(spark, sf_dir):
     """Eigen-spectrum concentration of the embedding covariance
@@ -2746,6 +2757,7 @@ _DRIVER_WINDOW = [
     "neardup_threshold_sweep_documents",
     "null_rate_by_day_events",
     "session_stats_events",
+    "top_terms_by_group_documents",
     # ---- r6 driver-reds, re-checked after the seam-class fixes ----
     "cramers_v_orders",           # decimal fold + duckdb_round
     "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
@@ -2769,7 +2781,6 @@ _DRIVER_WINDOW = [
     "embedding_neardup_pairs",
     "embedding_decontaminate_bucketed",
     "kmeans_assign_embeddings",
-    "token_summary_documents",
     "quality_rollup_documents",
     "language_id_documents",
     "graph_components_nation",

@@ -397,6 +397,7 @@ ADV_QUERIES = [
     "neardup_threshold_sweep_documents",
     "null_rate_by_day_events",
     "session_stats_events",
+    "top_terms_by_group_documents",
 ]
 
 

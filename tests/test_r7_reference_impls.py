@@ -554,3 +554,30 @@ def test_session_stats_vs_python(spark, eframe):
         sum(evs) / n_sessions, abs=1e-6)
     assert r["median_duration_s"] == pytest.approx(q(durs, 0.5), abs=1e-4)
     assert r["p95_duration_s"] == pytest.approx(q(durs, 0.95), abs=1e-4)
+
+
+def test_top_terms_by_group_vs_python(spark):
+    from dataprofiler_spark.operators.textanalysis import \
+        top_terms_by_group
+
+    rng = random.Random(53)
+    vocab = ["data", "spark", "model", "train", "eval", "loss"]
+    rows = []
+    for i in range(200):
+        src = f"s{i % 3}"
+        rows.append((i, src,
+                     " ".join(rng.choice(vocab) for _ in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["group"], r["rank"]): r for r in
+           top_terms_by_group(df, "source", "text", k=3).collect()}
+    per = defaultdict(Counter)
+    tot = Counter()
+    for _, src, t in rows:
+        per[src].update(t.split())
+        tot[src] += len(t.split())
+    for src, c in per.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (term, n) in enumerate(ranked, 1):
+            g = got[(src, i)]
+            assert g["term"] == term and g["tf"] == n
+            assert g["share"] == pytest.approx(n / tot[src], abs=1e-6)
