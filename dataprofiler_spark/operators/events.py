@@ -774,6 +774,11 @@ def type_cooccurrence(df: DataFrame, user_col: str = "user_id",
     # per-user ordered type array -> all i<j pairs, map-side
     sets = ut.groupBy("u").agg(F.sort_array(F.collect_set("t"))
                                .alias("ts"))
+    # Single-type users contribute no pairs — and must be filtered
+    # BEFORE the expansion: sequence(1, size-1) on size==1 is
+    # sequence(1, 0), which Spark evaluates as a DESCENDING [1, 0] and
+    # the element_at(ts, 2) lookup throws INVALID_ARRAY_INDEX.
+    sets = sets.where(F.size("ts") >= 2)
     pairs = (sets.select(
         F.explode(F.flatten(F.transform(
             F.sequence(F.lit(1), F.size("ts") - 1),

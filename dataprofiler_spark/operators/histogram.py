@@ -339,10 +339,12 @@ def quantiles(df: DataFrame, col: str, probs: list[float],
     """Exact interpolated quantiles: (prob, value) — counts-CDF
     formulation (see module note: no native quantile call, bounded
     state, identical interpolation arithmetic in both engines)."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
     row = cdf_quantiles(df, col, probs)
     pairs = [
         F.struct(F.lit(p).alias("prob"),
-                 F.round(F.col(f"q{i}"), round_digits).alias("value"))
+                 duckdb_round(F.col(f"q{i}"), round_digits).alias("value"))
         for i, p in enumerate(probs)
     ]
     return row.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
@@ -363,13 +365,15 @@ def median_mad(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame:
     stats.py:1592-1721); the exact equivalent is the median of
     |x − median| — two counts-CDF passes (the second over the absolute
     deviations against the broadcast median scalar)."""
+    from dataprofiler_spark.functions.rounding import duckdb_round
+
     med = cdf_quantiles(df, col, [0.5]).select(F.col("q0").alias("m"))
     j = df.crossJoin(F.broadcast(med))
     dev = F.abs(F.col(col).cast("double") - F.col("m"))
     mad = cdf_quantiles(j, dev, [0.5]).select(F.col("q0").alias("d"))
     return (med.crossJoin(F.broadcast(mad))
-            .select(F.round(F.col("m"), round_digits).alias("median"),
-                    F.round(F.col("d"), round_digits).alias("mad")))
+            .select(duckdb_round(F.col("m"), round_digits).alias("median"),
+                    duckdb_round(F.col("d"), round_digits).alias("mad")))
 
 
 def oracle_median_mad_sql(table: str, col: str, round_digits: int = 6) -> str:

@@ -1045,6 +1045,67 @@ def full_profile_events(spark, sf_dir):
     return _deterministic_profile_df(spark, T(spark, sf_dir, "events"))
 
 
+@register("merged_profile_lineitem",
+          rep.oracle_full_profile_sql("lineitem", _LI_NUM_ALL, _LI_STR,
+                                      _LI_DT))
+def merged_profile_lineitem(spark, sf_dir):
+    """Merge invariance at driver strength (reference
+    test_profile_builder.py's central invariant, profile_builder.py:
+    939-997): profile two DISJOINT halves of lineitem independently,
+    merge the states with the ``+`` algebra, and emit the deterministic
+    report slice — hash-checked against the WHOLE-TABLE oracle, proving
+    ``profile(A) + profile(B) == profile(A ∪ B)`` cross-engine, not
+    just in local tests."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    df = T(spark, sf_dir, "lineitem")
+    half_a = df.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 0)
+    half_b = df.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+    merged = Profiler(half_a).profile() + Profiler(half_b).profile()
+    rows = deterministic_report_rows(merged)
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+
+@register("profile_diff_events",
+          rep.oracle_profile_diff_sql("events", "ts", _EV_NUM, _EV_STR))
+def profile_diff_events(spark, sf_dir):
+    """Composed ``.diff()`` end-to-end (reference profiler_utils.py:
+    417-667 semantics via report.diff_profiles): profile two midpoint
+    time-slices of events, run the REAL diff, and emit its
+    deterministic slice (row-count delta, per-column type/null/min/max
+    diffs). The drift statistics the full diff also carries (Welch t,
+    PSI, KS, chi²) are order-dependent and each oracled separately
+    (welch_t_*, psi_*, ks_js_*, chi2_*). NULL-ts rows belong to
+    neither snapshot. Refuses loudly on an empty/all-null-ts table —
+    a time-slice of nothing has no midpoint."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import (deterministic_diff_rows,
+                                           diff_profiles)
+
+    base = T(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    b = base.agg(F.min(F.unix_micros("ts")).alias("mn"),
+                 F.max(F.unix_micros("ts")).alias("mx")).collect()[0]
+    if b["mn"] is None:
+        raise ValueError("profile_diff_events: no non-null timestamps "
+                         "to time-slice")
+    mid = (b["mn"] + b["mx"]) // 2
+    snap_a = base.where(F.unix_micros("ts") < F.lit(mid))
+    snap_b = base.where(F.unix_micros("ts") >= F.lit(mid))
+    diff = diff_profiles(Profiler(snap_a).profile(),
+                         Profiler(snap_b).profile())
+    rows = deterministic_diff_rows(diff)
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+
 # ---------------------------------------------------------------------------
 # Entity labeling (regex labeler, SURVEY §2.7), correlation & chi2 matrix,
 # graph profile (SURVEY §2.4)
@@ -2715,77 +2776,75 @@ def full_report_events(spark, sf_dir):
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-7 rotation (VERDICT r6 items 1-2): (a) the 15 queries with NO
-# driver row yet — the 10 late-r6 additions plus this round's 5 new
-# operators; (b) every query whose SEMANTICS changed in r7 and so needs
-# a fresh driver row (the two r6 driver-reds re-checked after their
-# seam-class fixes; the chi2-family decimal folds; the \s->explicit
-# whitespace class; the counts-CDF quantile conversions; mutual_info's
-# decimal fold); (c) the flagship end-to-end re-check; (d) 27 of the 48
-# r4-stale rows (the rest turn 4 rounds old and head the r8 window —
-# siblings of in-window queries ceded slots: minhash_signatures to
-# minhash_lsh_pairs, kmeans_clusters to kmeans_assign,
-# embedding_decontaminate to its bucketed twin, modes_quantity to the
-# quantile family, lsh_topk/cosine_topk to query_cosine_topk,
-# time_bucket to rollup_events, word_counts to token_summary,
-# fingerprints to the winnowing rows).
+# Round-8 rotation (VERDICT r7 item 1: drain the stale window): (a) the
+# ENTIRE r4-stale cohort — all 32 queries whose latest driver row
+# predates the r5 rounds and, critically, round 7's engine-wide
+# quantile/rounding/tokenization rewrites; (b) the 2 new r8 composed
+# queries (merge invariance, end-to-end diff) — never driver-checked;
+# (c) the 3 queries whose semantics changed in r8 (quantiles/median_mad
+# final roundings moved F.round -> duckdb_round per ADVICE r7;
+# type_cooccurrence gained the single-type-user guard); (d) the
+# flagship end-to-end re-check; (e) the 12 r5-stale rows most exposed
+# to the r7 rewrites (quantile-, tokenization- and rounding-adjacent
+# operators plus the events flagship twin). After this window lands
+# green, 33 r5-stale rows remain for the r9 rotation; every other
+# registry row is r6+ fresh.
 _DRIVER_WINDOW = [
-    # ---- never driver-checked: late-r6 additions ----
-    "benford_lineitem",
-    "entropy_lineitem",
-    "pattern_profile_customer",
-    "null_phi_orders",
-    "fd_check_lineitem",
-    "skew_join_lineitem_orders",
-    "inclusion_orders_customer",
-    "theils_u_orders",
-    "grouped_histogram_lineitem",
-    "interarrival_events",        # also r7: counts-CDF median
-    # ---- never driver-checked: new r7 operators ----
-    "kendall_tau_lineitem",
-    "markov_transitions_events",
-    "calendar_gaps_events",
-    "decile_stats_extendedprice",
-    "woe_iv_orders",
-    "roc_auc_lineitem",
-    "calibration_lineitem",
-    "iv_summary_orders",
-    "lm_divergence_documents",
-    "grouped_quantiles_lineitem",
-    "type_cooccurrence_events",
-    "quantile_shift_totalprice",
-    "neardup_threshold_sweep_documents",
-    "null_rate_by_day_events",
-    "session_stats_events",
-    "top_terms_by_group_documents",
-    # ---- r6 driver-reds, re-checked after the seam-class fixes ----
-    "cramers_v_orders",           # decimal fold + duckdb_round
-    "robust_stats_lineitem",      # counts-CDF integer-rank rewrite
-    # ---- changed semantics r7 ----
-    "chi2_pair_lineitem",         # decimal term fold
-    "chi2_orderpriority",         # decimal term fold (homogeneity)
-    "paragraph_dup_documents",    # explicit whitespace class
-    "daily_anomalies_events",     # counts-CDF median/MAD
-    "mutual_info_lineitem",       # decimal mi/entropy folds
-    "quantiles_extendedprice",    # counts-CDF (also r4-stale)
-    "median_mad_quantity",        # counts-CDF (also r4-stale)
-    # ---- flagship end-to-end re-check (every round) ----
+    # ---- (a) the full r4-stale cohort: 32 ----
+    "modes_quantity",
+    "time_bucket_events",
+    "order_profile_events_value",
+    "word_counts_documents",
+    "ngram_jaccard_documents",
+    "minhash_signatures_documents",
+    "cosine_topk_embeddings",
+    "lsh_topk_embeddings",
+    "embedding_decontaminate_embeddings",
+    "kmeans_clusters_embeddings",
+    "token_summary_documents",
+    "quality_features_documents",
+    "fingerprints_documents",
+    "av_profile_documents",
+    "psi_orderpriority",
+    "welch_t_totalprice",
+    "label_votes_customer",
+    "graph_degree_nation",
+    "null_type_indices_customer",
+    "unstructured_summary_documents",
+    "ner_spans_orders",
+    "trained_labeler_customer",
+    "funnel_within_events",
+    "corpus_curation_documents",
+    "embedding_norm_stats",
+    "split_leakage_documents",
+    "embedding_neardup_clusters",
+    "unigram_logprob_documents",
+    "packing_stats_documents",
+    "data_mixture_source_lang",
+    "quality_weighted_sample_documents",
+    "leakage_free_split_documents",
+    # ---- (b) new r8 composed queries: 2 ----
+    "merged_profile_lineitem",
+    "profile_diff_events",
+    # ---- (c) changed semantics r8: 3 ----
+    "quantiles_extendedprice",    # duckdb_round on final values
+    "median_mad_quantity",        # duckdb_round on median/mad
+    "type_cooccurrence_events",   # single-type-user guard
+    # ---- (d) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- stalest driver rows: r4 cohort (25 of the remaining 46) ----
-    "categorical_stats_lineitem",
-    "top_categories_orders",
-    "exact_dedup_documents",
-    "minhash_lsh_pairs_documents",
-    "simhash_documents",
-    "neardup_clusters_documents",
-    "embedding_neardup_pairs",
-    "embedding_decontaminate_bucketed",
-    "kmeans_assign_embeddings",
-    "quality_rollup_documents",
-    "language_id_documents",
-    "graph_components_nation",
-    "cnn_labeler_customer",
-    "media_profile_documents",
+    # ---- (e) r5-stale rows most exposed to the r7 rewrites: 12 ----
+    "outlier_counts_lineitem",    # IQR/quantile-adjacent
+    "text_stats_customer",        # tokenization-adjacent
+    "histogram_extendedprice",    # histogram core
+    "daily_psi_events",           # drift rounding
+    "ks_js_totalprice",           # drift rounding
+    "full_profile_events",        # flagship twin
+    "order_profile_lineitem",
+    "type_inference_lineitem",
+    "correlation_lineitem",
+    "category_counts_lineitem",
+    "row_stats_lineitem",
+    "distinct_counts_lineitem",
 ]
 
 

@@ -402,6 +402,114 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
     return out
 
 
+def deterministic_diff_rows(diff: dict) -> list[tuple]:
+    """The order-independent, engine-portable slice of a COMPOSED
+    ``diff_profiles`` report — the cross-engine twin of
+    :func:`deterministic_report_rows` for the diff path.
+
+    The full diff carries t-test / PSI / KS / chi² values derived from
+    order-dependent float moments and engine-specific histograms; each
+    of those drift statistics has its own exact-mode oracled query
+    (welch_t_*, psi_*, ks_js_*, chi2_*). This slice keeps what is exact
+    under any partitioning: the global row-count delta and, per shared
+    column, the inferred-type diff, the null-count delta, and the
+    min/max deltas (min/max are data values — their difference is the
+    same IEEE double in any engine). The input is the REAL
+    ``diff_profiles(a, b)`` dict, so a driver hash-check of these rows
+    exercises the whole composed diff path (profile → state → diff →
+    report), not a side computation.
+
+    Returns (column, stat, value_num, value_str) rows where an
+    ``"unchanged"`` verdict lands in value_str and a numeric delta in
+    value_num (exactly one is non-NULL per row);
+    :func:`oracle_profile_diff_sql` emits the matching SQL.
+    """
+    def split(v):
+        # _diff_val output -> (value_num, value_str)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v), None
+        return None, str(v)
+
+    rows: list[tuple] = []
+    num, s = split(diff["global_stats"]["row_count"])
+    rows.append(("__dataset", "row_count", num, s))
+    for col in diff["data_stats"]:
+        name = col["column_name"]
+        for stat in ("data_type", "null_count"):
+            num, s = split(col[stat])
+            rows.append((name, stat, num, s))
+        stats = col.get("statistics") or {}
+        for stat in ("min", "max"):
+            if stat in stats:
+                num, s = split(stats[stat])
+                rows.append((name, stat, num, s))
+    return rows
+
+
+def oracle_profile_diff_sql(table: str, ts_col: str,
+                            numeric_cols: list[str],
+                            string_cols: list[str]) -> str:
+    """DuckDB SQL computing :func:`deterministic_diff_rows` for a
+    midpoint time-slice of ``table``: snapshot A is rows with
+    ``epoch_us(ts) < (min+max)//2`` (NULL-ts rows belong to neither
+    snapshot), snapshot B the rest. The ``data_type`` rows assert the
+    engine's type inference is STABLE across the two slices — for
+    native-typed parquet columns inference is schema-deterministic, so
+    the oracle emits the literal 'unchanged' (a regression tripwire for
+    inference instability, not an independent recomputation)."""
+    from dataprofiler_spark.functions.nulls import DEFAULT_NULL_SPEC
+
+    rx = DEFAULT_NULL_SPEC.regex()
+
+    def null_expr(c: str) -> str:
+        if c in string_cols:
+            return (f"({c} IS NULL OR "
+                    f"regexp_matches(CAST({c} AS VARCHAR), '{rx}'))")
+        return f"{c} IS NULL"
+
+    def diff_row(col: str, stat: str, agg_sql: str) -> str:
+        # one scan: FILTER-split aggregates over the union of slices
+        a = f"{agg_sql.replace('%F%', 'FILTER (WHERE side = 0)')}"
+        b = f"{agg_sql.replace('%F%', 'FILTER (WHERE side = 1)')}"
+        return (f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
+                f"CASE WHEN {a} = {b} THEN CAST(NULL AS DOUBLE) "
+                f"ELSE CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE) END "
+                f"AS value_num, "
+                f"CASE WHEN {a} = {b} THEN 'unchanged' "
+                f"ELSE CAST(NULL AS VARCHAR) END AS value_str "
+                f"FROM sliced")
+
+    def const_row(col: str, stat: str, s: str) -> str:
+        return (f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
+                f"CAST(NULL AS DOUBLE) AS value_num, "
+                f"'{s}' AS value_str FROM (SELECT 1)")
+
+    all_cols = numeric_cols + string_cols + [ts_col]
+    selects = [diff_row("__dataset", "row_count", "COUNT(*) %F%")]
+    for c in all_cols:
+        selects.append(const_row(c, "data_type", "unchanged"))
+        selects.append(diff_row(
+            c, "null_count",
+            f"SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END) %F%"))
+        if c in numeric_cols:
+            selects.append(diff_row(c, "min", f"MIN({c}) %F%"))
+            selects.append(diff_row(c, "max", f"MAX({c}) %F%"))
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (SELECT * FROM {table} WHERE {ts_col} IS NOT NULL),
+bounds AS (
+  SELECT (epoch_us(MIN({ts_col})) + epoch_us(MAX({ts_col}))) // 2 AS mid
+  FROM base
+),
+sliced AS (
+  SELECT base.*, CASE WHEN epoch_us({ts_col}) < bounds.mid
+                      THEN 0 ELSE 1 END AS side
+  FROM base CROSS JOIN bounds
+)
+{body}
+"""
+
+
 def _psi_from_histograms(ha: dict, hb: dict, bins: int = 10) -> float | None:
     """Numeric PSI over histograms re-binned to common edges
     (numerical_column_stats.py:667-816 _preprocess_for_calculate_psi:

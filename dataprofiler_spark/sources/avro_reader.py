@@ -128,6 +128,28 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     return _decode(t, buf, names)  # {"type": "string"} wrapper form
 
 
+def _snappy_decompress(block: bytes) -> bytes:
+    """Avro snappy block = raw-snappy payload + 4-byte big-endian CRC32
+    of the UNCOMPRESSED data (avro spec §container-file codecs). Raw
+    snappy carries the uncompressed length as its preamble varint, so
+    pyarrow's size-requiring decompressor needs no external hint."""
+    payload, crc = block[:-4], block[-4:]
+    n, shift, i = 0, 0, 0
+    while True:
+        b = payload[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    import pyarrow as pa
+    out = pa.decompress(payload, decompressed_size=n, codec="snappy",
+                        asbytes=True)
+    if zlib.crc32(out) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+        raise ValueError("avro snappy block CRC mismatch")
+    return out
+
+
 def decode_container(data: bytes) -> tuple[dict, list[dict]]:
     """(schema, rows) from Avro Object Container File bytes."""
     buf = io.BytesIO(data)
@@ -158,6 +180,8 @@ def decode_container(data: bytes) -> tuple[dict, list[dict]]:
         block = buf.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            block = _snappy_decompress(block)
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         bbuf = io.BytesIO(block)

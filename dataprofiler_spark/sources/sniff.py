@@ -100,22 +100,41 @@ def _strip_quoted(ln: str) -> str:
     return re.sub(r"'[^']*'", "", re.sub(r'"[^"]*"', "", ln))
 
 
+_EXTRA_DELIM_CHARS = set("@#;:|~^&%!*+=/\\")  # csv_data.py:184-346 tries
+# the top-frequency vocab chars as candidates; we admit the punctuation
+# subset that can't collide with numbers ('-', '.'), identifiers ('_'),
+# quotes, or prose (' ') — space/dot-delimited files dispatch to the
+# unstructured text profiler instead (documented divergence).
+
+
 def guess_delimiter(lines: list[str]) -> str | None:
     """Most consistent per-line count wins (csv_data.py:184-346
-    simplified: consistency beats raw frequency)."""
+    simplified: consistency beats raw frequency). Candidates are the
+    preferred delimiters plus the sample's most frequent punctuation
+    characters (the reference's ordered-vocab scan) — so an
+    `@`-delimited sheet sniffs as CSV — with preferred delimiters
+    weighted (reference: 5× count weight) so a consistent exotic char
+    only wins when no preferred delimiter fits."""
+    freq = Counter()
+    for ln in lines:
+        freq.update(ch for ch in _strip_quoted(ln)
+                    if ch in _EXTRA_DELIM_CHARS)
+    extras = [ch for ch, _ in freq.most_common(5)]
     best, best_score = None, 0.0
-    for d in CANDIDATE_DELIMS:
+    for d in CANDIDATE_DELIMS + extras:
         counts = [_strip_quoted(ln).count(d) for ln in lines if ln]
         if not counts or max(counts) == 0:
             continue
         c = Counter(counts)
-        mode_count, freq = c.most_common(1)[0]
+        mode_count, freq_n = c.most_common(1)[0]
         if mode_count == 0:
             continue
-        consistency = freq / len(counts)
+        consistency = freq_n / len(counts)
         if consistency < 0.75:
             continue
         score = consistency * (1 + min(mode_count, 5) / 10)
+        if d in CANDIDATE_DELIMS:
+            score *= 2.0
         if score > best_score:
             best, best_score = d, score
     return best
@@ -227,14 +246,76 @@ def sniff(path: str) -> SniffResult:
         return SniffResult("json", {"encoding": enc})
     delim = guess_delimiter(lines)
     if delim is not None:
-        header = guess_header(lines, delim)
-        quote = guess_quotechar(lines, delim)
+        # Leading title/banner lines before the real table (reference
+        # detects a header at ANY row index — csv_data.py:347-542,
+        # fixture daily-activity-sheet-@.csv has has_header=[1]): the
+        # table starts at the first line matching the sample's modal
+        # delimiter count; everything above is skipped at read.
+        counts = [_strip_quoted(ln).count(delim) for ln in lines if ln]
+        mode = Counter(counts).most_common(1)[0][0]
+        data_start = 0
+        for i, ln in enumerate(lines[:10]):
+            if ln and _strip_quoted(ln).count(delim) == mode:
+                data_start = i
+                break
+        body = lines[data_start:]
+        header = guess_header(body, delim)
+        quote = guess_quotechar(body, delim)
         opts = {"sep": delim, "header": header, "quote": quote,
                 "encoding": enc}
-        if header and looks_like_graph(lines[0].split(delim)):
+        if header:
+            opts["header_names"] = [
+                c.strip().strip(quote).strip()
+                for c in body[0].split(delim)]
+        if data_start:
+            opts["skiprows"] = data_start
+            # Spark csv fixes the column count from the FIRST physical
+            # record — the banner line — so the table width must be
+            # carried explicitly for the headerless re-read.
+            opts["ncols"] = mode + 1
+        if header and looks_like_graph(body[0].split(delim)):
             return SniffResult("graph_csv", opts)
         return SniffResult("csv", opts)
     return SniffResult("text", {"encoding": enc})
+
+
+def _read_csv_keep_blank(spark, path: str, o: dict):
+    """CSV parse that PRESERVES whitespace-only data rows: text scan →
+    strip the line terminator's \\r → from_csv per line. Used for
+    whitespace delimiters, where the native csv source's blank-line
+    filter (CSVUtils.filterCommentAndEmpty) would drop all-empty rows
+    the reference counts. Header/banner rows are dropped positionally
+    (ids are sequential within partition 0 = the file head)."""
+    from pyspark.sql import functions as F
+
+    sep = o.get("sep", ",")
+    ncols = o.get("ncols") or len(o.get("header_names") or []) or 1
+    names = o.get("header_names")
+    if names and len(names) > ncols:
+        ncols = len(names)
+    txt = spark.read.text(path)
+    txt = txt.select(
+        F.regexp_replace("value", "\r$", "").alias("value"))
+    txt = txt.where(F.length("value") > 0)  # pandas skip_blank_lines
+    n_drop = o.get("skiprows", 0) + (1 if o.get("header") else 0)
+    if n_drop:
+        txt = (txt.withColumn("__rid", F.monotonically_increasing_id())
+               .where(F.col("__rid") >= n_drop).drop("__rid"))
+    if names and len(names) == ncols:
+        seen: dict = {}
+        uniq = []
+        for n in names:
+            k = seen.get(n, 0)
+            seen[n] = k + 1
+            uniq.append(n if k == 0 else f"{n}.{k}")
+    else:
+        uniq = [f"_c{i}" for i in range(ncols)]
+    ddl = ", ".join(f"`{n}` STRING" for n in uniq)
+    parsed = txt.select(F.from_csv(
+        F.col("value"), ddl,
+        {"sep": sep, "quote": o.get("quote", '"'),
+         "mode": "PERMISSIVE"}).alias("r"))
+    return parsed.select("r.*")
 
 
 def read_data(spark, path: str, fmt: str | None = None, **options):
@@ -266,10 +347,56 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         df = spark.read.json(path, encoding=o.get("encoding"))
         return df, res
     if res.format in ("csv", "graph_csv"):
+        skip = o.get("skiprows", 0)
+        enc = o.get("encoding", "UTF-8")
+        # Multi-byte encodings break Hadoop's byte-level line splitting
+        # (a UTF-16 '\n' is 0a00); multiLine=true decodes whole files
+        # with the JVM charset instead. Whole-file reads don't split —
+        # fine for these legacy inputs, convert to UTF-8 for scale.
+        multi = enc.upper().startswith(("UTF-16", "UTF-32"))
+        sep = o.get("sep", ",")
+        if sep.isspace() and not multi:
+            # Spark's csv source silently DROPS whitespace-only lines
+            # (CSVUtils.filterCommentAndEmpty trims each line), so a
+            # tab-delimited all-empty row — which the reference counts,
+            # and which feeds rows_all_null — vanishes. Parse those
+            # files as a text scan + JVM-side from_csv instead: still
+            # whole-stage-codegen, still splittable, no blank filter.
+            # Truly empty physical lines are skipped like pandas
+            # skip_blank_lines; single-file quoted newlines are the
+            # documented tradeoff (use fmt='csv' to force native).
+            return _read_csv_keep_blank(spark, path, o), res
+        if not skip:
+            df = spark.read.csv(
+                path, sep=sep, header=o.get("header", False),
+                quote=o.get("quote", '"'), multiLine=multi,
+                encoding=enc, inferSchema=False)
+            return df, res
+        # Leading banner lines: Spark csv has no skiprows, so read
+        # headerless and drop the first (skip + header) physical rows.
+        # monotonically_increasing_id is sequential WITHIN a partition
+        # and partition 0 is the file head, so ids 0..k-1 are exactly
+        # the first k rows — an O(k) filter, scale-independent (the
+        # banner is at the file head regardless of file size).
+        from pyspark.sql import functions as F
+        ncols = o.get("ncols") or len(o.get("header_names") or []) or 1
+        schema = ", ".join(f"`_c{i}` string" for i in range(ncols))
         df = spark.read.csv(
-            path, sep=o.get("sep", ","), header=o.get("header", False),
-            quote=o.get("quote", '"'), encoding=o.get("encoding", "UTF-8"),
-            inferSchema=False)
+            path, sep=o.get("sep", ","), header=False, schema=schema,
+            quote=o.get("quote", '"'), mode="PERMISSIVE",
+            multiLine=multi, encoding=enc, inferSchema=False)
+        n_drop = skip + (1 if o.get("header") else 0)
+        df = (df.withColumn("__rid", F.monotonically_increasing_id())
+              .where(F.col("__rid") >= n_drop).drop("__rid"))
+        names = o.get("header_names")
+        if names and len(names) == len(df.columns):
+            seen: dict = {}
+            uniq = []
+            for n in names:
+                k = seen.get(n, 0)
+                seen[n] = k + 1
+                uniq.append(n if k == 0 else f"{n}.{k}")
+            df = df.toDF(*uniq)
         return df, res
     if res.format == "text":
         return spark.read.text(path), res

@@ -33,10 +33,15 @@ class StreamingMarkov:
             user_col, type_col, ts_col)
         self.max_users = max_users
         self.trans: dict[tuple[str, str], int] = {}
-        # user -> (last_ts, last_type); ts compared as the engine's
-        # (ts, type) tuple so tie-handling matches the batch operator
+        # user -> (last_ts, last_type); the stitch compares the
+        # incoming batch's first (ts, type) against this tuple (same
+        # ordering the batch operator's lag window uses), so an
+        # out-of-order batch is DETECTED (counted in seam_out_of_order
+        # and not stitched) instead of silently fabricating a wrong
+        # seam transition.
         self.last: dict = {}
         self.seam_skipped = 0
+        self.seam_out_of_order = 0
         self.batches_seen = 0
 
     def update(self, batch_df: DataFrame, batch_id: int | None = None
@@ -64,15 +69,26 @@ class StreamingMarkov:
                    .alias("last"))).collect()
         for r in fl:
             u = r["u"]
-            first_t = r["first"][self.type_col]
+            first = (r["first"][self.ts_col], r["first"][self.type_col])
+            last = (r["last"][self.ts_col], r["last"][self.type_col])
             prev = self.last.get(u)
             if prev is not None:
-                k = (prev, first_t)
+                if first < prev:
+                    # Incoming batch's first event PRECEDES the stored
+                    # last event — an out-of-order micro-batch. The
+                    # seam pair (prev_type -> first_type) would be a
+                    # fabricated transition; count the violation and
+                    # keep the later of the two states.
+                    self.seam_out_of_order += 1
+                    if last > prev:
+                        self.last[u] = last
+                    continue
+                k = (prev[1], first[1])
                 self.trans[k] = self.trans.get(k, 0) + 1
-            elif u not in self.last and len(self.last) >= self.max_users:
+            elif len(self.last) >= self.max_users:
                 self.seam_skipped += 1
                 continue
-            self.last[u] = r["last"][self.type_col]
+            self.last[u] = last
         self.batches_seen += 1
 
     def snapshot(self, round_digits: int = 6) -> list[dict]:

@@ -36,6 +36,8 @@ LOUD_REFUSAL = {
     "nb_source_confusion_documents", "embedding_group_cosines",
     "label_centroid_audit_embeddings", "pagerank_nation",
     "trained_labeler_customer",
+    # a time-slice of an empty/all-null-ts table has no midpoint
+    "profile_diff_events",
 }
 
 # Documented divergence classes on EMPTY input (not on real data):
@@ -47,6 +49,7 @@ LOUD_REFUSAL = {
 KNOWN_EMPTY_DIVERGENCE = {
     "cnn_labeler_customer", "ner_spans_orders", "ner_redact_orders",
     "full_profile_lineitem", "full_profile_events",
+    "merged_profile_lineitem",  # same coalesce-vs-NULL class at n=0
     "av_profile_documents",
 }
 

@@ -303,6 +303,34 @@ def test_streaming_markov_user_cap(spark):
     assert mon.seam_skipped == 6
 
 
+def test_streaming_markov_out_of_order_batch(spark):
+    """A batch whose first event predates the carried last event must
+    NOT fabricate a seam transition — it is counted in
+    seam_out_of_order and the later state is kept (ADVICE r7)."""
+    from dataprofiler_spark.streaming.markov import StreamingMarkov
+
+    schema = "user_id long, ts timestamp, event_type string"
+    base = datetime.datetime(2024, 1, 1)
+    mon = StreamingMarkov()
+    b1 = [(1, base + datetime.timedelta(hours=2), "c")]
+    b2 = [(1, base + datetime.timedelta(hours=1), "a"),
+          (1, base + datetime.timedelta(hours=1, minutes=30), "b")]
+    mon.update(spark.createDataFrame(b1, schema), 0)
+    mon.update(spark.createDataFrame(b2, schema), 1)  # out of order
+    snap = {(d["from_type"], d["to_type"]): d["n_trans"]
+            for d in mon.snapshot()}
+    # within-batch a->b still counts; the seam c->a is refused
+    assert snap == {("a", "b"): 1}
+    assert mon.seam_out_of_order == 1
+    # carried state stays at the LATER event ("c" at hour 2): an
+    # in-order third batch stitches from "c", not "b"
+    b3 = [(1, base + datetime.timedelta(hours=3), "d")]
+    mon.update(spark.createDataFrame(b3, schema), 2)
+    snap = {(d["from_type"], d["to_type"]): d["n_trans"]
+            for d in mon.snapshot()}
+    assert snap == {("a", "b"): 1, ("c", "d"): 1}
+
+
 def test_embedding_spectrum_known_spectrum(spark):
     """Axis-aligned synthetic embeddings with known per-dimension
     variances: the spectrum must recover them analytically."""
@@ -459,6 +487,30 @@ def test_type_cooccurrence_vs_python(spark, eframe):
         assert g["support"] == pytest.approx(nb / n_users, abs=1e-6)
         lift = (nb / n_users) / ((solo[a] / n_users) * (solo[b] / n_users))
         assert g["lift"] == pytest.approx(lift, abs=1e-4)
+
+
+def test_type_cooccurrence_single_type_user(spark):
+    # Regression (ADVICE r7): a user with exactly ONE distinct type made
+    # sequence(1, size-1) = sequence(1, 0) -> descending [1, 0], and the
+    # pair expansion threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Such users
+    # must simply contribute no pairs (oracle self-join a.t < b.t agrees).
+    from dataprofiler_spark.operators.events import type_cooccurrence
+
+    df = spark.createDataFrame(
+        [("u1", "click"), ("u1", "click"),          # single-type user
+         ("u2", "click"), ("u2", "view"),
+         ("u3", "view")],                            # single-type user
+        "user_id string, event_type string")
+    rows = type_cooccurrence(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert r["n_users_a"] == 2 and r["n_users_b"] == 2
+    assert r["n_users_both"] == 1
+    # all-single-type input: zero pairs, no crash
+    solo_only = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b")], "user_id string, event_type string")
+    assert type_cooccurrence(solo_only).count() == 0
 
 
 def test_quantile_shift_vs_python(spark, nframe):
