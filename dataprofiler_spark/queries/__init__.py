@@ -1,0 +1,145 @@
+"""Driver-facing query registry (pure wiring).
+
+Every implemented operator from SURVEY.md §2 registers as a
+(spark_callable, oracle_sql) pair in one of the family modules below;
+``__spark_entry__.py`` re-exports the registry. Oracle SQL is
+DuckDB-dialect ANSI SQL computing the same result with the same column
+names; numeric formulations are chosen so double-precision results are
+bit-identical across engines (see operators/numeric.py docstring).
+
+This package holds NO query logic: ``_registry`` owns the dicts and the
+``T`` loader, each ``q_*`` family module owns its registrations (living
+next to the operators they wrap), and this file fixes the import order
+and the driver window. Import order mirrors the original single-file
+registry so registration order (and therefore everything past the
+explicit 50-slot window) is unchanged.
+"""
+
+from __future__ import annotations
+
+from dataprofiler_spark.queries._registry import (ORACLE_SQL,  # noqa: F401
+                                                  SPARK_QUERIES, T, register)
+
+# family modules: imported for their @register side effects, in the
+# original registration order
+from dataprofiler_spark.queries import q_profile_stats  # noqa: E402,F401
+from dataprofiler_spark.queries import q_dedup  # noqa: E402,F401
+from dataprofiler_spark.queries import q_embeddings  # noqa: E402,F401
+from dataprofiler_spark.queries import q_textanalysis  # noqa: E402,F401
+from dataprofiler_spark.queries import q_drift_types  # noqa: E402,F401
+from dataprofiler_spark.queries import q_flagship  # noqa: E402,F401
+from dataprofiler_spark.queries import q_labeling  # noqa: E402,F401
+from dataprofiler_spark.queries import q_validation  # noqa: E402,F401
+from dataprofiler_spark.queries import q_cnn  # noqa: E402,F401
+from dataprofiler_spark.queries import q_events  # noqa: E402,F401
+from dataprofiler_spark.queries import q_curation  # noqa: E402,F401
+from dataprofiler_spark.queries import q_reports  # noqa: E402,F401
+from dataprofiler_spark.queries import q_round7  # noqa: E402,F401
+
+# names test/bench consumers import from this package
+from dataprofiler_spark.queries.q_textanalysis import _DOC_URL_EXPR  # noqa: E402,F401
+from dataprofiler_spark.queries.q_cnn import _cnn_vote_counts  # noqa: E402,F401
+from dataprofiler_spark.queries.q_events import (_ner_redact_rows,  # noqa: E402,F401
+                                                 _ner_span_counts)
+from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver oracle-checks the FIRST 50 entries in
+# insertion order — treat those slots as the scarce resource they are
+# (VERDICT r2): every SURVEY §2 / LLM-pipeline family gets a
+# representative inside the window, never-driver-checked operators are
+# promoted over near-duplicate siblings, and every entry in the window
+# has an oracle (no structural no_oracle rows). Everything past slot 50
+# stays registered and is hash-checked by tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+
+# Round-8 rotation (VERDICT r7 item 1: drain the stale window): (a) the
+# ENTIRE r4-stale cohort — all 32 queries whose latest driver row
+# predates the r5 rounds and, critically, round 7's engine-wide
+# quantile/rounding/tokenization rewrites; (b) the 2 new r8 composed
+# queries (merge invariance, end-to-end diff) — never driver-checked;
+# (c) the 3 queries whose semantics changed in r8 (quantiles/median_mad
+# final roundings moved F.round -> duckdb_round per ADVICE r7;
+# type_cooccurrence gained the single-type-user guard); (d) the
+# flagship end-to-end re-check; (e) the 12 r5-stale rows most exposed
+# to the r7 rewrites (quantile-, tokenization- and rounding-adjacent
+# operators plus the events flagship twin). After this window lands
+# green, 33 r5-stale rows remain for the r9 rotation; every other
+# registry row is r6+ fresh.
+_DRIVER_WINDOW = [
+    # ---- (a) the full r4-stale cohort: 32 ----
+    "modes_quantity",
+    "time_bucket_events",
+    "order_profile_events_value",
+    "word_counts_documents",
+    "ngram_jaccard_documents",
+    "minhash_signatures_documents",
+    "cosine_topk_embeddings",
+    "lsh_topk_embeddings",
+    "embedding_decontaminate_embeddings",
+    "kmeans_clusters_embeddings",
+    "token_summary_documents",
+    "quality_features_documents",
+    "fingerprints_documents",
+    "av_profile_documents",
+    "psi_orderpriority",
+    "welch_t_totalprice",
+    "label_votes_customer",
+    "graph_degree_nation",
+    "null_type_indices_customer",
+    "unstructured_summary_documents",
+    "ner_spans_orders",
+    "trained_labeler_customer",
+    "funnel_within_events",
+    "corpus_curation_documents",
+    "embedding_norm_stats",
+    "split_leakage_documents",
+    "embedding_neardup_clusters",
+    "unigram_logprob_documents",
+    "packing_stats_documents",
+    "data_mixture_source_lang",
+    "quality_weighted_sample_documents",
+    "leakage_free_split_documents",
+    # ---- (b) new r8 composed queries: 2 ----
+    "merged_profile_lineitem",
+    "profile_diff_events",
+    # ---- (c) changed semantics r8: 3 ----
+    "quantiles_extendedprice",    # duckdb_round on final values
+    "median_mad_quantity",        # duckdb_round on median/mad
+    "type_cooccurrence_events",   # single-type-user guard
+    # ---- (d) flagship end-to-end re-check (every round) ----
+    "full_profile_lineitem",
+    # ---- (e) r5-stale rows most exposed to the r7 rewrites: 12 ----
+    "outlier_counts_lineitem",    # IQR/quantile-adjacent
+    "text_stats_customer",        # tokenization-adjacent
+    "histogram_extendedprice",    # histogram core
+    "daily_psi_events",           # drift rounding
+    "ks_js_totalprice",           # drift rounding
+    "full_profile_events",        # flagship twin
+    "order_profile_lineitem",
+    "type_inference_lineitem",
+    "correlation_lineitem",
+    "category_counts_lineitem",
+    "row_stats_lineitem",
+    "distinct_counts_lineitem",
+]
+
+
+def _apply_driver_window() -> None:
+    # Self-healing, never fatal: an ImportError here would turn EVERY
+    # driver row red. Unknown names are ignored; a window entry that
+    # lost its oracle (e.g. a missing golden fixture) is demoted past
+    # the window instead of occupying a slot it would fail in.
+    # tests/test_oracle_parity.py::test_driver_window_all_oracled keeps
+    # the strict check where failure is cheap.
+    window = [n for n in _DRIVER_WINDOW
+              if n in SPARK_QUERIES and n in ORACLE_SQL]
+    ordered = window + [n for n in SPARK_QUERIES if n not in set(window)]
+    for d in (SPARK_QUERIES, ORACLE_SQL):
+        items = [(n, d[n]) for n in ordered if n in d]
+        d.clear()
+        d.update(items)
+
+
+_apply_driver_window()
+

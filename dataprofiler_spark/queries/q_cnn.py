@@ -1,0 +1,203 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprofiler_spark import report as rep
+from dataprofiler_spark.queries._registry import T, register
+
+# ---------------------------------------------------------------------------
+# CNN-labeler adapter: REAL NumPy forward pass of the reference's trained
+# char CNN (labeler/np_cnn.py; regex fallback if weights unreadable).
+# Rows-only driver check (no SQL oracle for a neural model); deterministic
+# golden-label tests live in tests/test_np_cnn.py.
+# ---------------------------------------------------------------------------
+
+# Golden-fixture oracle for the CNN labeler: the NumPy forward pass is
+# deterministic, so per-(column, label) vote counts over a KEY-DEFINED
+# sample (c_custkey <= 1000 — not an unordered limit) are a fixed
+# integer table. The golden below was produced by this very query at
+# sf0.01 and is inlined as VALUES so the check has no filesystem
+# dependency; it catches weight-loader / forward-pass regressions that
+# a rows-only check cannot. (Regenerate via
+# tests/test_np_cnn.py::test_cnn_vote_counts_golden on data change.)
+def _cnn_vote_counts(spark, sf_dir):
+    from dataprofiler_spark.labeler.cnn_adapter import predict_cells
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1000)
+    preds = predict_cells(df, ["c_custkey", "c_name", "c_acctbal"],
+                          max_sample=2000)
+    return (preds.groupBy("column", "label")
+            .agg(F.count(F.lit(1)).alias("votes")))
+
+
+def _load_cnn_golden() -> str | None:
+    """Inline the committed golden (column, label, votes) rows as a
+    VALUES table; None (rows-only check) if the fixture is absent."""
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures", "cnn_votes_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"('{c}', '{l}', {int(v)})" for c, l, v in rows)
+    # BIGINT cast: DuckDB VALUES integers are INT32, Spark counts INT64 —
+    # the driver's value hash is dtype-sensitive (the crosstab lesson).
+    return (f"SELECT \"column\", label, CAST(votes AS BIGINT) AS votes "
+            f"FROM (VALUES {vals}) AS t(\"column\", label, votes)")
+
+
+@register("cnn_labeler_customer", _load_cnn_golden())
+def cnn_labeler_customer(spark, sf_dir):
+    return _cnn_vote_counts(spark, sf_dir)
+
+
+# Char-span NER over free text (labeler/ner.py): the CNN labels every
+# character, spans are merged worker-side, and the aggregate
+# (entity, n_spans, n_chars) over a KEY-DEFINED sample (o_orderkey <=
+# 80) is deterministic — inlined as a golden VALUES oracle, same
+# pattern as the cell-vote golden above. Regenerate via
+# tests/test_ner.py::test_ner_span_counts_golden on data change.
+def _ner_span_counts(spark, sf_dir):
+    from dataprofiler_spark.labeler.ner import (entity_span_counts,
+                                                predict_text_spans)
+    df = (T(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") <= 80)
+          .select(F.col("o_orderkey").alias("id"),
+                  F.concat_ws(
+                      " ",
+                      F.lit("order"), F.col("o_orderkey").cast("string"),
+                      F.lit("placed"),
+                      F.date_format("o_orderdate", "yyyy-MM-dd"),
+                      F.lit("total"), F.col("o_totalprice").cast("string"),
+                      F.lit("priority"), F.col("o_orderpriority"))
+                  .alias("blob")))
+    spans = predict_text_spans(df, "id", "blob")
+    return entity_span_counts(spans)
+
+
+def _load_ner_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures", "ner_spans_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"('{e}', {int(s)}, {int(c)})" for e, s, c in rows)
+    return (f"SELECT entity, CAST(n_spans AS BIGINT) AS n_spans, "
+            f"CAST(n_chars AS BIGINT) AS n_chars "
+            f"FROM (VALUES {vals}) AS t(entity, n_spans, n_chars) "
+            f"ORDER BY entity")
+
+
+@register("ner_spans_orders", _load_ner_golden())
+def ner_spans_orders(spark, sf_dir):
+    return _ner_span_counts(spark, sf_dir)
+
+
+# Trainable labeler (labeler/trainable.py): fit is closed-form Spark
+# aggregation => fully deterministic, so the train->predict confusion
+# counts over a KEY-DEFINED sample are a fixed integer table (golden
+# VALUES oracle, sf0.01-pinned like the CNN golden above). Regenerate
+# via tests/test_trainable.py::test_trained_labeler_votes_golden.
+def _trained_labeler_votes(spark, sf_dir):
+    from dataprofiler_spark.labeler.trainable import TrainableDataLabeler
+    cust = (T(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 1000)
+            .select("c_name", "c_acctbal", "c_mktsegment"))
+    cols = ["c_name", "c_acctbal", "c_mktsegment"]
+    melted = cust.select(F.explode(F.array(*[
+        F.struct(F.col(c).cast("string").alias("cell"),
+                 F.lit(c).alias("column")) for c in cols])).alias("s")
+    ).select("s.cell", "s.column")
+    lab = TrainableDataLabeler()
+    # validation_split=0: a repeated categorical value hashes whole into
+    # one split, so CV would hold out entire category levels here
+    lab.fit(melted.select(F.col("cell").alias("x"),
+                          F.col("column").alias("y")),
+            "x", "y", validation_split=0.0)
+    preds = lab.predict(melted, "cell")
+    return (preds.groupBy("column", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .orderBy("column", "label"))
+
+
+def _load_trained_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures",
+        "trained_labeler_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"('{c}', '{l}', {int(v)})" for c, l, v in rows)
+    return (f"SELECT \"column\", label, CAST(votes AS BIGINT) AS votes "
+            f"FROM (VALUES {vals}) AS t(\"column\", label, votes) "
+            f"ORDER BY \"column\", label")
+
+
+@register("trained_labeler_customer", _load_trained_golden())
+def trained_labeler_customer(spark, sf_dir):
+    return _trained_labeler_votes(spark, sf_dir)
+
+
+# CNN-span PII redaction over free text — deterministic (CNN forward +
+# span merge), so (id, n_redactions, md5(redacted)) over a key-defined
+# sample is a golden VALUES table (sf0.01-pinned). Regenerate via
+# tests/test_ner.py::test_ner_redact_golden.
+def _ner_redact_rows(spark, sf_dir):
+    from dataprofiler_spark.labeler.ner import redact_text_spans
+    df = (T(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") <= 30)
+          .select(F.col("o_orderkey").alias("id"),
+                  F.concat_ws(
+                      " ", F.lit("order placed"),
+                      F.date_format("o_orderdate", "yyyy-MM-dd"),
+                      F.lit("total"), F.col("o_totalprice").cast("string"))
+                  .alias("blob")))
+    # entities restricted to DATE so the un-redacted totals keep the
+    # per-row hashes distinct (an all-entities scrub collapses every
+    # row to the same template — true but a weak golden)
+    red = redact_text_spans(df, "id", "blob", entities=["DATE"])
+    return red.select("id", "n_redactions",
+                      F.md5("redacted").alias("redacted_md5")).orderBy("id")
+
+
+def _load_ner_redact_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures", "ner_redact_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"({int(i)}, {int(n)}, '{m}')" for i, n, m in rows)
+    return (f"SELECT CAST(id AS BIGINT) AS id, "
+            f"CAST(n_redactions AS INTEGER) AS n_redactions, redacted_md5 "
+            f"FROM (VALUES {vals}) AS t(id, n_redactions, redacted_md5) "
+            f"ORDER BY id")
+
+
+@register("ner_redact_orders", _load_ner_redact_golden())
+def ner_redact_orders(spark, sf_dir):
+    return _ner_redact_rows(spark, sf_dir)
+
+
+
+

@@ -1,0 +1,617 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprofiler_spark import report as rep
+from dataprofiler_spark.operators import drift as dr
+from dataprofiler_spark.queries.q_drift_types import _ORD_A
+from dataprofiler_spark.queries.q_drift_types import _ORD_B
+from dataprofiler_spark.operators import rowstats as rs
+from dataprofiler_spark.operators import dedup as dd
+from dataprofiler_spark.operators import similarity as sim
+from dataprofiler_spark.operators import textanalysis as ta
+from dataprofiler_spark.operators import validators as vd
+from dataprofiler_spark.queries.q_drift_types import _orders_split
+from dataprofiler_spark.queries._registry import T, register
+
+# ---------------------------------------------------------------------------
+# Corpus curation pipeline (composed: quality filter -> exact dedup ->
+# simhash near-dup collapse -> token budget)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import pipeline as pl
+
+
+@register("corpus_curation_documents",
+          pl.oracle_corpus_report_sql("documents", "doc_id", "text"))
+def corpus_curation_documents(spark, sf_dir):
+    return pl.corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("clean_sample_documents",
+          pl.oracle_clean_sample_sql("documents", "doc_id", "text",
+                                     bench_filter="doc_id % 29 = 0",
+                                     fraction=0.3, n=8, min_overlap=1))
+def clean_sample_documents(spark, sf_dir):
+    """Contamination-safe training subset: decontaminate against the
+    id-subset stand-in benchmark, keep clean docs, hash-sample 30% —
+    the composed eval-safe draw as one plan (broadcast gram join +
+    one doc-keyed shuffle + pure hash filter)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return pl.clean_sample(docs, "doc_id", "text", bench, "doc_id", "text",
+                           fraction=0.3, n=8, min_overlap=1)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator Spark lacks; union-sort formulation vs
+# DuckDB's native ASOF JOIN as oracle)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import asof as ao
+
+
+@register("asof_last_purchase_events", ao.oracle_last_purchase_gap_sql("events"))
+def asof_last_purchase_events(spark, sf_dir):
+    return ao.last_purchase_gap(T(spark, sf_dir, "events"))
+
+
+@register("psi_numeric_totalprice",
+          dr.oracle_numeric_psi_sql(_ORD_A, _ORD_B, "o_totalprice"))
+def psi_numeric_totalprice(spark, sf_dir):
+    a, b = _orders_split(spark, sf_dir)
+    return dr.numeric_psi(a, b, "o_totalprice")
+
+
+@register("ks_js_totalprice",
+          dr.oracle_numeric_ks_js_sql(_ORD_A, _ORD_B, "o_totalprice"))
+def ks_js_totalprice(spark, sf_dir):
+    """Kolmogorov–Smirnov statistic + Jensen–Shannon divergence over the
+    same shared-bin machinery as numeric PSI — the bounded, symmetric
+    drift tests (JS needs no +1 smoothing when a bucket is empty on one
+    side). Integer cumulative counts keep the CDF engine-exact."""
+    a, b = _orders_split(spark, sf_dir)
+    return dr.numeric_ks_js(a, b, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Vector-column profiling (per-dimension stats + norm profile)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import vectorstats as vs
+
+
+@register("embedding_dim_stats",
+          vs.oracle_embedding_dim_stats_sql("embeddings", "embedding"))
+def embedding_dim_stats_q(spark, sf_dir):
+    return vs.embedding_dim_stats(T(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register("embedding_shift_embeddings",
+          vs.oracle_embedding_shift_sql(
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) ea",
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 1) eb",
+              "embedding"))
+def embedding_shift_embeddings(spark, sf_dir):
+    """Distribution-shift summary between two embedding batches (here:
+    even vs odd vec_id halves) — mean-vector cosine/L2 + worst per-dim
+    delta; two dim-stats shuffles + a d-row fold."""
+    emb = T(spark, sf_dir, "embeddings")
+    return vs.embedding_shift(emb.where(F.col("vec_id") % 2 == 0),
+                              emb.where(F.col("vec_id") % 2 == 1),
+                              "embedding")
+
+
+@register("embedding_covariance_embeddings",
+          vs.oracle_embedding_covariance_sql("embeddings", "embedding",
+                                             dim=64))
+def embedding_covariance_embeddings(spark, sf_dir):
+    """Upper-triangle covariance/correlation matrix of the embedding
+    dimensions — the anisotropy measurement behind whiten-or-not
+    decisions; map-side double-posexplode, one d·(d+1)/2-group shuffle
+    of partial aggregates."""
+    return vs.embedding_covariance(T(spark, sf_dir, "embeddings"),
+                                   "embedding")
+
+
+_NORM_ORACLE = """
+WITH norms AS (
+  SELECT SQRT(list_sum(list_transform(generate_series(1, 64),
+              i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vectors,
+       ROUND(AVG(nrm), 6) AS mean_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms
+"""
+
+
+@register("embedding_norm_stats", _NORM_ORACLE)
+def embedding_norm_stats_q(spark, sf_dir):
+    return vs.norm_stats(T(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register("quantize_int8_embeddings",
+          vs.oracle_quantize_int8_sql("embeddings", "embedding", dim=64))
+def quantize_int8_embeddings(spark, sf_dir):
+    """Int8 scalar-quantization audit: per-dimension reconstruction
+    error and saturation counts for a 4x-smaller embedding store — the
+    go/no-go measurement before quantizing a 100 TB ANN corpus."""
+    return vs.quantize_int8_stats(T(spark, sf_dir, "embeddings"),
+                                  "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity + grouped top-k (SURVEY §2.6 extension)
+# ---------------------------------------------------------------------------
+
+@register("referential_integrity_lineitem_orders",
+          rs.oracle_referential_integrity_sql("lineitem", "orders",
+                                              "l_orderkey", "o_orderkey"))
+def referential_integrity_lineitem_orders(spark, sf_dir):
+    return rs.referential_integrity(
+        T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey")
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+@register("topk_events_per_user", _TOPK_PER_GROUP_ORACLE)
+def topk_events_per_user(spark, sf_dir):
+    from pyspark.sql.window import Window
+    df = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("user_id", "event_id", "value", "rank"))
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(value) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE) * 1000, 0)
+                 AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 1000, 6)
+         AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+HAVING COUNT(*) > 0
+"""
+
+
+@register("rollup_events_type_day", _ROLLUP_ORACLE)
+def rollup_events_type_day(spark, sf_dir):
+    """Hierarchical subtotal aggregation (type, day) → type → grand
+    total via native ROLLUP — one shuffle, partial aggregation per
+    grouping set; the OLAP rollup surface the reference lacks. Sum via
+    scaled-integer decimals for cross-engine bit-identity (NOTES_r1
+    playbook)."""
+    df = T(spark, sf_dir, "events")
+    xi = (F.round(F.col("value").cast("double") * 1000, 0)
+          .cast("decimal(19,0)").cast("decimal(38,0)"))
+    return (df.withColumn("day", F.date_format(F.date_trunc("day", "ts"),
+                                               "yyyy-MM-dd"))
+            .withColumn("__xi", xi)
+            .rollup("event_type", "day")
+            .agg(F.count("value").alias("n_events"),
+                 F.round(F.sum("__xi").cast("double") / 1000, 6)
+                  .alias("sum_value"))
+            .select("event_type", "day", "n_events", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (training-pipeline operator; pure filter)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import sampling as smp
+
+_HS_ORACLE = ("SELECT o_orderkey FROM ("
+              + smp.oracle_hash_sample_sql("orders", "o_orderkey", 0.1)
+              + ")")
+
+
+@register("hash_sample_orders", _HS_ORACLE)
+def hash_sample_orders(spark, sf_dir):
+    """Reproducible 10% sample: same keys survive on any engine /
+    partitioning / rerun — the join-safe corpus-holdout primitive."""
+    return smp.hash_sample(T(spark, sf_dir, "orders"),
+                           "o_orderkey", 0.1).select("o_orderkey")
+
+
+_STRATA = {"1-URGENT": 0.5, "5-LOW": 0.05}
+
+_SHS_ORACLE = ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+               + smp.oracle_stratified_sql("orders", "o_orderkey",
+                                           "o_orderpriority", _STRATA)
+               + ") GROUP BY o_orderpriority")
+
+
+@register("stratified_sample_orders", _SHS_ORACLE)
+def stratified_sample_orders(spark, sf_dir):
+    """Per-stratum deterministic fractions (sampleBy semantics without
+    RNG state): urgent orders kept at 50%, low-priority at 5%."""
+    s = smp.stratified_hash_sample(T(spark, sf_dir, "orders"),
+                                   "o_orderkey", "o_orderpriority", _STRATA)
+    return s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition signals, cross-doc n-gram duplication,
+# PII redaction (training-pipeline operators; see operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from dataprofiler_spark.operators import curation as cu
+
+
+@register("paragraph_dup_documents",
+          cu.oracle_paragraph_dup_sql("documents", "doc_id", "text"))
+def paragraph_dup_documents(spark, sf_dir):
+    """Paragraph-level boilerplate detection (Gopher paragraph dedup):
+    per-doc duplicated-paragraph count + char-weighted ratio. One
+    explode + md5 count + join back — no self-join."""
+    return cu.paragraph_dup_signals(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
+@register("repetition_signals_documents",
+          cu.oracle_repetition_signals_sql("documents", "doc_id", "text"))
+def repetition_signals_documents(spark, sf_dir):
+    """Gopher-style per-doc repetition features (dup-word fraction,
+    top-bigram fraction) — the boilerplate/spam filter signals."""
+    return cu.repetition_signals(T(spark, sf_dir, "documents"),
+                                 "doc_id", "text")
+
+
+@register("crossdoc_ngram_dup_documents",
+          cu.oracle_crossdoc_ngram_dup_sql("documents", "doc_id", "text", n=5))
+def crossdoc_ngram_dup_documents(spark, sf_dir):
+    """Corpus-wide 5-gram sharing summary — the exact-substring dedup
+    decision signal."""
+    return cu.crossdoc_ngram_dup_summary(T(spark, sf_dir, "documents"),
+                                         "doc_id", "text", n=5)
+
+
+@register("substring_dup_documents",
+          cu.oracle_substring_dup_sql("documents", "doc_id", "text",
+                                      window=10))
+def substring_dup_documents(spark, sf_dir):
+    """Per-doc exact-substring duplication fraction via 10-token rolling
+    windows — the suffix-array-style dedup decision input."""
+    return cu.substring_dup_signals(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text", window=10)
+
+
+@register("decontaminate_documents",
+          cu.oracle_decontaminate_sql("documents", "doc_id", "text",
+                                      bench_filter="doc_id % 29 = 0",
+                                      n=8, min_overlap=1))
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark-contamination check: overlap of 8-grams with a held-out
+    eval set (deterministic id-subset stand-in for a real benchmark)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return cu.decontaminate(docs, "doc_id", "text", bench, "doc_id", "text",
+                            n=8, min_overlap=1)
+
+
+@register("decontaminate_by_benchmark_documents",
+          cu.oracle_decontaminate_by_benchmark_sql(
+              "documents", "doc_id", "text",
+              bench_filter="t.doc_id % 29 = 0", bench_label_col="source",
+              n=8, min_overlap=1))
+def decontaminate_by_benchmark_documents(spark, sf_dir):
+    """Per-benchmark contamination pairs: the eval suite is the same
+    id-subset stand-in labeled by source, so the report shows WHICH
+    benchmark each training doc leaks — one contaminated (doc,
+    benchmark) row per hit, never |docs| × |benchmarks|."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return cu.decontaminate_by_benchmark(
+        docs, "doc_id", "text", bench, "doc_id", "text", "source",
+        n=8, min_overlap=1)
+
+
+# The synthetic customer table has no PII columns, so the query
+# synthesizes a deterministic contact string (phone digits from the
+# keys, an email from the name) — identically in both engines — and
+# the operator redacts it. Every third row gets an SSN-shaped token.
+# COALESCE every source column: Spark's format_string renders a NULL
+# int as the string 'null' while DuckDB's printf yields NULL — without
+# the coalesce the two engines build different contact strings on NULL
+# rows (found by the adversarial parity suite).
+_PII_ORACLE = cu.oracle_pii_redact_sql(
+    "(SELECT c_custkey, COALESCE(c_name, '') || ' ph:' ||"
+    " printf('%02d-%03d-%03d-%04d', COALESCE(c_nationkey, 0),"
+    "        c_custkey % 1000, (c_custkey // 1000) % 1000,"
+    "        c_custkey % 10000) ||"
+    " ' ' || COALESCE(LOWER(c_mktsegment), '') || '.user@example.com' ||"
+    " CASE WHEN c_custkey % 3 = 0 THEN"
+    "   ' ssn ' || printf('%03d-%02d-%04d', c_custkey % 1000,"
+    "                     c_custkey % 100, c_custkey % 10000)"
+    " ELSE '' END AS contact FROM customer)",
+    "c_custkey", "contact")
+
+
+@register("split_leakage_documents",
+          cu.oracle_split_leakage_sql("documents", "doc_id", "text",
+                                      threshold=0.5))
+def split_leakage_documents(spark, sf_dir):
+    """Cross-split near-dup leakage audit: near-duplicate pairs labeled
+    by the train/val/test carve — (train, test) rows are eval
+    contamination."""
+    return cu.split_leakage(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", threshold=0.5)
+
+
+@register("pii_redact_customer", _PII_ORACLE)
+def pii_redact_customer(spark, sf_dir):
+    """Scan-speed PII redaction over a synthesized contact string:
+    phone/SSN/email patterns replaced, per-pattern counts kept."""
+    k = F.col("c_custkey")
+    contact = F.concat(
+        F.coalesce(F.col("c_name"), F.lit("")), F.lit(" ph:"),
+        F.format_string("%02d-%03d-%03d-%04d",
+                        F.coalesce(F.col("c_nationkey"), F.lit(0)),
+                        k % 1000, (k / F.lit(1000)).cast("long") % 1000,
+                        k % 10000),
+        F.lit(" "),
+        F.coalesce(F.lower(F.col("c_mktsegment")), F.lit("")),
+        F.lit(".user@example.com"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" ssn "),
+                        F.format_string("%03d-%02d-%04d", k % 1000,
+                                        k % 100, k % 10000))
+         ).otherwise(F.lit("")),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey",
+                                            contact.alias("contact"))
+    return cu.pii_redact(c, "c_custkey", "contact")
+
+
+@register("simhash_neardup_documents",
+          dd.oracle_simhash_neardup_pairs_sql("documents", "doc_id", "text"))
+def simhash_neardup_documents(spark, sf_dir):
+    """SimHash multi-index near-dup pairs (Manku et al. shape): banding
+    is pigeonhole-complete for hamming <= bands-1, never all-pairs."""
+    return dd.simhash_neardup_pairs(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
+@register("embedding_neardup_clusters",
+          sim.oracle_embedding_neardup_clusters_sql(
+              "embeddings", "vec_id", "embedding",
+              threshold=0.3, bands=4, planes_per_band=4,
+              max_bucket_size=150))
+def embedding_neardup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup clusters over the banded LSH pairs
+    (threshold tuned so the synthetic corpus yields non-trivial
+    components; the 0.95 production default gives all-singletons on
+    random vectors). max_bucket_size oracle-mirrored."""
+    return sim.embedding_neardup_clusters(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, bands=4, planes_per_band=4, max_bucket_size=150)
+
+
+@register("markup_signals_documents",
+          ta.oracle_markup_signals_sql("documents", "doc_id", "text"))
+def markup_signals_documents(spark, sf_dir):
+    """Per-doc HTML-extraction / encoding-damage signals (leftover
+    tags, entities, control chars, U+FFFD) — the C4/RefinedWeb cleaning
+    inputs; pure regexps, fuses into the scan."""
+    return ta.markup_signals(T(spark, sf_dir, "documents"),
+                             "doc_id", "text")
+
+
+@register("zipf_vocab_documents",
+          ta.oracle_zipf_vocab_stats_sql("documents", "text",
+                                         max_rank=200))
+def zipf_vocab_documents(spark, sf_dir):
+    """Corpus vocabulary shape: Zipf slope over the top-200 terms +
+    type-token / hapax richness — the templated-vs-natural-text signal.
+    One explode + groupBy(term); the regression runs over 200
+    TakeOrdered rows."""
+    return ta.zipf_vocab_stats(T(spark, sf_dir, "documents"), "text",
+                               max_rank=200)
+
+
+@register("unigram_logprob_documents",
+          ta.oracle_unigram_logprob_sql("documents", "doc_id", "text"))
+def unigram_logprob_documents(spark, sf_dir):
+    """Per-doc mean unigram log-probability — the LM-based quality
+    signal (low = gibberish/rare-token soup, high = typical prose)."""
+    return ta.unigram_logprob_scores(T(spark, sf_dir, "documents"),
+                                     "doc_id", "text")
+
+
+@register("bigram_logprob_documents",
+          ta.oracle_bigram_logprob_sql("documents", "doc_id", "text"))
+def bigram_logprob_documents(spark, sf_dir):
+    """Per-doc mean bigram conditional log-probability — the CCNet-style
+    LM quality filter one order up from the unigram score (word-salad
+    text keeps plausible unigrams but implausible transitions)."""
+    return ta.bigram_logprob_scores(T(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
+@register("collocations_pmi_documents",
+          ta.oracle_collocations_pmi_sql("documents", "text", k=20,
+                                         min_count=5))
+def collocations_pmi_documents(spark, sf_dir):
+    """Top-k collocations by PMI — the phrase/boilerplate miner; the
+    min_count filter runs on the aggregated bigram table before any
+    vocabulary join."""
+    return ta.collocations_pmi(T(spark, sf_dir, "documents"), "text",
+                               k=20, min_count=5)
+
+
+@register("canonical_sample_documents",
+          dd.oracle_canonical_sample_sql("documents", "doc_id", "text",
+                                         fraction=0.5))
+def canonical_sample_documents(spark, sf_dir):
+    """Dedup-aware sampling: one canonical doc per near-dup cluster,
+    then a deterministic 50% hash-sample of the canonicals."""
+    return dd.canonical_sample(T(spark, sf_dir, "documents"), "doc_id",
+                               "text", fraction=0.5)
+
+
+_EXPECTATIONS = [
+    vd.Expectation("unique", "o_orderkey"),
+    vd.Expectation("row_count_between", low=1000),
+    vd.Expectation("nonnull_ratio_at_least", "o_custkey", low=0.99),
+    vd.Expectation("mean_between", "o_totalprice", low=1000.0,
+                   high=1_000_000.0),
+]
+
+
+@register("expectations_orders",
+          vd.oracle_expectation_sql("orders", _EXPECTATIONS))
+def expectations_orders(spark, sf_dir):
+    """Dataset-level expectation suite (uniqueness / volume / null-ratio
+    / exact-mean contracts) evaluated in one aggregation pass."""
+    return vd.expectation_report(T(spark, sf_dir, "orders"), _EXPECTATIONS)
+
+
+from dataprofiler_spark.operators import chunking as ck
+
+
+@register("chunk_summary_documents",
+          ck.oracle_chunk_summary_sql("documents", "doc_id", "text",
+                                      chunk_tokens=64, overlap_tokens=8))
+def chunk_summary_documents(spark, sf_dir):
+    """Token-window chunking sizing stats (64-token windows, 8 overlap —
+    small enough to multi-chunk the synthetic docs)."""
+    return ck.chunk_summary(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", chunk_tokens=64, overlap_tokens=8)
+
+
+@register("tfidf_top_terms_documents",
+          ck.oracle_tfidf_top_sql("documents", "doc_id", "text", k=3))
+def tfidf_top_terms_documents(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    return ck.tfidf_top_terms(T(spark, sf_dir, "documents"), "doc_id",
+                              "text", k=3)
+
+
+from dataprofiler_spark.operators import intervals as iv
+
+
+@register("interval_join_events",
+          iv.oracle_interval_join_count_sql("events", "user_id", "ts"))
+def interval_join_events(spark, sf_dir):
+    """Bucketized interval join (§2.6 range-join shape): each user's
+    events counted inside their first-active-day window. Equi-join on
+    (key, time bucket) + exact bound filter — no nested-loop plan."""
+    return iv.interval_join_first_day_counts(T(spark, sf_dir, "events"))
+
+
+from dataprofiler_spark.operators import mixture as mx
+
+
+@register("packing_stats_documents",
+          ck.oracle_packing_stats_sql("documents", "doc_id", "text",
+                                      context_len=256))
+def packing_stats_documents(spark, sf_dir):
+    """Context-window packing audit (truncation loss, 1-doc padding
+    waste, best-case packed-window fill at context=256): one single-pass
+    aggregation over an (id, text) projection."""
+    return ck.packing_stats(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", context_len=256)
+
+@register("pack_manifest_documents",
+          ck.oracle_pack_manifest_sql("documents", "doc_id", "text",
+                                      context_len=256, n_shards=4))
+def pack_manifest_documents(spark, sf_dir):
+    """Deterministic concat-and-split packing plan: md5-sharded docs,
+    per-shard greedy token stream, each doc mapped to its context-window
+    range — one cumulative-sum window over n_shards bounded
+    partitions."""
+    return ck.pack_manifest(T(spark, sf_dir, "documents"), "doc_id",
+                            "text", context_len=256, n_shards=4)
+
+
+# Down-select 4 of the 20 sources with skewed shares: src0's target
+# exceeds its supply (rate caps at 1 — the shortfall case), the others
+# sample fractionally; the 16 unweighted sources report rate-0 rows.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 5_000
+
+
+@register("data_mixture_documents",
+          mx.oracle_data_mixture_sql("documents", "source", "doc_id",
+                                     "text", _MIX_WEIGHTS, _MIX_BUDGET))
+def data_mixture_documents(spark, sf_dir):
+    """Per-source token-budget mixture audit: deterministic md5 keep-rate
+    per source (min(1, budget*w/total_tokens)); one bounded collect
+    (O(#sources)) + one conditional aggregation."""
+    return mx.data_mixture_summary(T(spark, sf_dir, "documents"), "source",
+                                   "doc_id", "text", _MIX_WEIGHTS,
+                                   _MIX_BUDGET)
+
+
+# Composite source × lang strata: src0/en oversubscribed (rate caps at
+# 1), the rest fractional; unweighted strata report rate-0 rows.
+_MIX_ML_WEIGHTS = {("src0", "en"): 0.4, ("src0", "de"): 0.1,
+                   ("src1", "en"): 0.2, ("src2", "zh"): 0.3}
+
+
+@register("data_mixture_source_lang",
+          mx.oracle_data_mixture_multi_sql(
+              "documents", ["source", "lang"], "doc_id", "text",
+              _MIX_ML_WEIGHTS, _MIX_BUDGET))
+def data_mixture_source_lang(spark, sf_dir):
+    """Mixture over a composite stratum (source × lang): the rate
+    machinery runs on one derived concat key, so N dimensions cost the
+    same single groupBy as one."""
+    return mx.data_mixture_summary_multi(
+        T(spark, sf_dir, "documents"), ["source", "lang"], "doc_id",
+        "text", _MIX_ML_WEIGHTS, _MIX_BUDGET)
+
+
+@register("quality_weighted_sample_documents",
+          mx.oracle_quality_weighted_sample_sql("documents", "doc_id",
+                                                "text", strength=1.2))
+def quality_weighted_sample_documents(spark, sf_dir):
+    """Soft quality filter (keep-prob = min(1, 1.2*score)): md5(id)
+    uniform vs the deterministic quality score; pure filter, audited
+    as integer counts."""
+    return mx.quality_weighted_sample_summary(
+        T(spark, sf_dir, "documents"), "doc_id", "text", strength=1.2)
+
+
+@register("leakage_free_split_documents",
+          mx.oracle_leakage_free_split_sql("documents", "doc_id", "text",
+                                           k=3, num_hashes=12, bands=2,
+                                           threshold=0.8))
+def leakage_free_split_documents(spark, sf_dir):
+    """Cluster-aware train/val/test carve: every near-dup cluster lands
+    whole in one split (hash of cluster_id, not doc_id) — the
+    constructive fix for the contamination split_leakage audits.
+    Same selective LSH operating point as neardup_clusters_documents."""
+    return mx.leakage_free_split(T(spark, sf_dir, "documents"), "doc_id",
+                                 "text", k=3, num_hashes=12, bands=2,
+                                 threshold=0.8)
+
+
+@register("split_manifest_documents",
+          mx.oracle_split_manifest_sql("documents", "doc_id", "text"))
+def split_manifest_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test carve by md5(doc_id):
+    pure projection + 3-row rollup; ids never migrate between splits
+    as the corpus grows."""
+    return mx.split_manifest(T(spark, sf_dir, "documents"), "doc_id",
+                             "text")
+
+

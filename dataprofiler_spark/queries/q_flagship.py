@@ -1,0 +1,124 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprofiler_spark import report as rep
+from dataprofiler_spark.queries._registry import T, register
+
+# ---------------------------------------------------------------------------
+# Full profile (flagship). The driver-checked variant runs the REAL
+# end-to-end ``Profiler().profile()`` and emits the deterministic,
+# engine-portable slice of the report (report.deterministic_report_rows),
+# hash-checked against a composite DuckDB oracle. Order-dependent floats
+# (native double sum / var_pop / skew / kurt), HLL estimates, histograms
+# and category maps are excluded here — each is covered by its own
+# exact-mode oracled query above. The untruncated flat report stays
+# registered as a rows-only check (full_report_*, end of registry).
+# ---------------------------------------------------------------------------
+
+def _flat_report_df(spark, df):
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import build_report, flat_dict
+
+    report = build_report(Profiler(df).profile(), output_format="compact")
+    flat = flat_dict(report)
+    rows = [(k, str(v)) for k, v in sorted(flat.items())]
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+def _deterministic_profile_df(spark, df):
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    rows = deterministic_report_rows(Profiler(df).profile())
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+
+_LI_NUM_ALL = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+               "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_STR = ["l_returnflag", "l_linestatus"]
+_LI_DT = ["l_shipdate"]
+_EV_NUM = ["event_id", "user_id", "value"]
+_EV_STR = ["event_type", "props"]
+_EV_DT = ["ts"]
+
+
+@register("full_profile_lineitem",
+          rep.oracle_full_profile_sql("lineitem", _LI_NUM_ALL, _LI_STR,
+                                      _LI_DT))
+def full_profile_lineitem(spark, sf_dir):
+    return _deterministic_profile_df(spark, T(spark, sf_dir, "lineitem"))
+
+
+@register("full_profile_events",
+          rep.oracle_full_profile_sql("events", _EV_NUM, _EV_STR, _EV_DT))
+def full_profile_events(spark, sf_dir):
+    return _deterministic_profile_df(spark, T(spark, sf_dir, "events"))
+
+
+@register("merged_profile_lineitem",
+          rep.oracle_full_profile_sql("lineitem", _LI_NUM_ALL, _LI_STR,
+                                      _LI_DT))
+def merged_profile_lineitem(spark, sf_dir):
+    """Merge invariance at driver strength (reference
+    test_profile_builder.py's central invariant, profile_builder.py:
+    939-997): profile two DISJOINT halves of lineitem independently,
+    merge the states with the ``+`` algebra, and emit the deterministic
+    report slice — hash-checked against the WHOLE-TABLE oracle, proving
+    ``profile(A) + profile(B) == profile(A ∪ B)`` cross-engine, not
+    just in local tests."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    df = T(spark, sf_dir, "lineitem")
+    half_a = df.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 0)
+    half_b = df.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+    merged = Profiler(half_a).profile() + Profiler(half_b).profile()
+    rows = deterministic_report_rows(merged)
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+
+@register("profile_diff_events",
+          rep.oracle_profile_diff_sql("events", "ts", _EV_NUM, _EV_STR))
+def profile_diff_events(spark, sf_dir):
+    """Composed ``.diff()`` end-to-end (reference profiler_utils.py:
+    417-667 semantics via report.diff_profiles): profile two midpoint
+    time-slices of events, run the REAL diff, and emit its
+    deterministic slice (row-count delta, per-column type/null/min/max
+    diffs). The drift statistics the full diff also carries (Welch t,
+    PSI, KS, chi²) are order-dependent and each oracled separately
+    (welch_t_*, psi_*, ks_js_*, chi2_*). NULL-ts rows belong to
+    neither snapshot. Refuses loudly on an empty/all-null-ts table —
+    a time-slice of nothing has no midpoint."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import (deterministic_diff_rows,
+                                           diff_profiles)
+
+    base = T(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    b = base.agg(F.min(F.unix_micros("ts")).alias("mn"),
+                 F.max(F.unix_micros("ts")).alias("mx")).collect()[0]
+    if b["mn"] is None:
+        raise ValueError("profile_diff_events: no non-null timestamps "
+                         "to time-slice")
+    mid = (b["mn"] + b["mx"]) // 2
+    snap_a = base.where(F.unix_micros("ts") < F.lit(mid))
+    snap_b = base.where(F.unix_micros("ts") >= F.lit(mid))
+    diff = diff_profiles(Profiler(snap_a).profile(),
+                         Profiler(snap_b).profile())
+    rows = deterministic_diff_rows(diff)
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+

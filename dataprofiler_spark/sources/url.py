@@ -9,7 +9,8 @@ path. Here the fetch lands in a temp file (Spark scans files, not
 byte buffers) and is cached per-URL for the process lifetime so
 ``sniff`` + ``read_data`` on the same URL fetch once.
 
-s3:// is import-gated on boto3 (not in this environment): the scheme is
+s3:// is import-gated on boto3 (live-tested against a localhost
+MinIO-compatible endpoint in tests/test_s3_smoke.py): the scheme is
 recognized and routed, and the error names the missing dependency
 instead of failing inside a scan. At cluster scale the right path for
 s3 is the Hadoop s3a connector on the Spark classpath (no driver-side
@@ -152,7 +153,7 @@ def _s3_to_local(parsed, max_bytes: int) -> str:
     if url in _fetch_cache and os.path.exists(_fetch_cache[url]):
         return _fetch_cache[url]
     try:
-        import boto3  # optional; absent in this environment
+        import boto3  # import-gated; present here (see tests/test_s3_smoke.py)
     except ImportError as e:
         raise ImportError(
             "s3:// sources need either boto3 (driver-side fetch) or the "
