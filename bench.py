@@ -342,6 +342,14 @@ def build_runners(spark, sf_dir):
         lambda: ev.calendar_gaps(events, group_col="event_type")
                   .collect())
 
+    def _profile_diff():
+        # composed .diff() end-to-end (r8): two full profiles over
+        # midpoint time-slices + the diff algebra
+        from dataprofiler_spark.queries.q_flagship import \
+            profile_diff_events as _pde
+        return _pde(spark, sf_dir).collect()
+    add("events", "profile_diff_events", _profile_diff)
+
     # ---- similarity group ----
     add("similarity", "cosine_topk_embeddings",
         lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0,

@@ -30,15 +30,20 @@ def make_frames(spark, n_rows: int, n_keys: int = 100_000,
            .select(F.lit(0).cast("long").alias("k"),
                    F.col("id").alias("payload")))
     left = cold.unionAll(hot)
-    # ~1 KB payload per dim row -> right ≈ 100 MB: genuinely above the
-    # (adaptive) auto-broadcast threshold, so the plain join REALLY
-    # shuffles and the skew lands on a reducer. No threshold overrides:
-    # a dimension small enough to broadcast has no skew problem at all,
-    # and measuring that regime would be dishonest.
+    # ~1 KB INCOMPRESSIBLE payload per dim row -> right ≈ 100 MB even
+    # after shuffle compression: genuinely above the (adaptive)
+    # auto-broadcast threshold, so the plain join REALLY shuffles and
+    # the skew lands on a reducer. No threshold overrides: a dimension
+    # small enough to broadcast has no skew problem at all, and
+    # measuring that regime would be dishonest. (A repeat()-built
+    # payload compresses ~30x and lets AQE nondeterministically flip
+    # the plan to broadcast — the first version of this script did
+    # exactly that.)
+    chunks = [F.md5((F.col("id") * 37 + i).cast("string"))
+              for i in range(32)]
     right = (spark.range(n_keys)
              .select(F.col("id").alias("k"),
-                     F.repeat(F.md5(F.col("id").cast("string")), 32)
-                     .alias("dim")))
+                     F.concat(*chunks).alias("dim")))
     return left, right
 
 
