@@ -57,15 +57,17 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # ENTIRE r4-stale cohort — all 32 queries whose latest driver row
 # predates the r5 rounds and, critically, round 7's engine-wide
 # quantile/rounding/tokenization rewrites; (b) the 2 new r8 composed
-# queries (merge invariance, end-to-end diff) — never driver-checked;
+# queries (merge invariance, end-to-end diff) plus the
+# embedding_spectrum golden promotion — all never driver-checked;
 # (c) the 3 queries whose semantics changed in r8 (quantiles/median_mad
 # final roundings moved F.round -> duckdb_round per ADVICE r7;
 # type_cooccurrence gained the single-type-user guard); (d) the
-# flagship end-to-end re-check; (e) the 12 r5-stale rows most exposed
+# flagship end-to-end re-check; (e) the 11 r5-stale rows most exposed
 # to the r7 rewrites (quantile-, tokenization- and rounding-adjacent
 # operators plus the events flagship twin). After this window lands
-# green, 33 r5-stale rows remain for the r9 rotation; every other
-# registry row is r6+ fresh.
+# green, 34 r5-stale rows remain for the r9 rotation (headed by
+# distinct_counts_lineitem, which ceded its slot to the spectrum
+# promotion); every other registry row is r6+ fresh.
 _DRIVER_WINDOW = [
     # ---- (a) the full r4-stale cohort: 32 ----
     "modes_quantity",
@@ -100,16 +102,20 @@ _DRIVER_WINDOW = [
     "data_mixture_source_lang",
     "quality_weighted_sample_documents",
     "leakage_free_split_documents",
-    # ---- (b) new r8 composed queries: 2 ----
+    # ---- (b) new r8 composed queries + the spectrum golden promotion
+    # (rows-only in r7, golden-fixture oracled in r8 — never
+    # driver-checked, so it takes a slot over an r5-stale refresh;
+    # distinct_counts_lineitem ceded and heads the r9 window): 3 ----
     "merged_profile_lineitem",
     "profile_diff_events",
+    "embedding_spectrum_embeddings",
     # ---- (c) changed semantics r8: 3 ----
     "quantiles_extendedprice",    # duckdb_round on final values
     "median_mad_quantity",        # duckdb_round on median/mad
     "type_cooccurrence_events",   # single-type-user guard
     # ---- (d) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (e) r5-stale rows most exposed to the r7 rewrites: 12 ----
+    # ---- (e) r5-stale rows most exposed to the r7 rewrites: 11 ----
     "outlier_counts_lineitem",    # IQR/quantile-adjacent
     "text_stats_customer",        # tokenization-adjacent
     "histogram_extendedprice",    # histogram core
@@ -121,7 +127,6 @@ _DRIVER_WINDOW = [
     "correlation_lineitem",
     "category_counts_lineitem",
     "row_stats_lineitem",
-    "distinct_counts_lineitem",
 ]
 
 

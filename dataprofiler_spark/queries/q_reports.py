@@ -117,13 +117,40 @@ def top_terms_by_group_documents(spark, sf_dir):
                                   "source", "text", k=5)
 
 
-@register("embedding_spectrum_embeddings")
+def _load_spectrum_golden() -> str | None:
+    """Golden-fixture oracle for the eigen-spectrum (the cnn_votes
+    pattern): eigendecomposition is not SQL-expressible, but its value
+    at the driver's sf0.01 IS deterministic — the covariance underneath
+    is decimal-exact (partition-order independent) and numpy's eigh is
+    deterministic on an identical matrix, with 6-digit output rounding
+    absorbing platform ulps. Pinned from a recorded sf0.01 run; the
+    distributed covariance stays independently oracled
+    (embedding_covariance_embeddings), and the spectrum math is pinned
+    against analytically-known spectra in tests."""
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures",
+        "embedding_spectrum_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        g = json.load(fh)
+    return (f"SELECT CAST({g['dim']} AS INTEGER) AS dim, "
+            f"CAST({g['n']} AS BIGINT) AS n, "
+            f"CAST({g['total_var']} AS DOUBLE) AS total_var, "
+            f"CAST({g['top1_ratio']} AS DOUBLE) AS top1_ratio, "
+            f"CAST({g['top5_ratio']} AS DOUBLE) AS top5_ratio, "
+            f"CAST({g['effective_rank']} AS DOUBLE) AS effective_rank, "
+            f"CAST({g['participation_ratio']} AS DOUBLE) "
+            f"AS participation_ratio")
+
+
+@register("embedding_spectrum_embeddings", _load_spectrum_golden())
 def embedding_spectrum_embeddings(spark, sf_dir):
-    """Eigen-spectrum concentration of the embedding covariance
-    (rows-only: eigendecomposition is not SQL-expressible; the
-    distributed covariance underneath IS oracled as
-    embedding_covariance_embeddings, and the spectrum math is pinned
-    against analytically-known spectra in tests)."""
+    """Eigen-spectrum concentration of the embedding covariance —
+    golden-fixture oracle at the driver's sf0.01 (see
+    _load_spectrum_golden)."""
     from dataprofiler_spark.operators import vectorstats as vs
     return vs.embedding_spectrum(T(spark, sf_dir, "embeddings"),
                                  "embedding")

@@ -48,6 +48,7 @@ LOUD_REFUSAL = {
 #   (match_count-style counters; divergence exists only at n=0)
 KNOWN_EMPTY_DIVERGENCE = {
     "cnn_labeler_customer", "ner_spans_orders", "ner_redact_orders",
+    "embedding_spectrum_embeddings",  # sf0.01 golden by construction
     "full_profile_lineitem", "full_profile_events",
     "merged_profile_lineitem",  # same coalesce-vs-NULL class at n=0
     "av_profile_documents",

@@ -14,7 +14,8 @@ from tests.oracle_utils import assert_frames_match
 # so the local run degrades to a rows-only check. test_np_cnn covers the
 # sf0.01 golden itself.
 SF001_PINNED = {"cnn_labeler_customer", "ner_spans_orders",
-                "trained_labeler_customer", "ner_redact_orders"}
+                "trained_labeler_customer", "ner_redact_orders",
+                "embedding_spectrum_embeddings"}
 
 
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
