@@ -442,3 +442,45 @@ def test_top_level_reference_exports():
                  "UnstructuredProfiler", "ProfilerOptions", "graphs",
                  "get_logger", "set_verbosity"]:
         assert hasattr(dps, name), name
+
+
+def test_banner_skiprows_multisplit(spark, tmp_path):
+    """The skiprows/keep-blank read paths drop rows POSITIONALLY via
+    monotonically_increasing_id — valid because partition 0 is the file
+    head. Guard that assumption under a genuinely multi-split scan
+    (maxPartitionBytes forced below file size)."""
+    from dataprofiler_spark.sources.sniff import read_data, sniff
+
+    p = tmp_path / "banner_tab.csv"
+    rows = ["My Banner Title", "id\tname\tval"]
+    for i in range(60_000):
+        if i % 1000 == 999:
+            rows.append("\t\t")            # all-empty row (kept)
+        else:
+            rows.append(f"{i}\tname_{i}\t{i % 7}")
+    p.write_text("\n".join(rows) + "\n")
+    assert p.stat().st_size > 1_000_000
+
+    res = sniff(str(p))
+    assert res.format == "csv" and res.options["sep"] == "\t"
+    assert res.options["skiprows"] == 1 and res.options["header"] is True
+
+    conf = spark.conf
+    old = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+        df, _ = read_data(spark, str(p))
+        assert df.rdd.getNumPartitions() > 1, "scan did not split"
+        assert df.columns == ["id", "name", "val"]
+        assert df.count() == 60_000           # banner+header dropped, blanks kept
+        # the FIRST data row survived (off-by-one guard)
+        assert df.where("id = '0'").count() == 1
+        assert df.where("id = '59998'").count() == 1
+        # the all-empty rows are present as all-null rows
+        assert df.where("id IS NULL AND name IS NULL AND val IS NULL"
+                        ).count() == 60
+    finally:
+        if old is None:
+            conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            conf.set("spark.sql.files.maxPartitionBytes", old)
