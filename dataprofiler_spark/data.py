@@ -48,6 +48,13 @@ class Data:
         """Reference's ``.data``; here the lazy DataFrame itself."""
         return self.df
 
+    @property
+    def metadata(self) -> DataFrame | None:
+        """Whole-document JSON only (reference json_data.py metadata
+        split): the non-payload fields of the document, one row per
+        document; ``None`` for every other source."""
+        return getattr(self._sniff, "metadata_df", None)
+
     def head(self, n: int = 5):
         return self.df.limit(n).toPandas()
 

@@ -68,17 +68,9 @@ def is_avro(head: bytes) -> bool:
     return head[:4] == b"Obj\x01"
 
 
-def is_json(lines: list[str]) -> bool:
-    """≥50% of probe lines parse as JSON, or the head parses whole
-    (json_data.py:368-423)."""
-    if not lines:
-        return False
-    joined = "\n".join(lines)
-    try:
-        json.loads(joined)
-        return True
-    except json.JSONDecodeError:
-        pass
+def is_json_lines(lines: list[str]) -> bool:
+    """≥50% of nonempty probe lines parse individually — the
+    one-record-per-line shape Spark's default json scan reads."""
     ok = 0
     for ln in lines:
         ln = ln.strip()
@@ -91,6 +83,33 @@ def is_json(lines: list[str]) -> bool:
             pass
     nonempty = sum(1 for ln in lines if ln.strip())
     return nonempty > 0 and ok / nonempty >= 0.5
+
+
+def is_json(lines: list[str]) -> bool:
+    """≥50% of probe lines parse as JSON, or the head parses whole
+    (json_data.py:368-423)."""
+    if not lines:
+        return False
+    joined = "\n".join(lines)
+    try:
+        json.loads(joined)
+        return True
+    except json.JSONDecodeError:
+        pass
+    return is_json_lines(lines)
+
+
+def looks_like_json_document(text: str) -> bool:
+    """Pretty-printed JSON DOCUMENT whose head sample may be TRUNCATED
+    mid-document (so neither the joined head nor single lines parse):
+    first non-whitespace char is a JSON opener and the head is
+    string-key shaped. Without this, a pretty document with trailing
+    commas on every line sniffs as single-column CSV (math.json did)."""
+    stripped = text.lstrip()
+    if not stripped or stripped[0] not in "{[":
+        return False
+    probe = stripped[:4000]
+    return '"' in probe and ":" in probe
 
 
 def _strip_quoted(ln: str) -> str:
@@ -243,7 +262,12 @@ def sniff(path: str) -> SniffResult:
     if lines and not text.endswith("\n"):
         lines = lines[:-1] or lines  # drop possibly-truncated tail line
     if is_json(lines):
-        return SniffResult("json", {"encoding": enc})
+        opts = {"encoding": enc}
+        if len(lines) > 1 and not is_json_lines(lines):
+            opts["multiline"] = True  # one document spanning lines
+        return SniffResult("json", opts)
+    if looks_like_json_document(text):
+        return SniffResult("json", {"encoding": enc, "multiline": True})
     delim = guess_delimiter(lines)
     if delim is not None:
         # Leading title/banner lines before the real table (reference
@@ -344,7 +368,29 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
             from dataprofiler_spark.sources.avro_reader import read_avro
             return read_avro(spark, path), res
     if res.format == "json":
-        df = spark.read.json(path, encoding=o.get("encoding"))
+        if o.get("multiline") or o.get("payload_keys") is not None:
+            # whole-document JSON (or caller-forced payload extraction):
+            # payload rows become the data, the rest one metadata row
+            from dataprofiler_spark.sources.json_doc import \
+                read_json_document
+            df, meta = read_json_document(
+                spark, path, payload_keys=o.get("payload_keys"),
+                encoding=o.get("encoding"))
+            res.metadata_df = meta  # exposed as Data(...).metadata
+            return df, res
+        enc = o.get("encoding", "UTF-8")
+        if enc and enc.upper() not in ("UTF-8", "UTF8"):
+            # Spark's json scan denies UTF-16/32 in line mode outright
+            # (byte-level line splitting is unsafe under multi-byte
+            # charsets). These legacy files are whole-file reads by
+            # nature, so: binaryFiles (per-file parallel, the
+            # avro_reader pattern) -> BOM-aware decode -> json lines.
+            codec = enc.lower().replace("-", "_")
+            rdd = (spark.sparkContext.binaryFiles(path)
+                   .flatMap(lambda kv: kv[1].decode(codec).splitlines()))
+            df = spark.read.json(rdd)
+        else:
+            df = spark.read.json(path)
         return df, res
     if res.format in ("csv", "graph_csv"):
         skip = o.get("skiprows", 0)
@@ -408,17 +454,22 @@ def flatten_struct_columns(df):
     lazy select, no data movement."""
     from pyspark.sql.types import StructType
 
-    cols = []
+    cols: list[list[str]] = []
 
-    def walk(prefix: str, schema: StructType):
+    def walk(path: list[str], schema: StructType):
         for f in schema.fields:
-            name = f"{prefix}.{f.name}" if prefix else f.name
+            p = path + [f.name]
             if isinstance(f.dataType, StructType):
-                walk(name, f.dataType)
+                walk(p, f.dataType)
             else:
-                cols.append(name)
+                cols.append(p)
 
-    walk("", df.schema)
+    walk([], df.schema)
     from pyspark.sql import functions as F
-    return df.select(*[F.col(f"`{'`.`'.join(c.split('.'))}`").alias(c)
-                       for c in cols])
+    # quote each PATH SEGMENT individually: a field name may itself
+    # contain a literal dot (payload-extracted frames name columns
+    # "payload.Lion.name"), and splitting the joined name would
+    # misread it as nesting
+    return df.select(*[
+        F.col("`" + "`.`".join(p) + "`").alias(".".join(p))
+        for p in cols])

@@ -139,6 +139,80 @@ def test_profile_reference_fixture_end_to_end(spark):
     assert gs["row_count"] == 2999
 
 
+def test_json_document_payload_math(spark):
+    """math.json (reference test_json_data.py
+    test_flattened_dataframe_format): a pretty-printed API document —
+    the 'data' payload becomes positional columns, the exact cell the
+    reference asserts matches, and the rest lands in metadata."""
+    from dataprofiler_spark.sources.sniff import read_data, sniff
+
+    p = f"{REF}/json/math.json"
+    r = sniff(p)
+    assert r.format == "json" and r.options.get("multiline") is True
+    df, res = read_data(spark, p)
+    assert "data.22" in df.columns
+    assert df.count() == 168
+    assert df.collect()[167]["data.22"] == "77.9"
+    assert res.metadata_df is not None
+    assert any(c.startswith("meta.view.") for c in res.metadata_df.columns)
+
+
+def test_json_document_dual_payload_picks_larger(spark):
+    """dual_payloads.json: the LARGER payload list wins (reference
+    test_flattened_dataframe_format_with_dual_payload)."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    df, _ = read_data(spark, f"{REF}/json/dual_payloads.json")
+    assert "payload.bigger_list_of_things.id" in df.columns
+    assert len(df.columns) == 2
+
+
+def test_json_document_complex_nested(spark):
+    """complex_nested.json: a dict-shaped payload — every nested record
+    list explodes and unions (reference coalesces to the same rows for
+    disjoint shapes)."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    df, _ = read_data(spark, f"{REF}/json/complex_nested.json")
+    cols = set(df.columns)
+    assert "payload.Lion.medical_condition" in cols
+    vals = [r["payload.Lion.medical_condition"] for r in df.collect()
+            if r["payload.Lion.medical_condition"] is not None]
+    assert "Depression" in vals
+
+
+def test_json_document_payload_keys_option(spark):
+    """hits.json via explicit payload_keys (reference test_payload_key):
+    the hits list becomes data, processingTimeMS stays metadata."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    df, res = read_data(spark, f"{REF}/json/hits.json",
+                        payload_keys=["hits"])
+    assert any(c.startswith("hits.") for c in df.columns)
+    assert "processingTimeMS" not in df.columns
+    assert "processingTimeMS" in res.metadata_df.columns
+
+
+def test_json_utf16_lines(spark):
+    """UTF-16 json-lines (denied by Spark's line-mode json scan):
+    the binaryFiles decode path reads all 150 records."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    df, _ = read_data(spark, f"{REF}/json/iris-utf-16.json")
+    assert df.count() == 150 and "SepalLengthCm" in df.columns
+
+
+def test_data_facade_metadata_property(spark):
+    from dataprofiler_spark.data import Data
+
+    d = Data(f"{REF}/json/math.json", spark=spark)
+    assert d.data_type == "json"
+    assert d.metadata is not None and d.metadata.count() == 1
+    # non-document sources expose no metadata
+    d2 = Data(f"{REF}/csv/iris.csv", spark=spark)
+    assert d2.metadata is None
+
+
 def test_profile_nested_json_flattens(spark):
     df, res = read_data(spark, f"{REF}/json/complex_nested.json")
     assert res.format == "json"
