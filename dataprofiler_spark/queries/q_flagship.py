@@ -114,9 +114,9 @@ def profile_diff_events(spark, sf_dir):
     mid = (b["mn"] + b["mx"]) // 2
     snap_a = base.where(F.unix_micros("ts") < F.lit(mid))
     snap_b = base.where(F.unix_micros("ts") >= F.lit(mid))
-    diff = diff_profiles(Profiler(snap_a).profile(),
-                         Profiler(snap_b).profile())
-    rows = deterministic_diff_rows(diff)
+    sa = Profiler(snap_a).profile()
+    sb = Profiler(snap_b).profile()
+    rows = deterministic_diff_rows(diff_profiles(sa, sb), sa, sb)
     return spark.createDataFrame(
         rows,
         "column string, stat string, value_num double, value_str string")

@@ -402,7 +402,7 @@ def diff_profiles(a: DatasetState, b: DatasetState) -> dict:
     return out
 
 
-def deterministic_diff_rows(diff: dict) -> list[tuple]:
+def deterministic_diff_rows(diff: dict, a=None, b=None) -> list[tuple]:
     """The order-independent, engine-portable slice of a COMPOSED
     ``diff_profiles`` report — the cross-engine twin of
     :func:`deterministic_report_rows` for the diff path.
@@ -421,8 +421,14 @@ def deterministic_diff_rows(diff: dict) -> list[tuple]:
 
     Returns (column, stat, value_num, value_str) rows where an
     ``"unchanged"`` verdict lands in value_str and a numeric delta in
-    value_num (exactly one is non-NULL per row);
-    :func:`oracle_profile_diff_sql` emits the matching SQL.
+    value_num; :func:`oracle_profile_diff_sql` emits the matching SQL.
+
+    min/max rows are emitted for EVERY numeric column (pass ``a`` and
+    ``b``, the two DatasetStates, to enable this): when one slice has
+    zero matches the delta is undefined and the row reads
+    ``'incomparable'``; when both are empty, ``'unchanged'`` — so the
+    row set is schema-determined (matching the SQL mirror) rather than
+    data-determined.
     """
     def split(v):
         # _diff_val output -> (value_num, value_str)
@@ -439,10 +445,22 @@ def deterministic_diff_rows(diff: dict) -> list[tuple]:
             num, s = split(col[stat])
             rows.append((name, stat, num, s))
         stats = col.get("statistics") or {}
-        for stat in ("min", "max"):
-            if stat in stats:
+        if "min" in stats or "max" in stats:
+            for stat in ("min", "max"):
                 num, s = split(stats[stat])
                 rows.append((name, stat, num, s))
+        elif a is not None and b is not None:
+            ca = a.columns.get(name)
+            cb = b.columns.get(name)
+            if ca is not None and cb is not None \
+                    and ca.numeric is not None and cb.numeric is not None:
+                # numeric column whose statistics the diff omitted:
+                # one or both slices had zero matches
+                verdict = ("unchanged"
+                           if not ca.numeric.n and not cb.numeric.n
+                           else "incomparable")
+                rows.append((name, "min", None, verdict))
+                rows.append((name, "max", None, verdict))
     return rows
 
 
@@ -468,14 +486,21 @@ def oracle_profile_diff_sql(table: str, ts_col: str,
         return f"{c} IS NULL"
 
     def diff_row(col: str, stat: str, agg_sql: str) -> str:
-        # one scan: FILTER-split aggregates over the union of slices
+        # one scan: FILTER-split aggregates over the union of slices.
+        # Tri-state mirror of deterministic_diff_rows: both NULL ->
+        # 'unchanged' (nothing on either side), one NULL ->
+        # 'incomparable' (delta undefined), else delta/'unchanged'.
         a = f"{agg_sql.replace('%F%', 'FILTER (WHERE side = 0)')}"
         b = f"{agg_sql.replace('%F%', 'FILTER (WHERE side = 1)')}"
         return (f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
-                f"CASE WHEN {a} = {b} THEN CAST(NULL AS DOUBLE) "
+                f"CASE WHEN {a} IS NULL OR {b} IS NULL "
+                f"THEN CAST(NULL AS DOUBLE) "
+                f"WHEN {a} = {b} THEN CAST(NULL AS DOUBLE) "
                 f"ELSE CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE) END "
                 f"AS value_num, "
-                f"CASE WHEN {a} = {b} THEN 'unchanged' "
+                f"CASE WHEN {a} IS NULL AND {b} IS NULL THEN 'unchanged' "
+                f"WHEN {a} IS NULL OR {b} IS NULL THEN 'incomparable' "
+                f"WHEN {a} = {b} THEN 'unchanged' "
                 f"ELSE CAST(NULL AS VARCHAR) END AS value_str "
                 f"FROM sliced")
 
@@ -488,9 +513,12 @@ def oracle_profile_diff_sql(table: str, ts_col: str,
     selects = [diff_row("__dataset", "row_count", "COUNT(*) %F%")]
     for c in all_cols:
         selects.append(const_row(c, "data_type", "unchanged"))
+        # COALESCE: an EMPTY slice must read null_count 0 (the engine's
+        # counter), not NULL -> 'incomparable'
         selects.append(diff_row(
             c, "null_count",
-            f"SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END) %F%"))
+            f"COALESCE(SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END) "
+            f"%F%, 0)"))
         if c in numeric_cols:
             selects.append(diff_row(c, "min", f"MIN({c}) %F%"))
             selects.append(diff_row(c, "max", f"MAX({c}) %F%"))

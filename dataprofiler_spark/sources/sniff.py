@@ -108,6 +108,15 @@ def looks_like_json_document(text: str) -> bool:
     stripped = text.lstrip()
     if not stripped or stripped[0] not in "{[":
         return False
+    # The opener must stand ALONE on the first line (pretty-printers
+    # always emit it that way) — a timestamped log line like
+    # '[2024-01-01 12:00] msg="x"' also starts with '[' and contains
+    # quotes/colons, and misreading it as JSON would feed the profile a
+    # _corrupt_record column. Single-line documents parse whole and
+    # never reach this fallback.
+    first_line = stripped.splitlines()[0].strip()
+    if first_line not in ("{", "["):
+        return False
     probe = stripped[:4000]
     return '"' in probe and ":" in probe
 
@@ -119,11 +128,14 @@ def _strip_quoted(ln: str) -> str:
     return re.sub(r"'[^']*'", "", re.sub(r'"[^"]*"', "", ln))
 
 
-_EXTRA_DELIM_CHARS = set("@#;:|~^&%!*+=/\\")  # csv_data.py:184-346 tries
-# the top-frequency vocab chars as candidates; we admit the punctuation
-# subset that can't collide with numbers ('-', '.'), identifiers ('_'),
-# quotes, or prose (' ') — space/dot-delimited files dispatch to the
-# unstructured text profiler instead (documented divergence).
+_EXTRA_DELIM_CHARS = set("@#~^&")  # csv_data.py:184-346 tries the
+# top-frequency vocab chars as candidates; we admit only the
+# punctuation subset that cannot collide with common in-band syntax:
+# ':' splits timestamps, '=' splits key=value logs, '/' dates and
+# paths, '%'/'+'/'*' arithmetic, '-'/'.' numbers, '_' identifiers,
+# ' ' prose. Files delimited by those dispatch to the unstructured
+# text profiler instead (documented divergence from the reference's
+# anything-goes vocab scan, which relies on cell-type safety checks).
 
 
 def guess_delimiter(lines: list[str]) -> str | None:
@@ -291,12 +303,22 @@ def sniff(path: str) -> SniffResult:
             opts["header_names"] = [
                 c.strip().strip(quote).strip()
                 for c in body[0].split(delim)]
+        # table width: Spark csv fixes the column count from the FIRST
+        # physical record, so the keep-blank and banner re-read paths
+        # need it carried explicitly (a headerless whitespace-delimited
+        # file would otherwise collapse to one column)
+        opts["ncols"] = mode + 1
         if data_start:
+            # the read paths drop leading rows POSITIONALLY on a frame
+            # that has already had blank lines filtered (Spark's csv
+            # source trims whitespace-only lines; the keep-blank path
+            # drops empty lines like pandas skip_blank_lines) — so the
+            # banner lines themselves are recorded and each path counts
+            # how many survive ITS OWN blank filter (a blank line
+            # inside the banner would otherwise shift the drop onto
+            # real data rows)
             opts["skiprows"] = data_start
-            # Spark csv fixes the column count from the FIRST physical
-            # record — the banner line — so the table width must be
-            # carried explicitly for the headerless re-read.
-            opts["ncols"] = mode + 1
+            opts["banner_lines"] = lines[:data_start]
         if header and looks_like_graph(body[0].split(delim)):
             return SniffResult("graph_csv", opts)
         return SniffResult("csv", opts)
@@ -313,25 +335,31 @@ def _read_csv_keep_blank(spark, path: str, o: dict):
     from pyspark.sql import functions as F
 
     sep = o.get("sep", ",")
-    ncols = o.get("ncols") or len(o.get("header_names") or []) or 1
     names = o.get("header_names")
+    ncols = o.get("ncols") or 0
     if names and len(names) > ncols:
         ncols = len(names)
+    if not ncols:
+        # caller-forced path (fmt='csv' with a whitespace sep, no
+        # sniff): probe the head for the modal field count
+        head_lines = [ln for ln in
+                      _read_head(path).decode("utf-8", "replace")
+                      .splitlines()[:50] if ln.strip()]
+        counts = Counter(ln.count(sep) for ln in head_lines)
+        ncols = (counts.most_common(1)[0][0] + 1) if counts else 1
     txt = spark.read.text(path)
     txt = txt.select(
         F.regexp_replace("value", "\r$", "").alias("value"))
     txt = txt.where(F.length("value") > 0)  # pandas skip_blank_lines
-    n_drop = o.get("skiprows", 0) + (1 if o.get("header") else 0)
-    if n_drop:
-        txt = (txt.withColumn("__rid", F.monotonically_increasing_id())
-               .where(F.col("__rid") >= n_drop).drop("__rid"))
+    # count only the banner lines THIS path's blank filter keeps —
+    # a fully blank line inside the banner is already gone before the
+    # positional drop, and counting it would drop a real data row
+    banner = o.get("banner_lines", [])
+    n_drop = (sum(1 for ln in banner if ln.rstrip("\r"))
+              + (1 if o.get("header") else 0))
+    txt = _drop_leading_rows(txt, n_drop)
     if names and len(names) == ncols:
-        seen: dict = {}
-        uniq = []
-        for n in names:
-            k = seen.get(n, 0)
-            seen[n] = k + 1
-            uniq.append(n if k == 0 else f"{n}.{k}")
+        uniq = _uniquify(names)
     else:
         uniq = [f"_c{i}" for i in range(ncols)]
     ddl = ", ".join(f"`{n}` STRING" for n in uniq)
@@ -340,6 +368,29 @@ def _read_csv_keep_blank(spark, path: str, o: dict):
         {"sep": sep, "quote": o.get("quote", '"'),
          "mode": "PERMISSIVE"}).alias("r"))
     return parsed.select("r.*")
+
+
+def _uniquify(names: list[str]) -> list[str]:
+    seen: dict = {}
+    out = []
+    for n in names:
+        k = seen.get(n, 0)
+        seen[n] = k + 1
+        out.append(n if k == 0 else f"{n}.{k}")
+    return out
+
+
+def _drop_leading_rows(df, n: int):
+    """Drop the first n physical rows: monotonically_increasing_id is
+    sequential WITHIN a partition and partition 0 is the file head, so
+    ids 0..n-1 are exactly the first n surviving rows — an O(n) filter,
+    scale-independent (the banner sits at the file head regardless of
+    file size; verified under multi-split scans in test_sources)."""
+    if not n:
+        return df
+    from pyspark.sql import functions as F
+    return (df.withColumn("__rid", F.monotonically_increasing_id())
+            .where(F.col("__rid") >= n).drop("__rid"))
 
 
 def read_data(spark, path: str, fmt: str | None = None, **options):
@@ -401,7 +452,8 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         # fine for these legacy inputs, convert to UTF-8 for scale.
         multi = enc.upper().startswith(("UTF-16", "UTF-32"))
         sep = o.get("sep", ",")
-        if sep.isspace() and not multi:
+        if sep.isspace() and not multi \
+                and enc.upper() in ("UTF-8", "UTF8"):
             # Spark's csv source silently DROPS whitespace-only lines
             # (CSVUtils.filterCommentAndEmpty trims each line), so a
             # tab-delimited all-empty row — which the reference counts,
@@ -409,8 +461,11 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
             # files as a text scan + JVM-side from_csv instead: still
             # whole-stage-codegen, still splittable, no blank filter.
             # Truly empty physical lines are skipped like pandas
-            # skip_blank_lines; single-file quoted newlines are the
-            # documented tradeoff (use fmt='csv' to force native).
+            # skip_blank_lines; quoted newlines are the documented
+            # tradeoff (use fmt='csv' to force native). UTF-8 only —
+            # spark.read.text has no charset option, so legacy-encoded
+            # whitespace-delimited files take the native path and lose
+            # all-empty rows (documented).
             return _read_csv_keep_blank(spark, path, o), res
         if not skip:
             df = spark.read.csv(
@@ -419,30 +474,26 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
                 encoding=enc, inferSchema=False)
             return df, res
         # Leading banner lines: Spark csv has no skiprows, so read
-        # headerless and drop the first (skip + header) physical rows.
-        # monotonically_increasing_id is sequential WITHIN a partition
-        # and partition 0 is the file head, so ids 0..k-1 are exactly
-        # the first k rows — an O(k) filter, scale-independent (the
-        # banner is at the file head regardless of file size).
-        from pyspark.sql import functions as F
+        # headerless with an explicit width (Spark csv fixes the column
+        # count from the first record — the banner) and drop the
+        # leading rows positionally (_drop_leading_rows). The drop
+        # count includes only banner lines the csv source's blank
+        # filter KEEPS (it trims whitespace-only lines) — counting a
+        # blank banner line would drop a real data row.
         ncols = o.get("ncols") or len(o.get("header_names") or []) or 1
         schema = ", ".join(f"`_c{i}` string" for i in range(ncols))
         df = spark.read.csv(
-            path, sep=o.get("sep", ","), header=False, schema=schema,
+            path, sep=sep, header=False, schema=schema,
             quote=o.get("quote", '"'), mode="PERMISSIVE",
             multiLine=multi, encoding=enc, inferSchema=False)
-        n_drop = skip + (1 if o.get("header") else 0)
-        df = (df.withColumn("__rid", F.monotonically_increasing_id())
-              .where(F.col("__rid") >= n_drop).drop("__rid"))
+        banner = o.get("banner_lines")
+        n_banner = (sum(1 for ln in banner if ln.strip())
+                    if banner is not None else skip)
+        df = _drop_leading_rows(
+            df, n_banner + (1 if o.get("header") else 0))
         names = o.get("header_names")
         if names and len(names) == len(df.columns):
-            seen: dict = {}
-            uniq = []
-            for n in names:
-                k = seen.get(n, 0)
-                seen[n] = k + 1
-                uniq.append(n if k == 0 else f"{n}.{k}")
-            df = df.toDF(*uniq)
+            df = df.toDF(*_uniquify(names))
         return df, res
     if res.format == "text":
         return spark.read.text(path), res

@@ -1,0 +1,156 @@
+"""Regressions from the round-8 self-review of the new sniff/read
+paths: headerless whitespace tables, blank lines inside a banner,
+bracket-led logs vs JSON documents, timestamp colons vs delimiters,
+legacy-encoding whitespace files."""
+
+from __future__ import annotations
+
+from dataprofiler_spark.sources.sniff import read_data, sniff
+
+
+def test_headerless_tab_table_keeps_width(spark, tmp_path):
+    """A headerless TSV (numeric first row, so guess_header=False) must
+    parse at full width through the keep-blank path — it used to
+    collapse to one column because ncols was only recorded for
+    bannered files."""
+    p = tmp_path / "noheader.tsv"
+    p.write_text("1\ta\t0.5\n2\tb\t1.5\n3\tc\t2.5\n")
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["sep"] == "\t"
+    assert r.options["header"] is False
+    df, _ = read_data(spark, str(p))
+    assert len(df.columns) == 3
+    assert df.count() == 3
+
+
+def test_blank_line_inside_banner_drops_no_data(spark, tmp_path):
+    """skiprows counts raw head lines, but the read paths drop blank
+    lines BEFORE the positional filter — a blank line between banner
+    and header must not shift the drop onto a real data row."""
+    p = tmp_path / "banner_blank.csv"
+    p.write_text("Report Title\n\nA,B\n1,2\n3,4\n")
+    r = sniff(str(p))
+    assert r.format == "csv"
+    assert r.options.get("skiprows") == 2          # raw line index
+    df, _ = read_data(spark, str(p))
+    assert df.columns == ["A", "B"]
+    assert df.count() == 2                          # BOTH data rows
+    assert {row["A"] for row in df.collect()} == {"1", "3"}
+    # same contract through the keep-blank (whitespace-delim) path
+    p2 = tmp_path / "banner_blank.tsv"
+    p2.write_text("Report Title\n\nA\tB\n1\t2\n3\t4\n")
+    df2, _ = read_data(spark, str(p2))
+    assert df2.columns == ["A", "B"] and df2.count() == 2
+
+
+def test_bracket_led_log_is_text_not_json(tmp_path):
+    """'[2024-01-01 12:00:00] msg=\"started\"' starts with '[' and
+    contains quotes/colons — it must stay text, not json/multiline
+    (which would profile a _corrupt_record column)."""
+    p = tmp_path / "app.log"
+    p.write_text("\n".join(
+        f'[2024-01-01 12:00:{i:02d}] msg="started" level=info'
+        for i in range(40)) + "\n")
+    assert sniff(str(p)).format == "text"
+
+
+def test_timestamp_colons_not_a_delimiter(tmp_path):
+    """A plain log of 'HH:MM:SS message' lines has perfectly consistent
+    colon counts — ':' must not be admitted as a delimiter (it is not
+    in the candidate set; files genuinely delimited by it profile as
+    text, documented)."""
+    p = tmp_path / "times.log"
+    p.write_text("\n".join(
+        f"12:00:{i:02d} worker heartbeat ok" for i in range(30)) + "\n")
+    r = sniff(str(p))
+    assert r.format == "text"
+
+
+def test_keyvalue_equals_not_a_delimiter(tmp_path):
+    p = tmp_path / "kv.log"
+    p.write_text("\n".join(
+        f"host=web{i} status=ok latency=3ms" for i in range(30)) + "\n")
+    assert sniff(str(p)).format == "text"
+
+
+def test_latin1_tab_file_keeps_encoding(spark, tmp_path):
+    """Legacy-encoded whitespace-delimited files must take the native
+    csv path (spark.read.text has no charset option) so characters
+    survive; the all-empty-row preservation is the documented
+    tradeoff."""
+    p = tmp_path / "latin.tsv"
+    p.write_bytes("name\tcity\ncaf\xe9\tZ\xfcrich\n".encode("latin-1"))
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["sep"] == "\t"
+    assert r.options["encoding"] == "ISO-8859-1"
+    df, _ = read_data(spark, str(p))
+    rows = df.collect()
+    assert rows[0]["name"] == "caf\xe9"
+    assert rows[0]["city"] == "Z\xfcrich"
+
+
+def test_at_banner_blank_combination(spark, tmp_path):
+    """Banner + blank + '@' delimiter + trailing blank data row: the
+    exotic-delimiter path composes with banner skipping."""
+    p = tmp_path / "at.csv"
+    p.write_text("Sheet Title\n\nTime@Task\n06:00@Breakfast\n"
+                 "07:00@Walk\n")
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["sep"] == "@"
+    df, _ = read_data(spark, str(p))
+    assert df.columns == ["Time", "Task"]
+    assert df.count() == 2
+
+
+def test_profile_diff_one_empty_slice_matches_oracle(spark, tmp_path):
+    """All timestamps equal -> snapshot A (ts < midpoint == min) is
+    EMPTY. The tri-state contract ('incomparable' when one side has no
+    matches, null_count coalesced to 0) must hold cross-engine."""
+    import duckdb
+    import pandas as pd
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import (deterministic_diff_rows,
+                                           diff_profiles,
+                                           oracle_profile_diff_sql)
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, float(i), "t", "2024-03-01 00:00:00") for i in range(6)],
+        "event_id long, value double, event_type string, ts_s string"
+    ).select("event_id", "value", "event_type",
+             F.to_timestamp("ts_s").alias("ts")
+             ).write.mode("overwrite").parquet(p)
+
+    base = spark.read.parquet(p).where(F.col("ts").isNotNull())
+    row = base.agg(F.min(F.unix_micros("ts")).alias("mn"),
+                   F.max(F.unix_micros("ts")).alias("mx")).collect()[0]
+    mid = (row["mn"] + row["mx"]) // 2
+    sa = Profiler(base.where(F.unix_micros("ts") < F.lit(mid))).profile()
+    sb = Profiler(base.where(F.unix_micros("ts") >= F.lit(mid))).profile()
+    rows = deterministic_diff_rows(diff_profiles(sa, sb), sa, sb)
+    got = pd.DataFrame(rows, columns=["column", "stat", "value_num",
+                                      "value_str"])
+    # numeric columns read 'incomparable' for min/max (empty side)
+    mins = got[(got["stat"] == "min")]
+    assert set(mins["value_str"]) == {"incomparable"}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
+    # data_type rows diverge by construction here (an empty slice
+    # infers 'text' for everything; the oracle literal asserts
+    # stability on REAL data) — compare every other stat.
+    want = con.sql(oracle_profile_diff_sql(
+        "ev", "ts", ["event_id", "value"], ["event_type"])).df()
+    g = (got[got["stat"] != "data_type"]
+         .sort_values(["column", "stat"]).reset_index(drop=True))
+    w = (want[want["stat"] != "data_type"]
+         .sort_values(["column", "stat"]).reset_index(drop=True))
+    assert list(g["column"]) == list(w["column"])
+    assert list(g["stat"]) == list(w["stat"])
+    assert list(g["value_str"].fillna("~")) == \
+        list(w["value_str"].fillna("~"))
+    gn = g["value_num"].fillna(-9e9)
+    wn = w["value_num"].fillna(-9e9)
+    assert list(gn) == list(wn)
