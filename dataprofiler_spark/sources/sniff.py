@@ -261,6 +261,18 @@ def sniff(path: str) -> SniffResult:
         return sniff_extension(path)
     if is_url(path):
         path = url_to_local(path)  # cached: read_data re-resolves free
+    import os as _os
+    if _os.path.isdir(path):
+        # Spark-written datasets are DIRECTORIES of part files:
+        # content-sniff the first data file (Spark's readers all accept
+        # the directory path itself downstream)
+        parts = sorted(
+            f for f in _os.listdir(path)
+            if not f.startswith((".", "_")) and
+            _os.path.isfile(_os.path.join(path, f)))
+        if not parts:
+            return SniffResult("parquet")  # empty dataset dir
+        return sniff(_os.path.join(path, parts[0]))
     head = _read_head(path)
     if is_parquet(head):
         return SniffResult("parquet")
@@ -403,6 +415,20 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         path = url_to_local(path)
     res = sniff(path) if fmt is None else SniffResult(fmt, dict(options))
     o = {**res.options, **options}
+    # selected_columns (reference csv_data.py:85 / json selected_keys):
+    # a post-scan projection — Catalyst pushes it into the scan
+    # (column pruning), so only the selected columns are read from
+    # columnar sources. Applied uniformly to every format.
+    selected = o.pop("selected_columns", None) or o.pop(
+        "selected_keys", None)
+    if selected:
+        inner_df, inner_res = read_data(spark, path, fmt=res.format, **o)
+        missing = [c for c in selected if c not in inner_df.columns]
+        if missing:
+            raise ValueError(
+                f"selected_columns not in data: {missing}; "
+                f"available: {inner_df.columns[:20]}")
+        return inner_df.select(*selected), inner_res
     if res.format == "parquet":
         return spark.read.parquet(path), res
     if res.format == "orc":

@@ -154,3 +154,28 @@ def test_profile_diff_one_empty_slice_matches_oracle(spark, tmp_path):
     gn = g["value_num"].fillna(-9e9)
     wn = w["value_num"].fillna(-9e9)
     assert list(gn) == list(wn)
+
+
+def test_selected_columns_option(spark, tmp_path):
+    """Reference csv_data.py:85 selected_columns / json selected_keys:
+    a projection Catalyst pushes into the scan (column pruning)."""
+    import pytest
+
+    p = tmp_path / "wide.csv"
+    p.write_text("a,b,c,d\n1,2,3,4\n5,6,7,8\n")
+    df, _ = read_data(spark, str(p), selected_columns=["a", "c"])
+    assert df.columns == ["a", "c"] and df.count() == 2
+    # parquet: pruning reaches the scan (ReadSchema shows only a, c)
+    pq = str(tmp_path / "wide.parquet")
+    spark.read.csv(str(p), header=True).write.parquet(pq)
+    df2, _ = read_data(spark, pq, selected_columns=["a", "c"])
+    assert df2.columns == ["a", "c"]
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<a:string,c:string>" in plan
+    with pytest.raises(ValueError, match="selected_columns"):
+        read_data(spark, str(p), selected_columns=["a", "zz"])
+    # json alias
+    j = tmp_path / "rows.json"
+    j.write_text('{"x": 1, "y": 2, "z": 3}\n{"x": 4, "y": 5, "z": 6}\n')
+    df3, _ = read_data(spark, str(j), selected_keys=["x", "z"])
+    assert df3.columns == ["x", "z"] and df3.count() == 2
