@@ -179,3 +179,49 @@ def test_selected_columns_option(spark, tmp_path):
     j.write_text('{"x": 1, "y": 2, "z": 3}\n{"x": 4, "y": 5, "z": 6}\n')
     df3, _ = read_data(spark, str(j), selected_keys=["x", "z"])
     assert df3.columns == ["x", "z"] and df3.count() == 2
+
+
+def test_sniff_read_property(spark, tmp_path):
+    """Generative guard over the new reader paths: random tables with
+    random delimiter / banner / interior blank lines / header presence
+    round-trip through sniff+read with exact row and column counts.
+    Deterministic seed — this is a fixed battery, not flaky fuzzing."""
+    import random
+
+    rng = random.Random(88)
+    delims = [",", "\t", ";", "|", "@", "#"]
+    for case in range(30):
+        delim = rng.choice(delims)
+        ncols = rng.randint(2, 6)
+        nrows = rng.randint(3, 40)
+        header = rng.random() < 0.7
+        banner = rng.random() < 0.4
+        blank_after_banner = banner and rng.random() < 0.5
+        lines = []
+        if banner:
+            lines.append("Some Report Title")
+            if blank_after_banner:
+                lines.append("")
+        if header:
+            lines.append(delim.join(f"col_{i}" for i in range(ncols)))
+        n_blank_rows = 0
+        for r in range(nrows):
+            if delim == "\t" and rng.random() < 0.1:
+                lines.append(delim * (ncols - 1))   # all-empty row
+                n_blank_rows += 1
+            else:
+                lines.append(delim.join(
+                    str(rng.randint(0, 999)) if i == 0
+                    else f"v{r}_{i}" for i in range(ncols)))
+        p = tmp_path / f"case_{case}.csv"
+        p.write_text("\n".join(lines) + "\n")
+
+        res = sniff(str(p))
+        assert res.format == "csv", (case, delim, res)
+        assert res.options["sep"] == delim, (case, delim, res)
+        assert res.options["header"] is header, (case, delim, res)
+        df, _ = read_data(spark, str(p))
+        assert len(df.columns) == ncols, (case, delim, res, df.columns)
+        # all-empty rows are only injected for \t, where the keep-blank
+        # path preserves them — so every generated data row survives
+        assert df.count() == nrows, (case, delim, res)
