@@ -271,8 +271,21 @@ def sniff(path: str) -> SniffResult:
             if not f.startswith((".", "_")) and
             _os.path.isfile(_os.path.join(path, f)))
         if not parts:
-            return SniffResult("parquet")  # empty dataset dir
-        return sniff(_os.path.join(path, parts[0]))
+            raise ValueError(
+                f"empty dataset directory: {path!r} — no data files to "
+                f"sniff; pass fmt= explicitly to read an empty dataset")
+        res = sniff(_os.path.join(path, parts[0]))
+        if len(parts) > 1:
+            # Multi-file dataset: positional banner/header drops are
+            # single-file assumptions — every part file repeats its own
+            # header, and Spark orders splits by size (not file order),
+            # so a global leading-row drop can land on the wrong file's
+            # rows. Clear them and mark the result so read_data routes
+            # header handling to the native per-file reader.
+            res.options.pop("skiprows", None)
+            res.options.pop("banner_lines", None)
+            res.options["multifile"] = True
+        return res
     head = _read_head(path)
     if is_parquet(head):
         return SniffResult("parquet")
@@ -312,9 +325,17 @@ def sniff(path: str) -> SniffResult:
         opts = {"sep": delim, "header": header, "quote": quote,
                 "encoding": enc}
         if header:
-            opts["header_names"] = [
-                c.strip().strip(quote).strip()
-                for c in body[0].split(delim)]
+            # parse the header line with csv semantics (the guessed
+            # quotechar): a quoted header cell containing the delimiter
+            # must stay ONE name, and header_names must never widen the
+            # schema beyond the modal field count (ADVICE r8)
+            import csv as _csv
+            try:
+                parsed_hdr = next(_csv.reader(
+                    [body[0]], delimiter=delim, quotechar=quote))
+            except (StopIteration, _csv.Error):
+                parsed_hdr = body[0].split(delim)
+            opts["header_names"] = [c.strip() for c in parsed_hdr]
         # table width: Spark csv fixes the column count from the FIRST
         # physical record, so the keep-blank and banner re-read paths
         # need it carried explicitly (a headerless whitespace-delimited
@@ -331,7 +352,7 @@ def sniff(path: str) -> SniffResult:
             # real data rows)
             opts["skiprows"] = data_start
             opts["banner_lines"] = lines[:data_start]
-        if header and looks_like_graph(body[0].split(delim)):
+        if header and looks_like_graph(opts["header_names"]):
             return SniffResult("graph_csv", opts)
         return SniffResult("csv", opts)
     return SniffResult("text", {"encoding": enc})
@@ -348,9 +369,10 @@ def _read_csv_keep_blank(spark, path: str, o: dict):
 
     sep = o.get("sep", ",")
     names = o.get("header_names")
+    # header_names never widen the schema: the modal field count is the
+    # table width; an over-split header (ADVICE r8) would otherwise
+    # manufacture phantom all-null columns
     ncols = o.get("ncols") or 0
-    if names and len(names) > ncols:
-        ncols = len(names)
     if not ncols:
         # caller-forced path (fmt='csv' with a whitespace sep, no
         # sniff): probe the head for the modal field count
@@ -419,8 +441,13 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
     # a post-scan projection — Catalyst pushes it into the scan
     # (column pruning), so only the selected columns are read from
     # columnar sources. Applied uniformly to every format.
-    selected = o.pop("selected_columns", None) or o.pop(
-        "selected_keys", None)
+    sel_cols = o.pop("selected_columns", None)
+    sel_keys = o.pop("selected_keys", None)  # pop BOTH unconditionally
+    selected = sel_cols if sel_cols is not None else sel_keys
+    if selected is not None and len(selected) == 0:
+        raise ValueError(
+            "selected_columns is empty — pass None (or omit it) to read "
+            "all columns")
     if selected:
         inner_df, inner_res = read_data(spark, path, fmt=res.format, **o)
         missing = [c for c in selected if c not in inner_df.columns]
@@ -479,7 +506,15 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         multi = enc.upper().startswith(("UTF-16", "UTF-32"))
         sep = o.get("sep", ",")
         if sep.isspace() and not multi \
-                and enc.upper() in ("UTF-8", "UTF8"):
+                and enc.upper() in ("UTF-8", "UTF8") \
+                and not o.get("multifile"):
+            # single-file only: the keep-blank path drops header/banner
+            # rows POSITIONALLY, which for a multi-file dataset would
+            # leave every other part file's header line as a data row
+            # (ADVICE r8 high). Directories route to the native csv
+            # reader below, whose header=True strips the header PER
+            # FILE; blank-row preservation is a single-legacy-file
+            # parity feature Spark-written datasets don't need.
             # Spark's csv source silently DROPS whitespace-only lines
             # (CSVUtils.filterCommentAndEmpty trims each line), so a
             # tab-delimited all-empty row — which the reference counts,

@@ -225,3 +225,88 @@ def test_sniff_read_property(spark, tmp_path):
         # all-empty rows are only injected for \t, where the keep-blank
         # path preserves them — so every generated data row survives
         assert df.count() == nrows, (case, delim, res)
+
+
+def test_multifile_headered_dataset_no_header_leak(spark, tmp_path):
+    """ADVICE r8 (high): a Spark-written 3-file headered TSV dataset
+    must not leak the other part files' header lines into the data —
+    the positional single-file drop used to yield 17 rows, not 15."""
+    ds = str(tmp_path / "tsvds")
+    spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(15)],
+        "id int, name string, val double"
+    ).repartition(3).write.csv(ds, sep="\t", header=True)
+    import os
+    parts = [f for f in os.listdir(ds)
+             if f.startswith("part-") and f.endswith(".csv")]
+    assert len(parts) == 3
+    r = sniff(ds)
+    assert r.format == "csv" and r.options["sep"] == "\t"
+    assert r.options.get("multifile") is True
+    assert "skiprows" not in r.options and "banner_lines" not in r.options
+    df, _ = read_data(spark, ds)
+    assert sorted(df.columns) == ["id", "name", "val"]
+    assert df.count() == 15                       # not 17
+    assert df.where(df["id"] == "id").count() == 0  # no header-as-data
+    # comma dataset through the native path keeps the same contract
+    ds2 = str(tmp_path / "csvds")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(12)], "id int, name string"
+    ).repartition(4).write.csv(ds2, header=True)
+    df2, _ = read_data(spark, ds2)
+    assert df2.count() == 12 and sorted(df2.columns) == ["id", "name"]
+
+
+def test_empty_dataset_directory_raises(tmp_path):
+    """ADVICE r8: an empty dataset directory must raise a clear error,
+    not sniff as parquet (whose scan fails with a misleading
+    'unable to infer schema')."""
+    import pytest
+
+    d = tmp_path / "empty_ds"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")   # marker files don't count
+    with pytest.raises(ValueError, match="empty dataset directory"):
+        sniff(str(d))
+
+
+def test_selected_columns_and_keys_both_popped(spark, tmp_path):
+    """ADVICE r8: selected_columns must not leave selected_keys behind
+    (double projection), and an empty list is a loud error, not a
+    silent no-op that lets the other key win."""
+    import pytest
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,2,3\n")
+    # both present: selected_columns wins, selected_keys is consumed
+    df, _ = read_data(spark, str(p), selected_columns=["a", "b"],
+                      selected_keys=["c"])
+    assert df.columns == ["a", "b"]
+    # empty list: explicit error either way
+    with pytest.raises(ValueError, match="empty"):
+        read_data(spark, str(p), selected_columns=[])
+    with pytest.raises(ValueError, match="empty"):
+        read_data(spark, str(p), selected_columns=[],
+                  selected_keys=["c"])
+
+
+def test_quoted_header_cell_with_delimiter(spark, tmp_path):
+    """ADVICE r8: a quoted header cell containing the delimiter must
+    parse as ONE name — the naive split used to widen the schema and
+    manufacture phantom all-null columns (keep-blank path)."""
+    p = tmp_path / "q.tsv"
+    p.write_text('id\t"name\tfull"\tval\n1\talice\t0.5\n2\tbob\t1.5\n')
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["header"] is True
+    assert r.options["header_names"] == ["id", "name\tfull", "val"]
+    assert r.options["ncols"] == 3
+    df, _ = read_data(spark, str(p))
+    assert len(df.columns) == 3
+    assert df.count() == 2
+    # comma variant through the native reader
+    p2 = tmp_path / "q.csv"
+    p2.write_text('id,"name,full",val\n1,alice,0.5\n2,bob,1.5\n')
+    r2 = sniff(str(p2))
+    assert r2.options["header_names"] == ["id", "name,full", "val"]
+    df2, _ = read_data(spark, str(p2))
+    assert len(df2.columns) == 3 and df2.count() == 2
