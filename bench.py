@@ -350,6 +350,15 @@ def build_runners(spark, sf_dir):
         return _pde(spark, sf_dir).collect()
     add("events", "profile_diff_events", _profile_diff)
 
+    def _profile_diff_fused():
+        # fused snapshot diff (r9): both slice profiles from ONE
+        # side-split scan (plans/diff_plan.py) — same oracle, ~half
+        # the scans of the composed row above
+        from dataprofiler_spark.queries.q_flagship import \
+            profile_diff_fused_events as _pdf
+        return _pdf(spark, sf_dir).collect()
+    add("events", "profile_diff_fused_events", _profile_diff_fused)
+
     # ---- similarity group ----
     add("similarity", "cosine_topk_embeddings",
         lambda: sim.cosine_topk(embeddings, "vec_id", "embedding", 0,

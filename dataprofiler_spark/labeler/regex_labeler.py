@@ -150,6 +150,32 @@ FROM melted, tot WHERE entity_count > 0
 """
 
 
+def cell_label_expr(col, default: str = "UNKNOWN"):
+    """Per-CELL label: the first matching pattern in priority order wins
+    (the declaration order of LABEL_PATTERNS — the same tie-break the
+    column vote uses). The reference's per-sample argmax analog
+    (regex_model.py:20-267 predicts per-char label confidences; the
+    anchored full-cell match is the structured-cell specialization).
+    Pure JVM expression — one F.when chain of rlike, no Python."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    expr = None
+    for lbl, pat in LABEL_PATTERNS.items():
+        branch = F.when(c.rlike(pat), F.lit(lbl))
+        expr = branch if expr is None else expr.when(c.rlike(pat),
+                                                     F.lit(lbl))
+    return expr.otherwise(F.lit(default))
+
+
+def oracle_cell_label_case(expr: str, default: str = "UNKNOWN") -> str:
+    """DuckDB CASE mirror of cell_label_expr over a VARCHAR SQL
+    expression (patterns are RE2-safe in both engines)."""
+    branches = "\n".join(
+        f"WHEN regexp_matches({expr}, '{pat.replace(chr(39), chr(39) * 2)}') "
+        f"THEN '{lbl}'"
+        for lbl, pat in LABEL_PATTERNS.items())
+    return f"CASE {branches} ELSE '{default}' END"
+
+
 def column_labels(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column, label): reference vote semantics — top-ratio label; labels
     within 0.2 of the top joined by '|'; 'could not determine' when the

@@ -184,10 +184,38 @@ class TrainableDataLabeler:
                                 / (row_tot + _SMOOTH * (V + 1)))
 
         out = {"train_acc": self._accuracy(train)}
+        eval_split = train
         if validation_split > 0:
             cv = pairs.where(split < validation_split)
             out["cv_acc"] = self._accuracy(cv)
+            eval_split = cv
+        # the reference's fit returns f1 + a per-label classification
+        # report per epoch (character_level_cnn_model.py:657-800 via
+        # labeler_utils.evaluate_accuracy) — same here, over the CV
+        # split (train when validation_split=0), computed from ONE
+        # distributed confusion groupBy (labeler/evaluation.py)
+        from dataprofiler_spark.labeler.evaluation import evaluate_accuracy
+        preds = self.predict(eval_split, "x")
+        out["f1"], out["f1_report"] = evaluate_accuracy(
+            preds, "y", "label", labels=self.labels,
+            omitted_labels=("PAD", self.default_label))
         return out
+
+    def evaluate(self, df: DataFrame, x: str, y: str,
+                 verbose: bool = False) -> tuple[float, dict]:
+        """Per-label precision/recall/F1 report of this labeler on a
+        (x=text, y=true label) frame — the reference's
+        ``evaluate_accuracy`` surface (labeler_utils.py:80-215) driven
+        by one distributed confusion aggregation. Returns
+        (macro-adjusted f1, f1_report dict)."""
+        from dataprofiler_spark.labeler.evaluation import evaluate_accuracy
+        preds = self.predict(
+            df.select(F.col(x).cast("string").alias("x"),
+                      F.col(y).cast("string").alias("y"))
+            .where(F.col("x").isNotNull() & F.col("y").isNotNull()), "x")
+        return evaluate_accuracy(
+            preds, "y", "label", labels=self.labels,
+            omitted_labels=("PAD", self.default_label), verbose=verbose)
 
     def _accuracy(self, pairs: DataFrame) -> float:
         pred = self.predict(pairs, "x").select(

@@ -1,0 +1,128 @@
+"""Fused snapshot diff — both slice profiles from ONE scan.
+
+The composed path (``Profiler(slice_a).profile()`` +
+``Profiler(slice_b).profile()`` + ``report.diff_profiles``, the
+reference's ``profiler.diff(other)`` shape, profiler_utils.py:417-667)
+reads the table once per slice plus once for the midpoint bounds. At
+100 TB a user diffing two time-slices of the SAME table wants the scan
+paid once: this plan tags each row with its slice and runs the
+profiler's own wide-aggregate expression set ``groupBy(side)`` instead
+of globally — the exact FILTER-split conditional-aggregation shape the
+diff's SQL oracle uses (report.py ``oracle_profile_diff_sql``). One
+shuffle of two rows; every per-column statistic the wide agg carries
+(nulls, type counts, min/max, all four moments — so the Welch t-test
+too) lands side-split, and the SAME ``diff_profiles`` consumes the two
+states.
+
+Deliberate scope: the fused plan skips the category/histogram counts
+pass, so the diff it feeds carries no PSI/KS/chi² rows (each of those
+drift statistics has its own oracled operator — welch_t_*, psi_*,
+ks_js_*, chi2_* — and the composed path remains for a full-fidelity
+diff). The deterministic diff slice (row-count delta, per-column
+type/null/min/max) is IDENTICAL between the two plans, which is what
+``profile_diff_fused_events`` proves against the same oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DateType, NumericType, StringType,
+                               TimestampNTZType, TimestampType)
+
+_SIDE = "__side"
+
+
+def profile_sides(df: DataFrame, side_col, options=None):
+    """Profile every value of ``side_col`` in one pass: the Profiler's
+    wide-agg expression groups run ``groupBy(side)``; each group job
+    scans only its pruned columns (same plan shape as the global
+    profile, one extra 2-row shuffle). Returns {side_value:
+    DatasetState}. Sides absent from the data assemble from an empty
+    LocalRelation (no scan)."""
+    from dataprofiler_spark.plans.profile_plan import Profiler
+    from dataprofiler_spark.session import ensure_parallelism
+
+    tagged = df.withColumn(_SIDE, side_col) if not isinstance(
+        side_col, str) else df.withColumnRenamed(side_col, _SIDE)
+    tagged = ensure_parallelism(tagged)
+
+    p = Profiler(df, options)   # borrowed expression/assembly machinery
+    fields = [f for f in tagged.schema.fields if f.name != _SIDE]
+    numeric_cols = [f.name for f in fields
+                    if isinstance(f.dataType, NumericType)]
+    string_cols = [f.name for f in fields
+                   if isinstance(f.dataType, StringType)]
+    dt_cols = [f.name for f in fields if isinstance(
+        f.dataType, (TimestampType, TimestampNTZType, DateType))]
+    vec_cols = [f.name for f in fields
+                if isinstance(f.dataType, ArrayType)
+                and isinstance(f.dataType.elementType, NumericType)]
+    all_cols = [f.name for f in fields]
+    simple_types = {f.name: f.dataType.simpleString() for f in fields}
+
+    groups = p._wide_agg_expr_groups(all_cols, numeric_cols, string_cols,
+                                     dt_cols, vec_cols)
+
+    def run_group(g):
+        return tagged.groupBy(_SIDE).agg(*g).collect()
+
+    if len(groups) == 1:
+        group_rows = [run_group(groups[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(len(groups), 8)) as ex:
+            group_rows = list(ex.map(run_group, groups))
+
+    by_side: dict = {}
+    for rows in group_rows:
+        for r in rows:
+            d = r.asDict()
+            side = d.pop(_SIDE)
+            by_side.setdefault(side, {}).update(d)
+
+    states = {
+        side: p._assemble(merged, all_cols, numeric_cols, string_cols,
+                          dt_cols, simple_types, vec_cols)
+        for side, merged in by_side.items()}
+    return states
+
+
+def _empty_state(spark, schema, options=None):
+    """DatasetState of an empty frame via a LocalRelation — aggregate
+    defaults (count 0, NULL extrema) without touching storage."""
+    from dataprofiler_spark.plans.profile_plan import Profiler
+    empty = spark.createDataFrame([], schema)
+    return Profiler(empty, options).profile()
+
+
+def diff_snapshots(df: DataFrame, ts_col: str, mid: int | None = None,
+                   options=None):
+    """Fused time-slice diff: snapshot A is rows with
+    ``unix_micros(ts) < mid`` (mid defaults to the midpoint of the
+    observed range; NULL-ts rows belong to neither snapshot), snapshot
+    B the rest. ONE bounds aggregate + ONE side-split profile scan
+    feed the same ``diff_profiles`` the composed path uses.
+
+    Returns (diff_dict, state_a, state_b). Raises on an empty /
+    all-null-ts input — a time-slice of nothing has no midpoint.
+    """
+    from dataprofiler_spark.report import diff_profiles
+
+    base = df.where(F.col(ts_col).isNotNull())
+    if mid is None:
+        b = base.agg(F.min(F.unix_micros(ts_col)).alias("mn"),
+                     F.max(F.unix_micros(ts_col)).alias("mx")).collect()[0]
+        if b["mn"] is None:
+            raise ValueError(
+                f"diff_snapshots: no non-null {ts_col!r} timestamps to "
+                f"time-slice")
+        mid = (b["mn"] + b["mx"]) // 2
+    side = F.when(F.unix_micros(F.col(ts_col)) < F.lit(mid),
+                  F.lit(0)).otherwise(F.lit(1))
+    states = profile_sides(base.withColumn(_SIDE, side), _SIDE, options)
+    sa = states.get(0) or _empty_state(df.sparkSession, base.schema,
+                                       options)
+    sb = states.get(1) or _empty_state(df.sparkSession, base.schema,
+                                       options)
+    return diff_profiles(sa, sb), sa, sb

@@ -122,3 +122,24 @@ def profile_diff_events(spark, sf_dir):
         "column string, stat string, value_num double, value_str string")
 
 
+@register("profile_diff_fused_events",
+          rep.oracle_profile_diff_sql("events", "ts", _EV_NUM, _EV_STR))
+def profile_diff_fused_events(spark, sf_dir):
+    """The FUSED snapshot-diff plan (plans/diff_plan.py): both slice
+    profiles from ONE side-split scan (groupBy(side) over the
+    profiler's own wide-agg expressions — the FILTER-split shape the
+    shared oracle uses) instead of the composed path's two full
+    profile passes. Same ``diff_profiles``, same deterministic slice,
+    same oracle as profile_diff_events — proving plan equivalence
+    cross-engine while costing ~half the scans (bench rows
+    profile_diff_events vs profile_diff_fused_events)."""
+    from dataprofiler_spark.plans.diff_plan import diff_snapshots
+    from dataprofiler_spark.report import deterministic_diff_rows
+
+    diff, sa, sb = diff_snapshots(T(spark, sf_dir, "events"), "ts")
+    rows = deterministic_diff_rows(diff, sa, sb)
+    return spark.createDataFrame(
+        rows,
+        "column string, stat string, value_num double, value_str string")
+
+

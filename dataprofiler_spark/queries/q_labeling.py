@@ -29,6 +29,119 @@ def label_votes_customer(spark, sf_dir):
     return rl.label_votes(T(spark, sf_dir, "customer"), _LABEL_COLS)
 
 
+# ---------------------------------------------------------------------------
+# Labeler evaluation (reference labeler_utils.evaluate_accuracy /
+# classification_report): per-label precision/recall/F1/support from one
+# distributed confusion groupBy. The (truth, predicted) pair is fully
+# SQL-expressible — predicted is the first-match regex cell label,
+# truth a deterministic "gold" annotation with injected disagreement
+# (the cohens_kappa pattern) so FP/FN/zero-support paths all carry
+# weight: custkey cells divisible by 7 are gold-labeled BAN (predicted
+# INTEGER -> real confusion), BUILDING segment cells gold-labeled
+# ADDRESS (never predicted -> zero-division recall path).
+# ---------------------------------------------------------------------------
+
+# Spark spells the string cast CAST(.. AS STRING); DuckDB needs
+# VARCHAR — the oracle builder substitutes. The strings only feed
+# anchored regexes, so the residual formatting differences between the
+# engines' double->string casts (both shortest-round-trip decimal at
+# these magnitudes) cannot flip a label.
+_F1_CELLS = [
+    ("CAST(c_custkey AS STRING)",
+     "CASE WHEN c_custkey % 7 = 0 THEN 'BAN' ELSE 'INTEGER' END"),
+    ("CAST(c_nationkey AS STRING)", "'INTEGER'"),
+    ("CAST(c_acctbal AS STRING)", "'FLOAT'"),
+    ("c_name", "'UNKNOWN'"),
+    ("c_mktsegment",
+     "CASE WHEN c_mktsegment = 'BUILDING' THEN 'ADDRESS' "
+     "ELSE 'UNKNOWN' END"),
+]
+
+
+def _f1_labels() -> list[str]:
+    return sorted(set(rl.LABEL_PATTERNS) | {"UNKNOWN"})
+
+
+def _labeler_f1_oracle() -> str:
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {cell.replace(' AS STRING)', ' AS VARCHAR)')} AS cell, "
+        f"{truth} AS truth FROM customer"
+        for cell, truth in _F1_CELLS)
+    case = rl.oracle_cell_label_case("cell")
+    labels = ", ".join(f"('{l}')" for l in _f1_labels())
+    return f"""
+WITH cells AS ({cells}),
+prd AS (
+  SELECT truth, {case} AS pred
+  FROM cells WHERE cell IS NOT NULL AND truth IS NOT NULL
+),
+conf AS (SELECT truth, pred, COUNT(*) AS n FROM prd GROUP BY 1, 2),
+labels(label) AS (VALUES {labels}),
+per AS (
+  SELECT label,
+    COALESCE((SELECT SUM(n) FROM conf
+              WHERE truth = label AND pred = label), 0) AS tp,
+    COALESCE((SELECT SUM(n) FROM conf WHERE pred = label), 0) AS psum,
+    COALESCE((SELECT SUM(n) FROM conf WHERE truth = label), 0) AS tsum
+  FROM labels),
+pr AS (
+  SELECT label,
+    CASE WHEN psum > 0 THEN CAST(tp AS DOUBLE) / psum ELSE 0.0 END AS p,
+    CASE WHEN tsum > 0 THEN CAST(tp AS DOUBLE) / tsum ELSE 0.0 END AS r,
+    tsum AS support
+  FROM per),
+rows_ AS (
+  SELECT label, p, r,
+    CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1,
+    support
+  FROM pr
+  UNION ALL
+  SELECT 'accuracy', a, a, a, tot FROM (
+    SELECT CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS DOUBLE)
+           / SUM(n) AS a,
+           SUM(n) AS tot
+    FROM conf))
+SELECT label, ROUND(p, 6) AS "precision", ROUND(r, 6) AS recall,
+       ROUND(f1, 6) AS f1_score, CAST(support AS BIGINT) AS support
+FROM rows_ ORDER BY label
+"""
+
+
+@register("labeler_f1_customer", _labeler_f1_oracle())
+def labeler_f1_customer(spark, sf_dir):
+    from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.labeler import evaluation as ev
+
+    cust = T(spark, sf_dir, "customer")
+    structs = [F.struct(F.expr(cell).alias("cell"),
+                        F.expr(truth).alias("truth"))
+               for cell, truth in _F1_CELLS]
+    cells = (cust.select(F.explode(F.array(*structs)).alias("s"))
+             .select("s.cell", "s.truth")
+             .where(F.col("cell").isNotNull()
+                    & F.col("truth").isNotNull()))
+    prd = cells.select("truth",
+                       rl.cell_label_expr("cell").alias("pred"))
+    labels = _f1_labels()
+    conf = ev.confusion_matrix(
+        ev.confusion_counts(prd, "truth", "pred"), labels)
+    report = ev.classification_report(conf, labels)  # full set: accuracy
+    total = int(conf.sum())
+    rows = [(l, report[l]["precision"], report[l]["recall"],
+             report[l]["f1-score"], report[l]["support"])
+            for l in labels]
+    rows.append(("accuracy", report["accuracy"], report["accuracy"],
+                 report["accuracy"], total))
+    out = spark.createDataFrame(
+        rows, "label string, p double, r double, f1 double, support long")
+    return (out.select(
+        "label", duckdb_round(F.col("p"), 6).alias("precision"),
+        duckdb_round(F.col("r"), 6).alias("recall"),
+        duckdb_round(F.col("f1"), 6).alias("f1_score"),
+        F.col("support"))
+        .orderBy("label"))
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
