@@ -53,80 +53,73 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation (VERDICT r7 item 1: drain the stale window): (a) the
-# ENTIRE r4-stale cohort — all 32 queries whose latest driver row
-# predates the r5 rounds and, critically, round 7's engine-wide
-# quantile/rounding/tokenization rewrites; (b) the 2 new r8 composed
-# queries (merge invariance, end-to-end diff) plus the
-# embedding_spectrum golden promotion — all never driver-checked;
-# (c) the 3 queries whose semantics changed in r8 (quantiles/median_mad
-# final roundings moved F.round -> duckdb_round per ADVICE r7;
-# type_cooccurrence gained the single-type-user guard); (d) the
-# flagship end-to-end re-check; (e) the 11 r5-stale rows most exposed
-# to the r7 rewrites (quantile-, tokenization- and rounding-adjacent
-# operators plus the events flagship twin). After this window lands
-# green, 34 r5-stale rows remain for the r9 rotation (headed by
-# distinct_counts_lineitem, which ceded its slot to the spectrum
-# promotion); every other registry row is r6+ fresh.
+# Round-9 rotation (VERDICT r8 item 1: drain the LAST stale cohort):
+# (a) ALL 36 remaining rows whose latest driver check is r5 — computed
+# from the cumulative CORRECTNESS_r0*.json history (the freshness-SLA
+# test in tests/test_oracle_parity.py re-derives this set and fails if
+# any registered row's latest check ages past the SLA); after this
+# window lands green, NO oracled row's evidence predates r6 — the
+# repo's first fully-fresh evidence state. (b) the 2 new r9 queries
+# (labeler classification-report surface; fused one-scan snapshot
+# diff), never driver-checked. (c) the flagship end-to-end re-check
+# (every round). 36 + 2 + 1 = 39; the remaining 11 slots go to (d) a
+# cross-family spread of the oldest surviving cohort (r6) so the SLA
+# window keeps rolling instead of re-cliffing.
 _DRIVER_WINDOW = [
-    # ---- (a) the full r4-stale cohort: 32 ----
-    "modes_quantity",
-    "time_bucket_events",
-    "order_profile_events_value",
-    "word_counts_documents",
-    "ngram_jaccard_documents",
-    "minhash_signatures_documents",
-    "cosine_topk_embeddings",
-    "lsh_topk_embeddings",
-    "embedding_decontaminate_embeddings",
-    "kmeans_clusters_embeddings",
-    "token_summary_documents",
-    "quality_features_documents",
-    "fingerprints_documents",
-    "av_profile_documents",
-    "psi_orderpriority",
-    "welch_t_totalprice",
-    "label_votes_customer",
-    "graph_degree_nation",
-    "null_type_indices_customer",
-    "unstructured_summary_documents",
-    "ner_spans_orders",
-    "trained_labeler_customer",
-    "funnel_within_events",
-    "corpus_curation_documents",
-    "embedding_norm_stats",
-    "split_leakage_documents",
-    "embedding_neardup_clusters",
-    "unigram_logprob_documents",
-    "packing_stats_documents",
-    "data_mixture_source_lang",
-    "quality_weighted_sample_documents",
-    "leakage_free_split_documents",
-    # ---- (b) new r8 composed queries + the spectrum golden promotion
-    # (rows-only in r7, golden-fixture oracled in r8 — never
-    # driver-checked, so it takes a slot over an r5-stale refresh;
-    # distinct_counts_lineitem ceded and heads the r9 window): 3 ----
-    "merged_profile_lineitem",
-    "profile_diff_events",
-    "embedding_spectrum_embeddings",
-    # ---- (c) changed semantics r8: 3 ----
-    "quantiles_extendedprice",    # duckdb_round on final values
-    "median_mad_quantity",        # duckdb_round on median/mad
-    "type_cooccurrence_events",   # single-type-user guard
-    # ---- (d) flagship end-to-end re-check (every round) ----
+    # ---- (a) the full r5-stale cohort: 36 ----
+    "numeric_profile_lineitem",
+    "numeric_profile_orders",
+    "distinct_counts_lineitem",
+    "datetime_profile_orders",
+    "minhash_lsh_pairs_bottomk",
+    "clean_sample_documents",
+    "embedding_dim_stats",
+    "quantize_int8_embeddings",
+    "referential_integrity_lineitem_orders",
+    "decontaminate_by_benchmark_documents",
+    "pack_manifest_documents",
+    "cluster_sample_embeddings",
+    "embedding_outliers_embeddings",
+    "ivf_topk_embeddings",
+    "ann_index_query_embeddings",
+    "nb_source_confusion_documents",
+    "embedding_group_cosines",
+    "pq_audit_embeddings",
+    "ivf_pq_topk_embeddings",
+    "ivf_recall_embeddings",
+    "label_centroid_audit_embeddings",
+    "hard_negatives_embeddings",
+    "ner_redact_orders",
+    "key_skew_lineitem",
+    "hot_keys_events",
+    "fuzzy_pairs_customer",
+    "pagerank_nation",
+    "validate_lineitem",
+    "precision_stats_lineitem",
+    "nullspec_customer",
+    "null_replication_orders",
+    "sessionize_events",
+    "rolling_avg_events",
+    "retention_cohorts_events",
+    "hashed_doc_vectors_documents",
+    "hashed_cosine_topk_documents",
+    # ---- (b) new r9 queries, never driver-checked: 2 ----
+    "labeler_f1_customer",        # classification-report surface
+    "profile_diff_fused_events",  # one-scan snapshot diff
+    # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (e) r5-stale rows most exposed to the r7 rewrites: 11 ----
-    "outlier_counts_lineitem",    # IQR/quantile-adjacent
-    "text_stats_customer",        # tokenization-adjacent
-    "histogram_extendedprice",    # histogram core
-    "daily_psi_events",           # drift rounding
-    "ks_js_totalprice",           # drift rounding
-    "full_profile_events",        # flagship twin
-    "order_profile_lineitem",
-    "type_inference_lineitem",
-    "correlation_lineitem",
-    "category_counts_lineitem",
-    "row_stats_lineitem",
+    # ---- (d) oldest surviving cohort (r6), cross-family spread: 11 ----
+    "active_users_events",
+    "asof_last_purchase_events",
+    "bm25_topk_documents",
+    "embedding_covariance_embeddings",
+    "expectations_orders",
+    "hash_sample_orders",
+    "pii_redact_customer",
+    "psi_numeric_totalprice",
+    "simhash_neardup_documents",
+    "stratified_sample_orders",
+    "winnow_neardup_pairs_documents",
 ]
 
 

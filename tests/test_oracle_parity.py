@@ -43,3 +43,41 @@ def test_driver_window_all_oracled():
     first50 = list(SPARK_QUERIES)[:50]
     assert first50 == _DRIVER_WINDOW
     assert all(n in ORACLE_SQL for n in first50)
+
+
+def test_driver_window_freshness_sla():
+    """Evidence-freshness SLA (VERDICT r8 item 8): no oracled registry
+    row may go unchecked by the driver for more than 3 rounds. The set
+    of due rows is DERIVED from the cumulative CORRECTNESS_r0*.json
+    history, not hand-listed — when a cohort ages past the SLA, this
+    test fails until the rows are rotated into _DRIVER_WINDOW (or the
+    window of the upcoming round covers them). Never-checked oracled
+    rows must be in the window too."""
+    import glob
+    import json
+    import os
+
+    from dataprofiler_spark.queries import (_DRIVER_WINDOW, ORACLE_SQL,
+                                            SPARK_QUERIES)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS history in this environment")
+    latest: dict[str, int] = {}
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        for q in json.load(open(f)):
+            latest[q] = max(latest.get(q, 0), rnd)
+    upcoming = max(latest.values()) + 1     # the round this window runs in
+    sla_floor = upcoming - 3
+    window = set(_DRIVER_WINDOW)
+    overdue = sorted(
+        q for q in SPARK_QUERIES
+        if q in ORACLE_SQL
+        and latest.get(q, 0) < sla_floor
+        and q not in window)
+    assert not overdue, (
+        f"{len(overdue)} oracled rows have no driver check since round "
+        f"{sla_floor - 1} and are not in the upcoming window — rotate "
+        f"them into _DRIVER_WINDOW: {overdue}")

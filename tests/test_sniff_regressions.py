@@ -43,34 +43,61 @@ def test_blank_line_inside_banner_drops_no_data(spark, tmp_path):
     assert df2.columns == ["A", "B"] and df2.count() == 2
 
 
-def test_bracket_led_log_is_text_not_json(tmp_path):
+def test_bracket_led_log_is_not_json(tmp_path):
     """'[2024-01-01 12:00:00] msg=\"started\"' starts with '[' and
-    contains quotes/colons — it must stay text, not json/multiline
-    (which would profile a _corrupt_record column)."""
+    contains quotes/colons — it must NOT sniff as json/multiline (which
+    would profile a _corrupt_record column). Uniform log lines now
+    dispatch as a single-column table (reference CSVData.is_match
+    accepts delimiter-None files by line-shape consistency,
+    csv_data.py:563-640) — one string column, no mis-split."""
     p = tmp_path / "app.log"
     p.write_text("\n".join(
         f'[2024-01-01 12:00:{i:02d}] msg="started" level=info'
         for i in range(40)) + "\n")
-    assert sniff(str(p)).format == "text"
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["sep"] is None
+    assert r.options["ncols"] == 1
 
 
-def test_timestamp_colons_not_a_delimiter(tmp_path):
+def test_timestamp_colons_not_a_delimiter(spark, tmp_path):
     """A plain log of 'HH:MM:SS message' lines has perfectly consistent
-    colon counts — ':' must not be admitted as a delimiter (it is not
-    in the candidate set; files genuinely delimited by it profile as
-    text, documented)."""
+    colon counts — ':' must not be admitted as a DELIMITER (not in the
+    candidate set). The uniform lines land in ONE unsplit column via
+    the reference's no-delimiter single-column acceptance."""
     p = tmp_path / "times.log"
     p.write_text("\n".join(
         f"12:00:{i:02d} worker heartbeat ok" for i in range(30)) + "\n")
     r = sniff(str(p))
-    assert r.format == "text"
+    assert r.format == "csv" and r.options["sep"] is None
+    df, _ = read_data(spark, str(p))
+    assert len(df.columns) == 1 and df.count() == 30
+    assert df.collect()[0][0] == "12:00:00 worker heartbeat ok"
 
 
 def test_keyvalue_equals_not_a_delimiter(tmp_path):
     p = tmp_path / "kv.log"
     p.write_text("\n".join(
         f"host=web{i} status=ok latency=3ms" for i in range(30)) + "\n")
+    r = sniff(str(p))
+    assert r.format == "csv" and r.options["sep"] is None   # not '='
+
+
+def test_prose_and_code_stay_text(tmp_path):
+    """Variable-shaped lines (real prose, code) fail the consistency
+    bar and stay text — the single-column acceptance must not swallow
+    documents."""
+    p = tmp_path / "essay.txt"
+    p.write_text(
+        "The quick brown fox jumps over the lazy dog near the bank.\n"
+        "It was the best of times, it was the worst of times in Paris "
+        "and London that year.\nCall me Ishmael.\nSome years ago - "
+        "never mind how long precisely - having little money.\n"
+        "A short one.\nAnd now for something completely different, a "
+        "man with three legs and a very long sentence indeed.\n")
     assert sniff(str(p)).format == "text"
+    p2 = tmp_path / "two_lines.txt"
+    p2.write_text("just one line of text\nand another\n")
+    assert sniff(str(p2)).format == "text"   # <=3 lines: never a table
 
 
 def test_latin1_tab_file_keeps_encoding(spark, tmp_path):
