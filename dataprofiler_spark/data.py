@@ -14,7 +14,28 @@ at a distributed-filesystem URI instead.
 
 from __future__ import annotations
 
+import io
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _spool_buffer(buf) -> str:
+    """File-like input → a temp file the sniffer and Spark can read
+    (reference FileOrBufferHandler, data_readers/filepath_or_buffer.py:
+    22-100 — it normalizes str/StringIO/BytesIO to a readable buffer;
+    Spark needs the opposite normalization, to a path). Reads from the
+    buffer's CURRENT position; StringIO spools as UTF-8. Driver-side by
+    nature — a buffer lives in driver RAM, so this path is for small
+    legacy inputs, not the 100 TB scan path."""
+    import tempfile
+
+    raw = buf.read()
+    if isinstance(raw, str):
+        raw = raw.encode("utf-8")
+    f = tempfile.NamedTemporaryFile(prefix="dps_buffer_", delete=False)
+    f.write(raw)
+    f.close()
+    return f.name
 
 
 class Data:
@@ -23,15 +44,43 @@ class Data:
     Attributes mirror the reference's surface: ``data_type`` (csv /
     json / parquet / avro / text / graph_csv / orc), ``df`` (the lazy
     DataFrame — the reference's ``.data`` pandas frame equivalent).
-    """
+    Accepts a path/URL, an open file / ``BytesIO`` / ``StringIO``
+    buffer (reference filepath_or_buffer.py), or in-memory ``data=``
+    (a Spark or pandas DataFrame) with an explicit ``data_type``
+    (reference data.py:30-63 argument contract)."""
 
-    def __init__(self, path: str, spark: SparkSession | None = None,
-                 data_type: str | None = None, **options):
+    def __init__(self, path=None, spark: SparkSession | None = None,
+                 data_type: str | None = None, data=None, **options):
         from dataprofiler_spark.session import get_spark
-        from dataprofiler_spark.sources.sniff import read_data
+        from dataprofiler_spark.sources.sniff import SniffResult, read_data
 
-        self.path = path
+        if path is None and data is None:
+            raise ValueError(
+                "At least need to pass data or point to a data file.")
+        if path is not None and data is not None:
+            raise ValueError(
+                "Either initialize from data or point to a data file. "
+                "Cannot do both at the same time.")
         self._spark = spark or get_spark()
+        if data is not None:
+            if not data_type:
+                raise ValueError(
+                    "In memory data must be specified as a specific "
+                    "data type.")
+            import pandas as pd
+            if isinstance(data, pd.DataFrame):
+                data = self._spark.createDataFrame(data)
+            if not isinstance(data, DataFrame):
+                raise TypeError(
+                    "data= must be a Spark or pandas DataFrame")
+            self.path = None
+            self.df = data
+            self._sniff = SniffResult(data_type, dict(options))
+            return
+        if isinstance(path, (io.IOBase, io.StringIO, io.BytesIO)) \
+                or (not isinstance(path, str) and hasattr(path, "read")):
+            path = _spool_buffer(path)
+        self.path = path
         self.df, self._sniff = read_data(self._spark, path,
                                          fmt=data_type, **options)
 

@@ -302,3 +302,45 @@ def test_single_column_fixtures_read(spark):
     assert "George Washington" in rows and "NAMES" not in rows
     df2, _ = read_data(spark, f"{REF}/csv/small-num.csv")
     assert df2.columns == ["NUM"] and df2.count() == 5
+
+
+def test_data_accepts_bytesio_buffer(spark):
+    """Reference filepath_or_buffer contract (test_csv_data.py BytesIO
+    cases): a BytesIO of a CSV parses exactly like the file path."""
+    import io
+
+    from dataprofiler_spark.data import Data
+
+    with open(f"{REF}/csv/iris.csv", "rb") as fh:
+        buf = io.BytesIO(fh.read())
+    d = Data(buf, spark=spark)
+    assert d.data_type == "csv"
+    assert len(d.df.columns) == 6 and d.df.count() == 150
+    # StringIO json-lines
+    sio = io.StringIO('{"x": 1, "y": 2}\n{"x": 3, "y": 4}\n')
+    d2 = Data(sio, spark=spark)
+    assert d2.data_type == "json" and d2.df.count() == 2
+    # open file handle
+    with open(f"{REF}/csv/iris_no_header.csv", "rb") as fh:
+        d3 = Data(fh, spark=spark)
+        assert d3.data_type == "csv" and d3.df.count() == 20
+
+
+def test_data_in_memory_contract(spark):
+    """Reference data.py:30-63 argument contract for in-memory data."""
+    import pandas as pd
+    import pytest
+
+    from dataprofiler_spark.data import Data
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    d = Data(data=pdf, data_type="csv", spark=spark)
+    assert d.data_type == "csv" and d.df.count() == 3
+    assert d.metadata is None
+    with pytest.raises(ValueError, match="data type"):
+        Data(data=pdf, spark=spark)
+    with pytest.raises(ValueError, match="at least need to pass|At least"):
+        Data(spark=spark)
+    with pytest.raises(ValueError, match="Cannot do both"):
+        Data(f"{REF}/csv/iris.csv", data=pdf, data_type="csv",
+             spark=spark)
