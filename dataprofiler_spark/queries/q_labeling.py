@@ -97,9 +97,12 @@ rows_ AS (
   FROM pr
   UNION ALL
   SELECT 'accuracy', a, a, a, tot FROM (
-    SELECT CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS DOUBLE)
-           / SUM(n) AS a,
-           SUM(n) AS tot
+    -- COALESCE: an EMPTY evaluation reads accuracy 0 over 0 samples
+    -- (the engine's zero-division-to-0 rule), not NULL
+    SELECT COALESCE(
+             CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 0.0) AS a,
+           COALESCE(SUM(n), 0) AS tot
     FROM conf))
 SELECT label, ROUND(p, 6) AS "precision", ROUND(r, 6) AS recall,
        ROUND(f1, 6) AS f1_score, CAST(support AS BIGINT) AS support

@@ -1,0 +1,164 @@
+"""sf1 scale verification (VERDICT r8 item 5): measure the headline
+plans at 10x the bench scale and record the scaling slope.
+
+The driver testdata tops out at sf0.1, so sf1 is synthesized as a
+10-copy blowup of sf0.1 with shifted keys (order/customer/event/doc
+keys offset per copy so key cardinalities scale with the data and
+joins stay referentially intact) and per-copy-salted document text (a
+cross-copy duplicate corpus would quadratically inflate near-dup pair
+counts — a different workload, not a bigger one). Distributions within
+each copy are identical to sf0.1 by construction, which is exactly
+what a scaling-slope measurement wants.
+
+Per NOTES_r8's noise lessons every timed run gets a FRESH JVM
+(subprocess), and the synthetic tables are written once and reused.
+
+Usage:
+    python scripts/sf1_scale_check.py build     # write /tmp/dps_sf1
+    python scripts/sf1_scale_check.py run       # timings -> JSON line
+    python scripts/sf1_scale_check.py time <query> <sf_dir>  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF1_DIR = "/tmp/dps_sf1"
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 10
+
+QUERIES = [
+    "full_profile_lineitem",          # flagship two-scan profile
+    "category_counts_lineitem",       # categorical melt/groupBy
+    "minhash_lsh_pairs_documents",    # banded near-dup join
+    "referential_integrity_lineitem_orders",   # big-big key join
+    "asof_last_purchase_events",      # range-join window shape
+]
+
+TABLES = {
+    # table -> (key columns to offset, offset stride source column)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+
+
+def _spark(cpus: int = 32):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from dataprofiler_spark.session import get_spark
+    return get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                     extra_conf={"spark.ui.enabled": "false",
+                                 "spark.driver.memory": "48g"})
+
+
+def build() -> None:
+    from pyspark.sql import functions as F
+    spark = _spark()
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for table, key_cols in TABLES.items():
+        src = f"{SRC}/{table}.parquet"
+        if not os.path.exists(src):
+            continue
+        base = spark.read.parquet(src)
+        strides = {}
+        for k in key_cols:
+            mx = base.agg(F.max(k)).collect()[0][0] or 0
+            strides[k] = int(mx) + 1
+        copies = []
+        for i in range(COPIES):
+            c = base
+            for k, stride in strides.items():
+                c = c.withColumn(k, (F.col(k) + F.lit(i * stride))
+                                 .cast(base.schema[k].dataType))
+            if table == "documents" and i > 0:
+                # salt text per copy: same length/vocab distributions,
+                # no cross-copy near-duplicates
+                c = c.withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" copysalt{i}")))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{table}.parquet")
+        print(f"built {table}: {out.count()} rows", file=sys.stderr)
+    spark.stop()
+
+
+def time_one(query: str, sf_dir: str) -> None:
+    spark = _spark()
+    from dataprofiler_spark.queries import SPARK_QUERIES
+    t0 = time.perf_counter()
+    SPARK_QUERIES[query](spark, sf_dir).collect()
+    print(json.dumps({"query": query, "sf_dir": sf_dir,
+                      "sec": round(time.perf_counter() - t0, 2)}))
+    spark.stop()
+
+
+def time_overhead() -> None:
+    """Fresh-JVM fixed cost (session boot + first tiny job): the
+    constant to subtract before reading a scaling slope — at sf0.1
+    these queries are overhead-bound, which is itself the finding."""
+    spark = _spark()
+    t0 = time.perf_counter()
+    spark.range(10).collect()
+    print(json.dumps({"query": "__overhead", "sec":
+                      round(time.perf_counter() - t0, 2)}))
+    spark.stop()
+
+
+def run() -> None:
+    results = {}
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "overhead"],
+        capture_output=True, text=True, timeout=600)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    results["__overhead_sec"] = json.loads(line[-1])["sec"] if line else None
+    print(json.dumps({"overhead": results["__overhead_sec"]}),
+          file=sys.stderr)
+    for q in QUERIES:
+        row = {}
+        for label, d in (("sf0.1", SRC), ("sf1", SF1_DIR)):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "time", q, d],
+                capture_output=True, text=True, timeout=1800)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if not line:
+                row[label] = {"error": out.stderr[-500:]}
+                continue
+            row[label] = json.loads(line[-1])["sec"]
+        if isinstance(row.get("sf0.1"), float) and \
+                isinstance(row.get("sf1"), float):
+            row["slope"] = round(row["sf1"] / row["sf0.1"], 2)
+            ov = results.get("__overhead_sec") or 0.0
+            a, b = row["sf0.1"] - ov, row["sf1"] - ov
+            if a > 0.05:
+                row["slope_minus_overhead"] = round(b / a, 2)
+        results[q] = row
+        print(json.dumps({q: row}), file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "build":
+        build()
+    elif cmd == "time":
+        time_one(sys.argv[2], sys.argv[3])
+    elif cmd == "overhead":
+        time_overhead()
+    else:
+        run()

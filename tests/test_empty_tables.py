@@ -37,7 +37,7 @@ LOUD_REFUSAL = {
     "label_centroid_audit_embeddings", "pagerank_nation",
     "trained_labeler_customer",
     # a time-slice of an empty/all-null-ts table has no midpoint
-    "profile_diff_events",
+    "profile_diff_events", "profile_diff_fused_events",
 }
 
 # Documented divergence classes on EMPTY input (not on real data):
