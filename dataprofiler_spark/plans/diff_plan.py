@@ -33,13 +33,22 @@ from pyspark.sql.types import (ArrayType, DateType, NumericType, StringType,
 _SIDE = "__side"
 
 
-def profile_sides(df: DataFrame, side_col, options=None):
+MAX_GROUPS = 1000
+
+
+def profile_sides(df: DataFrame, side_col, options=None,
+                  max_groups: int = MAX_GROUPS):
     """Profile every value of ``side_col`` in one pass: the Profiler's
     wide-agg expression groups run ``groupBy(side)``; each group job
     scans only its pruned columns (same plan shape as the global
-    profile, one extra 2-row shuffle). Returns {side_value:
+    profile, one extra n_groups-row shuffle). Returns {side_value:
     DatasetState}. Sides absent from the data assemble from an empty
-    LocalRelation (no scan)."""
+    LocalRelation (no scan).
+
+    The collected state is O(groups × columns × stats) — bounded by
+    ``max_groups`` (an unbounded group column is a spec bug: profile a
+    bucketed expression instead). The first expression group runs
+    alone to trip the guard before the wide concurrent collects."""
     from dataprofiler_spark.plans.profile_plan import Profiler
     from dataprofiler_spark.session import ensure_parallelism
 
@@ -67,12 +76,17 @@ def profile_sides(df: DataFrame, side_col, options=None):
     def run_group(g):
         return tagged.groupBy(_SIDE).agg(*g).collect()
 
+    first = run_group(groups[0])
+    if len(first) > max_groups:
+        raise ValueError(
+            f"profile_sides: more than {max_groups} distinct groups in "
+            f"the side column — profile a bucketed expression instead")
     if len(groups) == 1:
-        group_rows = [run_group(groups[0])]
+        group_rows = [first]
     else:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(min(len(groups), 8)) as ex:
-            group_rows = list(ex.map(run_group, groups))
+        with ThreadPoolExecutor(min(len(groups) - 1, 8)) as ex:
+            group_rows = [first] + list(ex.map(run_group, groups[1:]))
 
     by_side: dict = {}
     for rows in group_rows:

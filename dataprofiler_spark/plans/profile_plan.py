@@ -214,6 +214,20 @@ class Profiler:
         self.state = chunk if self.state is None else self.state + chunk
         return self.state
 
+    def profile_by(self, group_col, max_groups: int = 1000) -> dict:
+        """Per-group profiles from ONE grouped scan (beyond the
+        reference, which would loop whole profiles per segment): the
+        same wide-agg expression set runs ``groupBy(group_col)`` and
+        each result row assembles into a full DatasetState — segmented
+        data-quality reporting (per returnflag, per source, per day) at
+        one scan instead of n_groups scans. ``group_col`` may be a
+        column name or an expression (e.g. a date bucket). Returns
+        {group_value: DatasetState}; the group column itself is not
+        profiled. Bounded by ``max_groups`` (plans/diff_plan.py)."""
+        from dataprofiler_spark.plans.diff_plan import profile_sides
+        return profile_sides(self.df, group_col, self.options,
+                             max_groups=max_groups)
+
     def report(self, report_options: dict | None = None) -> dict:
         """Reference call shape: ``profile.report(report_options=
         {"output_format": "compact"})`` (report_helpers.py:89-120)."""

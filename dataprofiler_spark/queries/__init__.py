@@ -59,12 +59,13 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # test in tests/test_oracle_parity.py re-derives this set and fails if
 # any registered row's latest check ages past the SLA); after this
 # window lands green, NO oracled row's evidence predates r6 — the
-# repo's first fully-fresh evidence state. (b) the 2 new r9 queries
+# repo's first fully-fresh evidence state. (b) the 3 new r9 queries
 # (labeler classification-report surface; fused one-scan snapshot
-# diff), never driver-checked. (c) the flagship end-to-end re-check
-# (every round). 36 + 2 + 1 = 39; the remaining 11 slots go to (d) a
-# cross-family spread of the oldest surviving cohort (r6) so the SLA
-# window keeps rolling instead of re-cliffing.
+# diff; grouped one-scan profiles), never driver-checked. (c) the
+# flagship end-to-end re-check (every round). 36 + 3 + 1 = 40; the
+# remaining 10 slots go to (d) a cross-family spread of the oldest
+# surviving cohort (r6) so the SLA window keeps rolling instead of
+# re-cliffing.
 _DRIVER_WINDOW = [
     # ---- (a) the full r5-stale cohort: 36 ----
     "numeric_profile_lineitem",
@@ -103,9 +104,10 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     "hashed_doc_vectors_documents",
     "hashed_cosine_topk_documents",
-    # ---- (b) new r9 queries, never driver-checked: 2 ----
+    # ---- (b) new r9 queries, never driver-checked: 3 ----
     "labeler_f1_customer",        # classification-report surface
     "profile_diff_fused_events",  # one-scan snapshot diff
+    "profile_by_returnflag_lineitem",  # grouped one-scan profiles
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
     # ---- (d) oldest surviving cohort (r6), cross-family spread: 11 ----
@@ -114,7 +116,6 @@ _DRIVER_WINDOW = [
     "bm25_topk_documents",
     "embedding_covariance_embeddings",
     "expectations_orders",
-    "hash_sample_orders",
     "pii_redact_customer",
     "psi_numeric_totalprice",
     "simhash_neardup_documents",

@@ -122,6 +122,38 @@ def profile_diff_events(spark, sf_dir):
         "column string, stat string, value_num double, value_str string")
 
 
+def _profile_by_oracle() -> str:
+    parts = []
+    for g in ("A", "N", "R"):
+        inner = rep.oracle_full_profile_sql(
+            f"(SELECT * FROM lineitem WHERE l_returnflag = '{g}')",
+            _LI_NUM_ALL, ["l_linestatus"], _LI_DT)
+        parts.append(f"SELECT '{g}' AS grp, * FROM ({inner})")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_by_returnflag_lineitem", _profile_by_oracle())
+def profile_by_returnflag_lineitem(spark, sf_dir):
+    """Segmented profiling (beyond the reference): per-group full
+    profiles from ONE grouped scan — ``Profiler.profile_by`` runs the
+    same wide-agg expression set groupBy(l_returnflag) instead of
+    looping a whole profile per segment (3 groups → 1 scan, not 3).
+    Emits each group's deterministic report slice; the oracle is the
+    flagship's own SQL mirror filtered per group value."""
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    states = Profiler(T(spark, sf_dir, "lineitem")).profile_by(
+        "l_returnflag")
+    rows = []
+    for g in sorted(states):
+        for r in deterministic_report_rows(states[g]):
+            rows.append((str(g), *r))
+    return spark.createDataFrame(
+        rows, "grp string, column string, stat string, "
+              "value_num double, value_str string")
+
+
 @register("profile_diff_fused_events",
           rep.oracle_profile_diff_sql("events", "ts", _EV_NUM, _EV_STR))
 def profile_diff_fused_events(spark, sf_dir):

@@ -97,3 +97,28 @@ def test_profile_sides_multiway(spark):
     assert sum(s.row_count for s in states.values()) == 90
     for s in states.values():
         assert "__side" not in s.columns
+
+
+def test_profiler_profile_by(spark):
+    """Profiler.profile_by: per-group states from one grouped scan;
+    each state equals the whole-profile of that group's slice (the
+    wide-agg stat subset)."""
+    from pyspark.sql import functions as F
+
+    df = _events(spark, n=120).withColumn(
+        "seg", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd"))
+    from dataprofiler_spark import Profiler
+    states = Profiler(df).profile_by("seg")
+    assert sorted(states) == ["even", "odd"]
+    assert states["even"].row_count == 60
+    direct = Profiler(df.where(F.col("seg") == "odd").drop("seg")).profile()
+    byg = states["odd"]
+    assert byg.columns["value"].null_count == \
+        direct.columns["value"].null_count
+    assert byg.columns["value"].numeric.min == \
+        direct.columns["value"].numeric.min
+    assert byg.columns["value"].numeric.sum == \
+        direct.columns["value"].numeric.sum
+    import pytest as _pt
+    with _pt.raises(ValueError, match="groups"):
+        Profiler(df).profile_by("event_id", max_groups=10)
