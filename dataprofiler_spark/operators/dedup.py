@@ -1077,3 +1077,104 @@ def oracle_neardup_threshold_sweep_sql(table: str, id_col: str,
         f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs FROM pairs"
         for t in thresholds)
     return f"WITH pairs AS ({inner})\n{outs}"
+
+
+def lsh_bucket_profile(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3, num_hashes: int = 12, bands: int = 6,
+                       pair_budget_per_doc: int = 50,
+                       caps: tuple = (16, 64, 256, 1024)) -> DataFrame:
+    """Bucket-size distribution of a prospective LSH run — the
+    measurement that TUNES ``max_bucket_size`` before paying for the
+    self-join (SCALE.md §32: on a dup-dense corpus candidate pairs grow
+    quadratically in group size; the cap is the knob, and this is the
+    dial that reads it).
+
+    One row: bucket counts (total / singleton / max size), the total
+    candidate-pair WORK Σ s·(s−1)/2 summed over (band, bucket) — join
+    work, counting a pair once per agreeing band, which is what the
+    self-join actually pays — the same sum under each ladder cap, and
+    ``suggested_cap`` = the largest ladder cap whose capped work stays
+    within ``pair_budget_per_doc × n_docs`` (16 when even the smallest
+    cap exceeds it: the corpus needs exact dedup first). Plan: the
+    signature scan + ONE (band, bucket) groupBy + a 1-row fold — no
+    join, integer-exact, so the DuckDB oracle matches bit-for-bit.
+    ``n_docs`` is recovered as Σs / bands (each doc lands in exactly
+    ``bands`` buckets) — no second scan.
+    """
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    sizes = (_band_buckets(wide, num_hashes, bands)
+             .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s")))
+    s = F.col("s")
+    work = s * (s - F.lit(1))  # 2x pair count; halve after the sum
+    # coalesce every sum: an EMPTY corpus reads 0 (and the cap ladder
+    # then resolves to the largest cap over a 0 budget, matching the
+    # oracle's COALESCE arithmetic) instead of NULL-poisoning the CASEs
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum(F.when(s == 1, 1).otherwise(0)), F.lit(0))
+         .alias("singleton_buckets"),
+        F.max(s).alias("max_bucket"),
+        F.coalesce(F.sum(s), F.lit(0)).alias("__rows"),
+        F.coalesce(F.sum(work), F.lit(0)).alias("__w"),
+    ]
+    for c in caps:
+        aggs.append(F.coalesce(
+            F.sum(F.when(s <= c, work).otherwise(F.lit(0))), F.lit(0))
+            .alias(f"__w{c}"))
+    row = sizes.agg(*aggs)
+    n_docs = (F.col("__rows") / F.lit(bands)).cast("long")
+    budget = n_docs * F.lit(int(pair_budget_per_doc))
+    suggested = F.lit(int(caps[0]))
+    for c in caps:  # ladder ascends: the largest within budget wins
+        suggested = F.when(
+            (F.col(f"__w{c}") / 2).cast("long") <= budget,
+            F.lit(int(c))).otherwise(suggested)
+    out_cols = [
+        n_docs.alias("n_docs"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("singleton_buckets").cast("long").alias("singleton_buckets"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        (F.col("__w") / 2).cast("long").alias("cand_pair_work"),
+    ]
+    for c in caps:
+        out_cols.append((F.col(f"__w{c}") / 2).cast("long")
+                        .alias(f"pair_work_cap{c}"))
+    out_cols.append(suggested.cast("long").alias("suggested_cap"))
+    return row.select(*out_cols)
+
+
+def oracle_lsh_bucket_profile_sql(table: str, id_col: str, text_col: str,
+                                  k: int = 3, num_hashes: int = 12,
+                                  bands: int = 6,
+                                  pair_budget_per_doc: int = 50,
+                                  caps: tuple = (16, 64, 256, 1024)) -> str:
+    ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes,
+                            bands, threshold=0.0, round_digits=6,
+                            max_bucket_size=None)
+    cap_sums = ",\n  ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN s <= {c} THEN s * (s - 1) "
+        f"ELSE 0 END), 0) // 2 AS BIGINT) AS pair_work_cap{c}"
+        for c in caps)
+    ladder = f"{int(caps[0])}"
+    for c in caps:
+        ladder = (f"CASE WHEN pair_work_cap{c} <= n_docs * "
+                  f"{int(pair_budget_per_doc)} THEN {int(c)} "
+                  f"ELSE {ladder} END")
+    return f"""
+WITH {ctes},
+sizes AS (
+  SELECT band, bucket, COUNT(*) AS s FROM buckets GROUP BY 1, 2
+),
+summary AS (
+  SELECT
+  CAST(COALESCE(SUM(s), 0) // {bands} AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS singleton_buckets,
+  CAST(MAX(s) AS BIGINT) AS max_bucket,
+  CAST(COALESCE(SUM(s * (s - 1)), 0) // 2 AS BIGINT) AS cand_pair_work,
+  {cap_sums}
+  FROM sizes
+)
+SELECT summary.*, CAST({ladder} AS BIGINT) AS suggested_cap FROM summary
+"""

@@ -59,13 +59,15 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # test in tests/test_oracle_parity.py re-derives this set and fails if
 # any registered row's latest check ages past the SLA); after this
 # window lands green, NO oracled row's evidence predates r6 — the
-# repo's first fully-fresh evidence state. (b) the 3 new r9 queries
+# repo's first fully-fresh evidence state. (b) the 4 new r9 queries
 # (labeler classification-report surface; fused one-scan snapshot
-# diff; grouped one-scan profiles), never driver-checked. (c) the
-# flagship end-to-end re-check (every round). 36 + 3 + 1 = 40; the
-# remaining 10 slots go to (d) a cross-family spread of the oldest
-# surviving cohort (r6) so the SLA window keeps rolling instead of
-# re-cliffing.
+# diff; grouped one-scan profiles; LSH cap-tuning dial), never
+# driver-checked. (c) the flagship end-to-end re-check (every round).
+# 36 + 4 + 1 = 41; the remaining 9 slots go to (d) a cross-family
+# spread of the oldest surviving cohort (r6) so the SLA window keeps
+# rolling instead of re-cliffing (active_users_events and
+# hash_sample_orders ceded their filler slots to the new queries and
+# are SLA-due at r10 with the rest of the r6 cohort).
 _DRIVER_WINDOW = [
     # ---- (a) the full r5-stale cohort: 36 ----
     "numeric_profile_lineitem",
@@ -104,14 +106,14 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     "hashed_doc_vectors_documents",
     "hashed_cosine_topk_documents",
-    # ---- (b) new r9 queries, never driver-checked: 3 ----
+    # ---- (b) new r9 queries, never driver-checked: 4 ----
     "labeler_f1_customer",        # classification-report surface
     "profile_diff_fused_events",  # one-scan snapshot diff
     "profile_by_returnflag_lineitem",  # grouped one-scan profiles
+    "lsh_bucket_profile_documents",    # LSH cap-tuning dial
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (d) oldest surviving cohort (r6), cross-family spread: 11 ----
-    "active_users_events",
+    # ---- (d) oldest surviving cohort (r6), cross-family spread: 9 ----
     "asof_last_purchase_events",
     "bm25_topk_documents",
     "embedding_covariance_embeddings",

@@ -116,3 +116,16 @@ def neardup_clusters_documents(spark, sf_dir):
                                k=3, num_hashes=12, bands=2, threshold=0.8)
 
 
+
+
+@register("lsh_bucket_profile_documents",
+          dd.oracle_lsh_bucket_profile_sql("documents", "doc_id", "text",
+                                           k=3, num_hashes=12, bands=6))
+def lsh_bucket_profile_documents(spark, sf_dir):
+    """The cap-tuning dial for banded LSH (SCALE.md §32): bucket-size
+    distribution + candidate-pair work under a cap ladder + the
+    largest cap within the pair budget — one groupBy, no join,
+    integer-exact."""
+    return dd.lsh_bucket_profile(T(spark, sf_dir, "documents"),
+                                 "doc_id", "text",
+                                 k=3, num_hashes=12, bands=6)

@@ -107,3 +107,30 @@ def test_skew_join_fallback_when_everything_is_hot(spark):
     # fallback plan is the ONE plain join — no union branches
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+def test_lsh_bucket_profile_semantics(spark):
+    """lsh_bucket_profile: integer identities hold — Σs = n_docs·bands,
+    capped work is monotone in the cap, suggested_cap is the largest
+    ladder cap within budget."""
+    from dataprofiler_spark.operators.dedup import lsh_bucket_profile
+
+    rows = ([(i, "identical boilerplate text shared by many documents")
+             for i in range(30)]
+            + [(100 + i, f"unique doc {i} " + "x" * i) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_bucket_profile(df, "doc_id", "text", k=3, num_hashes=12,
+                             bands=6, pair_budget_per_doc=10).collect()[0]
+    assert out["n_docs"] == 50
+    # the 30-clone boilerplate group makes one >=30 bucket per band
+    assert out["max_bucket"] >= 30
+    w16, w64 = out["pair_work_cap16"], out["pair_work_cap64"]
+    assert 0 <= w16 <= w64 <= out["cand_pair_work"]
+    # budget 500: the clone group alone is 6 bands * 435 pairs = 2610,
+    # so cap 64 blows the budget and 16 must win (clones excluded)
+    assert out["suggested_cap"] == 16
+    # generous budget: the largest ladder cap wins
+    out2 = lsh_bucket_profile(df, "doc_id", "text", k=3, num_hashes=12,
+                              bands=6,
+                              pair_budget_per_doc=10**6).collect()[0]
+    assert out2["suggested_cap"] == 1024
