@@ -52,6 +52,10 @@ KNOWN_EMPTY_DIVERGENCE = {
     "full_profile_lineitem", "full_profile_events",
     "merged_profile_lineitem",  # same coalesce-vs-NULL class at n=0
     "av_profile_documents",
+    # grouped profile: an empty table has NO groups (0 rows) while the
+    # oracle hardcodes the group values (A/N/R) — divergence exists
+    # only at n=0; real-data parity is profile_by_returnflag_lineitem
+    "profile_by_returnflag_lineitem",
 }
 
 
