@@ -145,7 +145,9 @@ def classification_report(conf: np.ndarray, labels: list[str],
 def evaluate_accuracy(df: DataFrame, truth_col: str, pred_col: str,
                       labels: list[str] | None = None,
                       omitted_labels: tuple[str, ...] = ("PAD", "UNKNOWN"),
-                      verbose: bool = False) -> tuple[float, dict]:
+                      verbose: bool = False,
+                      confusion_matrix_file: str | None = None
+                      ) -> tuple[float, dict]:
     """The reference's ``evaluate_accuracy`` (labeler_utils.py:80-215)
     over a DataFrame of (truth, predicted) label columns.
 
@@ -162,6 +164,19 @@ def evaluate_accuracy(df: DataFrame, truth_col: str, pred_col: str,
         labels = sorted({t for t, _, _ in counts}
                         | {p for _, p, _ in counts})
     conf = confusion_matrix(counts, labels)
+    if confusion_matrix_file:
+        # reference labeler_utils.py:155-175: CSV with 'true:'-prefixed
+        # index rows and 'pred:'-prefixed columns, over ALL labels
+        import os
+
+        import pandas as pd
+        d = os.path.dirname(confusion_matrix_file)
+        if d and not os.path.isdir(d):
+            os.makedirs(d)
+        pd.DataFrame(conf,
+                     index=[f"true:{l}" for l in labels],
+                     columns=[f"pred:{l}" for l in labels]
+                     ).to_csv(confusion_matrix_file)
     included = [l for l in labels if l not in set(omitted_labels)]
     report = classification_report(conf, labels, included)
 

@@ -155,3 +155,20 @@ def test_confusion_guard_categorical(spark):
     assert len(counts) == 40          # 40 <= 7^2: below the guard
     with pytest.raises(ValueError, match="categorical"):
         ev.confusion_counts(df, "truth", "pred", max_labels=2)
+
+
+def test_confusion_matrix_file(spark, tmp_path):
+    """confusion_matrix_file writes the reference's CSV layout
+    (labeler_utils.py:155-175: 'true:' rows x 'pred:' columns)."""
+    import pandas as pd
+
+    p = str(tmp_path / "sub" / "conf.csv")
+    ev.evaluate_accuracy(_pairs_df(spark, _PAIRS), "truth", "pred",
+                         labels=["a", "b", "c"], omitted_labels=(),
+                         confusion_matrix_file=p)
+    m = pd.read_csv(p, index_col=0)
+    assert list(m.columns) == ["pred:a", "pred:b", "pred:c"]
+    assert list(m.index) == ["true:a", "true:b", "true:c"]
+    assert m.loc["true:c", "pred:c"] == 2
+    assert m.loc["true:b", "pred:a"] == 1
+    assert int(m.to_numpy().sum()) == len(_PAIRS)
