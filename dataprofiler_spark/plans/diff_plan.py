@@ -102,6 +102,63 @@ def profile_sides(df: DataFrame, side_col, options=None,
     return states
 
 
+def _distribution_pass(tagged: DataFrame, states: dict, options=None
+                       ) -> None:
+    """Side-split categories + histograms in ONE extra scan (so the
+    fused diff carries PSI / KS / chi² too): each side's candidate
+    columns project as ``when(side == s, c)`` ALIASES and flow through
+    the profiler's own fused melt — the melt's null filter drops
+    other-side rows, and a facade state maps every alias onto the REAL
+    per-side ColumnState, so category maps and histograms land in
+    place with the exact per-slice semantics of the composed path
+    (identical bin specs: _histogram_specs reads only wide-agg stats,
+    which profile_sides already split)."""
+    from dataprofiler_spark.plans.profile_plan import Profiler
+    from dataprofiler_spark.state import CategoricalState, DatasetState
+
+    p = Profiler(tagged, options)
+    opt = p.options
+    all_cols = [f.name for f in tagged.schema.fields if f.name != _SIDE]
+
+    proj, cat_aliases, specs, facade_cols = [], [], [], {}
+    for s, st in states.items():
+        n = max(st.row_count, 1)
+        candidates = []
+        if "categorical" not in opt.disabled_stats:
+            for c in all_cols:
+                ad = st.columns[c].approx_distinct
+                if opt.categorical_max_unique is not None and \
+                        ad > opt.categorical_max_unique * 1.2:
+                    continue
+                if ad / n <= opt.categorical_stop_ratio or ad <= 10:
+                    candidates.append(c)
+        side_specs = [] if "histogram" in opt.disabled_stats else \
+            p._histogram_specs(st, [
+                c for c in all_cols if st.columns[c].numeric is not None])
+        used = set(candidates) | {c for c, *_ in side_specs}
+        for c in used:
+            alias = f"__d{s}__{c}"
+            proj.append(F.when(F.col(_SIDE) == s, tagged[c])
+                        .alias(alias))
+            facade_cols[alias] = st.columns[c]
+        cat_aliases += [f"__d{s}__{c}" for c in candidates]
+        specs += [(f"__d{s}__{c}", lo, hi, bins)
+                  for c, lo, hi, bins in side_specs]
+        for c in all_cols:
+            if c not in candidates:
+                st.columns[c].categorical = CategoricalState(
+                    categories={}, active=False)
+
+    if not proj:
+        return
+    facade = DatasetState(row_count=sum(s.row_count
+                                        for s in states.values()),
+                          column_order=list(facade_cols))
+    facade.columns = facade_cols
+    p._fused_counts_pass(tagged.select(*proj), facade, cat_aliases,
+                         specs)
+
+
 def _empty_state(spark, schema, options=None):
     """DatasetState of an empty frame via a LocalRelation — aggregate
     defaults (count 0, NULL extrema) without touching storage."""
@@ -111,12 +168,15 @@ def _empty_state(spark, schema, options=None):
 
 
 def diff_snapshots(df: DataFrame, ts_col: str, mid: int | None = None,
-                   options=None):
+                   options=None, with_distributions: bool = True):
     """Fused time-slice diff: snapshot A is rows with
     ``unix_micros(ts) < mid`` (mid defaults to the midpoint of the
     observed range; NULL-ts rows belong to neither snapshot), snapshot
     B the rest. ONE bounds aggregate + ONE side-split profile scan
-    feed the same ``diff_profiles`` the composed path uses.
+    (+ ONE side-split counts scan when ``with_distributions``, which
+    adds the category maps and histograms the diff's PSI / KS / chi²
+    read) feed the same ``diff_profiles`` the composed path uses — 3
+    scans for the FULL-fidelity diff vs the composed path's ~5.
 
     Returns (diff_dict, state_a, state_b). Raises on an empty /
     all-null-ts input — a time-slice of nothing has no midpoint.
@@ -134,7 +194,10 @@ def diff_snapshots(df: DataFrame, ts_col: str, mid: int | None = None,
         mid = (b["mn"] + b["mx"]) // 2
     side = F.when(F.unix_micros(F.col(ts_col)) < F.lit(mid),
                   F.lit(0)).otherwise(F.lit(1))
-    states = profile_sides(base.withColumn(_SIDE, side), _SIDE, options)
+    tagged = base.withColumn(_SIDE, side)
+    states = profile_sides(tagged, _SIDE, options)
+    if with_distributions and states:
+        _distribution_pass(tagged, states, options)
     sa = states.get(0) or _empty_state(df.sparkSession, base.schema,
                                        options)
     sb = states.get(1) or _empty_state(df.sparkSession, base.schema,

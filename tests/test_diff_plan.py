@@ -52,6 +52,17 @@ def test_fused_equals_composed_deterministic_slice(spark):
                 and isinstance(tc.get("t-statistic"), float):
             assert tf["t-statistic"] == pytest.approx(
                 tc["t-statistic"], rel=1e-9)
+        # full fidelity: the side-split counts pass reproduces the
+        # composed path's category maps and histograms exactly (same
+        # bin specs from the same wide-agg stats), so PSI / KS / chi²
+        # match too
+        for stat in ("psi", "ks", "chi2-test"):
+            vf, vc = col_f.get(stat), col_c.get(stat)
+            assert (vf is None) == (vc is None), (
+                col_f["column_name"], stat, vf, vc)
+            if isinstance(vf, float) and isinstance(vc, float):
+                assert vf == pytest.approx(vc, rel=1e-9, nan_ok=True), (
+                    col_f["column_name"], stat)
 
 
 def test_fused_counts_and_side_assignment(spark):
