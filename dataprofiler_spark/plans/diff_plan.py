@@ -14,13 +14,20 @@ shuffle of two rows; every per-column statistic the wide agg carries
 too) lands side-split, and the SAME ``diff_profiles`` consumes the two
 states.
 
-Deliberate scope: the fused plan skips the category/histogram counts
-pass, so the diff it feeds carries no PSI/KS/chi² rows (each of those
-drift statistics has its own oracled operator — welch_t_*, psi_*,
-ks_js_*, chi2_* — and the composed path remains for a full-fidelity
-diff). The deterministic diff slice (row-count delta, per-column
-type/null/min/max) is IDENTICAL between the two plans, which is what
-``profile_diff_fused_events`` proves against the same oracle.
+With ``with_distributions`` (default) a SECOND side-split scan — the
+profiler's own fused category/histogram melt over per-side aliases
+(``_distribution_pass``) — adds the category maps and histograms, so
+the fused diff carries PSI / KS / chi² too: FULL-fidelity at 3 scans
+vs the composed path's ~5. The deterministic diff slice (row-count
+delta, per-column type/null/min/max) is IDENTICAL between the two
+plans, which is what ``profile_diff_fused_events`` proves against the
+same oracle; tests/test_diff_plan.py additionally pins PSI/KS/chi²
+equality against the composed path.
+
+``profile_sides`` generalizes beyond two sides — ``Profiler.
+profile_by`` (per-segment profiles) and ``profile_timeline``
+(per-time-bucket profiles, the hypertable-rollup shape) are one
+grouped scan each.
 """
 
 from __future__ import annotations
@@ -203,3 +210,18 @@ def diff_snapshots(df: DataFrame, ts_col: str, mid: int | None = None,
     sb = states.get(1) or _empty_state(df.sparkSession, base.schema,
                                        options)
     return diff_profiles(sa, sb), sa, sb
+
+
+def profile_timeline(df: DataFrame, ts_col: str, unit: str = "week",
+                     options=None, max_groups: int = MAX_GROUPS) -> dict:
+    """Per-time-bucket full profiles from ONE grouped scan — the
+    hypertable-rollup shape: ``profile_sides`` over
+    ``date_trunc(unit, ts)`` gives a profile timeline (per day / week /
+    month) at one scan instead of n_buckets scans; consecutive buckets
+    feed ``diff_profiles`` for a drift timeline. NULL-ts rows belong to
+    no bucket. Returns {bucket_start_timestamp: DatasetState}, the
+    bucket column itself not profiled."""
+    base = df.where(F.col(ts_col).isNotNull())
+    return profile_sides(
+        base.withColumn(_SIDE, F.date_trunc(unit, F.col(ts_col))),
+        _SIDE, options, max_groups=max_groups)

@@ -59,15 +59,16 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # test in tests/test_oracle_parity.py re-derives this set and fails if
 # any registered row's latest check ages past the SLA); after this
 # window lands green, NO oracled row's evidence predates r6 — the
-# repo's first fully-fresh evidence state. (b) the 4 new r9 queries
+# repo's first fully-fresh evidence state. (b) the 5 new r9 queries
 # (labeler classification-report surface; fused one-scan snapshot
-# diff; grouped one-scan profiles; LSH cap-tuning dial), never
-# driver-checked. (c) the flagship end-to-end re-check (every round).
-# 36 + 4 + 1 = 41; the remaining 9 slots go to (d) a cross-family
-# spread of the oldest surviving cohort (r6) so the SLA window keeps
-# rolling instead of re-cliffing (active_users_events and
-# hash_sample_orders ceded their filler slots to the new queries and
-# are SLA-due at r10 with the rest of the r6 cohort).
+# diff; grouped one-scan profiles; LSH cap-tuning dial; hypertable
+# rollup timeline), never driver-checked. (c) the flagship end-to-end
+# re-check (every round). 36 + 5 + 1 = 42; the remaining 8 slots go to
+# (d) a cross-family spread of the oldest surviving cohort (r6) so the
+# SLA window keeps rolling instead of re-cliffing
+# (active_users_events, hash_sample_orders and bm25_topk_documents
+# ceded filler slots to the new queries; they are SLA-due at r10 with
+# the rest of the r6 cohort).
 _DRIVER_WINDOW = [
     # ---- (a) the full r5-stale cohort: 36 ----
     "numeric_profile_lineitem",
@@ -106,16 +107,16 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     "hashed_doc_vectors_documents",
     "hashed_cosine_topk_documents",
-    # ---- (b) new r9 queries, never driver-checked: 4 ----
+    # ---- (b) new r9 queries, never driver-checked: 5 ----
     "labeler_f1_customer",        # classification-report surface
     "profile_diff_fused_events",  # one-scan snapshot diff
     "profile_by_returnflag_lineitem",  # grouped one-scan profiles
     "lsh_bucket_profile_documents",    # LSH cap-tuning dial
+    "profile_timeline_events_week",    # hypertable rollup
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
     # ---- (d) oldest surviving cohort (r6), cross-family spread: 9 ----
     "asof_last_purchase_events",
-    "bm25_topk_documents",
     "embedding_covariance_embeddings",
     "expectations_orders",
     "pii_redact_customer",

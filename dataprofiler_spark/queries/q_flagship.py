@@ -154,6 +154,33 @@ def profile_by_returnflag_lineitem(spark, sf_dir):
               "value_num double, value_str string")
 
 
+@register("profile_timeline_events_week",
+          # CAST .. AS TIMESTAMP: DuckDB's date_trunc('week') yields a
+          # DATE whose VARCHAR form drops the midnight time; the Spark
+          # key is a timestamp's str()
+          rep.oracle_profile_by_sql(
+              "events", "CAST(date_trunc('week', ts) AS TIMESTAMP)",
+              _EV_NUM, _EV_STR, _EV_DT))
+def profile_timeline_events_week(spark, sf_dir):
+    """Hypertable-style rollup: per-WEEK full profiles of events from
+    ONE grouped scan (plans/diff_plan.py::profile_timeline) — the
+    profile timeline a drift monitor reads, at one scan instead of
+    n_buckets. Emits each bucket's deterministic report slice; the
+    oracle GROUP BYs the same stats per date_trunc('week') bucket."""
+    from dataprofiler_spark.plans.diff_plan import profile_timeline
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    states = profile_timeline(T(spark, sf_dir, "events"), "ts",
+                              unit="week")
+    rows = []
+    for g in sorted(states):
+        for r in deterministic_report_rows(states[g]):
+            rows.append((str(g), *r))
+    return spark.createDataFrame(
+        rows, "grp string, column string, stat string, "
+              "value_num double, value_str string")
+
+
 @register("profile_diff_fused_events",
           rep.oracle_profile_diff_sql("events", "ts", _EV_NUM, _EV_STR))
 def profile_diff_fused_events(spark, sf_dir):

@@ -647,3 +647,81 @@ def _welch_from_states(a, b) -> dict | None:
     dof = se2 ** 2 / ((va / a.n) ** 2 / (a.n - 1) + (vb / b.n) ** 2 / (b.n - 1))
     from dataprofiler_spark.operators.drift import p_value_welch
     return {"t-statistic": t, "deg_of_free": dof, "p-value": p_value_welch(t, dof)}
+
+
+def oracle_profile_by_sql(table: str, group_sql: str,
+                          numeric_cols: list[str],
+                          string_cols: list[str],
+                          dt_cols: list[str]) -> str:
+    """DuckDB SQL computing :func:`deterministic_report_rows` PER GROUP
+    of ``group_sql`` (the grouped twin of :func:`oracle_full_profile_
+    sql`, mirroring ``Profiler.profile_by`` / ``plans.diff_plan.
+    profile_timeline``): every stat aggregates GROUP BY the group
+    expression; NULL groups are excluded (a NULL-ts row belongs to no
+    time bucket). The group key is emitted as VARCHAR to match the
+    Spark side's ``str(group_value)``."""
+    from dataprofiler_spark.functions.nulls import DEFAULT_NULL_SPEC
+
+    rx = DEFAULT_NULL_SPEC.regex()
+
+    def null_expr(c: str) -> str:
+        if c in string_cols:
+            return (f"({c} IS NULL OR "
+                    f"regexp_matches(CAST({c} AS VARCHAR), '{rx}'))")
+        return f"{c} IS NULL"
+
+    def row(col: str, stat: str, num_sql: str | None,
+            str_sql: str | None) -> str:
+        num = num_sql if num_sql is not None else "CAST(NULL AS DOUBLE)"
+        s = str_sql if str_sql is not None else "CAST(NULL AS VARCHAR)"
+        return (f"SELECT __grp AS grp, '{col}' AS \"column\", "
+                f"'{stat}' AS stat, CAST({num} AS DOUBLE) AS value_num, "
+                f"{s} AS value_str FROM base GROUP BY __grp")
+
+    all_cols = numeric_cols + string_cols + dt_cols
+    any_null = " OR ".join(null_expr(c) for c in all_cols)
+    all_null = " AND ".join(null_expr(c) for c in all_cols)
+    selects = [
+        row("__dataset", "row_count", "COUNT(*)", None),
+        row("__dataset", "rows_with_null",
+            f"SUM(CASE WHEN {any_null} THEN 1 ELSE 0 END)", None),
+        row("__dataset", "rows_all_null",
+            f"SUM(CASE WHEN {all_null} THEN 1 ELSE 0 END)", None),
+    ]
+    for c in all_cols:
+        selects.append(row(c, "null_count",
+                           f"SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 "
+                           f"END)", None))
+    for c in numeric_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "min", f"MIN({c})", None),
+            row(c, "max", f"MAX({c})", None),
+            row(c, "num_zeros",
+                f"SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)", None),
+            row(c, "num_negatives",
+                f"SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)", None),
+        ]
+    for c in string_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "len_min", f"MIN(LENGTH({c}))", None),
+            row(c, "len_max", f"MAX(LENGTH({c}))", None),
+            row(c, "len_sum", f"SUM(LENGTH({c}))", None),
+        ]
+    for c in dt_cols:
+        selects += [
+            row(c, "match_count", f"COUNT({c})", None),
+            row(c, "min_ts", None,
+                f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"),
+            row(c, "max_ts", None,
+                f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"),
+        ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT *, CAST(({group_sql}) AS VARCHAR) AS __grp FROM {table}
+  WHERE ({group_sql}) IS NOT NULL
+)
+{body}
+"""

@@ -133,3 +133,19 @@ def test_profiler_profile_by(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="groups"):
         Profiler(df).profile_by("event_id", max_groups=10)
+
+
+def test_profile_timeline(spark):
+    """profile_timeline: per-bucket states partition the non-null-ts
+    rows; bucket keys are date_trunc starts; NULL ts excluded."""
+    df = _events(spark, n=200)
+    from dataprofiler_spark.plans.diff_plan import profile_timeline
+    states = profile_timeline(df, "ts", unit="week")
+    assert len(states) >= 2
+    assert sum(s.row_count for s in states.values()) == 200
+    for k in states:
+        assert k.weekday() == 0        # weeks start Monday
+    # daily granularity partitions the same rows more finely
+    daily = profile_timeline(df, "ts", unit="day")
+    assert sum(s.row_count for s in daily.values()) == 200
+    assert len(daily) > len(states)
