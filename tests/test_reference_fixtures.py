@@ -344,3 +344,35 @@ def test_data_in_memory_contract(spark):
     with pytest.raises(ValueError, match="Cannot do both"):
         Data(f"{REF}/csv/iris.csv", data=pdf, data_type="csv",
              spark=spark)
+
+
+# r9 sweep: every remaining reader fixture in the reference tree that
+# the batteries above didn't touch — extensionless json, scalar-list
+# json, compressed avro/parquet with misleading .csv extensions,
+# mixed-type parquet columns. (path, format, rows, cols).
+REMAINING_FIXTURES = [
+    ("json/simple.json", "json", 2, 2),
+    ("json/simple-list.json", "json", 3, 1),
+    ("json/honeypot", "json", 14, 6),            # no extension at all
+    ("json/iris-utf-32.json", "json", 150, 6),
+    ("avro/deflate_compressed_intentionally_mislabeled_file.csv",
+     "avro", 4, 3),
+    ("avro/snappy_compressed_intentionally_mislabeled_file.csv",
+     "avro", 4, 3),
+    ("avro/users.avro", "avro", 4, 4),
+    ("parquet/brotli_compressed_intentionally_mislabeled_parquet_file.csv",
+     "parquet", 2999, 16),
+    ("parquet/gzip_compressed_intentionally_mislabeled_parquet_file.csv",
+     "parquet", 2999, 16),
+    ("parquet/mixed_datetime_data_col.parquet", "parquet", 4, 2),
+    ("parquet/mixed_string_data_col.parquet", "parquet", 4, 2),
+]
+
+
+@pytest.mark.parametrize("rel,fmt,rows,cols", REMAINING_FIXTURES,
+                         ids=[c[0] for c in REMAINING_FIXTURES])
+def test_remaining_reference_fixtures(spark, rel, fmt, rows, cols):
+    res = sniff(f"{REF}/{rel}")
+    assert res.format == fmt, (rel, res)
+    df, _ = read_data(spark, f"{REF}/{rel}")
+    assert df.count() == rows and len(df.columns) == cols, (rel, res)
