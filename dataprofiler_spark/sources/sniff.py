@@ -610,6 +610,42 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         path = url_to_local(path)
     res = sniff(path) if fmt is None else SniffResult(fmt, dict(options))
     o = {**res.options, **options}
+    # Reference option-name compatibility (csv_data.py options dict):
+    # delimiter/quotechar are the reference's spellings, and header
+    # takes a ROW INDEX (rows above it are skipped) or "auto" (keep
+    # the sniffed guess).
+    if "delimiter" in o:
+        o["sep"] = o.pop("delimiter")
+    if "quotechar" in o:
+        o["quote"] = o.pop("quotechar")
+    hdr = o.get("header")
+    if hdr == "auto":
+        o["header"] = res.options.get("header", False)
+        o["skiprows"] = res.options.get("skiprows", 0)
+    elif isinstance(hdr, int) and not isinstance(hdr, bool):
+        o["header"] = True
+        o["skiprows"] = hdr
+        o.pop("banner_lines", None)  # sniffed banner no longer applies
+        # column names come from the REQUESTED line, not the sniffed one
+        o.pop("header_names", None)
+        if hdr > 0 and res.format in ("csv", "graph_csv") \
+                and os.path.isfile(path):
+            head = _read_head(path)
+            enc_h = o.get("encoding") or detect_encoding(head)
+            hlines = head.decode(enc_h.lower().replace("-", "_"),
+                                 "replace").splitlines()
+            sep_h = o.get("sep", ",")
+            if hdr < len(hlines):
+                if sep_h and len(sep_h) == 1:
+                    import csv as _csv
+                    try:
+                        o["header_names"] = [c.strip() for c in next(
+                            _csv.reader([hlines[hdr]], delimiter=sep_h,
+                                        quotechar=o.get("quote", '"')))]
+                    except (StopIteration, _csv.Error):
+                        pass
+                else:
+                    o["header_names"] = [hlines[hdr].strip()]
     # selected_columns (reference csv_data.py:85 / json selected_keys):
     # a post-scan projection — Catalyst pushes it into the scan
     # (column pruning), so only the selected columns are read from

@@ -337,3 +337,27 @@ def test_quoted_header_cell_with_delimiter(spark, tmp_path):
     assert r2.options["header_names"] == ["id", "name,full", "val"]
     df2, _ = read_data(spark, str(p2))
     assert len(df2.columns) == 3 and df2.count() == 2
+
+
+def test_reference_option_names(spark, tmp_path):
+    """Reference csv option spellings pass through Data()/read_data:
+    delimiter/quotechar aliases, header as a ROW INDEX, header='auto'
+    (keep the sniffed guess) — csv_data.py options contract."""
+    p = tmp_path / "opts.csv"
+    p.write_text("Report for Q3\na;b;c\n1;'x;y';3\n4;z;6\n")
+    # explicit delimiter + quotechar + header index
+    df, _ = read_data(spark, str(p), fmt="csv", delimiter=";",
+                      quotechar="'", header=1)
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+    assert df.collect()[0]["b"] == "x;y"     # quoted delimiter survives
+    # header='auto' keeps the sniffed decision (banner + header found)
+    p2 = tmp_path / "auto.csv"
+    p2.write_text("Title Line\ncol1,col2\n1,2\n3,4\n")
+    df2, _ = read_data(spark, str(p2), header="auto")
+    assert df2.columns == ["col1", "col2"] and df2.count() == 2
+    # header index 0 routes through the native header read
+    p3 = tmp_path / "h0.csv"
+    p3.write_text("x,y\n1,2\n")
+    df3, _ = read_data(spark, str(p3), fmt="csv", header=0)
+    assert df3.columns == ["x", "y"] and df3.count() == 1
