@@ -600,6 +600,33 @@ def _drop_leading_rows(df, n: int):
             .where(F.col("__rid") >= n).drop("__rid"))
 
 
+def _head_lines(path: str, o: dict) -> list[str]:
+    head = _read_head(path)
+    enc = o.get("encoding") or detect_encoding(head)
+    return head.decode(enc.lower().replace("-", "_"),
+                       "replace").splitlines()
+
+
+def _set_header_names_from_head(o: dict, path: str, idx: int) -> None:
+    """Derive header_names from head line ``idx`` with the active
+    delimiter/quote (user-given header indexes and forced-format auto
+    guesses can't reuse the sniffed names)."""
+    lines = _head_lines(path, o)
+    if idx >= len(lines):
+        return
+    sep = o.get("sep", ",")
+    if sep and len(sep) == 1:
+        import csv as _csv
+        try:
+            o["header_names"] = [c.strip() for c in next(
+                _csv.reader([lines[idx]], delimiter=sep,
+                            quotechar=o.get("quote", '"')))]
+        except (StopIteration, _csv.Error):
+            pass
+    else:
+        o["header_names"] = [lines[idx].strip()]
+
+
 def read_data(spark, path: str, fmt: str | None = None, **options):
     """Data() equivalent: sniff (unless format given) and build the lazy
     scan. Returns (DataFrame, SniffResult). http(s)/file/s3 URLs are
@@ -620,8 +647,21 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         o["quote"] = o.pop("quotechar")
     hdr = o.get("header")
     if hdr == "auto":
-        o["header"] = res.options.get("header", False)
-        o["skiprows"] = res.options.get("skiprows", 0)
+        if fmt is None:
+            o["header"] = res.options.get("header", False)
+            o["skiprows"] = res.options.get("skiprows", 0)
+        else:
+            # forced format, auto header: run the head guess now (the
+            # reference's header='auto' default always guesses)
+            idx = None
+            if res.format in ("csv", "graph_csv") and os.path.isfile(path):
+                lines = _head_lines(path, o)
+                idx = guess_header_row(lines, o.get("sep", ","),
+                                       o.get("quote", '"'))
+            o["header"] = idx is not None
+            o["skiprows"] = idx or 0
+            if idx is not None:
+                _set_header_names_from_head(o, path, idx)
     elif isinstance(hdr, int) and not isinstance(hdr, bool):
         o["header"] = True
         o["skiprows"] = hdr
@@ -630,22 +670,7 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         o.pop("header_names", None)
         if hdr > 0 and res.format in ("csv", "graph_csv") \
                 and os.path.isfile(path):
-            head = _read_head(path)
-            enc_h = o.get("encoding") or detect_encoding(head)
-            hlines = head.decode(enc_h.lower().replace("-", "_"),
-                                 "replace").splitlines()
-            sep_h = o.get("sep", ",")
-            if hdr < len(hlines):
-                if sep_h and len(sep_h) == 1:
-                    import csv as _csv
-                    try:
-                        o["header_names"] = [c.strip() for c in next(
-                            _csv.reader([hlines[hdr]], delimiter=sep_h,
-                                        quotechar=o.get("quote", '"')))]
-                    except (StopIteration, _csv.Error):
-                        pass
-                else:
-                    o["header_names"] = [hlines[hdr].strip()]
+            _set_header_names_from_head(o, path, hdr)
     # selected_columns (reference csv_data.py:85 / json selected_keys):
     # a post-scan projection — Catalyst pushes it into the scan
     # (column pruning), so only the selected columns are read from

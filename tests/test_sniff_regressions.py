@@ -361,3 +361,17 @@ def test_reference_option_names(spark, tmp_path):
     p3.write_text("x,y\n1,2\n")
     df3, _ = read_data(spark, str(p3), fmt="csv", header=0)
     assert df3.columns == ["x", "y"] and df3.count() == 1
+
+
+def test_header_auto_with_forced_format(spark, tmp_path):
+    """header='auto' + explicit fmt= still GUESSES (the reference's
+    default always guesses; it never means 'headerless')."""
+    p = tmp_path / "f.csv"
+    p.write_text("Quarterly Totals\nname,amount\nalice,3\nbob,5\n")
+    df, _ = read_data(spark, str(p), fmt="csv", header="auto")
+    assert df.columns == ["name", "amount"]
+    assert df.count() == 2
+    p2 = tmp_path / "nh.csv"
+    p2.write_text("1,2\n3,4\n")
+    df2, _ = read_data(spark, str(p2), fmt="csv", header="auto")
+    assert df2.count() == 2 and df2.columns == ["_c0", "_c1"]
