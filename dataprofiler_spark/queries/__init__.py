@@ -53,77 +53,72 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-9 rotation (VERDICT r8 item 1: drain the LAST stale cohort):
-# (a) ALL 36 remaining rows whose latest driver check is r5 — computed
-# from the cumulative CORRECTNESS_r0*.json history (the freshness-SLA
-# test in tests/test_oracle_parity.py re-derives this set and fails if
-# any registered row's latest check ages past the SLA); after this
-# window lands green, NO oracled row's evidence predates r6 — the
-# repo's first fully-fresh evidence state. (b) the 5 new r9 queries
-# (labeler classification-report surface; fused one-scan snapshot
-# diff; grouped one-scan profiles; LSH cap-tuning dial; hypertable
-# rollup timeline), never driver-checked. (c) the flagship end-to-end
-# re-check (every round). 36 + 5 + 1 = 42; the remaining 8 slots go to
-# (d) a cross-family spread of the oldest surviving cohort (r6) so the
-# SLA window keeps rolling instead of re-cliffing
-# (active_users_events, hash_sample_orders and bm25_topk_documents
-# ceded filler slots to the new queries; they are SLA-due at r10 with
-# the rest of the r6 cohort).
+# Round-10 rotation (VERDICT r9 item 1: drain the SLA-due r6 cohort):
+# (a) ALL 35 rows whose latest driver check is r6 — the freshness-SLA
+# test (tests/test_oracle_parity.py) derives this set from the
+# cumulative CORRECTNESS_r0*.json history and was RED on the r9
+# hand-over tree until this rotation; after this window lands green,
+# no oracled row's evidence predates r7. (b) new r10 queries, never
+# driver-checked. (c) the flagship end-to-end re-check (every round).
+# (d) remaining slots: a cross-family spread of the next-due cohort
+# (r7, 46 rows due at r11) so the r11 window doesn't have to absorb
+# all 46 at once.
 _DRIVER_WINDOW = [
-    # ---- (a) the full r5-stale cohort: 36 ----
-    "numeric_profile_lineitem",
-    "numeric_profile_orders",
-    "distinct_counts_lineitem",
-    "datetime_profile_orders",
-    "minhash_lsh_pairs_bottomk",
-    "clean_sample_documents",
-    "embedding_dim_stats",
-    "quantize_int8_embeddings",
-    "referential_integrity_lineitem_orders",
-    "decontaminate_by_benchmark_documents",
-    "pack_manifest_documents",
-    "cluster_sample_embeddings",
-    "embedding_outliers_embeddings",
-    "ivf_topk_embeddings",
-    "ann_index_query_embeddings",
-    "nb_source_confusion_documents",
-    "embedding_group_cosines",
-    "pq_audit_embeddings",
-    "ivf_pq_topk_embeddings",
-    "ivf_recall_embeddings",
-    "label_centroid_audit_embeddings",
-    "hard_negatives_embeddings",
-    "ner_redact_orders",
-    "key_skew_lineitem",
-    "hot_keys_events",
-    "fuzzy_pairs_customer",
-    "pagerank_nation",
-    "validate_lineitem",
-    "precision_stats_lineitem",
-    "nullspec_customer",
-    "null_replication_orders",
-    "sessionize_events",
-    "rolling_avg_events",
-    "retention_cohorts_events",
-    "hashed_doc_vectors_documents",
-    "hashed_cosine_topk_documents",
-    # ---- (b) new r9 queries, never driver-checked: 5 ----
-    "labeler_f1_customer",        # classification-report surface
-    "profile_diff_fused_events",  # one-scan snapshot diff
-    "profile_by_returnflag_lineitem",  # grouped one-scan profiles
-    "lsh_bucket_profile_documents",    # LSH cap-tuning dial
-    "profile_timeline_events_week",    # hypertable rollup
+    # ---- (a) the full r6-stale cohort: 35 ----
+    "active_users_events",
+    "bigram_logprob_documents",
+    "bm25_topk_documents",
+    "bpe_token_summary_documents",
+    "canonical_sample_documents",
+    "chunk_summary_documents",
+    "cohens_kappa_lineitem",
+    "collocations_pmi_documents",
+    "cross_source_dup_matrix_documents",
+    "crossdoc_ngram_dup_documents",
+    "crosstab_lineitem",
+    "data_mixture_documents",
+    "decontaminate_documents",
+    "domain_rollup_documents",
+    "embedding_shift_embeddings",
+    "entity_counts_events_props",
+    "funnel_events",
+    "funnel_gap_events",
+    "hash_sample_orders",
+    "hybrid_rrf_topk_documents",
+    "interval_join_events",
+    "ivf_pq_residual_topk_embeddings",
+    "json_props_events",
+    "markup_signals_documents",
+    "numeric_profile_by_returnflag",
+    "query_cosine_topk_documents",
+    "repetition_signals_documents",
+    "rollup_events_type_day",
+    "spearman_lineitem",
+    "split_manifest_documents",
+    "substring_dup_documents",
+    "tfidf_top_terms_documents",
+    "topk_events_per_user",
+    "winnow_fingerprints_documents",
+    "zipf_vocab_documents",
+    # ---- (b) new r10 queries (swapped in as they land; r7 fillers
+    # hold the slots so the window stays exactly 50 and all-oracled) ----
+    "minhash_lsh_pairs_documents",
+    "paragraph_dup_documents",
+    "robust_stats_lineitem",
+    "session_stats_events",
+    "top_categories_orders",
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (d) oldest surviving cohort (r6), cross-family spread: 9 ----
-    "asof_last_purchase_events",
-    "embedding_covariance_embeddings",
-    "expectations_orders",
-    "pii_redact_customer",
-    "psi_numeric_totalprice",
-    "simhash_neardup_documents",
-    "stratified_sample_orders",
-    "winnow_neardup_pairs_documents",
+    # ---- (d) next-due cohort (r7), cross-family spread: 9 ----
+    "benford_lineitem",
+    "cnn_labeler_customer",
+    "exact_dedup_documents",
+    "graph_components_nation",
+    "grouped_quantiles_lineitem",
+    "kmeans_assign_embeddings",
+    "language_id_documents",
+    "media_profile_documents",
+    "skew_join_lineitem_orders",
 ]
 
 
