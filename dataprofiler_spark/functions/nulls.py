@@ -48,6 +48,16 @@ class NullSpec:
         s = c.cast("string")
         return c.isNull() | s.rlike(self.regex())
 
+    @classmethod
+    def with_extra(cls, *patterns: str,
+                   case_insensitive: bool = True) -> "NullSpec":
+        """Default patterns PLUS extras — the reference's
+        column_null_values merge semantics (profile_builder.py:117-123
+        ``self._null_values.update(...)`` adds the per-column entries to
+        the default dict rather than replacing it)."""
+        return cls(patterns=DEFAULT_NULL_PATTERNS + tuple(patterns),
+                   case_insensitive=case_insensitive)
+
 
 DEFAULT_NULL_SPEC = NullSpec()
 

@@ -81,6 +81,14 @@ class ProfilerOptions:
     def __init__(
         self,
         null_spec: NullSpec = DEFAULT_NULL_SPEC,
+        # Per-column null-value overrides (reference column_null_values,
+        # profiler_options.py:1428-1490; applied profile_builder.py:
+        # 117-123). Keys are column names or positional indexes; values
+        # are NullSpec objects that REPLACE the global spec for that
+        # column (reference merge-with-default is expressed with
+        # NullSpec.with_extra). An override on a non-string column
+        # applies regex null semantics to its stringified form.
+        column_null_values: dict | None = None,
         # Reference stop condition: categorical while unique ≤ 10 OR
         # unique/sample ≤ 0.2 (categorical_column_profile.py:29-34).
         categorical_stop_ratio: float = 0.2,
@@ -142,6 +150,15 @@ class ProfilerOptions:
         histogram_agg_max_bins: int = 512,
     ):
         self.null_spec = null_spec
+        if column_null_values:
+            bad = [k for k, v in column_null_values.items()
+                   if not isinstance(v, NullSpec)
+                   or not isinstance(k, (str, int))]
+            if bad:
+                raise ValueError(
+                    "column_null_values maps column names or positional "
+                    f"indexes to NullSpec objects; bad keys: {bad}")
+        self.column_null_values = dict(column_null_values or {}) or None
         self.categorical_stop_ratio = categorical_stop_ratio
         self.categorical_max_unique = categorical_max_unique
         self.categorical_max_collected = categorical_max_collected
@@ -170,6 +187,21 @@ class ProfilerOptions:
         if unknown:
             raise ValueError(f"unknown disabled_stats: {sorted(unknown)}")
         self.disabled_stats = frozenset(disabled_stats)
+
+    def null_spec_for(self, name: str, index: int | None = None):
+        """The per-column NullSpec override for ``name`` (or positional
+        ``index``), or None when the column has no override — callers
+        fall back to the global spec / type-based default. Name keys win
+        over index keys (reference keys by index only,
+        profile_builder.py:119-123; names are the Spark-idiomatic form)."""
+        cnv = self.column_null_values
+        if not cnv:
+            return None
+        if name in cnv:
+            return cnv[name]
+        if index is not None and index in cnv:
+            return cnv[index]
+        return None
 
 
 class Profiler:
@@ -508,10 +540,14 @@ class Profiler:
         exprs = [F.count(F.lit(1)).alias("__row_count")]
 
         nulls_in_row = F.lit(0)
-        for c in all_cols:
+        for i, c in enumerate(all_cols):
             col = F.col(c)
-            is_null = (opt.null_spec.is_null(col) if c in string_cols
-                       else col.isNull())
+            override = opt.null_spec_for(c, i)
+            if override is not None:
+                is_null = override.is_null(col)
+            else:
+                is_null = (opt.null_spec.is_null(col) if c in string_cols
+                           else col.isNull())
             nulls_in_row = nulls_in_row + F.when(is_null, 1).otherwise(0)
             exprs.append(F.sum(F.when(is_null, 1).otherwise(0)).alias(f"{c}__nulls"))
             exprs.append(F.approx_count_distinct(col, 0.1).alias(f"{c}__approx"))

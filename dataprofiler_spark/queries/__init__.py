@@ -102,7 +102,7 @@ _DRIVER_WINDOW = [
     "zipf_vocab_documents",
     # ---- (b) new r10 queries (swapped in as they land; r7 fillers
     # hold the slots so the window stays exactly 50 and all-oracled) ----
-    "minhash_lsh_pairs_documents",
+    "nullspec_per_column_customer",   # per-column null-value overrides
     "paragraph_dup_documents",
     "robust_stats_lineitem",
     "session_stats_events",

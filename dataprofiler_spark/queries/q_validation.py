@@ -166,6 +166,59 @@ def nullspec_customer(spark, sf_dir):
     )
 
 
+def _nullspec_pc_oracle():
+    from dataprofiler_spark.functions.nulls import NullSpec
+    a_re = NullSpec.with_extra("n/a", "missing").regex()
+    b_re = DEFAULT_NULL_SPEC.regex()
+    case_a = """CASE WHEN c_custkey % 11 = 0 THEN 'N/A'
+       WHEN c_custkey % 11 = 1 THEN 'MISSING'
+       WHEN c_custkey % 11 = 2 THEN 'NaN'
+       ELSE c_mktsegment END"""
+    case_b = """CASE WHEN c_custkey % 11 = 0 THEN 'N/A'
+       WHEN c_custkey % 11 = 1 THEN '--'
+       ELSE c_name END"""
+    return f"""
+WITH t AS (SELECT {case_a} AS val_a, {case_b} AS val_b FROM customer)
+SELECT 'val_a' AS "column", COUNT(*) AS sample_size,
+       CAST(SUM(CASE WHEN val_a IS NULL OR regexp_matches(val_a, '{a_re}')
+            THEN 1 ELSE 0 END) AS BIGINT) AS null_count
+FROM t
+UNION ALL
+SELECT 'val_b', COUNT(*),
+       CAST(SUM(CASE WHEN val_b IS NULL OR regexp_matches(val_b, '{b_re}')
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM t
+"""
+
+
+@register("nullspec_per_column_customer", _nullspec_pc_oracle())
+def nullspec_per_column_customer(spark, sf_dir):
+    """Per-column null-value overrides (reference ``column_null_values``,
+    profiler_options.py:1428-1490, applied per column at
+    profile_builder.py:117-123): val_a counts 'N/A'/'MISSING' as null
+    via a per-column override merged with the defaults
+    (NullSpec.with_extra); val_b keeps the global default spec, so its
+    'N/A' cells are NOT null but its '--' cells are. Runs the REAL
+    Profiler wide agg — the override threads through
+    ProfilerOptions.null_spec_for into the fused null expression."""
+    from dataprofiler_spark.functions.nulls import NullSpec
+    from dataprofiler_spark.plans.profile_plan import (Profiler,
+                                                       ProfilerOptions)
+    k = F.col("c_custkey") % 11
+    df = T(spark, sf_dir, "customer").select(
+        F.when(k == 0, "N/A").when(k == 1, "MISSING").when(k == 2, "NaN")
+         .otherwise(F.col("c_mktsegment")).alias("val_a"),
+        F.when(k == 0, "N/A").when(k == 1, "--")
+         .otherwise(F.col("c_name")).alias("val_b"))
+    opts = ProfilerOptions(
+        column_null_values={"val_a": NullSpec.with_extra("n/a", "missing")})
+    state = Profiler(df, opts).profile()
+    rows = [(c, s.sample_size, s.null_count)
+            for c, s in sorted(state.columns.items())]
+    return spark.createDataFrame(
+        rows, "column string, sample_size long, null_count long")
+
+
 # ---------------------------------------------------------------------------
 # Unstructured text summary (SURVEY §2.4 unstructured base stats +
 # word stats; profile_builder.py:1449-1536, unstructured_text_profile.py)

@@ -564,6 +564,43 @@ def test_disabled_stats_toggles(spark, sf_dir):
         ProfilerOptions(disabled_stats={"nope"})
 
 
+def test_column_null_values_overrides(spark):
+    """Per-column null-value overrides (reference column_null_values,
+    profiler_options.py:1428-1490): name keys, positional-index keys,
+    name-over-index precedence, with_extra merge semantics, and ctor
+    validation."""
+    import pytest
+
+    from dataprofiler_spark import Profiler, ProfilerOptions
+    from dataprofiler_spark.functions.nulls import (DEFAULT_NULL_PATTERNS,
+                                                    NullSpec)
+
+    na = NullSpec.with_extra("n/a")
+    assert na.patterns == DEFAULT_NULL_PATTERNS + ("n/a",)
+
+    df = spark.createDataFrame(
+        [("N/A", "N/A"), ("x", "y"), ("--", "--"), (None, "z")],
+        "a string, b string")
+    # name key: 'a' counts N/A (+ default --/NULL); 'b' default only
+    st = Profiler(df, ProfilerOptions(column_null_values={"a": na})).profile()
+    assert st.columns["a"].null_count == 3   # N/A, --, SQL NULL
+    assert st.columns["b"].null_count == 1   # just --
+    # positional-index key resolves against df.columns order
+    st2 = Profiler(df, ProfilerOptions(column_null_values={1: na})).profile()
+    assert st2.columns["a"].null_count == 2
+    assert st2.columns["b"].null_count == 2
+    # a name key wins over an index key for the same column
+    opts = ProfilerOptions(column_null_values={"a": NullSpec(("x",)), 0: na})
+    assert opts.null_spec_for("a", 0).patterns == ("x",)
+    # an override on a NON-string column applies to its stringified form
+    dfn = spark.createDataFrame([(1,), (0,), (None,)], "n int")
+    stn = Profiler(dfn, ProfilerOptions(
+        column_null_values={"n": NullSpec(("0",))})).profile()
+    assert stn.columns["n"].null_count == 2  # the 0 row + SQL NULL
+    with pytest.raises(ValueError, match="column_null_values"):
+        ProfilerOptions(column_null_values={"a": "n/a"})
+
+
 def test_detailed_timing_pass(spark, sf_dir):
     """Opt-in per-stat telemetry (reference base_column_profilers.py
     _timeit): stat:<family> keys appear with positive wall times and the
