@@ -103,7 +103,7 @@ _DRIVER_WINDOW = [
     # ---- (b) new r10 queries (swapped in as they land; r7 fillers
     # hold the slots so the window stays exactly 50 and all-oracled) ----
     "nullspec_per_column_customer",   # per-column null-value overrides
-    "paragraph_dup_documents",
+    "imported_profile_diff_lineitem",  # reference-format profile import
     "robust_stats_lineitem",
     "session_stats_events",
     "top_categories_orders",

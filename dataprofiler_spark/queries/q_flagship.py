@@ -202,3 +202,78 @@ def profile_diff_fused_events(spark, sf_dir):
         "column string, stat string, value_num double, value_str string")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Reference-format profile import (interop.py; reference
+# json_encoder.py:19-100, json_decoder.py:23-250,
+# profile_builder.py:1169-1233): a migrating user's saved DataProfiler
+# profile loads into engine state and diffs against a fresh Spark
+# profile. The fixture is a REAL reference-library save (regenerated
+# in-container by scripts/make_ref_profile_fixture.py at sf0.001);
+# its deterministic slice embeds into the oracle as literals, so the
+# oracle checks the import parse + the live profile + the join.
+# ---------------------------------------------------------------------------
+
+_REF_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "fixtures", "ref_profile_lineitem_sf0001.json.gz")
+
+
+def _ref_fixture_rows():
+    from dataprofiler_spark.interop import load_reference_profile
+    from dataprofiler_spark.report import deterministic_report_rows
+    return deterministic_report_rows(load_reference_profile(_REF_FIXTURE))
+
+
+def _imported_diff_oracle() -> str:
+    vals = []
+    for c, s, vn, vs in _ref_fixture_rows():
+        num = ("CAST(NULL AS DOUBLE)" if vn is None
+               else f"CAST({vn!r} AS DOUBLE)")
+        st = ("CAST(NULL AS VARCHAR)" if vs is None
+              else "'" + str(vs).replace("'", "''") + "'")
+        vals.append(f"('{c}', '{s}', {num}, {st})")
+    base = rep.oracle_full_profile_sql("lineitem", _LI_NUM_ALL, _LI_STR,
+                                       _LI_DT)
+    return f"""
+WITH spark_side AS ({base}),
+ref_side ("column", stat, ref_num, ref_str) AS (VALUES {", ".join(vals)})
+SELECT s."column" AS "column", s.stat AS stat,
+       r.ref_num AS ref_num, s.value_num AS spark_num,
+       s.value_num - r.ref_num AS delta_num,
+       r.ref_str AS ref_str, s.value_str AS spark_str
+FROM spark_side s JOIN ref_side r
+  ON s."column" = r."column" AND s.stat = r.stat
+"""
+
+
+@register("imported_profile_diff_lineitem", _imported_diff_oracle())
+def imported_profile_diff_lineitem(spark, sf_dir):
+    """Migration path end-to-end: parse a reference-library saved
+    profile (interop.load_reference_profile), take its deterministic
+    report slice, and join it per (column, stat) against the slice of
+    a freshly computed Spark profile of lineitem at sf_dir — the
+    legacy-vs-new drift table a user checks after switching engines.
+    Both sides of the join are REAL paths (import parse; full
+    Profiler().profile()); the delta arithmetic is bit-reproducible
+    because both engines subtract the same embedded literals from
+    hash-proven equal profile values."""
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import deterministic_report_rows
+
+    ref = {(c, s): (vn, vs) for c, s, vn, vs in _ref_fixture_rows()}
+    cur = deterministic_report_rows(
+        Profiler(T(spark, sf_dir, "lineitem")).profile())
+    out = []
+    for c, s, vn, vs in cur:
+        if (c, s) not in ref:
+            continue
+        rn, rs = ref[(c, s)]
+        delta = None if (vn is None or rn is None) else vn - rn
+        out.append((c, s, rn, vn, delta, rs, vs))
+    return spark.createDataFrame(
+        out, "column string, stat string, ref_num double, "
+             "spark_num double, delta_num double, "
+             "ref_str string, spark_str string")
