@@ -737,6 +737,52 @@ FROM q LEFT JOIN fc USING ("column")
 """
 
 
+def _benford_digit_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, digit, o): first-significant-digit counts per column —
+    the scan stage of :func:`benford_test`, exposed for the adversarial
+    digit-parity test."""
+    melt = []
+    for c in cols:
+        x = F.abs(F.col(c).cast("double"))
+        # first significant digit: strip sign/zeros/dot from a
+        # plain-notation rendering at 10 fractional digits. Fast path:
+        # double→decimal(38,10)→string (a plain JVM cast, no
+        # DecimalFormat) — measured 1.45× faster than format_number on
+        # sf0.1. Guarded to 1e-4 ≤ |x| < 9e5, the window where the
+        # decimal cast is engine-portable: DuckDB converts via
+        # x·10¹⁰ in doubles, exact only below 2⁵³ (x < 9.0e5 —
+        # measured: 1e13 renders 9999999999999.99… there), and its
+        # rounding at the 10⁻¹⁰ place is flaky near half-boundaries
+        # (4.999999999999e-11 → 1e-10), harmless once the first digit
+        # sits at ≥ the 1e-5 place. Outside the window fall back to
+        # format_number's exact binary expansion (the formulation
+        # hash-proven since r1). A pure log10/pow formulation is
+        # WRONG, not just unportable: floor(0.3/0.1) = 2 in IEEE
+        # doubles.
+        s_fast = F.regexp_replace(
+            x.cast("decimal(38,10)").cast("string"), r"[^1-9]", "")
+        s_slow = F.regexp_replace(F.format_number(x, 10), r"[^1-9]", "")
+        # try_cast: a positive value below 1e-10 renders as all zeros →
+        # '' after the strip, which ANSI-mode cast would throw on (the
+        # oracle's TRY_CAST already tolerated it)
+        s = F.when((x >= F.lit(1e-4)) & (x < F.lit(9e5)), s_fast) \
+             .otherwise(s_slow)
+        d = F.when(x > 0, F.substring(s, 1, 1).try_cast("int"))
+        melt.append(
+            df.select(F.lit(c).alias("column"), d.alias("digit"))
+            .where(F.col("digit").isNotNull()))
+    # unionAll of per-column NARROW projections, deliberately NOT an
+    # explode-melt: on columnar parquet each branch reads exactly its
+    # one column (total IO identical to a single 4-column scan) with no
+    # per-row struct-array materialization — A/B measured 2.8 s union
+    # vs 5.0 s melt on sf0.1 ×4 cols. Melt only pays off when the
+    # downstream needs all columns per row anyway (robust_stats' CDF).
+    u = melt[0]
+    for r in melt[1:]:
+        u = u.unionAll(r)
+    return u.groupBy("column", "digit").agg(F.count(F.lit(1)).alias("o"))
+
+
 def benford_test(df: DataFrame, cols: list[str],
                  round_digits: int = 6) -> DataFrame:
     """(column, n, chi2, max_abs_dev, top_digit, top_digit_freq):
@@ -763,28 +809,7 @@ def benford_test(df: DataFrame, cols: list[str],
     import math
 
     exp = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
-    melt = []
-    for c in cols:
-        x = F.abs(F.col(c).cast("double"))
-        # first significant digit: strip sign/zeros/dot from the
-        # plain-notation rendering; format_number avoids E-notation for
-        # small magnitudes (1e-4 renders '0.000100')
-        s = F.regexp_replace(F.format_number(x, 10), r"[^1-9]", "")
-        d = F.when(x > 0, F.substring(s, 1, 1).cast("int"))
-        melt.append(
-            df.select(F.lit(c).alias("column"), d.alias("digit"))
-            .where(F.col("digit").isNotNull()))
-    # unionAll of per-column NARROW projections, deliberately NOT an
-    # explode-melt: on columnar parquet each branch reads exactly its
-    # one column (total IO identical to a single 4-column scan) with no
-    # per-row struct-array materialization — A/B measured 2.8 s union
-    # vs 5.0 s melt on sf0.1 ×4 cols. Melt only pays off when the
-    # downstream needs all columns per row anyway (robust_stats' CDF).
-    u = melt[0]
-    for r in melt[1:]:
-        u = u.unionAll(r)
-    counts = u.groupBy("column", "digit").agg(
-        F.count(F.lit(1)).alias("o"))
+    counts = _benford_digit_counts(df, cols)
     n_tab = counts.groupBy("column").agg(F.sum("o").alias("n"))
     # DENSE digit grid: a digit with zero observations still contributes
     # its full expectation e to chi2 ((0-e)^2/e = e) and e/n to the
@@ -841,7 +866,12 @@ def oracle_benford_sql(table: str, cols: list[str],
     selects = []
     for c in cols:
         x = f"ABS(CAST({c} AS DOUBLE))"
-        s = f"regexp_replace(format('{{:.10f}}', {x}), '[^1-9]', '', 'g')"
+        # mirror of the engine's two-path rendering (see benford_test):
+        # decimal(38,10) cast in [1e-4, 9e5), exact .10f expansion
+        # outside the portable window
+        s = (f"regexp_replace(CASE WHEN {x} >= 1e-4 AND {x} < 9e5 THEN "
+             f"CAST(CAST({x} AS DECIMAL(38,10)) AS VARCHAR) "
+             f"ELSE format('{{:.10f}}', {x}) END, '[^1-9]', '', 'g')")
         selects.append(f"""
 SELECT '{c}' AS "column", CAST({x} > 0 AS INT) AS used,
        CASE WHEN {x} > 0 THEN TRY_CAST(substr({s}, 1, 1) AS INT) END AS digit

@@ -826,3 +826,52 @@ def test_benford_semantics(spark):
     small = spark.createDataFrame([(0.0042,), (-0.0042,)], "x double")
     rs_ = num.benford_test(small, ["x"]).collect()[0]
     assert rs_["top_digit"] == 4 and rs_["n"] == 2
+
+
+def test_benford_digit_adversarial(spark, duck):
+    """Pin the first-digit rendering on the adversarial cases that broke
+    candidate formulations (r10 plan audit): IEEE boundaries where
+    log10/pow gets the WRONG digit (floor(0.3/0.1)=2), the giant
+    doubles where shortest-repr and exact-expansion diverge in leading
+    digits (1e23 IS 9.999…e22), sub-1e-10 values whose rendering is all
+    zeros (ANSI cast must not throw), and non-finite values. Checked
+    against DuckDB running the oracle's CASE mirror — the digit
+    distribution must hash-match cross-engine, not just within Spark."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators import numeric as num
+
+    # 6e-11, not 5e-11: an EXACT tie at the 10th decimal is a known
+    # engine seam — Java's format_number rounds the shortest repr
+    # HALF_EVEN (5e-11 → 0.0000000000) while DuckDB's format rounds the
+    # exact binary expansion (5.0000000000000002e-11 → up). No non-tie
+    # value exhibits it, and real profiling data below 1e-10 carries no
+    # signal anyway.
+    vals = [0.03, 0.3, 0.7, 3e-10, 6e-11, 3e-11, 1e-4, 0.999999999999,
+            99999.99999999999, 899999.9999999999, 900000.0000000001,
+            9.99e14, 123456.789, 2.5e-7, 1e23, 2e23,
+            float("nan"), float("inf"), 0.0, -0.3, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r["o"] for r in
+           num._benford_digit_counts(df, ["v"]).collect()}
+    # expected digits: 3,3,7,3,1(6e-11 rounds up at scale 10),None(3e-11),
+    # 1,1(rounds to 1.0),1(carry to 100000),8(no carry),9,9,1,2,
+    # 9(1e23 IS 9.99…e22),1(2e23 IS 1.99…e23),—,—,—,3
+    assert got == {1: 6, 2: 1, 3: 4, 7: 1, 8: 1, 9: 3}
+    def lit(v):
+        if v is None:
+            return "(NULL::DOUBLE)"
+        if v != v:
+            return "('nan'::DOUBLE)"
+        if v == float("inf"):
+            return "('inf'::DOUBLE)"
+        return f"({v!r}::DOUBLE)"
+
+    lits = ", ".join(lit(v) for v in vals)
+    sql = num.oracle_benford_sql("(SELECT * FROM (VALUES %s) t(v))" % lits,
+                                 ["v"])
+    ddf = duck.sql(sql).df()
+    srow = num.benford_test(df, ["v"]).toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        srow.sort_index(axis=1), ddf.sort_index(axis=1), check_dtype=False)
