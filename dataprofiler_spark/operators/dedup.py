@@ -274,12 +274,56 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
                          num_hashes, bands)
 
 
+def _suggested_cap_df(sizes: DataFrame, bands: int,
+                      pair_budget_per_doc: int, caps: tuple) -> DataFrame:
+    """1-row (__cap) frame: the largest ladder cap whose capped
+    candidate-pair work stays within pair_budget_per_doc × n_docs —
+    the ``lsh_bucket_profile`` ladder (same formulas), computed from a
+    per-(band, bucket) size frame so auto-cap mode can fold it into
+    the pair plan without a second corpus scan."""
+    s = F.col("__bsz")
+    work = s * (s - F.lit(1))
+    aggs = [F.coalesce(F.sum(s), F.lit(0)).alias("__rows")]
+    for c in caps:
+        aggs.append(F.coalesce(
+            F.sum(F.when(s <= c, work).otherwise(F.lit(0))), F.lit(0))
+            .alias(f"__w{c}"))
+    row = sizes.agg(*aggs)
+    n_docs = (F.col("__rows") / F.lit(bands)).cast("long")
+    budget = n_docs * F.lit(int(pair_budget_per_doc))
+    suggested = F.lit(int(caps[0]))
+    for c in caps:  # ladder ascends: the largest within budget wins
+        suggested = F.when(
+            (F.col(f"__w{c}") / 2).cast("long") <= budget,
+            F.lit(int(c))).otherwise(suggested)
+    return row.select(suggested.cast("long").alias("__cap"))
+
+
+def suggested_bucket_cap(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, num_hashes: int = 12, bands: int = 6,
+                         pair_budget_per_doc: int = 50,
+                         caps: tuple = (16, 64, 256, 1024)) -> int:
+    """The ``max_bucket_size`` the cap ladder recommends for this
+    corpus (driver-side int) — ``lsh_bucket_profile``'s suggested_cap
+    as a standalone helper, for callers who want to inspect/log the
+    cap before running :func:`minhash_lsh_pairs`. Inside one plan,
+    pass ``max_bucket_size="auto"`` instead (no extra scan)."""
+    row = lsh_bucket_profile(df, id_col, text_col, k=k,
+                             num_hashes=num_hashes, bands=bands,
+                             pair_budget_per_doc=pair_budget_per_doc,
+                             caps=caps).select("suggested_cap").collect()
+    return int(row[0][0])
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_hashes: int = 12, bands: int = 6,
                       threshold: float = 0.5, round_digits: int = 6,
-                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                      max_bucket_size: int | str | None =
+                      DEFAULT_MAX_BUCKET_SIZE,
                       verify_k: int | None = None,
-                      cache: bool = True) -> DataFrame:
+                      cache: bool = True,
+                      pair_budget_per_doc: int = 50,
+                      cap_ladder: tuple = (16, 64, 256, 1024)) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard ≥ threshold) via banded LSH.
 
     rows_per_band = num_hashes / bands; candidate recall follows the
@@ -345,7 +389,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         wide = wide.persist()
     sh = wide.select("id", "hs")
     buckets = _band_buckets(wide, num_hashes, bands)
-    if max_bucket_size is not None:
+    if max_bucket_size == "auto":
+        # auto-cap (the lsh_bucket_profile dial folded into the plan):
+        # the bucket-size aggregate the guard needs anyway also feeds
+        # the cap ladder — the 1-row cap broadcasts back into the
+        # filter, so auto mode costs no extra corpus scan.
+        sizes = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__bsz")))
+        capdf = _suggested_cap_df(sizes, bands, pair_budget_per_doc,
+                                  cap_ladder)
+        small = (sizes.crossJoin(F.broadcast(capdf))
+                 .where(F.col("__bsz") <= F.col("__cap"))
+                 .select("band", "bucket"))
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+    elif max_bucket_size is not None:
         small = (buckets.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__bsz"))
                  .where(F.col("__bsz") <= max_bucket_size)
@@ -391,14 +448,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
                      num_hashes: int, bands: int, threshold: float,
                      round_digits: int, verify_k: int | None = None,
-                     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
-                     ) -> str:
+                     max_bucket_size: int | str | None =
+                     DEFAULT_MAX_BUCKET_SIZE,
+                     pair_budget_per_doc: int = 50,
+                     cap_ladder: tuple = (16, 64, 256, 1024)) -> str:
     """Shared CTE chain: shingles → 60-bit hashes → minhash → bands →
     candidate pairs → threshold-verified pairs (``vpairs``).
     ``verify_k`` mirrors the bottom-k sketch rule (sh keeps only the k
     smallest hashes per doc; jaccard is the bottom-k estimator);
     ``max_bucket_size`` mirrors the operator's skew guard — same
-    default, so Spark/oracle parity holds on both sides of it."""
+    default, so Spark/oracle parity holds on both sides of it.
+    ``"auto"`` mirrors the operator's auto-cap mode: the cap ladder
+    computes in SQL over the same bucket sizes and gates the HAVING."""
     rows = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
     mins = ",\n         ".join(
@@ -422,6 +483,33 @@ def _lsh_oracle_ctes(table: str, id_col: str, text_col: str, k: int,
                 f"AND list_contains(s2.hs, x))) AS DOUBLE) / len({u})")
     if max_bucket_size is None:
         bucket_ctes = f"buckets AS (\n{band_selects}\n)"
+    elif max_bucket_size == "auto":
+        cap_sums = ",\n         ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN s <= {c} THEN s * (s - 1) "
+            f"ELSE 0 END), 0) // 2 AS BIGINT) AS pair_work_cap{c}"
+            for c in cap_ladder)
+        ladder = f"{int(cap_ladder[0])}"
+        for c in cap_ladder:
+            ladder = (f"CASE WHEN pair_work_cap{c} <= n_docs * "
+                      f"{int(pair_budget_per_doc)} THEN {int(c)} "
+                      f"ELSE {ladder} END")
+        bucket_ctes = f"""buckets0 AS (
+{band_selects}
+),
+bsz AS (
+  SELECT band, bucket, COUNT(*) AS s FROM buckets0 GROUP BY band, bucket
+),
+capw AS (
+  SELECT CAST(COALESCE(SUM(s), 0) // {bands} AS BIGINT) AS n_docs,
+         {cap_sums}
+  FROM bsz
+),
+capsel AS (SELECT {ladder} AS cap FROM capw),
+buckets AS (
+  SELECT buckets0.id, buckets0.band, buckets0.bucket
+  FROM buckets0 JOIN bsz USING (band, bucket)
+  WHERE bsz.s <= (SELECT cap FROM capsel)
+)"""
     else:
         bucket_ctes = f"""buckets0 AS (
 {band_selects}
@@ -470,11 +558,16 @@ def oracle_minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str,
                                  k: int = 3, num_hashes: int = 12, bands: int = 6,
                                  threshold: float = 0.5, round_digits: int = 6,
                                  verify_k: int | None = None,
-                                 max_bucket_size: int | None =
-                                 DEFAULT_MAX_BUCKET_SIZE) -> str:
+                                 max_bucket_size: int | str | None =
+                                 DEFAULT_MAX_BUCKET_SIZE,
+                                 pair_budget_per_doc: int = 50,
+                                 cap_ladder: tuple = (16, 64, 256, 1024)
+                                 ) -> str:
     ctes = _lsh_oracle_ctes(table, id_col, text_col, k, num_hashes, bands,
                             threshold, round_digits, verify_k=verify_k,
-                            max_bucket_size=max_bucket_size)
+                            max_bucket_size=max_bucket_size,
+                            pair_budget_per_doc=pair_budget_per_doc,
+                            cap_ladder=cap_ladder)
     return f"WITH {ctes}\nSELECT id1, id2, jaccard FROM vpairs"
 
 

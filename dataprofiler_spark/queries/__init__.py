@@ -104,7 +104,7 @@ _DRIVER_WINDOW = [
     # hold the slots so the window stays exactly 50 and all-oracled) ----
     "nullspec_per_column_customer",   # per-column null-value overrides
     "imported_profile_diff_lineitem",  # reference-format profile import
-    "robust_stats_lineitem",
+    "minhash_lsh_autocap_documents",   # auto-cap LSH (suggested cap)
     "session_stats_events",
     "top_categories_orders",
     # ---- (c) flagship end-to-end re-check (every round) ----

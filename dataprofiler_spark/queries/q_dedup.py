@@ -98,6 +98,26 @@ def minhash_lsh_pairs_bottomk(spark, sf_dir):
                                 threshold=0.5, verify_k=64)
 
 
+@register("minhash_lsh_autocap_documents",
+          dd.oracle_minhash_lsh_pairs_sql("documents", "doc_id", "text",
+                                          k=3, num_hashes=12, bands=6,
+                                          threshold=0.5,
+                                          max_bucket_size="auto",
+                                          pair_budget_per_doc=20))
+def minhash_lsh_autocap_documents(spark, sf_dir):
+    """Auto-cap mode (VERDICT r9 item 6): the lsh_bucket_profile cap
+    ladder folds into the pair plan — the bucket-size aggregate the
+    skew guard computes anyway also derives the suggested cap, which
+    broadcasts back into the bucket filter (no extra corpus scan, no
+    hand-picked constant). pair_budget_per_doc=20 so the ladder
+    actually bites on the templated testdata (the corpus-dependent
+    cap is what the oracle must reproduce, not a fixed default)."""
+    return dd.minhash_lsh_pairs(T(spark, sf_dir, "documents"), "doc_id",
+                                "text", k=3, num_hashes=12, bands=6,
+                                threshold=0.5, max_bucket_size="auto",
+                                pair_budget_per_doc=20)
+
+
 @register("simhash_documents", dd.oracle_simhash_sql("documents", "doc_id", "text"))
 def simhash_documents(spark, sf_dir):
     return dd.simhash(T(spark, sf_dir, "documents"), "doc_id", "text")

@@ -134,3 +134,33 @@ def test_lsh_bucket_profile_semantics(spark):
                               bands=6,
                               pair_budget_per_doc=10**6).collect()[0]
     assert out2["suggested_cap"] == 1024
+
+
+def test_minhash_autocap_equals_two_step(spark):
+    """max_bucket_size="auto" produces exactly the pairs of the
+    two-step flow (suggested_bucket_cap → fixed cap), and the helper
+    returns the ladder's pick."""
+    from dataprofiler_spark.operators.dedup import (minhash_lsh_pairs,
+                                                    suggested_bucket_cap)
+
+    rows = ([(i, "identical boilerplate text shared by many documents")
+             for i in range(30)]
+            + [(100 + i, f"doc number {i} with some shared phrasing here")
+               for i in range(20)]
+            + [(200 + i, f"doc number {i} with some shared phrasing too")
+               for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = suggested_bucket_cap(df, "doc_id", "text", k=3, num_hashes=12,
+                               bands=6, pair_budget_per_doc=10)
+    assert cap == 16  # the 30-clone group blows any larger cap's budget
+    fixed = minhash_lsh_pairs(df, "doc_id", "text", k=3, num_hashes=12,
+                              bands=6, threshold=0.5,
+                              max_bucket_size=cap).collect()
+    auto = minhash_lsh_pairs(df, "doc_id", "text", k=3, num_hashes=12,
+                             bands=6, threshold=0.5,
+                             max_bucket_size="auto",
+                             pair_budget_per_doc=10).collect()
+    key = lambda r: (r["id1"], r["id2"])  # noqa: E731
+    assert sorted(map(key, auto)) == sorted(map(key, fixed))
+    # the clone clique is capped out; cross-template pairs survive
+    assert all(not (r["id1"] < 100 and r["id2"] < 100) for r in auto)
