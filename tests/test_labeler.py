@@ -45,6 +45,69 @@ def test_column_name_model():
     assert out["weird_blob"][0] == "UNKNOWN"
 
 
+def test_column_name_model_reference_parity():
+    """Golden vectors from the reference's own test suite
+    (tests/labelers/test_column_name_model.py:18-63, 168-191): same
+    parameter dicts, same data, same pred/conf — plus the exact
+    token_sort_ratio mid-range scores rapidfuzz arithmetic yields
+    (ratio = 100·2·LCS/(|a|+|b|) after lowercase token sort), proving
+    the 50/85 thresholds transfer."""
+    import math
+
+    from dataprofiler_spark.labeler.column_name_model import (
+        ColumnNameModel, token_sort_ratio)
+
+    # exact scorer arithmetic on the reference's own fixture strings
+    assert token_sort_ratio("ssn", "ssn") == 100.0
+    assert math.isclose(token_sort_ratio("role_name", "role"),
+                        200.0 * 4 / 13)          # 61.538…, ≥ neg 50
+    assert math.isclose(token_sort_ratio("wallet_address", "send_address"),
+                        200.0 * 9 / 26)          # 69.23…, ≥ neg 50
+    assert math.isclose(token_sort_ratio("ssn", "contract_number"),
+                        200.0 * 1 / 18)          # 11.1…, < neg 50
+    # token sort: order-insensitive on whitespace tokens
+    assert token_sort_ratio("home my address", "my home address") == 100.0
+    # case-insensitive via the reference's lowercase processor
+    assert token_sort_ratio("SSN", "ssn") == 100.0
+
+    params = {
+        "true_positive_dict": [
+            {"attribute": "ssn", "label": "ssn"},
+            {"attribute": "suffix", "label": "name"},
+            {"attribute": "my_home_address", "label": "address"},
+        ],
+        "false_positive_dict": [
+            {"attribute": "contract_number", "label": "ssn"},
+            {"attribute": "role", "label": "name"},
+            {"attribute": "send_address", "label": "address"},
+        ],
+        "negative_threshold_config": 50,
+        "positive_threshold_config": 85,
+        "include_label": True,
+    }
+    model = ColumnNameModel(
+        label_mapping={"ssn": 1, "name": 2, "address": 3},
+        parameters=params)
+    out = model.predict(["ssn", "role_name", "wallet_address"])
+    assert out["pred"] == ["ssn"]        # reference expected_output
+    assert out["conf"] == [100.0]
+
+    # no false-positive filter: wallet_address scores vs
+    # my_home_address = 200·10/29 = 68.9 < 85 → still only ssn passes
+    model2 = ColumnNameModel(
+        label_mapping={"ssn": 1, "name": 2, "address": 3},
+        parameters={**params, "false_positive_dict": None,
+                    "negative_threshold_config": None})
+    assert model2.predict(["ssn", "wallet_address"])["pred"] == ["ssn"]
+
+    import pytest
+    with pytest.raises(ValueError, match="true_positive_dict"):
+        ColumnNameModel({"a": 1}, {"positive_threshold_config": 85})
+    with pytest.raises(ValueError, match="negative_threshold_config"):
+        ColumnNameModel({"ssn": 1, "name": 2, "address": 3},
+                        {**params, "negative_threshold_config": None})
+
+
 def test_plugins(tmp_path):
     @plugin("preset", "inline")
     def inline_preset():
