@@ -387,7 +387,13 @@ class Profiler:
         # base_column_profilers.py:68-81; one wide agg fuses the per-stat
         # work, so the honest granularity here is per phase, with the
         # driver-side finalize steps broken out separately).
+        # wide_agg_groups: how many independently-collected aggregate
+        # groups the wide agg split into (VERDICT r9 watch item — each
+        # group is its own column-pruned scan; ~free on columnar
+        # storage, a re-read on row-oriented sources, so bench
+        # telemetry should see the multiplier).
         state.times = {"wide_agg": t_agg, "assemble": t_assemble,
+                       "wide_agg_groups": float(len(groups)),
                        "bin_selection": t_bins,
                        "counts_pass": t_counts}
 

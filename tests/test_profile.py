@@ -268,7 +268,10 @@ def test_wide_table_stays_two_jobs(spark, sf_dir):
     scans = {k for k in state.times if k in ("wide_agg", "counts_pass")}
     assert scans == {"wide_agg", "counts_pass"}
     assert set(state.times) == {"wide_agg", "assemble", "bin_selection",
-                                "counts_pass", "samples"}
+                                "counts_pass", "samples",
+                                "wide_agg_groups"}
+    # a 30+-column table must split into several bounded-width groups
+    assert state.times["wide_agg_groups"] > 1
     assert state.columns["q4"].numeric.n == state.row_count
     assert state.columns["s4"].categorical.categories  # tracked
 
@@ -621,6 +624,10 @@ def test_detailed_timing_pass(spark, sf_dir):
         assert base.columns[c].numeric == timed.columns[c].numeric
     # default plan stays free of the extra jobs
     assert not any(k.startswith("stat:") for k in base.times)
+    # the wide-agg group count is surfaced (VERDICT r9 watch item):
+    # orders has enough columns to split into >1 bounded-width group
+    assert base.times["wide_agg_groups"] >= 1
+    assert base.times["wide_agg_groups"] == timed.times["wide_agg_groups"]
 
 
 def test_numeric_gate_matches_raw_try_cast(spark):
