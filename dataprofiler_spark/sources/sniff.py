@@ -36,8 +36,12 @@ def _read_head(path: str, n: int = HEAD_BYTES) -> bytes:
 
 
 def detect_encoding(head: bytes) -> str:
-    """BOM-based + utf-8 validation fallback (data_utils.py:590-678 uses
-    chardet; BOMs + utf8-else-latin1 covers the deterministic cases)."""
+    """Deterministic encoding sniff (reference data_utils.py:590-678
+    runs chardet's UniversalDetector + charset_normalizer; this
+    re-derives the decisive signals as explicit rules so the result is
+    reproducible): BOMs, NUL-cadence UTF-16/32 without a BOM, UTF-8
+    validation, kana/CJK-validated Shift-JIS and Big5, cp1252
+    punctuation in the latin1 C1 control range, latin1 fallback."""
     # UTF-32 BOMs first: the UTF-32 LE BOM ff fe 00 00 starts with the
     # UTF-16 LE BOM ff fe, so the longer prefix must win (ADVICE r1).
     if head.startswith(b"\xff\xfe\x00\x00") or head.startswith(b"\x00\x00\xfe\xff"):
@@ -46,11 +50,73 @@ def detect_encoding(head: bytes) -> str:
         return "UTF-16"
     if head.startswith(b"\xef\xbb\xbf"):
         return "UTF-8"
-    try:
-        head.decode("utf-8")
+    # BOM-less UTF-32/16: mostly-Latin text has a fixed NUL cadence
+    # (3-of-4, or every other byte). Explicit LE/BE names — the plain
+    # "UTF-16"/"UTF-32" codecs expect the BOM these files lack.
+    if len(head) >= 16:
+        n4 = len(head) - len(head) % 4
+        quads = [head[i:i + 4] for i in range(0, n4, 4)]
+        if sum(q[1:4] == b"\x00\x00\x00" for q in quads) / len(quads) > 0.7:
+            return "UTF-32LE"
+        if sum(q[0:3] == b"\x00\x00\x00" for q in quads) / len(quads) > 0.7:
+            return "UTF-32BE"
+        n2 = len(head) - len(head) % 2
+        odd_nul = sum(head[i + 1] == 0 for i in range(0, n2, 2))
+        even_nul = sum(head[i] == 0 for i in range(0, n2, 2))
+        if odd_nul / (n2 // 2) > 0.7 and even_nul / (n2 // 2) < 0.2:
+            return "UTF-16LE"
+        if even_nul / (n2 // 2) > 0.7 and odd_nul / (n2 // 2) < 0.2:
+            return "UTF-16BE"
+    if _decodes(head, "utf-8"):
         return "UTF-8"
-    except UnicodeDecodeError:
-        return "ISO-8859-1"
+    # East-Asian multibyte before the codepage fallbacks: require (a) a
+    # real high-byte density (CJK text heads are >20% high bytes;
+    # accented latin text is a few %), (b) the STRICT decode to succeed
+    # over the whole head (one isolated latin accent before a space
+    # breaks both decoders — the structural guard against latin
+    # misfires), and (c) script evidence: kana is Shift-JIS-specific;
+    # Big5 carries no kana, so CJK count decides.
+    high_frac = sum(b >= 0x80 for b in head) / max(len(head), 1)
+    if high_frac > 0.05:
+        sjis = _decoded_or_none(head, "shift_jis")
+        big5 = _decoded_or_none(head, "big5")
+        kana = cjk_s = cjk_b = 0
+        if sjis is not None:
+            kana = sum(0x3040 <= ord(ch) <= 0x30FF for ch in sjis)
+            cjk_s = sum(0x4E00 <= ord(ch) <= 0x9FFF for ch in sjis)
+        if big5 is not None:
+            cjk_b = sum(0x4E00 <= ord(ch) <= 0x9FFF for ch in big5)
+        if kana >= 3:
+            return "SHIFT_JIS"
+        if cjk_b >= 3 or cjk_s >= 3:
+            # both decoders may accept the bytes; more CJK hits wins
+            # (ties → Big5: Shift-JIS text without ANY kana is rare)
+            return "SHIFT_JIS" if cjk_s > cjk_b else "BIG5"
+    # cp1252 vs latin1: 0x80–0x9F are C1 CONTROL characters in latin1 —
+    # never intentional in tabular text — but printable punctuation in
+    # cp1252 (€ ‘ ’ “ ” – — … ™). Any such byte means cp1252.
+    if any(0x80 <= b <= 0x9F for b in head):
+        return "WINDOWS-1252"
+    return "ISO-8859-1"
+
+
+def _decodes(head: bytes, codec: str) -> bool:
+    return _decoded_or_none(head, codec) is not None
+
+
+def _decoded_or_none(head: bytes, codec: str):
+    """Strict decode tolerant of the sniff head cutting a multi-byte
+    sequence at the END of the buffer (not a real decode error)."""
+    try:
+        return head.decode(codec)
+    except UnicodeDecodeError as e:
+        if e.start >= len(head) - 4 and e.reason.startswith(
+                ("unexpected end of data", "truncated")):
+            try:
+                return head[:e.start].decode(codec)
+            except UnicodeDecodeError:
+                return None
+        return None
 
 
 def is_parquet(head: bytes) -> bool:
@@ -738,6 +804,12 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         # with the JVM charset instead. Whole-file reads don't split —
         # fine for these legacy inputs, convert to UTF-8 for scale.
         multi = enc.upper().startswith(("UTF-16", "UTF-32"))
+        if enc.upper() not in ("UTF-8", "UTF8", "US-ASCII", "ISO-8859-1",
+                               "UTF-16", "UTF-16LE", "UTF-16BE", "UTF-32"):
+            # Spark 4 whitelists csv charsets; windows-125x/Shift_JIS/
+            # Big5 (all real JVM charsets) need the legacy switch —
+            # a runtime SQL conf, scoped to this session.
+            spark.conf.set("spark.sql.legacy.javaCharsets", "true")
         sep = o.get("sep", ",")
         if sep is None:
             # single-column table (no delimiter — reference CSVData

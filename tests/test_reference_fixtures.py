@@ -107,6 +107,56 @@ def test_csv_encoding_detected():
     assert sniff(f"{REF}/csv/iris-utf-8.csv").options["encoding"] == "UTF-8"
 
 
+def test_detect_encoding_heuristics(tmp_path, spark):
+    """Beyond-BOM detection (VERDICT r9 item 5; reference
+    data_utils.py:590-678 chardet behaviors re-derived as deterministic
+    rules): BOM-less UTF-16/32 via NUL cadence, cp1252 punctuation in
+    the latin1 C1 range, kana/CJK-validated Shift-JIS and Big5, latin1
+    accents NOT misrouted to the east-asian decoders."""
+    from dataprofiler_spark.sources.sniff import detect_encoding
+
+    txt = "id,name\n1,Alice\n2,Bob\n3,Carol\n"
+    assert detect_encoding(txt.encode("utf-16-le")) == "UTF-16LE"
+    assert detect_encoding(txt.encode("utf-16-be")) == "UTF-16BE"
+    assert detect_encoding(txt.encode("utf-32-le")) == "UTF-32LE"
+    assert detect_encoding(txt.encode("utf-32-be")) == "UTF-32BE"
+    # cp1252 smart punctuation (0x91-0x94, 0x85, 0x97) = C1 controls in
+    # latin1 — decisive for WINDOWS-1252
+    cp = "id,quote\n1,“smart”\n2,café – bar\n"
+    assert detect_encoding(cp.encode("cp1252")) == "WINDOWS-1252"
+    # plain latin1 accents (no C1 bytes) stay latin1, even though the
+    # 'é' byte is a Shift-JIS lead byte
+    assert detect_encoding("id,v\n1,café mocha\n2,naïve née\n"
+                           .encode("latin1")) == "ISO-8859-1"
+    # Japanese (kana present) → Shift-JIS; Chinese → Big5
+    jp = "id,text\n1,こんにちは世界\n2,ありがとう東京\n"
+    assert detect_encoding(jp.encode("shift_jis")) == "SHIFT_JIS"
+    zh = "id,text\n1,中文測試資料\n2,台北市信義區\n"
+    assert detect_encoding(zh.encode("big5")) == "BIG5"
+    # ascii/utf-8 unchanged
+    assert detect_encoding(txt.encode()) == "UTF-8"
+    assert detect_encoding("héllo wörld ünïcode\n".encode()) == "UTF-8"
+    # a UTF-8 head truncated mid-multibyte-char is still UTF-8
+    assert detect_encoding("über"[:3].encode() + "ü".encode()[:1]) == "UTF-8"
+
+    # end-to-end: a BOM-less UTF-16LE csv and a cp1252 csv read
+    # correctly through the sniff → spark.read path
+    p16 = tmp_path / "bomless16.csv"
+    p16.write_bytes("a,b\n1,x\n2,y\n3,z\n".encode("utf-16-le"))
+    res = sniff(str(p16))
+    assert res.options["encoding"] == "UTF-16LE"
+    from dataprofiler_spark.sources.sniff import read_data
+    df, _ = read_data(spark, str(p16))
+    assert df.count() == 3 and df.columns == ["a", "b"]
+    pcp = tmp_path / "cp1252.csv"
+    pcp.write_bytes("a,b\n1,“q”\n2,café\n".encode("cp1252"))
+    res = sniff(str(pcp))
+    assert res.options["encoding"] == "WINDOWS-1252"
+    df, _ = read_data(spark, str(pcp))
+    vals = [r["b"] for r in df.collect()]
+    assert "“q”" in vals and "café" in vals
+
+
 def test_at_delimiter_and_quotechar():
     res = sniff(f"{REF}/csv/daily-activity-sheet-@.csv")
     assert res.format == "csv" and res.options["sep"] == "@"
