@@ -65,6 +65,41 @@ def test_fused_equals_composed_deterministic_slice(spark):
                     col_f["column_name"], stat)
 
 
+def test_diff_frames_default_fused(spark):
+    """diff_frames (the default .diff() entry, VERDICT r9 item 8):
+    auto mode fuses two same-schema frames into one side-split plan
+    and matches the composed mode exactly; schema drift falls back to
+    composed; fused mode on mismatched schemas refuses."""
+    from dataprofiler_spark.plans.diff_plan import diff_frames
+
+    df = _events(spark).where(F.col("ts").isNotNull())
+    a = df.where(F.col("event_id") % 2 == 0)
+    b = df.where(F.col("event_id") % 2 == 1)
+
+    diff_f, fa, fb = diff_frames(a, b)                    # auto → fused
+    diff_c, ca, cb = diff_frames(a, b, mode="composed")
+    assert sorted(deterministic_diff_rows(diff_f, fa, fb)) == \
+        sorted(deterministic_diff_rows(diff_c, ca, cb))
+    for col_f, col_c in zip(
+            sorted(diff_f["data_stats"], key=lambda c: c["column_name"]),
+            sorted(diff_c["data_stats"], key=lambda c: c["column_name"])):
+        for stat in ("psi", "ks", "chi2-test"):
+            vf, vc = col_f.get(stat), col_c.get(stat)
+            assert (vf is None) == (vc is None)
+            if isinstance(vf, float) and isinstance(vc, float):
+                assert vf == pytest.approx(vc, rel=1e-9, nan_ok=True)
+
+    # cross-schema: auto falls back to composed (columns differ)
+    b2 = b.withColumnRenamed("value", "val2")
+    d, sa, sb = diff_frames(a, b2)
+    assert d["global_stats"]["profile_schema"][0].get("value") is not None
+    with pytest.raises(ValueError, match="matching schemas"):
+        diff_frames(a, b2, mode="fused")
+    # one side empty: states still assemble (LocalRelation, no scan)
+    d3, s3a, s3b = diff_frames(a.where(F.lit(False)), b)
+    assert s3a.row_count == 0 and s3b.row_count == b.count()
+
+
 def test_fused_counts_and_side_assignment(spark):
     df = _events(spark, n=100)
     _, sa, sb = diff_snapshots(df, "ts")
