@@ -105,7 +105,7 @@ _DRIVER_WINDOW = [
     "nullspec_per_column_customer",   # per-column null-value overrides
     "imported_profile_diff_lineitem",  # reference-format profile import
     "minhash_lsh_autocap_documents",   # auto-cap LSH (suggested cap)
-    "session_stats_events",
+    "ann_index_pq_query_embeddings",   # persisted IVF-PQ serving path
     "top_categories_orders",
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",

@@ -172,6 +172,37 @@ def ann_index_query_embeddings(spark, sf_dir):
                         nprobe=2, exclude_id=qrow["vec_id"])
 
 
+@register("ann_index_pq_query_embeddings",
+          "SELECT CAST(rank AS INT) AS rank, vec_id, approx_d FROM ("
+          + clus.oracle_ivf_pq_topk_sql("embeddings", "vec_id",
+                                        "embedding", k_clusters=4,
+                                        iters=1, m=4, k_codes=4,
+                                        pq_iters=1, nprobe=2,
+                                        n_queries=1, k=5, dim=64)
+          + ") t")
+def ann_index_pq_query_embeddings(spark, sf_dir):
+    """END-TO-END persisted IVF-PQ (VERDICT r9 item 9): ivf_build with
+    pq_m stores each vector's m PQ codes next to (id, centroid) in the
+    partitioned parquet layout plus the codebooks as a JSON sidecar;
+    ivf_query_adc serves asymmetric-distance top-k from the PRUNED
+    code columns — the scan reads (id, centroid, code0..3) and never
+    the fp32 vectors (ReadSchema-asserted in test_mllib_ops). The
+    oracle is the inline ivf_pq_topk chain for the same settings with
+    n_queries=1 — the persisted artifact must rank identically to the
+    in-memory plan it serializes."""
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"dps_ann_pq_idx_{abs(hash(sf_dir)) % 10**8}")
+    ai.ivf_build(emb, "vec_id", "embedding", path, n_centroids=4,
+                 quantizer="det", iters=1, pq_m=4, pq_codes=4,
+                 pq_iters=1)
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    return ai.ivf_query_adc(spark, path, list(qrow["embedding"]), k=5,
+                            nprobe=2, exclude_id=qrow["vec_id"])
+
+
 @register("nb_source_confusion_documents",
           nbc.oracle_nb_confusion_sql("documents", "doc_id", "text",
                                       "source", vocab_cap=30))
