@@ -180,13 +180,15 @@ def _nullspec_pc_oracle():
     return f"""
 WITH t AS (SELECT {case_a} AS val_a, {case_b} AS val_b FROM customer)
 SELECT 'val_a' AS "column", COUNT(*) AS sample_size,
-       CAST(SUM(CASE WHEN val_a IS NULL OR regexp_matches(val_a, '{a_re}')
-            THEN 1 ELSE 0 END) AS BIGINT) AS null_count
+       CAST(COALESCE(SUM(CASE WHEN val_a IS NULL
+                OR regexp_matches(val_a, '{a_re}')
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_count
 FROM t
 UNION ALL
 SELECT 'val_b', COUNT(*),
-       CAST(SUM(CASE WHEN val_b IS NULL OR regexp_matches(val_b, '{b_re}')
-            THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN val_b IS NULL
+                OR regexp_matches(val_b, '{b_re}')
+            THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM t
 """
 

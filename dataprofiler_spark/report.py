@@ -277,33 +277,41 @@ def oracle_full_profile_sql(table: str, numeric_cols: list[str],
     all_cols = numeric_cols + string_cols + dt_cols
     any_null = " OR ".join(null_expr(c) for c in all_cols)
     all_null = " AND ".join(null_expr(c) for c in all_cols)
+    # COALESCE on the SUM-shaped stats: the engine's counters are 0 at
+    # n=0 while a bare SQL SUM is NULL — identical on any non-empty
+    # table, aligned on the 0-row edge (test_empty_tables contract)
     selects = [
         row("__dataset", "row_count", "COUNT(*)", None),
         row("__dataset", "rows_with_null",
-            f"SUM(CASE WHEN {any_null} THEN 1 ELSE 0 END)", None),
+            f"COALESCE(SUM(CASE WHEN {any_null} THEN 1 ELSE 0 END), 0)",
+            None),
         row("__dataset", "rows_all_null",
-            f"SUM(CASE WHEN {all_null} THEN 1 ELSE 0 END)", None),
+            f"COALESCE(SUM(CASE WHEN {all_null} THEN 1 ELSE 0 END), 0)",
+            None),
     ]
     for c in all_cols:
-        selects.append(row(c, "null_count",
-                           f"SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END)",
-                           None))
+        selects.append(row(
+            c, "null_count",
+            f"COALESCE(SUM(CASE WHEN {null_expr(c)} THEN 1 ELSE 0 END), 0)",
+            None))
     for c in numeric_cols:
         selects += [
             row(c, "match_count", f"COUNT({c})", None),
             row(c, "min", f"MIN({c})", None),
             row(c, "max", f"MAX({c})", None),
             row(c, "num_zeros",
-                f"SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)", None),
+                f"COALESCE(SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END), 0)",
+                None),
             row(c, "num_negatives",
-                f"SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)", None),
+                f"COALESCE(SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END), 0)",
+                None),
         ]
     for c in string_cols:
         selects += [
             row(c, "match_count", f"COUNT({c})", None),
             row(c, "len_min", f"MIN(LENGTH({c}))", None),
             row(c, "len_max", f"MAX(LENGTH({c}))", None),
-            row(c, "len_sum", f"SUM(LENGTH({c}))", None),
+            row(c, "len_sum", f"COALESCE(SUM(LENGTH({c})), 0)", None),
         ]
     for c in dt_cols:
         selects += [

@@ -33,6 +33,7 @@ LOUD_REFUSAL = {
     "ivf_topk_embeddings", "ivf_recall_embeddings",
     "ivf_pq_topk_embeddings", "ivf_pq_residual_topk_embeddings",
     "pq_audit_embeddings", "ann_index_query_embeddings",
+    "ann_index_pq_query_embeddings",
     "nb_source_confusion_documents", "embedding_group_cosines",
     "label_centroid_audit_embeddings", "pagerank_nation",
     "trained_labeler_customer",
@@ -43,14 +44,12 @@ LOUD_REFUSAL = {
 # Documented divergence classes on EMPTY input (not on real data):
 # - fixture-pinned oracles (cnn/ner rows are sf0.01 goldens; an empty
 #   table can't reproduce them by construction)
-# - full_profile/av_profile: a handful of flat-report stats coalesce to
-#   0 engine-side where the SQL mirror reports NULL over zero rows
-#   (match_count-style counters; divergence exists only at n=0)
+# (the full_profile family's coalesce-vs-NULL divergence was CLOSED in
+# r10: oracle_full_profile_sql now COALESCEs its SUM-shaped stats, so
+# those queries compare exactly even at n=0)
 KNOWN_EMPTY_DIVERGENCE = {
     "cnn_labeler_customer", "ner_spans_orders", "ner_redact_orders",
     "embedding_spectrum_embeddings",  # sf0.01 golden by construction
-    "full_profile_lineitem", "full_profile_events",
-    "merged_profile_lineitem",  # same coalesce-vs-NULL class at n=0
     "av_profile_documents",
     # grouped profile: an empty table has NO groups (0 rows) while the
     # oracle hardcodes the group values (A/N/R) — divergence exists
