@@ -228,3 +228,236 @@ def load_reference_profile(source) -> DatasetState:
         times={str(k): float(v) for k, v in
                (data.get("times") or {}).items()},
     )
+
+
+# ---------------------------------------------------------------------------
+# Export: DatasetState → reference-format JSON (the inverse migration path —
+# the REFERENCE library's BaseProfiler.load(path, "json") can open profiles
+# this engine computed, so a gradual migration can diff/merge in either
+# direction). The writer patches a structural template taken from a real
+# reference save (fixtures/ref_profile_lineitem_sf0001.json.gz, regenerated
+# in-container by scripts/make_ref_profile_fixture.py), so every
+# class/attribute layout json_decoder.py:129-320 expects is present.
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_PATH = None  # resolved lazily; overridable for tests
+
+
+def _template() -> dict:
+    global _TEMPLATE_PATH
+    if _TEMPLATE_PATH is None:
+        import os
+        _TEMPLATE_PATH = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures", "ref_profile_lineitem_sf0001.json.gz")
+    with gzip.open(_TEMPLATE_PATH, "rt") as f:
+        return json.load(f)
+
+
+_PROTO_COLUMNS = {"int": "l_orderkey", "float": "l_quantity",
+                  "text": "l_returnflag", "datetime": "l_shipdate"}
+
+
+def _biased_moments(ns) -> tuple:
+    """(variance, skewness, kurtosis) in the reference's BIASED forms —
+    the exact inverse of the import mapping."""
+    n = ns.n
+    if not n or ns.m2 <= 0:
+        return (ns.m2 / n if n else 0.0), 0.0, -3.0 if n else 0.0
+    bv = ns.m2 / n
+    g1 = (ns.m3 / n) / bv ** 1.5
+    g2 = (ns.m4 / n) / bv ** 2 - 3.0
+    return bv, g1, g2
+
+
+def _quantiles_from_histogram(hist: dict, n_quantiles: int = 999) -> list:
+    """Linear-interpolated quantiles over stored histogram bins (the
+    shape the reference persists in its ``quantiles`` attribute)."""
+    if not hist or not hist.get("bin_counts"):
+        return []
+    counts, edges = hist["bin_counts"], hist["bin_edges"]
+    total = sum(counts)
+    if not total:
+        return []
+    out, acc, b = [], 0, 0
+    cum = []
+    for c in counts:
+        acc += c
+        cum.append(acc)
+    for q in range(1, n_quantiles + 1):
+        target = total * q / (n_quantiles + 1)
+        while b < len(cum) - 1 and cum[b] < target:
+            b += 1
+        lo = cum[b - 1] if b else 0
+        width = cum[b] - lo
+        frac = (target - lo) / width if width else 0.0
+        out.append(edges[b] + (edges[b + 1] - edges[b]) * frac)
+    return out
+
+
+def save_reference_profile(state: DatasetState, path: str) -> dict:
+    """Serialize a DatasetState as a reference-format profile JSON.
+
+    The output loads in the reference library via
+    ``dp.Profiler.load(path, load_method="json")`` /
+    ``BaseProfiler.load`` (json_decoder.py:222-246) and reports this
+    engine's stats — validated end-to-end by
+    tests/test_interop.py::test_export_loads_in_reference (which runs
+    the actual reference code in-container).
+
+    Faithfully exported: per-column sample/null counts and null types,
+    type match counts, min/max/sum, biased moments (variance/skew/
+    kurtosis — reference stores the biased forms), num_zeros/negatives,
+    histogram + interpolated quantiles, category maps, order profile,
+    datetime bounds + formats, text vocab/length stats, dataset row /
+    null-row counts. Not representable in the reference format:
+    ``unique_row_count`` (the reference stores per-row hashes, which a
+    mergeable state deliberately does not retain — exported empty) and
+    vector columns (no reference column type; raise, profile without
+    them for export).
+    """
+    import copy
+
+    vec_cols = [c for c, cs in state.columns.items()
+                if cs.inferred_type == "vector"]
+    if vec_cols:
+        raise ValueError(
+            f"save_reference_profile: vector columns {vec_cols} have no "
+            "reference representation — export a profile without them")
+
+    doc = _template()
+    data = doc["data"]
+    protos = {}
+    for t, cname in _PROTO_COLUMNS.items():
+        protos[t] = next(c for c in data["_profile"]
+                         if c["data"]["name"] == cname)
+
+    def patch_common(d: dict, name: str, n: int):
+        d["name"] = name
+        d["sample_size"] = n
+        d["times"] = {}
+
+    def patch_numeric(d: dict, ns, n_total: int):
+        bv, g1, g2 = _biased_moments(ns)
+        d.update(match_count=ns.n, min=ns.min, max=ns.max, sum=ns.sum,
+                 _biased_variance=bv, _biased_skewness=g1,
+                 _biased_kurtosis=g2, num_zeros=ns.num_zeros,
+                 num_negatives=ns.num_negatives)
+        hist = ns.histogram or {}
+        if not hist.get("bin_counts") and ns.n and ns.min is not None:
+            hist = {"bin_counts": [ns.n],
+                    "bin_edges": [ns.min, ns.max if ns.max != ns.min
+                                  else ns.min + 1.0]}
+        d["_stored_histogram"] = {
+            "total_loss": 0.0, "current_loss": 0.0,
+            "suggested_bin_count": len(hist.get("bin_counts") or []) or 1,
+            "histogram": {"bin_counts": hist.get("bin_counts"),
+                          "bin_edges": hist.get("bin_edges")}}
+        d["quantiles"] = _quantiles_from_histogram(hist)
+        d["_batch_history"] = []
+
+    def neutralize_numeric(d: dict, n_matched: int):
+        # biased moments must be FLOATS (NaN for absent) — the
+        # reference's load hook runs np.isnan on them unconditionally
+        # (numerical_column_stats.py:473-478)
+        nan = float("nan")
+        d.update(match_count=n_matched, min=None, max=None, sum=0.0,
+                 _biased_variance=nan, _biased_skewness=nan,
+                 _biased_kurtosis=nan, num_zeros=0, num_negatives=0,
+                 quantiles=[], _batch_history=[])
+        d["_stored_histogram"] = {
+            "total_loss": 0.0, "current_loss": 0.0,
+            "suggested_bin_count": 1,
+            "histogram": {"bin_counts": None, "bin_edges": None}}
+
+    cols_json = []
+    for idx, name in enumerate(state.column_order):
+        cs = state.columns[name]
+        sel = cs.inferred_type if cs.inferred_type in protos else "text"
+        col = copy.deepcopy(protos[sel])
+        cd = col["data"]
+        n = cs.sample_size
+        cd.update(name=name, sample_size=n, null_count=cs.null_count,
+                  null_ratio=(cs.null_count / n) if n else None,
+                  null_types=list(cs.null_types),
+                  null_types_index={t: [] for t in cs.null_types},
+                  sample=list(cs.samples)[:5],
+                  _min_id=0, _max_id=max(n - 1, 0), _index_shift=None,
+                  _last_batch_size=n)
+        prim = cd["profiles"]["data_type_profile"]["data"]
+        prim["name"] = name
+        for t, node in prim["_profiles"].items():
+            d = node["data"]
+            patch_common(d, name, n)
+            mc = cs.type_counts.get(
+                t, max(n - cs.null_count, 0) if t == "text" else 0)
+            if t == sel and sel in ("int", "float") and cs.numeric:
+                patch_numeric(d, cs.numeric, n)
+            elif t in ("int", "float"):
+                neutralize_numeric(d, mc)
+            elif t == "datetime":
+                d["match_count"] = mc
+                if sel == "datetime" and cs.datetime:
+                    dt = cs.datetime
+                    d.update(match_count=dt.n,
+                             date_formats=list(dt.formats),
+                             min=dt.min_ts, max=dt.max_ts,
+                             _dt_obj_min=(dt.min_ts or "").replace(" ", "T"),
+                             _dt_obj_max=(dt.max_ts or "").replace(" ", "T"))
+                else:
+                    d.update(date_formats=[], min=None, max=None,
+                             _dt_obj_min=None, _dt_obj_max=None)
+            elif t == "text":
+                if sel == "text" and cs.text:
+                    ls = cs.text.lengths
+                    bv, g1, g2 = _biased_moments(ls)
+                    d.update(match_count=ls.n, vocab=list(cs.text.vocab),
+                             min=ls.min, max=ls.max, sum=ls.sum,
+                             _biased_variance=bv, _biased_skewness=g1,
+                             _biased_kurtosis=g2, quantiles=[],
+                             _batch_history=[])
+                else:
+                    # in the reference every non-null cell "matches" text
+                    nan = float("nan")
+                    d.update(match_count=max(n - cs.null_count, 0),
+                             vocab=[], min=None, max=None, sum=0.0,
+                             _biased_variance=nan, _biased_skewness=nan,
+                             _biased_kurtosis=nan, quantiles=[],
+                             _batch_history=[])
+        stats = cd["profiles"]["data_stats_profile"]["data"]
+        stats["name"] = name
+        od = stats["_profiles"]["order"]["data"]
+        patch_common(od, name, n)
+        if cs.order:
+            od.update(order=cs.order.order,
+                      _first_value=cs.order.first,
+                      _last_value=cs.order.last,
+                      _piecewise=bool(cs.order.piecewise))
+        else:
+            od.update(order=None, _first_value=None, _last_value=None,
+                      _piecewise=False)
+        cdd = stats["_profiles"]["category"]["data"]
+        patch_common(cdd, name, n)
+        cat = cs.categorical
+        cdd["_categories"] = dict(cat.categories) if (
+            cat and cat.active) else {}
+        cdd["_stop_condition_is_met"] = bool(cat and not cat.active)
+        cols_json.append(col)
+
+    data["_profile"] = cols_json
+    data["total_samples"] = state.row_count
+    data["row_has_null_count"] = state.rows_with_null
+    data["row_is_null_count"] = state.rows_all_null
+    data["hashed_row_object"] = {}
+    data["times"] = dict(state.times)
+    data["_col_name_to_idx"] = {
+        c: [i] for i, c in enumerate(state.column_order)}
+    data["correlation_matrix"] = None
+    data["chi2_matrix"] = None
+    data["file_type"] = "<class 'pandas.core.frame.DataFrame'>"
+    data["encoding"] = None
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        json.dump(doc, f)
+    return doc

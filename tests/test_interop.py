@@ -100,6 +100,112 @@ def test_imported_merge_and_diff(ref_state, spark):
     assert v == "unchanged" or abs(v) < 1e-9
 
 
+def test_export_round_trips_through_import(spark, tmp_path):
+    """save_reference_profile → load_reference_profile is stat-exact
+    for everything both directions carry (the cheap inverse check; the
+    reference-library load test below is the real contract)."""
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.interop import save_reference_profile
+
+    df = spark.read.parquet(os.path.join(SF0001, "orders.parquet"))
+    st = Profiler(df).profile()
+    p = tmp_path / "export.json.gz"
+    save_reference_profile(st, str(p))
+    back = load_reference_profile(str(p))
+    assert back.row_count == st.row_count
+    assert back.column_order == st.column_order
+    for c in st.column_order:
+        a, b = st.columns[c], back.columns[c]
+        assert (a.null_count, a.sample_size, a.inferred_type) == \
+            (b.null_count, b.sample_size, b.inferred_type), c
+        if a.numeric:
+            assert b.numeric is not None, c
+            assert (a.numeric.n, a.numeric.min, a.numeric.max,
+                    a.numeric.sum) == (b.numeric.n, b.numeric.min,
+                                       b.numeric.max, b.numeric.sum), c
+            assert b.numeric.variance == pytest.approx(
+                a.numeric.variance, rel=1e-12)
+        if a.categorical and a.categorical.active:
+            assert b.categorical.categories == a.categorical.categories, c
+        if a.inferred_type == "datetime":
+            assert (b.datetime.min_ts, b.datetime.max_ts) == \
+                (a.datetime.min_ts, a.datetime.max_ts), c
+
+    # vector columns have no reference representation — loud refusal
+    vdf = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="vector"):
+        save_reference_profile(Profiler(vdf).profile(), str(tmp_path / "v.json"))
+
+
+def test_export_loads_in_reference(spark, tmp_path):
+    """THE migration contract, outbound direction: the REFERENCE
+    library itself (run in-container via baseline_harness's dependency
+    stubs) loads a profile this engine exported and reports this
+    engine's stats. Spark profile → save_reference_profile →
+    dp.Profiler.load(..., "json") → report — min/max/sum/variance/
+    null_count/data_type all agree."""
+    import math
+    import subprocess
+    import sys as _sys
+
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.interop import save_reference_profile
+
+    df = spark.read.parquet(os.path.join(SF0001, "orders.parquet"))
+    st = Profiler(df).profile()
+    p = str(tmp_path / "export_orders.json")
+    save_reference_profile(st, p)
+
+    # the reference import mutates global module state (scipy/psutil
+    # stubs) — run it in a subprocess to keep this test hermetic
+    code = f"""
+import sys, json
+sys.path.insert(0, "/root/repo")
+from baseline_harness import install_stubs
+install_stubs()
+sys.path.insert(0, "/root/reference")
+import dataprofiler as dp
+prof = dp.Profiler.load({p!r}, load_method="json")
+rep = prof.report({{"output_format": "serializable"}})
+out = {{}}
+for ds in rep["data_stats"]:
+    s = ds["statistics"]
+    out[ds["column_name"]] = {{
+        "data_type": ds["data_type"],
+        "null_count": s.get("null_count", ds.get("null_count")),
+        "min": s.get("min"), "max": s.get("max"), "sum": s.get("sum"),
+        "variance": s.get("variance"),
+        "categories": s.get("categories"),
+        "sample_size": ds.get("samples", None)}}
+print("REFREPORT " + json.dumps(out))
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith("REFREPORT ")), None)
+    assert line, f"reference load failed:\n{r.stderr[-2000:]}"
+    import json as _json
+    ref = _json.loads(line[len("REFREPORT "):])
+    assert set(ref) == set(st.column_order)
+    for c, got in ref.items():
+        mine = st.columns[c]
+        assert got["null_count"] == mine.null_count, c
+        if mine.numeric:
+            assert got["data_type"] in ("int", "float"), c
+            for k, v in (("min", mine.numeric.min),
+                         ("max", mine.numeric.max),
+                         ("sum", mine.numeric.sum)):
+                assert got[k] == pytest.approx(v, rel=1e-12), (c, k)
+            assert got["variance"] == pytest.approx(
+                mine.numeric.variance, rel=1e-9), c
+        if mine.categorical and mine.categorical.active and \
+                got.get("categories"):
+            assert sorted(got["categories"]) == \
+                sorted(mine.categorical.categories), c
+        if mine.inferred_type == "datetime":
+            assert got["data_type"] == "datetime", c
+
+
 def test_unstructured_rejected(tmp_path):
     import gzip
     import json
