@@ -1111,3 +1111,97 @@ SELECT subvector, COUNT(*) AS n,
              {round_digits}) AS max_sq_err
 FROM assigned GROUP BY subvector ORDER BY subvector
 """
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   k_clusters: int = 8, iters: int = 2,
+                   threshold: float = 0.9, round_digits: int = 6,
+                   max_cluster_size: int = 10_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster with k-means,
+    then drop near-duplicates WITHIN each cluster only, so pair work
+    is n²/k on balanced cells instead of n² (the paper's central
+    trick: the coarse quantizer is the blocking key).
+
+    Returns (id, cluster, keep) for every non-NULL-vector row: a row
+    is dropped (keep = false) when any LOWER-id cluster-mate has
+    rounded cosine ≥ ``threshold`` — the paper keeps one exemplar per
+    ε-ball; min-id replaces its random choice so the result is
+    deterministic and oracle-reproducible. ``WHERE keep`` is the
+    dedup filter; the cluster column feeds mixture accounting.
+
+    Plan shape: deterministic k-means fit (driver centroids) + ONE
+    broadcast-literal assign scan; the within-cluster self-join
+    shuffles both sides on the cluster key — no all-pairs stage
+    anywhere. ``max_cluster_size`` is the standard degenerate-cell
+    guard (LSH-cap discipline): oversized cells skip pair generation
+    and keep all members (fail OPEN — at 100 TB a mis-fit quantizer
+    must not quadratically explode one reducer; raise k instead).
+    Threshold compares the ROUNDED cosine on both engines, so the
+    decision boundary carries no last-ulp seam."""
+    from dataprofiler_spark.operators.similarity import cosine_expr
+
+    df = df.where(F.col(vec_col).isNotNull())
+    cents = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _assign_expr(F.col(vec_col), cents).cast("int").alias("cluster"))
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__csz"))
+    elig = (assigned.join(sizes, "cluster")
+            .where(F.col("__csz") <= max_cluster_size)
+            .select("id", "v", "cluster"))
+    a, b = elig.alias("a"), elig.alias("b")
+    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), round_digits)
+    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .where(cos >= threshold)
+             .select(F.col("b.id").alias("id")).distinct())
+    return (assigned
+            .join(drops.withColumn("__drop", F.lit(1)), "id", "left")
+            .select("id", "cluster",
+                    F.col("__drop").isNull().alias("keep")))
+
+
+def oracle_semantic_dedup_sql(table: str, id_col: str, vec_col: str,
+                              k_clusters: int = 8, iters: int = 2,
+                              threshold: float = 0.9,
+                              round_digits: int = 6,
+                              max_cluster_size: int = 10_000,
+                              dim: int = 64) -> str:
+    """SQL twin of :func:`semantic_dedup` — same k-means cells, same
+    min-id ε-ball keep rule, same rounded-cosine boundary, same
+    oversized-cell fail-open."""
+    from dataprofiler_spark.operators.similarity import duck_cosine
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    dot = ("list_sum(list_transform(generate_series(1, {d}),"
+           " i -> {a}[i] * {b}[i]))")
+    num = dot.format(d=dim, a="a.v", b="b.v")
+    na = dot.format(d=dim, a="a.v", b="a.v")
+    nb = dot.format(d=dim, a="b.v", b="b.v")
+    cos = duck_cosine(num, na, nb)
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
+cells AS (
+  SELECT id, v, cl::INT AS cluster FROM (
+    SELECT e.id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+csz AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+elig AS (
+  SELECT cells.* FROM cells JOIN csz USING (cluster)
+  WHERE csz.n <= {max_cluster_size}
+),
+drops AS (
+  SELECT DISTINCT b.id
+  FROM elig a JOIN elig b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE ROUND({cos}, {round_digits}) >= {threshold}
+)
+SELECT cells.id, cells.cluster,
+       drops.id IS NULL AS keep
+FROM cells LEFT JOIN drops ON cells.id = drops.id
+"""

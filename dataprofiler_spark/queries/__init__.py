@@ -106,7 +106,7 @@ _DRIVER_WINDOW = [
     "imported_profile_diff_lineitem",  # reference-format profile import
     "minhash_lsh_autocap_documents",   # auto-cap LSH (suggested cap)
     "ann_index_pq_query_embeddings",   # persisted IVF-PQ serving path
-    "top_categories_orders",
+    "semantic_dedup_embeddings",       # SemDeDup (new r10 operator)
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
     # ---- (d) next-due cohort (r7), cross-family spread: 9 ----

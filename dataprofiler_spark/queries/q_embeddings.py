@@ -315,3 +315,20 @@ def hard_negatives_embeddings(spark, sf_dir):
                               n_queries=5, k=5)
 
 
+
+
+@register("semantic_dedup_embeddings",
+          clus.oracle_semantic_dedup_sql("embeddings", "vec_id",
+                                         "embedding", k_clusters=8,
+                                         iters=2, threshold=0.3, dim=64))
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells as the blocking key,
+    min-id ε-ball keep rule within each cell — (id, cluster, keep) for
+    every vector; ``WHERE keep`` is the semantic dedup filter.
+    threshold=0.3 sits at ~p99 of this corpus's within-cluster cosine
+    distribution, so the drop set is non-trivial without being
+    degenerate. Pair work is bounded by the cell sizes (n²/k), with a
+    max_cluster_size fail-open guard for degenerate cells."""
+    return clus.semantic_dedup(T(spark, sf_dir, "embeddings"), "vec_id",
+                               "embedding", k_clusters=8, iters=2,
+                               threshold=0.3)

@@ -437,3 +437,38 @@ def test_hard_negatives_exclude_own_label(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"]
                    for i in range(len(rs) - 1))
+
+
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup keep rule: exact/near duplicates drop in favor of the
+    lowest id IN THE SAME CELL; cross-cluster near-dups survive (the
+    documented blocking tradeoff); oversized cells fail OPEN."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.clustering import semantic_dedup
+
+    # two far-apart directions -> two cells; dups inside each
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, e1), (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, e2), (4, [0.01, 0.995, 0.0, 0.0]),  # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),              # lone
+        (6, None),                              # NULL vec: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   k_clusters=3, iters=2,
+                                   threshold=0.9).collect()}
+    assert len(out) == 5                      # NULL vector has no row
+    assert out[1][1] and not out[2][1]        # min-id wins its ε-ball
+    assert out[3][1] and not out[4][1]
+    assert out[5][1]
+    assert out[1][0] == out[2][0] and out[3][0] == out[4][0]
+
+    # fail-open: with the cell size cap below the cluster sizes,
+    # nothing is dropped (the guard skips pair generation)
+    guarded = semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
+                             iters=2, threshold=0.9, max_cluster_size=1)
+    assert guarded.where(~F.col("keep")).count() == 0
