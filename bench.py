@@ -241,6 +241,15 @@ def build_runners(spark, sf_dir):
             documents, "doc_id", "text",
             documents.where(F.col("doc_id") % 29 == 0), "doc_id", "text"
         ).count())
+    # auto-cap LSH (r10): the cap ladder rides the guard's own
+    # bucket-size aggregate — row exists to price the auto mode vs the
+    # fixed-cap row above
+    add("dedup", "minhash_lsh_autocap_documents",
+        lambda: dd.minhash_lsh_pairs(documents, "doc_id", "text",
+                                     num_hashes=12, bands=2,
+                                     threshold=0.8,
+                                     max_bucket_size="auto",
+                                     pair_budget_per_doc=20).count())
 
     # ---- text group ----
     add("text", "quality_features_documents",
@@ -383,6 +392,10 @@ def build_runners(spark, sf_dir):
     add("similarity", "embedding_covariance", _cov)
 
     # ---- clustering group ----
+    add("clustering", "semantic_dedup_embeddings",
+        lambda: clus.semantic_dedup(embeddings, "vec_id", "embedding",
+                                    k_clusters=8, iters=2,
+                                    threshold=0.3).count())
     add("clustering", "kmeans_embeddings",
         lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
                                    k=4, iters=2).count())

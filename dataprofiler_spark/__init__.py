@@ -22,6 +22,8 @@ from dataprofiler_spark.operators.validators import Validator
 from dataprofiler_spark.plans.dispatch import (GraphProfiler,
                                                UnstructuredProfiler,
                                                profile_path)
+from dataprofiler_spark.interop import (load_reference_profile,
+                                        save_reference_profile)
 from dataprofiler_spark.plans.diff_plan import (diff_frames, diff_snapshots,
                                                 profile_timeline)
 from dataprofiler_spark.plans.profile_plan import Profiler, ProfilerOptions
@@ -69,6 +71,7 @@ __all__ = [
     "ProfileHistory", "drift_series", "drift_timeline",
     "build_report", "diff_profiles",
     "diff_frames", "diff_snapshots", "profile_timeline",
+    "load_reference_profile", "save_reference_profile",
     "get_spark", "load_tables", "merge_profile_list", "profile_path",
     "set_seed", "set_verbosity", "get_logger", "to_json", "from_json",
 ]
