@@ -53,10 +53,12 @@ WORD_LEVEL_MIN_PERCENT = 0.75
 SPAN_SCHEMA = ("id long, start int, end int, entity string, "
                "token string")
 
-UNSTRUCTURED_MODEL_PATHS = (
+# env var first; the reference-checkout fallback is dev-sandbox-only
+# (skipped when the checkout is absent — see np_cnn.DEFAULT_MODEL_PATHS)
+UNSTRUCTURED_MODEL_PATHS = tuple(p for p in (
     os.environ.get("DATAPROFILER_SPARK_CNN_UNSTRUCTURED_WEIGHTS", ""),
     "/root/reference/resources/labelers/unstructured_model/model.keras",
-)
+) if not p.startswith("/root/reference/") or os.path.exists(p))
 
 
 @lru_cache(maxsize=1)
