@@ -1114,9 +1114,10 @@ FROM assigned GROUP BY subvector ORDER BY subvector
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   k_clusters: int = 8, iters: int = 2,
+                   k_clusters: int | str = 8, iters: int = 2,
                    threshold: float = 0.9, round_digits: int = 6,
-                   max_cluster_size: int = 10_000) -> DataFrame:
+                   max_cluster_size: int = 10_000,
+                   target_cell_size: int = 2_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster with k-means,
     then drop near-duplicates WITHIN each cluster only, so pair work
@@ -1138,10 +1139,21 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     and keep all members (fail OPEN — at 100 TB a mis-fit quantizer
     must not quadratically explode one reducer; raise k instead).
     Threshold compares the ROUNDED cosine on both engines, so the
-    decision boundary carries no last-ulp seam."""
+    decision boundary carries no last-ulp seam.
+
+    ``k_clusters="auto"`` implements the scaling rule (SCALE.md §33):
+    k = ceil(n / target_cell_size), so cells stay ~constant-size and
+    the pair stage stays LINEAR in n as the corpus grows — with a
+    fixed k the n²/k pair work is quadratic by construction (the
+    SemDeDup paper runs k = 50,000 on LAION for the same reason).
+    Auto mode costs one count; the data-dependent k means no static
+    SQL oracle (the fixed-k driver query stays the oracled form)."""
     from dataprofiler_spark.operators.similarity import cosine_expr
 
     df = df.where(F.col(vec_col).isNotNull())
+    if k_clusters == "auto":
+        n_vecs = df.count()
+        k_clusters = max(1, -(-n_vecs // int(target_cell_size)))
     cents = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
     assigned = df.select(
         F.col(id_col).alias("id"),

@@ -472,3 +472,13 @@ def test_semantic_dedup_semantics(spark):
     guarded = semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
                              iters=2, threshold=0.9, max_cluster_size=1)
     assert guarded.where(~F.col("keep")).count() == 0
+
+    # auto-k: k = ceil(n / target_cell_size) — 5 vectors at cell size
+    # 2 → 3 cells, same contract as an explicit k=3
+    auto = semantic_dedup(df, "vec_id", "embedding", k_clusters="auto",
+                          target_cell_size=2, iters=2, threshold=0.9)
+    fixed = semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
+                           iters=2, threshold=0.9)
+    key = lambda r: (r["id"], r["cluster"], r["keep"])  # noqa: E731
+    assert sorted(map(key, auto.collect())) == \
+        sorted(map(key, fixed.collect()))

@@ -216,3 +216,58 @@ def test_unstructured_rejected(tmp_path):
         load_reference_profile(str(p))
     with pytest.raises(ValueError):
         load_reference_profile({"class": "SomethingElse", "data": {}})
+
+
+def test_import_null_bearing_reference_profile(tmp_path):
+    """Import parity on a NULL-bearing profile (the committed lineitem
+    fixture has zero nulls): the reference profiles a frame with
+    NaN / 'null' / '' cells in-container, saves JSON, and the import
+    must carry its null_count / null_types / per-type match counts."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    p = str(tmp_path / "ref_nulls.json")
+    code = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from baseline_harness import install_stubs
+install_stubs()
+sys.path.insert(0, "/root/reference")
+import numpy as np
+import pandas as pd
+import dataprofiler as dp
+df = pd.DataFrame({{
+    "num": [1.0, 2.0, np.nan, 4.0, np.nan, 6.0] * 10,
+    "txt": ["a", "", "null", "b", "c", "--"] * 10,
+}})
+opts = dp.ProfilerOptions()
+opts.set({{"data_labeler.is_enabled": False}})
+prof = dp.Profiler(df, samples_per_update=len(df), options=opts)
+prof.save({p!r}, save_method="json")
+rep = prof.report({{"output_format": "serializable"}})
+import json
+print("REFNULLS " + json.dumps([
+    {{"col": ds["column_name"], "null": ds["statistics"].get("null_count"),
+      "types": sorted(ds["statistics"].get("null_types", []))}}
+    for ds in rep["data_stats"]]))
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith("REFNULLS ")), None)
+    assert line, f"reference profiling failed:\n{r.stderr[-2000:]}"
+    ref_report = {d["col"]: d for d in json.loads(line[len("REFNULLS "):])}
+
+    st = load_reference_profile(p)
+    num, txt = st.columns["num"], st.columns["txt"]
+    assert num.null_count == ref_report["num"]["null"] == 20
+    # '', 'null' and '--' are regex-nulls for the reference
+    assert txt.null_count == ref_report["txt"]["null"] == 30
+    assert txt.null_types == ref_report["txt"]["types"]
+    assert num.sample_size == txt.sample_size == 60
+    # the numeric stats exclude the null cells
+    assert num.numeric is not None and num.numeric.n == 40
+    assert num.numeric.min == 1.0 and num.numeric.max == 6.0
+    # text stats exclude regex-nulls too (reference match_count)
+    assert txt.text is not None and txt.text.lengths.n == 30
