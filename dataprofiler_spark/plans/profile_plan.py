@@ -188,6 +188,73 @@ class ProfilerOptions:
             raise ValueError(f"unknown disabled_stats: {sorted(unknown)}")
         self.disabled_stats = frozenset(disabled_stats)
 
+    # reference dotted paths that intentionally change nothing here:
+    # multiprocess (Spark IS the parallelism), data_labeler (labeling
+    # is an explicit DataLabeler call, never inlined into profile()),
+    # correlation / chi2 (separate oracled operators, not profile
+    # stages). Accepting them keeps reference scripts running verbatim.
+    _SET_NOOPS = ("multiprocess", "data_labeler", "correlation",
+                  "chi2_homogeneity")
+
+    def set(self, options: dict) -> None:
+        """Reference dotted-path options contract
+        (profiler_options.py:103-160 ``set``/``_set_helper``): accepts
+        the same ``{"a.b.c": value}`` dict a DataProfiler script passes,
+        including the ``*.`` wildcard and the ``structured_options.``
+        prefix, and maps each recognized path onto this engine's knobs.
+        Unknown paths raise (the reference raises on invalid options
+        too) so a typo'd migration fails loudly, not silently."""
+        from dataprofiler_spark.functions.nulls import NullSpec
+
+        def _null_spec(d: dict) -> NullSpec:
+            # reference null dicts map pattern -> re flag (IGNORECASE
+            # or 0); fold per-pattern flags into inline (?i:) groups
+            pats = tuple(
+                f"(?i:{p})" if flag else str(p) for p, flag in d.items())
+            return NullSpec(patterns=pats, case_insensitive=False)
+
+        if not isinstance(options, dict):
+            raise ValueError("The options must be a dictionary.")
+        for path, value in options.items():
+            key = path.replace("*.", "").replace("structured_options.", "")
+            head = key.split(".", 1)[0]
+            if key == "null_values":
+                self.null_spec = _null_spec(value or {})
+            elif key == "column_null_values":
+                self.column_null_values = {
+                    k: _null_spec(v) for k, v in (value or {}).items()}
+            elif key == "sampling_ratio":
+                self.sampling_ratio = float(value)
+                self.reference_sampling = True
+            elif key in ("category.is_enabled", "category.is_case_sensitive"):
+                if key.endswith("is_case_sensitive"):
+                    continue  # categories are case-exact here already
+                self.disabled_stats = (self.disabled_stats - {"categorical"}
+                                       if value else
+                                       self.disabled_stats | {"categorical"})
+            elif key in ("histogram_and_quantiles.is_enabled",):
+                self.disabled_stats = (self.disabled_stats - {"histogram"}
+                                       if value else
+                                       self.disabled_stats | {"histogram"})
+            elif key in ("histogram_and_quantiles.bin_count_or_method",
+                         "histogram_and_quantiles.method"):
+                self.histogram_bins = (value if isinstance(value, (int, str))
+                                       else value[0])
+            elif key == "row_statistics.is_enabled":
+                self.unique_row_method = "hll" if value else "none"
+            elif key == "row_statistics.unique_count.is_enabled":
+                self.unique_row_method = "hll" if value else "none"
+            elif key == "category.top_k_categories":
+                self.top_k_categories = int(value)
+            elif key == "category.stop_condition_unique_value_ratio":
+                self.categorical_stop_ratio = float(value)
+            elif key == "category.max_sample_size_to_check_stop_condition":
+                pass  # the stop condition is exact here (no sampling gate)
+            elif head in self._SET_NOOPS:
+                pass  # documented no-ops (see _SET_NOOPS)
+            else:
+                raise ValueError(f"unknown option path {path!r}")
+
     def null_spec_for(self, name: str, index: int | None = None):
         """The per-column NullSpec override for ``name`` (or positional
         ``index``), or None when the column has no override — callers

@@ -604,6 +604,56 @@ def test_column_null_values_overrides(spark):
         ProfilerOptions(column_null_values={"a": "n/a"})
 
 
+def test_options_set_reference_contract(spark):
+    """Reference dotted-path options.set (profiler_options.py:103-160):
+    the call shapes a migrating DataProfiler script uses map onto this
+    engine's knobs; unknown paths raise."""
+    import re
+
+    import pytest
+
+    from dataprofiler_spark import Profiler, ProfilerOptions
+
+    opts = ProfilerOptions()
+    opts.set({"data_labeler.is_enabled": False,          # accepted no-op
+              "structured_options.multiprocess.is_enabled": True,
+              "*.histogram_and_quantiles.bin_count_or_method": 25,
+              "row_statistics.is_enabled": False,
+              "structured_options.sampling_ratio": 0.5,
+              "null_values": {"": 0, "n/a": re.IGNORECASE},
+              "column_null_values": {1: {"-": 0}}})
+    assert opts.histogram_bins == 25
+    assert opts.unique_row_method == "none"
+    assert opts.sampling_ratio == 0.5 and opts.reference_sampling
+    assert opts.null_spec.patterns == ("", "(?i:n/a)")
+    assert 1 in opts.column_null_values
+    # per-pattern flags: 'N/A' null via the global inline (?i:) rule in
+    # column a; column b (index 1) REPLACES the spec with exact '-'
+    df = spark.createDataFrame([("N/A", "-"), ("x", "X")],
+                               "a string, b string")
+    opts.sample_fraction = None
+    opts.reference_sampling = False  # tiny frame: profile all rows
+    st = Profiler(df, opts).profile()
+    assert st.columns["a"].null_count == 1   # global (?i:n/a) matches
+    assert st.columns["b"].null_count == 1   # override '-' matches
+    o2 = ProfilerOptions()
+    o2.set({"null_values": {"n/a": 0}})      # exact-case: 'N/A' NOT null
+    st2 = Profiler(df, o2).profile()
+    assert st2.columns["a"].null_count == 0
+
+    o3 = ProfilerOptions()
+    o3.set({"category.is_enabled": False,
+            "histogram_and_quantiles.is_enabled": False})
+    assert o3.disabled_stats == {"categorical", "histogram"}
+    o3.set({"category.is_enabled": True})
+    assert o3.disabled_stats == {"histogram"}
+
+    with pytest.raises(ValueError, match="unknown option path"):
+        ProfilerOptions().set({"no.such.option": 1})
+    with pytest.raises(ValueError, match="dictionary"):
+        ProfilerOptions().set("not-a-dict")
+
+
 def test_detailed_timing_pass(spark, sf_dir):
     """Opt-in per-stat telemetry (reference base_column_profilers.py
     _timeit): stat:<family> keys appear with positive wall times and the
