@@ -779,3 +779,53 @@ def test_streaming_winnow_compaction_roundtrip(spark, tmp_path):
     assert probe_flags() == before_flags               # identical flags
     # the copied-passage probe is flagged, the novel one is not
     assert {i for _, i in before_flags} == {900}
+
+
+def test_streaming_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup: within-batch min-id rule, cross-batch
+    first-seen-wins vs the persisted exemplar store, NULL vectors
+    skipped, and re-ingesting a batch admits nothing new (store growth
+    bounded by content diversity)."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.streaming.semdedup import (
+        StreamingSemanticDedup, build_semdedup_store)
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e3 = [0.0, 0.0, 1.0, 0.0]
+    sample = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([e1, e2, e3] * 4)],
+        "id long, v array<double>")
+    path = str(tmp_path / "sem_store")
+    meta = build_semdedup_store(sample, "id", "v", path, k_clusters=3,
+                                iters=2, threshold=0.9)
+    assert len(meta["centroids"]) == 3
+
+    dd = StreamingSemanticDedup(path, "id", "v")
+    # batch 0: 10/11 near-dup of e1 (min-id 10 kept), 20 lone, NULL row
+    b0 = spark.createDataFrame(
+        [(10, e1), (11, [0.99, 0.01, 0.0, 0.0]), (20, e2), (30, None)],
+        "id long, v array<double>")
+    dd.update(b0, 0)
+    assert dd.stats[-1] == (0, 3, 2)          # 10 and 20 admitted
+    kept = spark.read.parquet(f"{path}/kept")
+    assert sorted(r["id"] for r in kept.collect()) == [10, 20]
+
+    # batch 1: 40 duplicates the STORED exemplar 10 (dropped,
+    # first-seen-wins), 50 is novel (admitted)
+    b1 = spark.createDataFrame(
+        [(40, [0.995, 0.005, 0.0, 0.0]), (50, e3)],
+        "id long, v array<double>")
+    dd.update(b1, 1)
+    assert dd.stats[-1] == (1, 2, 1)
+    kept_ids = sorted(r["id"] for r in
+                      spark.read.parquet(f"{path}/kept").collect())
+    assert kept_ids == [10, 20, 50]
+
+    # re-ingest batch 0: everything is a dup of the store now
+    dd.update(b0, 2)
+    assert dd.stats[-1] == (2, 3, 0)
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(f"{path}/kept").collect()) == \
+        [10, 20, 50]
