@@ -271,3 +271,106 @@ print("REFNULLS " + json.dumps([
     assert num.numeric.min == 1.0 and num.numeric.max == 6.0
     # text stats exclude regex-nulls too (reference match_count)
     assert txt.text is not None and txt.text.lengths.n == 30
+
+
+def test_export_import_generative_roundtrip():
+    """Seeded generative round-trip: random DatasetStates (numeric /
+    text / datetime / categorical columns, random nulls and moments)
+    survive save_reference_profile → load_reference_profile with every
+    stat both directions carry intact — the no-Spark property-test
+    complement to the reference-library load test."""
+    import random
+    import tempfile
+
+    from dataprofiler_spark.interop import save_reference_profile
+    from dataprofiler_spark.state import (CategoricalState, ColumnState,
+                                          DatasetState, DatetimeState,
+                                          NumericState, OrderState,
+                                          TextState)
+
+    rng = random.Random(1234)
+    for case in range(12):
+        n = rng.randint(1, 5000)
+        cols = {}
+        order = []
+        for ci in range(rng.randint(1, 6)):
+            name = f"c{case}_{ci}"
+            kind = rng.choice(["int", "float", "text", "datetime"])
+            nulls = rng.randint(0, n // 2)
+            cs = ColumnState(name=name, sample_size=n, null_count=nulls,
+                             null_types=sorted(rng.sample(
+                                 ["", "nan", "null", "--"],
+                                 rng.randint(0, 3))),
+                             type_counts={"datetime": 0, "int": 0,
+                                          "float": 0, "text": n - nulls},
+                             inferred_type=kind)
+            m = n - nulls
+            if kind in ("int", "float") and m:
+                vals = sorted(rng.uniform(-100, 100) for _ in range(4))
+                s1 = rng.uniform(-1e4, 1e4)
+                cs.numeric = NumericState(
+                    n=m, sum=s1, min=vals[0], max=vals[-1],
+                    m2=rng.uniform(0, 1e4) * m,
+                    m3=rng.uniform(-1e3, 1e3) * m,
+                    m4=rng.uniform(0, 1e6) * m,
+                    num_zeros=rng.randint(0, m),
+                    num_negatives=rng.randint(0, m),
+                    histogram={"bin_counts": [m // 2, m - m // 2],
+                               "bin_edges": [vals[0], vals[1], vals[-1]]})
+                cs.type_counts[kind] = m
+            elif kind == "text" and m:
+                cs.text = TextState(
+                    lengths=NumericState(n=m, sum=float(7 * m), min=1.0,
+                                         max=30.0, m2=2.5 * m),
+                    vocab=sorted(set(rng.choice("abcdef")
+                                     for _ in range(6))))
+                cs.categorical = CategoricalState(
+                    categories={f"v{j}": rng.randint(1, m)
+                                for j in range(rng.randint(1, 5))})
+            elif kind == "datetime":
+                cs.type_counts["datetime"] = m
+                cs.datetime = DatetimeState(
+                    n=m, min_ts="2001-02-03 04:05:06",
+                    max_ts="2020-12-31 23:59:59",
+                    formats=["%Y-%m-%d %H:%M:%S"])
+            cs.order = OrderState(order=rng.choice(
+                ["ascending", "descending", "random"]),
+                first=1.0, last=2.0, n=n)
+            cols[name] = cs
+            order.append(name)
+        st = DatasetState(row_count=n, column_order=order, columns=cols,
+                          rows_with_null=rng.randint(0, n),
+                          rows_all_null=0)
+        with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+            save_reference_profile(st, tmp.name)
+            back = load_reference_profile(tmp.name)
+        assert back.row_count == st.row_count
+        assert back.column_order == st.column_order
+        assert back.rows_with_null == st.rows_with_null
+        for name in order:
+            a, b = st.columns[name], back.columns[name]
+            assert (a.null_count, a.null_types) == \
+                (b.null_count, b.null_types), name
+            if a.numeric and a.numeric.n:
+                assert b.numeric is not None, name
+                for attr in ("n", "min", "max", "sum", "num_zeros",
+                             "num_negatives"):
+                    assert getattr(b.numeric, attr) == pytest.approx(
+                        getattr(a.numeric, attr), rel=1e-12), (name, attr)
+                for attr in ("m2", "m3", "m4"):
+                    assert getattr(b.numeric, attr) == pytest.approx(
+                        getattr(a.numeric, attr), rel=1e-9,
+                        abs=1e-6 * max(1, a.numeric.n)), (name, attr)
+                assert b.numeric.histogram == a.numeric.histogram, name
+            if a.inferred_type == "text" and a.text and a.text.lengths.n:
+                assert b.text.vocab == a.text.vocab, name
+                assert b.text.lengths.n == a.text.lengths.n, name
+                assert b.categorical.categories == \
+                    a.categorical.categories, name
+            if a.inferred_type == "datetime" and a.datetime:
+                assert (b.datetime.min_ts, b.datetime.max_ts,
+                        b.datetime.formats) == \
+                    (a.datetime.min_ts, a.datetime.max_ts,
+                     a.datetime.formats), name
+            if a.order:
+                assert b.order.order == a.order.order, name
