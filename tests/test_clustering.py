@@ -482,3 +482,11 @@ def test_semantic_dedup_semantics(spark):
     key = lambda r: (r["id"], r["cluster"], r["keep"])  # noqa: E731
     assert sorted(map(key, auto.collect())) == \
         sorted(map(key, fixed.collect()))
+
+    # plan shape: the pair stage is a keyed join on the cluster
+    # blocking key, never a cartesian product (the whole point of the
+    # SemDeDup design at 100 TB)
+    plan = fixed._sc._jvm.PythonSQLUtils.explainString(
+        fixed._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
