@@ -78,6 +78,29 @@ def test_imported_matches_engine_profile(ref_state, spark):
     assert not mismatched, mismatched
 
 
+def test_imported_profile_reports(ref_state):
+    """build_report over an IMPORTED state: the full report assembles,
+    and the histogram-derived stats reproduce the reference's own
+    report values on the same profile — median bit-for-bit (both
+    engines interpolate the same stored bins), variance to the
+    moment-inversion precision."""
+    from dataprofiler_spark.report import build_report
+
+    rep = build_report(ref_state, output_format="compact")
+    assert rep["global_stats"]["row_count"] == 6000
+    qty = next(d for d in rep["data_stats"]
+               if d["column_name"] == "l_quantity")
+    s = qty["statistics"]
+    # values from the reference's serializable report on this profile
+    # (see scripts/make_ref_profile_fixture.py)
+    assert s["median"] == 25.005947368421054
+    assert math.isclose(s["variance"], 210.86447605156414, rel_tol=1e-12)
+    assert s["min"] == 1.0 and s["max"] == 50.0
+    rf = next(d for d in rep["data_stats"]
+              if d["column_name"] == "l_returnflag")
+    assert rf["statistics"]["categories"]["N"] == 2070
+
+
 def test_imported_merge_and_diff(ref_state, spark):
     """Imported state participates in the + algebra and in diff()."""
     from dataprofiler_spark import Profiler
