@@ -98,7 +98,7 @@ def test_imported_profile_reports(ref_state):
     assert s["min"] == 1.0 and s["max"] == 50.0
     rf = next(d for d in rep["data_stats"]
               if d["column_name"] == "l_returnflag")
-    assert rf["statistics"]["categories"]["N"] == 2070
+    assert rf["statistics"]["categorical_count"]["N"] == 2070
 
 
 def test_imported_merge_and_diff(ref_state, spark):
