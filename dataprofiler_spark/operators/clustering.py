@@ -1176,15 +1176,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                     F.col("__drop").isNull().alias("keep")))
 
 
-def oracle_semantic_dedup_sql(table: str, id_col: str, vec_col: str,
-                              k_clusters: int = 8, iters: int = 2,
-                              threshold: float = 0.9,
-                              round_digits: int = 6,
-                              max_cluster_size: int = 10_000,
-                              dim: int = 64) -> str:
-    """SQL twin of :func:`semantic_dedup` — same k-means cells, same
-    min-id ε-ball keep rule, same rounded-cosine boundary, same
-    oversized-cell fail-open."""
+def _semantic_dedup_ctes(table: str, id_col: str, vec_col: str,
+                         k_clusters: int, iters: int, threshold: float,
+                         round_digits: int, max_cluster_size: int,
+                         dim: int) -> str:
+    """CTE chain of :func:`semantic_dedup` ending at ``drops`` (ids to
+    remove) with ``cells`` holding every vector's cluster — shared by
+    the standalone oracle and the composed curation-pipeline oracle."""
     from dataprofiler_spark.operators.similarity import duck_cosine
     sq = _duck_sqdist("e.v", "c.v", dim)
     dot = ("list_sum(list_transform(generate_series(1, {d}),"
@@ -1193,8 +1191,7 @@ def oracle_semantic_dedup_sql(table: str, id_col: str, vec_col: str,
     na = dot.format(d=dim, a="a.v", b="a.v")
     nb = dot.format(d=dim, a="b.v", b="b.v")
     cos = duck_cosine(num, na, nb)
-    return f"""
-WITH {_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
+    return f"""{_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
 cells AS (
   SELECT id, v, cl::INT AS cluster FROM (
     SELECT e.id, e.v, c.cl,
@@ -1212,7 +1209,23 @@ drops AS (
   FROM elig a JOIN elig b
     ON a.cluster = b.cluster AND a.id < b.id
   WHERE ROUND({cos}, {round_digits}) >= {threshold}
-)
+)"""
+
+
+def oracle_semantic_dedup_sql(table: str, id_col: str, vec_col: str,
+                              k_clusters: int = 8, iters: int = 2,
+                              threshold: float = 0.9,
+                              round_digits: int = 6,
+                              max_cluster_size: int = 10_000,
+                              dim: int = 64) -> str:
+    """SQL twin of :func:`semantic_dedup` — same k-means cells, same
+    min-id ε-ball keep rule, same rounded-cosine boundary, same
+    oversized-cell fail-open."""
+    ctes = _semantic_dedup_ctes(table, id_col, vec_col, k_clusters,
+                                iters, threshold, round_digits,
+                                max_cluster_size, dim)
+    return f"""
+WITH {ctes}
 SELECT cells.id, cells.cluster,
        drops.id IS NULL AS keep
 FROM cells LEFT JOIN drops ON cells.id = drops.id

@@ -123,16 +123,18 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str,
     return n_in.crossJoin(out)
 
 
-def oracle_corpus_report_sql(table: str, id_col: str, text_col: str,
-                             min_quality: float = 0.45) -> str:
+def _corpus_curated_ctes(table: str, id_col: str, text_col: str,
+                         min_quality: float) -> str:
+    """CTE chain of :func:`curate_corpus` ending at ``curated``
+    (id, n_tokens) — shared by the report oracle and the composed
+    semantic-curation oracle."""
     from dataprofiler_spark.operators.dedup import oracle_simhash_sql
     from dataprofiler_spark.operators.textanalysis import \
         oracle_quality_features_sql
 
     quality = oracle_quality_features_sql(table, id_col, text_col)
     sim = oracle_simhash_sql(table, id_col, text_col)
-    return f"""
-WITH q AS ({quality}),
+    return f"""q AS ({quality}),
 kept AS (SELECT id, n_tokens FROM q WHERE quality_score >= {min_quality}),
 fp AS (
   SELECT {id_col} AS id,
@@ -154,12 +156,96 @@ near_keep AS (
 curated AS (
   SELECT kept.id, kept.n_tokens FROM kept
   JOIN exact_keep USING (id) JOIN near_keep USING (id)
-)
+)"""
+
+
+def oracle_corpus_report_sql(table: str, id_col: str, text_col: str,
+                             min_quality: float = 0.45) -> str:
+    return f"""
+WITH {_corpus_curated_ctes(table, id_col, text_col, min_quality)}
 SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
        COUNT(*) AS n_docs_out,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_out,
        ROUND(AVG(n_tokens), 6) AS avg_tokens_out
 FROM curated
+"""
+
+
+def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
+                           embeddings: DataFrame, emb_id_col: str,
+                           emb_vec_col: str, min_quality: float = 0.45,
+                           semantic_threshold: float = 0.3,
+                           k_clusters: int = 8, iters: int = 2,
+                           round_digits: int = 6,
+                           max_cluster_size: int = 10_000) -> DataFrame:
+    """The full modern curation chain, one composed plan:
+
+        quality filter → exact dedup → SimHash near-dup → SemDeDup
+
+    The semantic stage runs over the embeddings of the TEXT-STAGE
+    SURVIVORS only (a doc already dropped by cheaper stages never
+    knocks out a survivor, and the k-means fit sees the corpus that
+    actually ships), joined ``df.{id_col} == embeddings.{emb_id_col}``;
+    survivors without an embedding row are dropped (a pipeline that
+    embeds lazily should left-join-impute first). Returns one row:
+    (n_docs_in, n_text_curated, n_semantic_kept, total_tokens_out).
+
+    Plan: the three text stages are the three keyed shuffles of
+    curate_corpus; the semantic stage adds the SemDeDup shape
+    (broadcast-literal assign + cluster-keyed pair join) over the
+    already-curated subset — each stage shrinks the next stage's
+    input, cheapest first, the curation-funnel discipline."""
+    from dataprofiler_spark.operators.clustering import semantic_dedup
+
+    curated = curate_corpus(df, id_col, text_col, min_quality)
+    emb = (embeddings
+           .select(F.col(emb_id_col).alias("id"),
+                   F.col(emb_vec_col).alias("v"))
+           .join(curated.select("id"), "id"))
+    sd = semantic_dedup(emb, "id", "v", k_clusters=k_clusters,
+                        iters=iters, threshold=semantic_threshold,
+                        round_digits=round_digits,
+                        max_cluster_size=max_cluster_size)
+    final = curated.join(sd.where(F.col("keep")).select("id"), "id")
+    n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
+    n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))
+    out = final.agg(
+        F.count(F.lit(1)).alias("n_semantic_kept"),
+        F.sum("n_tokens").alias("total_tokens_out"))
+    return n_in.crossJoin(n_text).crossJoin(out)
+
+
+def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
+                                      text_col: str, emb_table: str,
+                                      emb_id_col: str, emb_vec_col: str,
+                                      min_quality: float = 0.45,
+                                      semantic_threshold: float = 0.3,
+                                      k_clusters: int = 8, iters: int = 2,
+                                      round_digits: int = 6,
+                                      max_cluster_size: int = 10_000,
+                                      dim: int = 64) -> str:
+    from dataprofiler_spark.operators.clustering import \
+        _semantic_dedup_ctes
+
+    emb_subq = (f"(SELECT em.{emb_id_col}, em.{emb_vec_col} "
+                f"FROM {emb_table} em "
+                f"JOIN curated ON em.{emb_id_col} = curated.id)")
+    sem = _semantic_dedup_ctes(emb_subq, emb_id_col, emb_vec_col,
+                               k_clusters, iters, semantic_threshold,
+                               round_digits, max_cluster_size, dim)
+    return f"""
+WITH {_corpus_curated_ctes(table, id_col, text_col, min_quality)},
+{sem},
+sem_keep AS (
+  SELECT cells.id FROM cells
+  LEFT JOIN drops ON cells.id = drops.id
+  WHERE drops.id IS NULL
+)
+SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
+       (SELECT COUNT(*) FROM curated) AS n_text_curated,
+       COUNT(*) AS n_semantic_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_out
+FROM curated JOIN sem_keep USING (id)
 """
 
 

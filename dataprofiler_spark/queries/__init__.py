@@ -112,7 +112,7 @@ _DRIVER_WINDOW = [
     # ---- (d) next-due cohort (r7), cross-family spread: 9 ----
     "benford_lineitem",
     "cnn_labeler_customer",
-    "exact_dedup_documents",
+    "corpus_semantic_curation_documents",  # composed funnel (new r10)
     "graph_components_nation",
     "grouped_quantiles_lineitem",
     "kmeans_assign_embeddings",

@@ -31,6 +31,24 @@ def corpus_curation_documents(spark, sf_dir):
     return pl.corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("corpus_semantic_curation_documents",
+          pl.oracle_curate_corpus_semantic_sql(
+              "documents", "doc_id", "text", "embeddings", "vec_id",
+              "embedding", semantic_threshold=0.3, k_clusters=8,
+              iters=2, dim=64))
+def corpus_semantic_curation_documents(spark, sf_dir):
+    """The full modern curation funnel in ONE composed plan (r10):
+    quality filter → exact dedup → SimHash near-dup → SemDeDup over
+    the survivors' embeddings (doc_id ↔ vec_id). Oracle re-derives
+    every stage including the k-means cells and the ε-ball drops, so
+    the whole funnel is hash-checked end-to-end — the query a
+    pretraining-data job logs per run."""
+    return pl.curate_corpus_semantic(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        semantic_threshold=0.3, k_clusters=8, iters=2)
+
+
 @register("clean_sample_documents",
           pl.oracle_clean_sample_sql("documents", "doc_id", "text",
                                      bench_filter="doc_id % 29 = 0",
