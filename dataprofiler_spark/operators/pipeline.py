@@ -197,7 +197,12 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     input, cheapest first, the curation-funnel discipline."""
     from dataprofiler_spark.operators.clustering import semantic_dedup
 
-    curated = curate_corpus(df, id_col, text_col, min_quality)
+    # persist: the curated keep-set feeds THREE plan subtrees (the
+    # semantic join, the final join, and the n_text_curated count) —
+    # without it each subtree re-runs the 3-shuffle text chain (same
+    # persist discipline as minhash_lsh_pairs; callers running many
+    # corpora per session should spark.catalog.clearCache()).
+    curated = curate_corpus(df, id_col, text_col, min_quality).persist()
     emb = (embeddings
            .select(F.col(emb_id_col).alias("id"),
                    F.col(emb_vec_col).alias("v"))
