@@ -53,72 +53,71 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-10 rotation (VERDICT r9 item 1: drain the SLA-due r6 cohort):
-# (a) ALL 35 rows whose latest driver check is r6 — the freshness-SLA
+# Round-11 rotation (VERDICT r10 item 2: drain the SLA-due r7 cohort):
+# (a) ALL 38 rows whose latest driver check is r7 — the freshness-SLA
 # test (tests/test_oracle_parity.py) derives this set from the
-# cumulative CORRECTNESS_r0*.json history and was RED on the r9
-# hand-over tree until this rotation; after this window lands green,
-# no oracled row's evidence predates r7. (b) new r10 queries, never
-# driver-checked. (c) the flagship end-to-end re-check (every round).
-# (d) remaining slots: a cross-family spread of the next-due cohort
-# (r7, 46 rows due at r11) so the r11 window doesn't have to absorb
-# all 46 at once.
+# cumulative CORRECTNESS_r*.json history (glob fixed this round: the
+# old "r0*" pattern dropped r10 and froze the clock). (b) new r11
+# queries, never driver-checked. (c) the flagship end-to-end re-check
+# (every round). (d) remaining slots: a cross-family spread of the
+# next-due cohort (r8, 49 rows due at r12) so the r12 window doesn't
+# have to absorb all 49 at once.
 _DRIVER_WINDOW = [
-    # ---- (a) the full r6-stale cohort: 35 ----
-    "active_users_events",
-    "bigram_logprob_documents",
-    "bm25_topk_documents",
-    "bpe_token_summary_documents",
-    "canonical_sample_documents",
-    "chunk_summary_documents",
-    "cohens_kappa_lineitem",
-    "collocations_pmi_documents",
-    "cross_source_dup_matrix_documents",
-    "crossdoc_ngram_dup_documents",
-    "crosstab_lineitem",
-    "data_mixture_documents",
-    "decontaminate_documents",
-    "domain_rollup_documents",
-    "embedding_shift_embeddings",
-    "entity_counts_events_props",
-    "funnel_events",
-    "funnel_gap_events",
-    "hash_sample_orders",
-    "hybrid_rrf_topk_documents",
-    "interval_join_events",
-    "ivf_pq_residual_topk_embeddings",
-    "json_props_events",
-    "markup_signals_documents",
-    "numeric_profile_by_returnflag",
-    "query_cosine_topk_documents",
-    "repetition_signals_documents",
-    "rollup_events_type_day",
-    "spearman_lineitem",
-    "split_manifest_documents",
-    "substring_dup_documents",
-    "tfidf_top_terms_documents",
-    "topk_events_per_user",
-    "winnow_fingerprints_documents",
-    "zipf_vocab_documents",
-    # ---- (b) new r10 queries (swapped in as they land; r7 fillers
+    # ---- (a) the full r7-stale cohort: 38 ----
+    "calendar_gaps_events",
+    "calibration_lineitem",
+    "categorical_stats_lineitem",
+    "chi2_orderpriority",
+    "chi2_pair_lineitem",
+    "cramers_v_orders",
+    "daily_anomalies_events",
+    "decile_stats_extendedprice",
+    "embedding_decontaminate_bucketed",
+    "embedding_neardup_pairs",
+    "entropy_lineitem",
+    "exact_dedup_documents",
+    "fd_check_lineitem",
+    "grouped_histogram_lineitem",
+    "inclusion_orders_customer",
+    "interarrival_events",
+    "iv_summary_orders",
+    "kendall_tau_lineitem",
+    "lm_divergence_documents",
+    "markov_transitions_events",
+    "minhash_lsh_pairs_documents",
+    "mutual_info_lineitem",
+    "neardup_clusters_documents",
+    "neardup_threshold_sweep_documents",
+    "null_phi_orders",
+    "null_rate_by_day_events",
+    "paragraph_dup_documents",
+    "pattern_profile_customer",
+    "quality_rollup_documents",
+    "quantile_shift_totalprice",
+    "robust_stats_lineitem",
+    "roc_auc_lineitem",
+    "session_stats_events",
+    "simhash_documents",
+    "theils_u_orders",
+    "top_categories_orders",
+    "top_terms_by_group_documents",
+    "woe_iv_orders",
+    # ---- (b) new r11 queries (swapped in as they land; r8 fillers
     # hold the slots so the window stays exactly 50 and all-oracled) ----
-    "nullspec_per_column_customer",   # per-column null-value overrides
-    "imported_profile_diff_lineitem",  # reference-format profile import
-    "minhash_lsh_autocap_documents",   # auto-cap LSH (suggested cap)
-    "ann_index_pq_query_embeddings",   # persisted IVF-PQ serving path
-    "semantic_dedup_embeddings",       # SemDeDup (new r10 operator)
+    "type_inference_lineitem",      # r8 filler -> semantic_dedup_auto
+    "trained_labeler_customer",     # r8 filler -> streaming semdedup
+    "ner_spans_orders",             # r8 filler -> funnel auto-k
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (d) next-due cohort (r7), cross-family spread: 9 ----
-    "benford_lineitem",
-    "cnn_labeler_customer",
-    "corpus_semantic_curation_documents",  # composed funnel (new r10)
-    "graph_components_nation",
-    "grouped_quantiles_lineitem",
-    "kmeans_assign_embeddings",
-    "language_id_documents",
-    "media_profile_documents",
-    "skew_join_lineitem_orders",
+    # ---- (d) next-due cohort (r8), cross-family spread: 8 ----
+    "merged_profile_lineitem",
+    "label_votes_customer",
+    "histogram_extendedprice",
+    "cosine_topk_embeddings",
+    "profile_diff_events",
+    "word_counts_documents",
+    "corpus_curation_documents",
+    "row_stats_lineitem",
 ]
 
 

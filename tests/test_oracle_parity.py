@@ -56,17 +56,20 @@ def test_driver_window_freshness_sla():
     import glob
     import json
     import os
+    import re
 
     from dataprofiler_spark.queries import (_DRIVER_WINDOW, ORACLE_SQL,
                                             SPARK_QUERIES)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")))
+    # NOT "r0*": that glob silently dropped CORRECTNESS_r10.json and
+    # froze the SLA clock at round 10 (found at the r10->r11 boundary).
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no driver CORRECTNESS history in this environment")
     latest: dict[str, int] = {}
     for f in files:
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for q in json.load(open(f)):
             latest[q] = max(latest.get(q, 0), rnd)
     upcoming = max(latest.values()) + 1     # the round this window runs in
