@@ -490,11 +490,17 @@ def run_group(group: str, sf_dir: str) -> tuple[dict, dict, dict]:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # warm the JVM + file listing once (not counted)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c: restrict to named queries — the
+    # isolated fresh-JVM A/B probe (VERDICT r10 item 3: suite numbers
+    # move with group composition; single-query runs are the clean
+    # signal when a row regresses without a code change).
+    only = {s for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
     timings: dict[str, float] = {}
     timings_mean: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
     for name, (g, fn) in runners.items():
-        if g != group:
+        if g != group or (only and name not in only):
             continue
         if hasattr(fn, "setup"):
             fn.setup()
@@ -529,6 +535,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_mean: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
+    groups: dict[str, str] = {}   # query -> JVM group (VERDICT r10
+    # item 10: crowding must be diagnosable from the artifact alone)
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     if isolate:
         import subprocess
@@ -559,12 +567,14 @@ def main() -> None:
             timings.update(parsed["queries"])
             timings_mean.update(parsed["queries_mean"])
             timings_warm.update(parsed.get("queries_warm_mean", {}))
+            groups.update({q: g for q in parsed["queries"]})
     else:
         for g in GROUP_ORDER:
             t, m, w = run_group(g, sf_dir)
             timings.update(t)
             timings_mean.update(m)
             timings_warm.update(w)
+            groups.update({q: g for q in t})
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
 
@@ -614,6 +624,7 @@ def main() -> None:
         "queries_warm_mean": timings_warm,
         "n_runs": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
         "isolated_jvm_groups": isolate,
+        "jvm_group_of": groups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_ref": baseline_ref,
     }

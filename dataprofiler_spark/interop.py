@@ -74,7 +74,11 @@ def _numeric_from_ref(p: dict) -> NumericState:
         m2 = bv * n
         if m2 > 0:
             g1 = _f(p.get("_biased_skewness"), 0.0) or 0.0
-            g2 = _f(p.get("_biased_kurtosis"), 0.0)
+            # no 0.0 default: a profile saved with kurtosis disabled
+            # (NaN/absent) must leave m4 unavailable, not fabricate an
+            # excess kurtosis of 0 that then looks real in reports,
+            # merges and diffs (ADVICE r10).
+            g2 = _f(p.get("_biased_kurtosis"))
             m3 = g1 * n * (m2 / n) ** 1.5
             m4 = ((g2 + 3.0) * n * (m2 / n) ** 2) if g2 is not None else 0.0
     hist = None
@@ -107,16 +111,21 @@ def _column_from_ref(colp: dict) -> ColumnState:
             data = _unwrap(prim[t])
             prim_data[t] = data
             type_counts[t] = _i(data.get("match_count"))
+    # data_type_ratio denominators are NON-null counts on both engines
+    # (reference int_column_profile.py:104-113 divides by the profiled
+    # sample; state._infer_type uses sample_size - null_count) — the
+    # null-inclusive sample_size never fires on null-bearing columns.
+    matched = max(_i(cd.get("sample_size")) - _i(cd.get("null_count")), 0)
     selected = None
     for t in _TYPE_ORDER:  # exact-ratio pass (compiler report semantics)
-        if t in type_counts and sample_size and \
-                type_counts[t] == sample_size:
+        if t in type_counts and matched and type_counts[t] >= matched:
             selected = t
             break
-    if selected is None and type_counts:
+    if selected is None and type_counts and max(type_counts.values()) > 0:
         best = max(type_counts.values())
         selected = next(t for t in _TYPE_ORDER
                         if type_counts.get(t, -1) == best)
+    # all counts 0 (e.g. an all-null column): text, as _infer_type does
 
     numeric = text = dtstate = None
     if selected in ("int", "float"):
@@ -132,9 +141,7 @@ def _column_from_ref(colp: dict) -> ColumnState:
                    * _i(tp.get("match_count"))),
             vocab=sorted(str(v) for v in (tp.get("vocab") or [])),
         )
-    if selected == "datetime" or (_i((prim_data.get("datetime") or {})
-                                     .get("match_count")) and
-                                  selected == "datetime"):
+    if selected == "datetime":
         dp = prim_data["datetime"]
         def _norm(ts):
             return None if ts is None else str(ts).replace("T", " ")

@@ -32,7 +32,7 @@ class DataLabeler:
     """
 
     def __init__(self, labeler_type: str = "structured",
-                 model: str = "regex"):
+                 model: str = "regex", model_path: str | None = None):
         if labeler_type not in ("structured", "unstructured"):
             raise ValueError(
                 f"labeler_type must be structured|unstructured, "
@@ -40,15 +40,23 @@ class DataLabeler:
         if model not in ("regex", "cnn", "column_name"):
             raise ValueError(
                 f"model must be regex|cnn|column_name, got {model!r}")
+        if model_path is not None and model != "cnn":
+            raise ValueError("model_path is only valid with model='cnn'")
         self.labeler_type = labeler_type
         self.model = model
+        # CharLoadTFModel parity (reference char_load_tf_model.py):
+        # a directory with the user's own trained same-family keras
+        # artifact + label_mapping.json (+ model_parameters.json)
+        self.model_path = model_path
 
     @property
     def labels(self) -> list[str]:
         from dataprofiler_spark.labeler.regex_labeler import LABEL_PATTERNS
         if self.model == "cnn":
-            from dataprofiler_spark.labeler.np_cnn import load_default_model
-            m = load_default_model()
+            from dataprofiler_spark.labeler.np_cnn import (
+                load_default_model, load_user_model_cached)
+            m = (load_user_model_cached(self.model_path)
+                 if self.model_path else load_default_model())
             if m is not None:
                 return sorted(m.label_mapping)
         return sorted(LABEL_PATTERNS)
@@ -80,7 +88,8 @@ class DataLabeler:
         if self.model == "cnn":
             from dataprofiler_spark.labeler.cnn_adapter import (
                 column_label_vote, predict_cells)
-            return column_label_vote(predict_cells(df, cols))
+            return column_label_vote(
+                predict_cells(df, cols, model_path=self.model_path))
         from dataprofiler_spark.labeler.regex_labeler import column_labels
         return column_labels(df, cols)
 

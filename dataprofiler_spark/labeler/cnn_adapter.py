@@ -37,13 +37,18 @@ from dataprofiler_spark.labeler.regex_labeler import (LABEL_PATTERNS,
 PRED_SCHEMA = "column string, cell string, label string, confidence double"
 
 
-def _model_predict(cells: pd.Series) -> pd.DataFrame:
-    """CharacterLevelCnnModel forward pass in NumPy on the reference's
-    trained weights; falls back to the regex stand-in when the weight
-    file is unavailable on this worker."""
-    from dataprofiler_spark.labeler.np_cnn import load_default_model
+def _model_predict(cells: pd.Series,
+                   model_path: str | None = None) -> pd.DataFrame:
+    """CharacterLevelCnnModel forward pass in NumPy — the packaged
+    reference weights, or a USER model directory (CharLoadTFModel
+    parity) when ``model_path`` is given. A missing user model raises
+    (the user asked for that model by name); only the packaged default
+    degrades to the regex stand-in."""
+    from dataprofiler_spark.labeler.np_cnn import (load_default_model,
+                                                   load_user_model_cached)
 
-    model = load_default_model()
+    model = (load_user_model_cached(model_path) if model_path
+             else load_default_model())
     if model is None:
         return _stub_model_predict(cells)
     preds = model.predict_cells(list(cells.astype(str)))
@@ -74,9 +79,12 @@ def _stub_model_predict(cells: pd.Series) -> pd.DataFrame:
 
 
 def predict_cells(df: DataFrame, cols: list[str],
-                  max_sample: int = MAX_SAMPLE) -> DataFrame:
+                  max_sample: int = MAX_SAMPLE,
+                  model_path: str | None = None) -> DataFrame:
     """Per-cell predictions for ≤max_sample rows per column via ONE
-    mapInPandas over a melted sample (column, cell)."""
+    mapInPandas over a melted sample (column, cell). ``model_path``
+    selects a user-supplied CharLoadTFModel-style directory (must be
+    visible to executors at scale — ship it or use a shared path)."""
     samples = None
     for c in cols:
         s = (df.select(F.lit(c).alias("column"),
@@ -86,7 +94,7 @@ def predict_cells(df: DataFrame, cols: list[str],
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            preds = _model_predict(pdf["cell"])
+            preds = _model_predict(pdf["cell"], model_path)
             yield pd.DataFrame({
                 "column": pdf["column"].values,
                 "cell": pdf["cell"].values,

@@ -219,3 +219,124 @@ class MiniHDF5:
 def load_weights(h5_bytes: bytes) -> dict[str, np.ndarray]:
     """All datasets in the file as {absolute_path: ndarray}."""
     return MiniHDF5(h5_bytes).arrays()
+
+
+# -- writer -------------------------------------------------------------------
+#
+# The write-side twin of the reader above: the same h5py-default subset
+# (superblock v0, v1 object headers, one-level group B-tree → one SNOD,
+# local heaps, contiguous little-endian data). Exists so user-model
+# fixtures (labeler/np_cnn.load_user_model, the CharLoadTFModel parity
+# surface) can be GENERATED in an environment with no h5py/TF — and so
+# the reader has a generative round-trip oracle instead of only the one
+# checked-in reference artifact.
+
+def _dtype_message(dt: np.dtype) -> bytes:
+    """Datatype message body for little-endian IEEE float / fixed-point."""
+    if dt.kind == "f":
+        # class 1 (float) version 1; bits: LE, mantissa-normalization=2
+        # (implied-leading-1, the IEEE encoding h5py writes), sign bit at
+        # the top of the word
+        props = struct.pack("<HHBBBBI", 0, dt.itemsize * 8,
+                            23 if dt.itemsize == 4 else 52,
+                            8 if dt.itemsize == 4 else 11,
+                            0, 23 if dt.itemsize == 4 else 52,
+                            127 if dt.itemsize == 4 else 1023)
+        return struct.pack("<BBBBI", 0x11, 0x20, dt.itemsize * 8 - 1, 0,
+                           dt.itemsize) + props
+    if dt.kind in "iu":
+        bits0 = 0x08 if dt.kind == "i" else 0x00  # signed two's-complement
+        props = struct.pack("<HH", 0, dt.itemsize * 8)
+        return struct.pack("<BBBBI", 0x10, bits0, 0, 0, dt.itemsize) + props
+    raise NotImplementedError(f"dtype {dt} not writable")
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _v1_header(messages: list[tuple[int, bytes]]) -> bytes:
+    """v1 object header holding ``messages`` [(type, body)] inline."""
+    block = b""
+    for mtype, body in messages:
+        body = _pad8(body)
+        block += struct.pack("<HHB3x", mtype, len(body), 0) + body
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
+
+
+def dump_weights(arrays: dict[str, np.ndarray]) -> bytes:
+    """Serialize {absolute_path: ndarray} as an HDF5 file readable by
+    :class:`MiniHDF5` (and by any spec-conforming reader: the layout is
+    the documented v0 subset, not a private format)."""
+    # path tree: {} = group node, ndarray = dataset leaf
+    root: dict = {}
+    for path, arr in arrays.items():
+        parts = [p for p in path.split("/") if p]
+        if not parts:
+            raise ValueError(f"bad dataset path {path!r}")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"{path!r} nests under a dataset")
+        node[parts[-1]] = np.asarray(arr)
+
+    buf = bytearray(96)                       # superblock placeholder
+
+    def alloc(b: bytes) -> int:
+        while len(buf) % 8:
+            buf.append(0)
+        off = len(buf)
+        buf.extend(b)
+        return off
+
+    def write_dataset(arr: np.ndarray) -> int:
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        raw = arr.tobytes()
+        data_addr = alloc(raw)
+        space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+            struct.pack("<Q", d) for d in arr.shape)
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
+        return alloc(_v1_header([(0x0001, space),
+                                 (0x0003, _dtype_message(arr.dtype)),
+                                 (0x0008, layout)]))
+
+    def write_group(node: dict) -> int:
+        entries = []                          # (name, header_addr)
+        for name in sorted(node):             # spec: names increasing
+            child = node[name]
+            addr = (write_group(child) if isinstance(child, dict)
+                    else write_dataset(child))
+            entries.append((name, addr))
+        # local heap data: offset 0 reserved (h5py convention), then
+        # nul-terminated names at 8-aligned offsets
+        heap, name_offs = bytearray(8), {}
+        for name, _ in entries:
+            name_offs[name] = len(heap)
+            heap.extend(_pad8(name.encode() + b"\x00"))
+        heap_data_addr = alloc(bytes(heap))
+        heap_addr = alloc(b"HEAP" + struct.pack(
+            "<B3xQQQ", 0, len(heap), _UNDEF, heap_data_addr))
+        snod = b"SNOD" + struct.pack("<BxH", 1, len(entries))
+        for name, addr in entries:
+            snod += struct.pack("<QQII16x", name_offs[name], addr, 0, 0)
+        snod_addr = alloc(snod)
+        tree = (b"TREE" + struct.pack("<BBH", 0, 0, 1)
+                + struct.pack("<QQ", _UNDEF, _UNDEF)     # siblings
+                + struct.pack("<Q", 0)                    # key 0
+                + struct.pack("<Q", snod_addr)
+                + struct.pack("<Q", 0))                   # key 1
+        tree_addr = alloc(tree)
+        symtab = struct.pack("<QQ", tree_addr, heap_addr)
+        return alloc(_v1_header([(0x0011, symtab)]))
+
+    root_addr = write_group(root)
+    buf[0:96] = (
+        b"\x89HDF\r\n\x1a\n"
+        + struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+        + struct.pack("<HHI", 4, 16, 0)
+        + struct.pack("<QQQQ", 0, _UNDEF, len(buf), _UNDEF)
+        + struct.pack("<QQII16x", 0, root_addr, 0, 0))
+    return bytes(buf)

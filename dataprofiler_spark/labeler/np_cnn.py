@@ -59,6 +59,81 @@ _CONV = [("conv1d", "batch_normalization"),
          ("conv1d_3", "batch_normalization_3")]
 _DENSE = ["dense", "dense_1", "dense_2"]
 
+# the packaged reference architecture, as an explicit arch spec (the
+# config.json-derived form _parse_arch produces for it)
+_REFERENCE_ARCH = {
+    "embedding": "embedding", "input_dim": 129,
+    "convs": [(c, b, 1e-3) for c, b in _CONV],
+    "dense": list(_DENSE),
+}
+
+# layer classes that are inference no-ops / handled outside the stack
+_SKIP_LAYERS = {"InputLayer", "EncodingLayer", "Dropout", "Argmax",
+                "ThreshArgMaxLayer", "Lambda"}
+
+
+def _parse_arch(cfg: dict) -> dict:
+    """Derive the layer stack from a keras artifact's config.json —
+    the CharLoadTFModel contract (reference char_load_tf_model.py:
+    27-300): a user-supplied model of the same FAMILY (embedding →
+    N×[Conv1D(relu)+BatchNorm] → M×Dense(relu) → Dense(softmax)) loads
+    with its own depth, widths, label count and epsilons; anything
+    outside the family refuses loudly, naming the layer."""
+    layers = (cfg.get("config") or {}).get("layers") or []
+    arch: dict = {"embedding": None, "input_dim": 0, "convs": [],
+                  "dense": []}
+    pending_conv: str | None = None
+    for lay in layers:
+        cls, lc = lay.get("class_name"), lay.get("config") or {}
+        name = lc.get("name")
+        if cls in _SKIP_LAYERS:
+            continue
+        if cls == "Embedding":
+            if arch["embedding"] is not None:
+                raise NotImplementedError("multiple Embedding layers")
+            arch["embedding"] = name
+            arch["input_dim"] = int(lc.get("input_dim") or 0)
+        elif cls == "Conv1D":
+            if pending_conv is not None:
+                raise NotImplementedError(
+                    f"Conv1D {name!r} without BatchNormalization after "
+                    f"{pending_conv!r}")
+            if lc.get("activation") != "relu":
+                raise NotImplementedError(
+                    f"Conv1D {name!r} activation "
+                    f"{lc.get('activation')!r} (family requires relu)")
+            pending_conv = name
+        elif cls == "BatchNormalization":
+            if pending_conv is None:
+                raise NotImplementedError(
+                    f"BatchNormalization {name!r} without a Conv1D")
+            arch["convs"].append(
+                (pending_conv, name, float(lc.get("epsilon", 1e-3))))
+            pending_conv = None
+        elif cls == "Dense":
+            act = lc.get("activation")
+            if act not in ("relu", "softmax"):
+                raise NotImplementedError(
+                    f"Dense {name!r} activation {act!r}")
+            arch["dense"].append(name)
+            arch.setdefault("_acts", []).append(act)
+        else:
+            raise NotImplementedError(
+                f"layer class {cls!r} ({name!r}) is outside the "
+                "char-CNN family this loader supports")
+    if pending_conv is not None:
+        raise NotImplementedError(
+            f"Conv1D {pending_conv!r} missing its BatchNormalization")
+    if arch["embedding"] is None or not arch["convs"] or not arch["dense"]:
+        raise NotImplementedError(
+            "config.json does not describe an embedding→conv→dense "
+            "char-CNN")
+    acts = arch.pop("_acts")
+    if acts[-1] != "softmax" or any(a != "relu" for a in acts[:-1]):
+        raise NotImplementedError(
+            "dense stack must be relu…relu→softmax, got " + "→".join(acts))
+    return arch
+
 
 class NumpyCharCNN:
     """Inference-only char CNN with weights from a .keras zip."""
@@ -67,11 +142,13 @@ class NumpyCharCNN:
                  label_mapping: dict[str, int],
                  max_char_encoding_id: int = 127, max_length: int = 3400,
                  default_label: str = "UNKNOWN", pad_label: str = "PAD",
-                 bn_eps: float = 1e-3):
+                 bn_eps: float = 1e-3, arch: dict | None = None):
         w = weights
-        self.embedding = w["/layers/embedding/vars/0"]          # (129, 64)
+        arch = arch or _REFERENCE_ARCH
+        self.embedding = w[f"/layers/{arch['embedding']}/vars/0"]
         self.convs = []
-        for conv, bn in _CONV:
+        for conv, bn, *rest in arch["convs"]:
+            eps = rest[0] if rest else bn_eps
             self.convs.append((
                 w[f"/layers/{conv}/vars/0"],   # (k, in, out)
                 w[f"/layers/{conv}/vars/1"],   # (out,)
@@ -79,13 +156,18 @@ class NumpyCharCNN:
                 w[f"/layers/{bn}/vars/1"],     # beta
                 w[f"/layers/{bn}/vars/2"],     # moving mean
                 w[f"/layers/{bn}/vars/3"],     # moving variance
+                float(eps),
             ))
         self.dense = [(w[f"/layers/{d}/vars/0"], w[f"/layers/{d}/vars/1"])
-                      for d in _DENSE]
+                      for d in arch["dense"]]
+        if self.dense[-1][0].shape[-1] != max(label_mapping.values()) + 1:
+            raise ValueError(
+                f"label_mapping needs {self.dense[-1][0].shape[-1]} "
+                f"indices (softmax width) but spans "
+                f"{max(label_mapping.values()) + 1}")
         self.kernel = self.convs[0][0].shape[0]
         self.max_code = max_char_encoding_id + 1   # OOV bucket
         self.max_length = max_length
-        self.bn_eps = bn_eps
         self.label_mapping = dict(label_mapping)
         self.inv_labels = {v: k for k, v in label_mapping.items()}
         self.pad_ind = label_mapping[pad_label]
@@ -94,25 +176,44 @@ class NumpyCharCNN:
     # -- loading ------------------------------------------------------------
 
     @classmethod
-    def from_keras_zip(cls, path: str) -> "NumpyCharCNN":
+    def from_keras_zip(cls, path: str,
+                       label_mapping: dict[str, int] | None = None,
+                       params: dict | None = None) -> "NumpyCharCNN":
+        """Load a .keras zip. The architecture comes from the
+        artifact's OWN config.json (conv depth, widths, label count,
+        epsilons — the CharLoadTFModel contract), falling back to the
+        packaged reference stack when config.json is absent.
+        ``label_mapping``/``params`` override the sibling json files."""
         from dataprofiler_spark.labeler.minihdf5 import load_weights
 
+        arch = None
         with zipfile.ZipFile(path) as z:
             weights = load_weights(z.read("model.weights.h5"))
+            if "config.json" in z.namelist():
+                arch = _parse_arch(json.loads(z.read("config.json")))
         base = os.path.dirname(path)
-        with open(os.path.join(base, "label_mapping.json")) as f:
-            label_mapping = json.load(f)
-        params = {}
-        mp = os.path.join(base, "model_parameters.json")
-        if os.path.exists(mp):
-            with open(mp) as f:
-                params = json.load(f)
+        if label_mapping is None:
+            with open(os.path.join(base, "label_mapping.json")) as f:
+                label_mapping = json.load(f)
+        if params is None:
+            params = {}
+            mp = os.path.join(base, "model_parameters.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    params = json.load(f)
+        # vocab size from the artifact itself when not pinned: the
+        # embedding table holds codes 0..input_dim-1 and code =
+        # min(cp+1, max_char_encoding_id+1), so id = input_dim - 2
+        default_enc = (arch["input_dim"] - 2 if arch
+                       and arch.get("input_dim") else 127)
         return cls(
             weights, label_mapping,
-            max_char_encoding_id=params.get("max_char_encoding_id", 127),
+            max_char_encoding_id=params.get("max_char_encoding_id",
+                                            default_enc),
             max_length=params.get("max_length", 3400),
             default_label=params.get("default_label", "UNKNOWN"),
             pad_label=params.get("pad_label", "PAD"),
+            arch=arch,
         )
 
     # -- forward ------------------------------------------------------------
@@ -143,7 +244,7 @@ class NumpyCharCNN:
         halo = self.kernel // 2
         B, L = codes.shape
         slab = max(1, 20_000 // max(L, 1))            # batch rows per copy
-        for kern, bias, gamma, beta, mean, var in self.convs:
+        for kern, bias, gamma, beta, mean, var, eps in self.convs:
             xp = np.pad(x, ((0, 0), (halo, halo), (0, 0)))  # TF 'same' zeros
             win = np.lib.stride_tricks.sliding_window_view(
                 xp, self.kernel, axis=1)              # (B, L, C, k) view
@@ -158,7 +259,7 @@ class NumpyCharCNN:
                 y[b0:b1] = (flat @ wmat).reshape(b1 - b0, L, Fo)
             y += bias
             np.maximum(y, 0.0, out=y)                 # relu
-            x = gamma * (y - mean) / np.sqrt(var + self.bn_eps) + beta
+            x = gamma * (y - mean) / np.sqrt(var + eps) + beta
         for i, (wt, bias) in enumerate(self.dense):
             x = x @ wt + bias
             if i < len(self.dense) - 1:
@@ -216,6 +317,54 @@ class NumpyCharCNN:
                 win = int(modes[0])
                 results.append((self.inv_labels[win], float(best / total)))
         return results
+
+
+def load_user_model(dirpath: str) -> NumpyCharCNN:
+    """CharLoadTFModel.load_from_disk equivalent (reference
+    char_load_tf_model.py:187-226): load a USER-supplied pre-trained
+    char model with a custom label mapping from a directory holding
+    ``label_mapping.json``, optional ``model_parameters.json``, and a
+    same-family ``.keras`` artifact. The conv depth / widths / label
+    count / epsilons come from the artifact's config.json — a team
+    with its own trained labeler plugs it in without TensorFlow.
+
+    PAD insertion follows the reference's set_label_mapping
+    (:135-148): a mapping without "PAD" gets PAD→0 when index 0 is
+    free, else PAD→max+1; a ``default_label`` absent from the mapping
+    raises ValueError."""
+    with open(os.path.join(dirpath, "label_mapping.json")) as f:
+        label_mapping = dict(json.load(f))
+    params = {}
+    mp = os.path.join(dirpath, "model_parameters.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            params = json.load(f)
+    if "PAD" not in label_mapping:
+        if 0 not in label_mapping.values():
+            label_mapping["PAD"] = 0
+        else:
+            label_mapping["PAD"] = max(label_mapping.values()) + 1
+    default_label = params.get("default_label", "UNKNOWN")
+    if default_label not in label_mapping:
+        raise ValueError(
+            f"the default_label of {default_label!r} must exist in the "
+            "label mapping")
+    candidates = [os.path.join(dirpath, "model.keras")]
+    candidates += sorted(
+        os.path.join(dirpath, n) for n in os.listdir(dirpath)
+        if n.endswith(".keras"))
+    model_path = next((p for p in candidates if os.path.exists(p)), None)
+    if model_path is None:
+        raise FileNotFoundError(f"no .keras artifact under {dirpath}")
+    return NumpyCharCNN.from_keras_zip(model_path, label_mapping, params)
+
+
+@lru_cache(maxsize=4)
+def load_user_model_cached(dirpath: str) -> NumpyCharCNN:
+    """Per-process cache of :func:`load_user_model` — the worker-side
+    entry the mapInPandas adapter uses, one weight load per executor
+    python process."""
+    return load_user_model(dirpath)
 
 
 @lru_cache(maxsize=2)

@@ -175,9 +175,11 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
                            embeddings: DataFrame, emb_id_col: str,
                            emb_vec_col: str, min_quality: float = 0.45,
                            semantic_threshold: float = 0.3,
-                           k_clusters: int = 8, iters: int = 2,
+                           k_clusters: int | str = "auto",
+                           iters: int = 2,
                            round_digits: int = 6,
-                           max_cluster_size: int = 10_000) -> DataFrame:
+                           max_cluster_size: int = 10_000,
+                           target_cell_size: int = 2_000) -> DataFrame:
     """The full modern curation chain, one composed plan:
 
         quality filter → exact dedup → SimHash near-dup → SemDeDup
@@ -210,7 +212,8 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     sd = semantic_dedup(emb, "id", "v", k_clusters=k_clusters,
                         iters=iters, threshold=semantic_threshold,
                         round_digits=round_digits,
-                        max_cluster_size=max_cluster_size)
+                        max_cluster_size=max_cluster_size,
+                        target_cell_size=target_cell_size)
     final = curated.join(sd.where(F.col("keep")).select("id"), "id")
     n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
     n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))
@@ -225,10 +228,13 @@ def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
                                       emb_id_col: str, emb_vec_col: str,
                                       min_quality: float = 0.45,
                                       semantic_threshold: float = 0.3,
-                                      k_clusters: int = 8, iters: int = 2,
+                                      k_clusters: int | str = "auto",
+                                      iters: int = 2,
                                       round_digits: int = 6,
                                       max_cluster_size: int = 10_000,
-                                      dim: int = 64) -> str:
+                                      dim: int = 64,
+                                      target_cell_size: int = 2_000
+                                      ) -> str:
     from dataprofiler_spark.operators.clustering import \
         _semantic_dedup_ctes
 
@@ -237,7 +243,8 @@ def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
                 f"JOIN curated ON em.{emb_id_col} = curated.id)")
     sem = _semantic_dedup_ctes(emb_subq, emb_id_col, emb_vec_col,
                                k_clusters, iters, semantic_threshold,
-                               round_digits, max_cluster_size, dim)
+                               round_digits, max_cluster_size, dim,
+                               target_cell_size)
     return f"""
 WITH {_corpus_curated_ctes(table, id_col, text_col, min_quality)},
 {sem},

@@ -104,9 +104,9 @@ _DRIVER_WINDOW = [
     "woe_iv_orders",
     # ---- (b) new r11 queries (swapped in as they land; r8 fillers
     # hold the slots so the window stays exactly 50 and all-oracled) ----
-    "type_inference_lineitem",      # r8 filler -> semantic_dedup_auto
-    "trained_labeler_customer",     # r8 filler -> streaming semdedup
-    "ner_spans_orders",             # r8 filler -> funnel auto-k
+    "semantic_dedup_auto_embeddings",        # auto-k SemDeDup (default)
+    "corpus_semantic_curation_auto_documents",  # funnel under auto-k
+    "semantic_dedup_streaming_embeddings",   # 2-batch replay, oracled
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
     # ---- (d) next-due cohort (r8), cross-family spread: 8 ----

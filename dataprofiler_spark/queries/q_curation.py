@@ -49,6 +49,26 @@ def corpus_semantic_curation_documents(spark, sf_dir):
         semantic_threshold=0.3, k_clusters=8, iters=2)
 
 
+@register("corpus_semantic_curation_auto_documents",
+          pl.oracle_curate_corpus_semantic_sql(
+              "documents", "doc_id", "text", "embeddings", "vec_id",
+              "embedding", semantic_threshold=0.3, k_clusters="auto",
+              target_cell_size=100, iters=2, dim=64))
+def corpus_semantic_curation_auto_documents(spark, sf_dir):
+    """The curation funnel under auto-k SemDeDup — the r11 library
+    DEFAULT: k = ceil(n_survivors / target_cell_size) is computed from
+    the text-stage survivor count, so the semantic stage's pair work
+    stays linear as the corpus grows (a fixed k was the r10 verdict's
+    one scale trap). The oracle derives the same k as a scalar
+    subquery over the same survivor-joined embedding CTE, so the
+    data-dependent k is hash-checked end-to-end."""
+    return pl.curate_corpus_semantic(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        semantic_threshold=0.3, k_clusters="auto",
+        target_cell_size=100, iters=2)
+
+
 @register("clean_sample_documents",
           pl.oracle_clean_sample_sql("documents", "doc_id", "text",
                                      bench_filter="doc_id % 29 = 0",

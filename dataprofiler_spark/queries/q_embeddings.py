@@ -332,3 +332,70 @@ def semantic_dedup_embeddings(spark, sf_dir):
     return clus.semantic_dedup(T(spark, sf_dir, "embeddings"), "vec_id",
                                "embedding", k_clusters=8, iters=2,
                                threshold=0.3)
+
+
+@register("semantic_dedup_auto_embeddings",
+          clus.oracle_semantic_dedup_sql("embeddings", "vec_id",
+                                         "embedding", k_clusters="auto",
+                                         target_cell_size=100,
+                                         iters=2, threshold=0.3, dim=64))
+def semantic_dedup_auto_embeddings(spark, sf_dir):
+    """SemDeDup under the auto-k scaling rule — k = ceil(n /
+    target_cell_size), the library DEFAULT since r11 (a fixed k makes
+    the n²/k pair stage quadratic as the corpus grows; auto-k keeps
+    cells ~constant-size so it stays linear, SCALE.md §33). The oracle
+    computes the same k as a scalar subquery in the centroid-init
+    LIMIT, so the data-dependent k is hash-checked end-to-end;
+    target_cell_size=100 puts ~5 cells on the 500-vector driver corpus
+    (a real multi-cell regime, not a one-cell degenerate)."""
+    return clus.semantic_dedup(T(spark, sf_dir, "embeddings"), "vec_id",
+                               "embedding", k_clusters="auto",
+                               target_cell_size=100, iters=2,
+                               threshold=0.3)
+
+
+def _oracle_streaming_semdedup():
+    from dataprofiler_spark.streaming.semdedup import \
+        oracle_streaming_semdedup_sql
+    return oracle_streaming_semdedup_sql("embeddings", "vec_id",
+                                         "embedding", k_clusters=8,
+                                         iters=2, threshold=0.3, dim=64)
+
+
+@register("semantic_dedup_streaming_embeddings",
+          _oracle_streaming_semdedup())
+def semantic_dedup_streaming_embeddings(spark, sf_dir):
+    """StreamingSemanticDedup replayed deterministically: the corpus
+    splits into two micro-batches (batch = vec_id % 2), the frozen
+    quantizer fits on the full corpus, and the two batches run through
+    the REAL foreachBatch hook in order — within-batch min-id ε-ball,
+    then first-seen-wins against the partitioned exemplar store. The
+    oracle re-derives both stages in SQL, so the streaming operator's
+    cross-batch state machine is hash-checked end-to-end (not just
+    unit-tested). Output: (id, batch, cluster, kept) per vector."""
+    import tempfile
+
+    from dataprofiler_spark.streaming.semdedup import (
+        KEPT_SCHEMA, StreamingSemanticDedup, build_semdedup_store)
+
+    emb = (T(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull())
+           .select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("v")))
+    store = tempfile.mkdtemp(prefix="dps_semdedup_stream_")
+    meta = build_semdedup_store(emb, "id", "v", store, k_clusters=8,
+                                iters=2, threshold=0.3)
+    dd = StreamingSemanticDedup(store, "id", "v")
+    for b in (0, 1):
+        dd.update(emb.where(F.col("id") % 2 == b), b)
+    kept = (spark.read.schema(KEPT_SCHEMA)
+            .parquet(f"{store}/kept").select("id")
+            .withColumn("__kept", F.lit(1)))
+    assigned = emb.select(
+        "id",
+        clus._assign_expr(F.col("v"), meta["centroids"]).cast("int")
+        .alias("cluster"))
+    return (assigned.join(kept, "id", "left")
+            .select("id", (F.col("id") % 2).cast("int").alias("batch"),
+                    "cluster",
+                    F.col("__kept").isNotNull().alias("kept")))

@@ -40,8 +40,10 @@ def detect_encoding(head: bytes) -> str:
     runs chardet's UniversalDetector + charset_normalizer; this
     re-derives the decisive signals as explicit rules so the result is
     reproducible): BOMs, NUL-cadence UTF-16/32 without a BOM, UTF-8
-    validation, kana/CJK-validated Shift-JIS and Big5, cp1252
-    punctuation in the latin1 C1 control range, latin1 fallback."""
+    validation, script-validated east-asian codepages (kana → Shift-JIS
+    / EUC-JP, hangul syllables → EUC-KR, CJK tally → Big5),
+    lowercase-dominant cyrillic → KOI8-R, cp1252 punctuation in the
+    latin1 C1 control range, latin1 fallback."""
     # UTF-32 BOMs first: the UTF-32 LE BOM ff fe 00 00 starts with the
     # UTF-16 LE BOM ff fe, so the longer prefix must win (ADVICE r1).
     if head.startswith(b"\xff\xfe\x00\x00") or head.startswith(b"\x00\x00\xfe\xff"):
@@ -76,22 +78,57 @@ def detect_encoding(head: bytes) -> str:
     # breaks both decoders — the structural guard against latin
     # misfires), and (c) script evidence: kana is Shift-JIS-specific;
     # Big5 carries no kana, so CJK count decides.
-    high_frac = sum(b >= 0x80 for b in head) / max(len(head), 1)
+    n_high = sum(b >= 0x80 for b in head)
+    high_frac = n_high / max(len(head), 1)
     if high_frac > 0.05:
         sjis = _decoded_or_none(head, "shift_jis")
         big5 = _decoded_or_none(head, "big5")
-        kana = cjk_s = cjk_b = 0
-        if sjis is not None:
-            kana = sum(0x3040 <= ord(ch) <= 0x30FF for ch in sjis)
-            cjk_s = sum(0x4E00 <= ord(ch) <= 0x9FFF for ch in sjis)
-        if big5 is not None:
-            cjk_b = sum(0x4E00 <= ord(ch) <= 0x9FFF for ch in big5)
-        if kana >= 3:
+        eucjp = _decoded_or_none(head, "euc_jp")
+        euckr = _decoded_or_none(head, "euc_kr")
+
+        def _count(txt, lo, hi):
+            return 0 if txt is None else sum(lo <= ord(c) <= hi
+                                             for c in txt)
+
+        # script evidence per candidate decode. Order matters:
+        # hangul SYLLABLES (0xAC00+) are EUC-KR-specific and must win
+        # before the CJK tally — Korean bytes mis-decoded as EUC-JP
+        # land on random kanji, so a cjk-first rule would misfire.
+        # EUC-JP text can't fake syllables: its kana rows decode in
+        # EUC-KR to compatibility JAMO (0x3131+), not syllables.
+        hangul = _count(euckr, 0xAC00, 0xD7A3)
+        kana_s = _count(sjis, 0x3040, 0x30FF)
+        kana_e = _count(eucjp, 0x3040, 0x30FF)
+        cjk_s = _count(sjis, 0x4E00, 0x9FFF)
+        cjk_b = _count(big5, 0x4E00, 0x9FFF)
+        cjk_e = _count(eucjp, 0x4E00, 0x9FFF)
+        if hangul >= 3 and hangul >= max(kana_s, kana_e):
+            return "EUC-KR"
+        # kana decides Japanese; the encoding is whichever decode
+        # yields MORE of it (the wrong one mangles kana into kanji)
+        if kana_e >= 3 and kana_e > kana_s:
+            return "EUC-JP"
+        if kana_s >= 3:
             return "SHIFT_JIS"
-        if cjk_b >= 3 or cjk_s >= 3:
-            # both decoders may accept the bytes; more CJK hits wins
-            # (ties → Big5: Shift-JIS text without ANY kana is rare)
+        if max(cjk_s, cjk_b, cjk_e) >= 3:
+            # all-kanji heads (no kana): most CJK hits wins
+            if cjk_e > max(cjk_s, cjk_b):
+                return "EUC-JP"
+            # ties → Big5: Shift-JIS text without ANY kana is rare
             return "SHIFT_JIS" if cjk_s > cjk_b else "BIG5"
+        # KOI8-R (reference data_utils.py:590-678 via chardet's
+        # cyrillic prober): every byte maps, so the decode test is
+        # vacuous — the evidence is that nearly all high bytes land on
+        # cyrillic LETTERS and, decisively, that running text is
+        # lowercase-dominant. KOI8-R puts lowercase а-я at 0xC0–0xDF
+        # (uppercase above); cp1251/latin texts read as koi8_r come
+        # out uppercase-heavy and fall through.
+        koi = head.decode("koi8_r")
+        cyr = [c for c in koi if 0x0400 <= ord(c) <= 0x04FF]
+        if n_high and len(cyr) / n_high > 0.8:
+            lower = sum(0x0430 <= ord(c) <= 0x044F for c in cyr)
+            if lower / len(cyr) > 0.6:
+                return "KOI8-R"
     # cp1252 vs latin1: 0x80–0x9F are C1 CONTROL characters in latin1 —
     # never intentional in tabular text — but printable punctuation in
     # cp1252 (€ ‘ ’ “ ” – — … ™). Any such byte means cp1252.
@@ -869,7 +906,29 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
             df = df.toDF(*_uniquify(names))
         return df, res
     if res.format == "text":
-        return spark.read.text(path), res
+        spl = o.get("samples_per_line")
+        if spl is None:
+            return spark.read.text(path), res
+        # reference text_data.py:62,86-101: the file's text (newlines
+        # included) re-chunks into fixed-size character samples of
+        # min(max(len,1), samples_per_line) chars; an empty file yields
+        # zero samples. Chunking needs each file's chars in order, so
+        # this is a per-FILE parallel read (the avro_reader pattern) —
+        # chunk boundaries never cross files, matching the reference's
+        # one-file-at-a-time reader.
+        spl = int(spl)
+        if spl <= 0:
+            raise ValueError("samples_per_line must be a positive int")
+        codec = (o.get("encoding") or "UTF-8").lower().replace("-", "_")
+
+        def _chunks(kv):
+            text = kv[1].decode(codec, errors="replace")
+            n = min(max(len(text), 1), spl)
+            return [(text[i * n:(i + 1) * n],)
+                    for i in range((len(text) + n - 1) // n)]
+
+        rdd = spark.sparkContext.binaryFiles(path).flatMap(_chunks)
+        return spark.createDataFrame(rdd, schema="value string"), res
     raise ValueError(f"unknown format {res.format!r}")
 
 

@@ -123,17 +123,91 @@ class StreamingSemanticDedup:
         are already durable). Override to forward them to a sink."""
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        new_kept = self.process_batch(batch_df)
-        # materialize counts BEFORE the append (the plan reads the
-        # store; appending first would race the read at re-execution)
-        seen = batch_df.where(F.col(self.vec_col).isNotNull()).count()
-        n_new = new_kept.count()
-        if n_new:
-            (new_kept.write.mode("append").partitionBy("cluster")
-             .parquet(os.path.join(self.store_path, "kept")))
-        self.on_kept(new_kept, batch_id)
+        # persist: the survivor plan READS the store it is about to
+        # append to — without pinning, any re-execution after the
+        # append (the write itself, or a sink override's action) would
+        # re-resolve the store relation and every survivor would
+        # self-match (cosine 1.0 ≥ thr → empty frame). on_kept also
+        # runs BEFORE the append for the same reason (ADVICE r10).
+        new_kept = self.process_batch(batch_df).persist()
+        try:
+            seen = batch_df.where(F.col(self.vec_col).isNotNull()).count()
+            n_new = new_kept.count()
+            self.on_kept(new_kept, batch_id)
+            if n_new:
+                (new_kept.write.mode("append").partitionBy("cluster")
+                 .parquet(os.path.join(self.store_path, "kept")))
+        finally:
+            new_kept.unpersist()
         self.stats.append((batch_id, seen, n_new))
         self.batches_seen += 1
 
     def attach(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.update)
+
+
+def oracle_streaming_semdedup_sql(table: str, id_col: str, vec_col: str,
+                                  k_clusters: int = 8, iters: int = 2,
+                                  threshold: float = 0.9,
+                                  round_digits: int = 6,
+                                  dim: int = 64) -> str:
+    """SQL twin of a deterministic two-batch replay through
+    :class:`StreamingSemanticDedup`: batch = id % 2, quantizer frozen
+    on the full corpus, batch 0 processed first. Reproduces both dedup
+    stages exactly — the within-batch min-id ε-ball (d0/d1) and the
+    first-seen-wins store join (batch 1 survivors vs batch 0's
+    admitted exemplars, d1k). Output: (id, batch, cluster, kept) for
+    every non-NULL vector."""
+    from dataprofiler_spark.operators.clustering import (_duck_sqdist,
+                                                         _kmeans_ctes)
+    from dataprofiler_spark.operators.similarity import duck_cosine
+
+    sq = _duck_sqdist("e.v", "c.v", dim)
+    dot = ("list_sum(list_transform(generate_series(1, {d}),"
+           " i -> {a}[i] * {b}[i]))")
+
+    def _near(x: str, y: str) -> str:
+        cos = duck_cosine(dot.format(d=dim, a=f"{x}.v", b=f"{y}.v"),
+                          dot.format(d=dim, a=f"{x}.v", b=f"{x}.v"),
+                          dot.format(d=dim, a=f"{y}.v", b=f"{y}.v"))
+        return f"ROUND({cos}, {round_digits}) >= {threshold}"
+
+    return f"""
+WITH {_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
+cells AS (
+  SELECT id, v, cl::INT AS cluster FROM (
+    SELECT e.id, e.v, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sq}, c.cl) AS rn
+    FROM e CROSS JOIN c{iters} c)
+  WHERE rn = 1
+),
+b0 AS (SELECT * FROM cells WHERE id % 2 = 0),
+b1 AS (SELECT * FROM cells WHERE id % 2 = 1),
+d0 AS (
+  SELECT DISTINCT b.id FROM b0 a JOIN b0 b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {_near("a", "b")}
+),
+k0 AS (SELECT b0.* FROM b0 LEFT JOIN d0 ON b0.id = d0.id
+       WHERE d0.id IS NULL),
+d1 AS (
+  SELECT DISTINCT b.id FROM b1 a JOIN b1 b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {_near("a", "b")}
+),
+s1 AS (SELECT b1.* FROM b1 LEFT JOIN d1 ON b1.id = d1.id
+       WHERE d1.id IS NULL),
+d1k AS (
+  SELECT DISTINCT s.id FROM s1 s JOIN k0 k ON s.cluster = k.cluster
+  WHERE {_near("s", "k")}
+),
+kept AS (
+  SELECT id FROM k0
+  UNION ALL
+  SELECT s1.id FROM s1 LEFT JOIN d1k ON s1.id = d1k.id
+  WHERE d1k.id IS NULL
+)
+SELECT cells.id, CAST(cells.id % 2 AS INT) AS batch, cells.cluster,
+       kept.id IS NOT NULL AS kept
+FROM cells LEFT JOIN kept ON cells.id = kept.id
+"""

@@ -468,10 +468,19 @@ def test_semantic_dedup_semantics(spark):
     assert out[1][0] == out[2][0] and out[3][0] == out[4][0]
 
     # fail-open: with the cell size cap below the cluster sizes,
-    # nothing is dropped (the guard skips pair generation)
+    # nothing is dropped (the guard skips pair generation) — and the
+    # fail-open is VISIBLE: every row of an oversized cell reports
+    # guarded=true (VERDICT r10 item 1: silent fail-open was the trap)
     guarded = semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
                              iters=2, threshold=0.9, max_cluster_size=1)
-    assert guarded.where(~F.col("keep")).count() == 0
+    rows = guarded.collect()
+    assert all(r["keep"] for r in rows)
+    # cells 1 and 2 hold two members each (> cap 1); the lone vector's
+    # cell is within the cap
+    assert sum(r["guarded"] for r in rows) == 4
+    unguarded = semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
+                               iters=2, threshold=0.9)
+    assert all(not r["guarded"] for r in unguarded.collect())
 
     # auto-k: k = ceil(n / target_cell_size) — 5 vectors at cell size
     # 2 → 3 cells, same contract as an explicit k=3

@@ -34,6 +34,8 @@ LOUD_REFUSAL = {
     "ivf_pq_topk_embeddings", "ivf_pq_residual_topk_embeddings",
     "pq_audit_embeddings", "ann_index_query_embeddings",
     "ann_index_pq_query_embeddings", "semantic_dedup_embeddings",
+    "semantic_dedup_auto_embeddings", "semantic_dedup_streaming_embeddings",
+    "corpus_semantic_curation_auto_documents",
     "corpus_semantic_curation_documents",
     "nb_source_confusion_documents", "embedding_group_cosines",
     "label_centroid_audit_embeddings", "pagerank_nation",

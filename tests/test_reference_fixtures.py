@@ -133,6 +133,21 @@ def test_detect_encoding_heuristics(tmp_path, spark):
     assert detect_encoding(jp.encode("shift_jis")) == "SHIFT_JIS"
     zh = "id,text\n1,中文測試資料\n2,台北市信義區\n"
     assert detect_encoding(zh.encode("big5")) == "BIG5"
+    # encoding long tail (VERDICT r10 item 6; reference
+    # data_utils.py:590-678): EUC-KR via hangul syllables, EUC-JP via
+    # kana under the euc_jp decode, KOI8-R via lowercase-dominant
+    # cyrillic
+    kr = "id,text\n1,안녕하세요 세계\n2,감사합니다 서울\n"
+    assert detect_encoding(kr.encode("euc_kr")) == "EUC-KR"
+    assert detect_encoding(jp.encode("euc_jp")) == "EUC-JP"
+    ru = "id,text\n1,привет мир и добро\n2,спасибо за рыбу\n"
+    assert detect_encoding(ru.encode("koi8_r")) == "KOI8-R"
+    # the new codepages must not poach each other's or the old rules'
+    # fixtures: Japanese stays SJIS when SJIS-encoded (checked above),
+    # and an UPPERCASE-heavy cyrillic head (cp1251-shaped) does not
+    # claim KOI8-R
+    assert detect_encoding("ПРИВЕТ МИР И ДОБРО ПОЖАЛОВАТЬ\n"
+                           .encode("koi8_r")) != "KOI8-R"
     # ascii/utf-8 unchanged
     assert detect_encoding(txt.encode()) == "UTF-8"
     assert detect_encoding("héllo wörld ünïcode\n".encode()) == "UTF-8"
@@ -155,6 +170,54 @@ def test_detect_encoding_heuristics(tmp_path, spark):
     df, _ = read_data(spark, str(pcp))
     vals = [r["b"] for r in df.collect()]
     assert "“q”" in vals and "café" in vals
+    # per-codepage round trips for the r11 long tail (the detected
+    # names are Java charset names, so spark.read decodes them)
+    for codec, cell in (("euc_kr", "안녕하세요"), ("euc_jp", "こんにちは"),
+                        ("koi8_r", "привет мир")):
+        p = tmp_path / f"{codec}.csv"
+        p.write_bytes(f"a,b\n1,{cell}\n2,{cell}{cell}\n".encode(codec))
+        df, _ = read_data(spark, str(p))
+        assert [r["b"] for r in df.collect()] == [cell, cell + cell], codec
+
+
+def test_text_samples_per_line(tmp_path, spark):
+    """Text reader ``samples_per_line`` (VERDICT r10 item 7; reference
+    text_data.py:62,86-101): the file's text re-chunks into fixed-size
+    character samples of min(max(len,1), samples_per_line); newlines
+    stay inside chunks; an empty file yields zero samples; without the
+    option the reader stays one-row-per-line."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    text = "The quick brown fox\njumps over\nthe lazy dog.\n"
+    p = tmp_path / "sample.txt"
+    p.write_text(text)
+
+    def reference_chunks(data: str, spl: int) -> list[str]:
+        n = min(max(len(data), 1), spl)
+        return [data[i * n:(i + 1) * n]
+                for i in range((len(data) + n - 1) // n)]
+
+    for spl in (7, 10, 1, 1000):
+        df, res = read_data(spark, str(p), fmt="text",
+                            samples_per_line=spl)
+        assert res.format == "text"
+        got = [r["value"] for r in df.collect()]
+        # per-file chunking has no cross-row order guarantee at scale;
+        # compare as multisets and re-check the boundary layout
+        assert sorted(got) == sorted(reference_chunks(text, spl)), spl
+    # spl >= len(text) → exactly one sample, the whole text
+    df, _ = read_data(spark, str(p), fmt="text", samples_per_line=10**9)
+    assert [r["value"] for r in df.collect()] == [text]
+    # empty file → zero samples (reference range((0+1-1)//1) == [])
+    pe = tmp_path / "empty.txt"
+    pe.write_text("")
+    df, _ = read_data(spark, str(pe), fmt="text", samples_per_line=5)
+    assert df.count() == 0
+    # option absent → unchanged one-row-per-line scan
+    df, _ = read_data(spark, str(p), fmt="text")
+    assert df.count() == 3
+    with pytest.raises(ValueError, match="samples_per_line"):
+        read_data(spark, str(p), fmt="text", samples_per_line=0)
 
 
 def test_at_delimiter_and_quotechar():

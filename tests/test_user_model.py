@@ -1,0 +1,263 @@
+"""CharLoadTFModel parity (VERDICT r10 item 4): loading a USER-supplied
+pre-trained same-family keras char model with a custom label mapping —
+reference labelers/char_load_tf_model.py:27-300 — without TensorFlow.
+
+The fixture model is GENERATED in-test through minihdf5.dump_weights
+(the new write-side of the in-repo HDF5 parser), so the whole chain is
+exercised: writer → zip artifact → config.json arch parsing → weight
+load → NumPy forward → Spark adapter. The forward pass is checked
+against an independent naive per-position convolution implemented here
+(a real oracle, not a self-copy), plus a recorded golden so regressions
+in either implementation are caught.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+REF_WEIGHTS = "/root/reference/resources/labelers/structured_model/model.keras"
+
+
+# -- synthetic same-family artifact ------------------------------------------
+
+def _synth_arrays(rng, d=8, f=6, k=3, n_labels=6):
+    def g(*shape, s=0.5):
+        return rng.normal(0, s, shape).astype(np.float32)
+    a = {"/layers/char_embed/vars/0": g(65, d)}
+    for tag, cin in (("a", d), ("b", f)):
+        a[f"/layers/conv_{tag}/vars/0"] = g(k, cin, f)
+        a[f"/layers/conv_{tag}/vars/1"] = g(f, s=0.1)
+        a[f"/layers/bn_{tag}/vars/0"] = \
+            rng.uniform(0.5, 1.5, (f,)).astype(np.float32)
+        a[f"/layers/bn_{tag}/vars/1"] = g(f, s=0.1)
+        a[f"/layers/bn_{tag}/vars/2"] = g(f, s=0.1)
+        a[f"/layers/bn_{tag}/vars/3"] = \
+            rng.uniform(0.5, 1.5, (f,)).astype(np.float32)
+    a["/layers/fc/vars/0"] = g(f, 10)
+    a["/layers/fc/vars/1"] = g(10, s=0.1)
+    a["/layers/out/vars/0"] = g(10, n_labels)
+    a["/layers/out/vars/1"] = g(n_labels, s=0.1)
+    return a
+
+
+def _synth_config(d=8, f=6, k=3, n_labels=6):
+    L = lambda cls, **cfg: {"class_name": cls, "config": cfg}  # noqa: E731
+    return {"class_name": "Functional", "config": {"layers": [
+        L("InputLayer", name="input"),
+        L("Embedding", name="char_embed", input_dim=65, output_dim=d),
+        L("Conv1D", name="conv_a", filters=f, kernel_size=[k],
+          activation="relu"),
+        L("Dropout", name="do1", rate=0.1),
+        L("BatchNormalization", name="bn_a", epsilon=0.001),
+        L("Conv1D", name="conv_b", filters=f, kernel_size=[k],
+          activation="relu"),
+        L("BatchNormalization", name="bn_b", epsilon=0.01),
+        L("Dense", name="fc", units=10, activation="relu"),
+        L("Dense", name="out", units=n_labels, activation="softmax"),
+    ]}}
+
+
+LABELS = {"BG": 1, "ACCT": 2, "NAME": 3, "DATE": 4, "CODE": 5}
+
+
+def _write_user_model(dirpath, label_mapping=LABELS, params=None,
+                      config=None, seed=42):
+    from dataprofiler_spark.labeler.minihdf5 import dump_weights
+
+    os.makedirs(dirpath, exist_ok=True)
+    with zipfile.ZipFile(os.path.join(dirpath, "model.keras"), "w") as z:
+        z.writestr("config.json", json.dumps(config or _synth_config()))
+        z.writestr("metadata.json", json.dumps({"keras_version": "3.0"}))
+        z.writestr("model.weights.h5", dump_weights(
+            _synth_arrays(np.random.default_rng(seed))))
+    with open(os.path.join(dirpath, "label_mapping.json"), "w") as fp:
+        json.dump(label_mapping, fp)
+    with open(os.path.join(dirpath, "model_parameters.json"), "w") as fp:
+        json.dump(params if params is not None
+                  else {"default_label": "BG", "max_length": 100}, fp)
+    return dirpath
+
+
+# -- HDF5 writer --------------------------------------------------------------
+
+def test_minihdf5_write_read_round_trip():
+    """Writer → reader is exact for every dtype/rank/nesting the keras
+    family uses (plus int/float64 datasets and deeper group trees)."""
+    from dataprofiler_spark.labeler.minihdf5 import (dump_weights,
+                                                     load_weights)
+
+    rng = np.random.default_rng(7)
+    arrays = {
+        "/layers/embedding/vars/0":
+            rng.normal(size=(129, 16)).astype(np.float32),
+        "/layers/conv1d/vars/0":
+            rng.normal(size=(13, 16, 8)).astype(np.float32),
+        "/a/b/c/deep": rng.normal(size=(2, 3, 4, 5)),
+        "/scalarish": np.array([3.5], dtype=np.float64),
+        "/ints/i8": np.arange(-4, 4, dtype=np.int64),
+        "/ints/u4": np.arange(9, dtype=np.uint32),
+        "/top": np.arange(7, dtype=np.int32),
+    }
+    back = load_weights(dump_weights(arrays))
+    assert set(back) == set(arrays)
+    for p, arr in arrays.items():
+        assert back[p].dtype == arr.dtype, p
+        assert back[p].shape == arr.shape, p
+        assert np.array_equal(back[p], arr), p
+
+
+def test_minihdf5_write_read_generative():
+    """Random trees of random datasets survive the round trip."""
+    from dataprofiler_spark.labeler.minihdf5 import (dump_weights,
+                                                     load_weights)
+
+    rng = np.random.default_rng(123)
+    dtypes = [np.float32, np.float64, np.int32, np.int64, np.uint32]
+    for _ in range(10):
+        arrays = {}
+        for i in range(int(rng.integers(1, 12))):
+            depth = int(rng.integers(1, 4))
+            path = "/" + "/".join(
+                f"g{int(rng.integers(0, 3))}" for _ in range(depth)
+            ) + f"/d{i}"
+            shape = tuple(int(rng.integers(1, 6))
+                          for _ in range(int(rng.integers(1, 4))))
+            dt = dtypes[int(rng.integers(0, len(dtypes)))]
+            arrays[path] = (rng.normal(0, 9, shape) * 10).astype(dt)
+        back = load_weights(dump_weights(arrays))
+        assert set(back) == set(arrays)
+        for p, arr in arrays.items():
+            assert back[p].dtype == arr.dtype
+            assert np.array_equal(back[p], arr), p
+
+
+# -- user-model loading -------------------------------------------------------
+
+def test_load_user_model_custom_architecture(tmp_path):
+    """A 2-conv / 6-label model (non-reference depth AND label count)
+    loads with its own config-derived stack, per-layer BN epsilons,
+    vocab size, and custom label names."""
+    from dataprofiler_spark.labeler.np_cnn import load_user_model
+
+    m = load_user_model(_write_user_model(str(tmp_path / "um")))
+    assert len(m.convs) == 2 and len(m.dense) == 2
+    assert m.convs[0][6] == 0.001 and m.convs[1][6] == 0.01  # per-layer eps
+    assert m.max_code == 64            # embedding input_dim 65 → id 63
+    assert m.max_length == 100
+    assert m.label_mapping == {**LABELS, "PAD": 0}
+    assert m.default_ind == LABELS["BG"] and m.pad_ind == 0
+    # recorded golden (seed 42): regressions in writer/parser/forward
+    # all surface here
+    assert m.predict_cells(["abc 123", "zz-99", ""]) == [
+        ("CODE", pytest.approx(5 / 7)),
+        ("ACCT", pytest.approx(0.4)),
+        ("BG", 0.0),
+    ]
+
+
+def test_user_model_forward_matches_naive_convolution(tmp_path):
+    """The im2col GEMM forward equals an independent per-position
+    convolution loop (true oracle for the vectorized path)."""
+    from dataprofiler_spark.labeler.np_cnn import load_user_model
+
+    m = load_user_model(_write_user_model(str(tmp_path / "um")))
+
+    def naive(s: str) -> list[int]:
+        codes = np.array([min(ord(c) + 1, m.max_code) for c in s])
+        halo = (m.kernel // 2) * len(m.convs)
+        codes = np.concatenate([codes, np.zeros(halo, int)])
+        x = m.embedding[codes]
+        for kern, bias, g, b, mean, var, eps in m.convs:
+            n, pad = len(x), m.kernel // 2
+            xp = np.vstack([np.zeros((pad, x.shape[1]), np.float32), x,
+                            np.zeros((pad, x.shape[1]), np.float32)])
+            y = np.zeros((n, kern.shape[2]), np.float32)
+            for t in range(n):
+                for j in range(m.kernel):
+                    y[t] += xp[t + j] @ kern[j]
+            y += bias
+            y = np.maximum(y, 0)
+            x = g * (y - mean) / np.sqrt(var + eps) + b
+        for i, (w, bb) in enumerate(m.dense):
+            x = x @ w + bb
+            if i < len(m.dense) - 1:
+                x = np.maximum(x, 0)
+        return x.argmax(-1)[:len(s)].tolist()
+
+    for s in ["abc 123", "zz-99", "x", "The quick brown fox! 42-17"]:
+        assert m.predict_char_labels([s])[0] == naive(s), s
+
+
+def test_pad_and_default_label_rules(tmp_path):
+    """set_label_mapping parity (char_load_tf_model.py:135-148): PAD→0
+    when index 0 is free, PAD→max+1 when taken; absent default_label
+    raises."""
+    from dataprofiler_spark.labeler.np_cnn import load_user_model
+
+    # 0 taken → PAD appended at max+1
+    taken = {"BG": 0, "ACCT": 1, "NAME": 2, "DATE": 3, "CODE": 4}
+    m = load_user_model(_write_user_model(str(tmp_path / "t"), taken))
+    assert m.label_mapping["PAD"] == 5 and m.pad_ind == 5
+
+    with pytest.raises(ValueError, match="default_label"):
+        load_user_model(_write_user_model(
+            str(tmp_path / "d"), params={"default_label": "NOPE"}))
+
+
+def test_out_of_family_model_refuses_loudly(tmp_path):
+    """A config with a layer outside the char-CNN family names the
+    offender instead of mis-executing it."""
+    from dataprofiler_spark.labeler.np_cnn import load_user_model
+
+    cfg = _synth_config()
+    cfg["config"]["layers"].insert(
+        3, {"class_name": "LSTM", "config": {"name": "rnn", "units": 4}})
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        load_user_model(_write_user_model(str(tmp_path / "bad"),
+                                          config=cfg))
+
+    cfg2 = _synth_config()
+    cfg2["config"]["layers"][-1]["config"]["activation"] = "sigmoid"
+    with pytest.raises(NotImplementedError, match="sigmoid"):
+        load_user_model(_write_user_model(str(tmp_path / "bad2"),
+                                          config=cfg2))
+
+
+def test_data_labeler_facade_user_model(tmp_path, spark):
+    """DataLabeler(model='cnn', model_path=...) routes the user model
+    through the mapInPandas adapter: votes carry the CUSTOM labels."""
+    from dataprofiler_spark.labeler import DataLabeler
+
+    path = _write_user_model(str(tmp_path / "um"))
+    lab = DataLabeler(labeler_type="structured", model="cnn",
+                      model_path=path)
+    assert lab.labels == sorted({**LABELS, "PAD": 0})
+    df = spark.createDataFrame(
+        [("abc 123", "zz-99")] * 4, "c1 string, c2 string")
+    votes = {r["column"]: r["label"]
+             for r in lab.predict(df).collect()}
+    assert set(votes) == {"c1", "c2"}
+    assert set(votes.values()) <= set(LABELS) | {"could not determine"}
+    with pytest.raises(ValueError, match="model_path"):
+        DataLabeler(model="regex", model_path=path)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_WEIGHTS),
+                    reason="reference weights not present")
+def test_reference_model_unchanged_under_arch_parsing():
+    """The packaged reference artifact now loads through the SAME
+    config.json parser — its stack and predictions must be identical
+    to the hardcoded-arch era."""
+    from dataprofiler_spark.labeler.np_cnn import NumpyCharCNN
+
+    m = NumpyCharCNN.from_keras_zip(REF_WEIGHTS)
+    assert len(m.convs) == 4 and len(m.dense) == 3
+    assert m.kernel == 13 and m.max_code == 128
+    assert all(c[6] == pytest.approx(1e-3) for c in m.convs)
+    preds = m.predict_cells(["123-45-6789", "2024-01-02"])
+    assert [p[0] for p in preds] == ["SSN", "DATE"]
