@@ -28,8 +28,14 @@ import time
 # queries in one JVM and its numbers degraded uniformly with zero code
 # change (codegen-cache crowding). Split into similarity / clustering /
 # serving so per-query regression signal returns.
-GROUP_ORDER = ["profile", "dedup", "text", "events", "similarity",
-               "clustering", "serving", "labeler"]
+# r11 (VERDICT r10 items 2-3): the "profile" group had grown to 23 —
+# decile/grouped-quantiles/benford drifted with zero code change, the
+# same crowding signature. Split: "profile" keeps the 7 profiler-plan
+# rows (incl. the headline), "stats" the 13 statistical aggregates,
+# "joins" the 3 join-strategy rows. jvm_group_of in the payload makes
+# future crowding diagnosable from the artifact alone (item 10).
+GROUP_ORDER = ["profile", "stats", "joins", "dedup", "text", "events",
+               "similarity", "clustering", "serving", "labeler"]
 
 
 def build_runners(spark, sf_dir):
@@ -104,15 +110,15 @@ def build_runners(spark, sf_dir):
 
     add("profile", "row_stats_lineitem",
         lambda: rs.row_stats(lineitem, hashing_method="hll").collect())
-    add("profile", "robust_stats_lineitem",
+    add("stats", "robust_stats_lineitem",
         lambda: num.robust_stats(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
                        "l_tax"]).collect())
-    add("profile", "benford_lineitem",
+    add("stats", "benford_lineitem",
         lambda: num.benford_test(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
                        "l_tax"]).collect())
-    add("profile", "entropy_lineitem",
+    add("stats", "entropy_lineitem",
         lambda: cat.column_entropy(
             lineitem, ["l_returnflag", "l_linestatus", "l_quantity",
                        "l_linenumber"]).collect())
@@ -126,24 +132,24 @@ def build_runners(spark, sf_dir):
     def _fd():
         vd.fd_check(lineitem, [("l_orderkey", "l_shipdate"),
                                ("l_linenumber", "l_returnflag")]).collect()
-    add("profile", "fd_check_lineitem", _fd)
+    add("stats", "fd_check_lineitem", _fd)
 
     def _incl():
         cust = tbl("customer")
         vd.inclusion_profile(orders, ["o_custkey", "o_orderkey"],
                              cust, ["c_custkey", "c_nationkey"]).collect()
-    add("profile", "inclusion_orders_customer", _incl)
+    add("stats", "inclusion_orders_customer", _incl)
 
     def _theil():
         corr.theils_u_pair(lineitem, "l_returnflag",
                            "l_linestatus").collect()
-    add("profile", "theils_u_lineitem", _theil)
+    add("stats", "theils_u_lineitem", _theil)
 
     def _ghist():
         from dataprofiler_spark.operators import histogram as hg
         hg.grouped_histogram(lineitem, "l_extendedprice",
                              "l_returnflag", 12).collect()
-    add("profile", "grouped_histogram_lineitem", _ghist)
+    add("stats", "grouped_histogram_lineitem", _ghist)
 
     def _skewjoin():
         from dataprofiler_spark.operators.skew import skew_join
@@ -152,7 +158,7 @@ def build_runners(spark, sf_dir):
         od = orders.select(F.col("o_orderkey").alias("k"),
                            F.col("o_totalprice").alias("total"))
         skew_join(li, od, "k", hot_threshold=5).count()
-    add("profile", "skew_join_lineitem_orders", _skewjoin)
+    add("joins", "skew_join_lineitem_orders", _skewjoin)
 
     # skew_join vs AQE head-to-head (VERDICT r6 item 7): ~1/3 of
     # lineitem rows collapse onto ONE synthetic mega-key; the identical
@@ -172,41 +178,41 @@ def build_runners(spark, sf_dir):
         from dataprofiler_spark.operators.skew import skew_join
         li, od = _mega_inputs()
         skew_join(li, od, "k", hot_threshold=50_000).count()
-    add("profile", "skew_join_megakey", _skew_mega)
+    add("joins", "skew_join_megakey", _skew_mega)
 
     def _plain_mega():
         li, od = _mega_inputs()
         li.join(od, "k").count()
-    add("profile", "plain_join_aqe_megakey", _plain_mega)
+    add("joins", "plain_join_aqe_megakey", _plain_mega)
     def _kendall():
         corr.kendall_tau_b(lineitem, "l_quantity", "l_discount").collect()
-    add("profile", "kendall_tau_lineitem", _kendall)
+    add("stats", "kendall_tau_lineitem", _kendall)
 
     def _decile():
         from dataprofiler_spark.operators import histogram as hg
         hg.decile_stats(lineitem, "l_extendedprice").collect()
-    add("profile", "decile_stats_lineitem", _decile)
+    add("stats", "decile_stats_lineitem", _decile)
 
     def _roc():
         li = lineitem.select("l_quantity",
                              F.expr("l_returnflag = 'R'").alias("y"))
         vd.roc_auc(li, "l_quantity", "y").collect()
-    add("profile", "roc_auc_lineitem", _roc)
+    add("stats", "roc_auc_lineitem", _roc)
 
     def _woe():
         od = orders.select("o_orderstatus", F.expr(
             "o_orderpriority IN ('1-URGENT', '2-HIGH')").alias("y"))
         vd.woe_iv(od, "o_orderstatus", "y").collect()
-    add("profile", "woe_iv_orders", _woe)
+    add("stats", "woe_iv_orders", _woe)
 
     def _gq():
         from dataprofiler_spark.operators import histogram as hg
         hg.grouped_quantiles(lineitem, "l_returnflag",
                              "l_extendedprice",
                              [0.25, 0.5, 0.75, 0.95]).collect()
-    add("profile", "grouped_quantiles_lineitem", _gq)
+    add("stats", "grouped_quantiles_lineitem", _gq)
 
-    add("profile", "correlation_lineitem",
+    add("stats", "correlation_lineitem",
         lambda: corr.correlation_matrix_native(
             lineitem, ["l_quantity", "l_extendedprice", "l_discount",
                        "l_tax"]).collect())

@@ -123,10 +123,45 @@ def _minhash_guarded(spark, sf_dir):
         max_bucket_size=200)
 
 
+def _funnel_auto_aligned(spark, sf_dir):
+    """The composed curation funnel (quality → exact → SimHash →
+    SemDeDup) under the r11 auto-k default, with the embeddings'
+    copy blocks RE-ALIGNED to the document copy blocks: build() offsets
+    every table by its OWN max-key stride (docs +5000/copy, vectors
+    +500/copy), so without the remap only copy 0's survivors would have
+    embedding rows and the semantic stage would shrink instead of
+    scale. The remap is the identity at sf0.1. target_cell_size=100
+    (the driver query's operating point) → ~45 cells at sf1, so this
+    measures the auto-k contract doing its job: cells stay bounded as
+    the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators import pipeline as pl
+    from dataprofiler_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    vstride = int(spark.read.parquet(f"{SRC}/embeddings.parquet")
+                  .agg(F.max("vec_id")).collect()[0][0]) + 1
+    dstride = int(spark.read.parquet(f"{SRC}/documents.parquet")
+                  .agg(F.max("doc_id")).collect()[0][0]) + 1
+    emb = emb.withColumn(
+        "vec_id",
+        (F.col("vec_id") % vstride
+         + F.floor(F.col("vec_id") / vstride) * dstride)
+        .cast(emb.schema["vec_id"].dataType))
+    return pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        semantic_threshold=0.3, k_clusters="auto",
+        target_cell_size=100, iters=2)
+
+
 def time_one(query: str, sf_dir: str) -> None:
     spark = _spark()
     if query == "minhash_lsh_pairs_documents":
         fn = _minhash_guarded
+    elif query == "curation_funnel_auto":
+        fn = _funnel_auto_aligned
     else:
         from dataprofiler_spark.queries import SPARK_QUERIES
         fn = SPARK_QUERIES[query]
