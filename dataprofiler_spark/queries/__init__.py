@@ -117,7 +117,7 @@ _DRIVER_WINDOW = [
     "profile_diff_events",
     "word_counts_documents",
     "corpus_curation_documents",
-    "row_stats_lineitem",
+    "streaming_neardup_flags_documents",   # 2-batch replay, oracled (r11)
 ]
 
 

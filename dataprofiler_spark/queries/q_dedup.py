@@ -149,3 +149,46 @@ def lsh_bucket_profile_documents(spark, sf_dir):
     return dd.lsh_bucket_profile(T(spark, sf_dir, "documents"),
                                  "doc_id", "text",
                                  k=3, num_hashes=12, bands=6)
+
+
+def _oracle_streaming_neardup():
+    from dataprofiler_spark.streaming.neardup import \
+        oracle_streaming_neardup_sql
+    return oracle_streaming_neardup_sql("documents", "doc_id", "text",
+                                        k=3, num_hashes=12, bands=2,
+                                        verify_threshold=0.5)
+
+
+@register("streaming_neardup_flags_documents",
+          _oracle_streaming_neardup())
+def streaming_neardup_flags_documents(spark, sf_dir):
+    """StreamingNearDup replayed deterministically (r11, the streaming
+    SemDeDup pattern): two micro-batches (batch = doc_id % 2) run
+    through the REAL foreachBatch hook in order — batch 0 seeds the
+    band-partitioned signature store, batch 1 is flagged when any band
+    bucket matches a stored key AND exact jaccard vs the stored
+    shingle-hash set clears the verify threshold. The SQL twin
+    re-derives shingles → minhash → bands → probe → verify, so the
+    cross-batch store semantics are hash-checked end-to-end. Output:
+    (id, batch, flagged) per signature-bearing doc."""
+    import tempfile
+
+    from dataprofiler_spark.operators.dedup import (_band_buckets,
+                                                    _minhash_wide)
+    from dataprofiler_spark.streaming.neardup import StreamingNearDup
+
+    docs = T(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dps_neardup_stream_")
+    nd = StreamingNearDup(store, "doc_id", "text", k=3, num_hashes=12,
+                          bands=2, verify_threshold=0.5)
+    for b in (0, 1):
+        nd.update(docs.where(F.col("doc_id") % 2 == b), b)
+    flagged = sorted({i for _, i in nd.flagged})
+    spark_ids = (_band_buckets(
+        _minhash_wide(docs, "doc_id", "text", 3, 12), 12, 2)
+        .select("id").distinct())
+    fdf = spark.createDataFrame([(i,) for i in flagged],
+                                "id long").withColumn("__f", F.lit(1))
+    return (spark_ids.join(fdf, "id", "left")
+            .select("id", (F.col("id") % 2).cast("int").alias("batch"),
+                    F.col("__f").isNotNull().alias("flagged")))

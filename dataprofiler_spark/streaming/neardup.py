@@ -239,3 +239,81 @@ def compact_sets(spark: SparkSession, sets_path: str,
     shutil.move(tmp, sets_path)
     shutil.rmtree(old)
     return n
+
+
+def oracle_streaming_neardup_sql(table: str, id_col: str, text_col: str,
+                                 k: int = 3, num_hashes: int = 12,
+                                 bands: int = 2,
+                                 verify_threshold: float | None = None
+                                 ) -> str:
+    """SQL twin of a deterministic two-batch replay through
+    :class:`StreamingNearDup`: batch = id % 2, batch 0 first. Mirrors
+    the hook's exact semantics — batch 0 probes an EMPTY store (never
+    flagged, its keys append), batch 1 is flagged when ANY of its band
+    buckets matches a batch-0 survivor key; with ``verify_threshold``
+    the candidate must also pass exact jaccard against the stored
+    shingle-hash set (unrounded double compare, same as the hook —
+    exact-input IEEE division, engine-identical). Output: (id, batch,
+    flagged) for every doc that produces a signature."""
+    from dataprofiler_spark.operators.dedup import (MINHASH_PRIME,
+                                                    _duck_shingles,
+                                                    _perm_coeffs)
+
+    rows = num_hashes // bands
+    coeffs = _perm_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, md5("
+        + " || ',' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)"
+                             for r in range(rows))
+        + ") AS bucket FROM mins"
+        for b in range(bands))
+    if verify_threshold is None:
+        f1 = """
+f1 AS (
+  SELECT DISTINCT b1.id FROM b1 JOIN b0
+    ON b1.band = b0.band AND b1.bucket = b0.bucket
+)"""
+    else:
+        inter = "len(list_intersect(sb.hs, ss.hs))"
+        f1 = f"""
+cand AS (
+  SELECT DISTINCT b1.id AS bid, b0.id AS sid FROM b1 JOIN b0
+    ON b1.band = b0.band AND b1.bucket = b0.bucket
+),
+f1 AS (
+  SELECT DISTINCT c.bid AS id
+  FROM cand c
+  JOIN shf sb ON sb.id = c.bid
+  JOIN shf ss ON ss.id = c.sid
+  WHERE CAST({inter} AS DOUBLE)
+        / (len(sb.hs) + len(ss.hs) - {inter}) >= {verify_threshold}
+)"""
+    return f"""
+WITH sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
+shf AS (
+  SELECT id, list_distinct(list_transform(sh,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+  FROM sh0
+),
+hashes AS (
+  SELECT shf.id, u.h60 // 268435456 AS h
+  FROM shf, UNNEST(shf.hs) u(h60)
+),
+mins AS (
+  SELECT id,
+         {mins}
+  FROM hashes GROUP BY id
+),
+buckets0 AS (
+{band_selects}
+),
+b0 AS (SELECT * FROM buckets0 WHERE id % 2 = 0),
+b1 AS (SELECT * FROM buckets0 WHERE id % 2 = 1),{f1}
+SELECT d.id, CAST(d.id % 2 AS INT) AS batch,
+       f1.id IS NOT NULL AS flagged
+FROM (SELECT DISTINCT id FROM buckets0) d
+LEFT JOIN f1 ON d.id = f1.id
+"""
