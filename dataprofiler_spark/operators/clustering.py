@@ -70,6 +70,56 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*structs))["cl"]
 
 
+# Above this k the nearest-centroid assignment runs as an Arrow-batched
+# NumPy kernel instead of the literal expression: the expression is
+# O(k·dim) interpreted HOF nodes PER ROW (at k=46/dim=64 it multiplied
+# the semantic-dedup stage ~4x at sf1, SCALE.md §34), while the NumPy
+# path is one vectorized (rows × k) accumulation per dim. Both paths
+# are bit-identical (pinned by test_assign_paths_bit_identical): the
+# kernel replays the expression's exact arithmetic — cast to double,
+# (x-y)*(x-y), sequential left-fold over dims from 0.0 — and argmin's
+# first-minimum rule IS the (distance, index) lexicographic tie-break.
+ASSIGN_EXPR_MAX_K = 16
+
+
+def _assign_df(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id, v) → (id, v, cluster int): nearest-centroid assignment,
+    expression path for small k (JVM, zero Python), NumPy mapInPandas
+    above ASSIGN_EXPR_MAX_K. Vectors must share the centroids' width
+    (the fixed-dim contract every caller already enforces)."""
+    if len(centroids) <= ASSIGN_EXPR_MAX_K:
+        return base.select(
+            "id", "v",
+            _assign_expr(F.col("v"), centroids).cast("int").alias("cluster"))
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from dataprofiler_spark.session import ensure_parallelism
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+    out_schema = StructType(list(base.schema.fields)
+                            + [StructField("cluster", IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["cluster"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            v = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            acc = np.zeros((len(pdf), cents.shape[0]))
+            for d in range(dim):
+                diff = v[:, d, None] - cents[None, :, d]
+                acc += diff * diff          # same per-dim fold order
+            pdf["cluster"] = np.argmin(acc, axis=1).astype("int32")
+            yield pdf
+
+    return ensure_parallelism(base).mapInPandas(assign, schema=out_schema)
+
+
 def _init_centroids(base: DataFrame, k: int) -> list[list[float]]:
     rows = base.orderBy("id").limit(k).select("v").collect()
     if len(rows) < k:
@@ -112,8 +162,8 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
                      F.col(vec_col).alias("v"))
     cents = _init_centroids(base, k)
     for _ in range(iters):
-        assigned = base.select("id", "v",
-                               _assign_expr(F.col("v"), cents).alias("cl"))
+        assigned = _assign_df(base, cents).withColumnRenamed("cluster",
+                                                             "cl")
         cents = _update_centroids(assigned, cents)
     return cents
 
@@ -124,10 +174,10 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
     scan, zero shuffles in the output plan."""
     df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
-    return df.select(
-        F.col(id_col).alias(id_col),
-        _assign_expr(F.col(vec_col), cents).cast("int").alias("cluster"),
-    )
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"))
+    return (_assign_df(base, cents)
+            .select(F.col("id").alias(id_col), "cluster"))
 
 
 def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
@@ -1117,7 +1167,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    k_clusters: int | str = "auto", iters: int = 2,
                    threshold: float = 0.9, round_digits: int = 6,
                    max_cluster_size: int = 10_000,
-                   target_cell_size: int = 2_000) -> DataFrame:
+                   target_cell_size: int = 2_000,
+                   cache: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster with k-means,
     then drop near-duplicates WITHIN each cluster only, so pair work
@@ -1163,10 +1214,23 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         n_vecs = df.count()
         k_clusters = max(1, -(-n_vecs // int(target_cell_size)))
     cents = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _assign_expr(F.col(vec_col), cents).cast("int").alias("cluster"))
+    assigned = _assign_df(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v")), cents)
+    if cache:
+        # persist discipline (the minhash_lsh_pairs `cache` contract):
+        # `assigned` feeds FOUR plan subtrees (the size agg, the sized
+        # output join, and both sides of the pair self-join) —
+        # re-evaluating the assign scan per subtree multiplied the
+        # semantic stage ~5x at sf1 (SCALE.md §34). Materialize NOW:
+        # a lazy persist leaves the first consuming JOB to race its
+        # own stages into computing the cold cache several times over
+        # (measured: run-to-run 2-6x swings on the funnel's collect).
+        # The operator is already eager (auto-k count, k-means fit),
+        # so one more small job changes nothing semantically. Callers
+        # running many corpora per session: spark.catalog.clearCache().
+        assigned = assigned.persist()
+        assigned.count()
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("__csz"))
     sized = assigned.join(sizes, "cluster")

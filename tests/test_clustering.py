@@ -439,6 +439,39 @@ def test_hard_negatives_exclude_own_label(spark, sf_dir):
                    for i in range(len(rs) - 1))
 
 
+def test_assign_paths_bit_identical(spark):
+    """The NumPy mapInPandas assign (k > ASSIGN_EXPR_MAX_K) must equal
+    the literal-expression path BIT-FOR-BIT: the kernel replays the
+    expression's arithmetic (cast-to-double, (x-y)*(x-y), sequential
+    per-dim left-fold from 0.0) and argmin's first-minimum rule is the
+    (distance, index) lexicographic tie-break. Adversarial inputs:
+    duplicated centroids (exact ties), near-tie perturbations at 1e-15,
+    float32 vectors (upcast before subtraction, as the expression
+    casts), negative and denormal-ish values."""
+    import numpy as np
+
+    from dataprofiler_spark.operators import clustering as clus
+
+    rng = np.random.default_rng(11)
+    k, dim, n = 24, 16, 200            # k > ASSIGN_EXPR_MAX_K
+    assert k > clus.ASSIGN_EXPR_MAX_K
+    cents = rng.normal(0, 1, (k, dim))
+    cents[7] = cents[3]                 # exact duplicate -> index tie
+    cents[12] = cents[5] + 1e-15        # near-tie
+    cents = [[float(x) for x in c] for c in cents]
+    vecs = rng.normal(0, 1, (n, dim))
+    vecs[:50] = np.asarray(cents)[rng.integers(0, k, 50)]  # on-centroid
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    for typ in ("array<double>", "array<float>"):
+        df = spark.createDataFrame(rows, f"id long, v {typ}")
+        fast = {r["id"]: r["cluster"]
+                for r in clus._assign_df(df, cents).collect()}
+        slow = {r["id"]: r["cluster"] for r in df.select(
+            "id", clus._assign_expr(F.col("v"), cents).cast("int")
+            .alias("cluster")).collect()}
+        assert fast == slow, typ
+
+
 def test_semantic_dedup_semantics(spark):
     """SemDeDup keep rule: exact/near duplicates drop in favor of the
     lowest id IN THE SAME CELL; cross-cluster near-dups survive (the
