@@ -62,11 +62,16 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
                   if fit_fraction else df)
         centers_list = cl.kmeans_fit(fit_on, id_col, vec_col,
                                      k=n_centroids, iters=iters)
-        cols = [
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("embedding"),
-            cl._assign_expr(F.col(vec_col), centers_list).cast("int")
-            .alias("centroid")]
+        # centroid assignment via _assign_df: above ASSIGN_EXPR_MAX_K
+        # centroids the full-corpus build scan switches to the
+        # vectorized NumPy kernel (bit-identical — see clustering.py);
+        # a deployment-sized n_centroids must not pay the O(k·dim)
+        # interpreted expression per row.
+        assigned = (cl._assign_df(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v")), centers_list)
+            .select("id", F.col("v").alias("embedding"),
+                    F.col("cluster").alias("centroid")))
         if pq_m is not None:
             dim = len(centers_list[0])
             sub = dim // pq_m
@@ -74,15 +79,14 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
                                  k_codes=pq_codes, iters=pq_iters,
                                  dim=dim)
             for j, book in enumerate(pq_books):
-                sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+                sl = F.slice(F.col("embedding"), j * sub + 1, sub)
                 cands = F.array(*[
                     F.struct(cl._sqdist(sl, F.array(*[F.lit(w)
                                                       for w in c]))
                              .alias("d"), F.lit(i).alias("cl"))
                     for i, c in enumerate(book)])
-                cols.append(F.array_min(cands)["cl"].cast("int")
-                            .alias(f"code{j}"))
-        assigned = df.select(*cols)
+                assigned = assigned.withColumn(
+                    f"code{j}", F.array_min(cands)["cl"].cast("int"))
     elif quantizer == "mllib":
         if pq_m is not None:
             raise ValueError("pq_m requires quantizer='det' (the PQ "
