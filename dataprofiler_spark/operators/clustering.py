@@ -328,10 +328,14 @@ def ivf_topk_det(df: DataFrame, id_col: str, vec_col: str,
     from dataprofiler_spark.operators.similarity import cosine_expr
 
     cents = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
-    cells = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-        _assign_expr(F.col(vec_col), cents).cast("int").alias("cell"),
-    )
+    # corpus-side assignment via _assign_df: vectorized kernel above
+    # ASSIGN_EXPR_MAX_K cells (the probe side stays an expression —
+    # it runs on n_queries rows, not the corpus)
+    cells = (_assign_df(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v")), cents)
+        .select(F.col("id").alias("vec_id"), "v",
+                F.col("cluster").alias("cell")))
     probe_structs = [
         F.struct(_sqdist(F.col("qv"), F.array(*[F.lit(w) for w in c]))
                  .alias("d"), F.lit(i).alias("cl"))
@@ -932,17 +936,22 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
     coarse = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
-    cell_expr = _assign_expr(F.col(vec_col), coarse).cast("int")
+    # cell assignment ONCE via _assign_df (vectorized kernel above
+    # ASSIGN_EXPR_MAX_K cells): embedding the assign expression in
+    # cell_expr used to re-evaluate it inside EVERY residual code
+    # column (m+1 times per row)
+    assigned = _assign_df(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v")), coarse)
     if by_residual:
         cmat = F.array(*[F.array(*[F.lit(w) for w in c]) for c in coarse])
-        code_vec = F.zip_with(F.col(vec_col),
-                              F.element_at(cmat, cell_expr + 1),
+        code_vec = F.zip_with(F.col("v"),
+                              F.element_at(cmat, F.col("cluster") + 1),
                               lambda a, b: a.cast("double") - b)
-        fit_src = df.select(F.col(id_col).alias("id"),
-                            code_vec.alias("v"))
+        fit_src = assigned.select("id", code_vec.alias("v"))
         books = pq_fit(fit_src, "id", "v", m, k_codes, pq_iters, dim)
     else:
-        code_vec = F.col(vec_col)
+        code_vec = F.col("v")
         books = pq_fit(df, id_col, vec_col, m, k_codes, pq_iters, dim)
 
     # one scan: cell + m codes per vector, all broadcast-literal argmins
@@ -955,9 +964,9 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
             for i, c in enumerate(book)])
         code_cols.append(F.array_min(cands)["cl"].cast("int")
                          .alias(f"code{j}"))
-    encoded = df.select(
-        F.col(id_col).alias("vec_id"),
-        cell_expr.alias("cell"),
+    encoded = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").alias("cell"),
         *code_cols)
 
     # driver-side: query vectors (n_queries smallest ids), their probe
