@@ -83,7 +83,7 @@ class StreamingSemanticDedup:
     def process_batch(self, batch_df: DataFrame) -> DataFrame:
         """(id, v, cluster) of the batch docs that survive both dedup
         stages — pure function of (batch, store); the caller appends."""
-        from dataprofiler_spark.operators.clustering import _assign_expr
+        from dataprofiler_spark.operators.clustering import _assign_df
         from dataprofiler_spark.operators.similarity import cosine_expr
 
         meta = self.meta
@@ -93,10 +93,10 @@ class StreamingSemanticDedup:
                 .select(F.col(self.id_col).cast("long").alias("id"),
                         F.col(self.vec_col).cast("array<double>")
                         .alias("v")))
-        assigned = base.select(
-            "id", "v",
-            _assign_expr(F.col("v"), meta["centroids"]).cast("int")
-            .alias("cluster"))
+        # _assign_df: a production store's frozen quantizer can carry
+        # hundreds of cells — above k=16 the per-batch assignment runs
+        # as the vectorized NumPy kernel (bit-identical)
+        assigned = _assign_df(base, meta["centroids"])
 
         # stage 1: within-batch min-id ε-ball (the batch operator's rule)
         a, b = assigned.alias("a"), assigned.alias("b")
