@@ -69,6 +69,16 @@ def detect_encoding(head: bytes) -> str:
             return "UTF-16LE"
         if even_nul / (n2 // 2) > 0.7 and odd_nul / (n2 // 2) < 0.2:
             return "UTF-16BE"
+    # ISO-2022-JP/KR announce themselves with ESC designation sequences
+    # (chardet's escprober, reference data_utils.py:590-678) — fully
+    # deterministic: the escape bytes never appear in plain text. Check
+    # before the UTF-8 pass: ISO-2022 bodies are pure 7-bit ASCII, so
+    # strict utf-8 "succeeds" on them and would mislabel.
+    if b"\x1b$)C" in head:
+        return "ISO-2022-KR"
+    if (b"\x1b$B" in head or b"\x1b$@" in head) and _decodes(
+            head, "iso2022_jp"):
+        return "ISO-2022-JP"
     if _decodes(head, "utf-8"):
         return "UTF-8"
     # East-Asian multibyte before the codepage fallbacks: require (a) a

@@ -142,6 +142,10 @@ def test_detect_encoding_heuristics(tmp_path, spark):
     assert detect_encoding(jp.encode("euc_jp")) == "EUC-JP"
     ru = "id,text\n1,привет мир и добро\n2,спасибо за рыбу\n"
     assert detect_encoding(ru.encode("koi8_r")) == "KOI8-R"
+    # ISO-2022-JP/KR: ESC designation sequences are decisive and must
+    # win over the UTF-8 pass (ISO-2022 bodies are 7-bit ASCII)
+    assert detect_encoding(jp.encode("iso2022_jp")) == "ISO-2022-JP"
+    assert detect_encoding(kr.encode("iso2022_kr")) == "ISO-2022-KR"
     # the new codepages must not poach each other's or the old rules'
     # fixtures: Japanese stays SJIS when SJIS-encoded (checked above),
     # and an UPPERCASE-heavy cyrillic head (cp1251-shaped) does not
