@@ -217,10 +217,18 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     final = curated.join(sd.where(F.col("keep")).select("id"), "id")
     n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
     n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))
+    # n_semantic_guarded: rows whose cell failed OPEN (skipped pair
+    # generation) — the dropped-coverage audit. A run where this isn't
+    # ~0 silently deduped nothing in those cells (VERDICT r10 item 1);
+    # surfacing it in the funnel's one-row report makes the pipeline
+    # log carry the warning, not just the per-row operator output.
+    n_guard = sd.agg(
+        F.coalesce(F.sum(F.col("guarded").cast("long")), F.lit(0))
+        .alias("n_semantic_guarded"))
     out = final.agg(
         F.count(F.lit(1)).alias("n_semantic_kept"),
         F.sum("n_tokens").alias("total_tokens_out"))
-    return n_in.crossJoin(n_text).crossJoin(out)
+    return n_in.crossJoin(n_text).crossJoin(n_guard).crossJoin(out)
 
 
 def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
@@ -255,6 +263,9 @@ sem_keep AS (
 )
 SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
        (SELECT COUNT(*) FROM curated) AS n_text_curated,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN csz.n > {max_cluster_size}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM cells JOIN csz USING (cluster)) AS n_semantic_guarded,
        COUNT(*) AS n_semantic_kept,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_out
 FROM curated JOIN sem_keep USING (id)
