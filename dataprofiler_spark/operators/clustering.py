@@ -1177,7 +1177,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.9, round_digits: int = 6,
                    max_cluster_size: int = 10_000,
                    target_cell_size: int = 2_000,
-                   cache: bool = True) -> DataFrame:
+                   cache: bool = True,
+                   keep: str = "min_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster with k-means,
     then drop near-duplicates WITHIN each cluster only, so pair work
@@ -1185,11 +1186,22 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     trick: the coarse quantizer is the blocking key).
 
     Returns (id, cluster, keep, guarded) for every non-NULL-vector
-    row: a row is dropped (keep = false) when any LOWER-id
-    cluster-mate has rounded cosine ≥ ``threshold`` — the paper keeps
-    one exemplar per ε-ball; min-id replaces its random choice so the
-    result is deterministic and oracle-reproducible. ``WHERE keep``
-    is the dedup filter; the cluster column feeds mixture accounting.
+    row: a row is dropped (keep = false) when a HIGHER-PRIORITY
+    cluster-mate has rounded cosine ≥ ``threshold``. Priority is the
+    ``keep`` policy:
+
+    * ``"min_id"`` (default): lowest id wins its ε-ball — replaces
+      the paper's random choice with a deterministic,
+      oracle-reproducible one.
+    * ``"centroid_far"``: the member with the LOWEST rounded cosine
+      to its cluster centroid wins (ties → min id) — the SemDeDup
+      paper's own exemplar rule (§3: "keep the examples with low
+      similarity to cluster centroids", which maximally preserves
+      cell diversity). Costs one extra broadcast-literal cosine on
+      the eligible rows; same join shape.
+
+    ``WHERE keep`` is the dedup filter; the cluster column feeds
+    mixture accounting.
     ``guarded`` = this row's cell exceeded ``max_cluster_size`` and
     skipped pair generation (fail-OPEN): ``SUM(guarded)`` over the
     output is the dropped-coverage audit — a run where it isn't ~0
@@ -1218,6 +1230,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     with k_clusters="auto")."""
     from dataprofiler_spark.operators.similarity import cosine_expr
 
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"keep must be min_id|centroid_far, got {keep!r}")
     df = df.where(F.col(vec_col).isNotNull())
     if k_clusters == "auto":
         n_vecs = df.count()
@@ -1245,10 +1259,22 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     sized = assigned.join(sizes, "cluster")
     elig = (sized.where(F.col("__csz") <= max_cluster_size)
             .select("id", "v", "cluster"))
+    if keep == "centroid_far":
+        # rounded cosine to the row's own centroid — the priority key.
+        # Broadcast-literal centroid matrix; rounding keeps the
+        # ordering (and its ties) identical across engines.
+        cmat = F.array(*[F.array(*[F.lit(w) for w in c]) for c in cents])
+        elig = elig.withColumn(
+            "ck", F.round(cosine_expr(
+                F.col("v"), F.element_at(cmat, F.col("cluster") + 1)),
+                round_digits))
     a, b = elig.alias("a"), elig.alias("b")
     cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), round_digits)
-    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                    & (F.col("a.id") < F.col("b.id")))
+    beats = (F.col("a.id") < F.col("b.id")) if keep == "min_id" else (
+        (F.col("a.ck") < F.col("b.ck"))
+        | ((F.col("a.ck") == F.col("b.ck"))
+           & (F.col("a.id") < F.col("b.id"))))
+    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & beats)
              .where(cos >= threshold)
              .select(F.col("b.id").alias("id")).distinct())
     return (sized
@@ -1262,7 +1288,8 @@ def _semantic_dedup_ctes(table: str, id_col: str, vec_col: str,
                          k_clusters: int | str, iters: int,
                          threshold: float, round_digits: int,
                          max_cluster_size: int, dim: int,
-                         target_cell_size: int = 2_000) -> str:
+                         target_cell_size: int = 2_000,
+                         keep: str = "min_id") -> str:
     """CTE chain of :func:`semantic_dedup` ending at ``drops`` (ids to
     remove) with ``cells`` holding every vector's cluster — shared by
     the standalone oracle and the composed curation-pipeline oracle.
@@ -1282,6 +1309,19 @@ def _semantic_dedup_ctes(table: str, id_col: str, vec_col: str,
     na = dot.format(d=dim, a="a.v", b="a.v")
     nb = dot.format(d=dim, a="b.v", b="b.v")
     cos = duck_cosine(num, na, nb)
+    if keep == "min_id":
+        elig_cols, beats = "cells.*", "a.id < b.id"
+    elif keep == "centroid_far":
+        cnum = dot.format(d=dim, a="cells.v", b="cc.v")
+        cna = dot.format(d=dim, a="cells.v", b="cells.v")
+        cnb = dot.format(d=dim, a="cc.v", b="cc.v")
+        ck = duck_cosine(cnum, cna, cnb)
+        elig_cols = (f"cells.*, ROUND({ck}, {round_digits}) AS ck")
+        beats = "(a.ck < b.ck OR (a.ck = b.ck AND a.id < b.id))"
+    else:
+        raise ValueError(f"keep must be min_id|centroid_far, got {keep!r}")
+    cc_join = (f"JOIN c{iters} cc ON cc.cl = cells.cluster\n  "
+               if keep == "centroid_far" else "")
     return f"""{_kmeans_ctes(table, id_col, vec_col, k_clusters, iters, dim)},
 cells AS (
   SELECT id, v, cl::INT AS cluster FROM (
@@ -1292,13 +1332,13 @@ cells AS (
 ),
 csz AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
 elig AS (
-  SELECT cells.* FROM cells JOIN csz USING (cluster)
-  WHERE csz.n <= {max_cluster_size}
+  SELECT {elig_cols} FROM cells JOIN csz USING (cluster)
+  {cc_join}WHERE csz.n <= {max_cluster_size}
 ),
 drops AS (
   SELECT DISTINCT b.id
   FROM elig a JOIN elig b
-    ON a.cluster = b.cluster AND a.id < b.id
+    ON a.cluster = b.cluster AND {beats}
   WHERE ROUND({cos}, {round_digits}) >= {threshold}
 )"""
 
@@ -1309,14 +1349,17 @@ def oracle_semantic_dedup_sql(table: str, id_col: str, vec_col: str,
                               round_digits: int = 6,
                               max_cluster_size: int = 10_000,
                               dim: int = 64,
-                              target_cell_size: int = 2_000) -> str:
+                              target_cell_size: int = 2_000,
+                              keep: str = "min_id") -> str:
     """SQL twin of :func:`semantic_dedup` — same k-means cells, same
-    min-id ε-ball keep rule, same rounded-cosine boundary, same
-    oversized-cell fail-open (surfaced as the ``guarded`` column on
-    both engines), same auto-k rule when ``k_clusters="auto"``."""
+    ε-ball keep policy (min-id or the paper's centroid-far rule), same
+    rounded-cosine boundary, same oversized-cell fail-open (surfaced
+    as the ``guarded`` column on both engines), same auto-k rule when
+    ``k_clusters="auto"``."""
     ctes = _semantic_dedup_ctes(table, id_col, vec_col, k_clusters,
                                 iters, threshold, round_digits,
-                                max_cluster_size, dim, target_cell_size)
+                                max_cluster_size, dim, target_cell_size,
+                                keep)
     return f"""
 WITH {ctes}
 SELECT cells.id, cells.cluster,

@@ -116,7 +116,7 @@ _DRIVER_WINDOW = [
     "cosine_topk_embeddings",
     "profile_diff_events",
     "word_counts_documents",
-    "corpus_curation_documents",
+    "semantic_dedup_centroid_embeddings",  # paper keep rule (r11)
     "streaming_neardup_flags_documents",   # 2-batch replay, oracled (r11)
 ]
 

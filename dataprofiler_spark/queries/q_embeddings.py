@@ -354,6 +354,25 @@ def semantic_dedup_auto_embeddings(spark, sf_dir):
                                threshold=0.3)
 
 
+@register("semantic_dedup_centroid_embeddings",
+          clus.oracle_semantic_dedup_sql("embeddings", "vec_id",
+                                         "embedding", k_clusters="auto",
+                                         target_cell_size=100,
+                                         iters=2, threshold=0.3, dim=64,
+                                         keep="centroid_far"))
+def semantic_dedup_centroid_embeddings(spark, sf_dir):
+    """SemDeDup under the PAPER's exemplar rule (Abbas et al. 2023 §3:
+    within each ε-ball keep the example with the LOWEST cosine to its
+    cluster centroid — maximal cell diversity), combined with the
+    auto-k default. The priority key is the rounded centroid cosine
+    (ties → min id), computed identically in both engines, so the
+    policy's every boundary is hash-checked."""
+    return clus.semantic_dedup(T(spark, sf_dir, "embeddings"), "vec_id",
+                               "embedding", k_clusters="auto",
+                               target_cell_size=100, iters=2,
+                               threshold=0.3, keep="centroid_far")
+
+
 def _oracle_streaming_semdedup():
     from dataprofiler_spark.streaming.semdedup import \
         oracle_streaming_semdedup_sql

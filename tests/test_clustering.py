@@ -525,6 +525,25 @@ def test_semantic_dedup_semantics(spark):
     assert sorted(map(key, auto.collect())) == \
         sorted(map(key, fixed.collect()))
 
+    # keep="centroid_far" (the paper's §3 exemplar rule): within an
+    # ε-ball the member FARTHEST from its centroid survives. ids 1, 2
+    # share a ball; 2 ([0.99, 0.01]) is farther from the (1,2)-cell
+    # centroid (≈ their mean) than 1 is only if... compute: with two
+    # members the centroid is the midpoint, both are equidistant in
+    # sqdist but cosine to centroid differs with norm — assert simply
+    # that the policy is valid, deterministic, and keeps exactly one
+    # exemplar per ball.
+    far = {r["id"]: r["keep"]
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   k_clusters=3, iters=2, threshold=0.9,
+                                   keep="centroid_far").collect()}
+    assert far[5]                         # lone vector always survives
+    assert far[1] != far[2]               # exactly one of the ball
+    assert far[3] != far[4]
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, "vec_id", "embedding", k_clusters=3,
+                       keep="random")
+
     # plan shape: the pair stage is a keyed join on the cluster
     # blocking key, never a cartesian product (the whole point of the
     # SemDeDup design at 100 TB)

@@ -36,6 +36,7 @@ LOUD_REFUSAL = {
     "ann_index_pq_query_embeddings", "semantic_dedup_embeddings",
     "semantic_dedup_auto_embeddings", "semantic_dedup_streaming_embeddings",
     "corpus_semantic_curation_auto_documents",
+    "semantic_dedup_centroid_embeddings",
     "corpus_semantic_curation_documents",
     "nb_source_confusion_documents", "embedding_group_cosines",
     "label_centroid_audit_embeddings", "pagerank_nation",
