@@ -83,13 +83,14 @@ ASSIGN_EXPR_MAX_K = 16
 
 
 def _assign_df(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(id, v) → (id, v, cluster int): nearest-centroid assignment,
+    """(id, v, ...) → (id, v, ..., cluster int): nearest-centroid
+    assignment over the ``v`` column (extra columns pass through),
     expression path for small k (JVM, zero Python), NumPy mapInPandas
     above ASSIGN_EXPR_MAX_K. Vectors must share the centroids' width
     (the fixed-dim contract every caller already enforces)."""
     if len(centroids) <= ASSIGN_EXPR_MAX_K:
         return base.select(
-            "id", "v",
+            "*",
             _assign_expr(F.col("v"), centroids).cast("int").alias("cluster"))
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -666,15 +667,19 @@ def label_centroid_audit(df: DataFrame, id_col: str, vec_col: str,
     for r in sums:
         by_lbl.setdefault(r["lbl"], [0.0] * dim)[r["pos"]] = (
             (r["s"] / r["n"]) / _SCALE)
-    structs = [
-        F.struct(_sqdist(F.col("v"),
-                         F.array(*[F.lit(w) for w in by_lbl[lb]]))
-                 .alias("d"), F.lit(lb).alias("lb"))
-        for lb in sorted(by_lbl)
-    ]
-    best = F.array_min(F.array(*structs))
-    flagged = base.select(
-        "lbl", (best["lb"] != F.col("lbl")).alias("suspect"))
+    # nearest label-centroid via _assign_df (vectorized kernel above
+    # ASSIGN_EXPR_MAX_K labels — the O(labels·dim) literal expression
+    # was the same interpreted-HOF trap the k-means paths had, only
+    # capped at MAX_AUDIT_LABELS instead of fixed). Centroids are
+    # ordered by label, so the kernel's (distance, index) tie-break
+    # equals the old (distance, label) lexicographic min.
+    labels_sorted = sorted(by_lbl)
+    lmap = F.array(*[F.lit(lb) for lb in labels_sorted])
+    assigned = _assign_df(base, [by_lbl[lb] for lb in labels_sorted])
+    flagged = assigned.select(
+        "lbl",
+        (F.element_at(lmap, F.col("cluster") + 1) != F.col("lbl"))
+        .alias("suspect"))
     return (flagged.groupBy(F.col("lbl").alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("suspect"), 1).otherwise(0)).cast("long")
