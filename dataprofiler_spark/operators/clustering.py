@@ -188,19 +188,18 @@ def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
     the per-cluster inertia a mixture designer reads for compactness."""
     df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
-    structs = [
-        F.struct(
-            _sqdist(F.col(vec_col), F.array(*[F.lit(w) for w in c]))
-            .alias("d"),
-            F.lit(i).alias("cl"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    best = F.array_min(F.array(*structs))
-    assigned = df.select(best["cl"].cast("int").alias("cluster"),
-                         # fixed-point so the cross-engine sum is exact
-                         F.round(best["d"] * _SCALE, 0).cast("long")
-                         .alias("d6"))
+    # assign via the kernel, then ONE O(dim) distance against the
+    # assigned centroid only (element_at into the literal matrix) —
+    # same values as the old O(k·dim) min-struct expression, without
+    # re-deriving every distance per row
+    cmat = F.array(*[F.array(*[F.lit(w) for w in c]) for c in cents])
+    d = _sqdist(F.col("v"), F.element_at(cmat, F.col("cluster") + 1))
+    assigned = (_assign_df(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v")), cents)
+        .select("cluster",
+                # fixed-point so the cross-engine sum is exact
+                F.round(d * _SCALE, 0).cast("long").alias("d6")))
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"),
@@ -426,16 +425,16 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
     Output: (id, cluster, outlier)."""
     df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
-    structs = [
-        F.struct(_sqdist(F.col(vec_col), F.array(*[F.lit(w) for w in c]))
-                 .alias("d"), F.lit(i).alias("cl"))
-        for i, c in enumerate(cents)
-    ]
-    best = F.array_min(F.array(*structs))
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        best["cl"].cast("int").alias("cluster"),
-        F.round(best["d"] * _SCALE, 0).cast("long").alias("d6"))
+    # kernel assignment + one O(dim) distance vs the assigned centroid
+    # (same pattern as kmeans_summary — the old min-struct expression
+    # re-derived all k distances per row)
+    cmat = F.array(*[F.array(*[F.lit(w) for w in c]) for c in cents])
+    d = _sqdist(F.col("v"), F.element_at(cmat, F.col("cluster") + 1))
+    assigned = (_assign_df(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v")), cents)
+        .select("id", "cluster",
+                F.round(d * _SCALE, 0).cast("long").alias("d6")))
     per_cl = assigned.groupBy("cluster").agg(
         F.sum("d6").alias("sum_d6"), F.count(F.lit(1)).alias("n_cl"))
     factor100 = int(round(factor * 100))
