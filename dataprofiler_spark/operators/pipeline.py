@@ -179,7 +179,8 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
                            iters: int = 2,
                            round_digits: int = 6,
                            max_cluster_size: int = 10_000,
-                           target_cell_size: int = 2_000) -> DataFrame:
+                           target_cell_size: int = 2_000,
+                           keep: str = "min_id") -> DataFrame:
     """The full modern curation chain, one composed plan:
 
         quality filter → exact dedup → SimHash near-dup → SemDeDup
@@ -213,7 +214,7 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
                         iters=iters, threshold=semantic_threshold,
                         round_digits=round_digits,
                         max_cluster_size=max_cluster_size,
-                        target_cell_size=target_cell_size)
+                        target_cell_size=target_cell_size, keep=keep)
     final = curated.join(sd.where(F.col("keep")).select("id"), "id")
     n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
     n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))
@@ -241,8 +242,8 @@ def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
                                       round_digits: int = 6,
                                       max_cluster_size: int = 10_000,
                                       dim: int = 64,
-                                      target_cell_size: int = 2_000
-                                      ) -> str:
+                                      target_cell_size: int = 2_000,
+                                      keep: str = "min_id") -> str:
     from dataprofiler_spark.operators.clustering import \
         _semantic_dedup_ctes
 
@@ -252,7 +253,7 @@ def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
     sem = _semantic_dedup_ctes(emb_subq, emb_id_col, emb_vec_col,
                                k_clusters, iters, semantic_threshold,
                                round_digits, max_cluster_size, dim,
-                               target_cell_size)
+                               target_cell_size, keep)
     return f"""
 WITH {_corpus_curated_ctes(table, id_col, text_col, min_quality)},
 {sem},
