@@ -771,3 +771,42 @@ def test_paragraph_dup_signals_semantics(spark):
     o2 = {r["id"]: r for r in cu.paragraph_dup_signals(
         reflow, "doc_id", "text").collect()}
     assert o2[1]["n_dup_paras"] == 1 and o2[2]["n_dup_paras"] == 1
+
+
+def test_funnel_keep_policy_oracle_parity(spark):
+    """curate_corpus_semantic(keep="centroid_far") — the SemDeDup
+    paper's exemplar rule threaded through the composed funnel — must
+    hash-match its SQL twin end-to-end (the registered driver rows pin
+    only the min_id default; this pins the pass-through)."""
+    import duckdb
+
+    from dataprofiler_spark.operators import pipeline as pl
+    from tests.oracle_utils import assert_frames_match
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        semantic_threshold=0.3, k_clusters="auto", target_cell_size=100,
+        iters=2, keep="centroid_far").toPandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf}/{t}.parquet'")
+    want = con.execute(pl.oracle_curate_corpus_semantic_sql(
+        "documents", "doc_id", "text", "embeddings", "vec_id",
+        "embedding", semantic_threshold=0.3, k_clusters="auto",
+        target_cell_size=100, iters=2, dim=64,
+        keep="centroid_far")).fetchdf()
+    assert_frames_match(got, want, "funnel_centroid_far")
+    # the policy genuinely changes the exemplar set vs min_id
+    base = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        semantic_threshold=0.3, k_clusters="auto", target_cell_size=100,
+        iters=2, keep="min_id").toPandas()
+    assert int(got["n_semantic_kept"][0]) != 0
+    assert (int(got["n_semantic_kept"][0])
+            != int(base["n_semantic_kept"][0])
+            or int(got["total_tokens_out"][0])
+            != int(base["total_tokens_out"][0]))
