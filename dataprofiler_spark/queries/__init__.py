@@ -109,7 +109,9 @@ _DRIVER_WINDOW = [
     "semantic_dedup_streaming_embeddings",   # 2-batch replay, oracled
     # ---- (c) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (d) next-due cohort (r8), cross-family spread: 8 ----
+    # ---- (d) next-due cohort (r8), cross-family spread: 6 (two of
+    # the original 8 slots were swapped for late-landing r11 queries;
+    # 43 r8 rows remain for the r12 rotation) ----
     "merged_profile_lineitem",
     "label_votes_customer",
     "histogram_extendedprice",
