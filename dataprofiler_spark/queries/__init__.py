@@ -53,73 +53,75 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-11 rotation (VERDICT r10 item 2: drain the SLA-due r7 cohort):
-# (a) ALL 38 rows whose latest driver check is r7 — the freshness-SLA
+# Round-12 rotation (VERDICT r11 item 1: drain the SLA-due r8 cohort):
+# (a) ALL 43 rows whose latest driver check is r8 — the freshness-SLA
 # test (tests/test_oracle_parity.py) derives this set from the
-# cumulative CORRECTNESS_r*.json history (glob fixed this round: the
-# old "r0*" pattern dropped r10 and froze the clock). (b) new r11
-# queries, never driver-checked. (c) the flagship end-to-end re-check
-# (every round). (d) remaining slots: a cross-family spread of the
-# next-due cohort (r8, 49 rows due at r12) so the r12 window doesn't
-# have to absorb all 49 at once.
+# cumulative CORRECTNESS_r*.json history. (b) the flagship end-to-end
+# re-check (every round; also peels one row off the 50-row r11 cohort
+# so the r15 rotation fits in 50 slots). (c) rows whose implementation
+# or output changed this round — re-proven by the driver even though
+# their last check is fresh. (d) newly-oracled rows (never
+# driver-checked ⇒ SLA requires them in the window).
+# Steady-state schedule the SLA test encodes: period-4 rotation —
+# r13 = the 48-row r9 cohort (+flagship, winnow re-checked here),
+# r14 = the 49-row r10 cohort (+flagship), r15 = the r11 cohort.
 _DRIVER_WINDOW = [
-    # ---- (a) the full r7-stale cohort: 38 ----
-    "calendar_gaps_events",
-    "calibration_lineitem",
-    "categorical_stats_lineitem",
-    "chi2_orderpriority",
-    "chi2_pair_lineitem",
-    "cramers_v_orders",
-    "daily_anomalies_events",
-    "decile_stats_extendedprice",
-    "embedding_decontaminate_bucketed",
-    "embedding_neardup_pairs",
-    "entropy_lineitem",
-    "exact_dedup_documents",
-    "fd_check_lineitem",
-    "grouped_histogram_lineitem",
-    "inclusion_orders_customer",
-    "interarrival_events",
-    "iv_summary_orders",
-    "kendall_tau_lineitem",
-    "lm_divergence_documents",
-    "markov_transitions_events",
-    "minhash_lsh_pairs_documents",
-    "mutual_info_lineitem",
-    "neardup_clusters_documents",
-    "neardup_threshold_sweep_documents",
-    "null_phi_orders",
-    "null_rate_by_day_events",
-    "paragraph_dup_documents",
-    "pattern_profile_customer",
-    "quality_rollup_documents",
-    "quantile_shift_totalprice",
-    "robust_stats_lineitem",
-    "roc_auc_lineitem",
-    "session_stats_events",
-    "simhash_documents",
-    "theils_u_orders",
-    "top_categories_orders",
-    "top_terms_by_group_documents",
-    "woe_iv_orders",
-    # ---- (b) new r11 queries (swapped in as they land; r8 fillers
-    # hold the slots so the window stays exactly 50 and all-oracled) ----
-    "semantic_dedup_auto_embeddings",        # auto-k SemDeDup (default)
-    "corpus_semantic_curation_auto_documents",  # funnel under auto-k
-    "semantic_dedup_streaming_embeddings",   # 2-batch replay, oracled
-    # ---- (c) flagship end-to-end re-check (every round) ----
+    # ---- (a) the full r8-stale cohort: 43 ----
+    "av_profile_documents",
+    "category_counts_lineitem",
+    "corpus_curation_documents",
+    "correlation_lineitem",
+    "daily_psi_events",
+    "data_mixture_source_lang",
+    "embedding_decontaminate_embeddings",
+    "embedding_neardup_clusters",
+    "embedding_norm_stats",
+    "embedding_spectrum_embeddings",
+    "fingerprints_documents",
+    "full_profile_events",
+    "funnel_within_events",
+    "graph_degree_nation",
+    "kmeans_clusters_embeddings",
+    "ks_js_totalprice",
+    "leakage_free_split_documents",
+    "lsh_topk_embeddings",
+    "median_mad_quantity",
+    "minhash_signatures_documents",
+    "modes_quantity",
+    "ner_spans_orders",
+    "ngram_jaccard_documents",
+    "null_type_indices_customer",
+    "order_profile_events_value",
+    "order_profile_lineitem",
+    "outlier_counts_lineitem",
+    "packing_stats_documents",
+    "psi_orderpriority",
+    "quality_features_documents",
+    "quality_weighted_sample_documents",
+    "quantiles_extendedprice",
+    "row_stats_lineitem",
+    "split_leakage_documents",
+    "text_stats_customer",
+    "time_bucket_events",
+    "token_summary_documents",
+    "trained_labeler_customer",
+    "type_cooccurrence_events",
+    "type_inference_lineitem",
+    "unigram_logprob_documents",
+    "unstructured_summary_documents",
+    "welch_t_totalprice",
+    # ---- (b) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (d) next-due cohort (r8), cross-family spread: 6 (two of
-    # the original 8 slots were swapped for late-landing r11 queries;
-    # 43 r8 rows remain for the r12 rotation) ----
-    "merged_profile_lineitem",
-    "label_votes_customer",
-    "histogram_extendedprice",
-    "cosine_topk_embeddings",
-    "profile_diff_events",
-    "word_counts_documents",
-    "semantic_dedup_centroid_embeddings",  # paper keep rule (r11)
-    "streaming_neardup_flags_documents",   # 2-batch replay, oracled (r11)
+    # ---- (c) changed this round, re-proven under the driver ----
+    "winnow_neardup_pairs_documents",        # fps persisted (r12)
+    "semantic_dedup_auto_embeddings",        # two-level assign (r12)
+    "corpus_semantic_curation_auto_documents",  # +n_missing_embedding col
+    # ---- (d) newly oracled this round (never driver-checked); until
+    # each lands, an r9-cohort filler holds its slot so the window
+    # stays exactly 50 and all-oracled ----
+    "ivf_topk_embeddings",        # -> full_report_lineitem
+    "numeric_profile_lineitem",   # -> full_report_events
+    "ner_redact_orders",          # -> cnn_head_tuned_customer (r12)
 ]
 
 
