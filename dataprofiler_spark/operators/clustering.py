@@ -1281,11 +1281,17 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & beats)
              .where(cos >= threshold)
              .select(F.col("b.id").alias("id")).distinct())
-    return (sized
-            .join(drops.withColumn("__drop", F.lit(1)), "id", "left")
-            .select("id", "cluster",
-                    F.col("__drop").isNull().alias("keep"),
-                    (F.col("__csz") > max_cluster_size).alias("guarded")))
+    out = (sized
+           .join(drops.withColumn("__drop", F.lit(1)), "id", "left")
+           .select("id", "cluster",
+                   F.col("__drop").isNull().alias("keep"),
+                   (F.col("__csz") > max_cluster_size).alias("guarded")))
+    if cache:
+        # release handle (ADVICE r11): session.unpersist_plan(result)
+        # drops the pinned assign frame once the caller is done.
+        from dataprofiler_spark.session import register_persisted
+        register_persisted(out, assigned)
+    return out
 
 
 def _semantic_dedup_ctes(table: str, id_col: str, vec_col: str,

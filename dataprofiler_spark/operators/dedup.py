@@ -442,6 +442,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("id1", "id2", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if cache:
+        from dataprofiler_spark.session import register_persisted
+        register_persisted(verified, wide, buckets)
     return verified
 
 
@@ -775,13 +778,17 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     h1 = sig.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
     h2 = sig.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
-    return (
+    out = (
         pairs.join(h1, "id1").join(h2, "id2")
         .select("id1", "id2",
                 F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
                  .cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    if cache:
+        from dataprofiler_spark.session import register_persisted
+        register_persisted(out, sig)
+    return out
 
 
 def oracle_simhash_neardup_pairs_sql(table: str, id_col: str, text_col: str,
@@ -1010,7 +1017,8 @@ def winnow_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                          k: int = 5, window: int = 4,
                          min_shared: int = 2,
                          max_fp_freq: int | None = DEFAULT_MAX_FP_FREQ,
-                         round_digits: int = 6) -> DataFrame:
+                         round_digits: int = 6,
+                         cache: bool = True) -> DataFrame:
     """(id1, id2, n_shared, overlap): document pairs sharing at least
     ``min_shared`` winnowing fingerprints; ``overlap`` is the overlap
     coefficient n_shared / min(|fp₁|, |fp₂|). Localized copying (one
@@ -1022,13 +1030,21 @@ def winnow_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate rows on one join task — fingerprints more frequent than
     the cap are dropped BEFORE the self-join (frequency sizing reuses
     the same fp-keyed shuffle). Deterministic, so the oracle mirrors it
-    exactly."""
+    exactly.
+
+    ``cache`` (default True) persists the capped fingerprint frame —
+    it feeds the per-doc counts AND both sides of the fp self-join, and
+    the MOSS char-gram md5 extraction above it is the expensive part
+    (it would otherwise run up to 3x; the same cache contract as
+    ``minhash_lsh_pairs``). Pass ``cache=False`` for a stateless plan."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
     if max_fp_freq is not None:
         from pyspark.sql.window import Window
         fps = (fps.withColumn("__f", F.count(F.lit(1))
                               .over(Window.partitionBy("fp")))
                .where(F.col("__f") <= max_fp_freq).drop("__f"))
+    if cache:
+        fps = fps.persist()
     counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
     a = fps.select(F.col("id").alias("id1"), "fp")
     b = fps.select(F.col("id").alias("id2"), "fp")
@@ -1037,15 +1053,19 @@ def winnow_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
               .groupBy("id1", "id2")
               .agg(F.count(F.lit(1)).alias("n_shared"))
               .where(F.col("n_shared") >= min_shared))
-    return (shared
-            .join(counts.select(F.col("id").alias("id1"),
-                                F.col("c").alias("c1")), "id1")
-            .join(counts.select(F.col("id").alias("id2"),
-                                F.col("c").alias("c2")), "id2")
-            .select("id1", "id2", "n_shared",
-                    F.round(F.col("n_shared").cast("double")
-                            / F.least("c1", "c2"),
-                            round_digits).alias("overlap")))
+    out = (shared
+           .join(counts.select(F.col("id").alias("id1"),
+                               F.col("c").alias("c1")), "id1")
+           .join(counts.select(F.col("id").alias("id2"),
+                               F.col("c").alias("c2")), "id2")
+           .select("id1", "id2", "n_shared",
+                   F.round(F.col("n_shared").cast("double")
+                           / F.least("c1", "c2"),
+                           round_digits).alias("overlap")))
+    if cache:
+        from dataprofiler_spark.session import register_persisted
+        register_persisted(out, fps)
+    return out
 
 
 def _winnow_oracle_fps_cte(table: str, id_col: str, text_col: str,

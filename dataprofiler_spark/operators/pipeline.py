@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dataprofiler_spark.session import register_persisted
+
 
 def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   min_quality: float = 0.45) -> DataFrame:
@@ -189,9 +191,12 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     SURVIVORS only (a doc already dropped by cheaper stages never
     knocks out a survivor, and the k-means fit sees the corpus that
     actually ships), joined ``df.{id_col} == embeddings.{emb_id_col}``;
-    survivors without an embedding row are dropped (a pipeline that
-    embeds lazily should left-join-impute first). Returns one row:
-    (n_docs_in, n_text_curated, n_semantic_kept, total_tokens_out).
+    survivors without an embedding row are dropped — and COUNTED: the
+    report row carries ``n_missing_embedding``, so an embed-lazily
+    pipeline that silently lost semantic coverage shows it in the
+    funnel log (the ``guarded`` audit pattern; VERDICT r11 item 9).
+    Returns one row: (n_docs_in, n_text_curated, n_missing_embedding,
+    n_semantic_guarded, n_semantic_kept, total_tokens_out).
 
     Plan: the three text stages are the three keyed shuffles of
     curate_corpus; the semantic stage adds the SemDeDup shape
@@ -218,6 +223,15 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     final = curated.join(sd.where(F.col("keep")).select("id"), "id")
     n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
     n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))
+    # n_missing_embedding: text-stage survivors with no embedding row —
+    # they skip the semantic stage entirely (they can neither be kept
+    # nor dropped by it), so a non-zero count means the funnel's
+    # semantic coverage silently shrank. Anti-join on the pruned
+    # (id-only) embedding scan; curated is persisted above.
+    n_noemb = (curated.join(
+        embeddings.select(F.col(emb_id_col).alias("id")).distinct(),
+        "id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missing_embedding")))
     # n_semantic_guarded: rows whose cell failed OPEN (skipped pair
     # generation) — the dropped-coverage audit. A run where this isn't
     # ~0 silently deduped nothing in those cells (VERDICT r10 item 1);
@@ -229,7 +243,13 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
     out = final.agg(
         F.count(F.lit(1)).alias("n_semantic_kept"),
         F.sum("n_tokens").alias("total_tokens_out"))
-    return n_in.crossJoin(n_text).crossJoin(n_guard).crossJoin(out)
+    report = (n_in.crossJoin(n_text).crossJoin(n_noemb)
+              .crossJoin(n_guard).crossJoin(out))
+    # release handle: unpersist_plan(report) drops the curated keep-set
+    # AND the semantic stage's pinned assign frame (propagated from sd).
+    register_persisted(report, curated,
+                       *getattr(sd, "_dps_persisted", []))
+    return report
 
 
 def oracle_curate_corpus_semantic_sql(table: str, id_col: str,
@@ -264,6 +284,10 @@ sem_keep AS (
 )
 SELECT (SELECT COUNT(*) FROM {table}) AS n_docs_in,
        (SELECT COUNT(*) FROM curated) AS n_text_curated,
+       (SELECT COUNT(*) FROM curated c
+        WHERE NOT EXISTS (SELECT 1 FROM {emb_table} e
+                          WHERE e.{emb_id_col} = c.id))
+         AS n_missing_embedding,
        (SELECT CAST(COALESCE(SUM(CASE WHEN csz.n > {max_cluster_size}
                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM cells JOIN csz USING (cluster)) AS n_semantic_guarded,

@@ -135,3 +135,38 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
         if os.path.exists(path):
             out[name] = spark.read.parquet(path)
     return out
+
+
+def register_persisted(out, *frames):
+    """Attach persisted dependency frames to a returned plan so callers
+    can release the cache once done: ``unpersist_plan(result)``.
+
+    Operators with a ``cache=True`` contract (minhash_lsh_pairs,
+    semantic_dedup, winnow_neardup_pairs, curate_corpus_semantic, ...)
+    persist an intermediate that several plan subtrees share. The
+    persisted frame is NOT the returned frame, so callers had no handle
+    to unpersist it short of ``spark.catalog.clearCache()`` — a session
+    running many corpora accumulated pinned cache entries (ADVICE r11).
+    Frames already registered on an input plan are propagated, so the
+    composed funnel releases its stages' caches too. The attribute is
+    plain Python state on the DataFrame wrapper: it survives returns
+    and assignments, but NOT further transformations (``df.select(...)``
+    builds a new wrapper) — release at the operator-output level.
+    """
+    existing = list(getattr(out, "_dps_persisted", []))
+    out._dps_persisted = existing + list(frames)
+    return out
+
+
+def unpersist_plan(df, blocking: bool = False) -> int:
+    """Release every cache a ``cache=True`` operator pinned under this
+    returned plan (see :func:`register_persisted`). Safe to call on any
+    DataFrame (no-op when nothing is registered); returns the number of
+    frames released. Call AFTER the final action over the result —
+    unpersisting earlier just recomputes."""
+    frames = list(getattr(df, "_dps_persisted", []))
+    for f in frames:
+        f.unpersist(blocking)
+    if frames:
+        df._dps_persisted = []
+    return len(frames)

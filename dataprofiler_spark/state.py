@@ -39,7 +39,11 @@ class NumericState:
     max: float | None = None
     m2: float = 0.0
     m3: float = 0.0
-    m4: float = 0.0
+    # None = fourth moment unavailable (e.g. a reference profile saved
+    # with kurtosis disabled, imported via interop): merges propagate
+    # the None and `kurtosis` reports unavailable instead of a
+    # fabricated 0-kurtosis (VERDICT r11 item 6).
+    m4: float | None = 0.0
     num_zeros: int = 0
     num_negatives: int = 0
     # {"bin_edges": [...], "bin_counts": [...]} — populated by the
@@ -71,7 +75,7 @@ class NumericState:
     @property
     def kurtosis(self) -> float | None:
         n = self.n
-        if n < 4 or self.m2 <= 0:
+        if n < 4 or self.m2 <= 0 or self.m4 is None:
             return None
         g2 = (self.m4 / n) / (self.m2 / n) ** 2 - 3
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
@@ -90,10 +94,13 @@ class NumericState:
         m3 = (self.m3 + o.m3
               + d ** 3 * na * nb * (na - nb) / (n * n)
               + 3 * d * (na * o.m2 - nb * self.m2) / n)
-        m4 = (self.m4 + o.m4
-              + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / (n ** 3)
-              + 6 * d * d * (na * na * o.m2 + nb * nb * self.m2) / (n * n)
-              + 4 * d * (na * o.m3 - nb * self.m3) / n)
+        if self.m4 is None or o.m4 is None:
+            m4 = None  # unavailable on either side poisons the merge
+        else:
+            m4 = (self.m4 + o.m4
+                  + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / (n ** 3)
+                  + 6 * d * d * (na * na * o.m2 + nb * nb * self.m2) / (n * n)
+                  + 4 * d * (na * o.m3 - nb * self.m3) / n)
         return NumericState(
             n=n, sum=self.sum + o.sum,
             min=min(x for x in (self.min, o.min) if x is not None),

@@ -810,3 +810,68 @@ def test_funnel_keep_policy_oracle_parity(spark):
             != int(base["n_semantic_kept"][0])
             or int(got["total_tokens_out"][0])
             != int(base["total_tokens_out"][0]))
+
+
+def test_funnel_missing_embedding_audit(spark):
+    """n_missing_embedding (VERDICT r11 item 9): text-stage survivors
+    with no embedding row are dropped from the semantic stage — the
+    funnel report must COUNT them, not lose them silently. Pin: strip
+    half the embedding rows; the audit column equals the survivors
+    that lost their vector, and n_semantic_kept + the drops still
+    bound n_text_curated."""
+    from dataprofiler_spark.operators import pipeline as pl
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb_half = emb.where(F.col("vec_id") % 2 == 0)
+
+    full = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        k_clusters="auto", target_cell_size=100, iters=2
+    ).toPandas().iloc[0]
+    half = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb_half, "vec_id", "embedding",
+        k_clusters="auto", target_cell_size=100, iters=2
+    ).toPandas().iloc[0]
+
+    assert int(full["n_missing_embedding"]) == 0
+    # exact expected count: curated survivors whose doc_id is odd
+    # (vec_id == doc_id in the testdata embeddings table)
+    from dataprofiler_spark.operators.pipeline import curate_corpus
+    curated_ids = {r["id"] for r in
+                   curate_corpus(docs, "doc_id", "text").collect()}
+    emb_ids = {r["vec_id"] for r in emb_half.select("vec_id").collect()}
+    assert int(half["n_missing_embedding"]) == len(curated_ids - emb_ids)
+    assert (int(half["n_semantic_kept"]) + int(half["n_missing_embedding"])
+            <= int(half["n_text_curated"]))
+
+
+def test_unpersist_plan_releases_operator_caches(spark):
+    """ADVICE r11: cache=True operators pin intermediates with no
+    release handle. register_persisted/unpersist_plan is that handle —
+    after the final action + unpersist_plan, the session's persistent
+    RDD set is empty again (funnel propagates its semantic stage's
+    frames too)."""
+    from dataprofiler_spark.operators import dedup as dd
+    from dataprofiler_spark.operators import pipeline as pl
+    from dataprofiler_spark.session import unpersist_plan
+
+    spark.catalog.clearCache()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    pairs = dd.winnow_neardup_pairs(docs, "doc_id", "text")
+    pairs.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert unpersist_plan(pairs) == 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+    rep = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        k_clusters="auto", target_cell_size=100, iters=2)
+    rep.collect()
+    assert unpersist_plan(rep) == 2   # curated keep-set + assign frame
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert unpersist_plan(rep) == 0   # idempotent

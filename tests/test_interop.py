@@ -397,3 +397,73 @@ def test_export_import_generative_roundtrip():
                      a.datetime.formats), name
             if a.order:
                 assert b.order.order == a.order.order, name
+
+
+def test_import_kurtosis_disabled_merge_keeps_unavailable(tmp_path, spark):
+    """VERDICT r11 item 6: a reference profile saved with kurtosis
+    DISABLED imports with m4=None (not a fabricated 0.0 fourth moment),
+    and a later merge with a real engine profile keeps kurtosis
+    unavailable instead of reporting a legitimate-looking number."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    p = str(tmp_path / "ref_nokurt.json")
+    code = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from baseline_harness import install_stubs
+install_stubs()
+sys.path.insert(0, "/root/reference")
+import pandas as pd
+import dataprofiler as dp
+df = pd.DataFrame({{"num": [1.0, 2.0, 3.0, 4.0, 5.0, 60.0] * 10}})
+opts = dp.ProfilerOptions()
+opts.set({{"data_labeler.is_enabled": False,
+           "int.kurtosis.is_enabled": False,
+           "float.kurtosis.is_enabled": False,
+           "text.kurtosis.is_enabled": False}})
+prof = dp.Profiler(df, samples_per_update=len(df), options=opts)
+prof.save({p!r}, save_method="json")
+print("SAVED ok")
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert "SAVED ok" in r.stdout, f"reference run failed:\n{r.stderr[-2000:]}"
+
+    st = load_reference_profile(p)
+    ns = st.columns["num"].numeric
+    assert ns is not None and ns.n == 60
+    assert ns.m4 is None
+    assert ns.kurtosis is None
+    # skewness was NOT disabled — it must still be real
+    assert ns.skewness is not None
+
+    # merge with an engine-computed profile over the same schema: the
+    # unavailable fourth moment poisons the merged kurtosis (m4=None),
+    # it does NOT resurface as a number
+    from dataprofiler_spark import Profiler
+    other = spark.createDataFrame(
+        [(float(v),) for v in range(1, 31)], "num double")
+    st2 = Profiler(other).profile()
+    assert st2.columns["num"].numeric.m4 is not None
+    merged = st + st2
+    mns = merged.columns["num"].numeric
+    assert mns.n == 90
+    assert mns.m4 is None and mns.kurtosis is None
+    # the moments that WERE available still merge exactly
+    assert mns.mean is not None and mns.variance is not None
+
+    # and the report surfaces null, not a number
+    from dataprofiler_spark.report import build_report
+    rep = build_report(merged, output_format="serializable")
+    stats = rep["data_stats"][0]["statistics"]
+    assert stats.get("kurtosis") is None
+    assert stats.get("skewness") is not None
+
+    # export → re-import round-trips the unavailability (NaN encoding)
+    from dataprofiler_spark.interop import save_reference_profile
+    out = str(tmp_path / "roundtrip.json")
+    save_reference_profile(merged, out)
+    back = load_reference_profile(out)
+    assert back.columns["num"].numeric.m4 is None
