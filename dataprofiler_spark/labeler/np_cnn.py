@@ -359,12 +359,31 @@ def load_user_model(dirpath: str) -> NumpyCharCNN:
     return NumpyCharCNN.from_keras_zip(model_path, label_mapping, params)
 
 
+def _artifact_fingerprint(dirpath: str) -> tuple:
+    """(mtime_ns, size) of every artifact file under ``dirpath`` — a
+    cheap stat-only fingerprint so a model retrained IN PLACE evicts
+    the per-process weight cache instead of serving stale weights for
+    the life of each executor python process (ADVICE r11)."""
+    names = ("label_mapping.json", "model_parameters.json")
+    out = []
+    for n in sorted(os.listdir(dirpath)):
+        if n in names or n.endswith(".keras"):
+            st = os.stat(os.path.join(dirpath, n))
+            out.append((n, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 @lru_cache(maxsize=4)
+def _load_user_model_fp(dirpath: str, fingerprint: tuple) -> NumpyCharCNN:
+    return load_user_model(dirpath)
+
+
 def load_user_model_cached(dirpath: str) -> NumpyCharCNN:
     """Per-process cache of :func:`load_user_model` — the worker-side
     entry the mapInPandas adapter uses, one weight load per executor
-    python process."""
-    return load_user_model(dirpath)
+    python process. Keyed on (dirpath, artifact fingerprint): an
+    in-place retrain changes mtime/size and misses the cache."""
+    return _load_user_model_fp(dirpath, _artifact_fingerprint(dirpath))
 
 
 @lru_cache(maxsize=2)

@@ -74,7 +74,11 @@ def detect_encoding(head: bytes) -> str:
     # deterministic: the escape bytes never appear in plain text. Check
     # before the UTF-8 pass: ISO-2022 bodies are pure 7-bit ASCII, so
     # strict utf-8 "succeeds" on them and would mislabel.
-    if b"\x1b$)C" in head:
+    # Both branches require a strict decode, not just byte containment:
+    # a binary file happening to contain the 4-byte designation run
+    # must not be labeled ISO-2022 (ADVICE r11 — the KR branch used to
+    # skip the validation the JP branch had).
+    if b"\x1b$)C" in head and _decodes(head, "iso2022_kr"):
         return "ISO-2022-KR"
     if (b"\x1b$B" in head or b"\x1b$@" in head) and _decodes(
             head, "iso2022_jp"):
@@ -916,6 +920,19 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
             df = df.toDF(*_uniquify(names))
         return df, res
     if res.format == "text":
+        def _glob_local(p: str) -> list[str]:
+            # local filesystem members of a read path (file, dir, or
+            # glob); non-local schemes (s3a://, hdfs://) yield nothing
+            # — the size guard is best-effort and driver-side only
+            import glob as _g
+            p = p[7:] if p.startswith("file://") else p
+            if "://" in p:
+                return []
+            if os.path.isdir(p):
+                return [os.path.join(p, n) for n in os.listdir(p)
+                        if os.path.isfile(os.path.join(p, n))]
+            return [f for f in _g.glob(p) if os.path.isfile(f)]
+
         spl = o.get("samples_per_line")
         if spl is None:
             return spark.read.text(path), res
@@ -930,9 +947,31 @@ def read_data(spark, path: str, fmt: str | None = None, **options):
         if spl <= 0:
             raise ValueError("samples_per_line must be a positive int")
         codec = (o.get("encoding") or "UTF-8").lower().replace("-", "_")
+        # binaryFiles materializes each whole file on one executor —
+        # correct for the per-file chunk semantics, but a multi-GB
+        # single text file would OOM a task. Refuse loudly up front
+        # (driver-side stat, no data read) instead of dying mid-job;
+        # max_file_bytes is overridable for bigger executors.
+        max_bytes = int(o.get("max_file_bytes", 512 * 1024 * 1024))
+        for fs_path in _glob_local(path):
+            sz = os.path.getsize(fs_path)
+            if sz > max_bytes:
+                raise ValueError(
+                    f"samples_per_line reads whole files per task; "
+                    f"{fs_path!r} is {sz} bytes > max_file_bytes="
+                    f"{max_bytes}. Split the file or raise the "
+                    f"'max_file_bytes' option.")
 
         def _chunks(kv):
-            text = kv[1].decode(codec, errors="replace")
+            # strict: a wrong 'encoding' option must surface as an
+            # error, not silently mangle bytes into U+FFFD samples
+            try:
+                text = kv[1].decode(codec)
+            except UnicodeDecodeError as e:
+                raise ValueError(
+                    f"{kv[0]!r} does not decode as {codec!r} "
+                    f"(samples_per_line uses the 'encoding' option "
+                    f"strictly): {e}") from None
             n = min(max(len(text), 1), spl)
             return [(text[i * n:(i + 1) * n],)
                     for i in range((len(text) + n - 1) // n)]

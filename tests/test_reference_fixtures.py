@@ -493,3 +493,46 @@ def test_remaining_reference_fixtures(spark, rel, fmt, rows, cols):
     assert res.format == fmt, (rel, res)
     df, _ = read_data(spark, f"{REF}/{rel}")
     assert df.count() == rows and len(df.columns) == cols, (rel, res)
+
+
+def test_samples_per_line_guards(tmp_path, spark):
+    """ADVICE r11: samples_per_line materializes whole files per task —
+    (a) an over-limit file is refused loudly at plan time (driver-side
+    stat, overridable via max_file_bytes); (b) bytes that don't decode
+    under the chosen encoding raise instead of silently mangling into
+    U+FFFD samples."""
+    from dataprofiler_spark.sources.sniff import read_data
+
+    p = tmp_path / "big.txt"
+    p.write_text("x" * 1000)
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        read_data(spark, str(p), fmt="text", samples_per_line=5,
+                  max_file_bytes=100)
+    # raising the cap reads fine
+    df, _ = read_data(spark, str(p), fmt="text", samples_per_line=400,
+                      max_file_bytes=10_000)
+    assert df.count() == 3
+
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"ok so far \xff\xfe not utf8")
+    df, _ = read_data(spark, str(bad), fmt="text", samples_per_line=5,
+                      encoding="utf-8")
+    import py4j.protocol
+    with pytest.raises(Exception, match="does not decode"):
+        df.collect()
+
+
+def test_iso2022_kr_requires_valid_decode(tmp_path):
+    """ADVICE r11: the ISO-2022-KR designation bytes inside a BINARY
+    blob must not win the encoding sniff — the branch now requires a
+    strict iso2022_kr decode like the JP branch always did."""
+    from dataprofiler_spark.sources.sniff import detect_encoding
+
+    # real ISO-2022-KR: designation + SO/SI shifted hangul
+    real = "안녕하세요 hello".encode("iso2022_kr")
+    assert b"\x1b$)C" in real
+    assert detect_encoding(real) == "ISO-2022-KR"
+    # binary junk containing the 4-byte run: NOT ISO-2022-KR
+    junk = b"\x00\x01\x1b$)C\x96\xff\x80\x81" + bytes(range(200, 256))
+    got = detect_encoding(junk)
+    assert got != "ISO-2022-KR"

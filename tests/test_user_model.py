@@ -261,3 +261,26 @@ def test_reference_model_unchanged_under_arch_parsing():
     assert all(c[6] == pytest.approx(1e-3) for c in m.convs)
     preds = m.predict_cells(["123-45-6789", "2024-01-02"])
     assert [p[0] for p in preds] == ["SSN", "DATE"]
+
+
+def test_user_model_cache_evicts_on_retrain(tmp_path):
+    """ADVICE r11: load_user_model_cached keyed only on dirpath served
+    stale weights after an in-place retrain. The cache key now carries
+    an (mtime, size) artifact fingerprint — rewriting the artifact in
+    the SAME directory yields the new model."""
+    import os
+    import time
+
+    from dataprofiler_spark.labeler.np_cnn import load_user_model_cached
+
+    d = str(tmp_path / "um")
+    _write_user_model(d)
+    m1 = load_user_model_cached(d)
+    assert load_user_model_cached(d) is m1  # plain cache hit
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    _write_user_model(d, seed=7)            # retrain in place
+    m2 = load_user_model_cached(d)
+    assert m2 is not m1
+    import numpy as np
+    assert not np.allclose(m1.convs[0][0], m2.convs[0][0])
