@@ -532,10 +532,15 @@ def main() -> None:
 
     group = os.environ.get("SPARK_GRAFT_BENCH_GROUP")
     if group:
+        # loadavg before/after the group: the r11 driver artifact read
+        # as a 13% regression that was machine load, not code — carry
+        # the contamination evidence in the artifact itself.
+        la0 = round(os.getloadavg()[0], 2)
         timings, timings_mean, timings_warm = run_group(group, sf_dir)
         print(json.dumps({"group": group, "queries": timings,
                           "queries_mean": timings_mean,
-                          "queries_warm_mean": timings_warm}))
+                          "queries_warm_mean": timings_warm,
+                          "loadavg": [la0, round(os.getloadavg()[0], 2)]}))
         return
 
     timings: dict[str, float] = {}
@@ -543,6 +548,7 @@ def main() -> None:
     timings_warm: dict[str, float] = {}
     groups: dict[str, str] = {}   # query -> JVM group (VERDICT r10
     # item 10: crowding must be diagnosable from the artifact alone)
+    loadavg_by_group: dict[str, list] = {}
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     if isolate:
         import subprocess
@@ -574,6 +580,8 @@ def main() -> None:
             timings_mean.update(parsed["queries_mean"])
             timings_warm.update(parsed.get("queries_warm_mean", {}))
             groups.update({q: g for q in parsed["queries"]})
+            if "loadavg" in parsed:
+                loadavg_by_group[g] = parsed["loadavg"]
     else:
         for g in GROUP_ORDER:
             t, m, w = run_group(g, sf_dir)
@@ -581,6 +589,37 @@ def main() -> None:
             timings_mean.update(m)
             timings_warm.update(w)
             groups.update({q: g for q in t})
+
+    # Drift canary (VERDICT r11 item 7): re-run the headline query in a
+    # fresh JVM at suite END and compare to its suite-START number. A
+    # big delta means the machine's load changed under the suite — the
+    # per-query numbers of late groups are inflated by environment, not
+    # code. Cheap: one query, one JVM.
+    canary: dict | None = None
+    if isolate and timings.get("full_profile_lineitem", 0) > 0:
+        import subprocess
+        env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP="profile",
+                   SPARK_GRAFT_BENCH_ONLY="full_profile_lineitem",
+                   SPARK_GRAFT_BENCH_RUNS="2")
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=600)
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                end = parsed["queries"].get("full_profile_lineitem")
+                if end:
+                    start = timings["full_profile_lineitem"]
+                    canary = {"headline_start_sec": start,
+                              "headline_end_sec": end,
+                              "delta_ratio": round(end / start, 3),
+                              "loadavg": parsed.get("loadavg")}
+                break
+        except subprocess.TimeoutExpired:
+            canary = {"error": "canary timed out"}
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
 
@@ -631,6 +670,8 @@ def main() -> None:
         "n_runs": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
         "isolated_jvm_groups": isolate,
         "jvm_group_of": groups,
+        "loadavg_by_group": loadavg_by_group,
+        "drift_canary": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_ref": baseline_ref,
     }

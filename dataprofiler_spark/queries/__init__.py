@@ -116,11 +116,13 @@ _DRIVER_WINDOW = [
     "winnow_neardup_pairs_documents",        # fps persisted (r12)
     "semantic_dedup_auto_embeddings",        # two-level assign (r12)
     "corpus_semantic_curation_auto_documents",  # +n_missing_embedding col
-    # ---- (d) newly oracled this round (never driver-checked); until
-    # each lands, an r9-cohort filler holds its slot so the window
-    # stays exactly 50 and all-oracled ----
-    "ivf_topk_embeddings",        # -> full_report_lineitem
-    "numeric_profile_lineitem",   # -> full_report_events
+    # ---- (d) r9-cohort pull-forwards (lightens the 49-row r13
+    # rotation) + the slot for this round's new oracled query.
+    # full_report_* stay OUT of the window permanently: rows-only by
+    # construction with a registered NO_ORACLE_REASON (see
+    # queries/_registry.py + q_reports.py) ----
+    "ivf_topk_embeddings",
+    "numeric_profile_lineitem",
     "ner_redact_orders",          # -> cnn_head_tuned_customer (r12)
 ]
 

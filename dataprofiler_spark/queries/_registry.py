@@ -15,13 +15,20 @@ from pyspark.sql import functions as F
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# Rows registered WITHOUT an oracle must say why (VERDICT r11 item 8):
+# the SLA test rejects an un-oracled row with no justification, so
+# "forgot the oracle" cannot masquerade as "rows-only by construction".
+NO_ORACLE_REASON: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None,
+             no_oracle_reason: str | None = None):
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+        elif no_oracle_reason:
+            NO_ORACLE_REASON[name] = no_oracle_reason
         return fn
     return deco
 

@@ -156,7 +156,19 @@ def embedding_spectrum_embeddings(spark, sf_dir):
                                  "embedding")
 
 
-@register("full_report_lineitem")
+_FLAT_REPORT_NO_ORACLE = (
+    "rows-only by construction, FINAL: the untruncated flat report "
+    "stringifies order-dependent native doubles (double sum / var_pop "
+    "/ skew / kurt accumulate in partition order), HLL estimates, and "
+    "histogram-derived quantiles — no external engine can reproduce "
+    "those byte strings. Every deterministic stat in it IS hash-checked "
+    "through full_profile_* (deterministic_report_rows slice), and "
+    "tests/test_plans.py::test_flat_report_consistent_with_"
+    "deterministic_slice pins that the flat format agrees with the "
+    "oracled slice value-for-value.")
+
+
+@register("full_report_lineitem", no_oracle_reason=_FLAT_REPORT_NO_ORACLE)
 def full_report_lineitem(spark, sf_dir):
     return _flat_report_df(spark, T(spark, sf_dir, "lineitem"))
 

@@ -122,7 +122,10 @@ def calibration_lineitem(spark, sf_dir):
     return vd.calibration_curve(df, "__s", "__y")
 
 
-@register("full_report_events")
+from dataprofiler_spark.queries.q_reports import _FLAT_REPORT_NO_ORACLE
+
+
+@register("full_report_events", no_oracle_reason=_FLAT_REPORT_NO_ORACLE)
 def full_report_events(spark, sf_dir):
     return _flat_report_df(spark, T(spark, sf_dir, "events"))
 

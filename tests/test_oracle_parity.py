@@ -84,3 +84,22 @@ def test_driver_window_freshness_sla():
         f"{len(overdue)} oracled rows have no driver check since round "
         f"{sla_floor - 1} and are not in the upcoming window — rotate "
         f"them into _DRIVER_WINDOW: {overdue}")
+
+
+def test_unoracled_rows_carry_justification():
+    """Every registry row without an oracle must say WHY (VERDICT r11
+    item 8): rows-only is a deliberate, documented state — "forgot the
+    oracle" fails here. The reason must point at the covering
+    evidence (a substantive sentence, not a placeholder)."""
+    from dataprofiler_spark.queries import ORACLE_SQL, SPARK_QUERIES
+    from dataprofiler_spark.queries._registry import NO_ORACLE_REASON
+
+    unoracled = [q for q in SPARK_QUERIES if q not in ORACLE_SQL]
+    missing = [q for q in unoracled if not NO_ORACLE_REASON.get(q)]
+    assert not missing, (
+        f"registry rows without an oracle AND without a justification: "
+        f"{missing} — add oracle SQL or a no_oracle_reason")
+    for q in unoracled:
+        assert len(NO_ORACLE_REASON[q]) > 80, q  # substantive, not a stub
+    stale = [q for q in NO_ORACLE_REASON if q in ORACLE_SQL]
+    assert not stale, f"rows with BOTH oracle and justification: {stale}"

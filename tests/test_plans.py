@@ -442,3 +442,43 @@ def test_markup_and_domain_plans_stay_jvm_side(spark, sf_dir):
     plan = _formatted(zf)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_flat_report_consistent_with_deterministic_slice(spark):
+    """The untruncated flat report (full_report_* — rows-only by
+    construction, see NO_ORACLE_REASON) must agree value-for-value with
+    the ORACLED deterministic slice wherever the two overlap: the flat
+    format is the same state rendered another way, so a divergence
+    means the flat renderer corrupted a stat the driver hash-checks
+    elsewhere."""
+    from dataprofiler_spark import Profiler
+    from dataprofiler_spark.report import (build_report,
+                                           deterministic_report_rows,
+                                           flat_dict)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    state = Profiler(df).profile()
+    flat = flat_dict(build_report(state, output_format="compact"))
+    slice_rows = deterministic_report_rows(state)
+
+    # global stats land under global_stats.*
+    byname = {(c, s): (vn, vs) for c, s, vn, vs in slice_rows}
+    assert float(flat["global_stats.row_count"]) == \
+        byname[("__dataset", "row_count")][0]
+
+    # data_stats is positional in the flat format — index it by name
+    idx = {v: k.split(".")[1] for k, v in flat.items()
+           if k.startswith("data_stats.") and k.endswith(".column_name")}
+
+    # per-column overlap: null_count, min, max, num_zeros/negatives
+    checked = 0
+    for (col, stat), (vn, vs) in byname.items():
+        if col == "__dataset" or vn is None or col not in idx:
+            continue
+        if stat in ("null_count", "min", "max", "num_zeros",
+                    "num_negatives"):
+            key = f"data_stats.{idx[col]}.statistics.{stat}"
+            if key in flat:
+                assert float(flat[key]) == vn, (col, stat)
+                checked += 1
+    assert checked >= 20  # the overlap is real, not vacuously empty
