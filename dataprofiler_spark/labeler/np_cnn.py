@@ -269,6 +269,36 @@ class NumpyCharCNN:
         x /= x.sum(axis=-1, keepdims=True)
         return x
 
+    def features(self, codes: np.ndarray) -> np.ndarray:
+        """(batch, L) codes → (batch, L, d) penultimate activations:
+        the frozen representation (conv stack + all dense layers but
+        the softmax head) a convex head retrains over
+        (labeler/head_tuning.py). Replays ``_forward`` exactly up to
+        the final dense layer."""
+        x = self.embedding[codes]
+        halo = self.kernel // 2
+        B, L = codes.shape
+        slab = max(1, 20_000 // max(L, 1))
+        for kern, bias, gamma, beta, mean, var, eps in self.convs:
+            xp = np.pad(x, ((0, 0), (halo, halo), (0, 0)))
+            win = np.lib.stride_tricks.sliding_window_view(
+                xp, self.kernel, axis=1)
+            C, Fo = kern.shape[1], kern.shape[2]
+            wmat = np.ascontiguousarray(
+                kern.transpose(1, 0, 2)).reshape(C * self.kernel, Fo)
+            y = np.empty((B, L, Fo), dtype=np.float32)
+            for b0 in range(0, B, slab):
+                b1 = min(b0 + slab, B)
+                flat = win[b0:b1].reshape((b1 - b0) * L, C * self.kernel)
+                y[b0:b1] = (flat @ wmat).reshape(b1 - b0, L, Fo)
+            y += bias
+            np.maximum(y, 0.0, out=y)
+            x = gamma * (y - mean) / np.sqrt(var + eps) + beta
+        for wt, bias in self.dense[:-1]:
+            x = x @ wt + bias
+            np.maximum(x, 0.0, out=x)
+        return x
+
     # -- prediction ---------------------------------------------------------
 
     def predict_char_labels(self, texts: list[str],

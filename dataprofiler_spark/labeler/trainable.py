@@ -67,7 +67,12 @@ class TrainableDataLabeler:
 
     def __init__(self, ngram: int = DEFAULT_NGRAM,
                  vocab_size: int = DEFAULT_VOCAB,
-                 default_label: str = "UNKNOWN"):
+                 default_label: str = "UNKNOWN",
+                 model: str = "ngram",
+                 model_path: str | None = None):
+        if model not in ("ngram", "cnn"):
+            raise ValueError(f"model must be ngram|cnn, got {model!r}")
+        self.model = model
         self.ngram = ngram
         self.vocab_size = vocab_size
         self.default_label = default_label
@@ -75,6 +80,14 @@ class TrainableDataLabeler:
         self.vocab: dict[str, int] = {}
         self.log_priors: np.ndarray | None = None
         self.log_probs: np.ndarray | None = None   # (L, V+1); V = OOV
+        # model="cnn" (VERDICT r11 item 5): keep the char CNN's frozen
+        # representation, retrain only a convex (ridge) head on the
+        # user's labels — labeler/head_tuning.py. fit/predict/evaluate
+        # delegate; the n-gram NB members above stay unused.
+        self._head = None
+        if model == "cnn":
+            from dataprofiler_spark.labeler.head_tuning import CnnHeadTuner
+            self._head = CnnHeadTuner(model_path=model_path)
 
     # -- label surface ------------------------------------------------------
 
@@ -92,6 +105,9 @@ class TrainableDataLabeler:
             self.label_mapping = {str(l): i for i, l in enumerate(labels)}
         self.log_priors = None
         self.log_probs = None
+        if self._head is not None:
+            self._head.label_mapping = dict(self.label_mapping)
+            self._head.W = None
 
     def add_label(self, label: str, same_as: str | None = None) -> None:
         """Append a label; with ``same_as`` the new label scores like the
@@ -132,6 +148,13 @@ class TrainableDataLabeler:
         del reset_weights, epochs
         if not 0.0 <= validation_split < 1.0:
             raise ValueError("`validation_split` must be >= 0 and < 1.0")
+        if self._head is not None:
+            # convex head over the frozen CNN representation: one
+            # distributed Gram pass + a driver ridge solve (closed-form
+            # like the NB path, so epochs stays parity-only here too)
+            out = self._head.fit(df, x, y, labels=labels)
+            self.label_mapping = dict(self._head.label_mapping)
+            return out
         if labels is not None:
             self.set_labels(labels)
         from dataprofiler_spark.operators.sampling import hash_fraction_expr
@@ -248,6 +271,10 @@ class TrainableDataLabeler:
         """Lists → list of labels; DataFrames → the frame plus a
         ``label`` column (Arrow-batched mapInPandas; model state ships
         once per worker via closure)."""
+        if self._head is not None:
+            if isinstance(data, (list, tuple)):
+                return [l for l, _ in self._head.predict_cells(list(data))]
+            return self._head.predict(data, x).drop("confidence")
         if isinstance(data, (list, tuple)):
             return self._score_cells(list(data))
         import pandas as pd
@@ -273,6 +300,9 @@ class TrainableDataLabeler:
     # -- persistence --------------------------------------------------------
 
     def save_to_disk(self, dirpath: str) -> None:
+        if self._head is not None:
+            self._head.save_to_disk(dirpath)
+            return
         os.makedirs(dirpath, exist_ok=True)
         art = {
             "ngram": self.ngram, "vocab_size": self.vocab_size,
@@ -288,6 +318,12 @@ class TrainableDataLabeler:
 
     @classmethod
     def load_from_disk(cls, dirpath: str) -> "TrainableDataLabeler":
+        if os.path.exists(os.path.join(dirpath, "head_params.json")):
+            from dataprofiler_spark.labeler.head_tuning import CnnHeadTuner
+            m = cls(model="cnn")
+            m._head = CnnHeadTuner.load_from_disk(dirpath)
+            m.label_mapping = dict(m._head.label_mapping)
+            return m
         with open(os.path.join(dirpath, "labeler.json")) as f:
             art = json.load(f)
         m = cls(ngram=art["ngram"], vocab_size=art["vocab_size"],

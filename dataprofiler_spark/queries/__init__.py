@@ -123,7 +123,7 @@ _DRIVER_WINDOW = [
     # queries/_registry.py + q_reports.py) ----
     "ivf_topk_embeddings",
     "numeric_profile_lineitem",
-    "ner_redact_orders",          # -> cnn_head_tuned_customer (r12)
+    "cnn_head_tuned_customer",    # new r12: frozen-CNN convex head
 ]
 
 

@@ -201,3 +201,55 @@ def ner_redact_orders(spark, sf_dir):
 
 
 
+
+
+# Convex head tuning over the frozen char-CNN representation
+# (labeler/head_tuning.py; VERDICT r11 item 5 — the reference's fit()
+# retrains the CNN in TF, character_level_cnn_model.py:657-800; here
+# the conv representation is frozen and the final linear head refits
+# closed-form). Deterministic: the Gram pass runs on ONE partition
+# (coalesce(1)) so the ridge solve is bit-stable, and prediction is a
+# pure forward pass — so the train->predict vote table over a
+# key-defined sample is a golden VALUES oracle (sf0.01-pinned).
+# Regenerate via tests/test_trainable.py::test_cnn_head_votes_golden.
+def _cnn_head_votes(spark, sf_dir):
+    from dataprofiler_spark.labeler.trainable import TrainableDataLabeler
+    cust = (T(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 300)
+            .select("c_name", "c_acctbal", "c_mktsegment"))
+    cols = ["c_name", "c_acctbal", "c_mktsegment"]
+    melted = cust.select(F.explode(F.array(*[
+        F.struct(F.col(c).cast("string").alias("cell"),
+                 F.lit(c).alias("column")) for c in cols])).alias("s")
+    ).select("s.cell", "s.column")
+    lab = TrainableDataLabeler(model="cnn")
+    lab.fit(melted.select(F.col("cell").alias("x"),
+                          F.col("column").alias("y")).coalesce(1),
+            "x", "y")
+    preds = lab.predict(melted, "cell")
+    return (preds.groupBy("column", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .orderBy("column", "label"))
+
+
+def _load_cnn_head_golden() -> str | None:
+    import json
+    import os as _os
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures",
+        "cnn_head_tuned_sf001.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rows = json.load(fh)
+    if not rows:
+        return None
+    vals = ", ".join(f"('{c}', '{l}', {int(v)})" for c, l, v in rows)
+    return (f"SELECT \"column\", label, CAST(votes AS BIGINT) AS votes "
+            f"FROM (VALUES {vals}) AS t(\"column\", label, votes) "
+            f"ORDER BY \"column\", label")
+
+
+@register("cnn_head_tuned_customer", _load_cnn_head_golden())
+def cnn_head_tuned_customer(spark, sf_dir):
+    return _cnn_head_votes(spark, sf_dir)

@@ -15,7 +15,8 @@ from tests.oracle_utils import assert_frames_match
 # sf0.01 golden itself.
 SF001_PINNED = {"cnn_labeler_customer", "ner_spans_orders",
                 "trained_labeler_customer", "ner_redact_orders",
-                "embedding_spectrum_embeddings"}
+                "embedding_spectrum_embeddings",
+                "cnn_head_tuned_customer"}
 
 
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))

@@ -137,3 +137,101 @@ def test_empty_fit_raises(spark):
     empty = spark.createDataFrame([], "x string, y string")
     with pytest.raises(ValueError, match="No data"):
         TrainableDataLabeler().fit(empty, "x", "y")
+
+
+# -- CNN head tuning (labeler/head_tuning.py, VERDICT r11 item 5) -------------
+
+def test_cnn_head_votes_golden(spark):
+    """The driver-checked cnn_head_tuned_customer golden. Regenerate
+    after a testdata change:
+
+        rows = _cnn_head_votes(spark, '/root/testdata/sf0.01')
+        json.dump([[r['column'], r['label'], r['votes']] for r in
+                   rows.collect()],
+                  open('fixtures/cnn_head_tuned_sf001.json', 'w'))
+    """
+    import json
+    import os
+
+    from dataprofiler_spark.queries.q_cnn import _cnn_head_votes
+
+    p = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "fixtures", "cnn_head_tuned_sf001.json")
+    with open(p) as fh:
+        golden = [tuple(r) for r in json.load(fh)]
+    rows = _cnn_head_votes(spark, "/root/testdata/sf0.01").collect()
+    got = [(r["column"], r["label"], r["votes"]) for r in rows]
+    assert got == golden
+    assert all(c == l for c, l, _ in got)  # self-train is diagonal
+
+
+def test_cnn_head_improves_f1_over_frozen_model(spark):
+    """The round's contract (VERDICT r11 item 5): fitting the convex
+    head on a labeled set IMPROVES span F1 over the frozen packaged
+    model — i.e. "train on my labels, keep the CNN's representation"
+    genuinely learns. The labels come from the BASE model's own label
+    set, so the frozen model CAN compete (it is partially right by
+    construction: FLOAT/DATE cells it already nails, the
+    Customer#/phone-shaped cells it mislabels as BAN/DRIVERS_LICENSE)."""
+    import pytest as _pytest
+
+    from dataprofiler_spark.labeler.evaluation import evaluate_accuracy
+    from dataprofiler_spark.labeler.np_cnn import load_default_model
+    from dataprofiler_spark.labeler.trainable import TrainableDataLabeler
+
+    frozen = load_default_model()
+    if frozen is None:
+        _pytest.skip("packaged reference model not readable here")
+
+    def mk(i):
+        return [
+            (f"Customer#{i:09d}", "HASH_OR_KEY"),
+            (f"{(i * 37) % 9000 + 100}.{i % 100:02d}", "FLOAT"),
+            (f"19{90 + i % 10}-{i % 12 + 1:02d}-{i % 28 + 1:02d}", "DATE"),
+            (f"{i % 30 + 10}-{i % 900 + 100}-{i % 900 + 100}-"
+             f"{i % 9000 + 1000}", "PHONE_NUMBER"),
+        ]
+
+    train = [p for i in range(0, 120) for p in mk(i)]
+    test = [p for i in range(120, 160) for p in mk(i)]
+
+    train_df = spark.createDataFrame(train, "x string, y string").coalesce(1)
+    test_df = spark.createDataFrame(test, "x string, y string")
+
+    # labels=None on both sides: each confusion derives its own label
+    # set from the observed (truth, pred) pairs, so the frozen model's
+    # out-of-set predictions (Customer# → BAN) COUNT against it instead
+    # of being dropped by the reference's index-encoded-matrix rule
+    lab = TrainableDataLabeler(model="cnn")
+    lab.fit(train_df, "x", "y")
+    tuned_preds = lab.predict(test_df, "x")
+    tuned_f1, _ = evaluate_accuracy(tuned_preds, "y", "label")
+
+    frozen_lab = [l for l, _ in frozen.predict_cells([x for x, _ in test])]
+    frozen_preds = spark.createDataFrame(
+        [(x, y, p) for (x, y), p in zip(test, frozen_lab)],
+        "x string, y string, label string")
+    frozen_f1, _ = evaluate_accuracy(frozen_preds, "y", "label")
+
+    assert tuned_f1 > frozen_f1, (tuned_f1, frozen_f1)
+    assert tuned_f1 >= 0.9          # the head really learned the set
+    assert 0.0 < frozen_f1 < 0.9    # and the baseline wasn't a strawman
+
+
+def test_cnn_head_save_load_round_trip(spark, tmp_path):
+    """model="cnn" save/load: predictions identical after reload, and
+    load_from_disk auto-detects the head artifact."""
+    from dataprofiler_spark.labeler.trainable import TrainableDataLabeler
+
+    train = [(f"Customer#{i:09d}", "KEY") if i % 2 else
+             (f"{i * 3}.{i % 100:02d}", "NUM") for i in range(80)]
+    df = spark.createDataFrame(train, "x string, y string").coalesce(1)
+    lab = TrainableDataLabeler(model="cnn")
+    lab.fit(df, "x", "y")
+    probes = ["Customer#000000123", "4711.09", ""]
+    want = lab.predict(probes)
+    lab.save_to_disk(str(tmp_path / "head"))
+    back = TrainableDataLabeler.load_from_disk(str(tmp_path / "head"))
+    assert back.model == "cnn"
+    assert back.predict(probes) == want
+    assert back.labels == lab.labels
