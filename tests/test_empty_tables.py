@@ -40,7 +40,7 @@ LOUD_REFUSAL = {
     "corpus_semantic_curation_documents",
     "nb_source_confusion_documents", "embedding_group_cosines",
     "label_centroid_audit_embeddings", "pagerank_nation",
-    "trained_labeler_customer",
+    "trained_labeler_customer", "cnn_head_tuned_customer",
     # a time-slice of an empty/all-null-ts table has no midpoint
     "profile_diff_events", "profile_diff_fused_events",
 }
