@@ -405,6 +405,14 @@ def build_runners(spark, sf_dir):
     add("clustering", "kmeans_embeddings",
         lambda: clus.kmeans_assign(embeddings, "vec_id", "embedding",
                                    k=4, iters=2).count())
+    # the high-k scale path (r12): forced two-level at target=2 so the
+    # hierarchical quantizer (coarse fit + per-cell local Lloyd) gets a
+    # per-round number at bench scale (resolved k = n/2)
+    add("clustering", "semantic_dedup_two_level_embeddings",
+        lambda: clus.semantic_dedup(embeddings, "vec_id", "embedding",
+                                    target_cell_size=2, iters=2,
+                                    threshold=0.9,
+                                    two_level=True).count())
     add("clustering", "ivf_topk_embeddings",
         lambda: clus.ivf_topk_det(embeddings, "vec_id", "embedding",
                                   k_clusters=8, iters=2, nprobe=2,
