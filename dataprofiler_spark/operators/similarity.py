@@ -246,12 +246,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     holds); ``None`` opts into the unguarded quadratic path explicitly.
 
     ``cache=True`` persists the (id, vector) projection for the bucket
-    explode + two verify joins; the CALLER must release it
-    (``spark.catalog.clearCache()`` or unpersisting the source) after
-    materializing — a function-scoped persist on a lazily-returned frame
-    can never unpersist itself and leaks MEMORY_AND_DISK state across
-    repeated calls (VERDICT r4). Default off: a parquet re-scan with
-    column pruning is the cheaper, stateless plan at scale."""
+    explode + two verify joins; release with
+    ``session.unpersist_plan(result)`` after materializing (the r12
+    handle contract). Default off — unlike winnow/minhash, the reused
+    subtree here is a pruned (id, vec) parquet scan, not an expensive
+    derivation, so the stateless re-scan is the better plan at scale."""
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if cache:
         b = b.persist()
@@ -274,7 +273,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
     v1 = b.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = b.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
-    return (
+    out = (
         pairs.join(v1, "id1").join(v2, "id2")
         .select(
             "id1", "id2",
@@ -283,6 +282,10 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
         )
         .where(F.col("cosine") >= threshold)
     )
+    if cache:
+        from dataprofiler_spark.session import register_persisted
+        register_persisted(out, b)
+    return out
 
 
 def _duck_bucket(planes: list[list[float]], dim: int, vec: str) -> str:

@@ -632,3 +632,39 @@ def test_semantic_dedup_two_level_semantics(spark):
     b = flat.sort_values("id").reset_index(drop=True)
     assert (a["cluster"] == b["cluster"]).all()
     assert (a["keep"] == b["keep"]).all()
+
+
+def test_two_level_cells_edge_shapes(spark):
+    """Degenerate inputs: a single vector, a corpus smaller than
+    target_cell_size (one coarse cell, one fine cell), and NULL
+    vectors (excluded, like every clustering entry point)."""
+    from dataprofiler_spark.operators import clustering as cl
+
+    one = spark.createDataFrame([(1, [0.5, 0.25])],
+                                "id long, v array<double>")
+    out = cl.two_level_cells(one, "id", "v", target_cell_size=10,
+                             iters=2).collect()
+    assert len(out) == 1 and out[0]["cluster"] == 0
+    assert abs(out[0]["ck"] - 1.0) < 1e-12   # own centroid == itself
+
+    small = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)] + [(9, None)],
+        "id long, v array<double>")
+    rows = cl.two_level_cells(small, "id", "v", target_cell_size=100,
+                              iters=1).collect()
+    assert len(rows) == 5               # NULL vector has no cell
+    assert len({r["cluster"] for r in rows}) == 1  # n << target: 1 cell
+
+    # semantic_dedup over the degenerate corpus still keeps exactly the
+    # min-id member of each ε-ball
+    sd = cl.semantic_dedup(
+        spark.createDataFrame([(i, [1.0, 0.0]) for i in range(4)],
+                              "id long, v array<double>"),
+        "id", "v", threshold=0.9, target_cell_size=2,
+        two_level=True).collect()
+    kept = sorted(r["id"] for r in sd if r["keep"])
+    cells = {r["id"]: r["cluster"] for r in sd}
+    # identical vectors: whoever shares a cell with a lower id drops
+    expect = {i for i in cells
+              if not any(j < i and cells[j] == cells[i] for j in cells)}
+    assert set(kept) == expect
