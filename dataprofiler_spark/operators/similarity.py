@@ -228,7 +228,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             round_digits: int = 6,
                             max_bucket_size: int | None =
                             DEFAULT_MAX_BUCKET_SIZE,
-                            cache: bool = False) -> DataFrame:
+                            cache: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
     the same design as ``dedup.minhash_lsh_pairs``: B independent
     plane-sets (bands), candidates = pairs sharing any (band, bucket),
@@ -245,18 +245,20 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     (safe-by-default; the oracle generators share the default so parity
     holds); ``None`` opts into the unguarded quadratic path explicitly.
 
-    ``cache=True`` persists the (id, vector) projection for the bucket
-    explode + two verify joins; release with
-    ``session.unpersist_plan(result)`` after materializing (the r12
-    handle contract). Default off — unlike winnow/minhash, the reused
-    subtree here is a pruned (id, vec) parquet scan, not an expensive
-    derivation, so the stateless re-scan is the better plan at scale."""
+    ``cache=True`` (default — the minhash cache contract, r12)
+    persists the bucket frame: the B·P hyperplane dot products per row
+    feed the sizing aggregate, the cap join, and both self-join sides,
+    which would otherwise re-evaluate them up to 3× (~1.25× wall
+    measured at bench scale). Release with
+    ``session.unpersist_plan(result)``; ``cache=False`` for a
+    stateless plan."""
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if cache:
-        b = b.persist()
     buckets = embedding_band_buckets(b, "id", "v", bands=bands,
                                      planes_per_band=planes_per_band,
                                      dim=dim)
+    if cache:
+        buckets = buckets.persist()
+    pinned = buckets                       # the frame the handle frees
     if max_bucket_size is not None:
         small = (buckets.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__bsz"))
@@ -284,7 +286,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
     if cache:
         from dataprofiler_spark.session import register_persisted
-        register_persisted(out, b)
+        register_persisted(out, pinned)
     return out
 
 
@@ -379,9 +381,13 @@ def embedding_neardup_clusters(df: DataFrame, id_col: str, vec_col: str,
                    F.coalesce("component", F.col("id")).alias("cluster_id")))
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    return (lab.join(sizes, "cluster_id")
-            .select("id", "cluster_id", "cluster_size",
-                    (F.col("id") == F.col("cluster_id")).alias("is_canonical")))
+    out = (lab.join(sizes, "cluster_id")
+           .select("id", "cluster_id", "cluster_size",
+                   (F.col("id") == F.col("cluster_id")).alias("is_canonical")))
+    # propagate the pairs stage's cache handle (r12 contract)
+    from dataprofiler_spark.session import register_persisted
+    register_persisted(out, *getattr(pairs, "_dps_persisted", []))
+    return out
 
 
 def oracle_embedding_neardup_clusters_sql(table: str, id_col: str,

@@ -257,26 +257,39 @@ def test_embedding_outliers_no_int64_overflow(spark):
     assert 0 < n_out < 40
 
 
-def test_embedding_neardup_pairs_leaves_no_cached_rdds(spark, sf_dir):
-    """Default call path must not leak persisted state across calls
-    (VERDICT r4 item 3): after materializing, the persistent-RDD map
-    is empty."""
+def test_embedding_neardup_pairs_cache_contract(spark, sf_dir):
+    """r12 contract (supersedes the r4 no-persist rule): the default
+    path persists exactly ONE frame (the hyperplane bucket computation,
+    read by the sizing agg + cap join + both self-join sides) and the
+    returned plan carries the release handle — after unpersist_plan the
+    session state is back where it started. cache=False stays
+    stateless."""
     import os as _os
 
     from dataprofiler_spark.operators import similarity as sim
+    from dataprofiler_spark.session import unpersist_plan
 
     spark.catalog.clearCache()
     # delta-based: earlier tests in the shared session may leave final
-    # localCheckpoint RDDs (graph loops) for the ContextCleaner — this
-    # test only asserts the neardup call itself adds no persisted state
+    # localCheckpoint RDDs (graph loops) for the ContextCleaner
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
                  .toArray())
     emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    sim.embedding_neardup_pairs(emb, "vec_id", "embedding",
-                                threshold=0.8).count()
+    out = sim.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.8)
+    out.count()
+    mid = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+              .toArray())
+    assert len(mid - before) == 1          # the bucket frame, nothing else
+    assert unpersist_plan(out) == 1
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
                 .toArray())
     assert after - before == set()
+
+    sim.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                threshold=0.8, cache=False).count()
+    assert set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+               .toArray()) - before == set()
 
 
 def test_embedding_group_cosines_semantics(spark):
