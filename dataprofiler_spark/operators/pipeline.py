@@ -182,7 +182,8 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
                            round_digits: int = 6,
                            max_cluster_size: int = 10_000,
                            target_cell_size: int = 2_000,
-                           keep: str = "min_id") -> DataFrame:
+                           keep: str = "min_id",
+                           two_level: bool | str = "auto") -> DataFrame:
     """The full modern curation chain, one composed plan:
 
         quality filter → exact dedup → SimHash near-dup → SemDeDup
@@ -219,7 +220,8 @@ def curate_corpus_semantic(df: DataFrame, id_col: str, text_col: str,
                         iters=iters, threshold=semantic_threshold,
                         round_digits=round_digits,
                         max_cluster_size=max_cluster_size,
-                        target_cell_size=target_cell_size, keep=keep)
+                        target_cell_size=target_cell_size, keep=keep,
+                        two_level=two_level)
     final = curated.join(sd.where(F.col("keep")).select("id"), "id")
     n_in = df.select(F.count(F.lit(1)).alias("n_docs_in"))
     n_text = curated.agg(F.count(F.lit(1)).alias("n_text_curated"))

@@ -875,3 +875,23 @@ def test_unpersist_plan_releases_operator_caches(spark):
     assert unpersist_plan(rep) == 2   # curated keep-set + assign frame
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     assert unpersist_plan(rep) == 0   # idempotent
+
+
+def test_funnel_two_level_passthrough(spark):
+    """curate_corpus_semantic(two_level=True) routes the semantic stage
+    through the hierarchical quantizer: same report schema, sane
+    counts, and forcing it at tiny scale still produces a valid funnel
+    row (kept + guarded bounded by the text survivors)."""
+    from dataprofiler_spark.operators import pipeline as pl
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    row = pl.curate_corpus_semantic(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        target_cell_size=50, iters=2, two_level=True
+    ).toPandas().iloc[0]
+    assert int(row["n_semantic_kept"]) > 0
+    assert (int(row["n_semantic_kept"])
+            <= int(row["n_text_curated"]) - int(row["n_missing_embedding"]))
+    assert int(row["n_semantic_guarded"]) == 0
