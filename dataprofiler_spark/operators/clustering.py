@@ -252,7 +252,11 @@ def two_level_cells(df: DataFrame, id_col: str, vec_col: str,
         import pandas as pd
         pdf = pdf.sort_values("id").reset_index(drop=True)
         m = len(pdf)
-        coarse = int(pdf["__coarse"].iloc[0]) if m else 0
+        if m == 0:   # defensive: groupBy never emits empty groups
+            return pd.DataFrame({"id": pdf["id"], "v": pdf["v"],
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "ck": pd.Series([], dtype="float64")})
+        coarse = int(pdf["__coarse"].iloc[0])
         v = np.asarray(pdf["v"].to_list(), dtype=np.float64)
         k_f = max(1, -(-m // target))
         if k_f >= _FINE_STRIDE:
