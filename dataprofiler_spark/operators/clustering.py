@@ -176,6 +176,157 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
     return cents
 
 
+def _assign_multi_cols(base: DataFrame,
+                       specs_cents: list[tuple[int, int, list[list[float]]]]
+                       ) -> DataFrame:
+    """(id, v) → (id, v, __cl0.., __cl{m-1}): nearest-centroid index per
+    spec, where spec i covers the contiguous slice
+    [start_i, start_i + width_i) of ``v``. Expression path when every
+    codebook is small; one fused NumPy kernel otherwise. Both replay
+    ``_assign_df``'s exact per-slice arithmetic (cast to double,
+    (x−y)·(x−y), sequential left-fold from 0.0, lowest-index ties)."""
+    if all(len(c) <= ASSIGN_EXPR_MAX_K for _, _, c in specs_cents):
+        cols = [
+            _assign_expr(F.slice(F.col("v"), start + 1, width), cents)
+            .cast("int").alias(f"__cl{i}")
+            for i, (start, width, cents) in enumerate(specs_cents)
+        ]
+        return base.select("*", *cols)
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from dataprofiler_spark.session import ensure_parallelism
+
+    mats = [(start, width, np.asarray(cents, dtype=np.float64))
+            for start, width, cents in specs_cents]
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField(f"__cl{i}", IntegerType())
+           for i in range(len(specs_cents))])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                for i in range(len(mats)):
+                    pdf[f"__cl{i}"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            v = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            for i, (start, width, c) in enumerate(mats):
+                acc = np.zeros((len(pdf), c.shape[0]))
+                for d in range(width):
+                    diff = v[:, start + d, None] - c[None, :, d]
+                    acc += diff * diff      # same per-dim fold order
+                pdf[f"__cl{i}"] = np.argmin(acc, axis=1).astype("int32")
+            yield pdf
+
+    return ensure_parallelism(base).mapInPandas(assign, schema=out_schema)
+
+
+def _update_centroids_multi(proj: DataFrame,
+                            specs_cents: list[tuple[int, int,
+                                                    list[list[float]]]]
+                            ) -> list[list[list[float]]]:
+    """Fused centroid update for every spec in ONE job: per row, each
+    spec contributes width_i (spec, cl, pos, x) entries (built with
+    ``transform``/``element_at`` over the shared vector — the exact x
+    values ``posexplode`` of the slice would yield), then one
+    groupBy(spec, cl, pos) of integer partial sums and one
+    re-assembly groupBy — ``_update_centroids``'s algebra with ``spec``
+    prepended to the keys. Integer sums are order-independent, so the
+    regrouping is bit-identical to m separate updates."""
+    import numpy as np
+
+    def entry_fn(i: int, start: int):
+        # closure factory, not default-arg capture: pyspark's HOF
+        # binding counts every named parameter of the lambda
+        def fn(p):
+            return F.struct(
+                F.lit(i).alias("spec"),
+                F.col(f"__cl{i}").alias("cl"),
+                p.alias("pos"),
+                F.element_at(F.col("v"), p + F.lit(start + 1)).alias("x"),
+            )
+        return fn
+
+    arrs = []
+    for i, (start, width, _cents) in enumerate(specs_cents):
+        arrs.append(F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            entry_fn(i, start)))
+    rows = (
+        proj.select(F.explode(F.concat(*arrs)).alias("e"))
+        .select("e.spec", "e.cl", "e.pos", "e.x")
+        .groupBy("spec", "cl", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * _SCALE, 0)
+                  .cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("spec", "cl")
+        .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                 lambda x: x["s"]).alias("s"),
+             F.first("n").alias("n"))   # n identical across pos
+        .collect()
+    )
+    out = [[list(c) for c in cents] for _, _, cents in specs_cents]
+    for r in rows:
+        s = np.asarray(r["s"], dtype=np.float64)
+        out[r["spec"]][r["cl"]] = ((s / float(r["n"])) / _SCALE).tolist()
+    return out
+
+
+def kmeans_fit_multi(df: DataFrame, id_col: str, vec_col: str,
+                     specs: list[tuple[int | None, int | None, int, int]]
+                     ) -> list[list[list[float]]]:
+    """Fit one deterministic k-means per spec ``(start, width, k,
+    iters)`` over the contiguous slice [start, start+width) of
+    ``vec_col`` — all specs sharing ONE smallest-id init collect and
+    ONE fused scan per Lloyd round. ``start=None``/``width=None``
+    selects the full vector (width resolved from the first collected
+    row). Replaces m sequential independent fits — m·(iters+1) scans
+    and driver round-trips — with max(iters)+1 (guide §1.2: fix the
+    number of passes before anything else; §2.6: don't serialize
+    independent work).
+
+    Bit-identical to ``[kmeans_fit(df.select(id, slice(vec)), ...)]``
+    per spec: same init rows (slicing never reorders ids), same
+    per-slice assignment arithmetic (``_assign_multi_cols``), same
+    scaled-integer centroid update regrouped by a ``spec`` key
+    (``_update_centroids_multi``) — integer sums are order-independent,
+    so the fusion cannot drift. Pinned by
+    test_kmeans_fit_multi_matches_sequential."""
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"))
+    max_k = max(k for _, _, k, _ in specs)
+    rows = base.orderBy("id").limit(max_k).select("v").collect()
+    full_w = len(rows[0]["v"]) if rows else 0
+    resolved = [(0 if start is None else start,
+                 full_w if width is None else width, k, it)
+                for start, width, k, it in specs]
+    books: list[list[list[float]]] = []
+    for start, width, k, _it in resolved:
+        if len(rows) < k:
+            raise ValueError(
+                f"k={k} exceeds the {len(rows)} available vectors")
+        books.append([[float(x) for x in r["v"][start:start + width]]
+                      for r in rows[:k]])
+    for t in range(1, max(it for _, _, _, it in resolved) + 1):
+        active = [i for i, (_, _, _, it) in enumerate(resolved) if t <= it]
+        if not active:
+            break
+        sc = [(resolved[i][0], resolved[i][1], books[i]) for i in active]
+        proj = _assign_multi_cols(base, sc)
+        upd = _update_centroids_multi(proj, sc)
+        for pos, i in enumerate(active):
+            books[i] = upd[pos]
+    return books
+
+
 # Resolved auto-k at or above this engages the two-level quantizer in
 # semantic_dedup (two_level="auto"): a FLAT fit costs n·k·dim per
 # assign scan plus a k-row driver fold per Lloyd round — fine to a few
@@ -954,22 +1105,17 @@ def pq_fit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
     independent deterministic k-means codebook (``k_codes`` codes) per
     subvector. Returns m codebooks of k_codes centroids each.
 
-    Cost: m independent fits of (iters+1) scans over a dim/m-wide
-    slice — at 100 TB run them concurrently (independent jobs over the
-    same cached projection); driver state is O(m · k_codes · dim/m) =
+    Cost: ONE fused fit (kmeans_fit_multi, r12): the m books share one
+    init collect and one scan per Lloyd round — (iters+1) scans total
+    instead of the m·(iters+1) the previous sequential per-book fits
+    paid (guide §1.2). Driver state is O(m · k_codes · dim/m) =
     O(k_codes · dim), same as one full k-means."""
-    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no cell
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = df.select(F.col(id_col).alias("id"),
-                           F.slice(F.col(vec_col), j * sub + 1, sub)
-                           .alias("v"))
-        books.append(kmeans_fit(sliced, "id", "v", k=k_codes,
-                                iters=iters))
-    return books
+    return kmeans_fit_multi(
+        df, id_col, vec_col,
+        [(j * sub, sub, k_codes, iters) for j in range(m)])
 
 
 def pq_audit(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
@@ -1059,7 +1205,20 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    coarse = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
+    if by_residual:
+        # residual codebooks depend on the coarse fit — sequential
+        coarse = kmeans_fit(df, id_col, vec_col, k_clusters, iters)
+    else:
+        # raw-vector mode: the coarse quantizer and every PQ book are
+        # independent fits over slices of the same vector — ONE fused
+        # fit (kmeans_fit_multi, r12) shares the init collect and one
+        # scan per Lloyd round across all m+1 of them, vs the previous
+        # sequential coarse fit + m book fits (guide §1.2/§2.6)
+        fused = kmeans_fit_multi(
+            df, id_col, vec_col,
+            [(None, None, k_clusters, iters)]
+            + [(j * sub, sub, k_codes, pq_iters) for j in range(m)])
+        coarse, books = fused[0], fused[1:]
     # cell assignment ONCE via _assign_df (vectorized kernel above
     # ASSIGN_EXPR_MAX_K cells): embedding the assign expression in
     # cell_expr used to re-evaluate it inside EVERY residual code
@@ -1076,7 +1235,6 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
         books = pq_fit(fit_src, "id", "v", m, k_codes, pq_iters, dim)
     else:
         code_vec = F.col("v")
-        books = pq_fit(df, id_col, vec_col, m, k_codes, pq_iters, dim)
 
     # one scan: cell + m codes per vector, all broadcast-literal argmins
     code_cols = []

@@ -681,3 +681,39 @@ def test_two_level_cells_edge_shapes(spark):
     expect = {i for i in cells
               if not any(j < i and cells[j] == cells[i] for j in cells)}
     assert set(kept) == expect
+
+
+def test_kmeans_fit_multi_matches_sequential(spark):
+    """The fused multi-spec fit (r12: one init collect + one scan per
+    Lloyd round for ALL specs) must reproduce m independent
+    ``kmeans_fit`` runs over the same slices BIT-FOR-BIT — the integer
+    partial sums are order-independent, so regrouping by a spec key
+    cannot drift. Covers: disjoint PQ-style slices, an overlapping
+    full-vector spec (the ivf_pq coarse+books fusion), mixed per-spec
+    iters, and the k > ASSIGN_EXPR_MAX_K kernel path."""
+    import numpy as np
+
+    from dataprofiler_spark.operators import clustering as clus
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 8
+    rows = [(i, [float(x) for x in rng.normal(0, 1, dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    def seq_fit(start, width, k, iters):
+        sliced = df.select(F.col("id"),
+                           F.slice(F.col("v"), start + 1, width).alias("v"))
+        return cl.kmeans_fit(sliced, "id", "v", k=k, iters=iters)
+
+    specs = [(0, 4, 3, 2), (4, 4, 5, 1), (None, None, 2, 2),
+             (2, 4, 18, 2)]           # last one forces the kernel path
+    expected = [seq_fit(0, 4, 3, 2), seq_fit(4, 4, 5, 1),
+                cl.kmeans_fit(df, "id", "v", k=2, iters=2),
+                seq_fit(2, 4, 18, 2)]
+    fused = cl.kmeans_fit_multi(df, "id", "v", specs)
+    assert fused == expected
+
+    # k > n guard matches the sequential error
+    with pytest.raises(ValueError, match="exceeds"):
+        cl.kmeans_fit_multi(df, "id", "v", [(0, 4, n + 1, 1)])
