@@ -57,12 +57,18 @@ def nb_fit(df: DataFrame, text_col: str, label_col: str,
     base = (df.select(F.col(label_col).cast("string").alias("lbl"),
                       tokens_expr(text_col).alias("toks"))
             .where(F.col("lbl").isNotNull()))
-    n_labels = base.select(F.countDistinct("lbl").alias("c")).head()["c"]
+    # priors from document counts; the collect doubles as the label
+    # guard (limit MAX_LABELS+1 bounds the collect even on a degenerate
+    # label column — the trainable.py guard pattern). One corpus scan
+    # where the r11 shape spent two (a countDistinct pass + this one).
+    prior_rows = (base.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
+                  .limit(MAX_LABELS + 1).collect())
+    n_labels = len(prior_rows)
     if n_labels == 0:
         raise ValueError("nb_fit: no labeled rows")
     if n_labels > MAX_LABELS:
-        raise ValueError(f"nb_fit: {n_labels} labels exceeds "
-                         f"MAX_LABELS={MAX_LABELS}")
+        raise ValueError(f"nb_fit: more than {MAX_LABELS} labels "
+                         f"exceeds MAX_LABELS={MAX_LABELS}")
     if n_labels * vocab_cap > MAX_STATE_CELLS:
         # the collected model is O(labels × vocab): keep the driver
         # honest instead of silently materializing gigabytes
@@ -70,9 +76,6 @@ def nb_fit(df: DataFrame, text_col: str, label_col: str,
             f"nb_fit: labels × vocab_cap = {n_labels * vocab_cap} "
             f"exceeds MAX_STATE_CELLS={MAX_STATE_CELLS}; lower "
             "vocab_cap or coarsen the label column")
-    # priors from document counts
-    prior_rows = (base.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
-                  .collect())
     labels = sorted(r["lbl"] for r in prior_rows)
     lidx = {lb: i for i, lb in enumerate(labels)}
     n_docs = sum(r["n"] for r in prior_rows)
@@ -82,28 +85,39 @@ def nb_fit(df: DataFrame, text_col: str, label_col: str,
             math.log(r["n"] / n_docs) * _S))
 
     terms = base.select("lbl", F.explode("toks").alias("tok"))
+    # (lbl, tok) counts feed the vocabulary cutoff, the kept-cell
+    # collect AND the per-label totals — persist the aggregate (bounded
+    # by labels × distinct tokens, far smaller than the token stream)
+    # so the corpus is tokenized ONCE, not three times (guide §1.2/§5:
+    # the r11 shape re-scanned + re-exploded the corpus per consumer).
     counts = (terms.groupBy("lbl", "tok")
-              .agg(F.count(F.lit(1)).alias("c")))
-    # deterministic frequency-cutoff vocabulary
-    vocab_rows = (counts.groupBy("tok")
-                  .agg(F.sum("c").alias("ct"))
-                  .orderBy(F.desc("ct"), F.asc("tok"))
-                  .limit(vocab_cap).collect())
-    vocab = {r["tok"] for r in vocab_rows}
-    # broadcast semi-join, NOT an isin literal list: vocab_cap can be
-    # 20k+ and a literal IN-list that long is a degenerate expression
-    spark = df.sparkSession
-    if vocab:
-        vocab_df = spark.createDataFrame([(t,) for t in sorted(vocab)],
-                                         "tok string")
-        in_vocab = counts.join(F.broadcast(vocab_df), "tok", "left_semi")
-    else:
-        in_vocab = counts.where(F.lit(False))
-    count_rows = in_vocab.collect()
-    # per-label token totals over the FULL stream (OOV mass included —
-    # the denominator is the label's true token count)
-    total_rows = (terms.groupBy("lbl")
-                  .agg(F.count(F.lit(1)).alias("t")).collect())
+              .agg(F.count(F.lit(1)).alias("c"))).persist()
+    try:
+        # deterministic frequency-cutoff vocabulary
+        vocab_rows = (counts.groupBy("tok")
+                      .agg(F.sum("c").alias("ct"))
+                      .orderBy(F.desc("ct"), F.asc("tok"))
+                      .limit(vocab_cap).collect())
+        vocab = {r["tok"] for r in vocab_rows}
+        # broadcast semi-join, NOT an isin literal list: vocab_cap can
+        # be 20k+ and a literal IN-list that long is a degenerate
+        # expression
+        spark = df.sparkSession
+        if vocab:
+            vocab_df = spark.createDataFrame(
+                [(t,) for t in sorted(vocab)], "tok string")
+            in_vocab = counts.join(F.broadcast(vocab_df), "tok",
+                                   "left_semi")
+        else:
+            in_vocab = counts.where(F.lit(False))
+        count_rows = in_vocab.collect()
+        # per-label token totals over the FULL stream (OOV mass
+        # included — the denominator is the label's true token count):
+        # Σ_tok c per label over the persisted aggregate, no re-scan
+        total_rows = (counts.groupBy("lbl")
+                      .agg(F.sum("c").alias("t")).collect())
+    finally:
+        counts.unpersist()
     totals = {r["lbl"]: r["t"] for r in total_rows}
     V1 = len(vocab) + 1
 
