@@ -142,12 +142,24 @@ def classification_report(conf: np.ndarray, labels: list[str],
     return report
 
 
+def accuracy_from_counts(counts: list[tuple[str, str, int]]) -> float:
+    """Scalar accuracy from confusion counts: diag / total — the same
+    IEEE division ``F.avg`` of 0/1 ints performs, so a caller holding a
+    confusion pass already paid for accuracy (no second scoring scan)."""
+    total = sum(n for _, _, n in counts)
+    if total == 0:
+        return 0.0
+    diag = sum(n for t, p, n in counts if t == p)
+    return round(float(diag) / float(total), 6)
+
+
 def evaluate_accuracy(df: DataFrame, truth_col: str, pred_col: str,
                       labels: list[str] | None = None,
                       omitted_labels: tuple[str, ...] = ("PAD", "UNKNOWN"),
                       verbose: bool = False,
-                      confusion_matrix_file: str | None = None
-                      ) -> tuple[float, dict]:
+                      confusion_matrix_file: str | None = None,
+                      precomputed_counts: list[tuple[str, str, int]]
+                      | None = None) -> tuple[float, dict]:
     """The reference's ``evaluate_accuracy`` (labeler_utils.py:80-215)
     over a DataFrame of (truth, predicted) label columns.
 
@@ -158,8 +170,11 @@ def evaluate_accuracy(df: DataFrame, truth_col: str, pred_col: str,
     positive support (reference :180-200 — sklearn keeps 0.0 rows for
     0-support labels in the mean; the reference divides them back out).
     Returns (f1, f1_report) with f1 = the adjusted macro-avg F1.
+    ``precomputed_counts`` skips the scan when the caller already ran
+    ``confusion_counts`` on the same frame (e.g. to derive accuracy).
     """
-    counts = confusion_counts(df, truth_col, pred_col)
+    counts = (precomputed_counts if precomputed_counts is not None
+              else confusion_counts(df, truth_col, pred_col))
     if labels is None:
         labels = sorted({t for t, _, _ in counts}
                         | {p for _, p, _ in counts})

@@ -162,28 +162,39 @@ class TrainableDataLabeler:
         pairs = (df.select(F.col(x).cast("string").alias("x"),
                            F.col(y).cast("string").alias("y"))
                  .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
-        if pairs.isEmpty():
-            raise ValueError("No data or labels to fit.")
         split = hash_fraction_expr(F.col("x"), "dps-labeler-cv-v1")
         train = (pairs.where(split >= validation_split)
                  if validation_split > 0 else pairs)
 
-        grams = train.select("y", F.explode(_ngram_expr("x", self.ngram))
-                             .alias("g"))
-        counts = grams.groupBy("y", "g").agg(F.count(F.lit(1)).alias("n"))
-        top = (counts.groupBy("g").agg(F.sum("n").alias("t"))
-               .orderBy(F.desc("t"), F.asc("g")).limit(self.vocab_size)
-               .select("g"))
         # collect guard: the collected state is O(labels × vocab_size) —
         # a label column with unbounded cardinality is a spec bug (use a
-        # categorical label), not a scale case.
+        # categorical label), not a scale case. This collect doubles as
+        # the empty-input probe (r12: the eager isEmpty() was a whole
+        # extra scan on every fit; only the degenerate all-CV case still
+        # pays a second look).
         priors = (train.groupBy("y").agg(F.count(F.lit(1)).alias("n"))
                   .limit(MAX_LABELS + 1).collect())
+        if not priors and (validation_split == 0 or pairs.isEmpty()):
+            raise ValueError("No data or labels to fit.")
         if len(priors) > MAX_LABELS:
             raise ValueError(
                 f"fit: more than {MAX_LABELS} distinct labels in {y!r}; "
                 f"the label column must be categorical")
-        kept = counts.join(top, "g", "left_semi").collect()
+
+        grams = train.select("y", F.explode(_ngram_expr("x", self.ngram))
+                             .alias("g"))
+        # the (label, gram) aggregate feeds BOTH the vocabulary cutoff
+        # and the kept-cell collect — persist it so the corpus is
+        # n-gram-exploded once, not twice (r12, guide §1.2)
+        counts = (grams.groupBy("y", "g")
+                  .agg(F.count(F.lit(1)).alias("n"))).persist()
+        try:
+            top = (counts.groupBy("g").agg(F.sum("n").alias("t"))
+                   .orderBy(F.desc("t"), F.asc("g"))
+                   .limit(self.vocab_size).select("g"))
+            kept = counts.join(top, "g", "left_semi").collect()
+        finally:
+            counts.unpersist()
 
         if not self.label_mapping:
             self.set_labels(sorted({r["y"] for r in priors}))
@@ -206,22 +217,33 @@ class TrainableDataLabeler:
         self.log_probs = np.log((gram_counts + _SMOOTH)
                                 / (row_tot + _SMOOTH * (V + 1)))
 
-        out = {"train_acc": self._accuracy(train)}
-        eval_split = train
-        if validation_split > 0:
-            cv = pairs.where(split < validation_split)
-            out["cv_acc"] = self._accuracy(cv)
-            eval_split = cv
         # the reference's fit returns f1 + a per-label classification
         # report per epoch (character_level_cnn_model.py:657-800 via
         # labeler_utils.evaluate_accuracy) — same here, over the CV
-        # split (train when validation_split=0), computed from ONE
-        # distributed confusion groupBy (labeler/evaluation.py)
-        from dataprofiler_spark.labeler.evaluation import evaluate_accuracy
-        preds = self.predict(eval_split, "x")
+        # split (train when validation_split=0). r12: ONE scored
+        # confusion pass per split serves accuracy AND the report
+        # (accuracy = diag/total of the same counts — the identical
+        # IEEE division the old avg-of-0/1 pass performed), where the
+        # r11 shape scored the CV split twice and train once more.
+        from dataprofiler_spark.labeler.evaluation import (
+            accuracy_from_counts, confusion_counts, evaluate_accuracy)
+        out: dict = {}
+        if validation_split > 0:
+            out["train_acc"] = self._accuracy(train)
+            eval_split = pairs.where(split < validation_split)
+        else:
+            eval_split = train
+        eval_counts = confusion_counts(
+            self.predict(eval_split, "x"), "y", "label")
+        acc = accuracy_from_counts(eval_counts)
+        if validation_split > 0:
+            out["cv_acc"] = acc
+        else:
+            out["train_acc"] = acc
         out["f1"], out["f1_report"] = evaluate_accuracy(
-            preds, "y", "label", labels=self.labels,
-            omitted_labels=("PAD", self.default_label))
+            None, "y", "label", labels=self.labels,
+            omitted_labels=("PAD", self.default_label),
+            precomputed_counts=eval_counts)
         return out
 
     def evaluate(self, df: DataFrame, x: str, y: str,
@@ -249,23 +271,44 @@ class TrainableDataLabeler:
     # -- predict ------------------------------------------------------------
 
     def _score_cells(self, cells: list[str]) -> list[str]:
+        """Vectorized batch scoring (r12, guide §4.2): gather the
+        in-vocab gram columns for the whole batch and segment-sum them
+        per cell (``np.add.reduceat``) instead of building a dense
+        (V+1) count vector and a full (L, V+1) matvec PER CELL — the
+        per-cell work drops from O(L·V) to O(L·grams). Out-of-vocab
+        grams are skipped (standard NB practice): the OOV
+        pseudo-column's smoothed mass differs per label only through
+        row totals, which would bias every unseen gram toward the label
+        with the SMALLEST vocabulary. Prediction parity with the old
+        per-cell matvec is pinned by the trained-labeler goldens
+        (test_trainable.py) and the trained_labeler_customer driver
+        row."""
         if self.log_probs is None:
             raise ValueError("labeler is not fitted")
         inv = {v: k for k, v in self.label_mapping.items()}
-        out = []
+        vocab_get = self.vocab.get
+        ids: list[int] = []
+        offs = [0]
         for cell in cells:
-            vec = np.zeros(self.log_probs.shape[1])
-            for g in _py_ngrams(str(cell), self.ngram):
-                gi = self.vocab.get(g)
-                # out-of-vocab grams are skipped (standard NB practice):
-                # the OOV pseudo-column's smoothed mass differs per label
-                # only through row totals, which would bias every unseen
-                # gram toward the label with the SMALLEST vocabulary.
-                if gi is not None:
-                    vec[gi] += 1
-            scores = self.log_priors + self.log_probs @ vec
-            out.append(inv[int(np.argmax(scores))])
-        return out
+            ids.extend(gi for g in _py_ngrams(str(cell), self.ngram)
+                       if (gi := vocab_get(g)) is not None)
+            offs.append(len(ids))
+        n = len(cells)
+        L = self.log_probs.shape[0]
+        offs_a = np.asarray(offs)
+        seg = np.zeros((L, n))
+        if ids:
+            gathered = self.log_probs[:, np.asarray(ids, dtype=np.int64)]
+            lens = np.diff(offs_a)
+            nz = lens > 0
+            # starts of the non-empty segments are strictly increasing
+            # and contiguous (an empty segment's start equals the next
+            # start), so reduceat covers exactly the non-empty cells
+            seg[:, nz] = np.add.reduceat(gathered, offs_a[:-1][nz],
+                                         axis=1)
+        scores = self.log_priors[:, None] + seg
+        best = np.argmax(scores, axis=0)    # first-max = lowest index
+        return [inv[int(i)] for i in best]
 
     def predict(self, data, x: str | None = None):
         """Lists → list of labels; DataFrames → the frame plus a
