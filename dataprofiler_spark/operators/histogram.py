@@ -248,23 +248,64 @@ GROUP BY b.bucket, mm.lo, mm.hi
 #    cardinality (VERDICT r6 item 3).
 
 
+def counts_cdf(vc: DataFrame, keys: tuple[str, ...] | list[str] = (),
+               val_col: str = "v", cnt_col: str = "cnt") -> DataFrame:
+    """Parallel counts-CDF (r12, guide §2.5): given a per-(keys, value)
+    count frame, add ``c_start``/``c_end`` running-count columns and the
+    per-key total ``n`` — WITHOUT the single-task global ordered window
+    the r11 shape used (``Window.orderBy(v)`` plans as a one-partition
+    exchange: the whole distinct-value set of a 100 TB column sorts and
+    folds on ONE core; the bench showed it as the dominant single-task
+    stage of decile/robust/quantile rows).
+
+    Shape: range-repartition by (keys…, v) into defaultParallelism
+    chunks (scale-adaptive, not a local constant), take per-chunk
+    totals, turn them into per-chunk offsets with a window over the
+    TINY (keys × chunks) frame, broadcast the offsets back, and compute
+    each chunk's local running sum in parallel. c_end = local running
+    sum + own chunk's offset — identical LONG arithmetic to the global
+    window (integer sums are order-independent), pinned by
+    test_counts_cdf_parallel_matches_global_window.
+
+    Correctness hinges on both references to the range exchange
+    resolving to ONE physical exchange (one boundary sampling): Spark
+    reuses semantically-equal exchanges (ReusedExchange / AQE stage
+    cache), asserted by the plan-shape half of the same test."""
+    from pyspark.sql.window import Window
+
+    ks = list(keys)
+    spark = vc.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    vcp = (vc.repartitionByRange(n_parts, *ks, val_col)
+           .withColumn("__pid", F.spark_partition_id()))
+    pt = vcp.groupBy(*ks, "__pid").agg(F.sum(cnt_col).alias("__t"))
+    woff = (Window.partitionBy(*ks) if ks else
+            Window.partitionBy(F.lit(1))).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wall = Window.partitionBy(*ks) if ks else Window.partitionBy(F.lit(1))
+    offsets = pt.select(
+        *ks, "__pid",
+        F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__t").over(wall).alias("n"))
+    wloc = Window.partitionBy(*(ks + ["__pid"])).orderBy(val_col)
+    return (vcp.join(F.broadcast(offsets), ks + ["__pid"])
+            .withColumn("c_end",
+                        F.sum(cnt_col).over(wloc) + F.col("__off"))
+            .withColumn("c_start", F.col("c_end") - F.col(cnt_col))
+            .drop("__pid", "__off"))
+
+
 def cdf_quantiles(df: DataFrame, col, probs: list[float]) -> DataFrame:
     """ONE-row frame (q0..q{k-1} double, n long): exact Type-7
     (percentile_cont) quantiles of ``col`` (a name or Column) via the
     counts-CDF. Empty/all-NULL input yields NULL quantiles and n NULL."""
-    from pyspark.sql.window import Window
-
     x = (F.col(col) if isinstance(col, str) else col).cast("double")
     vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
           .agg(F.count(F.lit(1)).alias("cnt")))
-    owin = Window.orderBy("v")
-    # total via a second unordered window (measured: a full-frame sum
-    # over the same ordering regressed decile_stats 4 s -> 32 s; the
-    # partitionBy(lit(1)) total is the fast shape here)
-    twin = Window.partitionBy(F.lit(1))
-    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
-           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-           .withColumn("n", F.sum("cnt").over(twin)))
+    # parallel prefix-sum CDF (r12) — the previous Window.orderBy("v")
+    # serialized the whole distinct-value set onto one task; ``n`` now
+    # rides the offsets frame for free
+    cdf = counts_cdf(vc)
     aggs = [F.max("n").alias("__n")]
     for i, p in enumerate(probs):
         nd = (F.col("n") - 1).cast("double")
@@ -530,18 +571,13 @@ def decile_stats(df: DataFrame, col: str, n_buckets: int = 10,
     Plan: the counts-CDF shape (see the r7 module note): one
     groupBy(value) + one spillable ordered window + one wide agg.
     Empty/all-NULL input yields n=0 buckets with NULL stats."""
-    from pyspark.sql.window import Window
-
     x = F.col(col).cast("double")
     vc = (df.where(x.isNotNull()).groupBy(x.alias("v"))
           .agg(F.count(F.lit(1)).alias("cnt")))
-    owin = Window.orderBy("v")
-    # unordered total window — see cdf_quantiles (full-frame variant
-    # measured 8x slower under many downstream agg expressions)
-    twin = Window.partitionBy(F.lit(1))
-    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
-           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-           .withColumn("n", F.sum("cnt").over(twin)))
+    # parallel prefix-sum CDF (r12) — see counts_cdf; the single-task
+    # ordered window was this row's dominant stage (probe: 1.8 s of a
+    # 2.5 s job on one core at sf0.1)
+    cdf = counts_cdf(vc)
     dv = F.round(F.col("v"), 6).cast("decimal(38,6)")
     aggs = [F.max("n").alias("__n")]
     for dd in range(1, n_buckets + 1):

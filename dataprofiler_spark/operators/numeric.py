@@ -559,16 +559,18 @@ def robust_stats(df: DataFrame, cols: list[str],
     columns. Sums are DECIMAL-scaled (order-independent); all-NULL
     columns yield NULL quantiles/means and zero outlier counts on both
     engines."""
-    from pyspark.sql.window import Window
+    from dataprofiler_spark.operators.histogram import counts_cdf
 
     melt = [F.struct(F.lit(c).alias("column"),
                      F.col(c).cast("double").alias("v")) for c in cols]
     vals = (df.select(F.explode(F.array(*melt)).alias("s"))
             .select("s.column", "s.v").where(F.col("v").isNotNull()))
     vc = vals.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    win = Window.partitionBy("column").orderBy("v")
-    cdf = (vc.withColumn("c_end", F.sum("cnt").over(win))
-           .withColumn("c_start", F.col("c_end") - F.col("cnt")))
+    # parallel prefix-sum CDF (r12, guide §2.5): the per-column ordered
+    # window serialized each column's whole distinct-value set onto one
+    # task (and AQE coalesced the 4 columns onto ONE) — counts_cdf
+    # spreads the running sum over range partitions instead
+    cdf = counts_cdf(vc, keys=["column"]).drop("n")
 
     # per-column totals from the base frame so all-NULL columns keep a row
     trow = df.agg(*[F.count(F.col(c).cast("double")).alias(f"__n_{c}")
@@ -621,7 +623,12 @@ def robust_stats(df: DataFrame, cols: list[str],
     iqr = F.col("q3d") - F.col("q1d")
     qf = q.select("column", (F.col("q1d") - 1.5 * iqr).alias("lo_f"),
                   (F.col("q3d") + 1.5 * iqr).alias("hi_f"))
-    fc = (cdf.join(F.broadcast(qf), "column")
+    # fence counts only need (column, v, cnt): read the pre-window
+    # aggregate, not the CDF — the r11 shape joined against ``cdf``
+    # and so ran the whole ordered-window pass a second time for
+    # columns it never used (r12; probe showed two ~2 s single-task
+    # window stages per run)
+    fc = (vc.join(F.broadcast(qf), "column")
           .groupBy("column")
           .agg(F.sum(F.when(F.col("v") < F.col("lo_f"), F.col("cnt"))
                      .otherwise(0)).alias("nlo"),

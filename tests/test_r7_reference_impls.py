@@ -633,3 +633,60 @@ def test_top_terms_by_group_vs_python(spark):
             g = got[(src, i)]
             assert g["term"] == term and g["tf"] == n
             assert g["share"] == pytest.approx(n / tot[src], abs=1e-6)
+
+
+def test_counts_cdf_parallel_matches_global_window(spark):
+    """r12: the range-partitioned parallel prefix sum must reproduce
+    the single-task global ordered window EXACTLY (long arithmetic),
+    keyed and unkeyed, including duplicate counts and negative values —
+    and both references to the range exchange must resolve to ONE
+    physical exchange (one boundary sampling), else offsets would be
+    computed against different partition boundaries than the rows
+    carry."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataprofiler_spark.operators.histogram import counts_cdf
+
+    rng = np.random.default_rng(3)
+    rows = [(["a", "b", "c"][int(i % 3)], float(v), int(c))
+            for i, (v, c) in enumerate(zip(
+                np.round(rng.normal(0, 100, 500), 2),
+                rng.integers(1, 9, 500)))]
+    df = spark.createDataFrame(rows, "k string, v double, cnt long")
+    vc = df.groupBy("k", "v").agg(F.sum("cnt").alias("cnt"))
+
+    win = Window.partitionBy("k").orderBy("v")
+    expected = (vc.withColumn("c_end", F.sum("cnt").over(win))
+                .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+                .withColumn("n", F.sum("cnt").over(
+                    Window.partitionBy("k"))))
+    got = counts_cdf(vc, keys=["k"])
+    key = lambda r: (r["k"], r["v"])
+    exp = {key(r): (r["c_start"], r["c_end"], r["n"])
+           for r in expected.collect()}
+    act = {key(r): (r["c_start"], r["c_end"], r["n"])
+           for r in got.collect()}
+    assert act == exp
+
+    # unkeyed form
+    vc1 = df.groupBy("v").agg(F.sum("cnt").alias("cnt"))
+    e1 = (vc1.withColumn("c_end", F.sum("cnt").over(Window.orderBy("v")))
+          .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+          .withColumn("n", F.sum("cnt").over(
+              Window.partitionBy(F.lit(1)))))
+    g1 = counts_cdf(vc1)
+    exp1 = {r["v"]: (r["c_start"], r["c_end"], r["n"])
+            for r in e1.collect()}
+    act1 = {r["v"]: (r["c_start"], r["c_end"], r["n"])
+            for r in g1.collect()}
+    assert act1 == exp1
+
+    # plan shape: exactly one range exchange materializes; the second
+    # reference must be a reuse (ReusedExchange / AQE stage cache)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_range = plan.count("REPARTITION_BY_NUM")
+    assert ("ReusedExchange" in plan or "StageReuse" in plan
+            or plan.count("rangepartitioning") <= 1), plan
