@@ -534,6 +534,19 @@ def run_group(group: str, sf_dir: str) -> tuple[dict, dict, dict]:
     return timings, timings_mean, timings_warm
 
 
+def _cpu_steal_total() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — (0, 0) when
+    unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -542,13 +555,22 @@ def main() -> None:
     if group:
         # loadavg before/after the group: the r11 driver artifact read
         # as a 13% regression that was machine load, not code — carry
-        # the contamination evidence in the artifact itself.
+        # the contamination evidence in the artifact itself. r12 adds
+        # hypervisor steal% over the group's wall time (the r12 box
+        # showed 2-10x swings on UNCHANGED queries at loadavg ~1 with
+        # /proc/stat steal spiking — loadavg alone cannot see a noisy
+        # host neighbor).
         la0 = round(os.getloadavg()[0], 2)
+        st0, tt0 = _cpu_steal_total()
         timings, timings_mean, timings_warm = run_group(group, sf_dir)
+        st1, tt1 = _cpu_steal_total()
+        steal_pct = (round(100.0 * (st1 - st0) / (tt1 - tt0), 2)
+                     if tt1 > tt0 else None)
         print(json.dumps({"group": group, "queries": timings,
                           "queries_mean": timings_mean,
                           "queries_warm_mean": timings_warm,
-                          "loadavg": [la0, round(os.getloadavg()[0], 2)]}))
+                          "loadavg": [la0, round(os.getloadavg()[0], 2)],
+                          "steal_pct": steal_pct}))
         return
 
     timings: dict[str, float] = {}
@@ -557,6 +579,7 @@ def main() -> None:
     groups: dict[str, str] = {}   # query -> JVM group (VERDICT r10
     # item 10: crowding must be diagnosable from the artifact alone)
     loadavg_by_group: dict[str, list] = {}
+    steal_by_group: dict[str, float | None] = {}
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     if isolate:
         import subprocess
@@ -590,6 +613,8 @@ def main() -> None:
             groups.update({q: g for q in parsed["queries"]})
             if "loadavg" in parsed:
                 loadavg_by_group[g] = parsed["loadavg"]
+            if "steal_pct" in parsed:
+                steal_by_group[g] = parsed["steal_pct"]
     else:
         for g in GROUP_ORDER:
             t, m, w = run_group(g, sf_dir)
@@ -679,6 +704,7 @@ def main() -> None:
         "isolated_jvm_groups": isolate,
         "jvm_group_of": groups,
         "loadavg_by_group": loadavg_by_group,
+        "steal_pct_by_group": steal_by_group,
         "drift_canary": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_ref": baseline_ref,
