@@ -516,9 +516,9 @@ def roc_auc(df: "DataFrame", score_col: str, label_col: str,
     the oracle. Same bounded-state plan as every CDF operator (groupBy
     score + one spillable ordered window)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from dataprofiler_spark.functions.rounding import duckdb_round
+    from dataprofiler_spark.operators.histogram import counts_cdf
 
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("boolean")
@@ -527,9 +527,9 @@ def roc_auc(df: "DataFrame", score_col: str, label_col: str,
     vc = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("y").cast("long")).alias("pos"))
-    w = Window.orderBy("s")
-    cdf = (vc.withColumn("c_end", F.sum("cnt").over(w))
-           .withColumn("c_start", F.col("c_end") - F.col("cnt")))
+    # parallel prefix-sum CDF (r12, guide §2.5) — the previous global
+    # ordered window ranked every distinct score on one task
+    cdf = counts_cdf(vc, val_col="s").drop("n")
     d = "decimal(38,0)"
     agg = cdf.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
