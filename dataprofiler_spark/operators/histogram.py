@@ -675,18 +675,16 @@ def grouped_quantiles(df: DataFrame, group_col: str, col: str,
     spillable) → ONE groupBy(group) of rank-conditional aggregates.
     Same engine-exactness contract as cdf_quantiles: explicit (n−1)·p
     interpolation mirrored verbatim in the oracle, no native quantile."""
-    from pyspark.sql.window import Window
-
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
     x = F.col(col).cast("double")
     vc = (df.where(x.isNotNull())
           .groupBy(g.alias("g"), x.alias("v"))
           .agg(F.count(F.lit(1)).alias("cnt")))
-    owin = Window.partitionBy("g").orderBy("v")
-    twin = Window.partitionBy("g")
-    cdf = (vc.withColumn("c_end", F.sum("cnt").over(owin))
-           .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-           .withColumn("n", F.sum("cnt").over(twin)))
+    # parallel prefix-sum CDF (r12): the per-group window capped
+    # parallelism at the number of groups (3 for a returnflag split —
+    # and one giant group still serialized); counts_cdf range-splits
+    # WITHIN groups too
+    cdf = counts_cdf(vc, keys=["g"])
     aggs = []
     for i, p in enumerate(probs):
         nd = (F.col("n") - 1).cast("double")
