@@ -389,13 +389,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         wide = wide.persist()
     sh = wide.select("id", "hs")
     buckets = _band_buckets(wide, num_hashes, bands)
+    auto_sizes = None
     if max_bucket_size == "auto":
         # auto-cap (the lsh_bucket_profile dial folded into the plan):
         # the bucket-size aggregate the guard needs anyway also feeds
         # the cap ladder — the 1-row cap broadcasts back into the
-        # filter, so auto mode costs no extra corpus scan.
+        # filter, so auto mode costs no extra corpus scan. The sizes
+        # frame is read twice (ladder aggregate + cap filter): persist
+        # it (bounded by distinct (band, bucket) keys) so the second
+        # traversal doesn't re-explode the signature frame (r12; the
+        # stage probe showed the re-aggregation as auto mode's extra
+        # cost over the fixed cap).
         sizes = (buckets.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__bsz")))
+        if cache:
+            sizes = sizes.persist()
+            auto_sizes = sizes
         capdf = _suggested_cap_df(sizes, bands, pair_budget_per_doc,
                                   cap_ladder)
         small = (sizes.crossJoin(F.broadcast(capdf))
@@ -444,7 +453,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     if cache:
         from dataprofiler_spark.session import register_persisted
-        register_persisted(verified, wide, buckets)
+        if auto_sizes is not None:
+            register_persisted(verified, wide, buckets, auto_sizes)
+        else:
+            register_persisted(verified, wide, buckets)
     return verified
 
 
