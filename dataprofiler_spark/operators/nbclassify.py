@@ -53,7 +53,11 @@ def nb_fit(df: DataFrame, text_col: str, label_col: str,
     shared likelihood is oov6[label_index] (c = 0). NULL labels and
     NULL texts are excluded (unlabeled rows cannot teach)."""
     from dataprofiler_spark.operators.textanalysis import tokens_expr
+    from dataprofiler_spark.session import ensure_parallelism
 
+    # single-file local inputs would tokenize+explode the whole corpus
+    # on ONE core (no-op at real scale — the scan is already wide)
+    df = ensure_parallelism(df)
     base = (df.select(F.col(label_col).cast("string").alias("lbl"),
                       tokens_expr(text_col).alias("toks"))
             .where(F.col("lbl").isNotNull()))
@@ -142,7 +146,9 @@ def nb_predict(df: DataFrame, id_col: str, text_col: str,
     lexicographically smallest label). Empty/NULL texts score on priors
     alone. The lp table broadcasts; one explode + one groupBy(id)."""
     from dataprofiler_spark.operators.textanalysis import tokens_expr
+    from dataprofiler_spark.session import ensure_parallelism
 
+    df = ensure_parallelism(df)
     spark = df.sparkSession
     labels = model["labels"]
     L = len(labels)

@@ -201,6 +201,37 @@ def band_hyperplanes(dim: int, bands: int, planes_per_band: int,
             for b in range(bands)]
 
 
+def band_bucket_structs_expr(vec_col: Column,
+                             planes_sets: list[list[list[float]]]) -> Column:
+    """``array<struct<band:int, bucket:bigint>>`` of every band's LSH
+    bucket, built from ONE nested plane-matrix literal.
+
+    Arithmetic is bit-identical to per-plane ``lsh_bucket_expr`` (same
+    left-fold dot product, same ``proj > 0`` sign test, same integer
+    2^i weights summed left-to-right), but where the unfused form
+    expands B·P separate ``aggregate(zip_with(...))`` trees over B·P·dim
+    scalar literals (≈2k+ expression nodes per side at the 4×8×64
+    default — seconds of Catalyst analysis on self-joined plans), this
+    is one fixed-size tree whose planes live in a single array literal.
+    Results are unchanged; only plan size and planning time drop
+    (r12 guide §1.2/§3.3 "very large plans: planning time itself
+    becomes the bottleneck")."""
+    weights = [2 ** i for i in range(len(planes_sets[0]))]
+    mat = F.lit([[list(p) for p in ps] for ps in planes_sets])
+    wlit = F.lit(weights)
+
+    def band_bucket(band_planes: Column) -> Column:
+        projs = F.transform(band_planes, lambda plane: _dot(vec_col, plane))
+        return F.aggregate(
+            F.zip_with(projs, wlit,
+                       lambda p, w: F.when(p > 0, w).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, v: acc + v).cast("long")
+
+    return F.transform(
+        mat, lambda band_planes, b: F.struct(
+            b.alias("band"), band_bucket(band_planes).alias("bucket")))
+
+
 def embedding_band_buckets(df: DataFrame, id_col: str, vec_col: str,
                            bands: int = 4, planes_per_band: int = 8,
                            dim: int = 64, seed: str = "dps-lsh-v1"
@@ -211,14 +242,12 @@ def embedding_band_buckets(df: DataFrame, id_col: str, vec_col: str,
     independent bands the any-collision probability follows the standard
     LSH S-curve, so recall is tuned by (bands, planes_per_band) instead
     of a single huge signature with 2^n buckets."""
-    structs = [
-        F.struct(F.lit(b).alias("band"),
-                 lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
-        for b, planes in enumerate(
-            band_hyperplanes(dim, bands, planes_per_band, seed))
-    ]
+    from dataprofiler_spark.session import ensure_parallelism
+    df = ensure_parallelism(df)
+    structs = band_bucket_structs_expr(
+        F.col(vec_col), band_hyperplanes(dim, bands, planes_per_band, seed))
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array(*structs)).alias("s"))
+                      F.explode(structs).alias("s"))
             .select("id", "s.band", "s.bucket"))
 
 
@@ -511,21 +540,19 @@ def embedding_decontaminate_bucketed(corpus: DataFrame, bench: DataFrame,
     left join back to corpus ids reuses that same id hashing. No driver
     collect anywhere: past broadcast size the join degrades to a
     shuffle join, still never all-pairs."""
-    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+    from dataprofiler_spark.session import ensure_parallelism
 
-    def _structs(vcol: Column) -> list[Column]:
-        return [F.struct(F.lit(b).alias("band"),
-                         lsh_bucket_expr(vcol, ps).alias("bucket"))
-                for b, ps in enumerate(planes_sets)]
+    planes_sets = band_hyperplanes(dim, bands, planes_per_band)
+    corpus = ensure_parallelism(corpus)
 
     cb = (corpus.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"),
-                        F.explode(F.array(*_structs(F.col(vec_col))))
-                         .alias("s"))
+                        F.explode(band_bucket_structs_expr(
+                            F.col(vec_col), planes_sets)).alias("s"))
           .select("id", "v", "s.band", "s.bucket"))
     bb = (bench.select(F.col(vec_col).alias("bv"),
-                       F.explode(F.array(*_structs(F.col(vec_col))))
-                        .alias("s"))
+                       F.explode(band_bucket_structs_expr(
+                           F.col(vec_col), planes_sets)).alias("s"))
           .select("bv", "s.band", "s.bucket"))
     # Same bench vector matched through 2+ bands → cosine computed twice;
     # MAX is duplicate-insensitive so no distinct is needed.

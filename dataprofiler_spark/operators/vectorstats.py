@@ -119,6 +119,12 @@ def embedding_covariance(df: DataFrame, vec_col: str,
                 "VECTOR). hash_sample rows first "
                 "(dataprofiler_spark.operators.sampling.hash_sample) or "
                 "pass max_dim=None to accept the cost explicitly")
+    from dataprofiler_spark.session import ensure_parallelism
+
+    # the d²/2 pair explode is the CPU hot spot: don't let a single
+    # input split serialize it (no-op at real scale); every aggregate
+    # below is count/decimal-sum — partition-order independent
+    df = ensure_parallelism(df)
     exploded = (df
                 .where(F.col(vec_col).isNotNull())
                 .select(F.posexplode(F.col(vec_col)).alias("d1", "x1"),
@@ -243,6 +249,12 @@ def quantize_int8_stats(df: DataFrame, vec_col: str,
     Output: (dim, n, vmin, vmax, n_saturated, mean_abs_err,
     max_abs_err) — n_saturated counts codes 0/255 (range-edge values).
     """
+    from dataprofiler_spark.session import ensure_parallelism
+
+    # two exploded corpus scans; min/max/count/decimal-sum aggregates
+    # are partition-order independent, so parallelizing a single-split
+    # local input is result-neutral (no-op at real scale)
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.posexplode(F.col(vec_col)).alias("dim", "x")
     ).select("dim", F.col("x").cast("double").alias("x"))

@@ -717,3 +717,35 @@ def test_kmeans_fit_multi_matches_sequential(spark):
     # k > n guard matches the sequential error
     with pytest.raises(ValueError, match="exceeds"):
         cl.kmeans_fit_multi(df, "id", "v", [(0, 4, n + 1, 1)])
+
+
+def test_band_bucket_structs_expr_matches_per_plane(spark):
+    """The fused one-literal-matrix band-bucket expression (r12) is
+    bit-identical to the unfused per-plane lsh_bucket_expr form it
+    replaced — same left-fold dot, sign test, and 2^i integer sum —
+    including zero vectors (every proj == 0 -> bucket 0) and negatives."""
+    import numpy as np
+
+    from dataprofiler_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(40)]
+    rows.append((40, [0.0] * 16))
+    rows.append((41, [-1.0] * 16))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    planes_sets = sim.band_hyperplanes(16, 3, 5)
+
+    unfused = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 sim.lsh_bucket_expr(F.col("v"), ps).alias("bucket"))
+        for b, ps in enumerate(planes_sets)])
+    fused = sim.band_bucket_structs_expr(F.col("v"), planes_sets)
+
+    a = (df.select("id", F.explode(unfused).alias("s"))
+         .select("id", "s.band", "s.bucket"))
+    b = (df.select("id", F.explode(fused).alias("s"))
+         .select("id", "s.band", "s.bucket"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    zero = {(r["band"], r["bucket"]) for r in
+            b.where(F.col("id") == 40).collect()}
+    assert zero == {(i, 0) for i in range(3)}
