@@ -542,7 +542,10 @@ def _cpu_steal_total() -> tuple[int, int]:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # first 8 fields only (user..steal): guest/guest_nice are
+        # already accounted inside user/nice — including them would
+        # double-count and deflate the steal%% (ADVICE r12)
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return 0, 0
 

@@ -279,10 +279,14 @@ class TrainableDataLabeler:
         grams are skipped (standard NB practice): the OOV
         pseudo-column's smoothed mass differs per label only through
         row totals, which would bias every unseen gram toward the label
-        with the SMALLEST vocabulary. Prediction parity with the old
-        per-cell matvec is pinned by the trained-labeler goldens
-        (test_trainable.py) and the trained_labeler_customer driver
-        row."""
+        with the SMALLEST vocabulary. Parity note (ADVICE r12): the
+        segment sum adds log-probs in gram-occurrence order, while the
+        old matvec accumulated counts in vocab-index order — IEEE
+        addition-order differences can shift a score by ulps and flip
+        argmax on an exact near-tie, so parity is empirical (pinned by
+        the trained-labeler goldens in test_trainable.py and the
+        trained_labeler_customer driver row), not a bit-level
+        guarantee for adversarially tied inputs."""
         if self.log_probs is None:
             raise ValueError("labeler is not fitted")
         inv = {v: k for k, v in self.label_mapping.items()}

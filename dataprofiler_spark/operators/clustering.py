@@ -293,7 +293,11 @@ def kmeans_fit_multi(df: DataFrame, id_col: str, vec_col: str,
     independent work).
 
     Bit-identical to ``[kmeans_fit(df.select(id, slice(vec)), ...)]``
-    per spec: same init rows (slicing never reorders ids), same
+    per spec — PROVIDED ids are unique (true for every corpus this
+    engine ingests): with duplicate ids, ``orderBy(id)`` ties make any
+    ``limit`` prefix nondeterministic, so the first k of a max_k
+    collect could differ from the sequential path's ``limit(k)``
+    (ADVICE r12). Same init rows (slicing never reorders ids), same
     per-slice assignment arithmetic (``_assign_multi_cols``), same
     scaled-integer centroid update regrouped by a ``spec`` key
     (``_update_centroids_multi``) — integer sums are order-independent,

@@ -559,7 +559,7 @@ def robust_stats(df: DataFrame, cols: list[str],
     columns. Sums are DECIMAL-scaled (order-independent); all-NULL
     columns yield NULL quantiles/means and zero outlier counts on both
     engines."""
-    from dataprofiler_spark.operators.histogram import counts_cdf
+    from dataprofiler_spark.operators.histogram import counts_cdf_pair
 
     melt = [F.struct(F.lit(c).alias("column"),
                      F.col(c).cast("double").alias("v")) for c in cols]
@@ -569,8 +569,11 @@ def robust_stats(df: DataFrame, cols: list[str],
     # parallel prefix-sum CDF (r12, guide §2.5): the per-column ordered
     # window serialized each column's whole distinct-value set onto one
     # task (and AQE coalesced the 4 columns onto ONE) — counts_cdf
-    # spreads the running sum over range partitions instead
-    cdf = counts_cdf(vc, keys=["column"]).drop("n")
+    # spreads the running sum over range partitions instead. r13: the
+    # fence pass below reads the MATERIALIZED counts frame the CDF
+    # checkpointed, so the melt+agg runs once, not twice.
+    cdf, vc = counts_cdf_pair(vc, keys=["column"])
+    cdf = cdf.drop("n")
 
     # per-column totals from the base frame so all-NULL columns keep a row
     trow = df.agg(*[F.count(F.col(c).cast("double")).alias(f"__n_{c}")

@@ -53,77 +53,71 @@ from dataprofiler_spark.queries.q_labeling import _trained_labeler_votes  # noqa
 # stays registered and is hash-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-12 rotation (VERDICT r11 item 1: drain the SLA-due r8 cohort):
-# (a) ALL 43 rows whose latest driver check is r8 — the freshness-SLA
-# test (tests/test_oracle_parity.py) derives this set from the
-# cumulative CORRECTNESS_r*.json history. (b) the flagship end-to-end
-# re-check (every round; also peels one row off the 50-row r11 cohort
-# so the r15 rotation fits in 50 slots). (c) rows whose implementation
-# or output changed this round — re-proven by the driver even though
-# their last check is fresh. (d) newly-oracled rows (never
-# driver-checked ⇒ SLA requires them in the window).
-# Steady-state schedule the SLA test encodes: period-4 rotation —
-# r13 = the 48-row r9 cohort (+flagship, winnow re-checked here),
-# r14 = the 49-row r10 cohort (+flagship), r15 = the r11 cohort.
+# Round-13 rotation (period-4 schedule, see the SLA test): (a) the
+# full r9-stale cohort — every oracled row whose latest driver check
+# is r9 and that r12 did not pull forward (46 rows; ivf_topk and
+# numeric_profile_lineitem were advanced into the r12 window).
+# (b) the flagship end-to-end re-check (every round). (c) rows whose
+# implementation changed this round (counts_cdf hardened+adaptive,
+# r13) — results are bit-identical by construction and test-pinned,
+# but the driver re-proves them. r14 = the r10 cohort, r15 = r11.
 _DRIVER_WINDOW = [
-    # ---- (a) the full r8-stale cohort: 43 ----
-    "av_profile_documents",
-    "category_counts_lineitem",
-    "corpus_curation_documents",
-    "correlation_lineitem",
-    "daily_psi_events",
-    "data_mixture_source_lang",
-    "embedding_decontaminate_embeddings",
-    "embedding_neardup_clusters",
-    "embedding_norm_stats",
-    "embedding_spectrum_embeddings",
-    "fingerprints_documents",
-    "full_profile_events",
-    "funnel_within_events",
-    "graph_degree_nation",
-    "kmeans_clusters_embeddings",
-    "ks_js_totalprice",
-    "leakage_free_split_documents",
-    "lsh_topk_embeddings",
-    "median_mad_quantity",
-    "minhash_signatures_documents",
-    "modes_quantity",
-    "ner_spans_orders",
-    "ngram_jaccard_documents",
-    "null_type_indices_customer",
-    "order_profile_events_value",
-    "order_profile_lineitem",
-    "outlier_counts_lineitem",
-    "packing_stats_documents",
-    "psi_orderpriority",
-    "quality_features_documents",
-    "quality_weighted_sample_documents",
-    "quantiles_extendedprice",
-    "row_stats_lineitem",
-    "split_leakage_documents",
-    "text_stats_customer",
-    "time_bucket_events",
-    "token_summary_documents",
-    "trained_labeler_customer",
-    "type_cooccurrence_events",
-    "type_inference_lineitem",
-    "unigram_logprob_documents",
-    "unstructured_summary_documents",
-    "welch_t_totalprice",
+    # ---- (a) the full r9-stale cohort: 46 ----
+    "ann_index_query_embeddings",
+    "asof_last_purchase_events",
+    "clean_sample_documents",
+    "cluster_sample_embeddings",
+    "datetime_profile_orders",
+    "decontaminate_by_benchmark_documents",
+    "distinct_counts_lineitem",
+    "embedding_covariance_embeddings",
+    "embedding_dim_stats",
+    "embedding_group_cosines",
+    "embedding_outliers_embeddings",
+    "expectations_orders",
+    "fuzzy_pairs_customer",
+    "hard_negatives_embeddings",
+    "hashed_cosine_topk_documents",
+    "hashed_doc_vectors_documents",
+    "hot_keys_events",
+    "ivf_pq_topk_embeddings",
+    "ivf_recall_embeddings",
+    "key_skew_lineitem",
+    "label_centroid_audit_embeddings",
+    "labeler_f1_customer",
+    "lsh_bucket_profile_documents",
+    "minhash_lsh_pairs_bottomk",
+    "nb_source_confusion_documents",
+    "ner_redact_orders",
+    "null_replication_orders",
+    "nullspec_customer",
+    "numeric_profile_orders",
+    "pack_manifest_documents",
+    "pagerank_nation",
+    "pii_redact_customer",
+    "pq_audit_embeddings",
+    "precision_stats_lineitem",
+    "profile_by_returnflag_lineitem",
+    "profile_diff_fused_events",
+    "profile_timeline_events_week",
+    "psi_numeric_totalprice",
+    "quantize_int8_embeddings",
+    "referential_integrity_lineitem_orders",
+    "retention_cohorts_events",
+    "rolling_avg_events",
+    "sessionize_events",
+    "simhash_neardup_documents",
+    "stratified_sample_orders",
+    "validate_lineitem",
     # ---- (b) flagship end-to-end re-check (every round) ----
     "full_profile_lineitem",
-    # ---- (c) changed this round, re-proven under the driver ----
-    "winnow_neardup_pairs_documents",        # fps persisted (r12)
-    "semantic_dedup_auto_embeddings",        # two-level assign (r12)
-    "corpus_semantic_curation_auto_documents",  # +n_missing_embedding col
-    # ---- (d) r9-cohort pull-forwards (lightens the 49-row r13
-    # rotation) + the slot for this round's new oracled query.
-    # full_report_* stay OUT of the window permanently: rows-only by
-    # construction with a registered NO_ORACLE_REASON (see
-    # queries/_registry.py + q_reports.py) ----
-    "ivf_topk_embeddings",
-    "numeric_profile_lineitem",
-    "cnn_head_tuned_customer",    # new r12: frozen-CNN convex head
+    # ---- (c) changed this round (counts_cdf r13 rewrite: frozen-pid
+    # checkpoint + adaptive small arm), re-proven under the driver;
+    # grouped_quantiles shares roc_auc's small arm and stays covered
+    # by tests/test_oracle_parity.py ----
+    "roc_auc_lineitem",
+    "robust_stats_lineitem",
+    "decile_stats_extendedprice",
 ]
 
 

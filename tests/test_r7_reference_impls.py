@@ -635,19 +635,20 @@ def test_top_terms_by_group_vs_python(spark):
             assert g["share"] == pytest.approx(n / tot[src], abs=1e-6)
 
 
-def test_counts_cdf_parallel_matches_global_window(spark):
-    """r12: the range-partitioned parallel prefix sum must reproduce
-    the single-task global ordered window EXACTLY (long arithmetic),
-    keyed and unkeyed, including duplicate counts and negative values —
-    and both references to the range exchange must resolve to ONE
-    physical exchange (one boundary sampling), else offsets would be
-    computed against different partition boundaries than the rows
-    carry."""
+def test_counts_cdf_parallel_matches_global_window(spark, monkeypatch):
+    """r12/r13: BOTH counts_cdf arms (small single-window, large
+    range-chunked parallel prefix sum) must reproduce the single-task
+    global ordered window EXACTLY (long arithmetic), keyed and unkeyed,
+    including duplicate counts, negative values and rider columns —
+    and the large arm must stay correct with exchange reuse DISABLED
+    (r12 ADVICE high/medium: the r12 shape silently corrupted offsets
+    whenever the two range exchanges didn't physically unify, which
+    rider-column pruning guaranteed)."""
     import numpy as np
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from dataprofiler_spark.operators.histogram import counts_cdf
+    from dataprofiler_spark.operators import histogram as H
 
     rng = np.random.default_rng(3)
     rows = [(["a", "b", "c"][int(i % 3)], float(v), int(c))
@@ -655,38 +656,51 @@ def test_counts_cdf_parallel_matches_global_window(spark):
                 np.round(rng.normal(0, 100, 500), 2),
                 rng.integers(1, 9, 500)))]
     df = spark.createDataFrame(rows, "k string, v double, cnt long")
+
+    def ref_keyed(vc):
+        win = Window.partitionBy("k").orderBy("v")
+        e = (vc.withColumn("c_end", F.sum("cnt").over(win))
+             .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+             .withColumn("n", F.sum("cnt").over(Window.partitionBy("k"))))
+        return {(r["k"], r["v"]): (r["c_start"], r["c_end"], r["n"])
+                for r in e.collect()}
+
+    def ref_unkeyed(vc, rider=None):
+        e = (vc.withColumn("c_end", F.sum("cnt").over(Window.orderBy("v")))
+             .withColumn("c_start", F.col("c_end") - F.col("cnt"))
+             .withColumn("n", F.sum("cnt").over(
+                 Window.partitionBy(F.lit(1)))))
+        return {r["v"]: (r["c_start"], r["c_end"], r["n"])
+                + ((r[rider],) if rider else ())
+                for r in e.collect()}
+
     vc = df.groupBy("k", "v").agg(F.sum("cnt").alias("cnt"))
-
-    win = Window.partitionBy("k").orderBy("v")
-    expected = (vc.withColumn("c_end", F.sum("cnt").over(win))
-                .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-                .withColumn("n", F.sum("cnt").over(
-                    Window.partitionBy("k"))))
-    got = counts_cdf(vc, keys=["k"])
-    key = lambda r: (r["k"], r["v"])
-    exp = {key(r): (r["c_start"], r["c_end"], r["n"])
-           for r in expected.collect()}
-    act = {key(r): (r["c_start"], r["c_end"], r["n"])
-           for r in got.collect()}
-    assert act == exp
-
-    # unkeyed form
     vc1 = df.groupBy("v").agg(F.sum("cnt").alias("cnt"))
-    e1 = (vc1.withColumn("c_end", F.sum("cnt").over(Window.orderBy("v")))
-          .withColumn("c_start", F.col("c_end") - F.col("cnt"))
-          .withColumn("n", F.sum("cnt").over(
-              Window.partitionBy(F.lit(1)))))
-    g1 = counts_cdf(vc1)
-    exp1 = {r["v"]: (r["c_start"], r["c_end"], r["n"])
-            for r in e1.collect()}
-    act1 = {r["v"]: (r["c_start"], r["c_end"], r["n"])
-            for r in g1.collect()}
-    assert act1 == exp1
+    # rider column (the roc_auc shape: an extra aggregate riding the
+    # counts frame through the CDF)
+    vcr = df.groupBy("v").agg(F.sum("cnt").alias("cnt"),
+                              F.count(F.lit(1)).alias("pos"))
 
-    # plan shape: exactly one range exchange materializes; the second
-    # reference must be a reuse (ReusedExchange / AQE stage cache)
-    got.collect()
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    n_range = plan.count("REPARTITION_BY_NUM")
-    assert ("ReusedExchange" in plan or "StageReuse" in plan
-            or plan.count("rangepartitioning") <= 1), plan
+    for small_max in (65_536, 8):   # 8 forces the range-chunked arm
+        monkeypatch.setattr(H, "CDF_SMALL_MAX_ROWS", small_max)
+        act = {(r["k"], r["v"]): (r["c_start"], r["c_end"], r["n"])
+               for r in H.counts_cdf(vc, keys=["k"]).collect()}
+        assert act == ref_keyed(vc), f"keyed, small_max={small_max}"
+        act1 = {r["v"]: (r["c_start"], r["c_end"], r["n"])
+                for r in H.counts_cdf(vc1).collect()}
+        assert act1 == ref_unkeyed(vc1), f"unkeyed, small_max={small_max}"
+        actr = {r["v"]: (r["c_start"], r["c_end"], r["n"], r["pos"])
+                for r in H.counts_cdf(vcr).collect()}
+        assert actr == ref_unkeyed(vcr, "pos"), \
+            f"rider, small_max={small_max}"
+
+    # structural safety: the large arm may not depend on Spark unifying
+    # the two range-exchange references — disable reuse and re-check
+    monkeypatch.setattr(H, "CDF_SMALL_MAX_ROWS", 8)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        actr = {r["v"]: (r["c_start"], r["c_end"], r["n"], r["pos"])
+                for r in H.counts_cdf(vcr).collect()}
+        assert actr == ref_unkeyed(vcr, "pos"), "rider, reuse disabled"
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
