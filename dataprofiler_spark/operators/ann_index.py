@@ -78,13 +78,22 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, path: str,
             pq_books = cl.pq_fit(fit_on, id_col, vec_col, m=pq_m,
                                  k_codes=pq_codes, iters=pq_iters,
                                  dim=dim)
-            for j, book in enumerate(pq_books):
+            # one nested codebook literal + one transform lambda per
+            # code column (r13 literal fusion — see clustering.pq_audit;
+            # bit-identical (d, cl) structs and array_min tie-break)
+            bmat = F.lit([[[float(w) for w in c] for c in book]
+                          for book in pq_books])
+
+            def _cand_struct(sl):
+                # closure factory: pyspark HOF binding counts named
+                # lambda params
+                return lambda c, i: F.struct(
+                    cl._sqdist(sl, c).alias("d"), i.alias("cl"))
+
+            for j in range(pq_m):
                 sl = F.slice(F.col("embedding"), j * sub + 1, sub)
-                cands = F.array(*[
-                    F.struct(cl._sqdist(sl, F.array(*[F.lit(w)
-                                                      for w in c]))
-                             .alias("d"), F.lit(i).alias("cl"))
-                    for i, c in enumerate(book)])
+                cands = F.transform(F.element_at(bmat, j + 1),
+                                    _cand_struct(sl))
                 assigned = assigned.withColumn(
                     f"code{j}", F.array_min(cands)["cl"].cast("int"))
     elif quantizer == "mllib":
@@ -219,9 +228,12 @@ def ivf_query_adc(spark: SparkSession, path: str,
     cand = vecs.where(F.col("centroid").isin(probe))
     if exclude_id is not None:
         cand = cand.where(F.col("id") != exclude_id)
+    # one nested table literal (r13 fusion): same values, same
+    # integer adds — bit-identical d6
+    tmat = F.lit(dt6)
     total = None
     for j in range(m):
-        term = F.element_at(F.array(*[F.lit(v) for v in dt6[j]]),
+        term = F.element_at(F.element_at(tmat, j + 1),
                             F.col(f"code{j}") + 1)
         total = term if total is None else total + term
     scored = cand.select(F.col("id").alias("vec_id"),
