@@ -82,49 +82,80 @@ class StreamingDriftMonitor:
         # cut points, bucket = #edges strictly below x (clamped by
         # construction to 0..len(edges)).
         self._num_state: dict[str, tuple[list[float], list[tuple[int, int]]]] = {}
-        for col, kind in self.columns.items():
-            if kind == "categorical":
-                rows = (baseline_df
-                        .groupBy(F.col(col).cast("string").alias("value"))
-                        .agg(F.count(F.lit(1)).alias("cnt"))
-                        .limit(max_categories + 1).collect())
-                if len(rows) > max_categories:
-                    raise ValueError(
-                        f"baseline column {col!r} exceeds max_categories="
-                        f"{max_categories}; monitor a bucketed projection "
-                        "instead of a high-cardinality key")
-                self._cat_counts[col] = [(r["value"], r["cnt"]) for r in rows]
-            elif kind == "numeric":
-                if self.numeric_bins == "quantile":
-                    qs = [i / self.bins for i in range(1, self.bins)]
-                    row = baseline_df.agg(F.percentile_approx(
-                        F.col(col).cast("double"), qs, 10_000)
-                        .alias("e")).collect()[0]
+        bad = [f"{k!r} for column {c!r}" for c, k in self.columns.items()
+               if k not in ("categorical", "numeric")]
+        if bad:
+            raise ValueError(f"unknown kind {bad[0]}")
+        num_cols = [c for c, k in self.columns.items() if k == "numeric"]
+        cat_cols = [c for c, k in self.columns.items() if k == "categorical"]
+
+        # categorical baselines stay ONE job per column: the
+        # limit(max_categories+1) guard must bound the driver transfer
+        # BEFORE a high-cardinality key ships its whole value set
+        for col in cat_cols:
+            rows = (baseline_df
+                    .groupBy(F.col(col).cast("string").alias("value"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .limit(max_categories + 1).collect())
+            if len(rows) > max_categories:
+                raise ValueError(
+                    f"baseline column {col!r} exceeds max_categories="
+                    f"{max_categories}; monitor a bucketed projection "
+                    "instead of a high-cardinality key")
+            self._cat_counts[col] = [(r["value"], r["cnt"]) for r in rows]
+
+        # numeric baselines: the r12 shape ran TWO jobs per column
+        # (edge sketch, then bucket counts), each a full baseline scan.
+        # r13 (guide §1.2): one agg carrying every column's
+        # percentile_approx (or min/max) sketch, then one melted
+        # explode → groupBy(column, bucket) pass for every column's
+        # bin counts — 2 scans total regardless of column count.
+        # Identical edge values (same expressions), identical counts.
+        if num_cols:
+            if self.numeric_bins == "quantile":
+                qs = [i / self.bins for i in range(1, self.bins)]
+                row = baseline_df.agg(*[
+                    F.percentile_approx(F.col(c).cast("double"), qs,
+                                        10_000).alias(f"__e{i}")
+                    for i, c in enumerate(num_cols)]).collect()[0]
+                for i, col in enumerate(num_cols):
                     # dedupe: a heavy point mass yields repeated cut
                     # points; repeated edges would mint empty bins that
                     # only add smoothing noise.
                     edges, seen = [], set()
-                    for e in (row["e"] or []):
+                    for e in (row[f"__e{i}"] or []):
                         if e is not None and e not in seen:
                             seen.add(e)
                             edges.append(float(e))
                     edges.sort()
-                else:
-                    mm = baseline_df.agg(
-                        F.min(F.col(col).cast("double")).alias("lo"),
-                        F.max(F.col(col).cast("double")).alias("hi")
-                    ).collect()[0]
-                    lo, hi = float(mm["lo"]), float(mm["hi"])
-                    w = (hi - lo) / float(self.bins) or 1.0
-                    edges = [lo + w * i for i in range(1, self.bins)]
-                counts = (baseline_df.where(F.col(col).isNotNull())
-                          .groupBy(self._bucket_expr(col, edges)
-                                   .alias("bucket"))
-                          .agg(F.count(F.lit(1)).alias("cnt")).collect())
-                self._num_state[col] = (
-                    edges, [(r["bucket"], r["cnt"]) for r in counts])
+                    self._num_state[col] = (edges, [])
             else:
-                raise ValueError(f"unknown kind {kind!r} for column {col!r}")
+                mm = baseline_df.agg(*[
+                    g for i, c in enumerate(num_cols) for g in
+                    (F.min(F.col(c).cast("double")).alias(f"__lo{i}"),
+                     F.max(F.col(c).cast("double")).alias(f"__hi{i}"))
+                ]).collect()[0]
+                for i, col in enumerate(num_cols):
+                    lo, hi = float(mm[f"__lo{i}"]), float(mm[f"__hi{i}"])
+                    w = (hi - lo) / float(self.bins) or 1.0
+                    self._num_state[col] = (
+                        [lo + w * j for j in range(1, self.bins)], [])
+            entries = [F.struct(
+                F.lit(c).alias("column"),
+                self._bucket_expr(c, self._num_state[c][0])
+                .alias("bucket"),
+                F.col(c).cast("double").isNotNull().alias("keep"))
+                for c in num_cols]
+            counts = (baseline_df
+                      .select(F.explode(F.array(*entries)).alias("e"))
+                      .where(F.col("e.keep"))
+                      .groupBy(F.col("e.column").alias("column"),
+                               F.col("e.bucket").alias("bucket"))
+                      .agg(F.count(F.lit(1)).alias("cnt"))
+                      .collect())
+            for r in counts:
+                edges, lst = self._num_state[r["column"]]
+                lst.append((r["bucket"], r["cnt"]))
 
     def _bucket_expr(self, col: str, edges: list[float]):
         """bucket = #frozen edges at or below x — monotone, clamps out-of-
@@ -142,31 +173,33 @@ class StreamingDriftMonitor:
 
     # -- per-batch scoring ---------------------------------------------------
 
-    def _psi_categorical(self, batch_df: DataFrame, col: str) -> float | None:
-        spark = batch_df.sparkSession
-        base = spark.createDataFrame(self._cat_counts[col],
-                                     "value string, cnt_a long")
-        b = (batch_df.groupBy(F.col(col).cast("string").alias("value"))
-             .agg(F.count(F.lit(1)).alias("cnt_b")))
-        counts = (b.join(F.broadcast(base), "value", "full_outer")
-                  .select(F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
-                          F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
-        counts = counts.crossJoin(F.broadcast(counts.agg(
-            F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"),
-            F.count(F.lit(1)).alias("k"))))
-        pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + F.col("k"))
-        pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + F.col("k"))
-        row = counts.agg(F.round(F.sum((pb - pa) * F.log(pb / pa)),
-                                 self.round_digits).alias("psi")).collect()[0]
-        return row["psi"]
+    # sentinel melt key for the row count — NUL-prefixed so no real
+    # column name can collide
+    _ROWS_KEY = "\x00rows"
 
-    def _psi_numeric(self, batch_df: DataFrame, col: str) -> float | None:
+    def _psi_categorical(self, batch: dict[str | None, int],
+                         col: str) -> float | None:
+        """PSI over the full outer union of baseline/batch keys, +1
+        smoothing on both sides (same formula the r12 per-column Spark
+        aggregate computed; moved to the driver over the single-pass
+        melted counts — bounded by max_categories, and float-sum order
+        differences land below the round_digits rounding)."""
+        base = dict(self._cat_counts[col])
+        keys = sorted((set(base) | set(batch)),
+                      key=lambda v: (v is not None, v))
+        k = len(keys)
+        na = sum(base.values())
+        nb = sum(batch.values())
+        psi = 0.0
+        for key in keys:
+            pa = (base.get(key, 0) + 1) / (na + k)
+            pb = (batch.get(key, 0) + 1) / (nb + k)
+            psi += (pb - pa) * math.log(pb / pa)
+        return round(psi, self.round_digits)
+
+    def _psi_numeric(self, batch: dict[int, int], col: str) -> float | None:
         edges, base_counts = self._num_state[col]
         n_bins = len(edges) + 1
-        batch = {r["bucket"]: r["cnt"] for r in
-                 (batch_df.where(F.col(col).isNotNull())
-                  .groupBy(self._bucket_expr(col, edges).alias("bucket"))
-                  .agg(F.count(F.lit(1)).alias("cnt")).collect())}
         base = dict(base_counts)
         na, nb = sum(base.values()), sum(batch.values())
         if nb == 0:
@@ -180,16 +213,60 @@ class StreamingDriftMonitor:
 
     def update(self, batch_df: DataFrame, batch_id: int | None = None) -> dict:
         """foreachBatch hook: score one micro-batch against the frozen
-        baseline; append to the in-memory log and the optional sink."""
-        n = batch_df.count()
+        baseline; append to the in-memory log and the optional sink.
+
+        ONE batch scan for everything (r13, guide §1.2): the r12 shape
+        ran 1 + n_columns jobs per micro-batch — a count plus one
+        groupBy-collect per monitored column, each re-scanning the
+        batch. All columns (and the row count, via a sentinel entry)
+        now melt into a single explode → groupBy(column, key) pass; the
+        driver folds the bounded per-key counts into the same PSI
+        formulas. Smoothed-PSI values are unchanged up to float-sum
+        order (asserted within 2e-6 of the batch operator by
+        test_streaming_psi_matches_batch_operator)."""
+        entries = [F.struct(
+            F.lit(self._ROWS_KEY).alias("column"),
+            F.lit(None).cast("string").alias("key"),
+            F.lit(True).alias("keep"))]
+        for col, kind in self.columns.items():
+            if kind == "categorical":
+                entries.append(F.struct(
+                    F.lit(col).alias("column"),
+                    F.col(col).cast("string").alias("key"),
+                    F.lit(True).alias("keep")))
+            else:
+                edges = self._num_state[col][0]
+                entries.append(F.struct(
+                    F.lit(col).alias("column"),
+                    self._bucket_expr(col, edges).cast("string")
+                    .alias("key"),
+                    F.col(col).cast("double").isNotNull().alias("keep")))
+        melted = (batch_df
+                  .select(F.explode(F.array(*entries)).alias("e"))
+                  .where(F.col("e.keep"))
+                  .groupBy(F.col("e.column").alias("column"),
+                           F.col("e.key").alias("key"))
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect())
+        per_col: dict[str, dict] = {}
+        n = 0
+        for r in melted:
+            if r["column"] == self._ROWS_KEY:
+                n = r["cnt"]
+            else:
+                per_col.setdefault(r["column"], {})[r["key"]] = r["cnt"]
         entry: dict = {"batch_id": batch_id, "n_rows": n, "psi": {}}
         for col, kind in self.columns.items():
             if n == 0:
                 entry["psi"][col] = None
                 continue
-            entry["psi"][col] = (self._psi_categorical(batch_df, col)
-                                 if kind == "categorical"
-                                 else self._psi_numeric(batch_df, col))
+            if kind == "categorical":
+                entry["psi"][col] = self._psi_categorical(
+                    per_col.get(col, {}), col)
+            else:
+                entry["psi"][col] = self._psi_numeric(
+                    {int(k): v for k, v in per_col.get(col, {}).items()},
+                    col)
         if self.alert_threshold is not None:
             entry["alert"] = any(
                 v is not None and v > self.alert_threshold
