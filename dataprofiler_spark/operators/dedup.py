@@ -428,6 +428,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+    # Pin the verify stage's parallelism (r13, same fix as
+    # embedding_neardup_pairs): the distinct shuffles only id pairs, so
+    # AQE coalesces to ~1 partition and the per-pair jaccard verify
+    # (array_intersect over the shingle-hash sets) runs single-task.
+    # A user-numbered hash repartition on id1 is AQE-exempt and cheap
+    # (ids only, post-dedup); repartitioning on (id1, id2) would be
+    # optimizer-eliminated as redundant with the distinct's own
+    # partitioning and then coalesced anyway.
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id1")
     s1 = sh.select(F.col("id").alias("id1"), F.col("hs").alias("hs1"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("hs").alias("hs2"))
     if verify_k is None:

@@ -302,6 +302,18 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()
     )
+    # Pin the verify stage's parallelism (r13): the distinct's shuffle
+    # carries only (id1, id2) — a few bytes per candidate — so AQE's
+    # size-based coalescing folds it to ~1 post-shuffle partition, and
+    # the EXPENSIVE part (the dim-wide exact-cosine verify after the
+    # vector joins) runs in that same stage on one core (probe: a 1.6 s
+    # single-task stage at bench scale; the same mis-sizing happens at
+    # any scale because cost-per-row, not bytes, dominates here). A
+    # user-numbered hash repartition of the deduped pairs is respected
+    # by AQE (never coalesced), keeps the distinct's map-side partial
+    # dedup, and shuffles only the tiny id-pair rows.
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id1")
     v1 = b.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = b.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     out = (
