@@ -548,12 +548,12 @@ buckets AS (
   FROM buckets0 JOIN bok USING (band, bucket)
 )"""
     return f"""sh0 AS ({_duck_shingles(table, id_col, text_col, k)}),
-shf AS (
+shf AS MATERIALIZED (
   SELECT id, list_distinct(list_transform(sh,
            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs_full
   FROM sh0
 ),
-sh AS (SELECT id, {sketch} AS hs FROM shf),
+sh AS MATERIALIZED (SELECT id, {sketch} AS hs FROM shf),
 hashes AS (
   SELECT shf.id, u.h60 // 268435456 AS h
   FROM shf, UNNEST(shf.hs_full) u(h60)
@@ -569,7 +569,7 @@ pairs AS (
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ),
-vpairs AS (
+vpairs AS MATERIALIZED (
   SELECT p.id1, p.id2,
          ROUND({jacc}, {round_digits}) AS jaccard
   FROM pairs p
@@ -653,7 +653,7 @@ def neardup_comp_ctes(table: str, id_col: str, text_col: str,
                             max_bucket_size=max_bucket_size)
     return f"""{ctes},
 nodes AS (SELECT {id_col} AS id FROM {table}),
-bi AS (
+bi AS MATERIALIZED (
   SELECT id1 AS src, id2 AS dst FROM vpairs
   UNION
   SELECT id2, id1 FROM vpairs

@@ -28,10 +28,16 @@ def _persistent_rdd_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
-def _checkpoint_tracking(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """Eagerly localCheckpoint ``df``; also return the ids of the RDDs
+def _checkpoint_tracking(df: DataFrame, eager: bool = True
+                         ) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint ``df``; also return the ids of the RDDs
     the checkpoint persisted, so the caller can release them once the
-    snapshot is superseded.
+    snapshot is superseded. ``eager=False`` defers materialization to
+    the caller's NEXT action over the frame (the persistent-RDD id
+    registers at persist time, so the tracking works either way) — use
+    it when the loop already runs an action per round that reads the
+    frame, saving one full job per iteration (r13,
+    connected_components' convergence check).
 
     localCheckpoint persists its materialized RDD and nothing ever
     unpersists it — in an iterative loop that leaks one MEMORY_AND_DISK
@@ -45,7 +51,7 @@ def _checkpoint_tracking(df: DataFrame) -> tuple[DataFrame, set[int]]:
     ContextCleaner."""
     sc = df.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     added = _persistent_rdd_ids(sc) - before
     return out, added
 
@@ -138,7 +144,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                           .unionAll(prop)
                           .groupBy("node")
                           .agg(F.min("cand").alias("component")))
-            new_labels, added = _checkpoint_tracking(new_labels)
+            # LAZY checkpoint (r13): the convergence check below is the
+            # materializing action — an eager checkpoint spent a whole
+            # extra job per round storing blocks the very next job
+            # re-read. Lineage is truncated either way.
+            new_labels, added = _checkpoint_tracking(new_labels,
+                                                     eager=False)
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")
                        .where(F.col("n.component") != F.col("o.component"))

@@ -467,18 +467,18 @@ WITH RECURSIVE v AS (
 buckets AS (
 {band_sel}
 ){size_filter},
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.id AS id1, b.id AS id2
   FROM {bsrc} a JOIN {bsrc} b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ),
-vpairs AS (
+vpairs AS MATERIALIZED (
   SELECT c.id1, c.id2
   FROM cand c JOIN v x ON c.id1 = x.id JOIN v y ON c.id2 = y.id
   WHERE {cos} >= {threshold}
 ),
 nodes AS (SELECT {id_col} AS id FROM {table}),
-bi AS (
+bi AS MATERIALIZED (
   SELECT id1 AS src, id2 AS dst FROM vpairs
   UNION
   SELECT id2, id1 FROM vpairs
