@@ -401,6 +401,7 @@ ADV_QUERIES = [
 ]
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("name", ADV_QUERIES)
 def test_query_matches_oracle_on_adversarial_data(name, spark, adv_duck,
                                                   adv_dir):

@@ -19,6 +19,7 @@ SF001_PINNED = {"cnn_labeler_customer", "ner_spans_orders",
                 "cnn_head_tuned_customer"}
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = SPARK_QUERIES[name](spark, sf_dir).toPandas()
